@@ -1,0 +1,108 @@
+"""Typed catalog: the engine's replacement for the reference's
+``loaders["source"]`` config dicts (template.py:471-483, README.md:9-38).
+
+The reference materializes every source as a session temp view named by
+``table_name`` and lets the transform address views by name in SQL
+(template.py:305, 317). We keep exactly that model — it IS Spark's model —
+but make the specs typed and the registration explicit, and declare
+schemas instead of inferring them (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated testdata tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Snapshot scan of one testdata table (SURVEY.md §2.1 S1).
+
+    Parquet scan → Catalyst handles predicate pushdown / column pruning /
+    row-group skipping downstream; nothing to hand-roll here.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw int64 nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
+    JVM-side with integer division (``div`` — a double division would
+    lose precision above 2^53 ns). DuckDB applies the same ns→µs
+    truncation, so oracle comparisons line up exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """Typed version of one ``loaders["source"]`` entry
+    (template.py:474-483): name, path, format, load type.
+    """
+
+    table_name: str
+    path: str
+    fmt: str = "parquet"
+    load_type: str = "FULL"  # FULL | INC  (template.py:301-317 dispatch)
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class Catalog:
+    """Registers sources as temp views so SQL transforms can address them
+    by name — the reference's load_hudi_tables() (template.py:297-322)
+    without the Hudi/S3 coupling.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def register(self, spec: SourceSpec) -> DataFrame:
+        if spec.load_type == "FULL":
+            df = (
+                self.spark.read.format(spec.fmt)
+                .options(**spec.options)
+                .load(spec.path)
+            )
+        elif spec.load_type == "INC":
+            # Incremental sources go through the checkpointed reader
+            # (sources/incremental.py); registered here for API parity.
+            from .sources.incremental import IncrementalReader
+
+            df = IncrementalReader(
+                self.spark, spec.table_name, spec.path, **spec.options
+            ).read()
+        else:
+            raise ValueError(f"unknown load_type: {spec.load_type!r}")
+        df.createOrReplaceTempView(spec.table_name)
+        return df
+
+    def register_testdata(self, sf_dir: str) -> None:
+        """Register all driver testdata tables as temp views."""
+        for name in TABLES:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """The transform runner (template.py:319-322): arbitrary Spark SQL
+        over the registered views; Catalyst optimizes the whole plan.
+        """
+        return self.spark.sql(query)

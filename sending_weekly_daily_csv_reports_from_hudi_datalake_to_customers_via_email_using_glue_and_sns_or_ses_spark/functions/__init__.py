@@ -1,0 +1,3 @@
+"""Reusable column-expression builders (JVM-side, no UDFs)."""
+
+from .vector import cosine_similarity, dot, l2_norm  # noqa: F401

@@ -1,0 +1,59 @@
+"""Operator corpus registry.
+
+Every implemented operator from SURVEY.md §2 registers itself here via
+the ``@query`` decorator: a named PySpark program ``(spark, sf_dir) ->
+DataFrame`` plus (when SQL-expressible) an equivalent ANSI-SQL oracle
+that DuckDB runs on the same parquet for the driver's correctness gate.
+
+Oracle-parity conventions (SURVEY.md §7.3d):
+  * every computed column is aliased identically on both sides;
+  * money/float aggregates go through exact decimal arithmetic and are
+    cast to double only at the end (bit-identical across engines);
+  * session timezone is UTC on the Spark side; timestamps compare raw;
+  * deterministic tie-breaks everywhere a top-k / dedup picks a row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is DuckDB-ready ANSI SQL over the
+    pre-registered views (region nation customer supplier part orders
+    lineitem events documents embeddings). Omit it for ops that aren't
+    SQL-expressible (driver then records a rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    from . import (  # noqa: F401
+        aggregates,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        setops,
+        similarity,
+        textual,
+        timeseries,
+        windows,
+    )
+
+
+_load_all()

@@ -1,0 +1,337 @@
+"""Deduplication operators over ``documents`` (LLM-pipeline extension
+set): exact hash-dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Scale design:
+  * exact dedup — hash-groupBy on the md5 fingerprint: one shuffle keyed
+    by a uniform 128-bit hash → no skew, perfectly parallel.
+  * n-gram Jaccard — shingle inverted index: explode distinct shingles,
+    self-join on shingle, count co-occurrences. Cost is Σ(postings²) per
+    shingle, so ultra-common shingles are capped (stopword shingles
+    contribute nothing to near-dup detection anyway — standard trick).
+  * MinHash LSH — banding: b bands × r rows of minhashes; candidate
+    pairs share a band bucket; candidates verified with exact Jaccard.
+    Shuffle is keyed by (band, bucket-hash) — data-size-proportional,
+    never O(n²).
+  * SimHash — 64-bit weighted-token hash; near-dups = small Hamming
+    distance; bucketing on 4 16-bit chunks finds all pairs within
+    distance 3 (pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+#: Shingles appearing in more than this many docs are dropped from the
+#: Jaccard index (they connect everything to everything). Value chosen
+#: high enough that sf0.01's 5k synthetic docs keep all signal shingles.
+_MAX_POSTINGS = 10_000
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+def _tokens() -> F.Column:
+    return F.split(_norm_text(), " ")
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X7): group by content fingerprint, keep the smallest
+    doc_id (deterministic keeper). n_copies > 1 rows are the duplicate
+    clusters."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok,
+                           generate_subscripts(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS pos) t
+    ), shingles AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles x JOIN shingles y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by exact 3-gram Jaccard ≥ 0.35 via a shingle
+    inverted index (explode → self-join on shingle → count).
+
+    At 100 TB the guard is the postings cap (see _MAX_POSTINGS): the
+    join cost is Σ postings², so pathological shingles are dropped. For
+    corpora where even capped postings blow up, dedup_minhash_lsh below
+    is the probabilistic scale path with the same output contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    t1, t2, t3 = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    shingles = (
+        t1.join(
+            t2,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            t3,
+            (F.col("c.doc_id") == F.col("a.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+    # drop ultra-common shingles (posting-list cap — no-op at test SFs)
+    postings = shingles.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    shingles = shingles.join(
+        F.broadcast(postings.filter(F.col("n_docs") > _MAX_POSTINGS)),
+        "shingle",
+        "left_anti",
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    x, y = shingles.alias("x"), shingles.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= 0.35)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jacc, 6).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def _minhash_signature(n_hashes: int = 32) -> list[F.Column]:
+    """Deterministic MinHash: h_i(shingle) = min over shingles of
+    xxhash64(shingle, seed=i). xxhash64 is Spark-builtin (JVM, codegen);
+    no Python in the loop."""
+    return [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard over the MinHash signature agreement rate.
+
+    32 xxhash64 min-hashes per doc → 8 bands × 4 rows; docs sharing any
+    band bucket become candidate pairs; pairs are scored by signature
+    agreement (estimate of Jaccard) ≥ 0.5.
+
+    No SQL oracle — xxhash64 isn't portable to DuckDB; pytest verifies
+    recall against dedup_ngram_jaccard's exact output instead.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    t1, t2, t3 = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    shingles = (
+        t1.join(
+            t2,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            t3,
+            (F.col("c.doc_id") == F.col("a.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+    n_hashes, n_bands = 32, 8
+    rows_per_band = n_hashes // n_bands
+    sig = shingles.groupBy("doc_id").agg(*_minhash_signature(n_hashes))
+
+    # banding: bucket key = hash of the band's minhash slice
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+
+    le, ri = bands.alias("le"), bands.alias("ri")
+    cands = (
+        le.join(
+            ri,
+            (F.col("le.band") == F.col("ri.band"))
+            & (F.col("le.bucket") == F.col("ri.bucket"))
+            & (F.col("le.doc_id") < F.col("ri.doc_id")),
+        )
+        .select(
+            F.col("le.doc_id").alias("doc_a"), F.col("ri.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # verify candidates: fraction of agreeing minhashes ≈ Jaccard
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign-sum of token hash bits;
+    candidate pairs share at least one of four 16-bit chunks (pigeonhole
+    ⇒ finds all pairs with Hamming distance ≤ 3); pairs scored by exact
+    Hamming distance of the signatures.
+
+    All bit arithmetic is JVM-side (shiftright/bitwise ops on xxhash64).
+    No SQL oracle (engine-specific hash); pytest checks the Hamming
+    property on seeded duplicates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    # per-bit weighted sums → sign bit
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_cols)
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2 ** b).cast("long"))
+            if b < 63
+            else F.when(F.col(f"b{b}") > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
+            for b in range(64)
+        ).alias("simhash"),
+    )
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        le, ri = chunks.alias("le"), chunks.alias("ri")
+        p = le.join(
+            ri,
+            (F.col(f"le.c{c}") == F.col(f"ri.c{c}"))
+            & (F.col("le.doc_id") < F.col("ri.doc_id")),
+        ).select(
+            F.col("le.doc_id").alias("doc_a"),
+            F.col("ri.doc_id").alias("doc_b"),
+            F.col("le.simhash").alias("sh_a"),
+            F.col("ri.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, the Hudi precombine rule (P2): latest event per user
+    (deterministic tie-break) — dropDuplicates done right (dropDuplicates
+    keeps an *arbitrary* row; this keeps a *defined* one)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

@@ -1,0 +1,199 @@
+"""Join operators (SURVEY.md §2.3 R2, §2.7 X4).
+
+Strategy notes for 100 TB: dimension tables (region, nation, customer at
+report scale) broadcast — zero shuffle of the fact side. Fact⋈fact joins
+(lineitem⋈orders) shuffle on the join key; AQE converts to broadcast at
+runtime when a filtered side turns out small, and handles skew. Semi/
+anti joins ship only the key column of the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 left-semi: customers with ≥1 urgent order. Only o_custkey of
+    the filtered orders side crosses the wire."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 left-anti: customers with no orders (incremental-load
+    reconciliation shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 left-outer + aggregate: per-customer order stats keeping
+    order-less customers (count of NULL key = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_multiway_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY region_name, nation_name
+    """,
+)
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join, revenue per region/nation.
+
+    Physical shape at scale: lineitem⋈orders is the one real shuffle
+    (both fact-sized, keyed on orderkey); customer/nation/region are
+    broadcast so the enrichment side never reshuffles the fact stream.
+    The orderdate filter lands on the orders parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            r.r_name.alias("region_name"), n.n_name.alias("nation_name")
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           (c.nationkey IS NOT NULL) AS has_customers,
+           (s.nationkey IS NOT NULL) AS has_suppliers
+    FROM cust_nations c FULL OUTER JOIN supp_nations s USING (nationkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 full-outer: nations having customers vs suppliers."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return (
+        c.withColumn("c_present", F.lit(True))
+        .join(s.withColumn("s_present", F.lit(True)), "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.col("c_present").isNotNull().alias("has_customers"),
+            F.col("s_present").isNotNull().alias("has_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_range_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           max(o.o_orderdate) AS last_order_before
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id % 100 AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent order at or before each event, per key).
+
+    Spark lacks a native as-of join; expressed as equi-join on key +
+    range predicate + max aggregate. The equi-key keeps it a hash join
+    (the range predicate filters post-match) rather than a cartesian.
+    For very hot keys the applyInPandas merge_asof variant in
+    operators/timeseries.py is the fallback.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        e.join(
+            o,
+            (o.o_custkey == e.user_id % 100) & (o.o_orderdate <= e.ts),
+            "left_outer",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("last_order_before"))
+    )

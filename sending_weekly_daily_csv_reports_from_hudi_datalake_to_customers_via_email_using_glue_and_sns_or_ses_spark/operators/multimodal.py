@@ -1,0 +1,192 @@
+"""Multimodal-column operators (LLM-pipeline extension set).
+
+Model: media is an opaque ``binary`` column plus typed metadata columns
+(mime, width/height/duration, …) — the lakehouse-native layout (media
+inline for small blobs; at 100 TB, the binary column holds either the
+bytes or a (uri, offset, length) pointer struct and the scan stays the
+same shape).
+
+The testdata has no binary table, so ``media_from_documents`` fabricates
+one deterministically (utf-8 bytes of the text, a per-row synthetic
+"format" tag) — the point is the Spark-side plumbing: binary schema,
+magic-byte sniffing with built-ins, Arrow-batched mapInPandas for the
+decode/feature stage, partition sizing.
+
+The actual image/audio decode is STUBBED (no PIL/ffmpeg in this
+container): `decode_image_batch` raises NotImplementedError unless
+``fake=True``, in which case it emits a deterministic fake feature
+vector derived from the bytes — the distributed plumbing around it is
+real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+#: magic prefixes for sniffing (public file-format signatures)
+_MAGIC = {
+    "89504E47": "image/png",
+    "FFD8FF": "image/jpeg",
+    "47494638": "image/gif",
+    "52494646": "audio/wav",  # RIFF
+}
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary-column table fabricated from documents:
+    (media_id, blob binary, mime string, n_bytes long)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("blob"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "image/jpeg")
+        .otherwise("audio/wav")
+        .alias("mime"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT
+      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+           WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+           ELSE 'audio/wav' END AS mime,
+      count(*) AS n_media,
+      sum(octet_length(encode(text))) AS total_bytes,
+      max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY mime
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata sweep over a binary column: size stats per mime type —
+    the triage query before any decode. Binary length is JVM-side;
+    blobs are never shipped to Python."""
+    m = media_from_documents(spark, sf_dir)
+    return m.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@query(
+    "media_magic_sniff",
+    oracle="""
+    SELECT upper(substr(hex(encode(text)), 1, 8)) AS magic_prefix,
+           count(*) AS n
+    FROM documents
+    GROUP BY magic_prefix
+    ORDER BY n DESC, magic_prefix ASC
+    LIMIT 20
+    """,
+)
+def media_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sniffing by magic bytes: hex of the first 4 bytes, counted.
+    On real media this maps through _MAGIC to detect mislabeled blobs;
+    expressed entirely with built-ins (substring on binary + hex)."""
+    m = media_from_documents(spark, sf_dir)
+    return (
+        m.select(F.upper(F.hex(F.substring("blob", 1, 4))).alias("magic_prefix"))
+        .groupBy("magic_prefix")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("magic_prefix"))
+        .limit(20)
+    )
+
+
+def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
+    """STUB decode stage. Real deployment: PIL.Image.open per blob →
+    (width, height, mode) + resized-thumbnail feature vector. This
+    container has no imaging libs, so ``fake=True`` derives a
+    deterministic pseudo-feature from the bytes (length + simple byte
+    statistics) with the same output shape the real decoder would have.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not in this container); "
+            "call with fake=True for the deterministic test double"
+        )
+    n = blobs.str.len().fillna(0).astype("int64")
+    first = blobs.str[:1].apply(lambda b: b[0] if isinstance(b, bytes) and b else 0)
+    last = blobs.apply(lambda b: b[-1] if isinstance(b, bytes) and b else 0)
+    return pd.DataFrame(
+        {
+            "width": (n % 640).astype("int32"),
+            "height": (n % 480).astype("int32"),
+            "brightness": ((first.astype("int64") + last.astype("int64")) % 256).astype(
+                "double"
+            ),
+        }
+    )
+
+
+@query("media_decode_features")
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract stage: Arrow-batched ``mapInPandas``
+    over the binary column — blobs cross to Python in columnar batches
+    once, features come back columnar. At scale this is the pattern for
+    any Python-only media library; batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
+    blob-size-aware.
+
+    Rows-only driver check (the decode double isn't SQL); pytest pins
+    exact values for a fixed input.
+    """
+    m = media_from_documents(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decode_image_batch(pdf["blob"], fake=True)
+            out = pd.concat(
+                [pdf[["media_id", "mime"]].reset_index(drop=True), feats], axis=1
+            )
+            yield out
+
+    return m.mapInPandas(
+        run,
+        schema="media_id long, mime string, width int, height int, brightness double",
+    )
+
+
+@query("media_frame_sample")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling plumbing: explode each blob into k
+    deterministic (offset, length) chunk pointers — the video
+    frame-sample pattern where the expensive decode runs only on sampled
+    chunks. Pointer math is pure SQL; only sampled chunks would cross to
+    the decoder.
+
+    Rows-only driver check; pytest asserts chunk coverage/boundaries.
+    """
+    m = media_from_documents(spark, sf_dir)
+    k = 4
+    return (
+        m.select(
+            "media_id",
+            "mime",
+            "n_bytes",
+            F.posexplode(F.sequence(F.lit(0), F.lit(k - 1))).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "media_id",
+            "mime",
+            "chunk_idx",
+            (F.col("chunk_idx") * (F.col("n_bytes") / k).cast("long")).alias("offset"),
+            F.least(
+                (F.col("n_bytes") / k).cast("long"),
+                F.col("n_bytes") - F.col("chunk_idx") * (F.col("n_bytes") / k).cast("long"),
+            ).alias("length"),
+        )
+        .filter(F.col("length") > 0)
+    )

@@ -1,0 +1,172 @@
+"""Relational operators from the reference's SQL surface (SURVEY.md §2.3).
+
+The flagship query re-creates the reference's report transform
+(template.py:485-490): project o.* plus aliased customer columns, inner
+equi-join orders⋈customers, equality filter on priority — retargeted at
+the driver testdata (FIXTURES.md flagship mapping: o_custkey = c_custkey,
+o_orderpriority = '1-URGENT'; c_mktsegment stands in for the email
+column the testdata lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+@query(
+    "flagship_report",
+    oracle="""
+    SELECT o.*, c.c_name AS customer_name, c.c_mktsegment AS customer_segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2+R3+R7 (template.py:485-490).
+
+    customer is tiny relative to orders (1:10 at every SF, and in real
+    deployments the dimension side) → broadcast it: no shuffle of the
+    fact table at 100 TB. The URGENT filter is a parquet pushdown on the
+    fact side before the join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            orders["*"],
+            customer.c_name.alias("customer_name"),
+            customer.c_mktsegment.alias("customer_segment"),
+        )
+    )
+
+
+@query(
+    "select_star",
+    oracle="SELECT * FROM nation",
+)
+def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 passthrough (template.py:215: ``select * from hudi_incremental``)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@query(
+    "projection_computed",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           p_retailprice,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,1)), 2) AS DOUBLE)
+             AS discounted_price,
+           p_size + 1 AS size_plus_one
+    FROM part
+    """,
+)
+def projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R7/F3: projection with computed + aliased columns, arithmetic on
+    casts (the reference's ``int(str)-1`` commit arithmetic, template.py:204,
+    lifted into the plan). Decimal math keeps the oracle bit-identical.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        "p_retailprice",
+        F.round(
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.lit(0.9).cast("decimal(3,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("discounted_price"),
+        (F.col("p_size") + 1).alias("size_plus_one"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice > 150000.0
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 generalized: conjunctive equality / range / IN predicates —
+    all parquet-pushable (verified via explain: PushedFilters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 150000.0)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "distinct_sort_limit",
+    oracle="""
+    SELECT DISTINCT o_orderdate AS commit_time
+    FROM orders ORDER BY commit_time ASC LIMIT 50
+    """,
+)
+def distinct_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4+R5+R6+R7: the reference's begin-commit discovery shape
+    (template.py:199-201: SELECT DISTINCT commit ORDER BY asc LIMIT 50).
+    Spark plans this as TakeOrderedAndProject — top-k without a global
+    sort, the right plan at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderdate").alias("commit_time"))
+        .distinct()
+        .orderBy(F.asc("commit_time"))
+        .limit(50)
+    )
+
+
+@query(
+    "commit_bounds",
+    oracle="""
+    SELECT CAST(min(o_orderdate) AS TIMESTAMP) AS begin_commit,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS last_commit,
+           count(DISTINCT o_orderdate) AS n_commits
+    FROM orders
+    """,
+)
+def commit_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 done right: the reference discovers begin/last commit with
+    distinct+sort+limit+collect (template.py:197-224); the scalable plan
+    is a single min/max aggregate — no sort, no driver-side list.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderdate").alias("begin_commit"),
+        F.max("o_orderdate").alias("last_commit"),
+        F.countDistinct("o_orderdate").alias("n_commits"),
+    )
+
+
+@query(
+    "incremental_scan",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderdate > TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 semantics (template.py:207-217): incremental read = rows with
+    commit time strictly after the checkpoint. Over parquet this is a
+    pushed-down range predicate — at 100 TB with date/commit-partitioned
+    layout it's partition pruning, reading only new files.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderdate") > F.lit("2000-01-01").cast("timestamp"))

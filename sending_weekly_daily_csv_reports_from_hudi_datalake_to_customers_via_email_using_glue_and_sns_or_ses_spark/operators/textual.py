@@ -1,0 +1,191 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.7 X10 and the
+LLM-pipeline extension set): token statistics, quality scoring,
+language-ID heuristic, document fingerprinting, term frequencies.
+
+Everything is built-in-function only (JVM-side, codegen) — regexes and
+hashes, no Python UDFs in the hot path. That keeps a 100 TB document
+sweep a single embarrassingly-parallel scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+#: tiny stopword marker sets for the language-ID heuristic (public
+#: common-word lists; intentionally minimal — the heuristic, not the
+#: lexicon, is the operator).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _word_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars_computed,
+           length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens_ws,
+           CAST(floor(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+             AS n_tokens_bpe_est
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace token count + a BPE-ish estimate
+    (chars/4 — the published GPT-family rule of thumb). Counting via
+    length arithmetic instead of split() keeps both engines' semantics
+    trivially identical."""
+    d = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_computed"),
+        (
+            F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+        ).alias("n_tokens_ws"),
+        F.floor(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0
+        )
+        .cast("bigint")
+        .alias("n_tokens_bpe_est"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(round(
+             0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / greatest(length(text), 1))
+           + 0.3 * least((length(' ' || text || ' ')
+                          - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0 / 5.0, 1.0)
+           , 6) AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: weighted blend of length saturation, alpha-char
+    ratio, and stopword ('the') density — the standard cheap pre-filter
+    before expensive LLM-pipeline stages. Pure column arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    the_count = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
+    ) / 5.0
+    score = (
+        0.4 * F.least(F.length(text) / 500.0, F.lit(1.0))
+        + 0.3
+        * (
+            F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+            / F.greatest(F.length(text), F.lit(1))
+        )
+        + 0.3 * F.least(the_count / 5.0, F.lit(1.0))
+    )
+    return d.select("doc_id", F.round(score, 6).cast("double").alias("quality"))
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_actual,
+             len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["en"])}')) AS s_en,
+             len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["es"])}')) AS s_es,
+             len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["fr"])}')) AS s_fr,
+             len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["de"])}')) AS s_de
+      FROM documents)
+    SELECT doc_id, lang_actual, s_en, s_es, s_fr, s_de,
+           CASE greatest(s_en, s_es, s_fr, s_de)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: count language-marker stopwords per language, argmax
+    with fixed priority order (en > es > fr > de) for ties, 'und' when
+    no markers hit. One regex pass per language over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scores = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_word_re(words)), 0))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        scores["de"].alias("s_de"),
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: MD5 of whitespace-normalized lowercase text.
+    MD5 is standard → bit-identical across engines; this fingerprint is
+    the exact-dedup key in operators/dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@query(
+    "term_frequency",
+    oracle=r"""
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency: tokenize → explode → count. The
+    explode multiplies rows ~100×, but partial aggregation collapses
+    them again before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )

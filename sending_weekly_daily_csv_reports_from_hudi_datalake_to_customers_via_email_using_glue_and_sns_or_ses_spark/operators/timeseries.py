@@ -1,0 +1,190 @@
+"""Time-series / event-stream operators over ``events``
+(SURVEY.md §2.7 X11/X12): JSON props extraction, time-bucketed
+aggregation, sessionization, as-of alignment.
+
+Batch forms here; the Structured Streaming variants (watermarks,
+session_window) live in streaming/windows.py with the same semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: pull a typed field out of the JSON ``props`` string and
+    filter on it. get_json_object is JVM-side (Jackson) — no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_id", "event_type", k.alias("k_value"))
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 batch: tumbling 1-hour rollup via date_trunc (the hypertable
+    time_bucket pattern). Partial aggregation makes the shuffle carry
+    one row per (hour, type) per task — constant-ish regardless of SF.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(is_new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session-break flags — one shuffle on user_id, no iteration.
+    Streaming twin: session_window(ts, '30 minutes') in streaming/.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "is_new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = marked.withColumn("session_id", F.sum("is_new_session").over(w2))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      FROM events GROUP BY day)
+    SELECT day, n,
+           CAST(sum(n) OVER (ORDER BY day ASC
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_7d
+    FROM buckets
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day event volume: pre-aggregate to daily buckets (map-
+    side combine shrinks the data), then a tiny frame window over days.
+    Never a sliding window over raw rows at scale — bucket first.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "n", F.sum("n").over(w).cast("bigint").alias("n_7d")
+    )
+
+
+@query("asof_align_pandas")
+def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment via grouped ``applyInPandas`` + ``pd.merge_asof``
+    — the escape hatch for semantics the built-ins can't express
+    (pyspark_guide: as-of pattern). Each user's events align to that
+    user's most recent prior 'purchase' event.
+
+    No SQL oracle (merge_asof per group isn't ANSI-expressible in one
+    statement cleanly); covered by pytest against a per-group reference
+    implementation instead.
+
+    Scale: groups hash-shuffle once; each group is a small pandas frame
+    (bounded by per-user activity, not total SF).
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = e.select("event_id", "user_id", "ts").unionByName(
+        purchases.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.col("purchase_ts").alias("ts"),
+        )
+    )
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ev = pdf[pdf.event_id.notna()][["event_id", "user_id", "ts"]]
+        pu = pdf[pdf.event_id.isna()][["ts"]].rename(columns={"ts": "purchase_ts"})
+        if ev.empty:
+            return ev.assign(purchase_ts=pd.Series(dtype="datetime64[us]"))
+        if pu.empty:
+            return ev.assign(purchase_ts=pd.NaT)
+        out = pd.merge_asof(ev, pu, left_on="ts", right_on="purchase_ts")
+        return out[["event_id", "user_id", "ts", "purchase_ts"]]
+
+    return joined.groupBy("user_id").applyInPandas(
+        align,
+        schema="event_id long, user_id long, ts timestamp, purchase_ts timestamp",
+    )

@@ -1,0 +1,80 @@
+"""Local replica of the driver's DuckDB-oracle comparison: run the Spark
+query and the oracle SQL on the same parquet, compare row count, column
+names, and order-insensitive values (exact equality after canonical
+string rendering — stricter than a tolerance check, matching a value-
+hash gate).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from pathlib import Path
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_cell(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con, sql: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    d = con.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+    sc, dc = canon(s_rows, s_cols), canon(d_rows, d_cols)
+    if sc != dc:
+        diff_s = [r for r in sc if r not in set(dc)][:3]
+        diff_d = [r for r in dc if r not in set(sc)][:3]
+        problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
+    return problems
