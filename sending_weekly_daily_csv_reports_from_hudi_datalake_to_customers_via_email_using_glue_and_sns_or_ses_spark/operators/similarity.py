@@ -99,38 +99,30 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (signed projections).
 
-    Signature: sign of dot(v, h_j) for 16 deterministic pseudo-random
-    hyperplanes (elements derived from xxhash64(j, dim-index) — no
-    driver-side RNG, fully reproducible, computed as array expressions).
-    Candidates share the full 16-bit signature bucket OR any of four
-    4-bit bands (multi-probe-ish recall); ranked by exact cosine within
-    candidates.
+    Signature: sign of dot(v, h_j) for 24 seeded-Gaussian hyperplanes
+    (literal arrays built once on the driver — constant-folded into the
+    plan, no per-row hashing). Banding: 8 bands × 3 bits; candidates
+    share at least one band; ranked by exact cosine within candidates.
 
     Scale: corpus signatures are one pass; the query side is broadcast.
-    The full scan of brute force becomes an equi-join on bucket keys.
+    The full scan of brute force becomes an equi-join on band buckets.
     pytest measures recall@10 ≥ 0.5 vs knn_bruteforce at sf0.001.
     """
+    import random
+
     e = load_table(spark, sf_dir, "embeddings")
     dim = 64
-    n_planes = 16
-
-    def plane(j: int) -> F.Column:
-        # deterministic pseudo-random hyperplane: centered xxhash64 of
-        # (plane, dim position), computed once per row via transform on
-        # the embedding's indices
-        return F.expr(
-            f"transform(sequence(0, {dim - 1}), "
-            f"i -> cast(xxhash64(cast(i as string), cast({j} as string)) as double) / 9.223372036854776e18)"
-        )
+    n_planes, band_bits, n_bands = 24, 3, 8
+    rng = random.Random(20240813)
+    planes = [
+        F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
+        for _ in range(n_planes)
+    ]
 
     def signature(emb: F.Column) -> F.Column:
-        bits = [
-            F.when(dot(emb, plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(n_planes)
-        ]
         out = F.lit(0)
-        for b in bits:
-            out = out + b
+        for j, p in enumerate(planes):
+            out = out + F.when(dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return out.cast("int")
 
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
@@ -141,17 +133,20 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
         .withColumn("q_sig", signature(F.col("q_emb")))
     )
-    # band keys: 4 bands × 4 bits
+
     def bands(sig: F.Column, prefix: str) -> list[F.Column]:
+        mask = (1 << band_bits) - 1
         return [
-            F.shiftrightunsigned(sig, 4 * c).bitwiseAND(F.lit(0xF)).alias(f"{prefix}{c}")
-            for c in range(4)
+            F.shiftrightunsigned(sig, band_bits * c)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"{prefix}{c}")
+            for c in range(n_bands)
         ]
 
     corpus_b = corpus.select("vec_id", "embedding", "sig", *bands(F.col("sig"), "cb"))
     q_b = q.select("query_id", "q_emb", "q_sig", *bands(F.col("q_sig"), "qb"))
     band_match = None
-    for c in range(4):
+    for c in range(n_bands):
         m = F.col(f"cb{c}") == F.col(f"qb{c}")
         band_match = m if band_match is None else (band_match | m)
     cands = corpus_b.crossJoin(F.broadcast(q_b)).filter(band_match)

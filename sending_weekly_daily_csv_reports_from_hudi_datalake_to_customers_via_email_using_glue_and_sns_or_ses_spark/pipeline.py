@@ -1,0 +1,84 @@
+"""The end-to-end report pipeline — the engine version of the
+reference's ``main()`` (template.py:470-519):
+
+    sources (FULL snapshot / INC checkpointed) → temp views
+      → SQL transform → CSV report → presigned URL → email
+
+Differences by design (SURVEY.md §3.1/§4):
+  * the result is written distributed (sinks/report.py), never
+    ``toPandas``'d to the driver (template.py:456);
+  * incremental checkpoints advance AFTER the sink + delivery succeed
+    (at-least-once with idempotent report keys), not before
+    (template.py:244-251 is at-most-once);
+  * delivery is pluggable; the default doubles record instead of send.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog, SourceSpec
+from .delivery import EmailMessage, EmailSender, Presigner, deliver_report
+from .sinks.report import write_csv_report
+from .sources.incremental import IncrementalReader
+
+
+@dataclass
+class PipelineConfig:
+    """Typed ``loaders`` config (template.py:471-500, README.md:9-38)."""
+
+    sources: list[SourceSpec]
+    query: str
+    report_base: str
+    recipients: list[str] = field(default_factory=list)
+    file_expires_in: int = 86400
+    report_id: str | None = None
+    single_file: bool = True
+
+
+@dataclass
+class PipelineResult:
+    df: DataFrame
+    report_path: str
+    email: EmailMessage
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    presigner: Presigner | None = None,
+    sender: EmailSender | None = None,
+) -> PipelineResult:
+    catalog = Catalog(spark)
+    inc_readers: list[IncrementalReader] = []
+    for spec in config.sources:
+        if spec.load_type == "INC":
+            # keep the reader handle: its staged checkpoint is committed
+            # only after the sink + delivery succeed (at-least-once)
+            reader = IncrementalReader(
+                spark, spec.table_name, spec.path, **spec.options
+            )
+            reader.read().createOrReplaceTempView(spec.table_name)
+            inc_readers.append(reader)
+        else:
+            catalog.register(spec)
+
+    result = catalog.sql(config.query)
+    report_path = write_csv_report(
+        result,
+        config.report_base,
+        report_id=config.report_id,
+        single_file=config.single_file,
+    )
+    email = deliver_report(
+        report_path,
+        config.recipients,
+        presigner=presigner,
+        sender=sender,
+        expires_in=config.file_expires_in,
+    )
+    for reader in inc_readers:
+        reader.commit()
+    return PipelineResult(df=result, report_path=report_path, email=email)

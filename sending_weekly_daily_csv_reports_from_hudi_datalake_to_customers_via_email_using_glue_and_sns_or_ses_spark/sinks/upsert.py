@@ -1,0 +1,206 @@
+"""Keyed-table upsert writer: Hudi COPY_ON_WRITE upsert semantics
+emulated over versioned parquet snapshots (SURVEY.md §2.2 K1, §2.5
+P1-P6), without Hudi jars.
+
+Contract (matches generate_hudi_table.py:86-214's observable behavior):
+  * record key (P1, hoodie...recordkey.field): at most one live row per
+    key after every upsert;
+  * precombine (P2, hoodie...precombine.field): among rows with the same
+    key — within one incoming batch AND between incoming and existing —
+    the row with the LARGER precombine value wins; on precombine ties
+    the incoming row wins (Hudi's default combine keeps the incoming);
+  * commit timeline: every upsert creates a new commit id
+    (yyyyMMddHHmmssSSS string, totally ordered — the _hoodie_commit_time
+    shape, template.py:199-204) and rows carry their commit id in
+    ``_commit_time``, so incremental reads (sources/incremental.py) see
+    exactly the rows each commit touched;
+  * partitioning (P4): optional hive-style partition columns;
+  * cleaner (P6, KEEP_LATEST_FILE_VERSIONS): keep the last N snapshot
+    versions, delete older ones;
+  * deletes: ``delete(keys_df)`` removes keys (Hudi delete operation).
+
+Layout::
+
+    root/
+      snapshots/v=<commit>/...parquet   (full COW snapshot per commit)
+      log/c=<commit>/...parquet         (rows upserted in that commit —
+                                         the incremental/CDC stream)
+      _latest                           (pointer file → current commit)
+
+Scale notes: the merge is one shuffle of (existing ∪ incoming) keyed by
+record key — the same cost Hudi pays for a global-index upsert. At
+100 TB you'd partition by a key prefix / date so the union only rewrites
+touched partitions; the emulation keeps COW-per-table for clarity and
+notes partition-scoped rewrite as the production path. Snapshots are
+written ``partitionBy(partition_cols)`` so downstream reads prune.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.incremental import COMMIT_COL
+
+
+def _merge_latest(
+    df: DataFrame, key: str, precombine: str, prefer_col: str | None = None
+) -> DataFrame:
+    """Latest-per-key by (precombine DESC[, prefer DESC]) — the P2 rule.
+    ``prefer_col`` breaks exact precombine ties in favor of incoming
+    rows (Hudi keeps the incoming record on ties)."""
+    order = [F.desc(precombine)]
+    if prefer_col is not None:
+        order.append(F.desc(prefer_col))
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+class KeyedTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        record_key: str,
+        precombine: str,
+        partition_cols: list[str] | None = None,
+        keep_versions: int = 3,
+    ):
+        self.spark = spark
+        self.root = root
+        self.record_key = record_key
+        self.precombine = precombine
+        self.partition_cols = partition_cols or []
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    # -- timeline -------------------------------------------------------
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_latest")
+
+    def latest_commit(self) -> str | None:
+        try:
+            with open(self._latest_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def commits(self) -> list[str]:
+        snap_dir = os.path.join(self.root, "snapshots")
+        if not os.path.isdir(snap_dir):
+            return []
+        return sorted(d.split("=", 1)[1] for d in os.listdir(snap_dir) if "=" in d)
+
+    def _new_commit_id(self) -> str:
+        # yyyyMMddHHmmssSSS, strictly increasing even for rapid commits
+        ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")[:-3]
+        last = self.latest_commit()
+        if last is not None and ts <= last:
+            ts = str(int(last) + 1).zfill(len(ts))
+        return ts
+
+    # -- reads ----------------------------------------------------------
+    def snapshot(self) -> DataFrame | None:
+        """S1: latest full snapshot (one live row per key)."""
+        commit = self.latest_commit()
+        if commit is None:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.root, "snapshots", f"v={commit}")
+        )
+
+    def log(self) -> DataFrame | None:
+        """The change stream: all per-commit upserted rows, carrying
+        _commit_time — what sources/incremental.py reads."""
+        log_dir = os.path.join(self.root, "log")
+        if not os.path.isdir(log_dir):
+            return None
+        return (
+            self.spark.read.option("basePath", log_dir)
+            .parquet(os.path.join(log_dir, "c=*"))
+            .withColumnRenamed("c", COMMIT_COL)
+            .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
+        )
+
+    # -- writes ---------------------------------------------------------
+    def upsert(self, incoming: DataFrame) -> str:
+        """K1: merge incoming into the table; returns the new commit id."""
+        commit = self._new_commit_id()
+        # 1. combine-and-dedup the incoming batch itself (precombine
+        #    within batch, generate_hudi_table.py:119 semantics)
+        deduped = _merge_latest(incoming, self.record_key, self.precombine)
+        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+
+        # 2. merge with existing snapshot: larger precombine wins;
+        #    on ties the incoming row (larger _commit_time) wins
+        existing = self.snapshot()
+        merged = (
+            stamped
+            if existing is None
+            else _merge_latest(
+                existing.unionByName(stamped),
+                self.record_key,
+                self.precombine,
+                prefer_col=COMMIT_COL,
+            )
+        )
+
+        self._write_snapshot(merged, commit)
+        self._write_log(stamped, commit)
+        self._publish(commit)
+        self._clean()
+        return commit
+
+    def delete(self, keys: DataFrame) -> str | None:
+        """Hudi delete operation: drop the given record keys."""
+        existing = self.snapshot()
+        if existing is None:
+            return None
+        commit = self._new_commit_id()
+        remaining = existing.join(
+            keys.select(self.record_key), self.record_key, "left_anti"
+        )
+        self._write_snapshot(remaining, commit)
+        self._publish(commit)
+        self._clean()
+        return commit
+
+    def _write_snapshot(self, df: DataFrame, commit: str) -> None:
+        path = os.path.join(self.root, "snapshots", f"v={commit}")
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            # P4 hive-style layout → partition pruning on read; P5
+            # clustering-lite: sort within partitions on the record key
+            # for row-group locality
+            writer = df.sortWithinPartitions(self.record_key).write.mode(
+                "overwrite"
+            ).partitionBy(*self.partition_cols)
+        writer.parquet(path)
+
+    def _write_log(self, df: DataFrame, commit: str) -> None:
+        path = os.path.join(self.root, "log", f"c={commit}")
+        df.drop(COMMIT_COL).write.mode("overwrite").parquet(path)
+
+    def _publish(self, commit: str) -> None:
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(commit)
+        os.replace(tmp, self._latest_path())
+
+    def _clean(self) -> None:
+        """P6 cleaner: KEEP_LATEST_FILE_VERSIONS over snapshot dirs.
+        Log dirs are kept (they are the incremental history)."""
+        commits = self.commits()
+        for old in commits[: -self.keep_versions]:
+            shutil.rmtree(
+                os.path.join(self.root, "snapshots", f"v={old}"),
+                ignore_errors=True,
+            )

@@ -1,0 +1,120 @@
+"""LLM-pipeline operator correctness beyond the SQL oracles: kNN vs a
+NumPy reference, LSH recall, MinHash recall vs exact Jaccard, SimHash
+on seeded near-dups, approx-aggregate error bounds, multimodal decode
+plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+    load_table,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    QUERIES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+    decode_image_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_matches_numpy(spark):
+    """Exact brute-force kNN agrees with a NumPy reference."""
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q_ids = (0, 1, 2)
+    got = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    for qid in q_ids:
+        qv = vecs[ids == qid][0]
+        mask = ~np.isin(ids, q_ids)
+        sims = (vecs[mask] @ qv) / (
+            np.linalg.norm(vecs[mask], axis=1) * np.linalg.norm(qv)
+        )
+        order = np.lexsort((ids[mask], -sims))  # sim desc, vec_id asc
+        expect = ids[mask][order][:10]
+        mine = got[got.query_id == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert list(mine) == list(expect)
+
+
+def test_lsh_recall(spark):
+    """Approximate kNN recalls ≥ 50% of the exact top-10 (recall@10)."""
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    approx = QUERIES["knn_lsh_approx"](spark, SF).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every strongly-similar pair (exact Jaccard ≥ 0.6) is surfaced by
+    the MinHash LSH candidates."""
+    exact = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    strong = {
+        (a, b)
+        for a, b, j in zip(exact.doc_a, exact.doc_b, exact.jaccard)
+        if j >= 0.6
+    }
+    if not strong:
+        pytest.skip("no strong near-dup pairs at this SF")
+    lsh = QUERIES["dedup_minhash_lsh"](spark, SF).toPandas()
+    found = set(zip(lsh.doc_a, lsh.doc_b))
+    assert strong <= found
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    """Exact duplicate docs → identical simhash (hamming 0 pairs appear)."""
+    dup_clusters = QUERIES["dedup_exact"](spark, SF).toPandas()
+    n_dups = (dup_clusters.n_copies > 1).sum()
+    sim = QUERIES["dedup_simhash"](spark, SF).toPandas()
+    if n_dups:
+        assert (sim.hamming == 0).any()
+
+
+def test_approx_count_distinct_error(spark):
+    got = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in QUERIES["approx_aggregates"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(got[k] - v) / v < 0.1
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"abc"]))
+
+
+def test_decode_fake_deterministic():
+    s = pd.Series([b"hello world", b"\x89PNG rest"])
+    a = decode_image_batch(s, fake=True)
+    b = decode_image_batch(s, fake=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["width", "height", "brightness"]
+    assert a.loc[0, "width"] == 11  # len % 640
+
+
+def test_media_frame_sample_covers_blob(spark):
+    pdf = QUERIES["media_frame_sample"](spark, SF).toPandas()
+    one = pdf[pdf.media_id == pdf.media_id.iloc[0]].sort_values("chunk_idx")
+    # chunks tile the blob: offsets monotonically increase, total length
+    # equals the final offset+length
+    assert (one.offset.diff().dropna() > 0).all()
+    last = one.iloc[-1]
+    assert last.offset + last.length >= one.iloc[0].offset

@@ -1,0 +1,108 @@
+"""Incremental reader semantics (SURVEY.md §3.2; FIXTURES.md scenario 3):
+first read returns everything, subsequent reads only new commits, empty
+increments leave the checkpoint unchanged, checkpoint advances only on
+explicit commit() (after sink success)."""
+
+from __future__ import annotations
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+    fixtures,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+    KeyedTable,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+    IncrementalReader,
+)
+
+
+def _reader(spark, table: KeyedTable, tmp_path) -> IncrementalReader:
+    r = IncrementalReader(
+        spark,
+        "orders",
+        table.root,
+        checkpoint_root=str(tmp_path / "metadata"),
+    )
+    # read from the table's commit log (carries _commit_time)
+    r._snapshot = table.log  # type: ignore[method-assign]
+    return r
+
+
+def test_incremental_progression(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    t.upsert(fixtures.orders(spark, 30, batch=0))
+    r = _reader(spark, t, tmp_path)
+
+    # first run: everything
+    first = r.read()
+    assert first.count() == 30
+    r.commit()
+
+    # no new commits → empty increment, checkpoint untouched
+    ckpt_before = r.store.read("orders").last_processed_commit
+    assert r.read().count() == 0
+    r.commit()
+    assert r.store.read("orders").last_processed_commit == ckpt_before
+
+    # new commit → exactly the new rows
+    t.upsert(fixtures.orders(spark, 10, n_customers=50, batch=99))
+    inc = r.read()
+    assert inc.count() == 10
+    r.commit()
+    assert r.read().count() == 0
+
+
+def test_union_of_increments_equals_log(spark, tmp_path):
+    """Property: reading increment-by-increment loses nothing vs the
+    full log (completeness)."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders2"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    r = _reader(spark, t, tmp_path)
+    seen = 0
+    for b in range(3):
+        t.upsert(fixtures.orders(spark, 20, batch=b))
+        seen += r.read().count()
+        r.commit()
+    assert seen == t.log().count()
+
+
+def test_uncommitted_read_is_replayed(spark, tmp_path):
+    """Crash between read and sink: without commit(), the next read
+    returns the same rows again (at-least-once — the reference loses
+    them, template.py:244-251)."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders3"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    t.upsert(fixtures.orders(spark, 15))
+    r = _reader(spark, t, tmp_path)
+    assert r.read().count() == 15
+    # no commit() — simulated sink failure
+    r2 = _reader(spark, t, tmp_path)
+    assert r2.read().count() == 15
+
+
+def test_reset_reloads_everything(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders4"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    t.upsert(fixtures.orders(spark, 12))
+    r = _reader(spark, t, tmp_path)
+    r.read()
+    r.commit()
+    r.reset()  # clean_check_point, template.py:193-195
+    assert r.read().count() == 12

@@ -1,0 +1,120 @@
+"""Upsert writer semantics (SURVEY.md §2.5 P1/P2/P4/P6; FIXTURES.md §B
+test scenarios 1-4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+    fixtures,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+    KeyedTable,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return KeyedTable(
+        spark,
+        str(tmp_path / "customers"),
+        record_key="customer_id",
+        precombine="created_at",
+    )
+
+
+def test_first_upsert_is_insert(spark, table):
+    c = fixtures.customers(spark, 20)
+    table.upsert(c)
+    snap = table.snapshot()
+    assert snap.count() == 20
+    assert snap.select("customer_id").distinct().count() == 20
+    assert "_commit_time" in snap.columns
+
+
+def test_upsert_idempotence(spark, table):
+    """Scenario 1: same batch twice ≡ once."""
+    c = fixtures.customers(spark, 20)
+    table.upsert(c)
+    once = sorted(
+        tuple(r) for r in table.snapshot().drop("_commit_time").collect()
+    )
+    table.upsert(c)
+    twice = sorted(
+        tuple(r) for r in table.snapshot().drop("_commit_time").collect()
+    )
+    assert once == twice
+
+
+def test_precombine_larger_wins(spark, table):
+    """Scenario 2: same key, larger precombine value wins — even when
+    the OLDER value arrives in a LATER commit."""
+    old = fixtures.customers(spark, 10, batch=0)
+    new = fixtures.customers(spark, 10, batch=5)
+    table.upsert(new)
+    table.upsert(old)  # stale update arrives late
+    snap = table.snapshot()
+    assert snap.count() == 10
+    # all rows should still be the batch=5 (newer created_at) versions
+    max_created = [r["created_at"] for r in new.collect()]
+    kept = [r["created_at"] for r in snap.collect()]
+    assert sorted(kept) == sorted(max_created)
+
+
+def test_precombine_within_batch(spark, table):
+    """Duplicate keys inside ONE batch: only the largest precombine row
+    survives (generate_hudi_table.py:119 combine-before-write)."""
+    dup = fixtures.customers(spark, 10, batch=0).unionByName(
+        fixtures.customers(spark, 10, batch=3)
+    )
+    table.upsert(dup)
+    snap = table.snapshot()
+    assert snap.count() == 10
+    newer = {r["created_at"] for r in fixtures.customers(spark, 10, batch=3).collect()}
+    assert {r["created_at"] for r in snap.collect()} == newer
+
+
+def test_delete(spark, table):
+    c = fixtures.customers(spark, 10)
+    table.upsert(c)
+    table.delete(c.limit(3))
+    assert table.snapshot().count() == 7
+
+
+def test_cleaner_keeps_n_versions(spark, table):
+    for b in range(5):
+        table.upsert(fixtures.customers(spark, 5, batch=b))
+    assert len(table.commits()) == table.keep_versions
+    # latest snapshot still readable after cleaning
+    assert table.snapshot().count() == 5
+
+
+def test_partitioned_layout(spark, tmp_path):
+    """Scenario 4: hive-style partition dirs exist and a partition
+    filter prunes (generate_hudi_table.py:144-148 emulation)."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "part_customers"),
+        record_key="customer_id",
+        precombine="created_at",
+        partition_cols=["state"],
+    )
+    t.upsert(fixtures.customers(spark, 40))
+    snap_dir = os.path.join(t.root, "snapshots", f"v={t.latest_commit()}")
+    assert any(d.startswith("state=") for d in os.listdir(snap_dir))
+    snap = t.snapshot()
+    plan = snap.filter(snap.state == "NY")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(state" in plan or "state=NY" in plan
+
+
+def test_log_carries_commit_stream(spark, table):
+    """The per-commit log is the incremental/CDC source: each commit's
+    rows appear once, stamped with that commit id."""
+    c1 = table.upsert(fixtures.customers(spark, 5, batch=0))
+    c2 = table.upsert(fixtures.customers(spark, 5, batch=1))
+    log = table.log()
+    counts = {r["_commit_time"]: r["n"] for r in
+              log.groupBy("_commit_time").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {c1: 5, c2: 5}
