@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": "..."}
+
+Timing: each query's plan is fully executed into Spark's ``noop`` sink
+(materializes every row, no driver-side collect bias). One JVM-warmup
+run of the flagship query precedes timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (  # noqa: E402
+    get_spark,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
+    QUERIES,
+)
+
+#: headline set: the reference surface + one representative per operator
+#: family. The quadratic-adversarial dedup variants (ngram_jaccard /
+#: minhash over the tiny-vocabulary synthetic corpus) are correctness-
+#: gated at sf0.01 but excluded here — their cost on THIS corpus is a
+#: property of the word-salad vocabulary, not the operators.
+HEADLINE = [
+    "flagship_report",
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "join_semi",
+    "rollup_revenue",
+    "window_topk_per_group",
+    "latest_per_key",
+    "events_hourly_rollup",
+    "sessionization",
+    "json_extract_props",
+    "dedup_exact",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "term_frequency",
+    "similarity_pairs",
+    "knn_bruteforce",
+    "knn_lsh_approx",
+    "media_decode_features",
+]
+
+
+def run_once(spark, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    run_once(spark, sf_dir, "flagship_report")  # JVM warmup
+
+    # best-of-2: first run pays per-query codegen/worker warmup; the min
+    # is the steady-state number a long-running cluster would see
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(run_once(spark, sf_dir, name) for _ in range(2)), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,15 +2,24 @@
 brute-force cosine top-k (the exact baseline) and an LSH-bucketed
 approximate variant (the scale path).
 
-Vector math is pure Spark SQL array expressions (functions/vector.py):
-zip_with + aggregate run inside codegen — no Python, no UDF. At 100 TB
-the brute-force variant is a broadcast of the (small) query set against
-a full scan of the corpus — embarrassingly parallel, one pass; the LSH
-variant replaces the full scan with a bucket equi-join.
+Two vector-math paths, chosen per op:
+  * JVM array expressions (functions/vector.py, zip_with + aggregate)
+    where cross-engine bit-determinism matters (the oracle-checked
+    ``similarity_pairs``) — folds evaluate in a fixed order, matching
+    DuckDB's row-order summation exactly;
+  * vectorized Pandas UDFs (Arrow batch → one BLAS matmul) for the
+    throughput-critical retrieval ops — an order of magnitude faster
+    than per-element expression folds, the right hot path for a 100 TB
+    embedding sweep.
+At 100 TB the brute-force variant is a broadcast of the (small) query
+set against a full scan of the corpus — embarrassingly parallel, one
+pass; the LSH variant replaces the full scan with a band-bucket match.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -68,24 +77,53 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_matrix(e: DataFrame):
+    """Collect the (tiny, fixed) query vectors to the driver and return
+    (ids, row-normalized numpy matrix). Collecting K query rows is the
+    legitimate driver-side step of a kNN batch — the corpus never moves.
+    """
+    rows = sorted(
+        e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = [r["vec_id"] for r in rows]
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
 @query("knn_bruteforce")
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 nearest neighbors (cosine) for each fixed query
-    vector: broadcast queries × corpus scan → window top-k per query.
+    vector: vectorized Pandas-UDF scoring (one Arrow batch → one BLAS
+    matmul against the broadcast query matrix) → window top-k per query.
+    ~10-100× the throughput of per-element expression folds — the right
+    hot path for a 100 TB embedding sweep.
 
     Rows-only driver check (top-k membership at a float boundary isn't
     bit-stable across engines); pytest asserts exact agreement with a
     NumPy reference at sf0.001 instead.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    qids, Qn = _query_matrix(e)
+
+    @F.pandas_udf("array<double>")
+    def cos_all(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(list(Xn @ Qn.T))
+
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS))
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        "query_id",
+    qid_arr = F.array(*[F.lit(int(q)) for q in qids])
+    scored = corpus.select(
+        "vec_id", F.posexplode(cos_all("embedding")).alias("qidx", "cosine")
+    ).select(
+        F.element_at(qid_arr, F.col("qidx") + 1).alias("query_id"),
         "vec_id",
-        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        "cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -99,31 +137,30 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (signed projections).
 
-    Signature: sign of dot(v, h_j) for 24 seeded-Gaussian hyperplanes
-    (literal arrays built once on the driver — constant-folded into the
-    plan, no per-row hashing). Banding: 8 bands × 3 bits; candidates
-    share at least one band; ranked by exact cosine within candidates.
+    Signature: sign of dot(v, h_j) for 24 seeded-Gaussian hyperplanes,
+    computed as one vectorized Pandas-UDF matmul per Arrow batch (the
+    plane matrix rides the UDF closure). Banding: 8 bands × 3 bits;
+    candidates share at least one band; ranked by exact cosine within
+    candidates.
 
     Scale: corpus signatures are one pass; the query side is broadcast.
     The full scan of brute force becomes an equi-join on band buckets.
     pytest measures recall@10 ≥ 0.5 vs knn_bruteforce at sf0.001.
     """
-    import random
-
     e = load_table(spark, sf_dir, "embeddings")
     dim = 64
     n_planes, band_bits, n_bands = 24, 3, 8
-    rng = random.Random(20240813)
-    planes = [
-        F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
-        for _ in range(n_planes)
-    ]
+    rng = np.random.default_rng(20240813)
+    P = rng.standard_normal((n_planes, dim))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def signature(emb: F.Column) -> F.Column:
-        out = F.lit(0)
-        for j, p in enumerate(planes):
-            out = out + F.when(dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return out.cast("int")
+    @F.pandas_udf("int")
+    def signature(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (X @ P.T > 0).astype(np.int64)
+        return pd.Series((bits @ weights).astype("int32"))
 
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
         "sig", signature(F.col("embedding"))
