@@ -21,11 +21,18 @@ real and tested either way.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# decode_image_batch is referenced from mapInPandas closures that run on
+# Python workers; register this module for by-value pickling so workers
+# don't need the package importable (driver cwd independence)
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 from ..catalog import load_table
 from . import query

@@ -1,0 +1,70 @@
+"""Plan inspection helpers (SURVEY.md §4): programmatic access to the
+physical plan so tests — and operators' own docs — can assert the
+scale-critical properties instead of eyeballing ``explain()``:
+
+  * filters reached the parquet scan (PushedFilters),
+  * scans read only needed columns (ReadSchema),
+  * small dimensions joined as BroadcastHashJoin,
+  * aggregates have a map-side partial step,
+  * expressions run inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters fragments of every scan in the plan."""
+    return "\n".join(
+        line.strip()
+        for line in physical_plan(df).splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return fragment in pushed_filters(df)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "partial_" in plan or "HashAggregate" in plan and "merge_" in plan
+
+
+def read_schema_of(df: DataFrame, table_fragment: str) -> str:
+    """ReadSchema line of the scan whose path matches table_fragment."""
+    plan = physical_plan(df)
+    out = []
+    for line in plan.splitlines():
+        if "ReadSchema" in line and table_fragment in line:
+            out.append(line.strip())
+    if not out:  # schema line may be separate from the location line
+        out = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    return "\n".join(out)
+
+
+def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
+    """Number of whole-stage-codegen spans: rendered as ``*(n)`` node
+    prefixes in the plan string. Under AQE the markers only exist on the
+    FINAL plan, so by default the plan is executed (noop sink) first."""
+    if execute:
+        # must execute THIS DataFrame's own QueryExecution (a .write
+        # would build a separate one and leave this plan non-final)
+        df.collect()
+    plan = physical_plan(df)
+    return max(plan.count("WholeStageCodegen"), plan.count("*("))

@@ -1,0 +1,86 @@
+"""Structured Streaming operators (SURVEY.md §2.7 X12): the streaming
+twins of the batch time-series ops in operators/timeseries.py.
+
+The reference consumes its change stream in batch pulls (incremental
+reads, template.py:226-273); these operators are the continuous version
+of the same semantics: a file/parquet stream source + event-time
+watermarks + tumbling/sliding/session windows.
+
+Scale notes: streaming state (window aggregates, session state) lives in
+the state store keyed by (window, group) — the watermark bounds state
+size; without it a 100 TB/day stream grows state forever. Every operator
+here therefore REQUIRES a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of events_hourly_rollup: tumbling 1-hour windows,
+    late data admitted up to the watermark then dropped (deterministic
+    final results once the watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 24h window advancing hourly — the streaming trailing-
+    volume metric (batch twin: sliding_window_counts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "24 hours", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via session_window (gap-based, merges
+    windows as events arrive) — batch twin: sessionization (lag+cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_on_batch(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming plan over a bounded source to completion using
+    the memory sink (pyspark_guide streaming pattern) and return the
+    materialized result — the unit-test harness for streaming operators.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

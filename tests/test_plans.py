@@ -1,0 +1,82 @@
+"""Plan-shape assertions (SURVEY.md §4): the properties that decide
+whether a query survives a 100×-1000× scale-up — filter pushdown, column
+pruning, broadcast joins, partial aggregation, codegen coverage — are
+pinned as tests so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    QUERIES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+    codegen_stage_count,
+    has_broadcast_join,
+    has_partial_aggregate,
+    physical_plan,
+    pushed_filters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_filter_pushdown_and_broadcast(spark):
+    df = QUERIES["flagship_report"](spark, SF)
+    pf = pushed_filters(df)
+    # the URGENT predicate must reach the orders parquet scan
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+    # the customer dimension must come in as a broadcast
+    assert has_broadcast_join(df)
+
+
+def test_filter_predicates_all_pushed(spark):
+    pf = pushed_filters(QUERIES["filter_predicates"](spark, SF))
+    for col in ("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"):
+        assert col in pf, f"{col} not pushed to scan: {pf}"
+
+
+def test_q1_partial_aggregation_and_codegen(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert codegen_stage_count(df) >= 1
+    # shipdate filter pushed
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q1_column_pruning(spark):
+    plan = physical_plan(QUERIES["q1_pricing_summary"](spark, SF))
+    # lineitem scan must not read the join keys it doesn't need
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines
+    assert "l_partkey" not in scan_lines[0]
+    assert "l_suppkey" not in scan_lines[0]
+
+
+def test_multiway_join_broadcasts_dimensions(spark):
+    plan = physical_plan(QUERIES["join_multiway_revenue"](spark, SF))
+    # customer/nation/region arrive broadcast; at most the
+    # lineitem⋈orders join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    # orderdate filter pushed to the orders scan
+    assert "o_orderdate" in pushed_filters(QUERIES["join_multiway_revenue"](spark, SF))
+
+
+def test_distinct_sort_limit_is_topk(spark):
+    plan = physical_plan(QUERIES["distinct_sort_limit"](spark, SF))
+    # ORDER BY + LIMIT must plan as top-k (TakeOrderedAndProject),
+    # never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_scan_pushes_commit_predicate(spark):
+    pf = pushed_filters(QUERIES["incremental_scan"](spark, SF))
+    assert "o_orderdate" in pf and "GreaterThan" in pf
+
+
+def test_semi_join_prunes_probe_columns(spark):
+    plan = physical_plan(QUERIES["join_semi"](spark, SF))
+    assert "LeftSemi" in plan
+    # the orders side only needs o_custkey (+ the pushed filter column)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l and "orders" in l]
+    if scan_lines:
+        assert "o_totalprice" not in scan_lines[0]
