@@ -106,3 +106,10 @@ class Catalog:
         over the registered views; Catalyst optimizes the whole plan.
         """
         return self.spark.sql(query)
+
+    def publish(self, df: DataFrame, table_name: str, mode: str = "overwrite") -> None:
+        """P10 hive-sync emulation (generate_hudi_table.py:123-131): make
+        a table durable and discoverable in the session catalog
+        (spark_catalog / metastore when configured) instead of a
+        session-scoped temp view."""
+        df.write.mode(mode).saveAsTable(table_name)

@@ -48,8 +48,10 @@ def _load_all() -> None:
         joins,
         multimodal,
         relational,
+        scalars,
         setops,
         similarity,
+        subqueries,
         textual,
         timeseries,
         windows,

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -334,4 +336,63 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs of vectors with
+    cosine ≥ 0.95 found via LSH band-bucketing (same seeded-hyperplane
+    scheme as knn_lsh_approx) instead of the O(n²) all-pairs join.
+
+    Near-identical vectors agree on almost every hyperplane sign, so
+    requiring a full 12-bit band match keeps buckets tiny while recall
+    for ≥0.95 pairs stays ~1 (P[sign agree] = 1 − θ/π ≈ 0.9 per plane
+    at cos 0.95 ⇒ ≥1-of-4 bands ≈ 0.97). Exact cosine verifies each
+    candidate pair.
+
+    No SQL oracle (hash-bucketed candidates); pytest compares against
+    the NumPy all-pairs ground truth at sf0.001.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n_planes, band_bits = 48, 12
+    n_bands = n_planes // band_bits
+    rng = np.random.default_rng(7_2024)
+    P = rng.standard_normal((n_planes, 64))
+
+    @F.pandas_udf("array<long>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (X @ P.T > 0).astype(np.int64)  # n × 48
+        keys = []
+        for b in range(n_bands):
+            chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+            w = 1 << np.arange(band_bits)
+            keys.append((chunk @ w) + (b << band_bits + 4))  # disjoint key spaces
+        return pd.Series(list(np.stack(keys, axis=1)))
+
+    from ..functions.vector import cosine_similarity
+
+    sig = e.select("vec_id", "embedding", F.explode(band_keys("embedding")).alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cands.select("vec_a", "vec_b", F.round(cos, 4).cast("double").alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
     )

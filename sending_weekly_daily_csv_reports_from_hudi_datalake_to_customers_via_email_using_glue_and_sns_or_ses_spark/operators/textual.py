@@ -9,7 +9,7 @@ sweep a single embarrassingly-parallel scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -28,6 +28,12 @@ _LANG_MARKERS = {
 
 def _word_re(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
+
+
+def _tokens() -> F.Column:
+    """Whitespace-normalized lowercase token array (same normalization
+    as operators/dedup.py so fingerprints agree across the families)."""
+    return F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
 
 
 @query(
@@ -188,4 +194,78 @@ def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     return toks.groupBy("tok").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok,
+             generate_subscripts(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT a.doc_id, a.pos,
+             md5(a.tok || ' ' || b.tok || ' ' || c.tok) AS h
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), windowed AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_min
+      FROM grams
+    )
+    SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
+           min(win_min) AS min_fingerprint
+    FROM windowed
+    WHERE pos >= 4
+    GROUP BY doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS local-fingerprint scheme, published by
+    Schleimer/Wilkerson/Aiken): hash every 3-gram, slide a window of 4
+    hashes, keep each window's minimum — a position-robust fingerprint
+    set whose size is ~1/4 of the grams. md5 keeps the hash identical
+    across engines so the whole pipeline is oracle-checkable.
+
+    Per-doc window = one partition of a window frame keyed by doc_id —
+    embarrassingly parallel at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    grams = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            c,
+            (F.col("c.doc_id") == F.col("a.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.md5(F.concat_ws(" ", "a.tok", "b.tok", "c.tok")).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    windowed = grams.withColumn("win_min", F.min("h").over(w))
+    return (
+        windowed.filter(F.col("pos") >= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("win_min").alias("n_fingerprints"),
+            F.min("win_min").alias("min_fingerprint"),
+        )
     )

@@ -118,3 +118,40 @@ def test_media_frame_sample_covers_blob(spark):
     assert (one.offset.diff().dropna() > 0).all()
     last = one.iloc[-1]
     assert last.offset + last.length >= one.iloc[0].offset
+
+
+def test_embedding_cosine_dedup_vs_numpy(spark):
+    """LSH-bucketed cosine near-dup finds the same >=0.95 pairs as the
+    NumPy all-pairs ground truth (recall 1.0 expected at this threshold;
+    no false positives because candidates are exact-verified)."""
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = n @ n.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if round(S[i, j], 4) >= 0.95
+    }
+    got = QUERIES["dedup_embedding_cosine"](spark, SF).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(got.vec_a, got.vec_b)}
+    # exact-verified candidates => no false positives
+    assert found <= truth or not truth
+    # high recall (pigeonhole over 4 bands at cos>=0.95)
+    if truth:
+        assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_catalog_publish(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+    )
+
+    c = Catalog(spark)
+    df = load_table(spark, SF, "region")
+    c.publish(df, "published_region")
+    assert spark.table("published_region").count() == df.count()
+    assert "published_region" in [t.name for t in spark.catalog.listTables()]
+    spark.sql("DROP TABLE published_region")

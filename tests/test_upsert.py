@@ -118,3 +118,34 @@ def test_log_carries_commit_stream(spark, table):
     counts = {r["_commit_time"]: r["n"] for r in
               log.groupBy("_commit_time").count().withColumnRenamed("count", "n").collect()}
     assert counts == {c1: 5, c2: 5}
+
+
+def test_upsert_random_batches_property(spark, tmp_path):
+    """Property-style check over randomized batch sequences (seeded):
+    after any sequence of upserts, (a) keys are unique, (b) every key
+    holds the max precombine value ever written for it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "prop"),
+        record_key="customer_id",
+        precombine="created_at",
+    )
+    best: dict[str, object] = {}
+    for _ in range(4):
+        n = rng.randint(1, 25)
+        batch_shift = rng.randint(0, 10)
+        batch = fixtures.customers(spark, n, batch=batch_shift)
+        for r in batch.collect():
+            k, v = r["customer_id"], r["created_at"]
+            if k not in best or v > best[k]:
+                best[k] = v
+        t.upsert(batch)
+
+    snap = {r["customer_id"]: r["created_at"] for r in t.snapshot().collect()}
+    assert len(snap) == t.snapshot().select("customer_id").distinct().count()
+    assert snap == best
