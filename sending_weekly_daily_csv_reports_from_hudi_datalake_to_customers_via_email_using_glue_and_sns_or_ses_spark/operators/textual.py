@@ -269,3 +269,131 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("win_min").alias("min_fingerprint"),
         )
     )
+
+
+@query(
+    "tf_idf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks WHERE tok <> '' GROUP BY tok
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           CAST(round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 6) AS DOUBLE)
+             AS tf_idf
+    FROM tf JOIN df USING (tok)
+    WHERE df.df <= 0.5 * (SELECT n_docs FROM n)
+    """,
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), dropping terms present in more than half
+    the corpus (standard stop-term cut). Two aggregations + a broadcast
+    join on the (small) document-frequency table; ln() is IEEE-identical
+    across engines and the product is rounded for hash parity."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar: one tiny job, reused in the plan
+    toks = d.select("doc_id", F.explode(_tokens()).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") <= 0.5 * n_docs)), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            )
+            .cast("double")
+            .alias("tf_idf"),
+        )
+    )
+
+
+@query(
+    "train_val_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM assigned GROUP BY split
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment by content-independent
+    key hash (md5 of doc_id — stable across runs, engines, and
+    partitionings; never random() which reshuffles every run). The
+    summary shape is oracle-checked; the per-row assignment is the same
+    expression."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH params AS (SELECT 200 AS chunk, 50 AS stride)
+    SELECT doc_id, chunk_idx,
+           substr(text, chunk_idx * (SELECT chunk - stride FROM params) + 1,
+                  (SELECT chunk FROM params)) AS chunk_text,
+           length(substr(text, chunk_idx * (SELECT chunk - stride FROM params) + 1,
+                         (SELECT chunk FROM params))) AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(ceil(greatest(length(text) - 50, 1) / 150.0) AS BIGINT) - 1))
+                  AS chunk_idx)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (chunk 200 chars, stride 150 =
+    overlap 50) — the standard long-document preprocessing for LLM
+    training/embedding. Pure sequence+substring expressions; explode
+    multiplies rows but each chunk is emitted exactly once with a
+    deterministic index."""
+    chunk, overlap = 200, 50
+    stride = chunk - overlap
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - overlap, F.lit(1)) / float(stride)
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"substr(text, chunk_idx * {stride} + 1, {chunk})").alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.expr(f"substr(text, chunk_idx * {stride} + 1, {chunk})")
+            ).alias("chunk_len"),
+        )
+    )

@@ -204,3 +204,67 @@ class KeyedTable:
                 os.path.join(self.root, "snapshots", f"v={old}"),
                 ignore_errors=True,
             )
+
+
+def hudi_write_options(
+    table_name: str,
+    record_key: str,
+    precombine: str,
+    partition_cols: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
+    index_type: str = "BLOOM",
+    parquet_codec: str = "gzip",
+    max_file_bytes: int = 512 * 1024 * 1024,
+    small_file_bytes: int = 100 * 1024 * 1024,
+    keep_versions: int = 3,
+) -> dict[str, str]:
+    """Real-Hudi passthrough: the same physical-layout contract KeyedTable
+    emulates, expressed as hoodie.* writer options (the full surface the
+    reference configures, generate_hudi_table.py:114-203 / SURVEY.md
+    §2.5 P1-P11). Use with ``df.write.format("hudi").options(**opts)``
+    when Hudi jars are on the classpath (see write_hudi)."""
+    opts = {
+        "hoodie.table.name": table_name,
+        "hoodie.datasource.write.table.type": table_type,  # P3
+        "hoodie.datasource.write.operation": "upsert",  # K1
+        "hoodie.datasource.write.recordkey.field": record_key,  # P1
+        "hoodie.datasource.write.precombine.field": precombine,  # P2
+        "hoodie.index.type": index_type,  # P7
+        "hoodie.parquet.compression.codec": parquet_codec,  # P11
+        "hoodie.parquet.max.file.size": str(max_file_bytes),  # P11
+        "hoodie.parquet.small.file.limit": str(small_file_bytes),  # P11
+        "hoodie.clean.automatic": "true",  # P6
+        "hoodie.cleaner.policy": "KEEP_LATEST_FILE_VERSIONS",
+        "hoodie.cleaner.fileversions.retained": str(keep_versions),
+        "hoodie.metadata.enable": "true",  # P8
+        "hoodie.metadata.index.column.stats.enable": "true",
+    }
+    if partition_cols:  # P4
+        opts["hoodie.datasource.write.partitionpath.field"] = ",".join(partition_cols)
+        opts["hoodie.datasource.write.hive_style_partitioning"] = "true"
+    else:
+        opts["hoodie.datasource.write.keygenerator.class"] = (
+            "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+        )
+    return opts
+
+
+def hudi_available(spark: SparkSession) -> bool:
+    """True when the Hudi Spark bundle is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.hudi.DataSourceWriteOptions"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_hudi(df: DataFrame, path: str, options: dict[str, str]) -> bool:
+    """K1 passthrough: upsert via the real Hudi datasource when jars are
+    present; returns False (no-op) otherwise so callers fall back to
+    KeyedTable emulation."""
+    if not hudi_available(df.sparkSession):
+        return False
+    df.write.format("hudi").options(**options).mode("append").save(path)
+    return True
