@@ -27,11 +27,8 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
     QUERIES,
 )
 
-#: headline set: the reference surface + one representative per operator
-#: family. The quadratic-adversarial dedup variants (ngram_jaccard /
-#: minhash over the tiny-vocabulary synthetic corpus) are correctness-
-#: gated at sf0.01 but excluded here — their cost on THIS corpus is a
-#: property of the word-salad vocabulary, not the operators.
+#: headline set: the reference surface + representatives of every
+#: operator family, including the full near-dup dedup suite.
 HEADLINE = [
     "flagship_report",
     "q1_pricing_summary",
@@ -43,10 +40,18 @@ HEADLINE = [
     "events_hourly_rollup",
     "sessionization",
     "json_extract_props",
+    "subquery_correlated_exists",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality_score",
     "lang_id_heuristic",
     "term_frequency",
+    "tf_idf",
+    "doc_chunking",
+    "doc_winnowing_fingerprints",
     "similarity_pairs",
     "knn_bruteforce",
     "knn_lsh_approx",

@@ -193,3 +193,23 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_revenue", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: explicit GROUPING SETS (per-status, per-priority, grand total
+    — a shape rollup/cube can't express). Spark SQL string path: the
+    reference's transform slot accepts exactly this."""
+    from ..catalog import Catalog
+
+    Catalog(spark).register_testdata(sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
