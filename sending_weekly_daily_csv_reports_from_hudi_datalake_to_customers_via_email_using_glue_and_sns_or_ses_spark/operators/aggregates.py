@@ -213,3 +213,34 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalog(spark).register_testdata(sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "salted_heavy_hitter_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation by salting: l_returnflag has only 3
+    values (extreme key skew — at 100 TB each key is one giant reducer).
+    Phase 1 aggregates (key, salt) over 16 salts, spreading each hot key
+    across 16 tasks; phase 2 merges the 48 partials. Result is provably
+    identical to the plain GROUP BY — which is exactly what the oracle
+    checks. (Spark's partial aggregation often hides this problem for
+    algebraic aggs; salting is the general fix, e.g. for
+    collect_list/distinct-style states.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.xxhash64("l_orderkey"), 16))
+    phase1 = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(_dec("l_quantity")).alias("qty_part"),
+        F.count("*").alias("n_part"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("qty_part").cast("double").alias("total_qty"),
+        F.sum("n_part").alias("n"),
+    )

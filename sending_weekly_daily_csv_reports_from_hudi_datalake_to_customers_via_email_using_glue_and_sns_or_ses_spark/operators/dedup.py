@@ -396,3 +396,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("vec_a", "vec_b", F.round(cos, 4).cast("double").alias("cosine"))
         .filter(F.col("cosine") >= 0.95)
     )
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    near-dup pair graph (exact 3-gram Jaccard ≥ 0.35 edges), each doc
+    labeled with the smallest doc_id in its component — the step that
+    turns pairwise near-dup hits into keep/drop decisions.
+
+    Iterative label propagation (alternating small-label joins) with a
+    driver-side convergence check; components here have tiny diameter
+    (dup clusters), so it converges in 2-3 rounds. Each round is one
+    shuffle keyed by doc_id — the standard large-graph CC pattern
+    (Hash-Min), linear in edges per round.
+
+    Rows-only driver check; pytest verifies against a union-find
+    reference implementation at sf0.001.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edges both ways + self-edges seed labels = own id
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(10):  # bounded; dup clusters converge in 2-3 rounds
+        # each node adopts the min label among itself and its neighbors
+        neighbor_labels = (
+            edges.join(nodes, edges.doc_b == nodes.doc_id)
+            .select(F.col("doc_a").alias("doc_id"), "label")
+        )
+        new_nodes = (
+            nodes.select("doc_id", "label")
+            .unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_nodes.alias("n")
+            .join(nodes.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        nodes = new_nodes
+        if changed == 0:
+            break
+    return nodes.select("doc_id", F.col("label").alias("cluster_id"))

@@ -155,3 +155,30 @@ def test_catalog_publish(spark):
     assert spark.table("published_region").count() == df.count()
     assert "published_region" in [t.name for t in spark.catalog.listTables()]
     spark.sql("DROP TABLE published_region")
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components over near-dup pairs agree with a union-find
+    reference on both membership and canonical (min-id) labels."""
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        union(int(a), int(b))
+    truth = {x: find(x) for x in parent}
+
+    got = QUERIES["dedup_clusters"](spark, SF).toPandas()
+    mine = {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()}
+    assert mine == truth

@@ -82,3 +82,59 @@ def test_stateful_dedupe_stream(spark, tmp_path):
     n_unique = docs.select("fingerprint").distinct().count()
     assert len(emitted) == n_unique
     assert len({r["fingerprint"] for r in emitted}) == n_unique
+
+
+def test_stream_upsert_exactly_once_convergence(spark, tmp_path):
+    """foreachBatch streaming ingest into KeyedTable: after the stream
+    drains, the table holds exactly one row per key with the max
+    precombine value; re-processing the same source (fresh stream over
+    identical data, simulating replay) leaves the snapshot unchanged."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    fixtures.customers(spark, 20, batch=0).write.parquet(src)
+    fixtures.customers(spark, 20, batch=2).write.mode("append").parquet(src)
+
+    table = KeyedTable(
+        spark,
+        str(tmp_path / "tbl"),
+        record_key="customer_id",
+        precombine="created_at",
+    )
+    stream = spark.readStream.schema(
+        fixtures.customers(spark, 1).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = stream_upsert(stream, table, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    snap1 = sorted(
+        (r["customer_id"], r["created_at"])
+        for r in table.snapshot().collect()
+    )
+    assert len(snap1) == 20
+    newest = {r["customer_id"]: r["created_at"]
+              for r in fixtures.customers(spark, 20, batch=2).collect()}
+    assert dict(snap1) == newest
+
+    # replay: a new stream over the same files (fresh checkpoint) —
+    # the table converges to the same state (idempotent upserts)
+    stream2 = spark.readStream.schema(
+        fixtures.customers(spark, 1).schema
+    ).parquet(src)
+    q2 = stream_upsert(stream2, table, str(tmp_path / "ckpt2"), "replay")
+    q2.processAllAvailable()
+    q2.stop()
+    snap2 = sorted(
+        (r["customer_id"], r["created_at"])
+        for r in table.snapshot().collect()
+    )
+    assert snap2 == snap1
