@@ -37,8 +37,32 @@ def _norm_text() -> F.Column:
     return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
 
 
+
 def _tokens() -> F.Column:
     return F.split(_norm_text(), " ")
+
+
+def _shingle_array(arr: F.Column, n: int = 3) -> F.Column:
+    """All n-gram shingles of a MATERIALIZED token-array column in one
+    narrow projection (transform over an index sequence + element_at) —
+    replaces the two positional self-joins a naive construction needs:
+    zero shuffles, zero row explosion before the shingle explode.
+
+    ``arr`` must be a plain column reference (withColumn it first):
+    expressions inside collection lambdas are NOT common-subexpression-
+    eliminated, so passing the tokenizer expression directly re-runs the
+    regex per element_at — a ~10× slowdown measured at sf0.1."""
+    idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + j) for j in range(n)]
+        ),
+    )
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly
+    return F.when(F.size(arr) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 @query(
@@ -101,27 +125,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora where even capped postings blow up, dedup_minhash_lsh below
     is the probabilistic scale path with the same output contract.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    )
-    t1, t2, t3 = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    shingles = (
-        t1.join(
-            t2,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .join(
-            t3,
-            (F.col("c.doc_id") == F.col("a.doc_id"))
-            & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
-        )
-        .distinct()
+    d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    shingles = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
     )
     # drop ultra-common shingles (posting-list cap — no-op at test SFs)
     postings = shingles.groupBy("shingle").agg(F.count("*").alias("n_docs"))
@@ -180,25 +187,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle — xxhash64 isn't portable to DuckDB; pytest verifies
     recall against dedup_ngram_jaccard's exact output instead.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
-    t1, t2, t3 = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    shingles = (
-        t1.join(
-            t2,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .join(
-            t3,
-            (F.col("c.doc_id") == F.col("a.doc_id"))
-            & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
-        )
-        .distinct()
+    d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    shingles = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
     )
     n_hashes, n_bands = 32, 8
     rows_per_band = n_hashes // n_bands

@@ -233,27 +233,13 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc window = one partition of a window frame keyed by doc_id —
     embarrassingly parallel at any corpus size.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos0", "tok")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
-    )
-    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .join(
-            c,
-            (F.col("c.doc_id") == F.col("a.doc_id"))
-            & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.pos").alias("pos"),
-            F.md5(F.concat_ws(" ", "a.tok", "b.tok", "c.tok")).alias("h"),
-        )
+    from .dedup import _shingle_array
+
+    d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    grams = d.select(
+        "doc_id", F.posexplode(_shingle_array(F.col("__toks"))).alias("pos0", "g")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h")
     )
     w = (
         Window.partitionBy("doc_id")
