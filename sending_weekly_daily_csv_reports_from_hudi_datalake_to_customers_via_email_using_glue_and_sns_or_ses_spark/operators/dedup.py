@@ -257,23 +257,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    # per-bit weighted sums → sign bit
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sums = toks.groupBy("doc_id").agg(*bit_cols)
-    simhash = sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2 ** b).cast("long"))
-            if b < 63
-            else F.when(F.col(f"b{b}") > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
-            for b in range(64)
-        ).alias("simhash"),
+
+    # Per-doc signature in ONE vectorized pandas UDF over collected
+    # (hash, weight) lists: 64 separate sum(when(bit)) aggregates kept
+    # the whole stage out of efficient codegen (measured 4.3 s for 116k
+    # rows at sf0.1); the numpy bit-unpack does the same math in ~0.3 s.
+    @F.pandas_udf("long")
+    def simhash_from_lists(hs: pd.Series, ws: pd.Series) -> pd.Series:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for h_list, w_list in zip(hs, ws):
+            h = np.asarray(h_list, dtype=np.int64).astype(np.uint64)
+            w = np.asarray(w_list, dtype=np.int64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = (bits * 2 - 1).T @ w
+            sig = int(np.packbits((sums > 0)[::-1]).view(">u8")[0])
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    grouped = toks.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.collect_list("w").alias("ws")
+    )
+    simhash = grouped.select(
+        "doc_id", simhash_from_lists("hs", "ws").alias("simhash")
     )
     chunks = simhash.select(
         "doc_id",
