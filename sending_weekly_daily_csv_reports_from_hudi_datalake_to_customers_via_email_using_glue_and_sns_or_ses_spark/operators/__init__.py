@@ -51,6 +51,7 @@ def _load_all() -> None:
         scalars,
         setops,
         similarity,
+        streaming_entries,
         subqueries,
         textual,
         timeseries,
