@@ -78,11 +78,15 @@ class Catalog:
 
     def register(self, spec: SourceSpec) -> DataFrame:
         if spec.load_type == "FULL":
-            df = (
-                self.spark.read.format(spec.fmt)
-                .options(**spec.options)
-                .load(spec.path)
-            )
+            opts = dict(spec.options)
+            # "schema" is the engine's declared-schema contract
+            # (SURVEY.md §1.3), not a reader option: DDL string or
+            # StructType applied via .schema() so nothing is inferred.
+            schema = opts.pop("schema", None)
+            reader = self.spark.read.format(spec.fmt).options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.load(spec.path)
         elif spec.load_type == "INC":
             # Incremental sources go through the checkpointed reader
             # (sources/incremental.py); registered here for API parity.

@@ -233,3 +233,91 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).cast("double").alias("max_norm"),
         )
     )
+
+
+@query("knn_ivf_approx")
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) coarse quantization — the
+    partition-pruning counterpart to the LSH variant:
+
+      1. train: k-means on a deterministic sample (numpy Lloyd's, few
+         iterations, driver-side — the classic IVF coarse quantizer;
+         centroids broadcast in the UDF closure);
+      2. index: one pass assigns every corpus vector to its nearest
+         centroid (vectorized Pandas-UDF argmax) — at scale this is the
+         partition/clustering key the corpus is written by, so a query
+         READS only its probed cells (真 partition pruning);
+      3. search: each query probes the nprobe closest cells and ranks
+         candidates by exact cosine.
+
+    pytest measures recall@10 vs knn_bruteforce; candidate work is
+    ~nprobe/K of a full scan (the pruning ratio).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # On well-clustered corpora small nprobe/K gives high recall at a
+    # fraction of the scan; THIS synthetic corpus is near-unstructured,
+    # so recall ≈ nprobe/K (measured 0.23 at 4/16) — nprobe=8 probes
+    # half the cells for ~0.5+ recall. The operator's value is the
+    # machinery; the tradeoff curve is a property of the data.
+    K, nprobe, iters = 16, 8, 8
+
+    # --- train on a deterministic sample (vec_id hash order) ----------
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.orderBy(F.xxhash64("vec_id")).limit(256).collect()
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = sample[:K].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for k in range(K):
+            members = sample[assign == k]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[k] = c / np.linalg.norm(c)
+
+    @F.pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Xn @ cent.T, axis=1).astype("int32"))
+
+    corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
+        "cell", cell_of("embedding")
+    )
+
+    # --- queries probe their nprobe nearest cells ---------------------
+    qids, Qn = _query_matrix(e)
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        cells = np.argsort(-(Qn[qi] @ cent.T))[:nprobe]
+        probe_rows.extend((int(qid), int(c)) for c in cells)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 4).cast("double").alias("cosine"),
+            "rank",
+        )
+    )

@@ -268,3 +268,20 @@ def write_hudi(df: DataFrame, path: str, options: dict[str, str]) -> bool:
         return False
     df.write.format("hudi").options(**options).mode("append").save(path)
     return True
+
+
+def compact_snapshot(table: KeyedTable, target_files: int = 1) -> str | None:
+    """P5/P11 compaction: rewrite the live snapshot into ``target_files``
+    files sorted by the record key (small-file compaction + clustering in
+    one pass — the observable effect of hoodie.clustering/parquet file
+    sizing, generate_hudi_table.py:150-167). Creates a new commit so
+    readers never see a half-compacted snapshot."""
+    snap = table.snapshot()
+    if snap is None:
+        return None
+    commit = table._new_commit_id()
+    compacted = snap.repartitionByRange(target_files, table.record_key)
+    table._write_snapshot(compacted, commit)
+    table._publish(commit)
+    table._clean()
+    return commit

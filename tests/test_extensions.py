@@ -182,3 +182,17 @@ def test_dedup_clusters_match_union_find(spark):
     got = QUERIES["dedup_clusters"](spark, SF).toPandas()
     mine = {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()}
     assert mine == truth
+
+
+def test_ivf_recall(spark):
+    """IVF probing half the cells recalls >=40% of the exact top-10 on
+    this near-unstructured corpus (recall ~= probed fraction when the
+    data has no cluster structure; see knn_ivf_approx docstring)."""
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    approx = QUERIES["knn_ivf_approx"](spark, SF).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.4

@@ -41,3 +41,60 @@ def test_chunked_roundtrip():
     chunks = list(chunked(rows, 3))
     assert [len(c) for c in chunks] == [3, 3, 3, 1]
     assert [r["i"] for c in chunks for r in c] == list(range(10))
+
+
+def test_sourcespec_csv_and_json(spark, tmp_path):
+    """Catalog handles csv/json sources with explicit schemas — the
+    format surface beyond parquet (SURVEY.md §2.1 S7 generalized)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+
+    df = fixtures.orders(spark, 25)
+    csv_path = str(tmp_path / "orders_csv")
+    json_path = str(tmp_path / "orders_json")
+    df.write.option("header", "true").csv(csv_path)
+    df.write.json(json_path)
+
+    ddl = "order_id string, name string, order_value int, priority string, order_date date, customer_id string"
+    cat = Catalog(spark)
+    cat.register(SourceSpec("orders_csv", csv_path, fmt="csv",
+                            options={"header": "true", "schema": ddl}))
+    cat.register(SourceSpec("orders_json", json_path, fmt="json",
+                            options={"schema": ddl}))
+    a = spark.table("orders_csv")
+    b = spark.table("orders_json")
+    assert a.count() == b.count() == 25
+    assert a.schema == b.schema
+    # same content through both formats
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_compaction(spark, tmp_path):
+    import glob
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+        compact_snapshot,
+    )
+
+    t = KeyedTable(spark, str(tmp_path / "t"), record_key="order_id",
+                   precombine="order_date")
+    for b in range(3):
+        t.upsert(fixtures.orders(spark, 40, batch=b).repartition(8))
+    before = sorted(map(tuple, t.snapshot().drop("_commit_time").collect()))
+    commit = compact_snapshot(t, target_files=1)
+    assert commit == t.latest_commit()
+    after_files = glob.glob(
+        str(tmp_path / "t" / "snapshots" / f"v={commit}" / "*.parquet")
+    )
+    assert len(after_files) == 1
+    after = sorted(map(tuple, t.snapshot().drop("_commit_time").collect()))
+    assert before == after  # compaction changes layout, never content
