@@ -98,3 +98,30 @@ def test_compaction(spark, tmp_path):
     assert len(after_files) == 1
     after = sorted(map(tuple, t.snapshot().drop("_commit_time").collect()))
     assert before == after  # compaction changes layout, never content
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion: files on disk -> media table with
+    content-sniffed mime (extension is never trusted)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.binary import (
+        read_media_dir,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+    (media / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"y" * 32)
+    (media / "c.wav").write_bytes(b"RIFF....WAVE" + b"z" * 16)
+    (media / "liar.png").write_bytes(b"not an image at all")
+
+    df = read_media_dir(spark, str(media))
+    rows = {r["uri"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.png"]["mime"] == "image/png"
+    assert rows["b.jpg"]["mime"] == "image/jpeg"
+    assert rows["c.wav"]["mime"] == "audio/wav"
+    # content wins over the lying extension
+    assert rows["liar.png"]["mime"] == "application/octet-stream"
+    assert rows["a.png"]["n_bytes"] == 8 + 64
+    # glob pushdown
+    only_png = read_media_dir(spark, str(media), glob="*.png")
+    assert only_png.count() == 2
