@@ -164,3 +164,61 @@ def uuid_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surrogate_key"
         ),
     )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_elem,
+           CAST(round(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) AS max_elem,
+           CAST(round(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) AS min_elem,
+           (list_max(embedding) > 0) AS has_positive
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column function family over the embedding vectors: size,
+    element access, min/max, predicates — all JVM-side array exprs
+    (float cells widened to double then rounded for parity)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4)
+        .cast("double")
+        .alias("first_elem"),
+        F.round(F.array_max("embedding").cast("double"), 4)
+        .cast("double")
+        .alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 4)
+        .cast("double")
+        .alias("min_elem"),
+        (F.array_max("embedding") > 0).alias("has_positive"),
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by bucket arithmetic — the one-pass
+    distribution profile (floor division is engine-portable where
+    width_bucket isn't)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -161,3 +161,63 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full frame — the default growing frame
+    makes last_value a footgun) / ntile quartiles per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS n_within_1k
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: for each order, how many
+    (filtered) orders fall within ±1000 of its price — value-based
+    frames vs the ROWS frames elsewhere. Global ordering is acceptable
+    because the filter shrinks the set first (and the plan test family
+    pins that top-k/global sorts only ever follow a reduction)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # fractional RANGE bounds need the SQL form — the pyspark
+    # Window.rangeBetween API accepts integral offsets only
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               count(*) OVER (ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+                 AS n_within_1k
+        FROM orders
+        WHERE o_custkey < 50
+        """
+    )
