@@ -188,3 +188,33 @@ def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         align,
         schema="event_id long, user_id long, ts timestamp, purchase_ts timestamp",
     )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS event_seq,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event sequences — the behavioral-sequence shape
+    fed to sequence models. Spark has no ORDER BY inside string_agg, so
+    the deterministic form is collect_list of (ts, event_id, type)
+    structs → array_sort (lexicographic on struct fields = the desired
+    (ts, event_id) order) → project the type → join. One shuffle on
+    user_id; per-user arrays stay small (bounded by user activity)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return e.groupBy("user_id").agg(
+        seq.alias("event_seq"), F.count("*").alias("n_events")
+    )
