@@ -244,3 +244,112 @@ def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty_part").cast("double").alias("total_qty"),
         F.sum("n_part").alias("n"),
     )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample summarized per stratum (lang): the
+    hash-gate form of sampling — reproducible across runs, engines and
+    partitionings, unlike rand()-seeded sample(). The per-row gate is a
+    pushable predicate (scan-side, no shuffle to sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10 == 0
+    )
+    return (
+        d.filter(gate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(c_name) AS name_nonnull,
+           count(DISTINCT c_nationkey) AS nation_distinct,
+           count(DISTINCT c_mktsegment) AS segment_distinct,
+           CAST(min(c_acctbal) AS DOUBLE) AS bal_min,
+           CAST(max(c_acctbal) AS DOUBLE) AS bal_max,
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bal_negative
+    FROM customer
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling aggregate (null counts, cardinalities,
+    ranges, rule violations) — the data-quality gate a pipeline runs
+    before training ingestion. All in a single scan + aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_name").alias("name_nonnull"),
+        F.countDistinct("c_nationkey").alias("nation_distinct"),
+        F.countDistinct("c_mktsegment").alias("segment_distinct"),
+        F.min("c_acctbal").alias("bal_min"),
+        F.max("c_acctbal").alias("bal_max"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bal_negative"),
+    )
+
+
+@query(
+    "daily_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+             count(*) AS n
+      FROM events GROUP BY day
+    ), scored AS (
+      SELECT e.event_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day, e.value,
+             (e.value - st.s / st.n)
+               / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS z
+      FROM events e JOIN stats st ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) = st.day
+      WHERE st.n > 1
+    )
+    SELECT event_id, day, CAST(value AS DOUBLE) AS value,
+           CAST(round(z, 3) AS DOUBLE) AS z_score
+    FROM scored WHERE abs(z) > 3.0
+    """,
+)
+def daily_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day z-score outliers over event values — the drift/anomaly
+    gate. Mean/std are derived from EXACT decimal sums (sum, sum-of-
+    squares), so both engines compute identical doubles and the z-score
+    comparison is reproducible (stddev_samp's float accumulation order
+    would not be). Broadcast join of per-day stats back onto events."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("day").agg(
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+        F.count("*").alias("n"),
+    ).filter(F.col("n") > 1)
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(stats), "day")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select(
+            "event_id",
+            "day",
+            "value",
+            F.round("z", 3).cast("double").alias("z_score"),
+        )
+    )
