@@ -69,8 +69,8 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
            ELSE 'audio/wav' END AS mime,
       count(*) AS n_media,
-      sum(octet_length(encode(text))) AS total_bytes,
-      max(octet_length(encode(text))) AS max_bytes
+      CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents
     GROUP BY mime
     """,

@@ -80,10 +80,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessioned AS (
       SELECT user_id, ts,
-             sum(is_new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts ASC
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(is_new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id,

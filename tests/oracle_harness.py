@@ -35,6 +35,62 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+#: canonical type classes — the driver's value-hash is type-sensitive
+#: (e.g. DuckDB widens integer sums to HUGEINT, which hashes differently
+#: from Spark's BIGINT even when the values are equal), so the local
+#: replica must flag class drift that plain str() rendering would mask.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def _canon_duck_type(t: str) -> str:
+    t = t.upper().strip()
+    if t in _DUCK_INT:
+        return "int"
+    if t in {"HUGEINT", "UHUGEINT", "UBIGINT"}:
+        return "int128"
+    if t in {"DOUBLE", "FLOAT", "REAL"}:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "").lower()
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in {"VARCHAR", "STRING", "TEXT"}:
+        return "string"
+    if t in {"BOOLEAN", "BOOL"}:
+        return "bool"
+    if t in {"BLOB", "BINARY", "VARBINARY"}:
+        return "binary"
+    if t.endswith("[]") or t.startswith(("LIST", "ARRAY")):
+        return "array"
+    return t.lower()
+
+
+def _canon_spark_type(t: str) -> str:
+    t = t.lower().strip()
+    if t in {"tinyint", "smallint", "int", "bigint", "long", "integer"}:
+        return "int"
+    if t in {"double", "float"}:
+        return "float"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "string":
+        return "string"
+    if t == "boolean":
+        return "bool"
+    if t == "binary":
+        return "binary"
+    if t.startswith("array"):
+        return "array"
+    return t
+
+
 def _cell(v):
     if v is None:
         return "NULL"
@@ -70,6 +126,14 @@ def compare(spark_df, con, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+    # type-class drift check (reproduces the driver's type-sensitive hash)
+    s_types = {c: _canon_spark_type(t) for c, t in spark_df.dtypes}
+    d_desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    d_types = {r[0]: _canon_duck_type(r[1]) for r in d_desc}
+    for c in s_cols:
+        st, dtp = s_types.get(c), d_types.get(c)
+        if st != dtp:
+            problems.append(f"type drift: {c}: spark={st} duck={dtp}")
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
     sc, dc = canon(s_rows, s_cols), canon(d_rows, d_cols)
