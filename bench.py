@@ -33,29 +33,29 @@ HEADLINE = [
     "flagship_report",
     "q1_pricing_summary",
     "join_multiway_revenue",
-    "join_semi",
-    "rollup_revenue",
-    "window_topk_per_group",
-    "latest_per_key",
-    "events_hourly_rollup",
+    "join_semi_anti",
+    "join_range_asof",
+    "cube_rollup_revenue",
+    "window_ranking_topk",
+    "window_frames",
+    "dedup_latest_per_key",
     "sessionization",
-    "json_extract_props",
-    "subquery_correlated_exists",
+    "sliding_json_counts",
+    "subquery_exists_scalar",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "term_frequency",
+    "dedup_clusters",
+    "text_profile",
     "tf_idf",
     "doc_chunking",
     "doc_winnowing_fingerprints",
     "similarity_pairs",
     "knn_bruteforce",
-    "knn_lsh_approx",
-    "media_decode_features",
+    "knn_approx",
+    "media_decode_pipeline",
 ]
 
 

@@ -42,20 +42,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def _load_all() -> None:
+    # Registration order = the driver's correctness-check order. The
+    # corpus is consolidated to fit the driver's ~50-entry budget in
+    # full; families the round-1 driver never reached register first so
+    # any residual budget cut lands on the longest-green entries last.
     from . import (  # noqa: F401
-        aggregates,
-        dedup,
-        joins,
-        multimodal,
-        relational,
-        scalars,
-        setops,
-        similarity,
-        streaming_entries,
+        windows,
         subqueries,
         textual,
         timeseries,
-        windows,
+        streaming_entries,
+        similarity,
+        multimodal,
+        joins,
+        dedup,
+        aggregates,
+        relational,
+        scalars,
+        setops,
     )
 
 

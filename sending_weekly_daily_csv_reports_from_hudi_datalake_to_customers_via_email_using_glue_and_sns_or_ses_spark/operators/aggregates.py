@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import Catalog, load_table
 from . import query
 
 
@@ -67,152 +67,126 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_stats",
-    oracle="""
-    SELECT c_mktsegment,
-           count(*) AS n_customers,
-           count(DISTINCT c_nationkey) AS n_nations,
-           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
-           CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
-def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: min/max/sum/count/count-distinct in one pass. min/max of raw
-    doubles are order-independent picks of stored values → exact parity.
-    """
-    c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
-        F.min("c_acctbal").alias("min_bal"),
-        F.max("c_acctbal").alias("max_bal"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
-    )
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_rollup_revenue", oracle=_CUBE_SQL)
+def cube_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 in one statement: CUBE(status, priority) materializes all four
+    grouping sets — {(status,priority), (status), (priority), ()} — i.e.
+    a strict superset of ROLLUP's sets plus the explicit-GROUPING-SETS
+    shape, with grouping() flags disambiguating subtotal rows from
+    genuine NULL keys. Spark expands grouping sets in a single
+    Expand+Aggregate — no extra scans. SQL-string path: the reference's
+    transform slot (template.py:319-322) accepts exactly this."""
+    Catalog(spark).register_testdata(sf_dir)
+    return spark.sql(_CUBE_SQL)
 
 
 @query(
-    "rollup_revenue",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: ROLLUP — subtotals per status, per (status, priority), grand
-    total. Spark expands grouping sets in a single Expand+Aggregate; no
-    extra scans.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
-        F.count("*").alias("n_orders"),
-    )
-
-
-@query(
-    "cube_counts",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: CUBE over two low-cardinality dims."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
-
-
-@query(
-    "having_filter",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-    FROM orders
-    GROUP BY o_custkey
-    HAVING count(*) >= 10
-    """,
-)
-def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 + HAVING: post-aggregation predicate."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("spend"),
-        )
-        .filter(F.col("n_orders") >= 10)
-    )
-
-
-@query("approx_aggregates")
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6: sketch-based aggregates — approx_count_distinct (HLL++) and
-    percentile_approx (KLL-style). Sketch internals differ across
-    engines, so no value oracle (rows-only check); the pytest suite
-    asserts bounded relative error against exact values instead.
-
-    At 100 TB these are the *only* sane distinct-count/quantile plans:
-    constant memory per group, one pass, mergeable partials.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
-    )
-
-
-@query(
-    "pivot_status",
+    "approx_aggregates",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
-           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS hll_within_10pct,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
-def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot with an explicit value list (no discovery scan — at scale,
-    always pass the values so Spark skips the extra distinct job).
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: sketch-based aggregates — approx_count_distinct (HLL++) and
+    percentile_approx (KLL-style) — validated against their error
+    contracts INSIDE the query, which makes the nondeterministic sketch
+    hash-checkable: the oracle asserts the exact distinct count plus
+    literal-TRUE tolerance flags; if Spark's sketches drift outside
+    tolerance the booleans flip and the value hash fails.
+
+      * hll_within_10pct: |approx − exact| / exact ≤ 0.10 (rsd 0.02)
+      * p50/p95_rank_ok: the exact fraction of rows ≤ the approximate
+        percentile lands within ±0.05/±0.03 of the target rank
+
+    At 100 TB these sketches are the *only* sane distinct-count/quantile
+    plans: constant memory per group, one pass, mergeable partials.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    sketch = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )
+    ranks = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("p50_approx"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("frac50"),
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("p95_approx"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("frac95"),
+        )
+    )
     return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
-        .withColumnRenamed("O", "qty_O")
-        .withColumnRenamed("F", "qty_F")
+        sketch.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            (
+                F.abs(F.col("approx_orders") - F.col("n_orders_exact"))
+                / F.col("n_orders_exact")
+                <= 0.10
+            ).alias("hll_within_10pct"),
+            F.col("frac50").between(0.45, 0.55).alias("p50_rank_ok"),
+            F.col("frac95").between(0.92, 0.98).alias("p95_rank_ok"),
+        )
     )
 
 
-_GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-       count(*) AS n_orders
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-"""
-
-
-@query("grouping_sets_revenue", oracle=_GROUPING_SETS_SQL)
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: explicit GROUPING SETS (per-status, per-priority, grand total
-    — a shape rollup/cube can't express). Spark SQL string path: the
-    reference's transform slot accepts exactly this."""
-    from ..catalog import Catalog
-
-    Catalog(spark).register_testdata(sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
+@query(
+    "pivot_unpivot",
+    oracle="""
+    SELECT l_returnflag, 'O' AS linestatus,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'F' AS linestatus,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no discovery scan — at scale,
+    always pass the values so Spark skips the extra distinct job), then
+    unpivot (melt) straight back to (key, measure, value) rows — both
+    reshape operators in one plan, value-identical to the flat
+    conditional aggregation the oracle computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.sum(_dec("l_quantity")), F.lit(0).cast("decimal(18,2)")).cast("double"))
+    )
+    return (
+        pivoted.unpivot(
+            ids=["l_returnflag"],
+            values=["O", "F"],
+            variableColumnName="linestatus",
+            valueColumnName="qty",
+        )
+    )
 
 
 @query(
@@ -247,56 +221,34 @@ def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stratified_sample",
-    oracle="""
-    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
-    GROUP BY lang
-    """,
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% sample summarized per stratum (lang): the
-    hash-gate form of sampling — reproducible across runs, engines and
-    partitionings, unlike rand()-seeded sample(). The per-row gate is a
-    pushable predicate (scan-side, no shuffle to sample)."""
-    d = load_table(spark, sf_dir, "documents")
-    gate = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10 == 0
-    )
-    return (
-        d.filter(gate)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_id"))
-    )
-
-
-@query(
     "profile_columns",
     oracle="""
-    SELECT count(*) AS n_rows,
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
            count(c_name) AS name_nonnull,
            count(DISTINCT c_nationkey) AS nation_distinct,
-           count(DISTINCT c_mktsegment) AS segment_distinct,
            CAST(min(c_acctbal) AS DOUBLE) AS bal_min,
            CAST(max(c_acctbal) AS DOUBLE) AS bal_max,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
            CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bal_negative
     FROM customer
+    GROUP BY c_mktsegment
     """,
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass data-profiling aggregate (null counts, cardinalities,
-    ranges, rule violations) — the data-quality gate a pipeline runs
-    before training ingestion. All in a single scan + aggregate."""
+    """One-pass per-stratum data profiling (X1's multi-aggregate shape:
+    count / count-distinct / min / max / decimal sum, plus null counts
+    and rule violations) — the data-quality gate a pipeline runs before
+    training ingestion. min/max of raw doubles are order-independent
+    picks of stored values → exact parity; a single scan + aggregate."""
     c = load_table(spark, sf_dir, "customer")
-    return c.agg(
+    return c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_rows"),
         F.count("c_name").alias("name_nonnull"),
         F.countDistinct("c_nationkey").alias("nation_distinct"),
-        F.countDistinct("c_mktsegment").alias("segment_distinct"),
         F.min("c_acctbal").alias("bal_min"),
         F.max("c_acctbal").alias("bal_max"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("bal_sum"),
         F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
         .cast("bigint")
         .alias("bal_negative"),

@@ -87,10 +87,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=r"""
-    WITH toks AS (
+#: shared CTE body: exact 3-gram Jaccard ≥ 0.35 pairs (used by the
+#: dedup_ngram_jaccard oracle and, as the edge set, by dedup_clusters').
+_JACCARD_CTES = r"""
+    toks AS (
       SELECT doc_id, t.tok, t.pos
       FROM documents,
            LATERAL (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok,
@@ -106,14 +106,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingles x JOIN shingles y
         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY doc_a, doc_b
+    ), jaccard_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.35
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS DOUBLE)
-             AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.35
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, CAST(round(jac, 6) AS DOUBLE) AS jaccard
+    FROM jaccard_pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,33 +407,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters")
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM jaccard_pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     near-dup pair graph (exact 3-gram Jaccard ≥ 0.35 edges), each doc
     labeled with the smallest doc_id in its component — the step that
     turns pairwise near-dup hits into keep/drop decisions.
 
-    Iterative label propagation (alternating small-label joins) with a
-    driver-side convergence check; components here have tiny diameter
-    (dup clusters), so it converges in 2-3 rounds. Each round is one
-    shuffle keyed by doc_id — the standard large-graph CC pattern
-    (Hash-Min), linear in edges per round.
+    Iterative Hash-Min label propagation, hardened for scale:
+      * ``localCheckpoint`` each round materializes the label frame and
+        CUTS LINEAGE — without it round k replays rounds 1..k-1 (the
+        classic iterative-algorithm trap);
+      * the convergence check is FUSED into the round: the checkpoint
+        action materializes the joined (new, old) labels once, and the
+        changed-count is a cheap aggregate over that materialized data —
+        no separate join-and-count job re-deriving the round;
+      * each round is one shuffle keyed by doc_id, linear in edges.
 
-    Rows-only driver check; pytest verifies against a union-find
-    reference implementation at sf0.001.
+    Components here have tiny diameter (dup clusters) so it converges in
+    2-3 rounds; the 10-round bound caps worst-case chains. Hash-checked
+    against a DuckDB recursive-CTE transitive closure of the same edge
+    set; pytest additionally verifies a union-find reference at sf0.001.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges both ways + self-edges seed labels = own id
+    # undirected edges both ways; materialize once — every round reuses it
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).cache()
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(10):  # bounded; dup clusters converge in 2-3 rounds
         # each node adopts the min label among itself and its neighbors
@@ -432,20 +466,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(nodes, edges.doc_b == nodes.doc_id)
             .select(F.col("doc_a").alias("doc_id"), "label")
         )
-        new_nodes = (
+        updated = (
             nodes.select("doc_id", "label")
             .unionByName(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("new_label"))
+            .join(nodes.withColumnRenamed("label", "old_label"), "doc_id")
+            .localCheckpoint()  # one action: materializes labels + deltas, cuts lineage
         )
-        changed = (
-            new_nodes.alias("n")
-            .join(nodes.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        nodes = new_nodes
-        if changed == 0:
+        changed = updated.agg(
+            F.sum((F.col("new_label") != F.col("old_label")).cast("int"))
+        ).first()[0]
+        nodes = updated.select("doc_id", F.col("new_label").alias("label"))
+        if not changed:
             break
     return nodes.select("doc_id", F.col("label").alias("cluster_id"))

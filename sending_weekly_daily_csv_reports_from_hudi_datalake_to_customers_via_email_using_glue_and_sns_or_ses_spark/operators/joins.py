@@ -9,7 +9,7 @@ anti joins ship only the key column of the probe side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -21,68 +21,34 @@ def _dec(col: str) -> F.Column:
 
 
 @query(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi_urgent' AS op, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 left-semi: customers with ≥1 urgent order. Only o_custkey of
-    the filtered orders side crosses the wire."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti_no_orders' AS op, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 left-anti: customers with no orders (incremental-load
-    reconciliation shape)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 left-semi + left-anti as one tagged union: customers with ≥1
+    urgent order (semi — only o_custkey of the filtered orders side
+    crosses the wire) and customers with no orders at all (anti — the
+    incremental-load reconciliation shape)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("semi_urgent").alias("op"), "c_custkey", "c_name")
     )
-
-
-@query(
-    "join_left_outer",
-    oracle="""
-    SELECT c.c_custkey, c.c_name,
-           count(o.o_orderkey) AS n_orders,
-           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
-    """,
-)
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 left-outer + aggregate: per-customer order stats keeping
-    order-less customers (count of NULL key = 0)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
-            .cast("double")
-            .alias("spend"),
-        )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti_no_orders").alias("op"), "c_custkey", "c_name")
     )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -178,24 +144,52 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (most recent order at or before each event, per key).
+    """As-of join (most recent order at or before each event, per key)
+    as union + running window — the scale-safe formulation.
 
-    Spark lacks a native as-of join; expressed as equi-join on key +
-    range predicate + max aggregate. The equi-key keeps it a hash join
-    (the range predicate filters post-match) rather than a cartesian.
-    For very hot keys the applyInPandas merge_asof variant in
-    operators/timeseries.py is the fallback.
+    Spark lacks a native as-of join. The join-then-aggregate form
+    (equi-join on key + range predicate + max) fans out events×orders
+    per key before re-aggregating — a blow-up on hot keys. Instead: tag
+    both sides, union them, and take ``last(order_ts, ignorenulls)``
+    over a running (key, ts)-ordered window. One shuffle, per-key work
+    is O(n log n) sort, zero fan-out. Order rows sort BEFORE event rows
+    at equal ts (is_event ascending) so the match is inclusive
+    (order_ts <= event ts), matching the oracle's ``<=``.
+
+    The grouped applyInPandas merge_asof variant
+    (operators/timeseries.py:asof_align_pandas) covers the same
+    semantics through the Arrow escape hatch.
     """
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
+    # events key space is user_id % 100 → orders beyond that key range
+    # can never match; prune them before the shuffle
+    orders_side = o.filter(F.col("o_custkey") < 100).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    events_side = e.select(
+        (F.col("user_id") % 100).alias("key"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("order_ts"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("ts"), F.asc("is_event"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        e.join(
-            o,
-            (o.o_custkey == e.user_id % 100) & (o.o_orderdate <= e.ts),
-            "left_outer",
-        )
-        .groupBy("event_id", "user_id", "ts")
-        .agg(F.max("o_orderdate").alias("last_order_before"))
+        orders_side.unionByName(events_side)
+        .withColumn("last_order_before", F.last("order_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "last_order_before")
     )
 
 

@@ -62,53 +62,41 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "media_metadata",
+    "media_metadata_sniff",
     oracle="""
     SELECT
       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
            ELSE 'audio/wav' END AS mime,
+      upper(substr(hex(encode(text)), 1, 8)) AS magic_prefix,
       count(*) AS n_media,
       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents
-    GROUP BY mime
+    GROUP BY mime, magic_prefix
+    ORDER BY n_media DESC, mime ASC, magic_prefix ASC
+    LIMIT 30
     """,
 )
-def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata sweep over a binary column: size stats per mime type —
-    the triage query before any decode. Binary length is JVM-side;
-    blobs are never shipped to Python."""
-    m = media_from_documents(spark, sf_dir)
-    return m.groupBy("mime").agg(
-        F.count("*").alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
-    )
-
-
-@query(
-    "media_magic_sniff",
-    oracle="""
-    SELECT upper(substr(hex(encode(text)), 1, 8)) AS magic_prefix,
-           count(*) AS n
-    FROM documents
-    GROUP BY magic_prefix
-    ORDER BY n DESC, magic_prefix ASC
-    LIMIT 20
-    """,
-)
-def media_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format sniffing by magic bytes: hex of the first 4 bytes, counted.
-    On real media this maps through _MAGIC to detect mislabeled blobs;
-    expressed entirely with built-ins (substring on binary + hex)."""
+def media_metadata_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata sweep + format sniffing over a binary column in one
+    pass: size stats per (declared mime, sniffed magic-byte prefix) —
+    the triage query before any decode, and the mislabeled-blob detector
+    (on real media the prefix maps through _MAGIC). Binary length and
+    the hex-of-first-4-bytes sniff are JVM built-ins; blobs are never
+    shipped to Python."""
     m = media_from_documents(spark, sf_dir)
     return (
-        m.select(F.upper(F.hex(F.substring("blob", 1, 4))).alias("magic_prefix"))
-        .groupBy("magic_prefix")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("magic_prefix"))
-        .limit(20)
+        m.groupBy(
+            "mime", F.upper(F.hex(F.substring("blob", 1, 4))).alias("magic_prefix")
+        )
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy(F.desc("n_media"), F.asc("mime"), F.asc("magic_prefix"))
+        .limit(30)
     )
 
 
@@ -138,43 +126,12 @@ def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
     )
 
 
-@query("media_decode_features")
-def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode/feature-extract stage: Arrow-batched ``mapInPandas``
-    over the binary column — blobs cross to Python in columnar batches
-    once, features come back columnar. At scale this is the pattern for
-    any Python-only media library; batch size is bounded by
-    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
-    blob-size-aware.
-
-    Rows-only driver check (the decode double isn't SQL); pytest pins
-    exact values for a fixed input.
-    """
-    m = media_from_documents(spark, sf_dir)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = decode_image_batch(pdf["blob"], fake=True)
-            out = pd.concat(
-                [pdf[["media_id", "mime"]].reset_index(drop=True), feats], axis=1
-            )
-            yield out
-
-    return m.mapInPandas(
-        run,
-        schema="media_id long, mime string, width int, height int, brightness double",
-    )
-
-
-@query("media_frame_sample")
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/segment sampling plumbing: explode each blob into k
     deterministic (offset, length) chunk pointers — the video
     frame-sample pattern where the expensive decode runs only on sampled
-    chunks. Pointer math is pure SQL; only sampled chunks would cross to
-    the decoder.
-
-    Rows-only driver check; pytest asserts chunk coverage/boundaries.
+    chunks. Pointer math is pure SQL; only sampled chunks cross to the
+    decoder. pytest asserts chunk coverage/boundaries.
     """
     m = media_from_documents(spark, sf_dir)
     k = 4
@@ -182,12 +139,14 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "media_id",
             "mime",
+            "blob",
             "n_bytes",
             F.posexplode(F.sequence(F.lit(0), F.lit(k - 1))).alias("chunk_idx", "_i"),
         )
         .select(
             "media_id",
             "mime",
+            "blob",
             "chunk_idx",
             (F.col("chunk_idx") * (F.col("n_bytes") / k).cast("long")).alias("offset"),
             F.least(
@@ -196,4 +155,52 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("length"),
         )
         .filter(F.col("length") > 0)
+    )
+
+
+@query("media_decode_pipeline")
+def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode pipeline: frame/segment sampling (deterministic
+    (offset, length) chunk pointers, pure SQL — only sampled chunks are
+    materialized) → per-chunk byte extraction (JVM substr on binary) →
+    Arrow-batched ``mapInPandas`` decode/feature-extract. Chunk bytes
+    cross to Python in columnar batches once, features come back
+    columnar. At scale this is the pattern for any Python-only media
+    library; batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
+    blob-size-aware.
+
+    Rows-only driver check (the decode double isn't SQL); pytest pins
+    exact values for a fixed input and chunk coverage/boundaries.
+    """
+    chunks = media_frame_sample(spark, sf_dir).select(
+        "media_id",
+        "mime",
+        "chunk_idx",
+        "offset",
+        "length",
+        F.expr("substr(blob, cast(offset AS INT) + 1, cast(length AS INT))").alias(
+            "chunk_bytes"
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decode_image_batch(pdf["chunk_bytes"], fake=True)
+            out = pd.concat(
+                [
+                    pdf[["media_id", "mime", "chunk_idx", "offset", "length"]]
+                    .reset_index(drop=True),
+                    feats,
+                ],
+                axis=1,
+            )
+            yield out
+
+    return chunks.mapInPandas(
+        run,
+        schema=(
+            "media_id long, mime string, chunk_idx int, offset long, length long,"
+            " width int, height int, brightness double"
+        ),
     )

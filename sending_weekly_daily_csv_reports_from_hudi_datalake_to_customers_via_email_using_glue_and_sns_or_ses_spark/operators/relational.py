@@ -6,6 +6,9 @@ equi-join orders⋈customers, equality filter on priority — retargeted at
 the driver testdata (FIXTURES.md flagship mapping: o_custkey = c_custkey,
 o_orderpriority = '1-URGENT'; c_mktsegment stands in for the email
 column the testdata lacks).
+
+R8 (select-star passthrough, template.py:215) is exercised by
+``incremental_scan``'s ``SELECT *`` shape and the flagship's ``o.*``.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from . import query
     """,
 )
 def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1+R2+R3+R7 (template.py:485-490).
+    """R1+R2+R3+R7+R8 (template.py:485-490).
 
     customer is tiny relative to orders (1:10 at every SF, and in real
     deployments the dimension side) → broadcast it: no shuffle of the
@@ -47,15 +50,6 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "select_star",
-    oracle="SELECT * FROM nation",
-)
-def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R8 passthrough (template.py:215: ``select * from hudi_incremental``)."""
-    return load_table(spark, sf_dir, "nation")
-
-
-@query(
     "projection_computed",
     oracle="""
     SELECT p_partkey,
@@ -63,14 +57,16 @@ def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_retailprice,
            CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,1)), 2) AS DOUBLE)
              AS discounted_price,
-           p_size + 1 AS size_plus_one
+           p_size + 1 AS size_plus_one,
+           CAST(floor(p_retailprice / 500.0) AS BIGINT) AS price_bucket
     FROM part
     """,
 )
 def projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/R7/F3: projection with computed + aliased columns, arithmetic on
     casts (the reference's ``int(str)-1`` commit arithmetic, template.py:204,
-    lifted into the plan). Decimal math keeps the oracle bit-identical.
+    lifted into the plan) and equi-width bucket arithmetic (the histogram
+    key). Decimal math keeps the oracle bit-identical.
     """
     part = load_table(spark, sf_dir, "part")
     return part.select(
@@ -85,30 +81,8 @@ def projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("discounted_price"),
         (F.col("p_size") + 1).alias("size_plus_one"),
+        F.floor(F.col("p_retailprice") / 500.0).cast("bigint").alias("price_bucket"),
     )
-
-
-@query(
-    "filter_predicates",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
-    FROM orders
-    WHERE o_orderstatus = 'O'
-      AND o_totalprice > 150000.0
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-    """,
-)
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 generalized: conjunctive equality / range / IN predicates —
-    all parquet-pushable (verified via explain: PushedFilters)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(
-        (F.col("o_orderstatus") == "O")
-        & (F.col("o_totalprice") > 150000.0)
-        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
 
 
 @query(
@@ -159,14 +133,25 @@ def commit_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_scan",
     oracle="""
     SELECT * FROM orders
-    WHERE o_orderdate > TIMESTAMP '2000-01-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderstatus = 'O'
+      AND o_totalprice > 150000.0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
     """,
 )
 def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 semantics (template.py:207-217): incremental read = rows with
-    commit time strictly after the checkpoint. Over parquet this is a
-    pushed-down range predicate — at 100 TB with date/commit-partitioned
-    layout it's partition pruning, reading only new files.
+    """S2 semantics (template.py:207-217) + R3 generalized: incremental
+    read = SELECT * of rows with commit time after the checkpoint, here
+    composed with further conjunctive equality / range / IN predicates —
+    ALL of them parquet-pushable (verified via explain: PushedFilters;
+    pinned by tests/test_plans.py). At 100 TB with date/commit-
+    partitioned layout the commit predicate is partition pruning,
+    reading only new files.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderdate") > F.lit("2000-01-01").cast("timestamp"))
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 150000.0)
+        & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )

@@ -10,11 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.vector import l2_norm
 from . import query
 
 
 @query(
-    "scalar_date_functions",
+    "scalar_datetime_keys",
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT)       AS order_year,
@@ -24,14 +25,26 @@ from . import query
            strftime(o_orderdate, '%Y-%m')       AS year_month,
            CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
-             AS days_to_y2k
+             AS days_to_y2k,
+           md5(concat('orders|', CAST(o_orderkey AS VARCHAR))) AS surrogate_key,
+           coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'OTHER') AS priority_or_other,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'large' END                AS price_band,
+           CAST(greatest(o_totalprice - 100000.0, 0.0) AS DOUBLE) AS above_100k,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open
     FROM orders
     """,
 )
-def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F4 family: year/month/day/quarter extraction, formatting,
-    interval arithmetic, day differences — the reference computes these
-    driver-side (template.py:437-448); here they're plan expressions."""
+def scalar_datetime_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4 + the conditional family in one scan of orders:
+    year/month/day/quarter extraction, formatting, interval arithmetic,
+    day differences (the reference computes these driver-side,
+    template.py:437-448; here they're plan expressions); a deterministic
+    surrogate key (content hash — the reference names artifacts with
+    uuid4 at template.py:460, which is non-reproducible; true-random
+    uuid() stays available for file naming in sinks/report.py); and
+    CASE / COALESCE / NULLIF / greatest / IS NULL conditionals."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -44,6 +57,18 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
         .cast("bigint")
         .alias("days_to_y2k"),
+        F.md5(F.concat(F.lit("orders|"), F.col("o_orderkey").cast("string"))).alias(
+            "surrogate_key"
+        ),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("OTHER")
+        ).alias("priority_or_other"),
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("large")
+        .alias("price_band"),
+        F.greatest(F.col("o_totalprice") - 100000.0, F.lit(0.0)).alias("above_100k"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().alias("is_open"),
     )
 
 
@@ -87,86 +112,6 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "scalar_conditional_null",
-    oracle="""
-    SELECT c_custkey,
-           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
-           CASE WHEN c_acctbal < 0 THEN 'debt'
-                WHEN c_acctbal < 5000 THEN 'low'
-                ELSE 'high' END                               AS balance_band,
-           CAST(greatest(c_acctbal, 0.0) AS DOUBLE)           AS non_negative_bal,
-           CAST(abs(c_acctbal) AS DOUBLE)                     AS abs_bal,
-           (c_acctbal IS NULL)                                AS bal_missing
-    FROM customer
-    """,
-)
-def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/COALESCE/NULLIF/greatest/abs — the conditional family."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.coalesce(
-            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
-        ).alias("segment_or_other"),
-        F.when(F.col("c_acctbal") < 0, "debt")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .otherwise("high")
-        .alias("balance_band"),
-        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("non_negative_bal"),
-        F.abs("c_acctbal").alias("abs_bal"),
-        F.col("c_acctbal").isNull().alias("bal_missing"),
-    )
-
-
-@query(
-    "unpivot_measures",
-    oracle="""
-    SELECT s_suppkey, measure, CAST(value AS DOUBLE) AS value
-    FROM (SELECT s_suppkey,
-                 s_acctbal AS acctbal,
-                 CAST(s_nationkey AS DOUBLE) AS nationkey_num
-          FROM supplier)
-    UNPIVOT (value FOR measure IN (acctbal, nationkey_num))
-    """,
-)
-def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): wide measures → (key, measure, value) rows."""
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.col("s_acctbal").alias("acctbal"),
-        F.col("s_nationkey").cast("double").alias("nationkey_num"),
-    )
-    return s.unpivot(
-        ids=["s_suppkey"],
-        values=["acctbal", "nationkey_num"],
-        variableColumnName="measure",
-        valueColumnName="value",
-    )
-
-
-@query(
-    "uuid_surrogate_keys",
-    oracle="""
-    SELECT o_orderkey,
-           md5(concat('orders|', CAST(o_orderkey AS VARCHAR))) AS surrogate_key
-    FROM orders
-    """,
-)
-def uuid_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 done deterministically: the reference names artifacts with
-    uuid4 (template.py:460) — non-reproducible. The engine's surrogate
-    key is a content hash (stable across runs and engines); true random
-    uuid() stays available for file naming (sinks/report.py)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.md5(F.concat(F.lit("orders|"), F.col("o_orderkey").cast("string"))).alias(
-            "surrogate_key"
-        ),
-    )
-
-
-@query(
     "array_functions",
     oracle="""
     SELECT vec_id, label,
@@ -174,14 +119,19 @@ def uuid_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_elem,
            CAST(round(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) AS max_elem,
            CAST(round(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) AS min_elem,
-           (list_max(embedding) > 0) AS has_positive
+           (list_max(embedding) > 0) AS has_positive,
+           CAST(round((SELECT sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                       FROM (SELECT unnest(embedding) AS a)), 4) AS DOUBLE) AS l2_norm
     FROM embeddings
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column function family over the embedding vectors: size,
-    element access, min/max, predicates — all JVM-side array exprs
-    (float cells widened to double then rounded for parity)."""
+    element access, min/max, predicates, and the L2 norm via a
+    JVM-side aggregate fold (functions/vector.py — the vector-hygiene
+    op that catches zero/denormal vectors before they poison cosine
+    math). All JVM array exprs; float cells widened to double then
+    rounded for parity."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -197,28 +147,5 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("min_elem"),
         (F.array_max("embedding") > 0).alias("has_positive"),
-    )
-
-
-@query(
-    "price_histogram",
-    oracle="""
-    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
-           count(*) AS n,
-           CAST(min(o_totalprice) AS DOUBLE) AS lo,
-           CAST(max(o_totalprice) AS DOUBLE) AS hi
-    FROM orders
-    GROUP BY bucket
-    """,
-)
-def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram by bucket arithmetic — the one-pass
-    distribution profile (floor division is engine-portable where
-    width_bucket isn't)."""
-    o = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
-    return o.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n"),
-        F.min("o_totalprice").alias("lo"),
-        F.max("o_totalprice").alias("hi"),
+        F.round(l2_norm(F.col("embedding")), 4).cast("double").alias("l2_norm"),
     )

@@ -1,8 +1,9 @@
-"""Set operations (SURVEY.md §2.7 X5): union / intersect / except.
+"""Set operations (SURVEY.md §2.7 X5): union all / union distinct /
+intersect / except, exercised in one tagged query.
 
-All three are key-hashed shuffles in Spark; at scale INTERSECT/EXCEPT
-plan as aggregations or left-semi/anti joins — Catalyst rewrites them,
-nothing custom needed.
+All four are key-hashed shuffles in Spark (UNION ALL is shuffle-free
+concatenation); at scale INTERSECT/EXCEPT plan as aggregations or
+left-semi/anti joins — Catalyst rewrites them, nothing custom needed.
 """
 
 from __future__ import annotations
@@ -15,75 +16,46 @@ from . import query
 
 
 @query(
-    "set_union_all",
+    "set_operations",
     oracle="""
-    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    SELECT 'union_all' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
     UNION ALL
-    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    SELECT 'union_distinct' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier)
     """,
 )
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL — no dedup, no shuffle; partitions concatenate."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
-    )
-    return c.unionAll(s)
-
-
-@query(
-    "set_union_distinct",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 in one pass, each arm tagged: UNION ALL (partition concat, no
+    shuffle), UNION DISTINCT (hash dedup), INTERSECT (nations with both
+    customers and suppliers), EXCEPT (customer-only nations)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.union(s).distinct()
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nationkey")
 
-@query(
-    "set_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with both customers and suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    return (
+        tag(c.unionAll(s), "union_all")
+        .unionByName(tag(c.union(s).distinct(), "union_distinct"))
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersect(s)
-
-
-@query(
-    "set_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)

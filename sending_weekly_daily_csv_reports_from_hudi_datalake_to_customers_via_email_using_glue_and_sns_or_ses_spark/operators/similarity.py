@@ -133,8 +133,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh_approx")
-def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (signed projections).
 
     Signature: sign of dot(v, h_j) for 24 seeded-Gaussian hyperplanes,
@@ -205,38 +204,7 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_norms",
-    oracle="""
-    SELECT label,
-           count(*) AS n_vectors,
-           CAST(round(min(nrm), 4) AS DOUBLE) AS min_norm,
-           CAST(round(max(nrm), 4) AS DOUBLE) AS max_norm
-    FROM (
-      SELECT label,
-             (SELECT sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
-              FROM (SELECT unnest(embedding) AS a)) AS nrm
-      FROM embeddings)
-    GROUP BY label
-    """,
-)
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-column hygiene op: L2-norm stats per label (catches
-    zero/denormal vectors before they poison cosine math)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
-        .groupBy("label")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.round(F.min("nrm"), 4).cast("double").alias("min_norm"),
-            F.round(F.max("nrm"), 4).cast("double").alias("max_norm"),
-        )
-    )
-
-
-@query("knn_ivf_approx")
-def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the
     partition-pruning counterpart to the LSH variant:
 
@@ -321,3 +289,26 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query("knn_approx")
+def knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 NN per query via BOTH scale paths, tagged by
+    method: 'lsh' (random-hyperplane band match replaces the full scan)
+    and 'ivf' (coarse-quantizer cells as the partition-pruning key, only
+    nprobe/K cells scanned). Same output contract as knn_bruteforce plus
+    the method tag; pytest measures each method's recall against the
+    exact baseline, and the IVF partition-pruning story is demonstrated
+    end-to-end in tests/test_plans.py (corpus written partitioned by
+    cell, probe scan touches only probed partitions).
+
+    Rows-only driver check (hash-bucketed candidates aren't
+    SQL-portable).
+    """
+    lsh = _lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    ivf = _ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)

@@ -21,11 +21,29 @@ from ..catalog import load_table
 from . import query
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, sentinel_hours: int = 0
+) -> DataFrame:
     """events as a bounded file-stream source (re-landed so the nanos
-    fix from load_table is baked into the parquet)."""
+    fix from load_table is baked into the parquet).
+
+    ``sentinel_hours`` > 0 appends ONE far-future sentinel event
+    (user_id = −1, ts = max(ts) + sentinel_hours) — the standard
+    bounded-replay trick for append-mode watermark queries: the sentinel
+    advances the global watermark past every real window so final state
+    flushes; callers filter ``user_id >= 0`` from the result."""
     path = tempfile.mkdtemp(prefix="events_stream_")
     batch = load_table(spark, sf_dir, "events")
+    if sentinel_hours:
+        max_ts = batch.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, -1, "__sentinel__", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {sentinel_hours} HOURS"))
+        batch = batch.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).unionByName(sentinel)
     batch.write.mode("overwrite").parquet(path)
     return spark.readStream.schema(batch.schema).parquet(path)
 
@@ -77,21 +95,48 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_window")
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(is_new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_no
+    """,
+)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12 streaming sessionization via session_window (gap 30 min) over
-    the bounded source with a watermark. Rows-only driver check (session
-    boundary semantics at exact-gap edges differ microscopically from
-    the lag+cumsum batch formulation); tests/test_streaming.py asserts
-    structural properties."""
-    stream = _events_stream(spark, sf_dir)
+    the bounded source with a watermark, in APPEND mode — the real
+    production shape (sessions emit only once the watermark passes their
+    end). A far-future sentinel event advances the watermark so every
+    real session flushes; the oracle is the batch lag+cumsum twin with
+    session_window's exact merge rule (merge iff gap < 1800 s strictly;
+    session end = last event + gap)."""
+    stream = _events_stream(spark, sf_dir, sentinel_hours=3)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
     out = _drain(agg, "append")
-    return out.select(
+    return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("sess.start").alias("session_start"),
         F.col("sess.end").alias("session_end"),

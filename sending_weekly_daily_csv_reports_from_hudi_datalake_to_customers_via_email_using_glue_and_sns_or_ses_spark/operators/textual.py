@@ -1,6 +1,7 @@
 """Text-analysis operators over ``documents`` (SURVEY.md §2.7 X10 and the
 LLM-pipeline extension set): token statistics, quality scoring,
-language-ID heuristic, document fingerprinting, term frequencies.
+language-ID heuristic, document fingerprinting, term frequencies /
+TF-IDF, winnowing fingerprints, chunking, sampling + split assignment.
 
 Everything is built-in-function only (JVM-side, codegen) — regexes and
 hashes, no Python UDFs in the hot path. That keeps a 100 TB document
@@ -37,86 +38,28 @@ def _tokens() -> F.Column:
 
 
 @query(
-    "text_stats",
-    oracle=r"""
-    SELECT doc_id, lang, source,
-           length(text) AS n_chars_computed,
-           length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens_ws,
-           CAST(floor(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
-             AS n_tokens_bpe_est
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace token count + a BPE-ish estimate
-    (chars/4 — the published GPT-family rule of thumb). Counting via
-    length arithmetic instead of split() keeps both engines' semantics
-    trivially identical."""
-    d = load_table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.length("text").alias("n_chars_computed"),
-        (
-            F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
-        ).alias("n_tokens_ws"),
-        F.floor(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0
-        )
-        .cast("bigint")
-        .alias("n_tokens_bpe_est"),
-    )
-
-
-@query(
-    "text_quality_score",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(round(
-             0.4 * least(length(text) / 500.0, 1.0)
-           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / greatest(length(text), 1))
-           + 0.3 * least((length(' ' || text || ' ')
-                          - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0 / 5.0, 1.0)
-           , 6) AS DOUBLE) AS quality
-    FROM documents
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: weighted blend of length saturation, alpha-char
-    ratio, and stopword ('the') density — the standard cheap pre-filter
-    before expensive LLM-pipeline stages. Pure column arithmetic.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    the_count = (
-        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
-    ) / 5.0
-    score = (
-        0.4 * F.least(F.length(text) / 500.0, F.lit(1.0))
-        + 0.3
-        * (
-            F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
-            / F.greatest(F.length(text), F.lit(1))
-        )
-        + 0.3 * F.least(the_count / 5.0, F.lit(1.0))
-    )
-    return d.select("doc_id", F.round(score, 6).cast("double").alias("quality"))
-
-
-@query(
-    "lang_id_heuristic",
+    "text_profile",
     oracle=rf"""
     WITH scored AS (
-      SELECT doc_id, lang AS lang_actual,
+      SELECT doc_id, lang, source, text,
              len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["en"])}')) AS s_en,
              len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["es"])}')) AS s_es,
              len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["fr"])}')) AS s_fr,
              len(regexp_extract_all(lower(text), '{_word_re(_LANG_MARKERS["de"])}')) AS s_de
       FROM documents)
-    SELECT doc_id, lang_actual, s_en, s_es, s_fr, s_de,
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars,
+           length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens_ws,
+           CAST(floor(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+             AS n_tokens_bpe_est,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           CAST(round(
+             0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / greatest(length(text), 1))
+           + 0.3 * least((length(' ' || text || ' ')
+                          - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0 / 5.0, 1.0)
+           , 6) AS DOUBLE) AS quality,
+           s_en, s_es, s_fr, s_de,
            CASE greatest(s_en, s_es, s_fr, s_de)
              WHEN 0 THEN 'und'
              WHEN s_en THEN 'en'
@@ -126,12 +69,34 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """,
 )
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID: count language-marker stopwords per language, argmax
-    with fixed priority order (en > es > fr > de) for ties, 'und' when
-    no markers hit. One regex pass per language over the scan."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE scan: token counting (whitespace
+    count + the chars/4 BPE-ish estimate, via length arithmetic so both
+    engines' semantics are trivially identical), the MD5 content
+    fingerprint (the exact-dedup key of operators/dedup.py), a quality
+    score (weighted blend of length saturation, alpha-char ratio and
+    stopword density — the standard cheap pre-filter before expensive
+    LLM-pipeline stages), and the language-ID heuristic (marker-stopword
+    counts per language, argmax with fixed priority order en>es>fr>de,
+    'und' when nothing hits)."""
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    text = F.col("text")
+    trimmed = F.trim(text)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    low = F.lower(text)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    the_count = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
+    ) / 5.0
+    quality = (
+        0.4 * F.least(F.length(text) / 500.0, F.lit(1.0))
+        + 0.3
+        * (
+            F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+            / F.greatest(F.length(text), F.lit(1))
+        )
+        + 0.3 * F.least(the_count / 5.0, F.lit(1.0))
+    )
     scores = {
         lang: F.size(F.regexp_extract_all(low, F.lit(_word_re(words)), 0))
         for lang, words in _LANG_MARKERS.items()
@@ -146,54 +111,22 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.col("lang").alias("lang_actual"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+        (
+            F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+        ).alias("n_tokens_ws"),
+        F.floor(F.length(F.replace(text, F.lit(" "), F.lit(""))) / 4.0)
+        .cast("bigint")
+        .alias("n_tokens_bpe_est"),
+        F.md5(norm).alias("fingerprint"),
+        F.round(quality, 6).cast("double").alias("quality"),
         scores["en"].alias("s_en"),
         scores["es"].alias("s_es"),
         scores["fr"].alias("s_fr"),
         scores["de"].alias("s_de"),
         pred.alias("lang_pred"),
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: MD5 of whitespace-normalized lowercase text.
-    MD5 is standard → bit-identical across engines; this fingerprint is
-    the exact-dedup key in operators/dedup.py."""
-    d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
-
-
-@query(
-    "term_frequency",
-    oracle=r"""
-    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
-    FROM (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-      FROM documents)
-    WHERE tok <> ''
-    GROUP BY tok
-    """,
-)
-def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term/document frequency: tokenize → explode → count. The
-    explode multiplies rows ~100×, but partial aggregation collapses
-    them again before the shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    return toks.groupBy("tok").agg(
-        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
     )
 
 
@@ -277,10 +210,12 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term), dropping terms present in more than half
-    the corpus (standard stop-term cut). Two aggregations + a broadcast
-    join on the (small) document-frequency table; ln() is IEEE-identical
-    across engines and the product is rounded for hash parity."""
+    """Term/document frequency + TF-IDF per (doc, term), dropping terms
+    present in more than half the corpus (standard stop-term cut). The
+    explode multiplies rows ~100×, but partial aggregation collapses
+    them again before the shuffle; then one broadcast join on the
+    (small) document-frequency table. ln() is IEEE-identical across
+    engines and the product is rounded for hash parity."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # driver scalar: one tiny job, reused in the plan
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok")).filter(
@@ -305,35 +240,46 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "train_val_split",
+    "sample_split_assign",
     oracle="""
     WITH assigned AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
-                  THEN 'train' ELSE 'val' END AS split
+                  THEN 'train' ELSE 'val' END AS split,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)
+               AS sampled
       FROM documents)
-    SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
-    FROM assigned GROUP BY split
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM assigned GROUP BY lang, split
     """,
 )
-def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/10 train/val assignment by content-independent
-    key hash (md5 of doc_id — stable across runs, engines, and
-    partitionings; never random() which reshuffles every run). The
-    summary shape is oracle-checked; the per-row assignment is the same
-    expression."""
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling + train/val split in one pass, stratified
+    by lang: a 90/10 split and a 10% sample gate, both by
+    content-independent key hash (md5 of doc_id — stable across runs,
+    engines, and partitionings; never random() which reshuffles every
+    run). The per-row gate is a pushable scan-side predicate expression
+    — no shuffle to sample; the summary shape is oracle-checked and the
+    per-row assignment is the same expression."""
     d = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
-        % 100
     )
     assigned = d.select(
         "doc_id",
-        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+        "lang",
+        F.when(bucket % 100 < 90, "train").otherwise("val").alias("split"),
+        (bucket % 10 == 0).alias("sampled"),
     )
-    return assigned.groupBy("split").agg(
+    return assigned.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )

@@ -1,9 +1,12 @@
 """Time-series / event-stream operators over ``events``
-(SURVEY.md §2.7 X11/X12): JSON props extraction, time-bucketed
-aggregation, sessionization, as-of alignment.
+(SURVEY.md §2.7 X11/X12): JSON props extraction, time-bucketed sliding
+aggregation, sessionization with ordered event sequences, as-of
+alignment.
 
 Batch forms here; the Structured Streaming variants (watermarks,
-session_window) live in streaming/windows.py with the same semantics.
+session_window) live in streaming/windows.py and
+operators/streaming_entries.py with the same semantics (the streaming
+hourly rollup carries the tumbling-bucket oracle for both).
 """
 
 from __future__ import annotations
@@ -17,71 +20,19 @@ from . import query
 
 
 @query(
-    "json_extract_props",
-    oracle="""
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-    """,
-)
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X11: pull a typed field out of the JSON ``props`` string and
-    filter on it. get_json_object is JVM-side (Jackson) — no UDF."""
-    e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        e.select("event_id", "event_type", k.alias("k_value"))
-        .filter(F.col("k_value") > 50)
-    )
-
-
-@query(
-    "events_hourly_rollup",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY hour, event_type
-    """,
-)
-def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X12 batch: tumbling 1-hour rollup via date_trunc (the hypertable
-    time_bucket pattern). Partial aggregation makes the shuffle carry
-    one row per (hour, type) per task — constant-ish regardless of SF.
-    """
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-    )
-
-
-@query(
     "sessionization",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessioned AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id, event_type,
              CAST(sum(is_new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts ASC
+                                            ORDER BY ts ASC, event_id ASC
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS session_id
       FROM marked
@@ -89,16 +40,24 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id,
            count(*) AS n_events,
            min(ts) AS session_start,
-           max(ts) AS session_end
+           max(ts) AS session_end,
+           string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS event_seq
     FROM sessioned
     GROUP BY user_id, session_id
     """,
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag + cumulative
-    sum of session-break flags — one shuffle on user_id, no iteration.
-    Streaming twin: session_window(ts, '30 minutes') in streaming/.
-    """
+    """Gap-based sessionization (30-min inactivity) + the ordered
+    per-session event sequence (the behavioral-sequence shape fed to
+    sequence models): lag + cumulative sum of session-break flags — one
+    shuffle on user_id, no iteration. Spark has no ORDER BY inside an
+    aggregate, so the deterministic sequence is collect_list of
+    (ts, event_id, type) structs → array_sort (lexicographic on struct
+    fields = the desired order) → project the type. Per-user arrays stay
+    small (bounded by user activity, not total SF).
+
+    Streaming twin: session_window(ts, '30 minutes') in
+    operators/streaming_entries.py."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -108,42 +67,61 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"))
+        .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessioned = marked.withColumn("session_id", F.sum("is_new_session").over(w2))
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
     return sessioned.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+        seq.alias("event_seq"),
     )
 
 
 @query(
-    "sliding_window_counts",
+    "sliding_json_counts",
     oracle="""
     WITH buckets AS (
-      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n,
+             CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
       FROM events GROUP BY day)
-    SELECT day, n,
-           CAST(sum(n) OVER (ORDER BY day ASC
-                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS n_7d
+    SELECT day, n, n_hot,
+           CAST(sum(n) OVER w7 AS BIGINT) AS n_7d,
+           CAST(sum(n_hot) OVER w7 AS BIGINT) AS n_hot_7d
     FROM buckets
+    WINDOW w7 AS (ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
-def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day event volume: pre-aggregate to daily buckets (map-
-    side combine shrinks the data), then a tiny frame window over days.
-    Never a sliding window over raw rows at scale — bucket first.
-    """
+def sliding_json_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 + X12 batch: pull a typed field out of the JSON ``props``
+    string (get_json_object is JVM-side Jackson — no UDF), pre-aggregate
+    to daily buckets (map-side combine shrinks the data), then trailing
+    7-day totals as a tiny frame window over days. Never a sliding
+    window over raw rows at scale — bucket first; the day-grain window
+    input is SF-independent (cardinality = number of days)."""
     e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count("*").alias("n")
+        F.count("*").alias("n"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_hot"),
     )
-    w = Window.orderBy(F.asc("day")).rowsBetween(-6, Window.currentRow)
+    w7 = Window.orderBy(F.asc("day")).rowsBetween(-6, Window.currentRow)
     return daily.select(
-        "day", "n", F.sum("n").over(w).cast("bigint").alias("n_7d")
+        "day",
+        "n",
+        "n_hot",
+        F.sum("n").over(w7).cast("bigint").alias("n_7d"),
+        F.sum("n_hot").over(w7).cast("bigint").alias("n_hot_7d"),
     )
 
 
@@ -156,7 +134,8 @@ def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle (merge_asof per group isn't ANSI-expressible in one
     statement cleanly); covered by pytest against a per-group reference
-    implementation instead.
+    implementation instead. The pure-DataFrame as-of form (union +
+    running last, one shuffle) is driver-checked as ``join_range_asof``.
 
     Scale: groups hash-shuffle once; each group is a small pandas frame
     (bounded by per-user activity, not total SF).
@@ -187,34 +166,4 @@ def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").applyInPandas(
         align,
         schema="event_id long, user_id long, ts timestamp, purchase_ts timestamp",
-    )
-
-
-@query(
-    "user_event_sequences",
-    oracle="""
-    SELECT user_id,
-           string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS event_seq,
-           count(*) AS n_events
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered per-user event sequences — the behavioral-sequence shape
-    fed to sequence models. Spark has no ORDER BY inside string_agg, so
-    the deterministic form is collect_list of (ts, event_id, type)
-    structs → array_sort (lexicographic on struct fields = the desired
-    (ts, event_id) order) → project the type → join. One shuffle on
-    user_id; per-user arrays stay small (bounded by user activity)."""
-    e = load_table(spark, sf_dir, "events")
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda x: x["event_type"],
-        ),
-        ",",
-    )
-    return e.groupBy("user_id").agg(
-        seq.alias("event_seq"), F.count("*").alias("n_events")
     )

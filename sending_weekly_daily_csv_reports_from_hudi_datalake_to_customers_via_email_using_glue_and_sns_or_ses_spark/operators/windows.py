@@ -4,6 +4,11 @@ Needed both as user-facing ops and as the engine's upsert/precombine
 primitive (latest-row-per-key, sinks/upsert.py). A window is one shuffle
 on partitionBy keys + per-partition sort; at 100 TB the key choice is
 what matters (customer/order keys → high cardinality → even spread).
+
+Two consolidated entries cover the X3 surface (ranking functions +
+top-k; frames, offsets and value functions); the latest-per-key
+precombine primitive is driver-checked as ``dedup_latest_per_key``
+(operators/dedup.py) and exercised by every upsert test.
 """
 
 from __future__ import annotations
@@ -16,208 +21,106 @@ from . import query
 
 
 @query(
-    "window_topk_per_group",
+    "window_ranking_topk",
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders)
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+             rank()       OVER wv AS price_rank,
+             dense_rank() OVER wv AS price_dense_rank,
+             CAST(round(percent_rank() OVER wv, 6) AS DOUBLE) AS price_pct_rank
+      FROM orders
+      WINDOW wv AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC))
     WHERE rn <= 3
     """,
 )
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price — row_number with a
-    deterministic tie-break (orderkey). The canonical top-k-per-group:
-    one shuffle, no self-join."""
+def window_ranking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family + top-k-per-group in one pass: row_number
+    with a deterministic tie-break (orderkey) drives the top-3 filter;
+    rank / dense_rank / percent_rank rank by value only (tie-stable by
+    definition). The canonical top-k-per-group: one shuffle, no
+    self-join."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_rn = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    w_val = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
             "o_orderdate",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_val).alias("price_rank"),
+            F.dense_rank().over(w_val).alias("price_dense_rank"),
+            F.round(F.percent_rank().over(w_val), 6)
+            .cast("double")
+            .alias("price_pct_rank"),
         )
         .filter(F.col("rn") <= 3)
     )
 
 
 @query(
-    "window_running_sum",
+    "window_frames",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend
-    FROM orders
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer spend over order history (explicit ROWS
-    frame; decimal accumulation for oracle parity)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@query(
-    "window_lag_lead",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           lag(o_orderdate) OVER w AS prev_order,
-           lead(o_orderdate) OVER w AS next_order,
-           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
-             AS days_since_prev
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead + day-gap between consecutive orders per customer."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-    prev = F.lag("o_orderdate").over(w)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        prev.alias("prev_order"),
-        F.lead("o_orderdate").over(w).alias("next_order"),
-        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
-    )
-
-
-@query(
-    "window_rank_dense",
-    oracle="""
-    SELECT p_brand, p_partkey, p_retailprice,
-           rank()       OVER w AS price_rank,
-           dense_rank() OVER w AS price_dense_rank,
-           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS price_pct_rank
-    FROM part
-    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
-    """,
-)
-def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / percent_rank per brand."""
-    p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return p.select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-        F.round(F.percent_rank().over(w), 6).cast("double").alias("price_pct_rank"),
-    )
-
-
-@query(
-    "latest_per_key",
-    oracle="""
-    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate, o_totalprice
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-      FROM orders)
-    WHERE rn = 1
-    """,
-)
-def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Hudi precombine primitive (generate_hudi_table.py:119,
-    hoodie...precombine.field): latest row per record key, largest
-    precombine value wins, key-desc tie-break. This exact plan backs the
-    upsert writer's merge (sinks/upsert.py).
-    """
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            "o_orderdate",
-            "o_totalprice",
-        )
-    )
-
-
-@query(
-    "window_value_functions",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           first_value(o_totalprice) OVER w AS first_price,
+                OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           lag(o_orderdate)  OVER wt AS prev_order,
+           lead(o_orderdate) OVER wt AS next_order,
+           CAST(date_diff('day', lag(o_orderdate) OVER wt, o_orderdate) AS BIGINT)
+             AS days_since_prev,
+           first_value(o_totalprice) OVER wt AS first_price,
            last_value(o_totalprice) OVER
-             (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
-           ntile(4) OVER w AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-)
-def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value / last_value (full frame — the default growing frame
-    makes last_value a footgun) / ntile quartiles per customer."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.last("o_totalprice").over(w_full).alias("last_price"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@query(
-    "window_range_frame",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           count(*) OVER (ORDER BY o_totalprice
+             (wt ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           ntile(4) OVER wt AS quartile,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                           RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
              AS n_within_1k
     FROM orders
-    WHERE o_custkey < 50
+    WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
 )
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over a numeric ordering: for each order, how many
-    (filtered) orders fall within ±1000 of its price — value-based
-    frames vs the ROWS frames elsewhere. Global ordering is acceptable
-    because the filter shrinks the set first (and the plan test family
-    pins that top-k/global sorts only ever follow a reduction)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    # fractional RANGE bounds need the SQL form — the pyspark
-    # Window.rangeBetween API accepts integral offsets only
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               count(*) OVER (ORDER BY o_totalprice
-                              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
-                 AS n_within_1k
-        FROM orders
-        WHERE o_custkey < 50
-        """
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame / offset / value window functions over the per-customer
+    order timeline: running decimal sum (explicit ROWS frame), lag/lead
+    + day gaps, first_value / last_value (full frame — the default
+    growing frame makes last_value a footgun), ntile quartiles, and a
+    value-based RANGE frame (orders within ±1000 of each price).
+
+    Every window is partitioned by o_custkey — high-cardinality key, so
+    the single shuffle spreads evenly at any scale (no global windows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    wt_run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt_full = wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev = F.lag("o_orderdate").over(wt)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wt_run)
+        .cast("double")
+        .alias("running_spend"),
+        prev.alias("prev_order"),
+        F.lead("o_orderdate").over(wt).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+        F.first("o_totalprice").over(wt).alias("first_price"),
+        F.last("o_totalprice").over(wt_full).alias("last_price"),
+        F.ntile(4).over(wt).alias("quartile"),
+        # fractional RANGE bounds need the SQL form — the pyspark
+        # Window.rangeBetween API accepts integral offsets only
+        F.expr(
+            "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+            " RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+        ).alias("n_within_1k"),
     )

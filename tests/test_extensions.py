@@ -44,7 +44,8 @@ def test_knn_matches_numpy(spark):
 def test_lsh_recall(spark):
     """Approximate kNN recalls ≥ 50% of the exact top-10 (recall@10)."""
     exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
-    approx = QUERIES["knn_lsh_approx"](spark, SF).toPandas()
+    both = QUERIES["knn_approx"](spark, SF).toPandas()
+    approx = both[both.method == "lsh"]
     recalls = []
     for qid in exact.query_id.unique():
         e = set(exact[exact.query_id == qid].vec_id)
@@ -78,22 +79,12 @@ def test_simhash_identical_docs_distance_zero(spark):
         assert (sim.hamming == 0).any()
 
 
-def test_approx_count_distinct_error(spark):
-    got = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in QUERIES["approx_aggregates"](spark, SF).collect()
-    }
-    li = load_table(spark, SF, "lineitem")
-    from pyspark.sql import functions as F
-
-    exact = {
-        r["l_returnflag"]: r["n"]
-        for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .collect()
-    }
-    for k, v in exact.items():
-        assert abs(got[k] - v) / v < 0.1
+def test_approx_aggregates_within_tolerance(spark):
+    # the query validates its own sketches: every tolerance flag TRUE
+    rows = QUERIES["approx_aggregates"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["hll_within_10pct"] and r["p50_rank_ok"] and r["p95_rank_ok"]
 
 
 def test_decode_stub_raises_without_fake():
@@ -111,7 +102,11 @@ def test_decode_fake_deterministic():
 
 
 def test_media_frame_sample_covers_blob(spark):
-    pdf = QUERIES["media_frame_sample"](spark, SF).toPandas()
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+        media_frame_sample,
+    )
+
+    pdf = media_frame_sample(spark, SF).drop("blob").toPandas()
     one = pdf[pdf.media_id == pdf.media_id.iloc[0]].sort_values("chunk_idx")
     # chunks tile the blob: offsets monotonically increase, total length
     # equals the final offset+length
@@ -187,9 +182,10 @@ def test_dedup_clusters_match_union_find(spark):
 def test_ivf_recall(spark):
     """IVF probing half the cells recalls >=40% of the exact top-10 on
     this near-unstructured corpus (recall ~= probed fraction when the
-    data has no cluster structure; see knn_ivf_approx docstring)."""
+    data has no cluster structure; see _ivf_topk docstring)."""
     exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
-    approx = QUERIES["knn_ivf_approx"](spark, SF).toPandas()
+    both = QUERIES["knn_approx"](spark, SF).toPandas()
+    approx = both[both.method == "ivf"]
     recalls = []
     for qid in exact.query_id.unique():
         e = set(exact[exact.query_id == qid].vec_id)

@@ -29,10 +29,13 @@ def test_flagship_filter_pushdown_and_broadcast(spark):
     assert has_broadcast_join(df)
 
 
-def test_filter_predicates_all_pushed(spark):
-    pf = pushed_filters(QUERIES["filter_predicates"](spark, SF))
+def test_incremental_scan_all_predicates_pushed(spark):
+    # S2's commit predicate plus the conjunctive R3 predicates must ALL
+    # reach the parquet scan
+    pf = pushed_filters(QUERIES["incremental_scan"](spark, SF))
     for col in ("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"):
         assert col in pf, f"{col} not pushed to scan: {pf}"
+    assert "GreaterThanOrEqual" in pf
 
 
 def test_q1_partial_aggregation_and_codegen(spark):
@@ -68,15 +71,21 @@ def test_distinct_sort_limit_is_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_incremental_scan_pushes_commit_predicate(spark):
-    pf = pushed_filters(QUERIES["incremental_scan"](spark, SF))
-    assert "o_orderdate" in pf and "GreaterThan" in pf
-
-
-def test_semi_join_prunes_probe_columns(spark):
-    plan = physical_plan(QUERIES["join_semi"](spark, SF))
-    assert "LeftSemi" in plan
+def test_semi_anti_join_prunes_probe_columns(spark):
+    plan = physical_plan(QUERIES["join_semi_anti"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
     # the orders side only needs o_custkey (+ the pushed filter column)
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l and "orders" in l]
     if scan_lines:
         assert "o_totalprice" not in scan_lines[0]
+
+
+def test_range_asof_is_union_window_not_join(spark):
+    # the scale-safe as-of: ONE window over the unioned stream — no
+    # join-then-aggregate fan-out (VERDICT r1 item #4)
+    plan = physical_plan(QUERIES["join_range_asof"](spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan, "as-of must not plan as a join"
+    # orders side is pruned to the event key space before the shuffle
+    pf = pushed_filters(QUERIES["join_range_asof"](spark, SF))
+    assert "o_custkey" in pf
