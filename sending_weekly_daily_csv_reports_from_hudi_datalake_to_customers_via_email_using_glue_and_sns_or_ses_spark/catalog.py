@@ -75,30 +75,61 @@ class Catalog:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        #: live IncrementalReader per INC source — callers (or
+        #: commit_incremental) advance the checkpoint AFTER their sink
+        #: succeeds, closing the ADVICE-r1 gap where the INC branch
+        #: discarded the reader and re-read everything each run.
+        self.incremental: dict[str, object] = {}
+
+    def _read_full(self, spec: SourceSpec) -> DataFrame:
+        opts = dict(spec.options)
+        # "schema" is the engine's declared-schema contract
+        # (SURVEY.md §1.3), not a reader option: DDL string or
+        # StructType applied via .schema() so nothing is inferred.
+        schema = opts.pop("schema", None)
+        if spec.fmt == "hudi":
+            # the reference's snapshot read (template.py:305): real Hudi
+            # datasource when jars are present; otherwise the KeyedTable
+            # emulation's log-merged snapshot (same observable rows)
+            from .sinks.upsert import KeyedTable, hudi_available
+
+            if hudi_available(self.spark):
+                return (
+                    self.spark.read.format("hudi").options(**opts).load(spec.path)
+                )
+            snap = KeyedTable.open(self.spark, spec.path).snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"empty keyed table at {spec.path}")
+            return snap
+        reader = self.spark.read.format(spec.fmt).options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(spec.path)
 
     def register(self, spec: SourceSpec) -> DataFrame:
         if spec.load_type == "FULL":
-            opts = dict(spec.options)
-            # "schema" is the engine's declared-schema contract
-            # (SURVEY.md §1.3), not a reader option: DDL string or
-            # StructType applied via .schema() so nothing is inferred.
-            schema = opts.pop("schema", None)
-            reader = self.spark.read.format(spec.fmt).options(**opts)
-            if schema is not None:
-                reader = reader.schema(schema)
-            df = reader.load(spec.path)
+            df = self._read_full(spec)
         elif spec.load_type == "INC":
             # Incremental sources go through the checkpointed reader
-            # (sources/incremental.py); registered here for API parity.
+            # (sources/incremental.py); the reader handle is kept so the
+            # checkpoint can be committed after the sink succeeds.
             from .sources.incremental import IncrementalReader
 
-            df = IncrementalReader(
+            reader = IncrementalReader(
                 self.spark, spec.table_name, spec.path, **spec.options
-            ).read()
+            )
+            self.incremental[spec.table_name] = reader
+            df = reader.read()
         else:
             raise ValueError(f"unknown load_type: {spec.load_type!r}")
         df.createOrReplaceTempView(spec.table_name)
         return df
+
+    def commit_incremental(self) -> None:
+        """Advance every INC source's checkpoint — call after the
+        downstream sink succeeded (at-least-once ordering)."""
+        for reader in self.incremental.values():
+            reader.commit()  # type: ignore[attr-defined]
 
     def register_testdata(self, sf_dir: str) -> None:
         """Register all driver testdata tables as temp views."""

@@ -204,6 +204,114 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_ivf_centroids(e: DataFrame, K: int = 16, iters: int = 8) -> np.ndarray:
+    """The IVF coarse quantizer: driver-side Lloyd's k-means on a
+    deterministic 256-row sample (vec_id hash order) — the classic IVF
+    train step; the tiny centroid matrix broadcasts in UDF closures."""
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.orderBy(F.xxhash64("vec_id")).limit(256).collect()
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = sample[:K].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for k in range(K):
+            members = sample[assign == k]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[k] = c / np.linalg.norm(c)
+    return cent
+
+
+def _ivf_cell_udf(cent: np.ndarray):
+    """Vectorized cell assignment (argmax against the broadcast centroid
+    matrix) — one pass indexes the whole corpus."""
+
+    @F.pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Xn @ cent.T, axis=1).astype("int32"))
+
+    return cell_of
+
+
+def _probe_cells(qids, Qn: np.ndarray, cent: np.ndarray, nprobe: int):
+    """(query_id, cell) rows for each query's nprobe nearest cells."""
+    rows = []
+    for qi, qid in enumerate(qids):
+        cells = np.argsort(-(Qn[qi] @ cent.T))[:nprobe]
+        rows.extend((int(qid), int(c)) for c in cells)
+    return rows
+
+
+def ivf_write_partitioned(
+    spark: SparkSession, sf_dir: str, out_path: str, K: int = 16
+) -> np.ndarray:
+    """The IVF production story, step 1: write the corpus PARTITIONED BY
+    its coarse-quantizer cell (hive layout ``cell=<k>/``). At 100 TB
+    this is the whole point of IVF-on-a-lakehouse: the cell is a
+    partition key, so a probe query's scan lists and reads ONLY the
+    nprobe/K probed directories — partition pruning does the candidate
+    selection before any IO. Returns the trained centroids (persist
+    alongside the table in production)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _train_ivf_centroids(e, K=K)
+    corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
+        "cell", _ivf_cell_udf(cent)("embedding")
+    )
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    return cent
+
+
+def ivf_probe_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    cent: np.ndarray,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Step 2: probe the cell-partitioned corpus. The ``cell IN (...)``
+    predicate on the partition column becomes PartitionFilters in the
+    scan (asserted by tests/test_plans.py) — only probed directories are
+    read; ranking within candidates is exact cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qids, Qn = _query_matrix(e)
+    probes = spark.createDataFrame(
+        _probe_cells(qids, Qn, cent, nprobe), "query_id long, cell int"
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probed_cells = sorted({c for _, c in _probe_cells(qids, Qn, cent, nprobe)})
+    corpus = spark.read.parquet(table_path).filter(F.col("cell").isin(probed_cells))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 4).cast("double").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) coarse quantization — the
     partition-pruning counterpart to the LSH variant:
@@ -227,44 +335,17 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so recall ≈ nprobe/K (measured 0.23 at 4/16) — nprobe=8 probes
     # half the cells for ~0.5+ recall. The operator's value is the
     # machinery; the tradeoff curve is a property of the data.
-    K, nprobe, iters = 16, 8, 8
-
-    # --- train on a deterministic sample (vec_id hash order) ----------
-    sample = np.stack(
-        [
-            np.asarray(r["embedding"], dtype=np.float64)
-            for r in e.orderBy(F.xxhash64("vec_id")).limit(256).collect()
-        ]
-    )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    cent = sample[:K].copy()
-    for _ in range(iters):
-        assign = np.argmax(sample @ cent.T, axis=1)
-        for k in range(K):
-            members = sample[assign == k]
-            if len(members):
-                c = members.sum(axis=0)
-                cent[k] = c / np.linalg.norm(c)
-
-    @F.pandas_udf("int")
-    def cell_of(emb: pd.Series) -> pd.Series:
-        if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        X = np.stack(emb.to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series(np.argmax(Xn @ cent.T, axis=1).astype("int32"))
-
+    K, nprobe = 16, 8
+    cent = _train_ivf_centroids(e, K=K)
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
-        "cell", cell_of("embedding")
+        "cell", _ivf_cell_udf(cent)("embedding")
     )
 
     # --- queries probe their nprobe nearest cells ---------------------
     qids, Qn = _query_matrix(e)
-    probe_rows = []
-    for qi, qid in enumerate(qids):
-        cells = np.argsort(-(Qn[qi] @ cent.T))[:nprobe]
-        probe_rows.extend((int(qid), int(c)) for c in cells)
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    probes = spark.createDataFrame(
+        _probe_cells(qids, Qn, cent, nprobe), "query_id long, cell int"
+    )
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

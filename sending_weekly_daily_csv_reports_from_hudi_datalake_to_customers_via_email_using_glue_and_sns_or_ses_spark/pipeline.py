@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import Catalog, SourceSpec
 from .delivery import EmailMessage, EmailSender, Presigner, deliver_report
 from .sinks.report import write_csv_report
-from .sources.incremental import IncrementalReader
 
 
 @dataclass
@@ -52,18 +51,10 @@ def run_pipeline(
     sender: EmailSender | None = None,
 ) -> PipelineResult:
     catalog = Catalog(spark)
-    inc_readers: list[IncrementalReader] = []
     for spec in config.sources:
-        if spec.load_type == "INC":
-            # keep the reader handle: its staged checkpoint is committed
-            # only after the sink + delivery succeed (at-least-once)
-            reader = IncrementalReader(
-                spark, spec.table_name, spec.path, **spec.options
-            )
-            reader.read().createOrReplaceTempView(spec.table_name)
-            inc_readers.append(reader)
-        else:
-            catalog.register(spec)
+        # Catalog keeps INC reader handles; their staged checkpoints are
+        # committed only after the sink + delivery succeed (at-least-once)
+        catalog.register(spec)
 
     result = catalog.sql(config.query)
     report_path = write_csv_report(
@@ -79,6 +70,5 @@ def run_pipeline(
         sender=sender,
         expires_in=config.file_expires_in,
     )
-    for reader in inc_readers:
-        reader.commit()
+    catalog.commit_incremental()
     return PipelineResult(df=result, report_path=report_path, email=email)

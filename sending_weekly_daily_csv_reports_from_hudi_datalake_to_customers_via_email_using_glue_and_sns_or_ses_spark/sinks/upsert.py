@@ -37,6 +37,7 @@ written ``partitionBy(partition_cols)`` so downstream reads prune.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from datetime import datetime, timezone
@@ -44,7 +45,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.incremental import COMMIT_COL
+from ..sources.incremental import COMMIT_COL, read_commit_log
 
 
 def _merge_latest(
@@ -73,14 +74,49 @@ class KeyedTable:
         precombine: str,
         partition_cols: list[str] | None = None,
         keep_versions: int = 3,
+        table_type: str = "COPY_ON_WRITE",
     ):
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(f"unknown table_type: {table_type!r}")
         self.spark = spark
         self.root = root
         self.record_key = record_key
         self.precombine = precombine
         self.partition_cols = partition_cols or []
         self.keep_versions = keep_versions
+        self.table_type = table_type
         os.makedirs(root, exist_ok=True)
+        self._write_meta()
+
+    # -- table metadata (lets readers open a root without config) -------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def _write_meta(self) -> None:
+        if os.path.exists(self._meta_path()):
+            return
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "record_key": self.record_key,
+                    "precombine": self.precombine,
+                    "partition_cols": self.partition_cols,
+                    "keep_versions": self.keep_versions,
+                    "table_type": self.table_type,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path())
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> KeyedTable:
+        """Open an existing KeyedTable root from its persisted metadata —
+        the read-side analogue of the Hudi table config: a reader needs
+        no out-of-band record-key/precombine knowledge."""
+        with open(os.path.join(root, "_meta.json")) as f:
+            meta = json.load(f)
+        return cls(spark, root, **meta)
 
     # -- timeline -------------------------------------------------------
     def _latest_path(self) -> str:
@@ -108,38 +144,76 @@ class KeyedTable:
         return ts
 
     # -- reads ----------------------------------------------------------
-    def snapshot(self) -> DataFrame | None:
-        """S1: latest full snapshot (one live row per key)."""
-        commit = self.latest_commit()
+    def _base_commit(self) -> str | None:
+        """Most recent MATERIALIZED snapshot commit (≤ latest_commit; in
+        MOR mode later commits may exist only in the log)."""
+        commits = self.commits()
+        return commits[-1] if commits else None
+
+    def _base_snapshot(self) -> DataFrame | None:
+        commit = self._base_commit()
         if commit is None:
             return None
         return self.spark.read.parquet(
             os.path.join(self.root, "snapshots", f"v={commit}")
         )
 
+    def snapshot(self) -> DataFrame | None:
+        """S1: latest full snapshot (one live row per key).
+
+        COW: the materialized snapshot IS current. MOR (P3,
+        generate_hudi_table.py:99/116): the read-time log-merge — base
+        snapshot ∪ log rows after it, latest-per-key by (precombine,
+        commit), which is provably the same state sequential COW
+        application reaches (max by (precombine, commit) lexicographic =
+        'larger precombine wins, ties → later commit'). That is the
+        read-amplification half of the COW/MOR trade: O(base + delta)
+        per read instead of a full rewrite per write."""
+        base = self._base_snapshot()
+        latest = self.latest_commit()
+        if latest is None:
+            return None
+        base_commit = self._base_commit()
+        if base_commit is not None and base_commit == latest:
+            return base  # COW, or MOR right after compaction
+        log = self.log()
+        delta = (
+            log
+            if log is None or base_commit is None
+            else log.filter(F.col(COMMIT_COL) > F.lit(base_commit))
+        )
+        if delta is None:
+            return base
+        unioned = delta if base is None else base.unionByName(delta)
+        return _merge_latest(
+            unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
+        )
+
     def log(self) -> DataFrame | None:
         """The change stream: all per-commit upserted rows, carrying
         _commit_time — what sources/incremental.py reads."""
-        log_dir = os.path.join(self.root, "log")
-        if not os.path.isdir(log_dir):
-            return None
-        return (
-            self.spark.read.option("basePath", log_dir)
-            .parquet(os.path.join(log_dir, "c=*"))
-            .withColumnRenamed("c", COMMIT_COL)
-            .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
-        )
+        return read_commit_log(self.spark, self.root)
 
     # -- writes ---------------------------------------------------------
     def upsert(self, incoming: DataFrame) -> str:
-        """K1: merge incoming into the table; returns the new commit id."""
+        """K1: merge incoming into the table; returns the new commit id.
+
+        COW: rewrite the merged snapshot per commit (write-amplified,
+        read-optimal). MOR: append the combined batch to the log only —
+        the write-optimal half of the trade; reads log-merge (snapshot())
+        and ``compact()`` folds the log back into a base snapshot."""
         commit = self._new_commit_id()
         # 1. combine-and-dedup the incoming batch itself (precombine
         #    within batch, generate_hudi_table.py:119 semantics)
         deduped = _merge_latest(incoming, self.record_key, self.precombine)
         stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
 
-        # 2. merge with existing snapshot: larger precombine wins;
+        if self.table_type == "MERGE_ON_READ":
+            self._write_log(stamped, commit)
+            self._publish(commit)
+            return commit
+
+        # 2. COW: merge with existing snapshot — larger precombine wins;
         #    on ties the incoming row (larger _commit_time) wins
         existing = self.snapshot()
         merged = (
@@ -158,6 +232,20 @@ class KeyedTable:
         self._publish(commit)
         self._clean()
         return commit
+
+    def compact(self) -> str | None:
+        """MOR compaction (the hoodie.compact.* knob family): materialize
+        the current log-merged state as a base snapshot so subsequent
+        reads are base-only until new log commits arrive."""
+        merged = self.snapshot()
+        latest = self.latest_commit()
+        if merged is None or latest is None:
+            return None
+        if self._base_commit() == latest:
+            return latest  # nothing to compact
+        self._write_snapshot(merged, latest)
+        self._clean()
+        return latest
 
     def delete(self, keys: DataFrame) -> str | None:
         """Hudi delete operation: drop the given record keys."""

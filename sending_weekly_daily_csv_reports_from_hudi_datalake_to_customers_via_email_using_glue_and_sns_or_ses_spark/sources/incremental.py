@@ -28,6 +28,8 @@ are listed/read), which is exactly Hudi's incremental-query behavior.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +38,24 @@ from .checkpoint import CheckpointStore
 #: the versioned-table commit column (FIXTURES.md: emulates
 #: _hoodie_commit_time, a string yyyyMMddHHmmssSSS with total ordering)
 COMMIT_COL = "_commit_time"
+
+#: the real Hudi meta-column the reference filters on (template.py:200)
+HUDI_COMMIT_COL = "_hoodie_commit_time"
+
+
+def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
+    """Read a KeyedTable commit log (root/log/c=<commit>/) as the change
+    stream, commit ids restored into ``_commit_time``. Returns None when
+    ``root`` has no log — i.e. it isn't a KeyedTable root."""
+    log_dir = os.path.join(root, "log")
+    if not os.path.isdir(log_dir):
+        return None
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(os.path.join(log_dir, "c=*"))
+        .withColumnRenamed("c", COMMIT_COL)
+        .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
+    )
 
 
 class IncrementalReader:
@@ -51,16 +71,51 @@ class IncrementalReader:
         self.table_name = table_name
         self.path = path
         self.commit_col = commit_col
-        self.store = CheckpointStore(checkpoint_root)
+        self.store = CheckpointStore(checkpoint_root, spark=spark)
         self._pending_commit: str | None = None
+        if self._is_real_hudi():
+            self.commit_col = HUDI_COMMIT_COL
+
+    # -- source-layout dispatch ----------------------------------------
+    def _is_real_hudi(self) -> bool:
+        """A real Hudi table root carries a .hoodie timeline dir."""
+        return os.path.isdir(os.path.join(self.path, ".hoodie"))
+
+    def _hudi_passthrough(self) -> bool:
+        from ..sinks.upsert import hudi_available  # late: avoids cycle
+
+        return self._is_real_hudi() and hudi_available(self.spark)
 
     # -- commit discovery (template.py:197-224, as aggregates) ---------
     def _snapshot(self) -> DataFrame:
+        """The change stream this reader filters: real-Hudi snapshot
+        read (template.py:305) when jars are present; a KeyedTable
+        commit log when ``path`` is a KeyedTable root (ADVICE r1: the
+        log/ layout is consumed first-class, no monkeypatching); plain
+        parquet with a commit column otherwise."""
+        if self._hudi_passthrough():
+            return self.spark.read.format("hudi").load(self.path)
+        log = read_commit_log(self.spark, self.path)
+        if log is not None:
+            return log
         return self.spark.read.parquet(self.path)
 
     def _min_commit(self) -> str:
         row = self._snapshot().agg(F.min(self.commit_col).alias("c")).first()
         return row["c"]
+
+    def _read_after(self, begin: str) -> DataFrame:
+        """Rows with commit strictly after ``begin``. Real-Hudi path uses
+        the incremental query type (template.py:207-217) so Hudi prunes
+        at the timeline, not per-row."""
+        if self._hudi_passthrough():
+            return (
+                self.spark.read.format("hudi")
+                .option("hoodie.datasource.query.type", "incremental")
+                .option("hoodie.datasource.read.begin.instanttime", begin)
+                .load(self.path)
+            )
+        return self._snapshot().filter(F.col(self.commit_col) > F.lit(begin))
 
     # -- the incremental read (template.py:226-273) ---------------------
     def read(self) -> DataFrame:
@@ -69,7 +124,7 @@ class IncrementalReader:
         downstream sink succeeds."""
         if self.store.exists(self.table_name):
             begin = self.store.read(self.table_name).last_processed_commit
-            inc = self._snapshot().filter(F.col(self.commit_col) > F.lit(begin))
+            inc = self._read_after(begin)
         else:
             # first run: include everything (begin = min − 1 in the
             # reference, template.py:204; > is exclusive so we simply

@@ -106,3 +106,74 @@ def test_reset_reloads_everything(spark, tmp_path):
     r.commit()
     r.reset()  # clean_check_point, template.py:193-195
     assert r.read().count() == 12
+
+
+def test_reader_consumes_keyed_table_root_directly(spark, tmp_path):
+    """ADVICE r1: IncrementalReader consumes a KeyedTable root (log/
+    layout) first-class — no monkeypatching of _snapshot needed."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders5"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    t.upsert(fixtures.orders(spark, 20, batch=0))
+    r = IncrementalReader(
+        spark, "orders", t.root, checkpoint_root=str(tmp_path / "md5x")
+    )
+    assert r.read().count() == 20
+    r.commit()
+    t.upsert(fixtures.orders(spark, 7, batch=1))
+    assert r.read().count() == 7
+
+
+def test_catalog_keeps_inc_reader_and_commits(spark, tmp_path):
+    """Catalog.register(INC) keeps the reader handle; commit_incremental
+    advances the checkpoint so the next run reads only new commits."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders6"),
+        record_key="order_id",
+        precombine="order_date",
+    )
+    t.upsert(fixtures.orders(spark, 18, batch=0))
+    spec = SourceSpec(
+        table_name="orders_inc",
+        path=t.root,
+        load_type="INC",
+        options={"checkpoint_root": str(tmp_path / "md6")},
+    )
+    cat = Catalog(spark)
+    assert cat.register(spec).count() == 18
+    cat.commit_incremental()
+    t.upsert(fixtures.orders(spark, 5, batch=1))
+    cat2 = Catalog(spark)
+    assert cat2.register(spec).count() == 5
+
+
+def test_catalog_full_hudi_fmt_reads_keyed_snapshot(spark, tmp_path):
+    """fmt='hudi' FULL source: without Hudi jars the catalog serves the
+    KeyedTable emulation's (MOR log-merged) snapshot."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "orders7"),
+        record_key="order_id",
+        precombine="order_date",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(fixtures.orders(spark, 9, batch=0))
+    df = Catalog(spark).register(
+        SourceSpec(table_name="orders_hudi", path=t.root, fmt="hudi")
+    )
+    assert df.count() == 9
+    assert spark.table("orders_hudi").count() == 9

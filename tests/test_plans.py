@@ -89,3 +89,37 @@ def test_range_asof_is_union_window_not_join(spark):
     # orders side is pruned to the event key space before the shuffle
     pf = pushed_filters(QUERIES["join_range_asof"](spark, SF))
     assert "o_custkey" in pf
+
+
+def test_ivf_partition_pruning_end_to_end(spark, tmp_path):
+    """IVF production story: corpus written partitionBy(cell); the probe
+    query's cell predicate becomes PartitionFilters and the scan reads
+    only the probed nprobe/K directories."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.similarity import (
+        ivf_probe_partitioned,
+        ivf_write_partitioned,
+    )
+
+    out = str(tmp_path / "ivf_corpus")
+    cent = ivf_write_partitioned(spark, SF, out, K=16)
+    df = ivf_probe_partitioned(spark, SF, out, cent, nprobe=8)
+    plan = physical_plan(df)
+    # the cell predicate must prune at the FILE LISTING level: the scan
+    # node carries it as PartitionFilters (an IN over the partition
+    # column), not a post-scan Filter — that's what makes the probe read
+    # only nprobe/K directories at any scale
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, plan
+    assert "cell" in scan_lines[0] and "IN" in scan_lines[0]
+    # rows can only come from probed cells (behavioral half of pruning)
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet(out)
+        .filter(F.col("cell").isin(list(range(16))))
+        .select("cell")
+        .distinct()
+    )
+    assert src.count() == 16  # corpus spans all K cells...
+    pdf = df.toPandas()
+    assert set(pdf["rank"]) == set(range(1, 11))  # ...probe stays correct

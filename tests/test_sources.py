@@ -125,3 +125,47 @@ def test_binary_file_source(spark, tmp_path):
     # glob pushdown
     only_png = read_media_dir(spark, str(media), glob="*.png")
     assert only_png.count() == 2
+
+
+def test_checkpoint_store_hadoop_fs_file_scheme(spark, tmp_path):
+    """The Hadoop-FS-backed store works against an explicit file:// URI —
+    the same code path serves hdfs:// and s3a:// roots (scheme dispatch
+    inside the Hadoop FileSystem API)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.fs import (
+        HadoopFS,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    root = f"file://{tmp_path}/meta_uri"
+    store = CheckpointStore(root, spark=spark)
+    assert isinstance(store.fs, HadoopFS)
+    assert not store.exists("orders")
+    store.advance("orders", "/data/orders", "20260813000000001")
+    assert store.exists("orders")
+    ckpt = store.read("orders")
+    assert ckpt.last_processed_commit == "20260813000000001"
+    store.advance("orders", "/data/orders", "20260813000000002")  # overwrite
+    assert store.read("orders").last_processed_commit == "20260813000000002"
+    store.clean("orders")
+    assert not store.exists("orders")
+
+
+def test_checkpoint_store_local_fallback(tmp_path):
+    """Without a JVM/session the store still works via the os fallback."""
+    from pyspark.sql import SparkSession
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.fs import (
+        LocalFS,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    active = SparkSession.getActiveSession()
+    store = CheckpointStore(str(tmp_path / "meta_local"))
+    if active is None:
+        assert isinstance(store.fs, LocalFS)
+    store.advance("t", "/p", "1")
+    assert store.read("t").last_processed_commit == "1"
