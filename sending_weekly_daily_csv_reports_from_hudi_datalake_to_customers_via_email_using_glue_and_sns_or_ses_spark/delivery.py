@@ -51,9 +51,18 @@ def render_download_email(url: str, project_name: str = "Reports") -> str:
     )
 
 
+def parse_recipients(recipients: str | list[str]) -> list[str]:
+    """The reference documents a comma-separated recipient string
+    (template.py:402); accept that form OR an explicit list, trimming
+    blanks either way."""
+    if isinstance(recipients, str):
+        recipients = recipients.split(",")
+    return [r.strip() for r in recipients if r and r.strip()]
+
+
 def deliver_report(
     path: str,
-    recipients: list[str],
+    recipients: str | list[str],
     presigner: Presigner | None = None,
     sender: EmailSender | None = None,
     expires_in: int = 86400,
@@ -64,7 +73,9 @@ def deliver_report(
     sender = sender or EmailSender()
     url = presigner.presigned_url(path, expires_in=expires_in)
     msg = EmailMessage(
-        to=recipients, subject=subject, html_body=render_download_email(url)
+        to=parse_recipients(recipients),
+        subject=subject,
+        html_body=render_download_email(url),
     )
     sender.send(msg)
     return msg

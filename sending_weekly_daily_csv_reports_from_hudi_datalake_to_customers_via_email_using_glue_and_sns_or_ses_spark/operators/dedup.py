@@ -352,7 +352,7 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs of vectors with
     cosine ≥ 0.95 found via LSH band-bucketing (same seeded-hyperplane
-    scheme as knn_lsh_approx) instead of the O(n²) all-pairs join.
+    scheme as knn_approx's LSH path) instead of the O(n²) all-pairs join.
 
     Near-identical vectors agree on almost every hyperplane sign, so
     requiring a full 12-bit band match keeps buckets tiny while recall

@@ -5,7 +5,7 @@ the built-in windows can't express.
 ``dedupe_stream``: streaming exact-dedup with per-key state — emit each
 record key's FIRST occurrence only, remember seen keys in the state
 store with a TTL. This is the streaming twin of the batch
-dedup_exact / latest_per_key operators and the core of a continuously-
+dedup_exact / dedup_latest_per_key operators and the core of a continuously-
 deduplicating ingest pipeline (the LLM-data use case: drop repeat
 documents as they stream in).
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming twin of events_hourly_rollup: tumbling 1-hour windows,
+    """Streaming twin of the hourly rollup (streaming_hourly_rollup): tumbling 1-hour windows,
     late data admitted up to the watermark then dropped (deterministic
     final results once the watermark passes)."""
     return (

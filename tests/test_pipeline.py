@@ -91,3 +91,19 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert len(sender.outbox) == 1
     assert res.report_path in sender.outbox[0].html_body
     assert "expires_in=86400" in sender.outbox[0].html_body
+
+
+def test_multi_recipient_parsing():
+    """template.py:402 documents comma-separated recipients — both the
+    string form and an explicit list parse to the same clean list."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.delivery import (
+        parse_recipients,
+    )
+
+    assert parse_recipients("a@x.com, b@y.com ,,c@z.com ") == [
+        "a@x.com",
+        "b@y.com",
+        "c@z.com",
+    ]
+    assert parse_recipients(["a@x.com", " b@y.com "]) == ["a@x.com", "b@y.com"]
+    assert parse_recipients("") == []
