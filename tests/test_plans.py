@@ -123,3 +123,22 @@ def test_ivf_partition_pruning_end_to_end(spark, tmp_path):
     assert src.count() == 16  # corpus spans all K cells...
     pdf = df.toPandas()
     assert set(pdf["rank"]) == set(range(1, 11))  # ...probe stays correct
+
+
+def test_merged_windows_share_one_exchange(spark):
+    """The consolidated window queries keep ONE shuffle each: every
+    window spec partitions on the same high-cardinality key, so
+    EnsureRequirements reuses the exchange (extra specs cost only an
+    in-partition sort, never another shuffle)."""
+    for name in ("window_frames", "window_ranking_topk", "sessionization"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles\n{plan}"
+
+
+def test_text_profile_is_single_scan_no_shuffle(spark):
+    """text_profile merges 4 per-doc analyses into one embarrassingly
+    parallel scan: no Exchange at all."""
+    plan = physical_plan(QUERIES["text_profile"](spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
