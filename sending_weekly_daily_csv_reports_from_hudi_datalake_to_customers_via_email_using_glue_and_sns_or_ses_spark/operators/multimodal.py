@@ -158,7 +158,34 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_pipeline")
+@query(
+    "media_decode_pipeline",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                  ELSE 'audio/wav' END AS mime,
+             text,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), chunks AS (
+      SELECT media_id, mime, text,
+             CAST(i AS INT) AS chunk_idx,
+             i * CAST(floor(n_bytes / 4.0) AS BIGINT) AS "offset",
+             least(CAST(floor(n_bytes / 4.0) AS BIGINT),
+                   n_bytes - i * CAST(floor(n_bytes / 4.0) AS BIGINT)) AS length
+      FROM m, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+    SELECT media_id, mime, chunk_idx, "offset", length,
+           CAST(length % 640 AS INT) AS width,
+           CAST(length % 480 AS INT) AS height,
+           CAST((ascii(substr(text, CAST("offset" AS INT) + 1, 1))
+               + ascii(substr(text, CAST("offset" + length AS INT), 1))) % 256
+                AS DOUBLE) AS brightness
+    FROM chunks WHERE length > 0
+    """,
+)
 def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decode pipeline: frame/segment sampling (deterministic
     (offset, length) chunk pointers, pure SQL — only sampled chunks are
@@ -170,8 +197,12 @@ def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
     blob-size-aware.
 
-    Rows-only driver check (the decode double isn't SQL); pytest pins
-    exact values for a fixed input and chunk coverage/boundaries.
+    Hash-checked end-to-end: the deterministic decode double's byte
+    math (length mod / first+last byte) is replicated in the DuckDB
+    oracle (documents are pure ASCII, so char ops = byte ops), which
+    pins the whole chunk-pointer + Arrow round-trip, not just row
+    counts. pytest additionally pins decode values and chunk
+    coverage/boundaries.
     """
     chunks = media_frame_sample(spark, sf_dir).select(
         "media_id",

@@ -125,16 +125,26 @@ def sliding_json_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("asof_align_pandas")
+@query(
+    "asof_align_pandas",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, p.purchase_ts
+    FROM events e ASOF LEFT JOIN
+         (SELECT user_id, ts AS purchase_ts FROM events
+          WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.purchase_ts
+    """,
+)
 def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of alignment via grouped ``applyInPandas`` + ``pd.merge_asof``
     — the escape hatch for semantics the built-ins can't express
     (pyspark_guide: as-of pattern). Each user's events align to that
-    user's most recent prior 'purchase' event.
+    user's most recent prior 'purchase' event (inclusive at equal ts,
+    matching merge_asof's allow_exact_matches default).
 
-    No SQL oracle (merge_asof per group isn't ANSI-expressible in one
-    statement cleanly); covered by pytest against a per-group reference
-    implementation instead. The pure-DataFrame as-of form (union +
+    Hash-checked against DuckDB's native ASOF LEFT JOIN (same inclusive
+    backward-match semantics); pytest additionally checks a per-group
+    reference implementation. The pure-DataFrame as-of form (union +
     running last, one shuffle) is driver-checked as ``join_range_asof``.
 
     Scale: groups hash-shuffle once; each group is a small pandas frame
