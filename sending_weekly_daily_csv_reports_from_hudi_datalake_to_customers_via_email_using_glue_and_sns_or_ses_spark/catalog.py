@@ -152,3 +152,27 @@ class Catalog:
         (spark_catalog / metastore when configured) instead of a
         session-scoped temp view."""
         df.write.mode(mode).saveAsTable(table_name)
+
+    def publish_bucketed(
+        self,
+        df: DataFrame,
+        table_name: str,
+        key: str,
+        n_buckets: int = 32,
+        mode: str = "overwrite",
+    ) -> None:
+        """Publish hash-bucketed on the join key — the co-located-join
+        layout: two tables bucketed the same way join WITHOUT a shuffle
+        (Spark matches bucket specs and skips both Exchanges; pinned by
+        tests/test_plans.py). At 100 TB this is how a repeatedly-joined
+        fact pair (orders⋈lineitem every report run) amortizes its
+        shuffle once at write time instead of paying it per query.
+        Rows are sorted within buckets on the key for row-group
+        locality (the P5 clustering story applied to the join path)."""
+        (
+            df.repartition(n_buckets, key)
+            .write.mode(mode)
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(table_name)
+        )

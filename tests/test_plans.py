@@ -142,3 +142,47 @@ def test_text_profile_is_single_scan_no_shuffle(spark):
     plan = physical_plan(QUERIES["text_profile"](spark, SF))
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: orders and lineitem published
+    bucketBy(join key) join with ZERO shuffle exchanges — the write-time
+    amortization of the report pipeline's recurring fact⋈fact join."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        load_table,
+    )
+
+    cat = Catalog(spark)
+    cat.publish_bucketed(
+        load_table(spark, SF, "orders"), "orders_b", "o_orderkey", n_buckets=8
+    )
+    cat.publish_bucketed(
+        load_table(spark, SF, "lineitem"), "lineitem_b", "l_orderkey", n_buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the (at-scale) shuffle-join path is what
+        # gets planned — at sf0.001 everything broadcasts otherwise
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("orders_b")
+        li = spark.table("lineitem_b")
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "SelectedBucketsCount" in plan  # scan is bucket-aware
+        # bucket specs match → the JOIN inputs need no Exchange; only
+        # the final tiny aggregation may shuffle
+        join_part = plan.split("Join", 1)[1]
+        assert "Exchange" not in join_part, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
