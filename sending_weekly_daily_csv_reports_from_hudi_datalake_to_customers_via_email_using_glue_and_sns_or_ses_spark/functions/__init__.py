@@ -1,3 +1,9 @@
 """Reusable column-expression builders (JVM-side, no UDFs)."""
 
+from .text import (  # noqa: F401
+    pii_hit_count,
+    repetition_ratio,
+    scrub_pii,
+    strip_repeated_lines,
+)
 from .vector import cosine_similarity, dot, l2_norm  # noqa: F401

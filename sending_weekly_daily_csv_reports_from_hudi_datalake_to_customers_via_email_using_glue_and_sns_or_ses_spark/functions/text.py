@@ -1,0 +1,77 @@
+"""Text-cleaning column expressions for training-data pipelines —
+PII scrubbing, repetition scoring, boilerplate stripping. All JVM-side
+regex/array built-ins (codegen), no UDFs: a 100 TB cleaning sweep stays
+one embarrassingly-parallel scan, composable with the quality gates in
+operators/textual.py.
+
+Patterns are the standard public shapes (emails, E.164-ish phones,
+IPv4, SSN-form ids, URLs); the operator is the scrub machinery, not the
+lexicon — production swaps in its own pattern set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (pattern, replacement token) — applied in order, most specific first
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace common PII shapes with typed placeholder tokens —
+    the redaction pass before a corpus leaves its trust boundary."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_hit_count(col: Column | str) -> Column:
+    """How many PII-shaped substrings a document contains (the audit
+    metric that decides whether scrubbing is worth a rewrite pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+        for pattern, _ in PII_PATTERNS
+    ]
+    total = counts[0]
+    for extra in counts[1:]:
+        total = total + extra
+    return total
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 − (distinct tokens / tokens): 0 for no repetition, → 1 for
+    degenerate repeated text — the cheap loop/boilerplate quality signal
+    (high repetition is the classic low-quality-document marker)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)) / n
+    )
+
+
+def strip_repeated_lines(col: Column | str) -> Column:
+    """Drop consecutive duplicate lines (the cheap boilerplate/nav-menu
+    strip): split on newlines, keep a line when it differs from its
+    predecessor, rejoin. Pure array expressions — zip the line array
+    with itself shifted by one."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    shifted = F.concat(F.array(F.lit(None).cast("string")), lines)
+    kept = F.zip_with(
+        lines,
+        F.slice(shifted, 1, F.size(lines)),
+        lambda cur, prev: F.when(
+            prev.isNull() | (cur != prev), cur
+        ),
+    )
+    return F.array_join(F.filter(kept, lambda x: x.isNotNull()), "\n")

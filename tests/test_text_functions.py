@@ -1,0 +1,57 @@
+"""Text-cleaning column functions (functions/text.py): PII scrubbing,
+repetition scoring, boilerplate line stripping — all JVM built-ins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions import (
+    pii_hit_count,
+    repetition_ratio,
+    scrub_pii,
+    strip_repeated_lines,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).first()["v"]
+
+
+def test_scrub_pii_replaces_all_shapes(spark):
+    text = (
+        "mail a.b@example.com or visit https://example.com/x "
+        "ssn 123-45-6789 ip 10.1.2.3 call +1 (415) 555-0100 now"
+    )
+    out = _one(spark, text, scrub_pii("text"))
+    assert "<EMAIL>" in out and "<URL>" in out and "<SSN>" in out
+    assert "<PHONE>" in out and "<IP>" in out
+    assert "example.com" not in out and "555" not in out
+
+
+def test_pii_hit_count(spark):
+    assert _one(spark, "no pii here at all", pii_hit_count("text")) == 0
+    assert _one(spark, "x@y.io and 1.2.3.4", pii_hit_count("text")) == 2
+
+
+def test_repetition_ratio_bounds(spark):
+    assert _one(spark, "all tokens are unique words", repetition_ratio("text")) == 0.0
+    high = _one(spark, "spam spam spam spam spam", repetition_ratio("text"))
+    assert high == 0.8  # 1 - 1/5
+
+
+def test_strip_repeated_lines(spark):
+    text = "header\nheader\nbody one\nbody two\nbody two\nfooter"
+    out = _one(spark, text, strip_repeated_lines("text"))
+    assert out == "header\nbody one\nbody two\nfooter"
+
+
+def test_scrub_is_scan_only(spark):
+    """The cleaning sweep stays a zero-shuffle projection."""
+    df = spark.createDataFrame([("a@b.co x",)], "text string").select(
+        scrub_pii("text").alias("clean"),
+        pii_hit_count("text").alias("hits"),
+        repetition_ratio("text").alias("rep"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
