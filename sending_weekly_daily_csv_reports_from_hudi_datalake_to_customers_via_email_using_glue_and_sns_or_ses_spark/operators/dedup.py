@@ -182,77 +182,135 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(n_hashes: int = 32) -> list[F.Column]:
-    """Deterministic MinHash: h_i(shingle) = min over shingles of
-    xxhash64(shingle, seed=i). xxhash64 is Spark-builtin (JVM, codegen);
-    no Python in the loop."""
+#: MinHash universal-hash family -- h_i(x) = (A[i]*x + B[i]) mod P over
+#: the 32-bit md5 prefix of each shingle. Chosen over xxhash64 because
+#: EVERY term is portable SQL (md5, +, *, %), so DuckDB reproduces the
+#: signatures bit-for-bit and the whole LSH pipeline is hash-checkable.
+#: Constants from a fixed-seed generator, embedded in the oracle too.
+import random as _random
+
+_MH_N, _MH_BANDS = 32, 8
+_MH_P = 4_294_967_291  # largest prime < 2^32: A*x + B stays < 2^63
+_mh_rng = _random.Random(20260813)
+_MH_A = [_mh_rng.randrange(1, 1 << 31) for _ in range(_MH_N)]
+_MH_B = [_mh_rng.randrange(0, 1 << 31) for _ in range(_MH_N)]
+
+
+def _minhash_signature() -> list[F.Column]:
+    """min over a doc's shingles of each universal hash; the md5 prefix
+    is computed once per shingle, the 32 hashes are cheap affine
+    arithmetic on it (all JVM codegen)."""
+    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     return [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % _MH_P).alias(f"mh_{i}")
+        for i in range(_MH_N)
     ]
 
 
-@query("dedup_minhash_lsh")
+def _minhash_oracle() -> str:
+    """Generated DuckDB twin of the full MinHash+LSH pipeline: same
+    shingling, same md5-prefix base value, same affine hash constants,
+    band agreement as an 8-way UNION of 4-column equi-joins, signature
+    agreement as the estimate."""
+    r = _MH_N // _MH_BANDS
+    mins = ",\n             ".join(
+        f"min(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS mh_{i}"
+        for i in range(_MH_N)
+    )
+    band_joins = "\n      UNION\n".join(
+        "      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b\n"
+        "        ON a.doc_id < b.doc_id AND "
+        + " AND ".join(
+            f"a.mh_{b * r + j} = b.mh_{b * r + j}" for j in range(r)
+        )
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok,
+             generate_subscripts(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1) AS pos
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), xs AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS x
+      FROM shingles
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM xs GROUP BY doc_id
+    ), cands AS (
+{band_joins}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({agree}) / 32.0 AS DOUBLE) AS est_jaccard
+    FROM cands c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    WHERE ({agree}) / 32.0 >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard over the MinHash signature agreement rate.
 
-    32 xxhash64 min-hashes per doc → 8 bands × 4 rows; docs sharing any
-    band bucket become candidate pairs; pairs are scored by signature
-    agreement (estimate of Jaccard) ≥ 0.5.
-
-    No SQL oracle — xxhash64 isn't portable to DuckDB; pytest verifies
-    recall against dedup_ngram_jaccard's exact output instead.
+    32 universal min-hashes per doc (affine family over a 32-bit md5
+    prefix -- portable arithmetic, so the DuckDB oracle reproduces every
+    signature exactly and the driver value-hash checks the WHOLE
+    pipeline: shingling -> signatures -> banding -> candidate verify) ->
+    8 bands x 4 rows; docs agreeing on all 4 minhashes of any band
+    become candidate pairs; pairs are scored by signature agreement
+    (estimate of Jaccard) >= 0.5. pytest additionally verifies recall
+    against dedup_ngram_jaccard's exact output.
     """
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
     shingles = d.select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
     )
-    from pyspark import StorageLevel
-
-    n_hashes, n_bands = 32, 8
-    rows_per_band = n_hashes // n_bands
+    r = _MH_N // _MH_BANDS
     sig = (
         shingles.groupBy("doc_id")
-        .agg(*_minhash_signature(n_hashes))
+        .agg(*_minhash_signature())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ^ the signature table feeds 10 plan branches (8 band arms + both
     # sides of the candidate verify); without the persist each branch
     # recomputes the full shingle scan + 32-min aggregation. One row per
-    # doc × 32 longs — tiny relative to the corpus at any scale.
+    # doc x 32 longs -- tiny relative to the corpus at any scale.
 
-    # banding: bucket key = hash of the band's minhash slice
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
-
-    le, ri = bands.alias("le"), bands.alias("ri")
-    cands = (
-        le.join(
-            ri,
-            (F.col("le.band") == F.col("ri.band"))
-            & (F.col("le.bucket") == F.col("ri.bucket"))
-            & (F.col("le.doc_id") < F.col("ri.doc_id")),
-        )
-        .select(
+    # banding: candidates agree on a band's full minhash slice. The
+    # equi-join keys ARE the minhash values (no extra bucket hash -- the
+    # shuffle is keyed by the band tuple, data-size-proportional).
+    cands = None
+    for b in range(_MH_BANDS):
+        le, ri = sig.alias("le"), sig.alias("ri")
+        cond = F.col("le.doc_id") < F.col("ri.doc_id")
+        for j in range(r):
+            cond = cond & (
+                F.col(f"le.mh_{b * r + j}") == F.col(f"ri.mh_{b * r + j}")
+            )
+        p = le.join(ri, cond).select(
             F.col("le.doc_id").alias("doc_a"), F.col("ri.doc_id").alias("doc_b")
         )
-        .distinct()
-    )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
 
-    # verify candidates: fraction of agreeing minhashes ≈ Jaccard
+    # verify candidates: fraction of agreeing minhashes ~= Jaccard
     sa, sb = sig.alias("sa"), sig.alias("sb")
     agree = sum(
         F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
+        for i in range(_MH_N)
     )
     return (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -260,29 +318,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+            (agree / F.lit(float(_MH_N))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign-sum of token hash bits;
-    candidate pairs share at least one of four 16-bit chunks (pigeonhole
-    ⇒ finds all pairs with Hamming distance ≤ 3); pairs scored by exact
-    Hamming distance of the signatures.
+def _simhash_oracle() -> str:
+    """Generated DuckDB twin of the simhash pipeline: identical 60-bit
+    md5-prefix token hashes, the same sign-of-weighted-bit-sum signature
+    (exact integer arithmetic on both engines -- no float instability),
+    pigeonhole chunk candidates, Hamming scoring."""
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ), tw AS (
+      SELECT doc_id, tok, count(*) AS w FROM toks0 GROUP BY doc_id, tok
+    ), th AS (
+      SELECT doc_id, w, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM tw
+    ), sig AS (
+      SELECT doc_id, {bit_sum} AS simhash
+      FROM th GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash,
+             (simhash >> 0)  & 65535 AS c0,
+             (simhash >> 16) & 65535 AS c1,
+             (simhash >> 32) & 65535 AS c2,
+             (simhash >> 48) & 65535 AS c3
+      FROM sig
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id AND a.c0 = b.c0
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id AND a.c1 = b.c1
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id AND a.c2 = b.c2
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id AND a.c3 = b.c3
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
 
-    All bit arithmetic is JVM-side (shiftright/bitwise ops on xxhash64).
-    No SQL oracle (engine-specific hash); pytest checks the Hamming
-    property on seeded duplicates.
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signature = sign-sum of token hash bits
+    (token hash = md5 prefix -- portable, so the DuckDB oracle rebuilds
+    every signature bit-for-bit and the driver value-hash checks the
+    whole pipeline; the arithmetic is exact-integer on both engines);
+    candidate pairs share at least one of four 16-bit chunks (pigeonhole
+    => finds all pairs with Hamming distance <= 3); pairs scored by
+    exact Hamming distance of the signatures.
+
+    pytest additionally checks the Hamming property on seeded
+    duplicates.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("w"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
     )
 
     # Per-doc signature in ONE vectorized pandas UDF over collected
@@ -322,9 +435,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(4)
         ],
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ^ 4 pigeonhole arms × 2 join sides = 8 consumers; the persist
+    # ^ 4 pigeonhole arms x 2 join sides = 8 consumers; the persist
     # computes the collect_list + numpy signature pass ONCE (one
-    # 64-bit signature per doc — negligible footprint at any scale)
+    # 64-bit signature per doc -- negligible footprint at any scale)
     pairs = None
     for c in range(4):
         le, ri = chunks.alias("le"), chunks.alias("ri")
@@ -339,7 +452,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ri.simhash").alias("sh_b"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         pairs.distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
