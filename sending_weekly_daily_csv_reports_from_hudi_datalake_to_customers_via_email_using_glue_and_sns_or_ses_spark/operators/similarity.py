@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import cosine_similarity, dot, l2_norm
+from ..functions.vector import cosine_similarity
 from . import query
 
 #: vec_ids used as the query set for the retrieval ops (arbitrary but

@@ -3,7 +3,6 @@ repetition scoring, boilerplate line stripping — all JVM built-ins."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions import (
     pii_hit_count,
