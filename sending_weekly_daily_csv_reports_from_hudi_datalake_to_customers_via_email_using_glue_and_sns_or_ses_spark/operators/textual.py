@@ -221,8 +221,18 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok")).filter(
         F.col("tok") != ""
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark import StorageLevel
+
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # df derives from tf (one row per (doc, tok) ⇒ count(*) per tok ==
+    # countDistinct(doc)), NOT from a second explode of the corpus —
+    # saves a full tokenize+explode pass and shuffles the already-
+    # aggregated set; tf itself feeds both df and the final join
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(df.filter(F.col("df") <= 0.5 * n_docs)), "tok")
         .select(
