@@ -67,3 +67,40 @@ def test_merge_is_associative_on_winners(spark, a, b):
         (r["key"], r["pre"]) for r in df.select("key", "pre").collect()
     )
     assert key_pre(direct) == key_pre(staged)
+
+
+batches = st.lists(rows, min_size=1, max_size=3)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=batches)
+def test_mor_equals_cow_on_arbitrary_batches(spark, data, tmp_path_factory):
+    """P3 law: for ANY sequence of keyed batches, the MOR table's
+    log-merged snapshot equals the COW table's materialized snapshot —
+    the read-time merge is exactly sequential COW application."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    base = tmp_path_factory.mktemp("morprop")
+    cow = KeyedTable(spark, str(base / "cow"), record_key="key", precombine="pre")
+    mor = KeyedTable(
+        spark,
+        str(base / "mor"),
+        record_key="key",
+        precombine="pre",
+        table_type="MERGE_ON_READ",
+    )
+    for batch in data:
+        df = _df(spark, batch)
+        cow.upsert(df)
+        mor.upsert(df)
+    rows_of = lambda t: sorted(  # noqa: E731
+        (r["key"], r["pre"], r["payload"])
+        for r in t.snapshot().select("key", "pre", "payload").collect()
+    )
+    assert rows_of(mor) == rows_of(cow)
