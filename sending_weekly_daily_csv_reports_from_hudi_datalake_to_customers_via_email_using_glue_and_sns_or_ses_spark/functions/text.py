@@ -14,13 +14,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: (pattern, replacement token) — applied in order, most specific first
+#: (pattern, replacement token) — applied in order, most specific
+#: first: IP before PHONE so a dotted quad is claimed as <IP>, never
+#: half-eaten by the looser phone shape. The phone shape itself is
+#: anchored to digit-grouped forms (optional +CC, then 3-3-4 with
+#: ()/space/./- separators) so dates and timestamps don't match.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        r"(?<![\d.])(?:\+\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}(?!\.?\d)",
+        "<PHONE>",
+    ),
 )
 
 
@@ -35,16 +42,20 @@ def scrub_pii(col: Column | str) -> Column:
 
 def pii_hit_count(col: Column | str) -> Column:
     """How many PII-shaped substrings a document contains (the audit
-    metric that decides whether scrubbing is worth a rewrite pass)."""
+    metric that decides whether scrubbing is worth a rewrite pass).
+
+    Counts on the progressively-scrubbed text — the same sequence
+    ``scrub_pii`` applies — so a substring is attributed to exactly one
+    class (an SSN is not re-counted by the phone shape). NULL text
+    counts 0 (``size`` of a null array is -1/-NULL, never what an
+    audit sum wants)."""
     c = F.col(col) if isinstance(col, str) else col
-    counts = [
-        F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
-        for pattern, _ in PII_PATTERNS
-    ]
-    total = counts[0]
-    for extra in counts[1:]:
-        total = total + extra
-    return total
+    total = F.lit(0)
+    scrubbed = c
+    for pattern, token in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), 0))
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return F.when(c.isNull(), F.lit(0)).otherwise(total)
 
 
 def repetition_ratio(col: Column | str) -> Column:

@@ -119,11 +119,17 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans: constant memory per group, one pass, mergeable partials.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    sketch = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        )
+        .persist()  # a handful of rows, three consumers (broadcast rank
+        # probe + final join): without it the countDistinct + two
+        # percentile sketches rerun and lineitem is scanned three times
     )
     ranks = (
         li.join(F.broadcast(sketch), "l_returnflag")

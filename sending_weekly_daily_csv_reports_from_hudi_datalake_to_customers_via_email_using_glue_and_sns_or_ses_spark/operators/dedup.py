@@ -134,13 +134,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora where even capped postings blow up, dedup_minhash_lsh below
     is the probabilistic scale path with the same output contract.
     """
+    df, _caches = _jaccard_pairs_and_caches(spark, sf_dir)
+    # the shingle cache stays alive for the session: the returned frame
+    # is lazy, so the caches it feeds can only be released by a caller
+    # that materializes first (dedup_clusters does exactly that).
+    # MEMORY_AND_DISK + LRU keeps the entry bounded.
+    return df
+
+
+def _jaccard_pairs_and_caches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The jaccard pair graph plus handles on the frames it persisted,
+    so callers that materialize the result (localCheckpoint/write) can
+    unpersist them instead of leaking a second session-lifetime cache
+    entry per invocation."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
-    shingles = d.select(
+    cached_shingles = d.select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = cached_shingles
     # ^ the inverted index feeds FOUR consumers (postings, sizes, both
     # sides of the self-join); persisting it replaces four
     # tokenize+explode passes over the corpus with one (measured ~20%
@@ -170,7 +186,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jacc = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
-    return (
+    pairs = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jacc >= 0.35)
@@ -180,6 +196,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc, 6).cast("double").alias("jaccard"),
         )
     )
+    return pairs, [cached_shingles]
 
 
 #: MinHash universal-hash family -- h_i(x) = (A[i]*x + B[i]) mod P over
@@ -584,24 +601,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       * each round is one shuffle keyed by doc_id, linear in edges.
 
     Components here have tiny diameter (dup clusters) so it converges in
-    2-3 rounds; the 10-round bound caps worst-case chains. Hash-checked
-    against a DuckDB recursive-CTE transitive closure of the same edge
-    set; pytest additionally verifies a union-find reference at sf0.001.
+    2-3 rounds; the loop runs to convergence (bounded only by a 100-round
+    safety rail that RAISES rather than return half-propagated labels —
+    a chain of templated docs longer than the old fixed cap must not
+    silently disagree with the exact closure). Hash-checked against a
+    DuckDB recursive-CTE transitive closure of the same edge set; pytest
+    additionally verifies a union-find reference at sf0.001.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pair_graph, caches = _jaccard_pairs_and_caches(spark, sf_dir)
+    pairs = pair_graph.select("doc_a", "doc_b")
     # undirected edges both ways; materialize once — every round reuses it
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()
+    # edges are materialized now — release the shingle index instead of
+    # leaking a second session-lifetime cache entry alongside
+    # dedup_ngram_jaccard's own
+    for frame in caches:
+        frame.unpersist()
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(10):  # bounded; dup clusters converge in 2-3 rounds
+    max_rounds = 100  # safety rail only: Hash-Min needs ≤ graph-diameter rounds
+    for round_no in range(max_rounds):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
             edges.join(nodes, edges.doc_b == nodes.doc_id)
@@ -621,4 +648,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = updated.select("doc_id", F.col("new_label").alias("label"))
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: Hash-Min did not converge in {max_rounds} rounds "
+            "— component diameter exceeds the safety rail; raise it rather "
+            "than ship half-propagated cluster labels"
+        )
     return nodes.select("doc_id", F.col("label").alias("cluster_id"))

@@ -99,7 +99,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
                   THEN 1 ELSE 0 END AS is_new_session
@@ -108,7 +108,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sessioned AS (
       SELECT user_id, ts,
              sum(is_new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts ASC
+                                       ORDER BY ts ASC, event_id ASC
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM marked

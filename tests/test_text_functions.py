@@ -33,6 +33,27 @@ def test_pii_hit_count(spark):
     assert _one(spark, "x@y.io and 1.2.3.4", pii_hit_count("text")) == 2
 
 
+def test_pii_ip_not_eaten_by_phone(spark):
+    out = _one(spark, "server at 192.168.100.200 up", scrub_pii("text"))
+    assert out == "server at <IP> up"
+    # ...and counted once, as an IP — not double-counted by the phone shape
+    assert _one(spark, "server at 192.168.100.200 up", pii_hit_count("text")) == 1
+
+
+def test_pii_ssn_counted_once(spark):
+    assert _one(spark, "ssn 123-45-6789 on file", pii_hit_count("text")) == 1
+
+
+def test_pii_dates_are_not_phones(spark):
+    text = "logged 2026-08-13 14:30:45 ok"
+    assert _one(spark, text, scrub_pii("text")) == text
+    assert _one(spark, text, pii_hit_count("text")) == 0
+
+
+def test_pii_null_text_counts_zero(spark):
+    assert _one(spark, None, pii_hit_count("text")) == 0
+
+
 def test_repetition_ratio_bounds(spark):
     assert _one(spark, "all tokens are unique words", repetition_ratio("text")) == 0.0
     high = _one(spark, "spam spam spam spam spam", repetition_ratio("text"))

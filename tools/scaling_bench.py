@@ -55,22 +55,51 @@ SCALE_QUERIES = [
     "tf_idf",
 ]
 
-#: per-table key columns to offset per replica (so FKs stay consistent)
-_OFFSETS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: key DOMAINS: every FK family shares ONE replica step, derived from
+#: the domain's owning table. Deriving steps per-table (each table's own
+#: max) desynchronizes FK pairs whenever parent and child maxes differ —
+#: e.g. trailing orders with no lineitems would shift l_orderkey by a
+#: smaller step than o_orderkey and the scaled joins would time a
+#: different (mostly-miss) workload.
+_DOMAIN_OWNER = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+#: table → {column: domain}
+_COLUMN_DOMAIN = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
 }
 
 
-def _replicate(df: DataFrame, name: str, n: int) -> DataFrame:
-    cols = _OFFSETS.get(name, [])
-    steps = {c: df.agg(F.max(c)).first()[0] + 1 for c in cols}
+def _domain_steps(spark) -> dict[str, int]:
+    return {
+        domain: load_table(spark, BASE_SF, table).agg(F.max(col)).first()[0] + 1
+        for domain, (table, col) in _DOMAIN_OWNER.items()
+    }
+
+
+def _replicate(df: DataFrame, name: str, n: int, domain_steps: dict[str, int]) -> DataFrame:
+    steps = {
+        col: domain_steps[dom] for col, dom in _COLUMN_DOMAIN.get(name, {}).items()
+    }
     parts = []
     for i in range(n):
         part = df
@@ -101,12 +130,13 @@ def build_scaled(spark, n: int) -> str:
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
+    domain_steps = _domain_steps(spark)
     for t in TABLES:
         df = load_table(spark, BASE_SF, t)
         if t in ("region", "nation"):
             scaled = df  # shared dimensions — realistic at any scale
         else:
-            scaled = _replicate(df, t, n)
+            scaled = _replicate(df, t, n, domain_steps)
         scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     open(marker, "w").close()
     return out_dir
