@@ -93,7 +93,25 @@ def _query_matrix(e: DataFrame):
     return ids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
-@query("knn_bruteforce")
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id IN {_QUERY_IDS}),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS c
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id NOT IN {_QUERY_IDS}),
+         ranked AS (
+           SELECT query_id, vec_id, c,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, vec_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, vec_id, CAST(round(c, 4) AS DOUBLE) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 nearest neighbors (cosine) for each fixed query
     vector: vectorized Pandas-UDF scoring (one Arrow batch → one BLAS
@@ -101,9 +119,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10-100× the throughput of per-element expression folds — the right
     hot path for a 100 TB embedding sweep.
 
-    Rows-only driver check (top-k membership at a float boundary isn't
-    bit-stable across engines); pytest asserts exact agreement with a
-    NumPy reference at sf0.001 instead.
+    Oracle-able despite the float path: both sides score in float64
+    (the UDF casts before the matmul; the oracle casts FLOAT[] →
+    DOUBLE[] before ``list_cosine_similarity``), ranks break ties by
+    vec_id, and the emitted score is rounded to 4 decimals — membership
+    or rank drift would need two cosines within ~1e-13, vanishingly
+    unlikely on real embeddings. pytest additionally asserts exact
+    agreement with a NumPy reference at sf0.001.
     """
     e = load_table(spark, sf_dir, "embeddings")
     qids, Qn = _query_matrix(e)
@@ -282,13 +304,14 @@ def ivf_probe_partitioned(
     read; ranking within candidates is exact cosine."""
     e = load_table(spark, sf_dir, "embeddings")
     qids, Qn = _query_matrix(e)
-    probes = spark.createDataFrame(
-        _probe_cells(qids, Qn, cent, nprobe), "query_id long, cell int"
-    )
+    # one probe computation drives BOTH the join side and the partition
+    # filter — they must never disagree on which cells are read
+    probe_rows = _probe_cells(qids, Qn, cent, nprobe)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probed_cells = sorted({c for _, c in _probe_cells(qids, Qn, cent, nprobe)})
+    probed_cells = sorted({c for _, c in probe_rows})
     corpus = spark.read.parquet(table_path).filter(F.col("cell").isin(probed_cells))
     scored = (
         corpus.join(F.broadcast(probes), "cell")
