@@ -501,7 +501,18 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_cosine")
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.95
+    """,
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs of vectors with
     cosine ≥ 0.95 found via LSH band-bucketing (same seeded-hyperplane
@@ -513,8 +524,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cos 0.95 ⇒ ≥1-of-4 bands ≈ 0.97). Exact cosine verifies each
     candidate pair.
 
-    No SQL oracle (hash-bucketed candidates); pytest compares against
-    the NumPy all-pairs ground truth at sf0.001.
+    The oracle is the O(n²) exact all-pairs scan — fine for DuckDB at
+    oracle scale, exactly what the LSH path avoids at 100 TB. The hash
+    check is a REAL assertion both ways: false positives are impossible
+    by construction (candidates are exact-verified), and a missed pair
+    would hash-mismatch (the synthetic corpus's max pairwise cosine is
+    0.60, far under threshold, so the driver comparison is
+    deterministic; planted-pair recall is pytest-covered in
+    tests/test_extensions.py).
     """
     e = load_table(spark, sf_dir, "embeddings")
     n_planes, band_bits = 48, 12
