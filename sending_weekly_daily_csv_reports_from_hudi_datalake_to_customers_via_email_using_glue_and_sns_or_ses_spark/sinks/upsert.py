@@ -40,12 +40,14 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.incremental import COMMIT_COL, read_commit_log
+from .concurrency import CommitConflictError, LockAcquireTimeout
 
 
 def _merge_latest(
@@ -75,6 +77,8 @@ class KeyedTable:
         partition_cols: list[str] | None = None,
         keep_versions: int = 3,
         table_type: str = "COPY_ON_WRITE",
+        lock_provider=None,
+        lock_timeout_s: float = 60.0,
     ):
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table_type: {table_type!r}")
@@ -85,6 +89,13 @@ class KeyedTable:
         self.partition_cols = partition_cols or []
         self.keep_versions = keep_versions
         self.table_type = table_type
+        # P9: optimistic concurrency control. None = single-writer mode
+        # (the r1 default, zero overhead); a lock provider from
+        # sinks/concurrency.py turns on the Hudi-style OCC protocol —
+        # commit phase under the lock, key-overlap conflict detection,
+        # CommitConflictError for the caller to retry.
+        self.lock_provider = lock_provider
+        self.lock_timeout_s = lock_timeout_s
         os.makedirs(root, exist_ok=True)
         self._write_meta()
 
@@ -110,13 +121,17 @@ class KeyedTable:
         os.replace(tmp, self._meta_path())
 
     @classmethod
-    def open(cls, spark: SparkSession, root: str) -> KeyedTable:
+    def open(
+        cls, spark: SparkSession, root: str, lock_provider=None
+    ) -> KeyedTable:
         """Open an existing KeyedTable root from its persisted metadata —
         the read-side analogue of the Hudi table config: a reader needs
-        no out-of-band record-key/precombine knowledge."""
+        no out-of-band record-key/precombine knowledge. ``lock_provider``
+        is process-local (not persisted): each writer brings its own
+        handle to the shared lock, as with Hudi's lock configs."""
         with open(os.path.join(root, "_meta.json")) as f:
             meta = json.load(f)
-        return cls(spark, root, **meta)
+        return cls(spark, root, lock_provider=lock_provider, **meta)
 
     # -- timeline -------------------------------------------------------
     def _latest_path(self) -> str:
@@ -142,6 +157,71 @@ class KeyedTable:
         if last is not None and ts <= last:
             ts = str(int(last) + 1).zfill(len(ts))
         return ts
+
+    # -- P9: transactions / conflict detection --------------------------
+    @contextmanager
+    def _txn(self):
+        """Commit-phase critical section. Single-writer mode (no lock
+        provider) is a no-op — the r1 behavior, zero overhead."""
+        if self.lock_provider is None:
+            yield
+            return
+        if not self.lock_provider.try_lock(timeout_s=self.lock_timeout_s):
+            raise LockAcquireTimeout(
+                f"table lock not acquired within {self.lock_timeout_s}s"
+            )
+        try:
+            yield
+        finally:
+            self.lock_provider.unlock()
+
+    def _log_commits(self) -> list[str]:
+        log_dir = os.path.join(self.root, "log")
+        if not os.path.isdir(log_dir):
+            return []
+        return sorted(d.split("=", 1)[1] for d in os.listdir(log_dir) if "=" in d)
+
+    def _check_conflict(self, base_instant: str | None, incoming: DataFrame) -> None:
+        """Hudi OCC conflict resolution, run under the table lock: any
+        commit completed after this transaction's ``base_instant`` that
+        touched one of ``incoming``'s record keys is a conflict
+        (HoodieWriteConflictException → CommitConflictError here).
+        Non-overlapping concurrent commits pass — the merge that follows
+        reads the now-current snapshot, so the write rebases onto them.
+
+        Cost: one semi-join of the since-base log slice (bounded by
+        concurrent-commit volume, not table size) against the incoming
+        keys — AQE broadcasts the small side.
+        """
+        if self.lock_provider is None:
+            return  # single-writer mode: nothing to race with
+        seen = set(self._log_commits()) | set(self.commits())
+        since = sorted(
+            c for c in seen if base_instant is None or c > base_instant
+        )
+        if not since:
+            return
+        logged = set(self._log_commits())
+        whole_table = [c for c in since if c not in logged]
+        if whole_table:
+            # commits with no key manifest (deletes/compactions rewrite
+            # the whole snapshot) — conservatively conflict
+            raise CommitConflictError(whole_table, -1)
+        log = self.log()
+        if log is None:
+            return
+        recent = (
+            log.filter(F.col(COMMIT_COL) > F.lit(base_instant))
+            if base_instant is not None
+            else log
+        )
+        n = (
+            recent.select(self.record_key)
+            .join(incoming.select(self.record_key).distinct(), self.record_key, "left_semi")
+            .count()
+        )
+        if n:
+            raise CommitConflictError(since, n)
 
     # -- reads ----------------------------------------------------------
     def _base_commit(self) -> str | None:
@@ -201,65 +281,84 @@ class KeyedTable:
         COW: rewrite the merged snapshot per commit (write-amplified,
         read-optimal). MOR: append the combined batch to the log only —
         the write-optimal half of the trade; reads log-merge (snapshot())
-        and ``compact()`` folds the log back into a base snapshot."""
-        commit = self._new_commit_id()
-        # 1. combine-and-dedup the incoming batch itself (precombine
-        #    within batch, generate_hudi_table.py:119 semantics)
-        deduped = _merge_latest(incoming, self.record_key, self.precombine)
-        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+        and ``compact()`` folds the log back into a base snapshot.
 
-        if self.table_type == "MERGE_ON_READ":
+        With a lock provider (P9 OCC): the batch combine is planned
+        optimistically, then conflict-check + merge + publish run under
+        the table lock; raises CommitConflictError on key overlap with a
+        concurrent commit (caller retries)."""
+        # optimistic phase — no lock: combine-and-dedup the incoming
+        # batch itself (precombine within batch,
+        # generate_hudi_table.py:119 semantics)
+        base_instant = self.latest_commit()
+        deduped = _merge_latest(incoming, self.record_key, self.precombine)
+
+        with self._txn():
+            self._check_conflict(base_instant, deduped)
+            commit = self._new_commit_id()
+            stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+
+            if self.table_type == "MERGE_ON_READ":
+                self._write_log(stamped, commit)
+                self._publish(commit)
+                return commit
+
+            # COW: merge with existing snapshot — larger precombine
+            # wins; on ties the incoming row (larger _commit_time) wins.
+            # Read under the lock: non-conflicting concurrent commits
+            # are thereby rebased onto automatically.
+            existing = self.snapshot()
+            merged = (
+                stamped
+                if existing is None
+                else _merge_latest(
+                    existing.unionByName(stamped),
+                    self.record_key,
+                    self.precombine,
+                    prefer_col=COMMIT_COL,
+                )
+            )
+
+            self._write_snapshot(merged, commit)
             self._write_log(stamped, commit)
             self._publish(commit)
+            self._clean()
             return commit
-
-        # 2. COW: merge with existing snapshot — larger precombine wins;
-        #    on ties the incoming row (larger _commit_time) wins
-        existing = self.snapshot()
-        merged = (
-            stamped
-            if existing is None
-            else _merge_latest(
-                existing.unionByName(stamped),
-                self.record_key,
-                self.precombine,
-                prefer_col=COMMIT_COL,
-            )
-        )
-
-        self._write_snapshot(merged, commit)
-        self._write_log(stamped, commit)
-        self._publish(commit)
-        self._clean()
-        return commit
 
     def compact(self) -> str | None:
         """MOR compaction (the hoodie.compact.* knob family): materialize
         the current log-merged state as a base snapshot so subsequent
-        reads are base-only until new log commits arrive."""
-        merged = self.snapshot()
-        latest = self.latest_commit()
-        if merged is None or latest is None:
-            return None
-        if self._base_commit() == latest:
-            return latest  # nothing to compact
-        self._write_snapshot(merged, latest)
-        self._clean()
-        return latest
+        reads are base-only until new log commits arrive. Runs under the
+        table lock so a concurrent upsert's commit can't be folded in
+        half-written or lost."""
+        with self._txn():
+            merged = self.snapshot()
+            latest = self.latest_commit()
+            if merged is None or latest is None:
+                return None
+            if self._base_commit() == latest:
+                return latest  # nothing to compact
+            self._write_snapshot(merged, latest)
+            self._clean()
+            return latest
 
     def delete(self, keys: DataFrame) -> str | None:
-        """Hudi delete operation: drop the given record keys."""
-        existing = self.snapshot()
-        if existing is None:
-            return None
-        commit = self._new_commit_id()
-        remaining = existing.join(
-            keys.select(self.record_key), self.record_key, "left_anti"
-        )
-        self._write_snapshot(remaining, commit)
-        self._publish(commit)
-        self._clean()
-        return commit
+        """Hudi delete operation: drop the given record keys. The whole
+        op runs under the table lock (it reads current state there, so
+        it never conflicts; concurrent upserters see it as a
+        whole-table commit and retry)."""
+        with self._txn():
+            existing = self.snapshot()
+            if existing is None:
+                return None
+            commit = self._new_commit_id()
+            remaining = existing.join(
+                keys.select(self.record_key), self.record_key, "left_anti"
+            )
+            self._write_snapshot(remaining, commit)
+            self._publish(commit)
+            self._clean()
+            return commit
 
     def _write_snapshot(self, df: DataFrame, commit: str) -> None:
         path = os.path.join(self.root, "snapshots", f"v={commit}")
@@ -305,12 +404,22 @@ def hudi_write_options(
     max_file_bytes: int = 512 * 1024 * 1024,
     small_file_bytes: int = 100 * 1024 * 1024,
     keep_versions: int = 3,
+    concurrency_mode: str = "SINGLE_WRITER",
+    lock_provider_class: str = (
+        "org.apache.hudi.client.transaction.lock.FileSystemBasedLockProvider"
+    ),
 ) -> dict[str, str]:
     """Real-Hudi passthrough: the same physical-layout contract KeyedTable
     emulates, expressed as hoodie.* writer options (the full surface the
     reference configures, generate_hudi_table.py:114-203 / SURVEY.md
-    §2.5 P1-P11). Use with ``df.write.format("hudi").options(**opts)``
-    when Hudi jars are on the classpath (see write_hudi)."""
+    §2.5 P1-P12). Use with ``df.write.format("hudi").options(**opts)``
+    when Hudi jars are on the classpath (see write_hudi).
+
+    ``concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL"`` adds the P9
+    multi-writer options (the reference pairs OCC with the DynamoDB
+    lock provider, generate_hudi_table.py:174-175; default here is the
+    filesystem provider — no AWS coupling, same protocol the KeyedTable
+    emulation implements in sinks/concurrency.py)."""
     opts = {
         "hoodie.table.name": table_name,
         "hoodie.datasource.write.table.type": table_type,  # P3
@@ -327,6 +436,10 @@ def hudi_write_options(
         "hoodie.metadata.enable": "true",  # P8
         "hoodie.metadata.index.column.stats.enable": "true",
     }
+    if concurrency_mode == "OPTIMISTIC_CONCURRENCY_CONTROL":  # P9
+        opts["hoodie.write.concurrency.mode"] = concurrency_mode
+        opts["hoodie.write.lock.provider"] = lock_provider_class
+        opts["hoodie.cleaner.policy.failed.writes"] = "LAZY"
     if partition_cols:  # P4
         opts["hoodie.datasource.write.partitionpath.field"] = ",".join(partition_cols)
         opts["hoodie.datasource.write.hive_style_partitioning"] = "true"
@@ -364,12 +477,13 @@ def compact_snapshot(table: KeyedTable, target_files: int = 1) -> str | None:
     one pass — the observable effect of hoodie.clustering/parquet file
     sizing, generate_hudi_table.py:150-167). Creates a new commit so
     readers never see a half-compacted snapshot."""
-    snap = table.snapshot()
-    if snap is None:
-        return None
-    commit = table._new_commit_id()
-    compacted = snap.repartitionByRange(target_files, table.record_key)
-    table._write_snapshot(compacted, commit)
-    table._publish(commit)
-    table._clean()
-    return commit
+    with table._txn():
+        snap = table.snapshot()
+        if snap is None:
+            return None
+        commit = table._new_commit_id()
+        compacted = snap.repartitionByRange(target_files, table.record_key)
+        table._write_snapshot(compacted, commit)
+        table._publish(commit)
+        table._clean()
+        return commit

@@ -253,3 +253,163 @@ def test_open_table_from_meta(spark, tmp_path):
     assert reopened.record_key == "order_id"
     assert reopened.table_type == "MERGE_ON_READ"
     assert reopened.snapshot().count() == t.snapshot().count()
+
+
+# -- P9: optimistic concurrency control ---------------------------------
+
+
+def test_occ_conflict_on_overlapping_keys(spark, tmp_path):
+    """Hudi OCC semantics: a writer whose base instant predates a
+    concurrent commit that touched one of its keys gets
+    CommitConflictError; a retry (fresh base instant) succeeds."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        CommitConflictError,
+        InProcessLockProvider,
+    )
+
+    lock = InProcessLockProvider()
+    root = str(tmp_path / "occ")
+    a = KeyedTable(
+        spark, root, record_key="customer_id", precombine="created_at",
+        lock_provider=lock,
+    )
+    a.upsert(fixtures.customers(spark, 10, batch=0))
+
+    # writer A starts a transaction (captures its base instant) ...
+    base = a.latest_commit()
+    incoming = fixtures.customers(spark, 10, batch=2)
+    # ... writer B lands an overlapping commit first
+    b = KeyedTable.open(spark, root, lock_provider=lock)
+    b.upsert(fixtures.customers(spark, 5, batch=1))
+
+    with pytest.raises(CommitConflictError) as exc:
+        with a._txn():
+            a._check_conflict(base, incoming)
+    assert exc.value.n_overlapping == 5
+
+    # retry with a fresh base instant: no conflict, precombine rules apply
+    a.upsert(incoming)
+    snap = a.snapshot()
+    assert snap.count() == 10
+    assert snap.filter(snap.created_at >= "2024-01-03").count() == 10
+
+
+def test_occ_nonoverlapping_commits_rebase(spark, tmp_path):
+    """Concurrent commits on DISJOINT keys are not conflicts — the
+    later writer rebases onto them and both writes survive."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        InProcessLockProvider,
+    )
+    from pyspark.sql import functions as F
+
+    lock = InProcessLockProvider()
+    root = str(tmp_path / "occ2")
+    a = KeyedTable(
+        spark, root, record_key="customer_id", precombine="created_at",
+        lock_provider=lock,
+    )
+    c = fixtures.customers(spark, 40).withColumn(
+        "num", F.substring("customer_id", 6, 10).cast("int")
+    )
+    low, high = c.filter("num < 20").drop("num"), c.filter("num >= 20").drop("num")
+    a.upsert(low)
+    base = a.latest_commit()
+    b = KeyedTable.open(spark, root, lock_provider=lock)
+    b.upsert(high)  # B commits disjoint keys
+    # A's stale-base transaction passes the conflict check and rebases
+    more_low = fixtures.customers(spark, 5, batch=3)
+    with a._txn():
+        a._check_conflict(base, more_low)  # must NOT raise
+    a.upsert(more_low)
+    assert a.snapshot().count() == 40
+
+
+def test_occ_whole_table_commit_conflicts(spark, tmp_path):
+    """Commits without a key manifest (deletes rewrite the whole
+    snapshot) conservatively conflict with any in-flight transaction."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        CommitConflictError,
+        InProcessLockProvider,
+    )
+
+    lock = InProcessLockProvider()
+    root = str(tmp_path / "occ3")
+    a = KeyedTable(
+        spark, root, record_key="customer_id", precombine="created_at",
+        lock_provider=lock,
+    )
+    a.upsert(fixtures.customers(spark, 10))
+    base = a.latest_commit()
+    b = KeyedTable.open(spark, root, lock_provider=lock)
+    b.delete(fixtures.customers(spark, 3))
+    with pytest.raises(CommitConflictError):
+        with a._txn():
+            a._check_conflict(base, fixtures.customers(spark, 2, batch=1))
+
+
+def test_occ_threaded_writers_serialize(spark, tmp_path):
+    """Two threads upserting concurrently through a shared lock: every
+    commit id is unique, all keys land, retry-on-conflict converges."""
+    import threading
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        CommitConflictError,
+        InProcessLockProvider,
+    )
+
+    lock = InProcessLockProvider()
+    root = str(tmp_path / "occ4")
+    KeyedTable(
+        spark, root, record_key="customer_id", precombine="created_at",
+        lock_provider=lock,
+    )
+    commits, errors = [], []
+
+    def writer(batch: int) -> None:
+        t = KeyedTable.open(spark, root, lock_provider=lock)
+        df = fixtures.customers(spark, 15, batch=batch)
+        for _ in range(4):  # retry loop — the documented OCC caller contract
+            try:
+                commits.append(t.upsert(df))
+                return
+            except CommitConflictError:
+                continue
+        errors.append(f"batch {batch} never committed")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2, 3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert len(commits) == 3 and len(set(commits)) == 3
+    final = KeyedTable.open(spark, root)
+    assert final.snapshot().count() == 15
+    # precombine: the largest batch's created_at must have won
+    assert final.snapshot().filter("created_at >= '2024-01-04'").count() == 15
+
+
+def test_filesystem_lock_provider(tmp_path):
+    """Atomic-create mutual exclusion + stale-lock TTL break."""
+    import time as _time
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        FileSystemLockProvider,
+    )
+
+    path = str(tmp_path / "table.lock")
+    l1 = FileSystemLockProvider(path)
+    l2 = FileSystemLockProvider(path)
+    assert l1.try_lock(timeout_s=1)
+    assert not l2.try_lock(timeout_s=0.3)  # held → timeout
+    l1.unlock()
+    assert l2.try_lock(timeout_s=1)
+    l2.unlock()
+
+    # stale break: a crashed holder's lock older than the TTL is broken
+    stale = FileSystemLockProvider(path, ttl_s=0.2)
+    assert stale.try_lock(timeout_s=1)
+    _time.sleep(0.3)
+    taker = FileSystemLockProvider(path, ttl_s=0.2)
+    assert taker.try_lock(timeout_s=1)
+    taker.unlock()
