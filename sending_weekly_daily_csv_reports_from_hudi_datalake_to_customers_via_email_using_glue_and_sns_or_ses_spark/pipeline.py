@@ -35,6 +35,7 @@ class PipelineConfig:
     file_expires_in: int = 86400
     report_id: str | None = None
     single_file: bool = True
+    subject: str = "Your scheduled report"
 
 
 @dataclass
@@ -69,6 +70,56 @@ def run_pipeline(
         presigner=presigner,
         sender=sender,
         expires_in=config.file_expires_in,
+        subject=config.subject,
     )
     catalog.commit_incremental()
     return PipelineResult(df=result, report_path=report_path, email=email)
+
+
+def config_from_loaders(
+    loaders: dict, report_base: str | None = None
+) -> PipelineConfig:
+    """Adapt the reference's ``loaders`` config dict (template.py:471-500,
+    README.md:9-38) to a typed PipelineConfig, so an existing config file
+    drives this engine unchanged.
+
+    Mapping:
+      * ``source[]``: ``hudi_path`` → a ``fmt="hudi"`` source (real Hudi
+        datasource when jars are present, KeyedTable emulation
+        otherwise); a plain ``path`` key reads ``format`` (default
+        parquet). ``type`` FULL|INC is passed through.
+      * ``transform.query`` → the SQL transform.
+      * ``email``: ``recipient_email`` (comma-separated string OK),
+        ``subject``, ``file_expires_in``; ``report_bucket`` becomes the
+        report base path unless ``report_base`` overrides it (use an
+        s3a://bucket URI on a cluster with the S3 filesystem on the
+        classpath — the writer goes through the Hadoop FS API either
+        way).
+    """
+    sources = []
+    for entry in loaders.get("source", []):
+        if "hudi_path" in entry:
+            path, fmt = entry["hudi_path"], "hudi"
+        else:
+            path, fmt = entry["path"], entry.get("format", "parquet")
+        sources.append(
+            SourceSpec(
+                table_name=entry["table_name"],
+                path=path,
+                fmt=fmt,
+                load_type=entry.get("type", "FULL"),
+                options=dict(entry.get("options", {})),
+            )
+        )
+    email = loaders.get("email", {})
+    from .delivery import parse_recipients
+
+    base = report_base or email.get("report_bucket", "reports")
+    return PipelineConfig(
+        sources=sources,
+        query=loaders["transform"]["query"],
+        report_base=base,
+        recipients=parse_recipients(email.get("recipient_email", [])),
+        file_expires_in=int(email.get("file_expires_in", 86400)),
+        subject=email.get("subject", "Your scheduled report"),
+    )

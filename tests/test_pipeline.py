@@ -107,3 +107,83 @@ def test_multi_recipient_parsing():
     ]
     assert parse_recipients(["a@x.com", " b@y.com "]) == ["a@x.com", "b@y.com"]
     assert parse_recipients("") == []
+
+
+def test_config_from_loaders_reference_shape():
+    """The reference's loaders dict (template.py:471-500) maps onto
+    PipelineConfig without edits: hudi_path→hudi source, FULL|INC
+    passthrough, comma-separated recipients, email knobs."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        config_from_loaders,
+    )
+
+    loaders = {
+        "source": [
+            {"table_name": "orders", "hudi_path": "/data/orders", "type": "FULL"},
+            {"table_name": "customers", "hudi_path": "/data/customers", "type": "INC"},
+        ],
+        "transform": {"query": "SELECT * FROM orders"},
+        "email": {
+            "sender_email": "noreply@example.com",
+            "recipient_email": "a@example.com, b@example.com",
+            "subject": "Download Link for Data",
+            "report_bucket": "/tmp/reports",
+            "file_expires_in": 3600,
+        },
+    }
+    cfg = config_from_loaders(loaders)
+    assert [s.fmt for s in cfg.sources] == ["hudi", "hudi"]
+    assert [s.load_type for s in cfg.sources] == ["FULL", "INC"]
+    assert cfg.recipients == ["a@example.com", "b@example.com"]
+    assert cfg.subject == "Download Link for Data"
+    assert cfg.report_base == "/tmp/reports"
+    assert cfg.file_expires_in == 3600
+
+
+def test_cli_runs_reference_config(tmp_path, capsys):
+    """python -m <pkg> --config loaders.json end-to-end over testdata
+    parquet sources (plain path+format entries)."""
+    import json
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.__main__ import (
+        main,
+    )
+
+    loaders = {
+        "source": [
+            {
+                "table_name": "orders",
+                "path": "/root/testdata/sf0.001/orders.parquet",
+                "format": "parquet",
+                "type": "FULL",
+            },
+            {
+                "table_name": "customer",
+                "path": "/root/testdata/sf0.001/customer.parquet",
+                "format": "parquet",
+                "type": "FULL",
+            },
+        ],
+        "transform": {
+            "query": """
+              SELECT o.o_orderkey, o.o_totalprice, c.c_name AS customer_name
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_orderpriority = '1-URGENT'
+            """
+        },
+        "email": {
+            "recipient_email": "ops@example.com",
+            "subject": "Urgent orders",
+            "report_bucket": str(tmp_path / "reports"),
+            "file_expires_in": 60,
+        },
+    }
+    cfg_path = tmp_path / "loaders.json"
+    cfg_path.write_text(json.dumps(loaders))
+
+    rc = main(["--config", str(cfg_path), "--shuffle-partitions", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    assert out["recipients"] == ["ops@example.com"]
+    assert glob.glob(os.path.join(out["report_path"], "*.csv"))
