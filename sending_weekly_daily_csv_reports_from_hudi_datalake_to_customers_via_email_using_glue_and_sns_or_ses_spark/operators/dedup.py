@@ -626,14 +626,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally verifies a union-find reference at sf0.001.
     """
     pair_graph, caches = _jaccard_pairs_and_caches(spark, sf_dir)
-    pairs = pair_graph.select("doc_a", "doc_b")
-    # undirected edges both ways; materialize once — every round reuses it
+    # materialize the EXPENSIVE pair plan exactly once; the undirected
+    # edge set is derived from the checkpointed frame (a union of two
+    # projections over materialized data — recomputing it per round is
+    # free, whereas checkpointing after the union would evaluate the
+    # full shingle-join plan once per union branch)
+    pairs = pair_graph.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()
-    # edges are materialized now — release the shingle index instead of
+    )
+    # pairs are materialized now — release the shingle index instead of
     # leaking a second session-lifetime cache entry alongside
     # dedup_ngram_jaccard's own
     for frame in caches:
