@@ -48,11 +48,15 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     result = run_pipeline(spark, config)
+    # count the DELIVERED artifact, not result.df — re-executing the
+    # transform would re-scan the sources (and an INC source could have
+    # advanced, making the recount disagree with the shipped CSV)
+    rows = spark.read.option("header", "true").csv(result.report_path).count()
     print(
         json.dumps(
             {
                 "report_path": result.report_path,
-                "rows": result.df.count(),
+                "rows": rows,
                 "recipients": result.email.to,
                 "subject": result.email.subject,
             }

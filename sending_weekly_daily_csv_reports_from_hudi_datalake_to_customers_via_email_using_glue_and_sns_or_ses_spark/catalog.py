@@ -119,6 +119,16 @@ class Catalog:
             # checkpoint can be committed after the sink succeeds.
             from .sources.incremental import IncrementalReader
 
+            allowed = {"checkpoint_root", "commit_col"}
+            unknown = set(spec.options) - allowed
+            if unknown:
+                # fail clearly instead of TypeError-ing inside the
+                # constructor: INC options are reader-config, not Spark
+                # datasource options
+                raise ValueError(
+                    f"INC source {spec.table_name!r}: unsupported "
+                    f"options {sorted(unknown)}; supported: {sorted(allowed)}"
+                )
             reader = IncrementalReader(
                 self.spark, spec.table_name, spec.path, **spec.options
             )

@@ -20,7 +20,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog, SourceSpec
-from .delivery import EmailMessage, EmailSender, Presigner, deliver_report
+from .delivery import (
+    EmailMessage,
+    EmailSender,
+    Presigner,
+    deliver_report,
+    parse_recipients,
+)
 from .sinks.report import write_csv_report
 
 
@@ -112,8 +118,6 @@ def config_from_loaders(
             )
         )
     email = loaders.get("email", {})
-    from .delivery import parse_recipients
-
     base = report_base or email.get("report_bucket", "reports")
     return PipelineConfig(
         sources=sources,

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+import uuid
 
 
 class LockAcquireTimeout(Exception):
@@ -40,15 +41,27 @@ class LockAcquireTimeout(Exception):
 
 
 class CommitConflictError(Exception):
-    """A concurrent commit touched overlapping record keys; retry the
-    write (Hudi's HoodieWriteConflictException equivalent)."""
+    """A concurrent commit conflicts with this transaction; retry the
+    write (Hudi's HoodieWriteConflictException equivalent).
 
-    def __init__(self, conflicting_commits: list[str], n_overlapping: int):
+    ``n_overlapping`` is the number of DISTINCT record keys both the
+    transaction and a concurrent commit touched; ``None`` means the
+    concurrent commit carries no key manifest (delete / snapshot
+    replacement), which conflicts with any in-flight transaction.
+    """
+
+    def __init__(
+        self, conflicting_commits: list[str], n_overlapping: int | None = None
+    ):
         self.conflicting_commits = conflicting_commits
         self.n_overlapping = n_overlapping
+        if n_overlapping is None:
+            detail = "whole-table commit(s) (no key manifest)"
+        else:
+            detail = f"{n_overlapping} overlapping record key(s)"
         super().__init__(
-            f"{n_overlapping} overlapping key(s) written by concurrent "
-            f"commit(s) {conflicting_commits}; retry the transaction"
+            f"concurrent commit(s) {conflicting_commits}: {detail}; "
+            "retry the transaction"
         )
 
 
@@ -73,14 +86,25 @@ class FileSystemLockProvider:
     — valid on local FS and HDFS; on S3 prefer a conditional-put or
     external lock service, same caveat Hudi documents.
 
-    ``ttl_s`` bounds crashed-writer livelock: a lock file older than the
-    TTL is presumed abandoned and broken (Hudi's
-    FILESYSTEM_LOCK_EXPIRE equivalent).
+    Crash recovery (``ttl_s``, Hudi's FILESYSTEM_LOCK_EXPIRE): a lock
+    file older than the TTL is presumed abandoned and broken. The
+    break is RENAME-based, so exactly one waiter wins it — two waiters
+    can never both break the same stale lock and both acquire. Each
+    provider instance writes a unique ownership token into the file and
+    ``unlock`` releases only its own lock, so a holder whose lock was
+    TTL-broken cannot delete its successor's lock.
+
+    CONTRACT: ``ttl_s`` must exceed the worst-case commit duration
+    (the lock is held across the merge + snapshot write); a holder
+    whose commit outlives the TTL can have its lock stolen mid-write.
+    Size it generously — or set ``ttl_s=0`` to disable breaking and
+    clear crashed writers' locks operationally.
     """
 
-    def __init__(self, lock_path: str, ttl_s: float = 600.0) -> None:
+    def __init__(self, lock_path: str, ttl_s: float = 3600.0) -> None:
         self.lock_path = lock_path
         self.ttl_s = ttl_s
+        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
 
     def try_lock(self, timeout_s: float = 60.0, poll_s: float = 0.05) -> bool:
         deadline = time.monotonic() + timeout_s
@@ -88,7 +112,7 @@ class FileSystemLockProvider:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
-                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.write(fd, self._token.encode())
                 finally:
                     os.close(fd)
                 return True
@@ -99,15 +123,34 @@ class FileSystemLockProvider:
                 time.sleep(poll_s)
 
     def _break_if_stale(self) -> None:
+        if self.ttl_s <= 0:
+            return  # breaking disabled
         try:
-            age = time.time() - os.stat(self.lock_path).st_mtime
-            if age > self.ttl_s:
-                os.remove(self.lock_path)
+            if time.time() - os.stat(self.lock_path).st_mtime <= self.ttl_s:
+                return
         except FileNotFoundError:
-            pass  # holder released (or another waiter broke it) — race is benign
-
-    def unlock(self) -> None:
+            return  # holder released — nothing to break
+        # rename-to-break: os.replace is atomic, so exactly one waiter
+        # moves the stale file aside (the losers see FileNotFoundError
+        # and fall through to the normal O_EXCL race). Removing the
+        # renamed file can never touch a successor's fresh lock.
+        broken = f"{self.lock_path}.broken.{self._token}"
         try:
-            os.remove(self.lock_path)
+            os.replace(self.lock_path, broken)
+            os.remove(broken)
         except FileNotFoundError:
             pass
+
+    def unlock(self) -> None:
+        # release only OUR lock: after a TTL break the path may belong
+        # to another writer (ownership token mismatch → no-op).
+        try:
+            with open(self.lock_path) as f:
+                owner = f.read()
+        except FileNotFoundError:
+            return
+        if owner == self._token:
+            try:
+                os.remove(self.lock_path)
+            except FileNotFoundError:
+                pass

@@ -181,6 +181,36 @@ class KeyedTable:
             return []
         return sorted(d.split("=", 1)[1] for d in os.listdir(log_dir) if "=" in d)
 
+    def _timeline_dir(self) -> str:
+        return os.path.join(self.root, "timeline")
+
+    def _record_instant(self, commit: str, op: str) -> None:
+        """Durable per-commit timeline marker (the .hoodie-timeline
+        analogue). Snapshot dirs get cleaned (P6) and deletes write no
+        log, so conflict detection needs a record of every completed
+        instant that SURVIVES the cleaner — these markers are never
+        deleted (they are a few bytes each)."""
+        os.makedirs(self._timeline_dir(), exist_ok=True)
+        tmp = os.path.join(self._timeline_dir(), f".{commit}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"op": op}, f)
+        os.replace(tmp, os.path.join(self._timeline_dir(), f"{commit}.json"))
+
+    def _timeline_instants(self) -> dict[str, str]:
+        """commit id → operation, from the durable timeline markers.
+        Pre-timeline tables (r1 layout) return {} and conflict detection
+        falls back to log ∪ snapshot discovery."""
+        tl = self._timeline_dir()
+        if not os.path.isdir(tl):
+            return {}
+        out: dict[str, str] = {}
+        for name in os.listdir(tl):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            with open(os.path.join(tl, name)) as f:
+                out[name[: -len(".json")]] = json.load(f).get("op", "upsert")
+        return out
+
     def _check_conflict(self, base_instant: str | None, incoming: DataFrame) -> None:
         """Hudi OCC conflict resolution, run under the table lock: any
         commit completed after this transaction's ``base_instant`` that
@@ -189,24 +219,33 @@ class KeyedTable:
         Non-overlapping concurrent commits pass — the merge that follows
         reads the now-current snapshot, so the write rebases onto them.
 
-        Cost: one semi-join of the since-base log slice (bounded by
-        concurrent-commit volume, not table size) against the incoming
-        keys — AQE broadcasts the small side.
+        Commit discovery reads the durable timeline markers (union'd
+        with log/snapshot dirs for pre-timeline tables), so a concurrent
+        delete stays visible even after the cleaner removed its
+        snapshot dir. Cost: one semi-join + aggregate of the since-base
+        log slice (bounded by concurrent-commit volume, not table size)
+        against the incoming keys — AQE broadcasts the small side.
         """
         if self.lock_provider is None:
             return  # single-writer mode: nothing to race with
-        seen = set(self._log_commits()) | set(self.commits())
+        timeline = self._timeline_instants()
+        seen = set(timeline) | set(self._log_commits()) | set(self.commits())
         since = sorted(
             c for c in seen if base_instant is None or c > base_instant
         )
         if not since:
             return
         logged = set(self._log_commits())
-        whole_table = [c for c in since if c not in logged]
+        whole_table = [
+            c
+            for c in since
+            if c not in logged or timeline.get(c, "upsert") != "upsert"
+        ]
         if whole_table:
-            # commits with no key manifest (deletes/compactions rewrite
-            # the whole snapshot) — conservatively conflict
-            raise CommitConflictError(whole_table, -1)
+            # commits with no key manifest (deletes / snapshot
+            # replacements rewrite the whole table) — conservatively
+            # conflict
+            raise CommitConflictError(whole_table)
         log = self.log()
         if log is None:
             return
@@ -215,13 +254,21 @@ class KeyedTable:
             if base_instant is not None
             else log
         )
-        n = (
-            recent.select(self.record_key)
-            .join(incoming.select(self.record_key).distinct(), self.record_key, "left_semi")
-            .count()
+        hit = (
+            recent.select(self.record_key, COMMIT_COL)
+            .join(
+                incoming.select(self.record_key).distinct(),
+                self.record_key,
+                "left_semi",
+            )
+            .agg(
+                F.countDistinct(self.record_key).alias("n_keys"),
+                F.collect_set(COMMIT_COL).alias("commits"),
+            )
+            .first()
         )
-        if n:
-            raise CommitConflictError(since, n)
+        if hit is not None and hit["n_keys"]:
+            raise CommitConflictError(sorted(hit["commits"]), hit["n_keys"])
 
     # -- reads ----------------------------------------------------------
     def _base_commit(self) -> str | None:
@@ -301,6 +348,7 @@ class KeyedTable:
             if self.table_type == "MERGE_ON_READ":
                 self._write_log(stamped, commit)
                 self._publish(commit)
+                self._record_instant(commit, "upsert")
                 return commit
 
             # COW: merge with existing snapshot — larger precombine
@@ -322,6 +370,7 @@ class KeyedTable:
             self._write_snapshot(merged, commit)
             self._write_log(stamped, commit)
             self._publish(commit)
+            self._record_instant(commit, "upsert")
             self._clean()
             return commit
 
@@ -357,6 +406,7 @@ class KeyedTable:
             )
             self._write_snapshot(remaining, commit)
             self._publish(commit)
+            self._record_instant(commit, "delete")
             self._clean()
             return commit
 
@@ -485,5 +535,6 @@ def compact_snapshot(table: KeyedTable, target_files: int = 1) -> str | None:
         compacted = snap.repartitionByRange(target_files, table.record_key)
         table._write_snapshot(compacted, commit)
         table._publish(commit)
+        table._record_instant(commit, "replace")
         table._clean()
         return commit

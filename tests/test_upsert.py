@@ -413,3 +413,52 @@ def test_filesystem_lock_provider(tmp_path):
     taker = FileSystemLockProvider(path, ttl_s=0.2)
     assert taker.try_lock(timeout_s=1)
     taker.unlock()
+
+
+def test_occ_delete_conflict_survives_cleaner(spark, tmp_path):
+    """The durable timeline marker keeps a concurrent delete visible to
+    conflict detection even after the cleaner (keep_versions=1) removed
+    its snapshot dir — the stale writer must still get a conflict."""
+    import os as _os
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        CommitConflictError,
+        InProcessLockProvider,
+    )
+
+    lock = InProcessLockProvider()
+    t = KeyedTable(
+        spark, str(tmp_path / "occ5"), record_key="customer_id",
+        precombine="created_at", keep_versions=1, lock_provider=lock,
+    )
+    t.upsert(fixtures.customers(spark, 10))
+    base = t.latest_commit()
+    del_commit = t.delete(fixtures.customers(spark, 2))
+    t.upsert(fixtures.customers(spark, 10, batch=1))
+    t.upsert(fixtures.customers(spark, 10, batch=2))
+    # the cleaner really removed the delete's snapshot dir ...
+    assert not _os.path.isdir(
+        _os.path.join(t.root, "snapshots", f"v={del_commit}")
+    )
+    # ... but the stale transaction still conflicts on it
+    with pytest.raises(CommitConflictError):
+        with t._txn():
+            t._check_conflict(base, fixtures.customers(spark, 1, batch=3))
+
+
+def test_filesystem_lock_non_owner_unlock_is_noop(tmp_path):
+    """unlock() releases only the caller's own lock (ownership token):
+    a stranger's unlock must not free a held lock."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        FileSystemLockProvider,
+    )
+
+    path = str(tmp_path / "t.lock")
+    holder = FileSystemLockProvider(path)
+    stranger = FileSystemLockProvider(path)
+    assert holder.try_lock(timeout_s=1)
+    stranger.unlock()  # must NOT release holder's lock
+    assert not stranger.try_lock(timeout_s=0.3)
+    holder.unlock()
+    assert stranger.try_lock(timeout_s=1)
+    stranger.unlock()
