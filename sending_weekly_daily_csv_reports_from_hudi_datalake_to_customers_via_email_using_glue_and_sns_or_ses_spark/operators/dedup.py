@@ -306,22 +306,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes the full shingle scan + 32-min aggregation. One row per
     # doc x 32 longs -- tiny relative to the corpus at any scale.
 
-    # banding: candidates agree on a band's full minhash slice. The
-    # equi-join keys ARE the minhash values (no extra bucket hash -- the
-    # shuffle is keyed by the band tuple, data-size-proportional).
-    cands = None
-    for b in range(_MH_BANDS):
-        le, ri = sig.alias("le"), sig.alias("ri")
-        cond = F.col("le.doc_id") < F.col("ri.doc_id")
-        for j in range(r):
-            cond = cond & (
-                F.col(f"le.mh_{b * r + j}") == F.col(f"ri.mh_{b * r + j}")
-            )
-        p = le.join(ri, cond).select(
-            F.col("le.doc_id").alias("doc_a"), F.col("ri.doc_id").alias("doc_b")
+    # banding: candidates agree on a band's full minhash slice. Each doc
+    # explodes into one (band, minhash-slice) struct row and a SINGLE
+    # self-equi-join on that struct finds all band agreements — one
+    # shuffle keyed by the band tuple (data-size-proportional, 8n rows)
+    # instead of eight per-band join branches (8 shuffles + union).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh_{b * r + j}").alias(f"k{j}") for j in range(r)],
         )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
+        for b in range(_MH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.bk") == F.col("bb.bk"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
     # verify candidates: fraction of agreeing minhashes ~= Jaccard
     sa, sb = sig.alias("sa"), sig.alias("sb")
