@@ -186,3 +186,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_minhash_banding_is_single_join(spark):
+    """The LSH banding must stay ONE exploded-struct self-join (plus the
+    two candidate-verify joins) — a refactor back to per-band join
+    branches would multiply the shuffle count by the band count."""
+    plan = physical_plan(QUERIES["dedup_minhash_lsh"](spark, SF))
+    joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins <= 4, f"expected ≤4 joins (1 banding + verify), got {joins}"
