@@ -100,17 +100,53 @@ def media_metadata_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil():
+    """Import-try gate for the real decoder (same dispatch pattern as
+    hudi_available): PIL when installed, None in this container."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
-    """STUB decode stage. Real deployment: PIL.Image.open per blob →
-    (width, height, mode) + resized-thumbnail feature vector. This
-    container has no imaging libs, so ``fake=True`` derives a
+    """Decode stage. With PIL on the worker (import-try gated) each blob
+    is really opened → (width, height, brightness of a 1×1 thumbnail);
+    this container has no imaging libs, so ``fake=True`` derives a
     deterministic pseudo-feature from the bytes (length + simple byte
-    statistics) with the same output shape the real decoder would have.
+    statistics) with the same output shape and dtypes the real decoder
+    produces. The Spark-side plumbing (Arrow batches via mapInPandas,
+    schema, partitioning) is identical either way.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "call with fake=True for the deterministic test double"
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image decode requires PIL/opencv (not in this container); "
+                "call with fake=True for the deterministic test double"
+            )
+        import io
+
+        w, h, bright = [], [], []
+        for b in blobs:
+            try:
+                img = Image.open(io.BytesIO(b))
+                w.append(img.width)
+                h.append(img.height)
+                px = img.convert("L").resize((1, 1)).getpixel((0, 0))
+                bright.append(float(px))
+            except Exception:  # undecodable blob → sentinel row, not a crash
+                w.append(0)
+                h.append(0)
+                bright.append(0.0)
+        return pd.DataFrame(
+            {
+                "width": pd.Series(w, dtype="int32"),
+                "height": pd.Series(h, dtype="int32"),
+                "brightness": pd.Series(bright, dtype="double"),
+            }
         )
     n = blobs.str.len().fillna(0).astype("int64")
     first = blobs.str[:1].apply(lambda b: b[0] if isinstance(b, bytes) and b else 0)
