@@ -12,11 +12,12 @@ one deterministically (utf-8 bytes of the text, a per-row synthetic
 magic-byte sniffing with built-ins, Arrow-batched mapInPandas for the
 decode/feature stage, partition sizing.
 
-The actual image/audio decode is STUBBED (no PIL/ffmpeg in this
-container): `decode_image_batch` raises NotImplementedError unless
+The image decode dispatches on an import-try (`_pil`): REAL PIL decode
+when the lib is installed on workers; in this container (no
+PIL/ffmpeg) `decode_image_batch` raises NotImplementedError unless
 ``fake=True``, in which case it emits a deterministic fake feature
-vector derived from the bytes — the distributed plumbing around it is
-real and tested either way.
+vector derived from the bytes with the real decoder's exact schema —
+the distributed plumbing around it is real and tested either way.
 """
 
 from __future__ import annotations
