@@ -184,32 +184,41 @@ class KeyedTable:
     def _timeline_dir(self) -> str:
         return os.path.join(self.root, "timeline")
 
-    def _record_instant(self, commit: str, op: str) -> None:
+    def _record_instant(
+        self, commit: str, op: str, meta: dict | None = None
+    ) -> None:
         """Durable per-commit timeline marker (the .hoodie-timeline
         analogue). Snapshot dirs get cleaned (P6) and deletes write no
         log, so conflict detection needs a record of every completed
         instant that SURVIVES the cleaner — these markers are never
-        deleted (they are a few bytes each)."""
+        deleted (they are a few bytes each). ``meta`` carries
+        caller-supplied commit metadata (e.g. the streaming-ingest
+        batch id, the Hudi DeltaStreamer checkpoint-in-commit
+        pattern)."""
         os.makedirs(self._timeline_dir(), exist_ok=True)
         tmp = os.path.join(self._timeline_dir(), f".{commit}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"op": op}, f)
+            json.dump({"op": op, **(meta or {})}, f)
         os.replace(tmp, os.path.join(self._timeline_dir(), f"{commit}.json"))
+
+    def _timeline_meta(self) -> dict[str, dict]:
+        """commit id → full marker doc (op + caller metadata)."""
+        tl = self._timeline_dir()
+        if not os.path.isdir(tl):
+            return {}
+        out: dict[str, dict] = {}
+        for name in os.listdir(tl):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            with open(os.path.join(tl, name)) as f:
+                out[name[: -len(".json")]] = json.load(f)
+        return out
 
     def _timeline_instants(self) -> dict[str, str]:
         """commit id → operation, from the durable timeline markers.
         Pre-timeline tables (r1 layout) return {} and conflict detection
         falls back to log ∪ snapshot discovery."""
-        tl = self._timeline_dir()
-        if not os.path.isdir(tl):
-            return {}
-        out: dict[str, str] = {}
-        for name in os.listdir(tl):
-            if not name.endswith(".json") or name.startswith("."):
-                continue
-            with open(os.path.join(tl, name)) as f:
-                out[name[: -len(".json")]] = json.load(f).get("op", "upsert")
-        return out
+        return {c: d.get("op", "upsert") for c, d in self._timeline_meta().items()}
 
     def _check_conflict(self, base_instant: str | None, incoming: DataFrame) -> None:
         """Hudi OCC conflict resolution, run under the table lock: any
@@ -322,7 +331,7 @@ class KeyedTable:
         return read_commit_log(self.spark, self.root)
 
     # -- writes ---------------------------------------------------------
-    def upsert(self, incoming: DataFrame) -> str:
+    def upsert(self, incoming: DataFrame, instant_meta: dict | None = None) -> str:
         """K1: merge incoming into the table; returns the new commit id.
 
         COW: rewrite the merged snapshot per commit (write-amplified,
@@ -348,7 +357,7 @@ class KeyedTable:
             if self.table_type == "MERGE_ON_READ":
                 self._write_log(stamped, commit)
                 self._publish(commit)
-                self._record_instant(commit, "upsert")
+                self._record_instant(commit, "upsert", meta=instant_meta)
                 return commit
 
             # COW: merge with existing snapshot — larger precombine
@@ -370,7 +379,7 @@ class KeyedTable:
             self._write_snapshot(merged, commit)
             self._write_log(stamped, commit)
             self._publish(commit)
-            self._record_instant(commit, "upsert")
+            self._record_instant(commit, "upsert", meta=instant_meta)
             self._clean()
             return commit
 

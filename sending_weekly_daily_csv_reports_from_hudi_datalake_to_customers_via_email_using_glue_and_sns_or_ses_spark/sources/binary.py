@@ -16,22 +16,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: public file-format magic signatures → mime (sniffed from content,
-#: never trusted from the extension)
+#: never trusted from the extension). RIFF is handled separately: it is
+#: a CONTAINER magic — bytes 9-12 name the payload (WAVE/WEBP/AVI).
 _MAGIC_TO_MIME = {
     "89504E47": "image/png",
     "FFD8FF": "image/jpeg",
     "47494638": "image/gif",
-    "52494646": "audio/wav",
+}
+
+_RIFF_SUBTYPE_TO_MIME = {
+    "WAVE": "audio/wav",
+    "WEBP": "image/webp",
+    "AVI ": "video/x-msvideo",
 }
 
 
 def sniff_mime(blob: F.Column) -> F.Column:
-    """Magic-byte mime detection as a column expression."""
-    hex8 = F.upper(F.hex(F.substring(blob, 1, 4)))
-    out = F.lit("application/octet-stream")
+    """Magic-byte mime detection as a column expression.
+
+    Built as ONE chained ``when`` evaluated most-specific-first (a
+    ``when().otherwise(prev)`` loop would invert the priority: the last
+    wrapping becomes the first test, so the SHORTEST magic would win
+    whenever one magic prefixes another)."""
+    hexpfx = F.upper(F.hex(F.substring(blob, 1, 4)))
+    riff = hexpfx.startswith("52494646")
+    subtype = F.substring(blob, 9, 4).cast("string")
+    expr: F.Column | None = None
+    for tag, mime in _RIFF_SUBTYPE_TO_MIME.items():
+        cond = riff & (subtype == F.lit(tag))
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    expr = expr.when(riff, "application/x-riff")
     for magic, mime in sorted(_MAGIC_TO_MIME.items(), key=lambda kv: -len(kv[0])):
-        out = F.when(hex8.startswith(magic), F.lit(mime)).otherwise(out)
-    return out
+        expr = expr.when(hexpfx.startswith(magic), mime)
+    return expr.otherwise("application/octet-stream")
 
 
 def read_media_dir(

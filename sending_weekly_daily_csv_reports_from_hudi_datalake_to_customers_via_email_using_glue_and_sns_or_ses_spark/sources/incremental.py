@@ -73,7 +73,11 @@ class IncrementalReader:
         self.commit_col = commit_col
         self.store = CheckpointStore(checkpoint_root, spark=spark)
         self._pending_commit: str | None = None
-        if self._is_real_hudi():
+        self._materialized: DataFrame | None = None
+        # the Hudi meta-column override applies only when the real Hudi
+        # datasource will actually serve the reads — a caller-supplied
+        # commit_col must survive for any fallback path
+        if self._hudi_passthrough():
             self.commit_col = HUDI_COMMIT_COL
 
     # -- source-layout dispatch ----------------------------------------
@@ -95,14 +99,21 @@ class IncrementalReader:
         parquet with a commit column otherwise."""
         if self._hudi_passthrough():
             return self.spark.read.format("hudi").load(self.path)
+        if self._is_real_hudi():
+            # fail LOUDLY: a raw parquet read of a Hudi table root
+            # returns superseded file slices (stale + duplicate rows for
+            # every updated key) — silently wrong customer reports
+            raise RuntimeError(
+                f"{self.path} is a Hudi table (.hoodie present) but the "
+                "Hudi Spark bundle is not on this session's classpath; "
+                "refusing the raw-parquet fallback, which would read "
+                "stale/duplicate file slices. Add the hudi-spark bundle "
+                "or point the source at an exported copy."
+            )
         log = read_commit_log(self.spark, self.path)
         if log is not None:
             return log
         return self.spark.read.parquet(self.path)
-
-    def _min_commit(self) -> str:
-        row = self._snapshot().agg(F.min(self.commit_col).alias("c")).first()
-        return row["c"]
 
     def _read_after(self, begin: str) -> DataFrame:
         """Rows with commit strictly after ``begin``. Real-Hudi path uses
@@ -121,7 +132,18 @@ class IncrementalReader:
     def read(self) -> DataFrame:
         """Return exactly the not-yet-processed rows and stage (not yet
         persist) the new checkpoint; call ``commit()`` after the
-        downstream sink succeeds."""
+        downstream sink succeeds.
+
+        The increment is PERSISTED before the max-commit aggregate: the
+        agg and the caller's sink then share one scan (not two), and —
+        more importantly — the row set is pinned, so the sink can never
+        see commits that landed after the staged checkpoint (those
+        would otherwise be delivered now AND redelivered next run).
+        ``commit()``/``reset()`` release the cache. Increments are
+        deltas, not the table; if one is genuinely too big to cache,
+        MEMORY_AND_DISK degrades to disk spill, not recompute."""
+        from pyspark import StorageLevel
+
         if self.store.exists(self.table_name):
             begin = self.store.read(self.table_name).last_processed_commit
             inc = self._read_after(begin)
@@ -131,11 +153,19 @@ class IncrementalReader:
             # take the whole snapshot)
             inc = self._snapshot()
 
+        self._release()
+        inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
+        self._materialized = inc
         last = inc.agg(F.max(self.commit_col).alias("c")).first()["c"]
         self._pending_commit = last  # None when increment is empty
         view_name = f"{self.table_name}_incremental"
         inc.createOrReplaceTempView(view_name)
         return inc
+
+    def _release(self) -> None:
+        if self._materialized is not None:
+            self._materialized.unpersist()
+            self._materialized = None
 
     def commit(self) -> None:
         """Advance the checkpoint to the staged max commit. No-op when
@@ -143,6 +173,8 @@ class IncrementalReader:
         if self._pending_commit is not None:
             self.store.advance(self.table_name, self.path, str(self._pending_commit))
             self._pending_commit = None
+        self._release()
 
     def reset(self) -> None:
         self.store.clean(self.table_name)
+        self._release()

@@ -21,7 +21,6 @@ def kv_source(
     spark: SparkSession,
     items: Iterable[dict],
     schema: StructType | str | None = None,
-    batch_size: int = 10_000,
 ) -> DataFrame:
     """Build a DataFrame from dict rows (a DynamoDB-style scan).
 

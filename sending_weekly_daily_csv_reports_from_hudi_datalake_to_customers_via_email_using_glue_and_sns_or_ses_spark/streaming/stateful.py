@@ -10,8 +10,8 @@ deduplicating ingest pipeline (the LLM-data use case: drop repeat
 documents as they stream in).
 
 Scale: state is one tiny row per key partition-local in the state
-store; the TTL (timeout) bounds it. Keys hash-partition across the
-cluster — no global coordination.
+store; the opt-in TTL (``ttl_ms``) bounds it for long-running streams.
+Keys hash-partition across the cluster — no global coordination.
 """
 
 from __future__ import annotations
@@ -30,35 +30,70 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
-def _dedupe_fn(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (fingerprint,) = key
-    already_seen = state.exists
-    first_rows = None
-    n_new = 0
-    for pdf in pdfs:
-        n_new += len(pdf)
-        if first_rows is None and len(pdf):
-            first_rows = pdf.nsmallest(1, "doc_id")
-    if already_seen:
-        (count,) = state.get
-        state.update((count + n_new,))
-        return  # key already emitted once — suppress duplicates
-    state.update((n_new,))
-    if first_rows is not None:
-        yield first_rows[["fingerprint", "doc_id"]]
+def _make_dedupe_fn(ttl_ms: int | None):
+    def _dedupe_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: forget the key, emit nothing
+            return
+        already_seen = state.exists
+        first_rows = None
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                # global min across ALL pandas chunks — a hot key can
+                # span several Arrow batches and the smallest doc_id may
+                # arrive in a later one
+                cand = pdf.nsmallest(1, "doc_id")
+                if (
+                    first_rows is None
+                    or cand["doc_id"].iloc[0] < first_rows["doc_id"].iloc[0]
+                ):
+                    first_rows = cand
+        if already_seen:
+            (count,) = state.get
+            state.update((count + n_new,))
+        else:
+            state.update((n_new,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # (re)arm the TTL on activity
+        if already_seen:
+            return  # key already emitted once — suppress duplicates
+        if first_rows is not None:
+            yield first_rows[["fingerprint", "doc_id"]]
+
+    return _dedupe_fn
 
 
-def dedupe_stream(docs_with_fingerprint: DataFrame) -> DataFrame:
+def dedupe_stream(
+    docs_with_fingerprint: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming first-occurrence dedup over a fingerprinted document
-    stream. Input columns: fingerprint (string), doc_id (long)."""
+    stream. Input columns: fingerprint (string), doc_id (long).
+
+    State growth: one row per distinct fingerprint — UNBOUNDED under
+    the default ``ttl_ms=None``. For a long-running production stream
+    pass a TTL (ms): state idle that long is dropped and a later repeat
+    re-emits — the explicit bounded-state trade. The TTL uses
+    ProcessingTimeTimeout, so pair it with a real trigger interval
+    (``.trigger(processingTime=...)``): with the default run-ASAP
+    trigger the engine busy-loops empty micro-batches evaluating
+    timers (observed, not hypothetical — it also wedges the
+    ``processAllAvailable`` test harness).
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return docs_with_fingerprint.groupBy("fingerprint").applyInPandasWithState(
-        _dedupe_fn,
+        _make_dedupe_fn(ttl_ms),
         outputStructType="fingerprint string, doc_id long",
         stateStructType="n_seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

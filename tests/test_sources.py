@@ -112,6 +112,10 @@ def test_binary_file_source(spark, tmp_path):
     (media / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
     (media / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"y" * 32)
     (media / "c.wav").write_bytes(b"RIFF....WAVE" + b"z" * 16)
+    # RIFF is a container: the subtype bytes must disambiguate — a WebP
+    # image and an AVI video share the WAV file's RIFF magic
+    (media / "d.webp").write_bytes(b"RIFF....WEBP" + b"w" * 16)
+    (media / "e.avi").write_bytes(b"RIFF....AVI " + b"v" * 16)
     (media / "liar.png").write_bytes(b"not an image at all")
 
     df = read_media_dir(spark, str(media))
@@ -119,6 +123,8 @@ def test_binary_file_source(spark, tmp_path):
     assert rows["a.png"]["mime"] == "image/png"
     assert rows["b.jpg"]["mime"] == "image/jpeg"
     assert rows["c.wav"]["mime"] == "audio/wav"
+    assert rows["d.webp"]["mime"] == "image/webp"
+    assert rows["e.avi"]["mime"] == "video/x-msvideo"
     # content wins over the lying extension
     assert rows["liar.png"]["mime"] == "application/octet-stream"
     assert rows["a.png"]["n_bytes"] == 8 + 64
