@@ -42,6 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     JVM-side with integer division (``div`` — a double division would
     lose precision above 2^53 ns). DuckDB applies the same ns→µs
     truncation, so oracle comparisons line up exactly.
+
+    The nanosAsLong conf is necessarily SESSION-WIDE and stays set
+    (row decode happens lazily at action time, so it can't be scoped to
+    this call; it must also hold in the driver's own vanilla session).
+    Consequence: any OTHER nanos-timestamped parquet read in the same
+    session also arrives as int64 — apply this function's dtype-guarded
+    ``timestamp_micros(ts div 1000)`` conversion, don't read it raw.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -98,17 +105,51 @@ class Catalog:
             from .sinks.upsert import KeyedTable, hudi_available
 
             if hudi_available(self.spark):
-                return (
-                    self.spark.read.format("hudi").options(**opts).load(spec.path)
+                df = self.spark.read.format("hudi").options(**opts).load(spec.path)
+            elif os.path.isdir(os.path.join(spec.path, ".hoodie")):
+                # same loud guard as IncrementalReader: a raw fallback
+                # over a real Hudi root reads stale/duplicate file slices
+                raise RuntimeError(
+                    f"{spec.path} is a Hudi table (.hoodie present) but "
+                    "the Hudi Spark bundle is not on this session's "
+                    "classpath; add the bundle or point the source at "
+                    "an exported copy."
                 )
-            snap = KeyedTable.open(self.spark, spec.path).snapshot()
-            if snap is None:
-                raise FileNotFoundError(f"empty keyed table at {spec.path}")
-            return snap
+            else:
+                snap = KeyedTable.open(self.spark, spec.path).snapshot()
+                if snap is None:
+                    raise FileNotFoundError(f"empty keyed table at {spec.path}")
+                df = snap
+            if schema is not None:
+                self._validate_declared_schema(df, schema, spec)
+            return df
         reader = self.spark.read.format(spec.fmt).options(**opts)
         if schema is not None:
             reader = reader.schema(schema)
         return reader.load(spec.path)
+
+    def _validate_declared_schema(self, df: DataFrame, schema, spec: SourceSpec):
+        """Keyed/Hudi reads can't take ``.schema()`` (the table defines
+        it), so a DECLARED schema is validated against what the table
+        actually carries instead of being silently dropped: every
+        declared field must exist with the declared type."""
+        from pyspark.sql.types import StructType
+
+        declared = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        problems = [
+            f"{f.name}: declared {f.dataType.simpleString()}, "
+            f"actual {actual.get(f.name).simpleString() if f.name in actual else 'MISSING'}"
+            for f in declared.fields
+            if actual.get(f.name) != f.dataType
+        ]
+        if problems:
+            raise ValueError(
+                f"source {spec.table_name!r}: declared schema does not "
+                f"match the table: " + "; ".join(problems)
+            )
 
     def register(self, spec: SourceSpec) -> DataFrame:
         if spec.load_type == "FULL":
@@ -132,6 +173,9 @@ class Catalog:
             reader = IncrementalReader(
                 self.spark, spec.table_name, spec.path, **spec.options
             )
+            old = self.incremental.get(spec.table_name)
+            if old is not None:
+                old._release()  # free the superseded reader's cached increment
             self.incremental[spec.table_name] = reader
             df = reader.read()
         else:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,7 @@ class HadoopFS:
 
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway  # type: ignore[attr-defined]
         self._conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
 
     def _path(self, path: str):
@@ -80,14 +82,39 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
+        """Stage to a UNIQUE tmp name (concurrent writers never share a
+        staging file) and move it into place. Fresh destination: plain
+        rename (atomic on HDFS/local). Existing destination: FileContext
+        rename with Options.Rename.OVERWRITE — the atomic replace — so
+        there is never a delete-then-rename gap during which a crash
+        leaves NO file at all (the gap that would silently reset an
+        incremental checkpoint to first-run). Only if the scheme has no
+        FileContext binding do we fall back to delete+rename, accepting
+        that gap on such stores (S3A callers should prefer conditional
+        puts anyway)."""
         fs = self._fs(path)
-        tmp = self._path(path + ".tmp")
+        tmp = self._path(f"{path}.{uuid.uuid4().hex}.tmp")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
         dst = self._path(path)
+        if not fs.exists(dst):
+            if fs.rename(tmp, dst):
+                return
+            # lost a create race — dst exists now; replace it atomically
+        try:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+            fc.rename(tmp, dst, opts)
+            return
+        except Exception:  # no AbstractFileSystem binding for scheme
+            pass
         if fs.exists(dst):
             fs.delete(dst, False)
         if not fs.rename(tmp, dst):

@@ -37,34 +37,59 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     return fragment in pushed_filters(df)
 
 
-def has_broadcast_join(df: DataFrame) -> bool:
+def has_broadcast_join(df: DataFrame, final: bool = False) -> bool:
+    """AQE caveat: the default inspects the INITIAL plan — a runtime
+    SMJ→BHJ conversion (stats-based) is invisible until execution. Pass
+    ``final=True`` to execute first and read the AQE-final plan when the
+    broadcast decision is runtime-dependent."""
+    if final:
+        df.collect()
     return "BroadcastHashJoin" in physical_plan(df)
 
 
-def has_partial_aggregate(df: DataFrame) -> bool:
+def has_partial_aggregate(df: DataFrame, final: bool = False) -> bool:
+    """Same AQE caveat as has_broadcast_join."""
+    if final:
+        df.collect()
     plan = physical_plan(df)
     return "partial_" in plan or "HashAggregate" in plan and "merge_" in plan
 
 
 def read_schema_of(df: DataFrame, table_fragment: str) -> str:
-    """ReadSchema line of the scan whose path matches table_fragment."""
+    """ReadSchema line of the scan whose path matches table_fragment.
+    Raises when no scan line matches — a silent all-scans fallback
+    would let a pruning assertion about table X pass on table Y's
+    schema."""
     plan = physical_plan(df)
-    out = []
-    for line in plan.splitlines():
-        if "ReadSchema" in line and table_fragment in line:
-            out.append(line.strip())
-    if not out:  # schema line may be separate from the location line
-        out = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    out = [
+        line.strip()
+        for line in plan.splitlines()
+        if "ReadSchema" in line and table_fragment in line
+    ]
+    if not out:
+        all_scans = [
+            line.strip() for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        raise ValueError(
+            f"no scan matches {table_fragment!r}; scans present:\n"
+            + "\n".join(all_scans)
+        )
     return "\n".join(out)
 
 
 def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
-    """Number of whole-stage-codegen spans: rendered as ``*(n)`` node
-    prefixes in the plan string. Under AQE the markers only exist on the
-    FINAL plan, so by default the plan is executed (noop sink) first."""
+    """Number of DISTINCT whole-stage-codegen spans. Every operator
+    inside one span shares the same ``*(n)`` prefix, so count distinct
+    ids, not prefix occurrences. Under AQE the markers only exist on
+    the FINAL plan, so by default the plan is executed first."""
+    import re
+
     if execute:
         # must execute THIS DataFrame's own QueryExecution (a .write
         # would build a separate one and leave this plan non-final)
         df.collect()
     plan = physical_plan(df)
-    return max(plan.count("WholeStageCodegen"), plan.count("*("))
+    span_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    if span_ids:
+        return len(span_ids)
+    return plan.count("WholeStageCodegen")

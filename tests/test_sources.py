@@ -175,3 +175,65 @@ def test_checkpoint_store_local_fallback(tmp_path):
         assert isinstance(store.fs, LocalFS)
     store.advance("t", "/p", "1")
     assert store.read("t").last_processed_commit == "1"
+
+
+def test_hudi_full_source_without_jars_fails_loudly(spark, tmp_path):
+    """A FULL source pointing at a real Hudi root (.hoodie) without the
+    Hudi bundle must get the explicit bundle-missing error, not a
+    cryptic _meta.json FileNotFoundError."""
+    import pytest as _pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        hudi_available,
+    )
+
+    if hudi_available(spark):
+        _pytest.skip("Hudi jars present: passthrough handles this")
+    root = tmp_path / "real_hudi"
+    (root / ".hoodie").mkdir(parents=True)
+    with _pytest.raises(RuntimeError, match="Hudi Spark bundle"):
+        Catalog(spark).register(
+            SourceSpec(table_name="t", path=str(root), fmt="hudi")
+        )
+
+
+def test_hudi_source_declared_schema_validated(spark, tmp_path):
+    """A declared schema on a keyed/hudi source is VALIDATED against the
+    table (it can't be applied via .schema()), not silently dropped."""
+    import pytest as _pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "kt"), record_key="customer_id",
+        precombine="created_at",
+    )
+    t.upsert(fixtures.customers(spark, 5))
+    cat = Catalog(spark)
+    ok = cat.register(
+        SourceSpec(
+            table_name="kt_ok", path=t.root, fmt="hudi",
+            options={"schema": "customer_id string, created_at timestamp"},
+        )
+    )
+    assert ok.count() == 5
+    with _pytest.raises(ValueError, match="declared schema"):
+        cat.register(
+            SourceSpec(
+                table_name="kt_bad", path=t.root, fmt="hudi",
+                options={"schema": "customer_id int, nope string"},
+            )
+        )
