@@ -12,6 +12,7 @@ tests/test_streaming.py instead, where it's the property under test.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +20,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
+
+#: landed-stream cache: (sf_dir, sentinel_hours) → parquet path. The
+#: landing is content-stable per key, so repeated driver/parity/bench
+#: invocations reuse one copy instead of leaking a fresh tempdir (and a
+#: full re-land write + max(ts) scan) per call.
+_LANDED: dict[tuple[str, int], str] = {}
 
 
 def _events_stream(
@@ -32,6 +39,11 @@ def _events_stream(
     bounded-replay trick for append-mode watermark queries: the sentinel
     advances the global watermark past every real window so final state
     flushes; callers filter ``user_id >= 0`` from the result."""
+    key = (sf_dir, sentinel_hours)
+    if key in _LANDED:
+        path = _LANDED[key]
+        schema = spark.read.parquet(path).schema
+        return spark.readStream.schema(schema).parquet(path)
     path = tempfile.mkdtemp(prefix="events_stream_")
     batch = load_table(spark, sf_dir, "events")
     if sentinel_hours:
@@ -45,12 +57,19 @@ def _events_stream(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         ).unionByName(sentinel)
     batch.write.mode("overwrite").parquet(path)
+    _LANDED[key] = path
     return spark.readStream.schema(batch.schema).parquet(path)
+
+
+#: monotonic drain names — naming by hash(stream_df) (CPython id-based)
+#: could recycle a GC'd frame's id and silently rebind an earlier
+#: still-lazy result's memory-sink view to the new query's data
+_DRAIN_SEQ = itertools.count()
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     spark = stream_df.sparkSession
-    name = f"q{abs(hash(stream_df)) % 10_000_000}"
+    name = f"stream_drain_{next(_DRAIN_SEQ)}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -79,20 +98,12 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming (complete mode over the bounded source) match
     the batch GROUP BY exactly — same engine state machinery that runs
     unbounded in production, verified against DuckDB here."""
+    from ..streaming.windows import hourly_rollup_stream
+
     stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-    )
-    out = _drain(agg, "complete")
-    return out.select(
-        F.col("win.start").alias("hour"), "event_type", "n_events", "total_value"
-    )
+    # the PRODUCTION operator (streaming/windows.py), not a re-built
+    # twin — so the oracle checks the exact plan test_streaming drives
+    return _drain(hourly_rollup_stream(stream), "complete")
 
 
 @query(
@@ -129,16 +140,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     real session flushes; the oracle is the batch lag+cumsum twin with
     session_window's exact merge rule (merge iff gap < 1800 s strictly;
     session end = last event + gap)."""
+    from ..streaming.windows import session_stream
+
     stream = _events_stream(spark, sf_dir, sentinel_hours=3)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-    out = _drain(agg, "append")
+    # the PRODUCTION operator (streaming/windows.py) — one session plan,
+    # oracle-checked here, watermark-behavior-checked in test_streaming
+    out = _drain(session_stream(stream, "30 minutes", "1 hour"), "append")
     return out.filter(F.col("user_id") >= 0).select(
-        "user_id",
-        F.col("sess.start").alias("session_start"),
-        F.col("sess.end").alias("session_end"),
-        "n_events",
+        "user_id", "session_start", "session_end", "n_events"
     )

@@ -20,8 +20,12 @@ def _sql(spark: SparkSession, sf_dir: str, statement: str) -> DataFrame:
 _EXISTS_SCALAR = """
 SELECT o_orderpriority,
        count(*) AS order_count,
-       CAST(round(avg(o_totalprice) - (SELECT avg(o_totalprice) FROM orders), 2)
-            AS DOUBLE) AS prio_minus_global_avg
+       CAST(round(
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM orders),
+         2) AS DOUBLE) AS prio_minus_global_avg
 FROM orders o
 WHERE EXISTS (
   SELECT 1 FROM lineitem l
@@ -38,9 +42,11 @@ def subquery_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to the lineitem scan; the global-average scalar subquery is
     evaluated once and broadcast into the projection.
 
-    avg(double) is sequence-dependent in general, but both engines
-    compute it over identical values and the result is rounded to 2
-    decimals — stable in practice (verified via the parity harness).
+    The averages go through the repo's parity convention — exact
+    DECIMAL sum, cast to DOUBLE, divided by count — so the value is
+    independent of partial-aggregation order (a raw avg(double) would
+    be partitioning-dependent and could flip the 2-decimal rounding at
+    a x.xx5 boundary under the driver's session settings).
     """
     return _sql(spark, sf_dir, _EXISTS_SCALAR)
 

@@ -56,8 +56,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields = the desired order) → project the type. Per-user arrays stay
     small (bounded by user activity, not total SF).
 
-    Streaming twin: session_window(ts, '30 minutes') in
-    operators/streaming_entries.py."""
+    Streaming counterpart: session_window(ts, '30 minutes') in
+    operators/streaming_entries.py. NOT an exact twin at the boundary:
+    this op splits on whole-second-truncated gap > 1800 while
+    session_window splits on exact gap >= 1800, so a true gap in
+    [1800.0 s, 1801.0 s) merges here but splits there — each op matches
+    its own oracle; don't share one oracle between them."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -148,24 +152,31 @@ def asof_align_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     running last, one shuffle) is driver-checked as ``join_range_asof``.
 
     Scale: groups hash-shuffle once; each group is a small pandas frame
-    (bounded by per-user activity, not total SF).
+    (bounded by per-user activity, not total SF). The purchase rows ride
+    the union under an ``is_purchase`` FLAG — nulling event_id instead
+    would force Arrow's int64-with-nulls → float64 pandas conversion,
+    which silently rounds ids above 2^53 (snowflake-style id corruption
+    with no error).
     """
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts")
     )
-    joined = e.select("event_id", "user_id", "ts").unionByName(
+    joined = e.select(
+        "event_id", "user_id", "ts", F.lit(False).alias("is_purchase")
+    ).unionByName(
         purchases.select(
-            F.lit(None).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("event_id"),  # dummy, dropped below
             "user_id",
             F.col("purchase_ts").alias("ts"),
+            F.lit(True).alias("is_purchase"),
         )
     )
 
     def align(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts")
-        ev = pdf[pdf.event_id.notna()][["event_id", "user_id", "ts"]]
-        pu = pdf[pdf.event_id.isna()][["ts"]].rename(columns={"ts": "purchase_ts"})
+        ev = pdf[~pdf.is_purchase][["event_id", "user_id", "ts"]]
+        pu = pdf[pdf.is_purchase][["ts"]].rename(columns={"ts": "purchase_ts"})
         if ev.empty:
             return ev.assign(purchase_ts=pd.Series(dtype="datetime64[us]"))
         if pu.empty:

@@ -27,7 +27,12 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal accumulate → double at the end: deterministic
+            # regardless of partial-agg order (the repo's money/float
+            # parity convention)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("win.start").alias("hour"),
