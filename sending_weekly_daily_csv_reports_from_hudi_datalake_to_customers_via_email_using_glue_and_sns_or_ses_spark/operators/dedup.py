@@ -34,6 +34,14 @@ _MAX_POSTINGS = 10_000
 
 
 def _norm_text() -> F.Column:
+    """Single definition site for the text-normalization key (textual.py
+    imports it — the fingerprint must never fork between families).
+
+    Portability note: ``\\s`` is Java's class here and RE2's in the
+    DuckDB oracles; they differ on exotic whitespace (\\x0B is \\s in
+    Java, not in RE2). Fine for the fixtures (plain space/newline);
+    normalizing a corpus with vertical tabs would need an explicit
+    ``[ \\t\\n\\f\\r]`` class on BOTH sides."""
     return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
 
 

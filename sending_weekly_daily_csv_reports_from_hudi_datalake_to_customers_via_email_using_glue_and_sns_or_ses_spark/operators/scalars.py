@@ -80,7 +80,7 @@ def scalar_datetime_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_brand)                                  AS brand_lc,
            substr(p_type, 1, 5)                            AS type_prefix,
            length(p_name)                                  AS name_len,
-           concat(p_brand, ':', p_type)                    AS brand_type,
+           concat(coalesce(p_brand, ''), ':', coalesce(p_type, '')) AS brand_type,
            replace(p_name, ' ', '_')                       AS name_snake,
            trim(p_name)                                    AS name_trim,
            lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
@@ -99,7 +99,14 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lc"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # explicit coalesce on BOTH sides: Spark concat_ws drops a NULL
+        # element AND its separator while DuckDB concat keeps the
+        # separator — with '' neither engine's NULL rule is in play
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("p_brand"), F.lit("")),
+            F.coalesce(F.col("p_type"), F.lit("")),
+        ).alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.trim("p_name").alias("name_trim"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),

@@ -31,10 +31,13 @@ def _word_re(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
-def _tokens() -> F.Column:
-    """Whitespace-normalized lowercase token array (same normalization
-    as operators/dedup.py so fingerprints agree across the families)."""
-    return F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+# normalization/tokenization come FROM dedup so the fingerprint and
+# token stream can never desynchronize from the dedup family (they are
+# documented as the same key; a local copy would drift silently)
+from .dedup import _norm_text, _tokens  # noqa: E402
+
+#: tf_idf's persisted (doc, tok, tf) table per sf_dir (see its docstring)
+_TF_CACHE: dict[str, DataFrame] = {}
 
 
 @query(
@@ -82,7 +85,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     trimmed = F.trim(text)
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = _norm_text()
     low = F.lower(text)
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     the_count = (
@@ -223,11 +226,17 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # cached per sf_dir (session-checked) so repeat invocations reuse
+    # one persisted tf table instead of pinning a new session-lifetime
+    # copy per call
+    tf = _TF_CACHE.get(sf_dir)
+    if tf is None or tf.sparkSession is not spark:
+        tf = (
+            toks.groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _TF_CACHE[sf_dir] = tf
     # df derives from tf (one row per (doc, tok) ⇒ count(*) per tok ==
     # countDistinct(doc)), NOT from a second explode of the corpus —
     # saves a full tokenize+explode pass and shuffles the already-

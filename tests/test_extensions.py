@@ -230,3 +230,44 @@ def test_ivf_recall(spark):
         a = set(approx[approx.query_id == qid].vec_id)
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_pivot_missing_cell_zero_filled(spark, tmp_path):
+    """A (group, pivot-value) combination absent from the data must
+    surface as qty=0.0, not NULL — Spark's PivotFirst fills absent
+    cells AFTER the agg, so the zero-fill has to happen post-pivot."""
+    rows = [("R", "F", 1.0), ("R", "F", 2.0), ("N", "O", 3.0)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_quantity double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r["l_returnflag"], r["linestatus"]): r["qty"]
+        for r in QUERIES["pivot_unpivot"](spark, str(tmp_path)).collect()
+    }
+    assert got[("R", "O")] == 0.0  # absent combo: zero, never NULL
+    assert got[("R", "F")] == 3.0
+    assert got[("N", "F")] == 0.0
+
+
+def test_outliers_zero_variance_day_survives_ansi(spark, tmp_path):
+    """A day whose events all carry the same value (std = 0) must be
+    dropped, not crash with DIVIDE_BY_ZERO under ANSI mode."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # zero-variance day: n=3, identical values
+        (1, base, 5.0),
+        (2, base + dt.timedelta(hours=1), 5.0),
+        (3, base + dt.timedelta(hours=2), 5.0),
+        # normal day with spread
+        (4, base + dt.timedelta(days=1), 1.0),
+        (5, base + dt.timedelta(days=1, hours=1), 2.0),
+        (6, base + dt.timedelta(days=1, hours=2), 100.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["daily_value_outliers"](spark, str(tmp_path)).collect()
+    # no exception, and no rows from the zero-variance day
+    assert all(r["event_id"] not in (1, 2, 3) for r in out)
