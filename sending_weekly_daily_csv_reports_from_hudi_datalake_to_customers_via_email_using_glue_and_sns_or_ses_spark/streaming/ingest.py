@@ -21,12 +21,16 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sinks.upsert import KeyedTable
 
 
-def applied_batch_ids(table: KeyedTable) -> set[int]:
-    """Micro-batch ids recorded in the table's commit metadata."""
+def applied_batch_ids(table: KeyedTable, checkpoint_dir: str) -> set[int]:
+    """Micro-batch ids recorded in the table's commit metadata FOR THIS
+    stream. Batch ids are only unique within one checkpoint lineage —
+    a fresh stream (new checkpoint) also numbers from 0 with different
+    data, so the marker must be scoped by the checkpoint identity or a
+    new stream's first batches would be wrongly skipped."""
     return {
         m["batch_id"]
         for m in table._timeline_meta().values()
-        if "batch_id" in m
+        if "batch_id" in m and m.get("checkpoint") == checkpoint_dir
     }
 
 
@@ -47,10 +51,16 @@ def stream_upsert(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied_batch_ids(table):
+        if batch_id in applied_batch_ids(table, checkpoint_dir):
             return  # replayed micro-batch: its commit already landed
         if not batch_df.isEmpty():
-            table.upsert(batch_df, instant_meta={"batch_id": batch_id})
+            table.upsert(
+                batch_df,
+                instant_meta={
+                    "batch_id": batch_id,
+                    "checkpoint": checkpoint_dir,
+                },
+            )
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -200,3 +200,57 @@ def test_dedupe_fn_ttl_branches():
     st2 = FakeState()
     list(fn2(("g",), iter([chunks[1]]), st2))
     assert st2.timeout_set is None
+
+
+def test_stream_upsert_fresh_checkpoint_not_skipped(spark, tmp_path):
+    """Replay protection is scoped by checkpoint lineage: a NEW stream
+    (fresh checkpoint) over NEW data must apply its batch 0 even though
+    an earlier stream already recorded a batch 0 on the same table."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_upsert,
+    )
+
+    table = KeyedTable(
+        spark, str(tmp_path / "tbl"), record_key="customer_id",
+        precombine="created_at",
+    )
+
+    def run_stream(src_dir: str, ckpt: str) -> None:
+        src = spark.readStream.schema(
+            fixtures.customers(spark, 1).schema
+        ).parquet(src_dir)
+        q = stream_upsert(src, table, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    first = str(tmp_path / "src1")
+    fixtures.customers(spark, 10, batch=0).write.parquet(first)
+    run_stream(first, str(tmp_path / "ckpt1"))
+    assert table.snapshot().count() == 10
+
+    # same table, DIFFERENT stream + checkpoint, disjoint-ish new data:
+    # its batch 0 must not be mistaken for the first stream's batch 0
+    second = str(tmp_path / "src2")
+    fixtures.customers(spark, 25, batch=1).write.parquet(second)
+    run_stream(second, str(tmp_path / "ckpt2"))
+    assert table.snapshot().count() == 25
+
+    # and a genuine REPLAY (same checkpoint lineage, fresh stream over
+    # the same source) is skipped: the log gains no third commit
+    n_commits_before = len(table._timeline_meta())
+    run_stream(second, str(tmp_path / "ckpt2_replaylike"))
+    # new checkpoint => applied; same checkpoint re-run => skipped
+    run_stream(second, str(tmp_path / "ckpt2"))
+    meta = table._timeline_meta()
+    applied_for_ckpt2 = [
+        m for m in meta.values()
+        if m.get("checkpoint") == str(tmp_path / "ckpt2")
+    ]
+    assert len(applied_for_ckpt2) == 1  # the replay was skipped
+    assert len(meta) == n_commits_before + 1  # only ckpt2_replaylike added
