@@ -104,9 +104,13 @@ class Catalog:
             # emulation's log-merged snapshot (same observable rows)
             from .sinks.upsert import KeyedTable, hudi_available
 
+            from .fs import fs_for
+
             if hudi_available(self.spark):
                 df = self.spark.read.format("hudi").options(**opts).load(spec.path)
-            elif os.path.isdir(os.path.join(spec.path, ".hoodie")):
+            elif fs_for(self.spark).exists(spec.path.rstrip("/") + "/.hoodie"):
+                # fs-routed, not os.path.isdir: the guard must fire for
+                # hdfs:// / s3a:// roots too (ADVICE r2)
                 # same loud guard as IncrementalReader: a raw fallback
                 # over a real Hudi root reads stale/duplicate file slices
                 raise RuntimeError(

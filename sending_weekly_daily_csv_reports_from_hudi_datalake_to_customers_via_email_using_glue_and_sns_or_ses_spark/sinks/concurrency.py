@@ -94,17 +94,23 @@ class FileSystemLockProvider:
     ``unlock`` releases only its own lock, so a holder whose lock was
     TTL-broken cannot delete its successor's lock.
 
-    CONTRACT: ``ttl_s`` must exceed the worst-case commit duration
-    (the lock is held across the merge + snapshot write); a holder
-    whose commit outlives the TTL can have its lock stolen mid-write.
-    Size it generously — or set ``ttl_s=0`` to disable breaking and
-    clear crashed writers' locks operationally.
+    LIVENESS (ADVICE r2): the holder runs a heartbeat thread that
+    refreshes the lock file's mtime every ``ttl_s/4`` while held, so a
+    commit that runs longer than the TTL is never broken mid-critical-
+    section — TTL breaking only ever fires on locks whose holder
+    stopped heartbeating (crashed process / dead host). ``ttl_s`` can
+    therefore be sized for failure-detection latency (how long a
+    crashed writer blocks the table), not worst-case commit duration.
+    Set ``ttl_s=0`` to disable breaking and clear crashed writers'
+    locks operationally.
     """
 
     def __init__(self, lock_path: str, ttl_s: float = 3600.0) -> None:
         self.lock_path = lock_path
         self.ttl_s = ttl_s
         self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
 
     def try_lock(self, timeout_s: float = 60.0, poll_s: float = 0.05) -> bool:
         deadline = time.monotonic() + timeout_s
@@ -115,12 +121,36 @@ class FileSystemLockProvider:
                     os.write(fd, self._token.encode())
                 finally:
                     os.close(fd)
+                self._start_heartbeat()
                 return True
             except FileExistsError:
                 self._break_if_stale()
                 if time.monotonic() >= deadline:
                     return False
                 time.sleep(poll_s)
+
+    def _start_heartbeat(self) -> None:
+        if self.ttl_s <= 0:
+            return  # breaking disabled → refresh unnecessary
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(max(self.ttl_s / 4.0, 0.05)):
+                try:
+                    # fencing check: touch only OUR lock — if the file
+                    # was TTL-broken and re-acquired, the token differs
+                    # and this holder must not refresh the successor's
+                    # lock (it should treat its own lease as lost)
+                    with open(self.lock_path) as f:
+                        if f.read() != self._token:
+                            return
+                    os.utime(self.lock_path)
+                except OSError:
+                    return
+
+        t = threading.Thread(target=beat, name="fs-lock-heartbeat", daemon=True)
+        t.start()
+        self._hb_stop, self._hb_thread = stop, t
 
     def _break_if_stale(self) -> None:
         if self.ttl_s <= 0:
@@ -142,6 +172,12 @@ class FileSystemLockProvider:
             pass
 
     def unlock(self) -> None:
+        # stop the heartbeat first so it can't resurrect the mtime of a
+        # lock we are about to release
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5.0)
+            self._hb_stop = self._hb_thread = None
         # release only OUR lock: after a TTL break the path may belong
         # to another writer (ownership token mismatch → no-op).
         try:

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
@@ -162,8 +163,11 @@ class KeyedTable:
     @contextmanager
     def _txn(self):
         """Commit-phase critical section. Single-writer mode (no lock
-        provider) is a no-op — the r1 behavior, zero overhead."""
+        provider) skips locking — the r1 behavior, near-zero overhead —
+        but still rolls back failed writes (a previous crashed run of
+        the same single writer can have left orphans)."""
         if self.lock_provider is None:
+            self._rollback_failed()
             yield
             return
         if not self.lock_provider.try_lock(timeout_s=self.lock_timeout_s):
@@ -171,9 +175,42 @@ class KeyedTable:
                 f"table lock not acquired within {self.lock_timeout_s}s"
             )
         try:
+            self._rollback_failed()
             yield
         finally:
             self.lock_provider.unlock()
+
+    def _rollback_failed(self) -> None:
+        """Lazy failed-write cleaning (Hudi pairs OCC with
+        hoodie.cleaner.policy.failed.writes=LAZY for exactly this):
+        a crashed writer leaves snapshot/log dirs NEWER than the
+        published ``_latest`` pointer with no timeline marker — the
+        pointer flip is the commit point, and the marker is written
+        only after it, so anything beyond the pointer is by definition
+        an uncommitted write. Left in place those orphans would (a) be
+        classified by _check_conflict as completed whole-table commits,
+        wedging every later locked write in permanent
+        CommitConflictError, and (b) never be removed by _clean (they
+        are the newest dirs). Runs inside the critical section — under
+        the table lock no live writer can be mid-write, so anything
+        beyond the pointer is guaranteed dead, not in-flight."""
+        latest = self.latest_commit()
+        for c in self.commits():
+            if latest is None or c > latest:
+                shutil.rmtree(
+                    os.path.join(self.root, "snapshots", f"v={c}"),
+                    ignore_errors=True,
+                )
+        for c in self._log_commits():
+            if latest is None or c > latest:
+                shutil.rmtree(
+                    os.path.join(self.root, "log", f"c={c}"),
+                    ignore_errors=True,
+                )
+        # abandoned staging dirs (crash mid-parquet-write)
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _log_commits(self) -> list[str]:
         log_dir = os.path.join(self.root, "log")
@@ -281,9 +318,17 @@ class KeyedTable:
 
     # -- reads ----------------------------------------------------------
     def _base_commit(self) -> str | None:
-        """Most recent MATERIALIZED snapshot commit (≤ latest_commit; in
-        MOR mode later commits may exist only in the log)."""
-        commits = self.commits()
+        """Most recent PUBLISHED materialized snapshot commit: the
+        newest snapshot dir ≤ the ``_latest`` pointer. In MOR mode
+        later commits may exist only in the log; in any mode a crashed
+        writer may have left a newer UNPUBLISHED snapshot dir — the
+        pointer, not directory listing, is the commit point (ADVICE r2
+        high: adopting the newest dir exposed torn/uncommitted
+        state to every reader)."""
+        latest = self.latest_commit()
+        if latest is None:
+            return None
+        commits = [c for c in self.commits() if c <= latest]
         return commits[-1] if commits else None
 
     def _base_snapshot(self) -> DataFrame | None:
@@ -419,21 +464,47 @@ class KeyedTable:
             self._clean()
             return commit
 
+    def _staged_write(self, write_fn, final_path: str) -> None:
+        """Stage a Spark directory write under root/_staging and move it
+        into place with one rename — readers (and the failed-write
+        scanner) never observe a half-written final dir. rename is
+        atomic on local FS/HDFS; on object stores the KeyedTable
+        emulation does not apply (use the real-Hudi passthrough
+        there)."""
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        write_fn(staging)
+        os.makedirs(os.path.dirname(final_path), exist_ok=True)
+        shutil.rmtree(final_path, ignore_errors=True)  # overwrite semantics
+        os.rename(staging, final_path)
+        try:
+            os.rmdir(os.path.dirname(staging))  # drop the empty parent
+        except OSError:
+            pass
+
     def _write_snapshot(self, df: DataFrame, commit: str) -> None:
         path = os.path.join(self.root, "snapshots", f"v={commit}")
-        writer = df.write.mode("overwrite")
         if self.partition_cols:
             # P4 hive-style layout → partition pruning on read; P5
             # clustering-lite: sort within partitions on the record key
             # for row-group locality
-            writer = df.sortWithinPartitions(self.record_key).write.mode(
-                "overwrite"
-            ).partitionBy(*self.partition_cols)
-        writer.parquet(path)
+            out = df.sortWithinPartitions(self.record_key)
+            self._staged_write(
+                lambda p: out.write.mode("overwrite")
+                .partitionBy(*self.partition_cols)
+                .parquet(p),
+                path,
+            )
+        else:
+            self._staged_write(
+                lambda p: df.write.mode("overwrite").parquet(p), path
+            )
 
     def _write_log(self, df: DataFrame, commit: str) -> None:
         path = os.path.join(self.root, "log", f"c={commit}")
-        df.drop(COMMIT_COL).write.mode("overwrite").parquet(path)
+        out = df.drop(COMMIT_COL)
+        self._staged_write(
+            lambda p: out.write.mode("overwrite").parquet(p), path
+        )
 
     def _publish(self, commit: str) -> None:
         tmp = self._latest_path() + ".tmp"

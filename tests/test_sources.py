@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import types as T
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.memory import (
@@ -237,3 +238,88 @@ def test_hudi_source_declared_schema_validated(spark, tmp_path):
                 options={"schema": "customer_id int, nope string"},
             )
         )
+
+
+def test_checkpoint_survives_flip_crash_on_no_filecontext_store(spark, tmp_path):
+    """VERDICT r2 #4: on a store with no FileContext binding (S3A), the
+    old fallback's delete+rename gap could leave NO checkpoint file —
+    silently resetting an incremental source to first-run. The
+    versioned-copy protocol must keep every crash state readable."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.fs import (
+        HadoopFS,
+    )
+
+    class S3LikeFS(HadoopFS):
+        """file:// driven through the NO-FileContext code path — the
+        exact branch an s3a:// URI takes."""
+
+        def _replace_via_filecontext(self, tmp, dst):
+            return False
+
+    class CrashDuringFlip(S3LikeFS):
+        """Crashes inside the plain-name flip, right after the delete —
+        the worst instant of the old protocol."""
+
+        def _flip_plain(self, fs, path, text):
+            dst = self._path(path)
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            raise RuntimeError("simulated crash between delete and rename")
+
+    path = f"file://{tmp_path}/meta/orders.json"
+    healthy = S3LikeFS(spark)
+    healthy.write_text_atomic(path, "v1")
+    assert healthy.read_text(path) == "v1"
+    healthy.write_text_atomic(path, "v2")  # fallback overwrite works
+    assert healthy.read_text(path) == "v2"
+
+    crasher = CrashDuringFlip(spark)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crasher.write_text_atomic(path, "v3")
+    # the commit point (versioned copy) was reached before the crash:
+    # no reader sees an absent or stale checkpoint
+    assert healthy.exists(path)
+    assert healthy.read_text(path) == "v3"
+
+    # recovery write over the crash state lands normally
+    healthy.write_text_atomic(path, "v4")
+    assert healthy.read_text(path) == "v4"
+    healthy.delete(path)
+    assert not healthy.exists(path)
+
+
+def test_incremental_hard_pin_upper_bound(spark, tmp_path):
+    """ADVICE r2: the increment returned by read() must be HARD-pinned
+    with an upper commit bound — a cache-loss recompute then returns
+    exactly the staged row set even if newer commits landed meanwhile."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        IncrementalReader,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "tbl"), record_key="customer_id",
+        precombine="created_at",
+    )
+    t.upsert(fixtures.customers(spark, 10, batch=0))
+    reader = IncrementalReader(
+        spark, "pin_tbl", t.root, checkpoint_root=str(tmp_path / "meta")
+    )
+    inc = reader.read()
+    assert inc.count() == 10
+    # a commit lands AFTER read() staged its checkpoint; simulate total
+    # cache loss so the returned frame recomputes from source
+    t.upsert(fixtures.customers(spark, 10, batch=1))
+    reader._materialized.unpersist(blocking=True)
+    # without the upper bound this recompute would widen to 20 rows —
+    # delivering rows now that will be REdelivered after commit()
+    assert inc.count() == 10
+    reader.commit()
+    nxt = reader.read()
+    assert nxt.count() == 10  # the new commit arrives exactly once
+    reader.commit()

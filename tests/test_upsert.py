@@ -406,12 +406,28 @@ def test_filesystem_lock_provider(tmp_path):
     assert l2.try_lock(timeout_s=1)
     l2.unlock()
 
-    # stale break: a crashed holder's lock older than the TTL is broken
+    # liveness: a SLOW holder (commit outlasting the TTL) keeps its
+    # lock — the heartbeat refreshes mtime, so waiters can't break it
+    # mid-critical-section (ADVICE r2)
+    slow = FileSystemLockProvider(path, ttl_s=0.2)
+    assert slow.try_lock(timeout_s=1)
+    _time.sleep(0.5)  # > 2 TTLs of "work"
+    waiter = FileSystemLockProvider(path, ttl_s=0.2)
+    assert not waiter.try_lock(timeout_s=0.5)
+    slow.unlock()
+
+    # stale break: a CRASHED holder (heartbeat dead with the process)
+    # has its lock broken after the TTL
     stale = FileSystemLockProvider(path, ttl_s=0.2)
     assert stale.try_lock(timeout_s=1)
+    stale._hb_stop.set()  # simulate process death: heartbeat stops
+    stale._hb_thread.join(timeout=5)
     _time.sleep(0.3)
     taker = FileSystemLockProvider(path, ttl_s=0.2)
     assert taker.try_lock(timeout_s=1)
+    # the zombie's unlock must not remove the successor's lock
+    stale.unlock()
+    assert not FileSystemLockProvider(path, ttl_s=0).try_lock(timeout_s=0.2)
     taker.unlock()
 
 
@@ -462,3 +478,97 @@ def test_filesystem_lock_non_owner_unlock_is_noop(tmp_path):
     holder.unlock()
     assert stranger.try_lock(timeout_s=1)
     stranger.unlock()
+
+
+# -- crash safety (ADVICE r2: publish-pointer authority + failed-write
+# -- rollback) --------------------------------------------------------
+
+
+def _orphan_snapshot(spark, t: KeyedTable, rows) -> str:
+    """Simulate a writer that crashed after materializing a snapshot but
+    BEFORE publishing: a snapshots/v=<newer> dir with no _latest flip,
+    no log entry, no timeline marker."""
+    orphan = str(int(t.latest_commit()) + 7)
+    rows.write.mode("overwrite").parquet(
+        os.path.join(t.root, "snapshots", f"v={orphan}")
+    )
+    return orphan
+
+
+def test_unpublished_snapshot_not_adopted_as_base(spark, tmp_path):
+    """Readers must trust the _latest pointer, not directory listing: a
+    crashed writer's unpublished snapshot (e.g. an uncommitted delete)
+    must stay invisible (ADVICE r2 high)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "crash1"), record_key="customer_id",
+        precombine="created_at",
+    )
+    t.upsert(fixtures.customers(spark, 20))
+    # crashed delete: snapshot with only 5 rows, never published
+    _orphan_snapshot(spark, t, fixtures.customers(spark, 5))
+    assert t.snapshot().count() == 20  # pointer state, not the orphan
+
+
+def test_unpublished_log_rows_invisible(spark, tmp_path):
+    """A crashed MOR append (log dir beyond the pointer) must not leak
+    into snapshot() or the incremental change stream."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        read_commit_log,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "crash2"), record_key="customer_id",
+        precombine="created_at", table_type="MERGE_ON_READ",
+    )
+    t.upsert(fixtures.customers(spark, 10))
+    orphan = str(int(t.latest_commit()) + 3)
+    fixtures.customers(spark, 30, batch=9).write.mode("overwrite").parquet(
+        os.path.join(t.root, "log", f"c={orphan}")
+    )
+    assert t.snapshot().count() == 10
+    log = read_commit_log(spark, t.root)
+    assert log.filter(log["_commit_time"] == orphan).count() == 0
+
+
+def test_occ_orphan_rolled_back_not_wedged(spark, tmp_path):
+    """The OCC wedge (ADVICE r2 medium): an orphan commit dir must be
+    classified as a failed write and rolled back under the lock — the
+    next upsert succeeds instead of raising CommitConflictError
+    forever."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        InProcessLockProvider,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "crash3"), record_key="customer_id",
+        precombine="created_at", lock_provider=InProcessLockProvider(),
+    )
+    t.upsert(fixtures.customers(spark, 10))
+    orphan = _orphan_snapshot(spark, t, fixtures.customers(spark, 10, batch=1))
+    # would raise CommitConflictError (whole-table, no manifest) before
+    # the rollback fix; now the orphan is cleaned and the write lands
+    c = t.upsert(fixtures.customers(spark, 10, batch=2))
+    assert c == t.latest_commit()
+    assert not os.path.isdir(
+        os.path.join(t.root, "snapshots", f"v={orphan}")
+    )
+    assert t.snapshot().count() == 10
+    # batch=2 won (later created_at)
+    assert t.snapshot().filter("created_at >= '2024-01-03'").count() == 10
+
+
+def test_staging_leftovers_cleaned(spark, tmp_path):
+    """A crash mid-parquet-write leaves only a _staging dir (never a
+    half-written final dir); the next transaction clears it."""
+    t = KeyedTable(
+        spark, str(tmp_path / "crash4"), record_key="customer_id",
+        precombine="created_at",
+    )
+    t.upsert(fixtures.customers(spark, 5))
+    junk = os.path.join(t.root, "_staging", "deadbeef")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0.parquet"), "w") as f:
+        f.write("torn")
+    t.upsert(fixtures.customers(spark, 5, batch=1))
+    assert not os.path.isdir(os.path.join(t.root, "_staging"))
+    assert t.snapshot().count() == 5
