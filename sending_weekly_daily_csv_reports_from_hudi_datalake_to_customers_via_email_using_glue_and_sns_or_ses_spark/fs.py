@@ -150,11 +150,15 @@ class HadoopFS:
             return False
 
     def _delete_versions(self, path: str, keep: str | None) -> None:
+        # compare by basename: Hadoop Path.toString() normalizes the URI
+        # (file:///x -> file:/x), so a full-string compare against the
+        # caller's raw name would MISMATCH the kept copy and delete the
+        # version that was just committed
         fs = self._fs(path)
+        keep_name = self._path(keep).getName() if keep else None
         statuses = fs.globStatus(self._path(f"{path}.*.v"))
         for s in statuses or []:
-            name = str(s.getPath().toString())
-            if name != keep:
+            if str(s.getPath().getName()) != keep_name:
                 fs.delete(s.getPath(), False)
 
     def write_text_atomic(self, path: str, text: str) -> None:
