@@ -521,8 +521,15 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH e AS (
+    WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(emb, x -> x + 0.02 * x * x) AS emb
+      FROM base WHERE vec_id < 8
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
@@ -542,15 +549,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair.
 
     The oracle is the O(n²) exact all-pairs scan — fine for DuckDB at
-    oracle scale, exactly what the LSH path avoids at 100 TB. The hash
-    check is a REAL assertion both ways: false positives are impossible
-    by construction (candidates are exact-verified), and a missed pair
-    would hash-mismatch (the synthetic corpus's max pairwise cosine is
-    0.60, far under threshold, so the driver comparison is
-    deterministic; planted-pair recall is pytest-covered in
-    tests/test_extensions.py).
+    oracle scale, exactly what the LSH path avoids at 100 TB.
+
+    The synthetic corpus's max organic pairwise cosine is ~0.60, which
+    made the r2 driver row vacuous (0 rows = 0 rows proves only
+    no-false-positives). Both the query and the oracle therefore UNION
+    IN deterministic near-dup twins (VERDICT r2 #2): vectors 0..7
+    re-appear as vec_id+1_000_000 with each element perturbed
+    x → x + 0.02·x² — identical double-precision expression on both
+    sides, cosine ≈ 0.9997 to its source — so the sf0.01 hash check
+    pins eight REAL detected pairs end-to-end through the LSH banding,
+    candidate join, and exact verify (plus continued absence of false
+    positives). Planted-pair recall at other magnitudes stays covered
+    in tests/test_extensions.py.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    base = load_table(spark, sf_dir, "embeddings")
+    as_double = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            # same association order as the oracle's x + 0.02*x*x:
+            # x + ((0.02·x)·x), all in double — bit-identical results
+            lambda x: x.cast("double")
+            + F.lit(0.02) * x.cast("double") * x.cast("double"),
+        ).alias("embedding"),
+    )
+    e = as_double.unionByName(perturbed)
     n_planes, band_bits = 48, 12
     n_bands = n_planes // band_bits
     rng = np.random.default_rng(7_2024)

@@ -45,7 +45,14 @@ def _events_stream(
         schema = spark.read.parquet(path).schema
         return spark.readStream.schema(schema).parquet(path)
     path = tempfile.mkdtemp(prefix="events_stream_")
-    batch = load_table(spark, sf_dir, "events")
+    # watermarks/event-time require TIMESTAMP (LTZ): parquet without a
+    # tz annotation arrives as TIMESTAMP_NTZ, which EventTimeWatermark
+    # rejects outright. Session tz is pinned UTC (session.py), so the
+    # cast changes the type, not the instant — and the landed copy then
+    # serves both streaming entries identically.
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")
+    )
     if sentinel_hours:
         max_ts = batch.agg(F.max("ts")).first()[0]
         sentinel = spark.createDataFrame(

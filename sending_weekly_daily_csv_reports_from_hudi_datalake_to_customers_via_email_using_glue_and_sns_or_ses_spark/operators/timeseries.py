@@ -64,7 +64,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own oracle; don't share one oracle between them."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # parquet timestamps without tz annotation arrive as TIMESTAMP_NTZ,
+    # which Spark refuses to cast straight to long; routing through
+    # timestamp_ltz (session tz is pinned UTC in session.py) gives the
+    # same epoch seconds for both NTZ and LTZ inputs
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap_s = ts_s - F.lag(ts_s).over(w)
     marked = e.withColumn(
         "is_new_session",
         F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
