@@ -518,67 +518,26 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH base AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, emb FROM base
-      UNION ALL
-      SELECT vec_id + 1000000 AS vec_id,
-             list_transform(emb, x -> x + 0.02 * x * x) AS emb
-      FROM base WHERE vec_id < 8
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.95
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: pairs of vectors with
-    cosine ≥ 0.95 found via LSH band-bucketing (same seeded-hyperplane
-    scheme as knn_approx's LSH path) instead of the O(n²) all-pairs join.
+def embedding_cosine_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """PURE embedding-cosine near-dup detection: pairs of vectors in the
+    given (vec_id, embedding) frame with cosine ≥ ``threshold``, found
+    via LSH band-bucketing (same seeded-hyperplane scheme as
+    knn_approx's LSH path) instead of the O(n²) all-pairs join. The
+    input is used AS-IS — no synthetic rows are ever added here (the
+    r3 in-operator twin injection was a defect; see VERDICT r3 #1).
 
     Near-identical vectors agree on almost every hyperplane sign, so
     requiring a full 12-bit band match keeps buckets tiny while recall
     for ≥0.95 pairs stays ~1 (P[sign agree] = 1 − θ/π ≈ 0.9 per plane
     at cos 0.95 ⇒ ≥1-of-4 bands ≈ 0.97). Exact cosine verifies each
-    candidate pair.
-
-    The oracle is the O(n²) exact all-pairs scan — fine for DuckDB at
-    oracle scale, exactly what the LSH path avoids at 100 TB.
-
-    The synthetic corpus's max organic pairwise cosine is ~0.60, which
-    made the r2 driver row vacuous (0 rows = 0 rows proves only
-    no-false-positives). Both the query and the oracle therefore UNION
-    IN deterministic near-dup twins (VERDICT r2 #2): vectors 0..7
-    re-appear as vec_id+1_000_000 with each element perturbed
-    x → x + 0.02·x² — identical double-precision expression on both
-    sides, cosine ≈ 0.9997 to its source — so the sf0.01 hash check
-    pins eight REAL detected pairs end-to-end through the LSH banding,
-    candidate join, and exact verify (plus continued absence of false
-    positives). Planted-pair recall at other magnitudes stays covered
-    in tests/test_extensions.py.
+    candidate pair. Planted-pair recall is pinned by
+    tests/test_extensions.py::test_embedding_cosine_dedup_planted_pairs,
+    which drives THIS function on a corpus with known ≥0.95 pairs.
     """
-    base = load_table(spark, sf_dir, "embeddings")
-    as_double = base.select(
+    e = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    perturbed = base.filter(F.col("vec_id") < 8).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            # same association order as the oracle's x + 0.02*x*x:
-            # x + ((0.02·x)·x), all in double — bit-identical results
-            lambda x: x.cast("double")
-            + F.lit(0.02) * x.cast("double") * x.cast("double"),
-        ).alias("embedding"),
-    )
-    e = as_double.unionByName(perturbed)
     n_planes, band_bits = 48, 12
     n_bands = n_planes // band_bits
     rng = np.random.default_rng(7_2024)
@@ -623,8 +582,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
     return (
         cands.select("vec_a", "vec_b", F.round(cos, 4).cast("double").alias("cosine"))
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(emb, x -> x + 0.02 * x * x) AS emb
+      FROM base WHERE vec_id < 8
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-harness entry for :func:`embedding_cosine_pairs`.
+
+    The synthetic corpus's max organic pairwise cosine is ~0.60, which
+    made the r2 driver row vacuous (0 rows = 0 rows proves only
+    no-false-positives). This WRAPPER — and only the wrapper; the
+    operator itself is pure — unions in deterministic near-dup twins
+    (VERDICT r2 #2 / r3 #1): vectors 0..7 re-appear as
+    vec_id+1_000_000 with each element perturbed x → x + 0.02·x²
+    (identical double-precision expression on both sides, cosine
+    ≈ 0.9997 to its source), then runs the pure operator over the
+    augmented corpus. The sf0.01 hash check thus pins eight REAL
+    detected pairs end-to-end through the LSH banding, candidate join,
+    and exact verify (plus continued absence of false positives) —
+    while library callers of ``embedding_cosine_pairs`` never see a
+    fabricated row.
+    """
+    base = load_table(spark, sf_dir, "embeddings")
+    perturbed = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            # same association order as the oracle's x + 0.02*x*x:
+            # x + ((0.02·x)·x), all in double — bit-identical results
+            lambda x: x.cast("double")
+            + F.lit(0.02) * x.cast("double") * x.cast("double"),
+        ).alias("embedding"),
+    )
+    augmented = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(perturbed)
+    return embedding_cosine_pairs(augmented)
 
 
 @query(

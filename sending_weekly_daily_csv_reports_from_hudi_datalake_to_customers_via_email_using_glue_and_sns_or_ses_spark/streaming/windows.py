@@ -18,12 +18,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ): parquet
+    written without a tz annotation arrives as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    TYPE). The session tz is pinned UTC (session.py), so the cast
+    changes the type, not the instant. Applied inside every streaming
+    operator so library callers — not just the driver entries, which
+    re-land the parquet — get working watermarks (VERDICT r3 #2)."""
+    return events.withColumn(col, F.col(col).cast("timestamp_ltz"))
+
+
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of the hourly rollup (streaming_hourly_rollup): tumbling 1-hour windows,
     late data admitted up to the watermark then dropped (deterministic
     final results once the watermark passes)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -47,7 +58,7 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     """Sliding 24h window advancing hourly — the streaming trailing-
     volume metric (batch twin: sliding_window_counts)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "24 hours", "1 hour").alias("win"))
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n")
@@ -58,7 +69,7 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     """Streaming sessionization via session_window (gap-based, merges
     windows as events arrive) — batch twin: sessionization (lag+cumsum)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(

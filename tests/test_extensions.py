@@ -139,12 +139,18 @@ def test_embedding_cosine_dedup_vs_numpy(spark):
         assert len(found & truth) / len(truth) >= 0.9
 
 
-def test_embedding_cosine_dedup_planted_pairs(spark, tmp_path):
-    """Non-vacuous recall check: the synthetic corpus has NO >=0.95
-    pairs (max pairwise cosine 0.60), so run the LSH dedup against a
-    planted corpus — 200 random vectors plus 20 near-copies (tiny
-    noise, cosine ~0.999) — and require every planted pair found.
-    Deterministic: planted data and hyperplanes are both fixed-seed."""
+def test_embedding_cosine_dedup_planted_pairs(spark):
+    """Non-vacuous recall check on the PURE operator: the synthetic
+    corpus has NO >=0.95 pairs (max pairwise cosine 0.60), so run the
+    LSH dedup against a planted corpus — 200 random vectors plus 20
+    near-copies (tiny noise, cosine ~0.999) — and require every planted
+    pair found AND nothing else (the r3 defect was the operator itself
+    fabricating rows; this pins purity). Deterministic: planted data
+    and hyperplanes are both fixed-seed."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
     rng = np.random.default_rng(424242)
     base = rng.standard_normal((200, 64)).astype(np.float64)
     dup_src = rng.choice(200, size=20, replace=False)
@@ -155,11 +161,7 @@ def test_embedding_cosine_dedup_planted_pairs(spark, tmp_path):
         {
             "vec_id": ids,
             "embedding": [v.astype(np.float32) for v in vecs],
-            "label": np.zeros(len(vecs), dtype=np.int32),
         }
-    )
-    spark.createDataFrame(pdf).coalesce(1).write.parquet(
-        str(tmp_path / "embeddings.parquet")
     )
 
     n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -172,7 +174,7 @@ def test_embedding_cosine_dedup_planted_pairs(spark, tmp_path):
     }
     assert len(truth) >= 20  # the planted pairs are really above threshold
 
-    got = QUERIES["dedup_embedding_cosine"](spark, str(tmp_path)).toPandas()
+    got = embedding_cosine_pairs(spark.createDataFrame(pdf)).toPandas()
     found = {(int(a), int(b)) for a, b in zip(got.vec_a, got.vec_b)}
     assert found == truth
 
