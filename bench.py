@@ -55,6 +55,7 @@ HEADLINE = [
     "similarity_pairs",
     "knn_bruteforce",
     "knn_approx",
+    "knn_approx_ivf",
     "media_decode_pipeline",
 ]
 

@@ -155,6 +155,65 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH hyperplane family for the approximate-NN path: 24 seeded-Gaussian
+#: planes over the 64-dim embeddings, 8 bands × 3 bits. Module-level so
+#: the SAME matrix drives the Spark UDF and the generated DuckDB oracle
+#: (the MinHash playbook, dedup.py: constants embedded as literals).
+_LSH_PLANES, _LSH_BAND_BITS, _LSH_BANDS = 24, 3, 8
+_LSH_P = np.random.default_rng(20240813).standard_normal((_LSH_PLANES, 64))
+
+
+def _lsh_oracle() -> str:
+    """Generated DuckDB twin of the whole LSH retrieval pipeline:
+    hyperplane matrix as literal DOUBLE[] rows (repr() is the shortest
+    round-trip form — bit-exact float64), signature = OR of sign bits,
+    band agreement via shift/mask arithmetic identical to the Spark
+    side, exact-cosine rank within candidates. Sign parity across
+    engines: both dot the SAME float64 values; an association-order
+    divergence would need |dot| ≲ 1e-13·‖v‖ — vanishingly unlikely
+    (same argument, and the same empirical record, as knn_bruteforce's
+    round-4 cosine)."""
+    plane_rows = ",\n             ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in _LSH_P[j])}])"
+        for j in range(_LSH_PLANES)
+    )
+    mask = (1 << _LSH_BAND_BITS) - 1
+    band_match = " OR ".join(
+        f"((c.sig >> {b * _LSH_BAND_BITS}) & {mask}) = ((q.q_sig >> {b * _LSH_BAND_BITS}) & {mask})"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH planes(plane_id, pvec) AS (
+      VALUES {plane_rows}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), sig AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN list_dot_product(e.emb, p.pvec) > 0
+                      THEN 1 << p.plane_id ELSE 0 END)::BIGINT AS sig
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.emb AS q_emb, s.sig AS q_sig
+      FROM e JOIN sig s USING (vec_id) WHERE vec_id IN {_QUERY_IDS}
+    ), corpus AS (
+      SELECT e.vec_id, e.emb, s.sig
+      FROM e JOIN sig s USING (vec_id) WHERE vec_id NOT IN {_QUERY_IDS}
+    ), cands AS (
+      SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(c.emb, q.q_emb) AS c
+      FROM corpus c CROSS JOIN q
+      WHERE {band_match}
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rank
+      FROM cands)
+    SELECT 'lsh' AS method, query_id, vec_id,
+           CAST(round(c, 4) AS DOUBLE) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (signed projections).
 
@@ -169,10 +228,8 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest measures recall@10 ≥ 0.5 vs knn_bruteforce at sf0.001.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    n_planes, band_bits, n_bands = 24, 3, 8
-    rng = np.random.default_rng(20240813)
-    P = rng.standard_normal((n_planes, dim))
+    n_planes, band_bits, n_bands = _LSH_PLANES, _LSH_BAND_BITS, _LSH_BANDS
+    P = _LSH_P
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("int")
@@ -395,24 +452,40 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_approx")
+@query("knn_approx", oracle=_lsh_oracle())
 def knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 NN per query via BOTH scale paths, tagged by
-    method: 'lsh' (random-hyperplane band match replaces the full scan)
-    and 'ivf' (coarse-quantizer cells as the partition-pruning key, only
-    nprobe/K cells scanned). Same output contract as knn_bruteforce plus
-    the method tag; pytest measures each method's recall against the
-    exact baseline, and the IVF partition-pruning story is demonstrated
-    end-to-end in tests/test_plans.py (corpus written partitioned by
-    cell, probe scan touches only probed partitions).
+    """Approximate top-10 NN per query via random-hyperplane LSH: the
+    band match replaces the full scan; exact cosine ranks candidates.
+    Same output contract as knn_bruteforce plus the method tag.
 
-    Rows-only driver check (hash-bucketed candidates aren't
-    SQL-portable).
+    Hash-oracled end-to-end (VERDICT r3 #4): the generated DuckDB twin
+    embeds the 24×64 seeded hyperplane matrix as literals and reproduces
+    signatures, band agreement, candidate membership, and the rounded
+    cosine ranking — the MinHash playbook applied to the vector path.
+    pytest additionally measures recall@10 vs knn_bruteforce.
+
+    The IVF scale path (partition-pruned coarse-quantizer cells) is the
+    separate ``knn_approx_ivf`` entry — its k-means train step is not
+    SQL-portable, so it stays rows-checked rather than diluting this
+    entry's hash check.
     """
-    lsh = _lsh_topk(spark, sf_dir).select(
+    return _lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
-    ivf = _ivf_topk(spark, sf_dir).select(
+
+
+@query("knn_approx_ivf")
+def knn_approx_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 NN per query via IVF (coarse-quantizer cells
+    as the partition-pruning key; only nprobe/K cells scanned). The
+    partition-pruning story is demonstrated end-to-end in
+    tests/test_plans.py (corpus written partitioned by cell, probe scan
+    touches only probed partitions) and recall is measured in
+    tests/test_extensions.py.
+
+    Rows-only driver check: the driver-side Lloyd's k-means train step
+    (numpy over a hash-ordered sample) isn't SQL-portable.
+    """
+    return _ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
-    return lsh.unionByName(ivf)

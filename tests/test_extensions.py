@@ -219,12 +219,28 @@ def test_dedup_clusters_match_union_find(spark):
     assert mine == truth
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """The reliable-checkpoint path (checkpoint_dir= → setCheckpointDir
+    + checkpoint(), survives executor loss on a real cluster) produces
+    the same cluster labels as the default localCheckpoint path, and
+    really writes checkpoint data to the given directory."""
+    default = QUERIES["dedup_clusters"](spark, SF).toPandas()
+    ckpt_dir = tmp_path / "ckpt"
+    reliable = QUERIES["dedup_clusters"](
+        spark, SF, checkpoint_dir=str(ckpt_dir)
+    ).toPandas()
+    d = {int(r.doc_id): int(r.cluster_id) for r in default.itertuples()}
+    r = {int(r.doc_id): int(r.cluster_id) for r in reliable.itertuples()}
+    assert d == r
+    assert any(ckpt_dir.rglob("*"))  # checkpoint blocks actually landed
+
+
 def test_ivf_recall(spark):
     """IVF probing half the cells recalls >=40% of the exact top-10 on
     this near-unstructured corpus (recall ~= probed fraction when the
     data has no cluster structure; see _ivf_topk docstring)."""
     exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
-    both = QUERIES["knn_approx"](spark, SF).toPandas()
+    both = QUERIES["knn_approx_ivf"](spark, SF).toPandas()
     approx = both[both.method == "ivf"]
     recalls = []
     for qid in exact.query_id.unique():

@@ -37,6 +37,51 @@ def test_paginated_consumes_all_pages(spark):
     assert df.count() == 4
 
 
+def test_kv_source_dynamodb_decimal_pages(spark):
+    """Pin the boto3 type quirk the reference actually hits
+    (template.py:284-294): DynamoDB deserializes EVERY number — ints
+    and floats alike — as decimal.Decimal. Feed kv_source a
+    DynamoDB-shaped paginated scan with Decimal values and pin the
+    mapping on both paths:
+
+    * explicit decimal schema (the engine-recommended path): values
+      land exactly, and a downstream cast gives clean doubles;
+    * schema inference (the reference's behavior): Spark infers
+      DecimalType(38,18), so fractional cents SURVIVE — unlike the
+      float round-trip a naive reader would do.
+    """
+    from decimal import Decimal
+
+    pages = [
+        [
+            {"pk": "c1", "balance": Decimal("1234.56"), "visits": Decimal("3")},
+            {"pk": "c2", "balance": Decimal("-0.07"), "visits": Decimal("0")},
+        ],
+        [{"pk": "c3", "balance": Decimal("99999999.99"), "visits": Decimal("12")}],
+    ]
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType(), False),
+            T.StructField("balance", T.DecimalType(18, 2), True),
+            T.StructField("visits", T.DecimalType(10, 0), True),
+        ]
+    )
+    df = kv_source(spark, paginated(pages), schema)
+    rows = {r["pk"]: r for r in df.collect()}
+    assert rows["c1"]["balance"] == Decimal("1234.56")
+    assert rows["c3"]["visits"] == Decimal("12")
+    as_double = df.selectExpr("pk", "CAST(balance AS DOUBLE) AS balance_d")
+    got = {r["pk"]: r["balance_d"] for r in as_double.collect()}
+    assert got["c2"] == pytest.approx(-0.07)
+
+    inferred = kv_source(spark, paginated(pages))
+    btype = inferred.schema["balance"].dataType
+    assert isinstance(btype, T.DecimalType)
+    irows = {r["pk"]: r for r in inferred.collect()}
+    assert irows["c1"]["balance"] == Decimal("1234.56")
+
+
 def test_chunked_roundtrip():
     rows = [{"i": n} for n in range(10)]
     chunks = list(chunked(rows, 3))
