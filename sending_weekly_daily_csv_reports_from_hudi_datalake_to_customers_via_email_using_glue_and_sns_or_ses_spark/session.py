@@ -44,6 +44,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # real-Hudi lane (SURVEY.md S1/S2 passthrough): point
+    # SPARK_GRAFT_HUDI_JARS at a hudi-spark bundle and every session —
+    # tests included — gets the datasource + the reference's session
+    # extension (template.py:35-37). The sandbox has no network and no
+    # bundled jar (documented in tests/test_hudi_passthrough.py), so
+    # this is the activation path for environments that do.
+    hudi_jars = os.environ.get("SPARK_GRAFT_HUDI_JARS")
+    if hudi_jars:
+        builder = (
+            builder.config("spark.jars", hudi_jars)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.spark.sql.hudi.HoodieSparkSessionExtension",
+            )
+            .config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.hudi.catalog.HoodieCatalog",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
