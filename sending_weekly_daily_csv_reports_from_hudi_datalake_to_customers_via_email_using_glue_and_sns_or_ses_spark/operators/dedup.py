@@ -133,15 +133,35 @@ _JACCARD_CTES = r"""
     FROM jaccard_pairs
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by exact 3-gram Jaccard ≥ 0.35 via a shingle
-    inverted index (explode → self-join on shingle → count).
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, strategy: str = "index"
+) -> DataFrame:
+    """Near-dup detection by exact 3-gram Jaccard ≥ 0.35.
 
-    At 100 TB the guard is the postings cap (see _MAX_POSTINGS): the
-    join cost is Σ postings², so pathological shingles are dropped. For
-    corpora where even capped postings blow up, dedup_minhash_lsh below
-    is the probabilistic scale path with the same output contract.
+    Two exact strategies (identical output, different scale regimes —
+    measured in BASELINE.md's r4 organic appendix):
+
+    * ``"index"`` (default): shingle inverted index (explode →
+      self-join on shingle → count). Join cost is Σ postings²; the
+      postings cap (_MAX_POSTINGS) drops pathological shingles — LOSSY
+      above the cap, and on saturated (low-entropy) vocabularies the
+      cost grows quadratically with corpus size because every posting
+      list grows linearly. For that regime dedup_minhash_lsh below is
+      the scale path (measured 10× slope 2.1 vs 9.5 here).
+    * ``"prefix"``: AllPairs/PPJoin prefix filtering — shingles
+      globally ordered by rarity (df asc), each doc indexes only its
+      ⌊(1−t)·|S|⌋+1 rarest shingles (any J≥t pair must share one), and
+      candidates are verified with array_intersect over the full
+      shingle sets. EXACT with NO postings cap: on Zipf-like (real)
+      corpora the prefix index skips the head of the distribution
+      entirely, replacing the lossy cap with a recall-lossless filter.
+      On the SATURATED synthetic vocabulary it measures far slower
+      than "index" (BASELINE.md r4: every shingle is common, so the
+      rarity prefix selects nothing and verification materializes what
+      the index strategy merely counts) — hence not the default here.
     """
+    if strategy == "prefix":
+        return _jaccard_pairs_prefix(spark, sf_dir)
     df, _caches = _jaccard_pairs_and_caches(spark, sf_dir)
     # the shingle cache stays alive for the session: the returned frame
     # is lazy, so the caches it feeds can only be released by a caller
@@ -205,6 +225,76 @@ def _jaccard_pairs_and_caches(
         )
     )
     return pairs, [cached_shingles]
+
+
+#: exact-Jaccard threshold shared by both strategies and the oracle
+_JACCARD_T = 0.35
+
+
+def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (AllPairs/PPJoin candidate rule).
+
+    Under ANY global total order on shingles, two sets A, B with
+    J(A,B) ≥ t must share a shingle within their prefixes of length
+    |A| − ⌈t·|A|⌉ + 1 (resp. B): if the prefixes were disjoint, the
+    overlap is confined to the suffixes and is provably < t-large.
+    Ordering by ascending document frequency makes those prefixes the
+    RAREST shingles, so prefix posting lists stay short on Zipf-like
+    corpora — the index join skips the head of the df distribution
+    without the recall loss of a hard postings cap.
+
+    Verification needs the FULL shingle sets, which come as per-doc
+    arrays straight out of the tokenizer (zero extra shuffle) —
+    candidates join the two arrays and count the exact intersection.
+
+    Plan shape: df aggregation (1 shuffle) → per-doc rarity rank
+    (1 shuffle, window by doc) → prefix self-join (1 shuffle, keyed by
+    prefix shingle) → verify joins on doc ids. Every stage is
+    data-size-proportional in the prefix index, not the full index.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(_shingle_array(F.col("__toks"))).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+    sh = sets.select("doc_id", "n_sh", F.explode("sh_set").alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(_JACCARD_T)) + 1
+    )
+    prefix = (
+        sh.join(df_counts, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jac",
+            F.col("n_common")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= _JACCARD_T)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jac", 6).cast("double").alias("jaccard")
+    )
 
 
 #: MinHash universal-hash family -- h_i(x) = (A[i]*x + B[i]) mod P over

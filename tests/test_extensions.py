@@ -219,6 +219,19 @@ def test_dedup_clusters_match_union_find(spark):
     assert mine == truth
 
 
+def test_jaccard_prefix_strategy_matches_index(spark):
+    """The prefix-filtered (AllPairs) strategy is EXACT: identical pair
+    set and jaccard values as the inverted-index strategy."""
+    idx = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    pre = QUERIES["dedup_ngram_jaccard"](spark, SF, strategy="prefix").toPandas()
+    key = lambda df: {  # noqa: E731
+        (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
+        for r in df.itertuples()
+    }
+    assert key(idx) == key(pre)
+    assert len(idx) > 0  # non-vacuous: the corpus has real near-dups
+
+
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     """The reliable-checkpoint path (checkpoint_dir= → setCheckpointDir
     + checkpoint(), survives executor loss on a real cluster) produces
