@@ -16,6 +16,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
     hourly_rollup_stream,
     run_stream_on_batch,
     session_stream,
+    sliding_counts_stream,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -44,6 +45,27 @@ def test_hourly_rollup_stream_matches_batch(spark, events_stream):
     b = {(r["hour"], r["event_type"]): r["n_events"] for r in batch.collect()}
     # append mode emits only windows closed by the watermark; every
     # emitted window must match the batch result exactly
+    assert g and all(b[k] == v for k, v in g.items())
+
+
+def test_sliding_counts_stream_matches_batch(spark, events_stream):
+    """Sliding 24h/1h windows from the stream agree with the batch
+    window() aggregation on every window the watermark closed."""
+    got = run_stream_on_batch(
+        sliding_counts_stream(events_stream), "sliding_out", output_mode="append"
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "24 hours", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+    g = {(r["win_start"], r["win_end"]): r["n"] for r in got.collect()}
+    b = {(r["win_start"], r["win_end"]): r["n"] for r in batch.collect()}
     assert g and all(b[k] == v for k, v in g.items())
 
 
