@@ -170,14 +170,35 @@ def dedup_ngram_jaccard(
     return df
 
 
+#: per-sf jaccard pair-graph cache (the _TF_CACHE pattern): the pair
+#: set feeds TWO registered queries (dedup_ngram_jaccard returns it,
+#: dedup_clusters consumes it as the edge set) plus the minhash recall
+#: test — one evaluation of the expensive shingle self-join per
+#: (session, sf) instead of one per caller. Safe because the test
+#: corpora are immutable per path; the frame is persisted so the first
+#: materialization populates executor blocks all later readers share.
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+#: shingle-index persist handle per sf, released on the first cache HIT:
+#: by then the (much smaller) pair frame has been materialized by the
+#: first caller, so the wide intermediate no longer earns its memory.
+_PAIRS_SHINGLE_HANDLE: dict[str, DataFrame] = {}
+
+
 def _jaccard_pairs_and_caches(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The jaccard pair graph plus handles on the frames it persisted,
     so callers that materialize the result (localCheckpoint/write) can
     unpersist them instead of leaking a second session-lifetime cache
-    entry per invocation."""
+    entry per invocation. Cache hits return no releasable frames."""
     from pyspark import StorageLevel
+
+    hit = _PAIRS_CACHE.get(sf_dir)
+    if hit is not None:
+        stale = _PAIRS_SHINGLE_HANDLE.pop(sf_dir, None)
+        if stale is not None:
+            stale.unpersist()
+        return hit, []
 
     d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
     cached_shingles = d.select(
@@ -224,6 +245,9 @@ def _jaccard_pairs_and_caches(
             F.round(jacc, 6).cast("double").alias("jaccard"),
         )
     )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIRS_CACHE[sf_dir] = pairs
+    _PAIRS_SHINGLE_HANDLE[sf_dir] = cached_shingles
     return pairs, [cached_shingles]
 
 
