@@ -198,3 +198,25 @@ def test_minhash_banding_is_single_join(spark):
         for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert joins <= 4, f"expected ≤4 joins (1 banding + verify), got {joins}"
+
+
+def test_knn_lsh_query_side_is_broadcast(spark):
+    """The LSH retrieval's candidate step must broadcast the (tiny)
+    query-signature side against the corpus scan — a shuffle of the
+    corpus keyed by band would be a full extra pass at 100 TB."""
+    plan = physical_plan(QUERIES["knn_approx"](spark, SF))
+    assert "Broadcast" in plan
+    # no corpus-wide shuffle join anywhere in the candidate step
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_cosine_banding_is_single_self_join(spark):
+    """The embedding near-dup LSH must stay ONE bucket self-equi-join;
+    the exact-verify cosine is computed on the joined row, not via
+    extra joins back to the corpus."""
+    plan = physical_plan(QUERIES["dedup_embedding_cosine"](spark, SF))
+    joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins <= 1, f"expected a single banding self-join, got {joins}"
