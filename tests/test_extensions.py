@@ -232,6 +232,66 @@ def test_jaccard_prefix_strategy_matches_index(spark):
     assert len(idx) > 0  # non-vacuous: the corpus has real near-dups
 
 
+def test_jaccard_strategies_match_bruteforce_random(spark, tmp_path):
+    """Both exact-Jaccard strategies agree with a Python brute-force
+    reference on randomized corpora — including docs shorter than the
+    shingle width (empty sets) and planted high-overlap pairs. This
+    pins the AllPairs prefix-length lemma (an off-by-one would silently
+    lose borderline pairs that the fixture corpus doesn't contain)."""
+    import itertools
+
+    rng = np.random.default_rng(20260813)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))  # includes 1-2 token docs
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    for i in range(0, 20, 2):  # planted borderline near-dups
+        base = docs[i].split()
+        k = max(1, len(base) // 4)
+        mutated = base[:-k] + list(rng.choice(vocab, size=k))
+        docs.append(" ".join(mutated))
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+
+    truth = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(docs), 2):
+        sa, sb = shingles(a), shingles(b)
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.35:
+            truth[(i, j)] = round(jac, 6)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    for strat in ("index", "prefix"):
+        got = QUERIES["dedup_ngram_jaccard"](
+            spark, str(tmp_path), strategy=strat
+        ).toPandas()
+        mine = {
+            (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
+            for r in got.itertuples()
+        }
+        assert mine == truth, f"strategy={strat}"
+    assert truth  # non-vacuous: borderline pairs really exist
+
+
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     """The reliable-checkpoint path (checkpoint_dir= → setCheckpointDir
     + checkpoint(), survives executor loss on a real cluster) produces
