@@ -177,11 +177,14 @@ def dedup_ngram_jaccard(
 #: (session, sf) instead of one per caller. Safe because the test
 #: corpora are immutable per path; the frame is persisted so the first
 #: materialization populates executor blocks all later readers share.
-_PAIRS_CACHE: dict[str, DataFrame] = {}
-#: shingle-index persist handle per sf, released on the first cache HIT:
-#: by then the (much smaller) pair frame has been materialized by the
-#: first caller, so the wide intermediate no longer earns its memory.
-_PAIRS_SHINGLE_HANDLE: dict[str, DataFrame] = {}
+#: keyed by (applicationId, sf_dir): a DataFrame is only valid inside
+#: the SparkContext that built it, so a restarted session must miss
+#: rather than be served frames from a dead context.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: shingle-index persist handle per key, released on the first cache
+#: HIT: by then the (much smaller) pair frame has been materialized by
+#: the first caller, so the wide intermediate no longer earns its memory.
+_PAIRS_SHINGLE_HANDLE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs_and_caches(
@@ -193,9 +196,10 @@ def _jaccard_pairs_and_caches(
     entry per invocation. Cache hits return no releasable frames."""
     from pyspark import StorageLevel
 
-    hit = _PAIRS_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIRS_CACHE.get(key)
     if hit is not None:
-        stale = _PAIRS_SHINGLE_HANDLE.pop(sf_dir, None)
+        stale = _PAIRS_SHINGLE_HANDLE.pop(key, None)
         if stale is not None:
             stale.unpersist()
         return hit, []
@@ -246,8 +250,8 @@ def _jaccard_pairs_and_caches(
         )
     )
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    _PAIRS_CACHE[sf_dir] = pairs
-    _PAIRS_SHINGLE_HANDLE[sf_dir] = cached_shingles
+    _PAIRS_CACHE[key] = pairs
+    _PAIRS_SHINGLE_HANDLE[key] = cached_shingles
     return pairs, [cached_shingles]
 
 
