@@ -41,6 +41,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def clear_intermediate_caches() -> None:
+    """Unpersist and forget the shared per-(session, sf) intermediates
+    (jaccard pair graph, tf table, approx-agg sketch). Benchmarking
+    helper: the headline suite deliberately measures steady state
+    (caches warm — a long-running session's behavior), but SLOPE
+    measurements (tools/scaling_bench.py, tools/gen_organic_sf.py)
+    must time first evaluations, or a cache hit would masquerade as a
+    flat scaling curve."""
+    from . import aggregates, dedup, textual
+
+    for registry in (
+        dedup._PAIRS_CACHE,
+        dedup._PAIRS_SHINGLE_HANDLE,
+        textual._TF_CACHE,
+        aggregates._SKETCH_CACHE,
+    ):
+        for frame in registry.values():
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 — dead context: forget it
+                pass
+        registry.clear()
+
+
 def _load_all() -> None:
     # Registration order = the driver's correctness-check order. The
     # corpus is consolidated to fit the driver's ~50-entry budget in

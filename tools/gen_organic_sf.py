@@ -257,6 +257,13 @@ def build_organic(spark: SparkSession, n: int) -> str:
 
 
 def _run_once(spark, sf_dir: str, name: str) -> float:
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        clear_intermediate_caches,
+    )
+
+    # slope measurements time FIRST evaluations — a warm intermediate
+    # cache would masquerade as a flat scaling curve
+    clear_intermediate_caches()
     t0 = time.time()
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
