@@ -119,7 +119,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -145,8 +145,10 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape (sessions emit only once the watermark passes their
     end). A far-future sentinel event advances the watermark so every
     real session flushes; the oracle is the batch lag+cumsum twin with
-    session_window's exact merge rule (merge iff gap < 1800 s strictly;
-    session end = last event + gap)."""
+    session_window's exact merge rule (merge iff gap <= 1800 s — an
+    exactly-gap-sized silence still merges, pinned by the r4 organic
+    corpus whose integer-second timestamps hit the boundary; session
+    end = last event + gap)."""
     from ..streaming.windows import session_stream
 
     stream = _events_stream(spark, sf_dir, sentinel_hours=3)

@@ -58,9 +58,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming counterpart: session_window(ts, '30 minutes') in
     operators/streaming_entries.py. NOT an exact twin at the boundary:
-    this op splits on whole-second-truncated gap > 1800 while
-    session_window splits on exact gap >= 1800, so a true gap in
-    [1800.0 s, 1801.0 s) merges here but splits there — each op matches
+    both split on gap > 1800 (session_window MERGES an exactly-1800 s
+    gap — verified empirically on an integer-second corpus, r4 organic
+    parity), but this op truncates to whole seconds first while
+    session_window compares exact epochs, so a true gap in
+    (1800.0 s, 1801.0 s) merges here but splits there — each op matches
     its own oracle; don't share one oracle between them."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))

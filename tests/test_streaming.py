@@ -79,6 +79,43 @@ def test_session_stream_produces_sessions(spark, events_stream):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_session_window_gap_boundary(spark, tmp_path):
+    """Pin session_window's merge rule at the exact boundary: an
+    exactly-gap-sized silence still MERGES (split only when gap is
+    STRICTLY greater). The r4 organic corpus — integer-second
+    timestamps, so exact-1800 s gaps actually occur — caught the
+    oracle encoding >= instead of >; this test keeps the boundary
+    pinned against Spark behavior changes too."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1800), 10, "a", 0.0, "{}"),  # == gap
+        (3, t0 + dt.timedelta(seconds=1800 + 1801), 10, "a", 0.0, "{}"),  # > gap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "boundary_events")
+    df.write.parquet(p)
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    out = run_stream_on_batch(
+        session_stream(stream, "30 minutes", "0 seconds"),
+        "session_boundary_out",
+        output_mode="complete",
+    )
+    sessions = sorted(
+        (r["session_start"], r["n_events"]) for r in out.collect()
+    )
+    assert sessions == [
+        (t0, 2),  # the exactly-1800s pair merged
+        (t0 + dt.timedelta(seconds=3601), 1),  # the 1801s gap split
+    ]
+
+
 def test_stateful_dedupe_stream(spark, tmp_path):
     """Streaming first-occurrence dedup: duplicate fingerprints across
     micro-batches are emitted exactly once."""
