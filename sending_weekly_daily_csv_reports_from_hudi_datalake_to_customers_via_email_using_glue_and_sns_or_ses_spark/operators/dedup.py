@@ -758,32 +758,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(augmented)
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_JACCARD_CTES},
-    pairs AS (SELECT doc_a, doc_b FROM jaccard_pairs),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-    FROM reach GROUP BY src
-    """,
-)
-def dedup_clusters(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+def connected_components(
+    pair_graph: DataFrame,
+    checkpoint_dir: str | None = None,
+    release_after_cut: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Duplicate-cluster formation: connected components over the
-    near-dup pair graph (exact 3-gram Jaccard ≥ 0.35 edges), each doc
-    labeled with the smallest doc_id in its component — the step that
-    turns pairwise near-dup hits into keep/drop decisions.
+    """PUBLIC connected-components operator over an undirected pair
+    frame ``(doc_a, doc_b)``: every node labeled with the smallest
+    doc_id in its component — the step that turns pairwise near-dup
+    hits into keep/drop decisions, usable with ANY edge source (exact
+    Jaccard, MinHash candidates, embedding-cosine pairs).
 
     Iterative Hash-Min label propagation, hardened for scale:
       * a lineage CUT each round materializes the label frame — without
@@ -799,15 +783,16 @@ def dedup_clusters(
         no separate join-and-count job re-deriving the round;
       * each round is one shuffle keyed by doc_id, linear in edges.
 
-    Components here have tiny diameter (dup clusters) so it converges in
-    2-3 rounds; the loop runs to convergence (bounded only by a 100-round
+    Near-dup components have tiny diameter, so the loop converges in
+    2-3 rounds; it runs to convergence (bounded only by a 100-round
     safety rail that RAISES rather than return half-propagated labels —
     a chain of templated docs longer than the old fixed cap must not
-    silently disagree with the exact closure). Hash-checked against a
-    DuckDB recursive-CTE transitive closure of the same edge set; pytest
-    additionally verifies a union-find reference at sf0.001 and drives
-    the reliable-checkpoint path end-to-end.
+    silently disagree with the exact closure).
+
+    ``release_after_cut``: persisted frames the edge plan depended on,
+    unpersisted once the pair frame is materialized by the first cut.
     """
+    spark = pair_graph.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -819,22 +804,20 @@ def dedup_clusters(
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    pair_graph, caches = _jaccard_pairs_and_caches(spark, sf_dir)
     # materialize the EXPENSIVE pair plan exactly once; the undirected
     # edge set is derived from the checkpointed frame (a union of two
     # projections over materialized data — recomputing it per round is
     # free, whereas checkpointing after the union would evaluate the
-    # full shingle-join plan once per union branch)
+    # full edge plan once per union branch)
     pairs = _cut(pair_graph.select("doc_a", "doc_b"))
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
-    # pairs are materialized now — release the shingle index instead of
-    # leaking a second session-lifetime cache entry alongside
-    # dedup_ngram_jaccard's own
-    for frame in caches:
+    # pairs are materialized now — release upstream persists instead of
+    # leaking session-lifetime cache entries
+    for frame in release_after_cut or ():
         frame.unpersist()
     nodes = _cut(
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -863,8 +846,59 @@ def dedup_clusters(
             break
     else:
         raise RuntimeError(
-            f"dedup_clusters: Hash-Min did not converge in {max_rounds} rounds "
-            "— component diameter exceeds the safety rail; raise it rather "
-            "than ship half-propagated cluster labels"
+            f"connected_components: Hash-Min did not converge in {max_rounds} "
+            "rounds — component diameter exceeds the safety rail; raise it "
+            "rather than ship half-propagated cluster labels"
         )
     return nodes.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM jaccard_pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    edge_source: str = "jaccard",
+) -> DataFrame:
+    """Duplicate-cluster formation: :func:`connected_components` over a
+    near-dup pair graph.
+
+    ``edge_source`` picks the regime (BASELINE.md r4 organic appendix):
+      * ``"jaccard"`` (default, the oracled entry): exact 3-gram
+        Jaccard ≥ 0.35 edges — hash-checked against a DuckDB
+        recursive-CTE transitive closure of the same edge set; pytest
+        additionally verifies a union-find reference at sf0.001 and
+        drives the reliable-checkpoint path end-to-end.
+      * ``"minhash"``: the MinHash-LSH pair set (est_jaccard ≥ 0.5) as
+        edges — the 100 TB path for saturated/low-entropy corpora where
+        the exact inverted-index join grows quadratically (measured
+        organic 10× slope 2.1 vs 9.5). pytest verifies the labels
+        against a union-find over the same minhash edge set.
+    """
+    if edge_source == "minhash":
+        pair_graph = dedup_minhash_lsh(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        return connected_components(pair_graph, checkpoint_dir)
+    pair_graph, caches = _jaccard_pairs_and_caches(spark, sf_dir)
+    return connected_components(
+        pair_graph, checkpoint_dir, release_after_cut=caches
+    )

@@ -292,6 +292,35 @@ def test_jaccard_strategies_match_bruteforce_random(spark, tmp_path):
     assert truth  # non-vacuous: borderline pairs really exist
 
 
+def test_dedup_clusters_minhash_edge_source(spark):
+    """connected_components over the MinHash-LSH pair set (the 100 TB
+    path for saturated corpora) agrees with a union-find reference over
+    the SAME edge set — membership and canonical min-id labels."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        union(int(a), int(b))
+    truth = {x: find(x) for x in parent}
+
+    got = QUERIES["dedup_clusters"](spark, SF, edge_source="minhash").toPandas()
+    mine = {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()}
+    assert mine == truth
+    assert mine  # non-vacuous: the corpus has minhash candidate pairs
+
+
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     """The reliable-checkpoint path (checkpoint_dir= → setCheckpointDir
     + checkpoint(), survives executor loss on a real cluster) produces
