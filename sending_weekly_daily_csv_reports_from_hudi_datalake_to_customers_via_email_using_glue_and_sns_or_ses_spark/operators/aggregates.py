@@ -34,8 +34,9 @@ def _dec(col: str) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                          * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -50,17 +51,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whole plan stays in WholeStageCodegen; shipdate filter pushes to
     parquet. Averages are computed as exact-decimal sum ÷ count so both
     engines produce the identical double.
-    """
+
+    Cross-engine float discipline for the 3-factor charge (pinned by
+    the r4 organic-x4 parity run, which caught a last-ulp divergence):
+    the naive (18,2)×(19,2)×(19,2) chain overflows decimal width 38,
+    and each engine then takes a DIFFERENT precision-reduction path.
+    The disc_price intermediate is therefore cast down to DECIMAL(18,4)
+    and the tax factor to DECIMAL(4,2) — both exact, the VALUES are
+    tiny; only the static types overflowed — so the whole chain stays
+    exact on both engines. Money sums are additionally round()ed to
+    scale 2 BEFORE the double cast: a scale-6 sum numerator can exceed
+    2^53 where DuckDB's decimal→double path double-rounds; at scale 2
+    both engines convert exactly."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
-    charge = disc_price * (1 + _dec("l_tax"))
+    charge = disc_price.cast("decimal(18,4)") * (
+        (F.lit(1) + _dec("l_tax")).cast("decimal(4,2)")
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias(
             "avg_price"
