@@ -123,9 +123,9 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            len(embedding) AS dim,
-           CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_elem,
-           CAST(round(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) AS max_elem,
-           CAST(round(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) AS min_elem,
+           CAST(round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS DOUBLE) AS first_elem,
+           CAST(round(CAST(list_max(embedding) AS DOUBLE), 4) + 0 AS DOUBLE) AS max_elem,
+           CAST(round(CAST(list_min(embedding) AS DOUBLE), 4) + 0 AS DOUBLE) AS min_elem,
            (list_max(embedding) > 0) AS has_positive,
            CAST(round((SELECT sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
                        FROM (SELECT unnest(embedding) AS a)), 4) AS DOUBLE) AS l2_norm
@@ -144,13 +144,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4)
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0))
         .cast("double")
         .alias("first_elem"),
-        F.round(F.array_max("embedding").cast("double"), 4)
+        (F.round(F.array_max("embedding").cast("double"), 4) + F.lit(0.0))
         .cast("double")
         .alias("max_elem"),
-        F.round(F.array_min("embedding").cast("double"), 4)
+        (F.round(F.array_min("embedding").cast("double"), 4) + F.lit(0.0))
         .cast("double")
         .alias("min_elem"),
         (F.array_max("embedding") > 0).alias("has_positive"),

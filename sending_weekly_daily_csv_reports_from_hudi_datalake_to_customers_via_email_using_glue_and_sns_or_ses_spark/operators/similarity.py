@@ -108,7 +108,7 @@ def _query_matrix(e: DataFrame):
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY c DESC, vec_id ASC) AS rank
            FROM scored)
-    SELECT query_id, vec_id, CAST(round(c, 4) AS DOUBLE) AS cosine, rank
+    SELECT query_id, vec_id, CAST(round(c, 4) + 0 AS DOUBLE) AS cosine, rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -151,7 +151,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", F.round("cosine", 4).cast("double").alias("cosine"), "rank")
+        .select("query_id", "vec_id", (F.round("cosine", 4) + F.lit(0.0)).cast("double").alias("cosine"), "rank")
     )
 
 
@@ -209,7 +209,7 @@ def _lsh_oracle() -> str:
                                 ORDER BY c DESC, vec_id ASC) AS rank
       FROM cands)
     SELECT 'lsh' AS method, query_id, vec_id,
-           CAST(round(c, 4) AS DOUBLE) AS cosine, rank
+           CAST(round(c, 4) + 0 AS DOUBLE) AS cosine, rank
     FROM ranked WHERE rank <= 10
     """
 
@@ -277,7 +277,7 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round("cosine", 4).cast("double").alias("cosine"),
+            (F.round("cosine", 4) + F.lit(0.0)).cast("double").alias("cosine"),
             "rank",
         )
     )
@@ -403,7 +403,7 @@ def ivf_probe_partitioned(
         .select(
             "query_id",
             "vec_id",
-            F.round("cosine", 4).cast("double").alias("cosine"),
+            (F.round("cosine", 4) + F.lit(0.0)).cast("double").alias("cosine"),
             "rank",
         )
     )
@@ -463,7 +463,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round("cosine", 4).cast("double").alias("cosine"),
+            (F.round("cosine", 4) + F.lit(0.0)).cast("double").alias("cosine"),
             "rank",
         )
     )
