@@ -3,12 +3,24 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": "..."}
+     "queries": {name: sec, ...},
+     "first_eval_total": sec, "queries_first_eval": {name: sec, ...},
+     "sf": "..."}
 
 Timing: each query's plan is fully executed into Spark's ``noop`` sink
 (materializes every row, no driver-side collect bias). One JVM-warmup
 run of the flagship query precedes timing.
-"""
+
+Cold vs warm (VERDICT r4 next-round #4): several operators share
+per-(session, sf) intermediates — the jaccard pair graph, the tf table,
+the approx-agg sketch, the IVF layout — so a query's SECOND evaluation
+can be 10-20× its first. Both numbers are real: ``queries`` /
+``value`` report STEADY STATE (min of two runs; the long-running
+cluster's behavior, and the comparable-across-rounds headline), while
+``queries_first_eval`` / ``first_eval_total`` report each query's FIRST
+run in suite order (cache-build cost included — an intermediate already
+built by an EARLIER suite query is not rebuilt, exactly as a production
+session would behave)."""
 
 from __future__ import annotations
 
@@ -72,11 +84,16 @@ def main() -> None:
 
     run_once(spark, sf_dir, "flagship_report")  # JVM warmup
 
-    # best-of-2: first run pays per-query codegen/worker warmup; the min
-    # is the steady-state number a long-running cluster would see
+    # two runs per query: run 1 = first_eval (pays codegen + any shared
+    # intermediate not built by an earlier suite query), min of both =
+    # steady state (the long-running cluster's number; headline `value`)
     timings: dict[str, float] = {}
+    first_eval: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run_once(spark, sf_dir, name) for _ in range(2)), 3)
+        r1 = run_once(spark, sf_dir, name)
+        r2 = run_once(spark, sf_dir, name)
+        first_eval[name] = round(r1, 3)
+        timings[name] = round(min(r1, r2), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "first_eval_total": round(sum(first_eval.values()), 3),
+                "queries_first_eval": first_eval,
                 "sf": sf_dir,
             }
         )

@@ -15,6 +15,7 @@ still safe here because the final object only appears complete).
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 import time
@@ -48,7 +49,9 @@ class LocalFS:
         try:
             os.remove(path)
         except FileNotFoundError:
-            pass
+            # delete is idempotent by contract: deleting an absent
+            # checkpoint (e.g. clean before first run) is a no-op
+            logging.getLogger(__name__).debug("delete: %s already absent", path)
 
 
 class HadoopFS:

@@ -43,13 +43,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def clear_intermediate_caches() -> None:
     """Unpersist and forget the shared per-(session, sf) intermediates
-    (jaccard pair graph, tf table, approx-agg sketch). Benchmarking
-    helper: the headline suite deliberately measures steady state
-    (caches warm — a long-running session's behavior), but SLOPE
-    measurements (tools/scaling_bench.py, tools/gen_organic_sf.py)
-    must time first evaluations, or a cache hit would masquerade as a
-    flat scaling curve."""
-    from . import aggregates, dedup, textual
+    (jaccard pair graph, tf table, approx-agg sketch, IVF centroids and
+    cell-partitioned layout path). Benchmarking helper: the headline
+    suite deliberately measures steady state (caches warm — a
+    long-running session's behavior), but SLOPE measurements
+    (tools/scaling_bench.py, tools/gen_organic_sf.py) must time first
+    evaluations, or a cache hit would masquerade as a flat scaling
+    curve."""
+    from . import aggregates, dedup, similarity, textual
 
     for registry in (
         dedup._PAIRS_CACHE,
@@ -63,6 +64,19 @@ def clear_intermediate_caches() -> None:
             except Exception:  # noqa: BLE001 — dead context: forget it
                 pass
         registry.clear()
+    # plain dicts (numpy matrices / layout paths) — nothing to unpersist
+    similarity._CENT_CACHE.clear()
+    import logging
+    import shutil
+
+    for path in similarity._IVF_LAYOUT_CACHE.values():
+        try:
+            shutil.rmtree(path)
+        except OSError as exc:  # best-effort temp cleanup
+            logging.getLogger(__name__).debug(
+                "could not remove IVF layout dir %s: %s", path, exc
+            )
+    similarity._IVF_LAYOUT_CACHE.clear()
 
 
 def _load_all() -> None:

@@ -21,7 +21,7 @@ from ..catalog import load_table
 from . import query
 
 #: approx_aggregates' persisted sketch per sf_dir (see its docstring)
-_SKETCH_CACHE: dict[str, DataFrame] = {}
+_SKETCH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dec(col: str) -> F.Column:
@@ -139,14 +139,15 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans: constant memory per group, one pass, mergeable partials.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # cached per sf_dir (session-checked): the persist has three
+    # cached per (applicationId, sf_dir): the persist has three
     # consumers (broadcast rank probe + final join) — without it the
     # countDistinct + two percentile sketches rerun and lineitem is
     # scanned three times; the cache keeps REPEAT invocations (bench
     # best-of-2, long driver sessions) from stacking a new
     # session-lifetime block per call
-    sketch = _SKETCH_CACHE.get(sf_dir)
-    if sketch is None or sketch.sparkSession is not spark:
+    sk_key = (spark.sparkContext.applicationId, sf_dir)
+    sketch = _SKETCH_CACHE.get(sk_key)
+    if sketch is None:
         sketch = (
             li.groupBy("l_returnflag")
             .agg(
@@ -157,7 +158,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        _SKETCH_CACHE[sf_dir] = sketch
+        _SKETCH_CACHE[sk_key] = sketch
     ranks = (
         li.join(F.broadcast(sketch), "l_returnflag")
         .groupBy("l_returnflag")

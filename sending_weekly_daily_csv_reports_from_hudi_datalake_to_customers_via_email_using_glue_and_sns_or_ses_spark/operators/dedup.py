@@ -160,6 +160,11 @@ def dedup_ngram_jaccard(
       rarity prefix selects nothing and verification materializes what
       the index strategy merely counts) — hence not the default here.
     """
+    if strategy not in ("index", "prefix"):
+        raise ValueError(
+            f"dedup_ngram_jaccard: unknown strategy {strategy!r} "
+            "(expected 'index' or 'prefix')"
+        )
     if strategy == "prefix":
         return _jaccard_pairs_prefix(spark, sf_dir)
     df, _caches = _jaccard_pairs_and_caches(spark, sf_dir)
@@ -577,33 +582,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    chunks = simhash.select(
-        "doc_id",
-        "simhash",
-        *[
+    # banding, minhash-style (dedup_minhash_lsh above): each doc explodes
+    # into four (chunk-id, chunk-value) struct rows and ONE self-equi-join
+    # on that struct finds every pigeonhole agreement — a single shuffle
+    # keyed by the chunk tuple (4n rows) instead of four per-chunk join
+    # branches (4 shuffles + union). The 64-bit signature rides along in
+    # the exploded rows, so no join back to the signature table is needed.
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("cid"),
             F.shiftrightunsigned(F.col("simhash"), 16 * c)
             .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"c{c}")
-            for c in range(4)
-        ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ^ 4 pigeonhole arms x 2 join sides = 8 consumers; the persist
-    # computes the collect_list + numpy signature pass ONCE (one
-    # 64-bit signature per doc -- negligible footprint at any scale)
-    pairs = None
-    for c in range(4):
-        le, ri = chunks.alias("le"), chunks.alias("ri")
-        p = le.join(
-            ri,
-            (F.col(f"le.c{c}") == F.col(f"ri.c{c}"))
-            & (F.col("le.doc_id") < F.col("ri.doc_id")),
-        ).select(
-            F.col("le.doc_id").alias("doc_a"),
-            F.col("ri.doc_id").alias("doc_b"),
-            F.col("le.simhash").alias("sh_a"),
-            F.col("ri.simhash").alias("sh_b"),
+            .alias("v"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        for c in range(4)
+    ]
+    chunks = simhash.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ both sides of the self-join consume it; the persist computes the
+    # collect_list + numpy signature pass ONCE (4 rows x 2 longs per doc
+    # -- negligible footprint at any scale)
+    le, ri = chunks.alias("le"), chunks.alias("ri")
+    pairs = le.join(
+        ri,
+        (F.col("le.ck") == F.col("ri.ck"))
+        & (F.col("le.doc_id") < F.col("ri.doc_id")),
+    ).select(
+        F.col("le.doc_id").alias("doc_a"),
+        F.col("ri.doc_id").alias("doc_b"),
+        F.col("le.simhash").alias("sh_a"),
+        F.col("ri.simhash").alias("sh_b"),
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         pairs.distinct()
@@ -791,10 +801,38 @@ def connected_components(
 
     ``release_after_cut``: persisted frames the edge plan depended on,
     unpersisted once the pair frame is materialized by the first cut.
+
+    Checkpoint-dir semantics (ADVICE r4): ``setCheckpointDir`` is
+    SESSION-GLOBAL, and Spark does not delete reliable checkpoint files
+    by default (``spark.cleaner.referenceTracking.cleanCheckpoints`` is
+    false) — the CALLER owns the directory's lifecycle and should
+    remove it once the labels are written out. To keep one caller from
+    silently hijacking another's checkpoint location mid-session, this
+    function RAISES if a different checkpoint dir is already set on the
+    context rather than overwrite it.
     """
     spark = pair_graph.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import os
+        from urllib.parse import urlparse
+
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        existing = opt.get() if opt.isDefined() else None
+        if existing is not None:
+            # setCheckpointDir(d) registers a UUID CHILD of d; same
+            # requested dir ⇒ existing's parent == requested dir
+            have = os.path.normpath(os.path.dirname(urlparse(existing).path))
+            want = os.path.normpath(os.path.abspath(checkpoint_dir))
+            if have != want:
+                raise ValueError(
+                    "connected_components: SparkContext already has "
+                    f"checkpoint dir {existing!r}; refusing to replace it "
+                    f"with {checkpoint_dir!r} (setCheckpointDir is "
+                    "session-global). Pass that dir, or omit "
+                    "checkpoint_dir to use localCheckpoint."
+                )
+        else:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _cut(df: DataFrame) -> DataFrame:
             return df.checkpoint()
@@ -893,6 +931,11 @@ def dedup_clusters(
         organic 10× slope 2.1 vs 9.5). pytest verifies the labels
         against a union-find over the same minhash edge set.
     """
+    if edge_source not in ("jaccard", "minhash"):
+        raise ValueError(
+            f"dedup_clusters: unknown edge_source {edge_source!r} "
+            "(expected 'jaccard' or 'minhash')"
+        )
     if edge_source == "minhash":
         pair_graph = dedup_minhash_lsh(spark, sf_dir).select(
             "doc_a", "doc_b"

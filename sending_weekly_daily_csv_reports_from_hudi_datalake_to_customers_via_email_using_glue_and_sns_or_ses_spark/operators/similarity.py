@@ -283,21 +283,28 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: trained centroid matrices per (applicationId, table plan, K): the
+#: trained centroid matrices per (applicationId, corpus id, K): the
 #: train step is deterministic given the corpus, so repeat invocations
 #: (bench best-of-2, long driver sessions) skip the sample collect and
 #: the driver-side Lloyd iterations. numpy arrays are session-agnostic;
 #: the applicationId key only bounds the dict's lifetime semantics.
+#: Keyed on an EXPLICIT corpus identity (the caller's sf_dir/path):
+#: the logical-plan string this used to key on prints parquet relations
+#: without their path on this Spark build, so two corpora in one
+#: session would collide (ADVICE r4, medium).
 _CENT_CACHE: dict[tuple[str, str, int], np.ndarray] = {}
 
 
-def _train_ivf_centroids(e: DataFrame, K: int = 16, iters: int = 8) -> np.ndarray:
+def _train_ivf_centroids(
+    e: DataFrame, K: int = 16, iters: int = 8, *, corpus_id: str
+) -> np.ndarray:
     """The IVF coarse quantizer: driver-side Lloyd's k-means on a
     deterministic 256-row sample (vec_id hash order) — the classic IVF
-    train step; the tiny centroid matrix broadcasts in UDF closures."""
+    train step; the tiny centroid matrix broadcasts in UDF closures.
+    ``corpus_id`` names the corpus for the memo (pass the source path)."""
     key = (
         e.sparkSession.sparkContext.applicationId,
-        e._jdf.queryExecution().logical().toString(),
+        corpus_id,
         K,
     )
     hit = _CENT_CACHE.get(key)
@@ -324,15 +331,19 @@ def _train_ivf_centroids(e: DataFrame, K: int = 16, iters: int = 8) -> np.ndarra
 
 def _ivf_cell_udf(cent: np.ndarray):
     """Vectorized cell assignment (argmax against the broadcast centroid
-    matrix) — one pass indexes the whole corpus."""
+    matrix) — one pass indexes the whole corpus. The argmax is taken
+    over RAW dot products: per-row normalization is a positive scalar,
+    so it cannot change the argmax, and skipping it keeps the float path
+    identical to the SQL oracle's ``list_dot_product`` (association
+    order is then the only divergence — ~1e-13 relative, far under the
+    margins between distinct cell dots)."""
 
     @F.pandas_udf("int")
     def cell_of(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
         X = np.stack(emb.to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series(np.argmax(Xn @ cent.T, axis=1).astype("int32"))
+        return pd.Series(np.argmax(X @ cent.T, axis=1).astype("int32"))
 
     return cell_of
 
@@ -347,17 +358,26 @@ def _probe_cells(qids, Qn: np.ndarray, cent: np.ndarray, nprobe: int):
 
 
 def ivf_write_partitioned(
-    spark: SparkSession, sf_dir: str, out_path: str, K: int = 16
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    K: int = 16,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """The IVF production story, step 1: write the corpus PARTITIONED BY
     its coarse-quantizer cell (hive layout ``cell=<k>/``). At 100 TB
     this is the whole point of IVF-on-a-lakehouse: the cell is a
     partition key, so a probe query's scan lists and reads ONLY the
     nprobe/K probed directories — partition pruning does the candidate
-    selection before any IO. Returns the trained centroids (persist
-    alongside the table in production)."""
+    selection before any IO. Returns the centroids (persist alongside
+    the table in production). Pass ``centroids`` to use a pre-trained
+    (or fixed) quantizer; default trains Lloyd's k-means on a sample."""
     e = load_table(spark, sf_dir, "embeddings")
-    cent = _train_ivf_centroids(e, K=K)
+    cent = (
+        centroids
+        if centroids is not None
+        else _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
+    )
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
         "cell", _ivf_cell_udf(cent)("embedding")
     )
@@ -433,7 +453,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half the cells for ~0.5+ recall. The operator's value is the
     # machinery; the tradeoff curve is a property of the data.
     K, nprobe = 16, 8
-    cent = _train_ivf_centroids(e, K=K)
+    cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
         "cell", _ivf_cell_udf(cent)("embedding")
     )
@@ -482,27 +502,121 @@ def knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest additionally measures recall@10 vs knn_bruteforce.
 
     The IVF scale path (partition-pruned coarse-quantizer cells) is the
-    separate ``knn_approx_ivf`` entry — its k-means train step is not
-    SQL-portable, so it stays rows-checked rather than diluting this
-    entry's hash check.
+    separate ``knn_approx_ivf`` entry — since round 5 hash-oracled too,
+    via a fixed seeded quantizer (`_ivf_oracle`).
     """
     return _lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
 
 
-@query("knn_approx_ivf")
-def knn_approx_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 NN per query via IVF (coarse-quantizer cells
-    as the partition-pruning key; only nprobe/K cells scanned). The
-    partition-pruning story is demonstrated end-to-end in
-    tests/test_plans.py (corpus written partitioned by cell, probe scan
-    touches only probed partitions) and recall is measured in
-    tests/test_extensions.py.
+#: Fixed seeded coarse quantizer for the DRIVER ENTRY (16 Gaussian
+#: cells over the 64-dim embeddings). A FIXED matrix instead of the
+#: Lloyd-trained one makes every step of the pipeline SQL-expressible
+#: (cell assignment = argmax over literal vectors), so the whole IVF
+#: path — assignment, partitioned layout, probe set, exact-cosine
+#: ranking — gets a value-hash oracle (VERDICT r4 next-round #1; the
+#: `_lsh_oracle()` playbook). The trained quantizer stays the library
+#: path (`_train_ivf_centroids` / `_ivf_topk`), exercised by the recall
+#: test; cell QUALITY (recall per probed fraction) is what training
+#: buys, and it is orthogonal to the machinery checked here.
+_IVF_K, _IVF_NPROBE = 16, 8
+_IVF_CENT = np.random.default_rng(20250814).standard_normal((_IVF_K, 64))
+_IVF_CENT /= np.linalg.norm(_IVF_CENT, axis=1, keepdims=True)
 
-    Rows-only driver check: the driver-side Lloyd's k-means train step
-    (numpy over a hash-ordered sample) isn't SQL-portable.
-    """
-    return _ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
+#: cell-partitioned layout dirs per (applicationId, sf_dir): the entry
+#: writes the layout once per session and probes it on every call —
+#: mirroring production, where the write is amortized across queries.
+_IVF_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session per corpus) the fixed-quantizer
+    cell-partitioned layout for ``sf_dir``; return its path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_LAYOUT_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivf_cells_")
+        ivf_write_partitioned(spark, sf_dir, path, K=_IVF_K, centroids=_IVF_CENT)
+        _IVF_LAYOUT_CACHE[key] = path
+    return path
+
+
+def _ivf_oracle() -> str:
+    """Generated DuckDB twin of the fixed-quantizer IVF retrieval:
+    centroid matrix as literal DOUBLE[] rows, cell assignment = rank-1
+    dot product (ties to the lower cell, matching np.argmax), probe set
+    = each query's top-nprobe cells, candidates = corpus rows in probed
+    cells, exact-cosine rank within candidates. Raw (unnormalized) dots
+    on both sides — normalization is a positive per-row scalar, so
+    argmax/ranking are invariant and the float values differ only by
+    association order (~1e-13 relative; the knn_bruteforce argument)."""
+    cent_rows = ",\n             ".join(
+        f"({k}, [{', '.join(repr(float(v)) for v in _IVF_CENT[k])}])"
+        for k in range(_IVF_K)
     )
+    return f"""
+    WITH cents(cell, cvec) AS (
+      VALUES {cent_rows}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.emb, c.cvec) DESC,
+                                           c.cell ASC) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS q_emb FROM e
+      WHERE vec_id IN {_QUERY_IDS}
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_dot_product(q.q_emb, c.cvec) DESC,
+                                           c.cell ASC) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {_IVF_NPROBE}
+    ), corpus AS (
+      SELECT e.vec_id, e.emb, a.cell
+      FROM e JOIN assign a USING (vec_id)
+      WHERE e.vec_id NOT IN {_QUERY_IDS}
+    ), cands AS (
+      SELECT p.query_id, c.vec_id,
+             list_cosine_similarity(c.emb, q.q_emb) AS cs
+      FROM corpus c JOIN probes p USING (cell) JOIN q USING (query_id)
+    ), ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM cands)
+    SELECT 'ivf' AS method, query_id, vec_id,
+           CAST(round(cs, 4) + 0 AS DOUBLE) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@query("knn_approx_ivf", oracle=_ivf_oracle())
+def knn_approx_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 NN per query via IVF: coarse-quantizer cells
+    as the PARTITION-PRUNING key. This entry runs the production path
+    end-to-end — the corpus is written ``partitionBy(cell)`` (once per
+    session, `_ivf_layout`) and the probe reads ONLY the nprobe/K
+    probed directories via PartitionFilters (pinned by
+    tests/test_plans.py::test_ivf_partition_pruning_end_to_end).
+
+    Hash-oracled end-to-end since round 5: the fixed seeded quantizer
+    makes cell assignment a literal-vector argmax, so the DuckDB twin
+    reproduces assignment, probe sets, candidate membership, and the
+    rounded cosine ranking (`_ivf_oracle`). The Lloyd-trained quantizer
+    remains the library path (`_train_ivf_centroids`, recall-tested in
+    tests/test_extensions.py).
+    """
+    layout = _ivf_layout(spark, sf_dir)
+    return ivf_probe_partitioned(
+        spark, sf_dir, layout, _IVF_CENT, nprobe=_IVF_NPROBE
+    ).select(F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank")

@@ -36,8 +36,11 @@ def _word_re(words: list[str]) -> str:
 # documented as the same key; a local copy would drift silently)
 from .dedup import _norm_text, _tokens  # noqa: E402
 
-#: tf_idf's persisted (doc, tok, tf) table per sf_dir (see its docstring)
-_TF_CACHE: dict[str, DataFrame] = {}
+#: tf_idf's persisted (doc, tok, tf) table per (applicationId, sf_dir)
+#: (see its docstring). Keyed like dedup._PAIRS_CACHE: a DataFrame is
+#: only valid inside the SparkContext that built it, so a restarted
+#: session must miss rather than be served frames from a dead context.
+_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @query(
@@ -226,17 +229,18 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    # cached per sf_dir (session-checked) so repeat invocations reuse
+    # cached per (applicationId, sf_dir) so repeat invocations reuse
     # one persisted tf table instead of pinning a new session-lifetime
     # copy per call
-    tf = _TF_CACHE.get(sf_dir)
-    if tf is None or tf.sparkSession is not spark:
+    tf_key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _TF_CACHE.get(tf_key)
+    if tf is None:
         tf = (
             toks.groupBy("doc_id", "tok")
             .agg(F.count("*").alias("tf"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _TF_CACHE[sf_dir] = tf
+        _TF_CACHE[tf_key] = tf
     # df derives from tf (one row per (doc, tok) ⇒ count(*) per tok ==
     # countDistinct(doc)), NOT from a second explode of the corpus —
     # saves a full tokenize+explode pass and shuffles the already-

@@ -30,6 +30,7 @@ critical section Hudi's timeline lock covers.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
@@ -169,7 +170,11 @@ class FileSystemLockProvider:
             os.replace(self.lock_path, broken)
             os.remove(broken)
         except FileNotFoundError:
-            pass
+            # another contender broke the expired lock first — the lock
+            # file is gone either way, which is the post-condition here
+            logging.getLogger(__name__).debug(
+                "expired lock %s already broken by a peer", self.lock_path
+            )
 
     def unlock(self) -> None:
         # stop the heartbeat first so it can't resurrect the mtime of a
@@ -189,4 +194,8 @@ class FileSystemLockProvider:
             try:
                 os.remove(self.lock_path)
             except FileNotFoundError:
-                pass
+                # released twice / broken by a peer after expiry: the
+                # desired end state (no lock file) already holds
+                logging.getLogger(__name__).debug(
+                    "lock %s already released", self.lock_path
+                )

@@ -37,6 +37,7 @@ written ``partitionBy(partition_cols)`` so downstream reads prune.
 
 from __future__ import annotations
 
+import logging
 import json
 import os
 import shutil
@@ -478,8 +479,12 @@ class KeyedTable:
         os.rename(staging, final_path)
         try:
             os.rmdir(os.path.dirname(staging))  # drop the empty parent
-        except OSError:
-            pass
+        except OSError as exc:
+            # best-effort tidy-up only: a concurrent writer may still be
+            # staging under the same parent — the commit already landed
+            logging.getLogger(__name__).debug(
+                "staging parent not removed (non-fatal): %s", exc
+            )
 
     def _write_snapshot(self, df: DataFrame, commit: str) -> None:
         path = os.path.join(self.root, "snapshots", f"v={commit}")

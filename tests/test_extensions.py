@@ -340,16 +340,23 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
 def test_ivf_recall(spark):
     """IVF probing half the cells recalls >=40% of the exact top-10 on
     this near-unstructured corpus (recall ~= probed fraction when the
-    data has no cluster structure; see _ivf_topk docstring)."""
+    data has no cluster structure; see _ivf_topk docstring). Both IVF
+    paths are measured: the driver entry (fixed seeded quantizer,
+    partitioned layout) and the Lloyd-trained library path
+    (_ivf_topk)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.similarity import (
+        _ivf_topk,
+    )
+
     exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
     both = QUERIES["knn_approx_ivf"](spark, SF).toPandas()
-    approx = both[both.method == "ivf"]
-    recalls = []
-    for qid in exact.query_id.unique():
-        e = set(exact[exact.query_id == qid].vec_id)
-        a = set(approx[approx.query_id == qid].vec_id)
-        recalls.append(len(e & a) / len(e))
-    assert sum(recalls) / len(recalls) >= 0.4
+    for approx in (both[both.method == "ivf"], _ivf_topk(spark, SF).toPandas()):
+        recalls = []
+        for qid in exact.query_id.unique():
+            e = set(exact[exact.query_id == qid].vec_id)
+            a = set(approx[approx.query_id == qid].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert sum(recalls) / len(recalls) >= 0.4
 
 
 def test_pivot_missing_cell_zero_filled(spark, tmp_path):
@@ -391,3 +398,29 @@ def test_outliers_zero_variance_day_survives_ansi(spark, tmp_path):
     out = QUERIES["daily_value_outliers"](spark, str(tmp_path)).collect()
     # no exception, and no rows from the zero-variance day
     assert all(r["event_id"] not in (1, 2, 3) for r in out)
+
+
+def test_dedup_mode_strings_validated(spark):
+    """Typo'd mode strings raise instead of silently running the default
+    algorithm (ADVICE r4)."""
+    with pytest.raises(ValueError, match="strategy"):
+        QUERIES["dedup_ngram_jaccard"](spark, SF, strategy="Prefix")
+    with pytest.raises(ValueError, match="edge_source"):
+        QUERIES["dedup_clusters"](spark, SF, edge_source="minhsah")
+
+
+def test_checkpoint_dir_conflict_raises(spark, tmp_path):
+    """connected_components refuses to silently repoint the
+    session-global checkpoint dir at a different location (ADVICE r4):
+    setCheckpointDir is context-wide, so hijacking it mid-session would
+    redirect OTHER callers' checkpoint data."""
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    if not opt.isDefined():
+        # establish one through the public path first
+        QUERIES["dedup_clusters"](
+            spark, SF, checkpoint_dir=str(tmp_path / "first")
+        )
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        QUERIES["dedup_clusters"](
+            spark, SF, checkpoint_dir=str(tmp_path / "other")
+        )

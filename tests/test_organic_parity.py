@@ -1,0 +1,63 @@
+"""Standing organic cross-validation gate (VERDICT r4 next-round #3).
+
+Round 4's three real correctness finds (session-window gap boundary, q1
+decimal overflow at 10x magnitudes, IEEE negative zero) all surfaced
+from running the corpus against ORGANICALLY generated data — fresh
+seeded draws with different value distributions and magnitudes than the
+driver's replicated testdata — by hand. This test makes that a single
+command so the next boundary bug can't land silently:
+
+    SPARK_GRAFT_ORGANIC=1 python -m pytest tests/test_organic_parity.py -q
+
+It generates (once, marker-gated under /tmp) the organic x1 corpus —
+sf0.1-scale row counts, fully distributed xxhash64 generation, planted
+near-dup families — and runs EVERY registered query with a SQL oracle
+against DuckDB on that corpus: the same row-count + schema + value
+comparison the driver's correctness gate applies, on data the operators
+were never tuned against.
+
+Gated behind the env var (not a pytest marker alone) so the driver's
+per-round `pytest tests/ -x -q` stays fast; CI/docs invoke it
+explicitly. Takes a few minutes at sf0.1 scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from oracle_harness import compare, duck_connection
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    ORACLES,
+    QUERIES,
+    clear_intermediate_caches,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_ORGANIC"),
+    reason="organic parity gate: set SPARK_GRAFT_ORGANIC=1 to run",
+)
+
+
+def test_organic_x1_full_parity(spark):
+    from tools.gen_organic_sf import build_organic
+
+    sf_dir = build_organic(spark, 1)
+    # the organic dir shares path-keyed cache namespaces with nothing,
+    # but start cold anyway so this gate times out loudly rather than
+    # silently reusing a prior run's intermediates
+    clear_intermediate_caches()
+    con = duck_connection(sf_dir)
+    failures: list[str] = []
+    for name, fn in QUERIES.items():
+        if name not in ORACLES:
+            continue  # rows-only entries have no cross-engine contract
+        try:
+            problems = compare(fn(spark, sf_dir), con, ORACLES[name])
+        except Exception as exc:  # noqa: BLE001 — collect, report all
+            problems = [f"{type(exc).__name__}: {exc}"]
+        if problems:
+            failures.append(f"{name}: {'; '.join(problems)[:300]}")
+    assert not failures, "\n".join(failures)

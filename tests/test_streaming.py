@@ -143,6 +143,44 @@ def test_stateful_dedupe_stream(spark, tmp_path):
     assert len({r["fingerprint"] for r in emitted}) == n_unique
 
 
+def test_dedupe_stream_matches_batch_on_seeded_dups(spark, tmp_path):
+    """Stream-vs-batch EQUALITY for the stateful dedup (VERDICT r4 #7,
+    the sliding_counts_stream playbook): on a seeded near-dup stream —
+    every 4th doc an exact copy of its predecessor, landed twice to
+    force cross-micro-batch repeats — the streaming first-occurrence
+    output must equal the batch rule (min doc_id per fingerprint)
+    row-for-row, not just by count."""
+    rows = []
+    for i in range(120):
+        base = i - 1 if i % 4 == 3 else i  # doc 3 copies doc 2, ...
+        rows.append((i, f"seeded document body number {base}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    # each landing is ONE file holding the full corpus, so whichever
+    # micro-batch a landing falls in contains every fingerprint with its
+    # global-min doc_id — the emitted row is deterministic under any
+    # file-to-batch assignment
+    path = str(tmp_path / "seeded_docs_stream")
+    docs.coalesce(1).write.parquet(path)
+    docs.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = run_stream_on_batch(
+        dedupe_stream(stream.select("fingerprint", "doc_id")),
+        "dedupe_batch_eq_out",
+    )
+    got = {(r["fingerprint"], r["doc_id"]) for r in out.collect()}
+    batch = {
+        (r["fingerprint"], r["doc_id"])
+        for r in docs.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert got == batch
+    assert len(got) == 90  # 120 docs, 30 duplicated fingerprints
+
+
 def test_stream_upsert_exactly_once_convergence(spark, tmp_path):
     """foreachBatch streaming ingest into KeyedTable: after the stream
     drains, the table holds exactly one row per key with the max
