@@ -256,6 +256,21 @@ def build_organic(spark: SparkSession, n: int) -> str:
     return out_dir
 
 
+def _minhash_clusters(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    return dedup_clusters(spark, sf_dir, edge_source="minhash")
+
+
+#: non-registry variants measured alongside SCALE_QUERIES: the
+#: minhash-edge clusters path is the claimed scale route for saturated
+#: corpora (VERDICT r4 next-round #5), so its slope must be measured,
+#: not argued
+EXTRA_SCALE = {"dedup_clusters_minhash": _minhash_clusters}
+
+
 def _run_once(spark, sf_dir: str, name: str) -> float:
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
         clear_intermediate_caches,
@@ -264,19 +279,23 @@ def _run_once(spark, sf_dir: str, name: str) -> float:
     # slope measurements time FIRST evaluations — a warm intermediate
     # cache would masquerade as a flat scaling curve
     clear_intermediate_caches()
+    fn = QUERIES.get(name) or EXTRA_SCALE[name]
     t0 = time.time()
-    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="organic-bench")
     organic_dir = build_organic(spark, n)
 
     _run_once(spark, BASE_SF, "q1_pricing_summary")  # warmup
     result: dict[str, dict[str, float]] = {}
-    for name in SCALE_QUERIES:
+    for name in list(SCALE_QUERIES) + list(EXTRA_SCALE):
+        if only and name not in only:
+            continue
         t1 = min(_run_once(spark, BASE_SF, name) for _ in range(2))
         tn = min(_run_once(spark, organic_dir, name) for _ in range(2))
         result[name] = {
