@@ -1,0 +1,193 @@
+"""Training-data preparation operators beyond the SURVEY §2.7 gap list:
+sequence packing (LLM training-batch construction) and one-pass
+distributed PCA over the embedding column.
+
+Library surface (pytest-covered): the driver corpus is capped at 50
+entries, so these register no ``@query`` rows; COVERAGE.md documents
+them alongside the X-family.
+
+Scale design, per operator:
+  * ``pack_sequences`` — greedy first-fit packing is PER-PARTITION
+    (mapInPandas): embarrassingly parallel, zero shuffle beyond the
+    optional balancing repartition. Pack ids are made globally unique
+    from the physical partition id, so no coordination is needed —
+    exactly how a 1000-executor job packs 100 TB of documents.
+  * ``embedding_pca`` — the only driver-side object is the d×d scatter
+    matrix (64×64 here): each Arrow batch reduces to one
+    (count, sum, X'X) partial, partials are unioned and summed in one
+    tiny aggregation, and the eigendecomposition of a d×d matrix is
+    O(d³) driver work independent of corpus size. The projection is a
+    broadcast matmul per batch — one pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into training sequences of at most ``max_tokens``
+    tokens (greedy first-fit inside each partition, docs taken in
+    ``id_col`` order for determinism).
+
+    Returns (pack_id long, doc_id, n_tokens, seq_offset): every input
+    doc appears exactly once; ``seq_offset`` is the doc's token offset
+    inside its pack. A single doc longer than ``max_tokens`` gets a
+    pack of its own (the caller decides whether to truncate or split —
+    this operator never drops data silently).
+
+    Packing locality is per-partition by design: global bin packing is
+    NP-hard and needs a shuffle to a single ordering, while first-fit
+    within a partition wastes at most one doc's worth of slack per open
+    pack and runs embarrassingly parallel. ``partitions`` optionally
+    rebalances first (one shuffle) when the input partitioning is
+    skewed.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    if partitions is not None:
+        src = src.repartition(partitions, "doc_id")
+
+    # pack_id = partition_id * 2^40 + local pack index: globally unique
+    # with no coordination; 2^40 local packs per partition is beyond any
+    # realistic partition size, and 2^23 partitions fit alongside it in
+    # the long
+    def _pack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 40
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            return
+        all_docs = pd.concat(rows).sort_values("doc_id")
+        out_pack, out_doc, out_tok, out_off = [], [], [], []
+        # open packs: list of [pack_id, used_tokens]; first-fit
+        open_packs: list[list[int]] = []
+        next_local = 0
+        for doc_id, n_tok in zip(all_docs["doc_id"], all_docs["n_tokens"]):
+            n_tok = int(n_tok)
+            placed = False
+            for p in open_packs:
+                if p[1] + n_tok <= max_tokens:
+                    out_pack.append(p[0])
+                    out_off.append(p[1])
+                    p[1] += n_tok
+                    placed = True
+                    break
+            if not placed:
+                pack_id = base + next_local
+                next_local += 1
+                out_pack.append(pack_id)
+                out_off.append(0)
+                # packs with no remaining room (incl. oversized docs'
+                # own packs) never join the open list
+                if n_tok < max_tokens:
+                    open_packs.append([pack_id, n_tok])
+            out_doc.append(doc_id)
+            out_tok.append(n_tok)
+        yield pd.DataFrame(
+            {
+                "pack_id": pd.Series(out_pack, dtype="int64"),
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "n_tokens": pd.Series(out_tok, dtype="int64"),
+                "seq_offset": pd.Series(out_off, dtype="int64"),
+            }
+        )
+
+    return src.mapInPandas(
+        _pack, "pack_id long, doc_id long, n_tokens long, seq_offset long"
+    )
+
+
+def embedding_pca(
+    e: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """One-pass distributed PCA over an array<float> column.
+
+    Returns ``(mean, components, projected)``: the d-vector column
+    mean, the (k, d) principal-component matrix (rows = components,
+    descending eigenvalue order, sign-normalized so each row's
+    largest-|x| entry is positive), and a DataFrame
+    (``id_col``, proj array<double>) of the k-dim projections.
+
+    Mechanics: each Arrow batch reduces to one partial
+    (n, sum(x), X'X) row — the corpus never leaves the executors; the
+    d×d scatter accumulates via a single sum aggregation; the driver
+    eigendecomposes covariance = (X'X − n·μμ')/(n−1) (O(d³), corpus-
+    size independent) and the projection is a broadcast matmul per
+    batch. This is the textbook scale shape for tall-skinny PCA.
+    """
+    sample = e.select(vec_col).first()
+    if sample is None:
+        raise ValueError("embedding_pca: empty input")
+    d = len(sample[0])
+    if not 0 < k <= d:
+        raise ValueError(f"k must be in 1..{d}, got {k}")
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0)],
+                    "ss": [(X.T @ X).ravel()],
+                }
+            )
+
+    partials = (
+        e.select(F.col(vec_col).alias("v"))
+        .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
+        .toPandas()
+    )
+    # ^ one row per Arrow batch: thousands of rows for a 100 TB corpus,
+    # trivially driver-collectable; the elementwise combine is numpy
+    n = int(partials["n"].sum())
+    if n < 2:
+        raise ValueError("embedding_pca: need at least 2 vectors")
+    s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(partials["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :k].T.copy()  # (k, d), descending eigenvalue
+    # deterministic sign: largest-|x| entry of each component positive
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    mean_b, comps_b = mean, comps
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64) - mean_b
+        return pd.Series(list(X @ comps_b.T))
+
+    projected = e.select(
+        F.col(id_col), project(F.col(vec_col)).alias("proj")
+    )
+    return mean, comps, projected

@@ -1,0 +1,124 @@
+"""Training-data preparation operators: sequence packing and
+distributed PCA (operators/mlprep.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+    load_table,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+    embedding_pca,
+    pack_sequences,
+)
+
+SF = "/root/testdata/sf0.001"
+MAX_TOK = 64
+
+
+def _doc_tokens(spark):
+    return load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    docs = _doc_tokens(spark)
+    n_docs = docs.count()
+    packed = pack_sequences(docs, MAX_TOK).cache()
+
+    # every doc exactly once
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+    per_pack = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.count("*").alias("n"),
+            F.min("seq_offset").alias("min_off"),
+            F.count_distinct("seq_offset").alias("n_off"),
+        )
+        .collect()
+    )
+    for r in per_pack:
+        # budget respected, except a pack holding ONE oversized doc
+        assert r["total"] <= MAX_TOK or r["n"] == 1, r
+        assert r["min_off"] == 0
+        assert r["n_off"] == r["n"]  # offsets distinct within the pack
+
+    # offsets are consistent: within a pack, sorting by offset gives
+    # non-overlapping [offset, offset + n_tokens) spans
+    pdf = packed.toPandas()
+    for _, grp in pdf.groupby("pack_id"):
+        g = grp.sort_values("seq_offset")
+        end = 0
+        for off, tok in zip(g["seq_offset"], g["n_tokens"]):
+            assert off >= end or end == 0 and off == 0
+            end = max(end, off + tok)
+    packed.unpersist()
+
+
+def test_pack_sequences_deterministic(spark):
+    docs = _doc_tokens(spark)
+    a = sorted(map(tuple, pack_sequences(docs, MAX_TOK).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, MAX_TOK).collect()))
+    assert a == b
+
+
+def test_pack_oversized_doc_is_isolated(spark):
+    rows = [(1, 10), (2, 1000), (3, 20), (4, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(docs, 128, partitions=1).toPandas()
+    big_pack = packed.loc[packed.doc_id == 2, "pack_id"].iloc[0]
+    mates = packed[packed.pack_id == big_pack]
+    assert len(mates) == 1  # nothing else lands with the oversized doc
+    assert mates["seq_offset"].iloc[0] == 0
+    # the small docs pack together under budget
+    others = packed[packed.doc_id != 2]
+    assert others.groupby("pack_id")["n_tokens"].sum().le(128).all()
+
+
+def test_pack_sequences_validation(spark):
+    docs = _doc_tokens(spark)
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(docs, 0)
+
+
+def test_embedding_pca_matches_numpy(spark):
+    e = load_table(spark, SF, "embeddings")
+    k = 8
+    mean, comps, projected = embedding_pca(e, k)
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ref_mean = X.mean(axis=0)
+    Xc = X - ref_mean
+    cov = (Xc.T @ Xc) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    ref = evecs[:, ::-1][:, :k].T
+
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    # components match the reference up to sign
+    for i in range(k):
+        assert abs(float(np.dot(comps[i], ref[i]))) > 1 - 1e-8
+
+    got = projected.toPandas().set_index("vec_id")
+    P = np.stack(got.loc[pdf["vec_id"]]["proj"].to_numpy())
+    ref_proj = Xc @ comps.T  # same (sign-normalized) components
+    assert np.allclose(P, ref_proj, atol=1e-8)
+    # projections decorrelate: off-diagonal covariance ~ 0
+    pc = np.cov(P.T)
+    off = pc - np.diag(np.diag(pc))
+    assert np.max(np.abs(off)) < 1e-6 * np.max(np.abs(pc))
+
+
+def test_embedding_pca_validation(spark):
+    e = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="k must be"):
+        embedding_pca(e, 0)
+    with pytest.raises(ValueError, match="k must be"):
+        embedding_pca(e, 65)
