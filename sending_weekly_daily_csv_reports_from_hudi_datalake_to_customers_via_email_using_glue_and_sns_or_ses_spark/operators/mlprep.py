@@ -136,12 +136,8 @@ def embedding_pca(
     size independent) and the projection is a broadcast matmul per
     batch. This is the textbook scale shape for tall-skinny PCA.
     """
-    sample = e.select(vec_col).first()
-    if sample is None:
-        raise ValueError("embedding_pca: empty input")
-    d = len(sample[0])
-    if not 0 < k <= d:
-        raise ValueError(f"k must be in 1..{d}, got {k}")
+    if k <= 0:
+        raise ValueError(f"k must be in 1..d, got {k}")
 
     def _partials(batches):
         for pdf in batches:
@@ -162,10 +158,17 @@ def embedding_pca(
         .toPandas()
     )
     # ^ one row per Arrow batch: thousands of rows for a 100 TB corpus,
-    # trivially driver-collectable; the elementwise combine is numpy
+    # trivially driver-collectable; the elementwise combine is numpy.
+    # The dimension d comes from the partials themselves — no separate
+    # probe job against the corpus (the tf_idf laziness rule)
+    if not len(partials):
+        raise ValueError("embedding_pca: empty input")
     n = int(partials["n"].sum())
     if n < 2:
         raise ValueError("embedding_pca: need at least 2 vectors")
+    d = len(partials["s"].iloc[0])
+    if k > d:
+        raise ValueError(f"k must be in 1..{d}, got {k}")
     s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
     ss = np.sum(np.stack(partials["ss"].to_numpy()), axis=0).reshape(d, d)
     mean = s / n
