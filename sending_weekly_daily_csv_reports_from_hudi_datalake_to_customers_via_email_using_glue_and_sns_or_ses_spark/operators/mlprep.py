@@ -34,6 +34,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     partitions: int | None = None,
+    open_limit: int = 64,
 ) -> DataFrame:
     """Pack documents into training sequences of at most ``max_tokens``
     tokens (greedy first-fit inside each partition, docs taken in
@@ -51,9 +52,19 @@ def pack_sequences(
     pack and runs embarrassingly parallel. ``partitions`` optionally
     rebalances first (one shuffle) when the input partitioning is
     skewed.
+
+    ``open_limit`` bounds the open-pack list (first-fit-with-window):
+    unbounded first-fit is QUADRATIC in partition size, because a pack
+    left at e.g. 2040/2048 tokens never closes and every later doc
+    scans it. With the window, the oldest open pack retires when a new
+    one opens past the limit, keeping packing O(n · open_limit) at a
+    marginal slack cost (the retired pack was already the least likely
+    to fit anything).
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if open_limit <= 0:
+        raise ValueError(f"open_limit must be positive, got {open_limit}")
     src = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
@@ -99,6 +110,8 @@ def pack_sequences(
                 # own packs) never join the open list
                 if n_tok < max_tokens:
                     open_packs.append([pack_id, n_tok])
+                    if len(open_packs) > open_limit:
+                        open_packs.pop(0)  # retire the oldest (fullest-longest)
             out_doc.append(doc_id)
             out_tok.append(n_tok)
         yield pd.DataFrame(

@@ -122,3 +122,19 @@ def test_embedding_pca_validation(spark):
         embedding_pca(e, 0)
     with pytest.raises(ValueError, match="k must be"):
         embedding_pca(e, 65)
+
+
+def test_pack_open_limit_bounds_scan(spark):
+    """first-fit-with-window: with open_limit=1, each new pack retires
+    the previous one, so packing degenerates to sequential fill — still
+    every doc exactly once, budget still respected."""
+    rows = [(i, 30) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(docs, 100, partitions=1, open_limit=1).toPandas()
+    assert len(packed) == 20
+    sums = packed.groupby("pack_id")["n_tokens"].sum()
+    assert sums.le(100).all()
+    # 3 docs of 30 fit per 100-token pack -> ceil(20/3) = 7 packs
+    assert len(sums) == 7
+    with pytest.raises(ValueError, match="open_limit"):
+        pack_sequences(docs, 100, open_limit=0)
