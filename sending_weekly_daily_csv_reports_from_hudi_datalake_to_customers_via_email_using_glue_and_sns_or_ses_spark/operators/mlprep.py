@@ -79,52 +79,57 @@ def pack_sequences(
     def _pack(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        base = pid << 40
-        rows = []
-        for pdf in batches:
-            rows.append(pdf)
-        if not rows:
-            return
-        all_docs = pd.concat(rows).sort_values("doc_id")
-        out_pack, out_doc, out_tok, out_off = [], [], [], []
-        # open packs: list of [pack_id, used_tokens]; first-fit
-        open_packs: list[list[int]] = []
-        next_local = 0
-        for doc_id, n_tok in zip(all_docs["doc_id"], all_docs["n_tokens"]):
-            n_tok = int(n_tok)
-            placed = False
-            for p in open_packs:
-                if p[1] + n_tok <= max_tokens:
-                    out_pack.append(p[0])
-                    out_off.append(p[1])
-                    p[1] += n_tok
-                    placed = True
-                    break
-            if not placed:
-                pack_id = base + next_local
-                next_local += 1
-                out_pack.append(pack_id)
-                out_off.append(0)
-                # packs with no remaining room (incl. oversized docs'
-                # own packs) never join the open list
-                if n_tok < max_tokens:
-                    open_packs.append([pack_id, n_tok])
-                    if len(open_packs) > open_limit:
-                        open_packs.pop(0)  # retire the oldest (fullest-longest)
-            out_doc.append(doc_id)
-            out_tok.append(n_tok)
-        yield pd.DataFrame(
-            {
-                "pack_id": pd.Series(out_pack, dtype="int64"),
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "n_tokens": pd.Series(out_tok, dtype="int64"),
-                "seq_offset": pd.Series(out_off, dtype="int64"),
-            }
-        )
+        base = TaskContext.get().partitionId() << 40
+        rows = [pdf for pdf in batches]
+        if rows:
+            yield _pack_partition(pd.concat(rows), max_tokens, open_limit, base)
 
     return src.mapInPandas(
         _pack, "pack_id long, doc_id long, n_tokens long, seq_offset long"
+    )
+
+
+def _pack_partition(
+    all_docs: pd.DataFrame, max_tokens: int, open_limit: int, base: int
+) -> pd.DataFrame:
+    """Pure per-partition first-fit-with-window packing (module-level so
+    the property tests can exercise it without a Spark round-trip).
+    Input columns: doc_id, n_tokens. Docs are taken in doc_id order."""
+    all_docs = all_docs.sort_values("doc_id")
+    out_pack, out_doc, out_tok, out_off = [], [], [], []
+    # open packs: list of [pack_id, used_tokens]; first-fit
+    open_packs: list[list[int]] = []
+    next_local = 0
+    for doc_id, n_tok in zip(all_docs["doc_id"], all_docs["n_tokens"]):
+        n_tok = int(n_tok)
+        placed = False
+        for p in open_packs:
+            if p[1] + n_tok <= max_tokens:
+                out_pack.append(p[0])
+                out_off.append(p[1])
+                p[1] += n_tok
+                placed = True
+                break
+        if not placed:
+            pack_id = base + next_local
+            next_local += 1
+            out_pack.append(pack_id)
+            out_off.append(0)
+            # packs with no remaining room (incl. oversized docs'
+            # own packs) never join the open list
+            if n_tok < max_tokens:
+                open_packs.append([pack_id, n_tok])
+                if len(open_packs) > open_limit:
+                    open_packs.pop(0)  # retire the oldest (fullest-longest)
+        out_doc.append(doc_id)
+        out_tok.append(n_tok)
+    return pd.DataFrame(
+        {
+            "pack_id": pd.Series(out_pack, dtype="int64"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "n_tokens": pd.Series(out_tok, dtype="int64"),
+            "seq_offset": pd.Series(out_off, dtype="int64"),
+        }
     )
 
 

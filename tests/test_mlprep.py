@@ -138,3 +138,45 @@ def test_pack_open_limit_bounds_scan(spark):
     assert len(sums) == 7
     with pytest.raises(ValueError, match="open_limit"):
         pack_sequences(docs, 100, open_limit=0)
+
+
+def test_pack_partition_property_hypothesis():
+    """Hypothesis sweep over the pure per-partition packer: for ANY doc
+    size multiset, budget, and window, every doc appears exactly once,
+    no multi-doc pack exceeds the budget, and offsets tile each pack
+    contiguously from zero."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+        _pack_partition,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 300), max_size=80),
+        max_tokens=st.integers(1, 256),
+        open_limit=st.integers(1, 8),
+        base=st.sampled_from([0, 1 << 40]),
+    )
+    def check(sizes, max_tokens, open_limit, base):
+        docs = pd.DataFrame(
+            {"doc_id": range(len(sizes)), "n_tokens": sizes}
+        )
+        out = _pack_partition(docs, max_tokens, open_limit, base)
+        assert sorted(out["doc_id"]) == list(range(len(sizes)))
+        assert (out["n_tokens"].to_numpy() == docs["n_tokens"].to_numpy()[out["doc_id"]]).all()
+        for _, g in out.groupby("pack_id"):
+            g = g.sort_values("seq_offset")
+            if len(g) > 1:
+                assert g["n_tokens"].sum() <= max_tokens
+            # offsets tile contiguously: each offset equals the sum of
+            # the tokens placed before it in the pack
+            run = 0
+            for off, tok in zip(g["seq_offset"], g["n_tokens"]):
+                assert off == run
+                run += tok
+        assert (out["pack_id"] >= base).all()
+
+    check()
