@@ -55,6 +55,8 @@ def clear_intermediate_caches() -> None:
     for registry in (
         dedup._PAIRS_CACHE,
         dedup._PAIRS_SHINGLE_HANDLE,
+        dedup._MINHASH_SIG_CACHE,
+        dedup._SIMHASH_CHUNK_CACHE,
         textual._TF_CACHE,
         aggregates._SKETCH_CACHE,
     ):
