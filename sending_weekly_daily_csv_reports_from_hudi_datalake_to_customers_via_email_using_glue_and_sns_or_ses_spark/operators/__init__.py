@@ -41,6 +41,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def evict_dead_app_entries(registry: dict, app_id: str) -> None:
+    """Drop (and best-effort unpersist) cache entries whose key names a
+    DIFFERENT applicationId than the live one. The (applicationId, …)
+    keying keeps a restarted session from being served frames built by
+    a dead SparkContext — but without eviction, each restart's entries
+    would accumulate forever, pinning py4j references into dead JVMs.
+    Every cache getter calls this on miss, so at most one session's
+    entries are ever retained per cache."""
+    for key in [k for k in registry if k[0] != app_id]:
+        stale = registry.pop(key)
+        try:
+            stale.unpersist()
+        except Exception:  # noqa: BLE001 — dead context / non-frame value
+            pass
+
+
 def clear_intermediate_caches() -> None:
     """Unpersist and forget the shared per-(session, sf) intermediates
     (jaccard pair graph, tf table, approx-agg sketch, IVF centroids and

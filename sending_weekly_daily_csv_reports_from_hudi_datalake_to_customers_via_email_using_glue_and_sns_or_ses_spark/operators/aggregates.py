@@ -145,7 +145,10 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned three times; the cache keeps REPEAT invocations (bench
     # best-of-2, long driver sessions) from stacking a new
     # session-lifetime block per call
+    from . import evict_dead_app_entries
+
     sk_key = (spark.sparkContext.applicationId, sf_dir)
+    evict_dead_app_entries(_SKETCH_CACHE, sk_key[0])
     sketch = _SKETCH_CACHE.get(sk_key)
     if sketch is None:
         sketch = (

@@ -201,7 +201,11 @@ def _jaccard_pairs_and_caches(
     entry per invocation. Cache hits return no releasable frames."""
     from pyspark import StorageLevel
 
+    from . import evict_dead_app_entries
+
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_dead_app_entries(_PAIRS_CACHE, key[0])
+    evict_dead_app_entries(_PAIRS_SHINGLE_HANDLE, key[0])
     hit = _PAIRS_CACHE.get(key)
     if hit is not None:
         stale = _PAIRS_SHINGLE_HANDLE.pop(key, None)
@@ -431,7 +435,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     r = _MH_N // _MH_BANDS
+    from . import evict_dead_app_entries
+
     sig_key = (spark.sparkContext.applicationId, sf_dir)
+    evict_dead_app_entries(_MINHASH_SIG_CACHE, sig_key[0])
     sig = _MINHASH_SIG_CACHE.get(sig_key)
     if sig is None:
         d = load_table(spark, sf_dir, "documents").withColumn(
@@ -570,7 +577,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest additionally checks the Hamming property on seeded
     duplicates.
     """
+    from . import evict_dead_app_entries
+
     ck_key = (spark.sparkContext.applicationId, sf_dir)
+    evict_dead_app_entries(_SIMHASH_CHUNK_CACHE, ck_key[0])
     chunks = _SIMHASH_CHUNK_CACHE.get(ck_key)
     if chunks is None:
         chunks = _SIMHASH_CHUNK_CACHE[ck_key] = _simhash_chunks(spark, sf_dir)
@@ -855,11 +865,26 @@ def connected_components(
         opt = spark.sparkContext._jsc.sc().getCheckpointDir()
         existing = opt.get() if opt.isDefined() else None
         if existing is not None:
-            # setCheckpointDir(d) registers a UUID CHILD of d; same
-            # requested dir ⇒ existing's parent == requested dir
-            have = os.path.normpath(os.path.dirname(urlparse(existing).path))
-            want = os.path.normpath(os.path.abspath(checkpoint_dir))
-            if have != want:
+            # setCheckpointDir(d) registers a UUID CHILD of d; "same
+            # requested dir" ⇒ existing's parent == requested dir. The
+            # comparison is URI-AWARE: scheme and authority must match
+            # too (a local path vs an hdfs:// dir is a REAL conflict,
+            # and a repeated hdfs:// dir is NOT one).
+            ex, req = urlparse(existing), urlparse(checkpoint_dir)
+            ex_parent = os.path.normpath(
+                os.path.dirname(ex.path.rstrip("/"))
+            )
+            req_path = (
+                os.path.normpath(os.path.abspath(req.path))
+                if (req.scheme or "file") == "file"
+                else os.path.normpath(req.path.rstrip("/") or "/")
+            )
+            same = (
+                (ex.scheme or "file") == (req.scheme or "file")
+                and (ex.netloc or "") == (req.netloc or "")
+                and ex_parent == req_path
+            )
+            if not same:
                 raise ValueError(
                     "connected_components: SparkContext already has "
                     f"checkpoint dir {existing!r}; refusing to replace it "

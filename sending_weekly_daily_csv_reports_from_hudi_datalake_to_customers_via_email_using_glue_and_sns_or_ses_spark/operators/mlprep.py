@@ -95,6 +95,20 @@ def _pack_partition(
     """Pure per-partition first-fit-with-window packing (module-level so
     the property tests can exercise it without a Spark round-trip).
     Input columns: doc_id, n_tokens. Docs are taken in doc_id order."""
+    bad = all_docs["n_tokens"].isna()
+    if bad.any():
+        raise ValueError(
+            "pack_sequences: NULL n_tokens for doc_ids "
+            f"{sorted(all_docs.loc[bad, 'doc_id'].head(5))} — tokenize "
+            "upstream or drop the rows explicitly"
+        )
+    neg = all_docs["n_tokens"] < 0
+    if neg.any():
+        raise ValueError(
+            "pack_sequences: negative n_tokens for doc_ids "
+            f"{sorted(all_docs.loc[neg, 'doc_id'].head(5))} — a negative "
+            "count would corrupt pack budgets and offsets"
+        )
     all_docs = all_docs.sort_values("doc_id")
     out_pack, out_doc, out_tok, out_off = [], [], [], []
     # open packs: list of [pack_id, used_tokens]; first-fit
@@ -139,7 +153,7 @@ def embedding_pca(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[np.ndarray, np.ndarray, DataFrame]:
-    """One-pass distributed PCA over an array<float> column.
+    """Two-pass distributed PCA over an array<float> column.
 
     Returns ``(mean, components, projected)``: the d-vector column
     mean, the (k, d) principal-component matrix (rows = components,
@@ -147,50 +161,56 @@ def embedding_pca(
     largest-|x| entry is positive), and a DataFrame
     (``id_col``, proj array<double>) of the k-dim projections.
 
-    Mechanics: each Arrow batch reduces to one partial
-    (n, sum(x), X'X) row — the corpus never leaves the executors; the
-    d×d scatter accumulates via a single sum aggregation; the driver
-    eigendecomposes covariance = (X'X − n·μμ')/(n−1) (O(d³), corpus-
-    size independent) and the projection is a broadcast matmul per
-    batch. This is the textbook scale shape for tall-skinny PCA.
+    Mechanics: pass 1 reduces each Arrow batch to a (n, sum(x)) partial
+    and yields the column mean; pass 2 accumulates the CENTERED scatter
+    (X−μ)'(X−μ) per batch — the corpus never leaves the executors, the
+    driver only combines d-sized partials and eigendecomposes the d×d
+    covariance (O(d³), corpus-size independent), and the projection is
+    a broadcast matmul per batch. Two passes instead of the one-pass
+    X'X − n·μμ' formula on purpose: the one-pass form catastrophically
+    cancels when column means are large relative to the variances
+    (un-centered features), while centered accumulation is stable for
+    any offset at the cost of one extra corpus scan.
     """
     if k <= 0:
         raise ValueError(f"k must be in 1..d, got {k}")
 
-    def _partials(batches):
+    v = e.select(F.col(vec_col).alias("v"))
+
+    def _mean_partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0)],
-                    "ss": [(X.T @ X).ravel()],
-                }
-            )
+            yield pd.DataFrame({"n": [len(X)], "s": [X.sum(axis=0)]})
 
-    partials = (
-        e.select(F.col(vec_col).alias("v"))
-        .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
-        .toPandas()
-    )
+    mp = v.mapInPandas(_mean_partials, "n long, s array<double>").toPandas()
     # ^ one row per Arrow batch: thousands of rows for a 100 TB corpus,
     # trivially driver-collectable; the elementwise combine is numpy.
     # The dimension d comes from the partials themselves — no separate
     # probe job against the corpus (the tf_idf laziness rule)
-    if not len(partials):
+    if not len(mp):
         raise ValueError("embedding_pca: empty input")
-    n = int(partials["n"].sum())
+    n = int(mp["n"].sum())
     if n < 2:
         raise ValueError("embedding_pca: need at least 2 vectors")
-    d = len(partials["s"].iloc[0])
+    d = len(mp["s"].iloc[0])
     if k > d:
         raise ValueError(f"k must be in 1..{d}, got {k}")
-    s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
-    ss = np.sum(np.stack(partials["ss"].to_numpy()), axis=0).reshape(d, d)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    mean = np.sum(np.stack(mp["s"].to_numpy()), axis=0) / n
+
+    mean_c = mean  # closure copy for the scatter pass
+
+    def _scatter_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64) - mean_c
+            yield pd.DataFrame({"ss": [(X.T @ X).ravel()]})
+
+    sp = v.mapInPandas(_scatter_partials, "ss array<double>").toPandas()
+    ss = np.sum(np.stack(sp["ss"].to_numpy()), axis=0).reshape(d, d)
+    cov = ss / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     comps = evecs[:, ::-1][:, :k].T.copy()  # (k, d), descending eigenvalue
     # deterministic sign: largest-|x| entry of each component positive

@@ -302,11 +302,14 @@ def _train_ivf_centroids(
     deterministic 256-row sample (vec_id hash order) — the classic IVF
     train step; the tiny centroid matrix broadcasts in UDF closures.
     ``corpus_id`` names the corpus for the memo (pass the source path)."""
+    from . import evict_dead_app_entries
+
     key = (
         e.sparkSession.sparkContext.applicationId,
         corpus_id,
         K,
     )
+    evict_dead_app_entries(_CENT_CACHE, key[0])
     hit = _CENT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -527,7 +530,22 @@ _IVF_CENT /= np.linalg.norm(_IVF_CENT, axis=1, keepdims=True)
 #: cell-partitioned layout dirs per (applicationId, sf_dir): the entry
 #: writes the layout once per session and probes it on every call —
 #: mirroring production, where the write is amortized across queries.
+#: Dirs are temp artifacts: stale-app entries are rmtree'd on the next
+#: miss, and an atexit hook removes whatever remains at process exit.
 _IVF_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_ivf_layouts() -> None:
+    import shutil
+
+    for path in _IVF_LAYOUT_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVF_LAYOUT_CACHE.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_ivf_layouts)
 
 
 def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -536,8 +554,11 @@ def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _IVF_LAYOUT_CACHE.get(key)
     if path is None:
+        import shutil
         import tempfile
 
+        for stale_key in [k for k in _IVF_LAYOUT_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_IVF_LAYOUT_CACHE.pop(stale_key), ignore_errors=True)
         path = tempfile.mkdtemp(prefix="ivf_cells_")
         ivf_write_partitioned(spark, sf_dir, path, K=_IVF_K, centroids=_IVF_CENT)
         _IVF_LAYOUT_CACHE[key] = path

@@ -235,7 +235,10 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached per (applicationId, sf_dir) so repeat invocations reuse
     # one persisted tf table instead of pinning a new session-lifetime
     # copy per call
+    from . import evict_dead_app_entries
+
     tf_key = (spark.sparkContext.applicationId, sf_dir)
+    evict_dead_app_entries(_TF_CACHE, tf_key[0])
     tf = _TF_CACHE.get(tf_key)
     if tf is None:
         tf = (

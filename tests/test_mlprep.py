@@ -180,3 +180,49 @@ def test_pack_partition_property_hypothesis():
         assert (out["pack_id"] >= base).all()
 
     check()
+
+
+def test_pack_rejects_null_and_negative_tokens(spark):
+    import pandas as pd
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+        _pack_partition,
+    )
+
+    with pytest.raises(ValueError, match="NULL n_tokens"):
+        _pack_partition(
+            pd.DataFrame({"doc_id": [1, 2], "n_tokens": [5.0, float("nan")]}),
+            64, 8, 0,
+        )
+    with pytest.raises(ValueError, match="negative n_tokens"):
+        _pack_partition(
+            pd.DataFrame({"doc_id": [1, 2], "n_tokens": [5, -3]}),
+            64, 8, 0,
+        )
+
+
+def test_embedding_pca_large_mean_stable(spark):
+    """The two-pass centered scatter must survive a large common offset
+    (the regime where the one-pass X'X - n*mu*mu' formula
+    catastrophically cancels)."""
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((400, 16)) + 1e6  # unit variance around 1e6
+    pdf = __import__("pandas").DataFrame(
+        {
+            "vec_id": range(len(X)),
+            "embedding": [row.astype(np.float32) for row in X],
+        }
+    )
+    mean, comps, projected = embedding_pca(
+        spark.createDataFrame(pdf), 4
+    )
+    # reference on the SAME float32-rounded data the engine saw
+    Xd = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ref_mean = Xd.mean(axis=0)
+    Xc = Xd - ref_mean
+    cov = (Xc.T @ Xc) / (len(Xd) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    ref = evecs[:, ::-1][:, :4].T
+    assert np.allclose(mean, ref_mean, rtol=1e-12)
+    for i in range(4):
+        assert abs(float(np.dot(comps[i], ref[i]))) > 0.999

@@ -288,6 +288,15 @@ def _run_once(spark, sf_dir: str, name: str) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
+    known = set(SCALE_QUERIES) | set(EXTRA_SCALE)
+    unknown = only - known
+    if unknown:
+        # fail BEFORE the multi-minute corpus build: a typo'd name would
+        # otherwise produce an empty result with no complaint
+        raise SystemExit(
+            f"unknown query name(s) {sorted(unknown)}; "
+            f"choose from {sorted(known)}"
+        )
     spark = get_spark(app_name="organic-bench")
     organic_dir = build_organic(spark, n)
 
