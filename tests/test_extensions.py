@@ -424,3 +424,56 @@ def test_checkpoint_dir_conflict_raises(spark, tmp_path):
         QUERIES["dedup_clusters"](
             spark, SF, checkpoint_dir=str(tmp_path / "other")
         )
+
+
+def test_ivf_centroid_cache_keyed_by_corpus(spark, tmp_path):
+    """ADVICE r4 (medium): two different embeddings corpora in ONE
+    session must get separate centroid memo entries — the old key used
+    the logical-plan string, which printed parquet relations without
+    their path and collided."""
+    import numpy as np
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.similarity import (
+        _CENT_CACHE,
+        _train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    e1 = load_table(spark, SF, "embeddings")
+    cent1 = _train_ivf_centroids(e1, K=8, corpus_id=SF)
+    # second corpus: per-element shift changes vector DIRECTIONS (a
+    # scale would not — training normalizes), so centroids must differ
+    e1.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias("embedding"),
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    e2 = load_table(spark, str(tmp_path), "embeddings")
+    cent2 = _train_ivf_centroids(e2, K=8, corpus_id=str(tmp_path))
+
+    app = spark.sparkContext.applicationId
+    assert (app, SF, 8) in _CENT_CACHE
+    assert (app, str(tmp_path), 8) in _CENT_CACHE
+    assert not np.allclose(cent1, cent2)
+    # repeat call on corpus 1 is a memo HIT (identity), not a retrain
+    assert _train_ivf_centroids(e1, K=8, corpus_id=SF) is cent1
+
+
+def test_dead_app_cache_entries_evicted(spark):
+    """Cache getters must drop entries keyed by a dead applicationId on
+    miss — otherwise every session restart leaks a full entry set
+    pinning py4j references into the dead JVM."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        textual,
+    )
+
+    class FakeFrame:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    fake = FakeFrame()
+    textual._TF_CACHE[("dead-app-id", "some/sf")] = fake
+    QUERIES["tf_idf"](spark, SF).count()
+    assert ("dead-app-id", "some/sf") not in textual._TF_CACHE
+    assert fake.unpersisted
