@@ -477,3 +477,64 @@ def test_dead_app_cache_entries_evicted(spark):
     QUERIES["tf_idf"](spark, SF).count()
     assert ("dead-app-id", "some/sf") not in textual._TF_CACHE
     assert fake.unpersisted
+
+
+def test_connected_components_random_graph_fuzz(spark):
+    """connected_components vs a pure-python union-find over a sweep of
+    seeded random graphs, including long chains (diameter >> 2-3, so
+    Hash-Min genuinely iterates) and density extremes."""
+    import random
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # label = min node id in component
+        label = {}
+        for x in range(n_nodes):
+            r = find(x)
+            label.setdefault(r, []).append(x)
+        return {
+            x: min(members) for r, members in label.items() for x in members
+        }
+
+    rng = random.Random(20250814)
+    cases = []
+    for trial in range(6):
+        n = rng.randint(20, 60)
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cases.append((n, edges))
+    # adversarial: one long chain (diameter n-1 → many Hash-Min rounds)
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+
+    for n, edges in cases:
+        if not edges:
+            continue
+        ref = union_find(n, edges)
+        pair_graph = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            int(r["doc_id"]): int(r["cluster_id"])
+            for r in connected_components(pair_graph).collect()
+        }
+        touched = {x for e in edges for x in e}
+        expect = {x: ref[x] for x in touched}
+        assert got == expect, f"n={n}, edges={edges[:10]}..."
