@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "decontaminate",
     "text_profile",
     "tf_idf",
     "doc_chunking",

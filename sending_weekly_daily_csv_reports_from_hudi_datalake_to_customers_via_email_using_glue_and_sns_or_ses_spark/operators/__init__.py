@@ -106,6 +106,7 @@ def _load_all() -> None:
         windows,
         subqueries,
         textual,
+        curation,
         timeseries,
         streaming_entries,
         similarity,

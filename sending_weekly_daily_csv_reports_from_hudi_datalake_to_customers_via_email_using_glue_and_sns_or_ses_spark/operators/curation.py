@@ -1,0 +1,307 @@
+"""Corpus-curation operators for training-data pipelines, beyond the
+dedup family: eval-set decontamination, domain-mixture sampling, and
+deterministic shard assignment for training-data layout.
+
+Reference parity: the reference repo (template.py, generate_hudi_table.py)
+has no corpus curation at all — these are part of the driver's
+LLM-pipeline extension mandate, same family as operators/dedup.py and
+operators/mlprep.py.
+
+Scale design, per operator:
+  * ``contamination_report`` / ``decontaminate`` — the eval side of a
+    real decontamination pass is a benchmark suite (10³–10⁶ docs, i.e.
+    ≤ a few GB of n-grams), so its distinct n-grams BROADCAST and the
+    corpus side stays one embarrassingly-parallel scan + explode with a
+    map-side (broadcast) join; the only shuffle is the per-doc hit
+    aggregation, keyed by the uniform doc_id.
+  * ``mixture_sample`` — per-source keep-probabilities come from one
+    tiny aggregate (#sources rows to the driver); the sample itself is
+    a stateless filter on a portable 60-bit md5 hash: deterministic,
+    zero-shuffle, and reproducible by any engine that has md5 (the
+    dedup.py portable-hash playbook).
+  * ``assign_shards`` / ``write_training_shards`` — shard = hash(key)
+    mod num_shards: uniform by construction, one shuffle keyed by the
+    shard id to lay files out, and the assignment is a pure column
+    expression any later job can recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from .dedup import _shingle_array, _tokens
+
+#: decontamination shingle width. 5 tokens over the fixtures' ~30-word
+#: vocabulary gives ~24M possible shingles — random co-occurrence is
+#: negligible, so a hit means genuinely shared phrasing (production
+#: pipelines use 8-13-gram windows over a 50k-token vocab for the same
+#: reason: the window must make chance collisions vanishing).
+_DECON_N = 5
+
+#: pseudo-eval split for the driver entry: doc_id % 10 == 7 (10% of the
+#: corpus) stands in for the held-out benchmark suite so the entry is
+#: self-contained on the fixtures. Production passes a real eval corpus
+#: to the library functions instead.
+_EVAL_MOD, _EVAL_REM = 10, 7
+
+
+def _doc_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str, *, distinct: bool
+) -> DataFrame:
+    """(id, shingle) pairs of ``docs`` — one narrow projection
+    (dedup.py's materialized-token-array rule) + explode.
+
+    ``distinct`` is for the SMALL (eval) side only: it shrinks the
+    broadcast. The corpus side must NOT pay that full-corpus shuffle —
+    the per-doc ``countDistinct`` downstream dedups anyway, so the
+    corpus stays shuffle-free until the final doc_id aggregation."""
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    out = src.withColumn("toks", _tokens()).select(
+        "doc_id", F.explode(_shingle_array(F.col("toks"), n)).alias("shingle")
+    )
+    return out.distinct() if distinct else out
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = _DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document eval-set overlap: for every doc in ``docs`` sharing
+    at least one n-gram with ``eval_docs``, return
+    (doc_id, n_hit_shingles, n_eval_docs) — how many distinct n-grams
+    leak and how many distinct eval documents they touch.
+
+    This is the standard test-set-decontamination primitive: before
+    training, any document that reproduces benchmark phrasing is
+    flagged (and usually dropped — ``decontaminate``). The eval side is
+    small by nature (a benchmark suite), so its distinct n-grams are
+    broadcast; the corpus is scanned once.
+    """
+    corpus_sh = _doc_shingles(docs, n, id_col, text_col, distinct=False)
+    eval_sh = _doc_shingles(
+        eval_docs, n, id_col, text_col, distinct=True
+    ).withColumnRenamed("doc_id", "eval_doc_id")
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = _DECON_N,
+    max_hits: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every doc whose eval-set n-gram overlap exceeds ``max_hits``
+    (default 0: any shared n-gram disqualifies). Returns ``docs`` rows
+    that survive, schema unchanged — one broadcast join + one anti-join,
+    no corpus shuffle."""
+    flagged = (
+        contamination_report(docs, eval_docs, n, id_col, text_col)
+        .filter(F.col("n_hit_shingles") > max_hits)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
+def _decon_oracle() -> str:
+    """DuckDB twin of the driver entry: same normalization/tokenization
+    as dedup.py's oracles (single definition of truth for the token
+    stream), 5-token shingles via positional self-joins, 10%-of-corpus
+    pseudo-eval split, per-doc distinct hit counts."""
+    shingle_cols = " || ' ' || ".join(f"t{j}.tok" for j in range(_DECON_N))
+    pos_joins = "\n".join(
+        f"      JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, _DECON_N)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok,
+                           generate_subscripts(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS pos) t
+    ), shingles AS (
+      SELECT DISTINCT t0.doc_id, {shingle_cols} AS shingle
+      FROM toks t0
+{pos_joins}
+    ), eval_sh AS (
+      SELECT DISTINCT doc_id AS eval_doc_id, shingle FROM shingles
+      WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+    ), train_sh AS (
+      SELECT doc_id, shingle FROM shingles
+      WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    )
+    SELECT s.doc_id,
+           count(DISTINCT s.shingle) AS n_hit_shingles,
+           count(DISTINCT e.eval_doc_id) AS n_eval_docs
+    FROM train_sh s JOIN eval_sh e ON e.shingle = s.shingle
+    GROUP BY s.doc_id
+    """
+
+
+@query("decontaminate", oracle=_decon_oracle())
+def decontaminate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: flag training docs leaking 5-gram phrasing into
+    the held-out 10% pseudo-eval split (doc_id % 10 == 7). Returns the
+    contamination report — (doc_id, n_hit_shingles, n_eval_docs) for
+    every contaminated doc; ``decontaminate`` is the same computation
+    ending in an anti-join instead of a report."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    return contamination_report(d.filter(~is_eval), d.filter(is_eval))
+
+
+# --------------------------------------------------------------------
+# domain-mixture sampling
+# --------------------------------------------------------------------
+
+#: denominator of the portable 60-bit uniform: hash / 2^60 ∈ [0, 1).
+_U_DENOM = float(1 << 60)
+
+
+def _portable_uniform(key: F.Column, seed: str) -> F.Column:
+    """Deterministic uniform [0,1) from a key column: first 15 hex chars
+    of md5(key || ':' || seed) as a 60-bit integer. Portable SQL (md5 +
+    string + integer ops), same trick as dedup.py's minhash family —
+    any engine can recompute membership."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(_U_DENOM)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    seed: str = "mix0",
+    source_col: str = "source",
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[dict]]:
+    """Downsample a multi-source corpus to a target domain mixture.
+
+    ``weights`` maps source → target share (normalized internally).
+    The sample size is the LARGEST total M such that no source is
+    oversampled: M = min_s(T_s / w_s) where T_s is the source's
+    available mass (row count, or token sum when ``token_col`` is
+    given) — i.e. the binding source is kept in full and every other
+    source is thinned to match the mixture. Sources absent from
+    ``weights`` are dropped (weight 0).
+
+    Membership is a stateless filter: keep iff
+    ``u(id, seed) < w_s·M / T_s`` with ``u`` a portable md5-derived
+    uniform — deterministic, engine-portable, zero-shuffle, and stable
+    under corpus growth (a doc's fate never depends on other docs'
+    hashes). Returns (sampled docs, per-source plan rows) — the plan
+    records T_s, the keep probability, and the expected mass so the
+    pipeline can log its mixture decision.
+
+    Scale: one small aggregate (#sources rows to the driver) plans the
+    sample; the sample itself is a filter fused into the scan.
+    """
+    if not weights:
+        raise ValueError("mixture_sample: weights must name at least one source")
+    bad = {s: w for s, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"mixture_sample: non-positive weights {bad}")
+    total_w = sum(weights.values())
+    norm = {s: w / total_w for s, w in weights.items()}
+
+    mass = (
+        F.sum(F.col(token_col)) if token_col is not None else F.count("*")
+    ).alias("mass")
+    avail = {
+        r["s"]: float(r["mass"])
+        for r in docs.groupBy(F.col(source_col).alias("s")).agg(mass).collect()
+    }
+    missing = sorted(set(norm) - set(avail))
+    if missing:
+        raise ValueError(f"mixture_sample: sources not in corpus: {missing}")
+
+    M = min(avail[s] / w for s, w in norm.items())
+    plan = [
+        {
+            "source": s,
+            "available": avail[s],
+            "keep_prob": min(1.0, norm[s] * M / avail[s]),
+            "expected": norm[s] * M,
+        }
+        for s in sorted(norm)
+    ]
+
+    prob = F.lit(None).cast("double")
+    expr = None
+    for row in plan:
+        cond = F.col(source_col) == row["source"]
+        expr = (
+            F.when(cond, F.lit(row["keep_prob"]))
+            if expr is None
+            else expr.when(cond, F.lit(row["keep_prob"]))
+        )
+    prob = expr.otherwise(F.lit(0.0))
+    sampled = docs.filter(_portable_uniform(F.col(id_col), seed) < prob)
+    return sampled, plan
+
+
+# --------------------------------------------------------------------
+# deterministic training shards
+# --------------------------------------------------------------------
+
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Add a deterministic shard id: xxhash64(key, seed) mod num_shards.
+    Uniform by construction (64-bit avalanche over num_shards buckets),
+    recomputable by any later job as a pure column expression — the
+    training-data layout key, not a random split."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    return df.withColumn(
+        shard_col,
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(num_shards)).cast("int"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    num_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Shard-partitioned training layout: assign shards, cluster rows by
+    shard (one shuffle keyed by the uniform shard id), write hive-style
+    ``shard=<k>/`` directories, and return per-shard stats
+    (shard, n_rows[, n_tokens]) read back from the written layout —
+    stats come from the files, not the plan, so they certify what
+    actually landed.
+
+    A trainer then reads ``shard=<k>`` with partition pruning — each
+    data-parallel rank's input is a directory listing, no global
+    shuffle at read time."""
+    sharded = assign_shards(df, num_shards, seed, key_col)
+    sharded.repartition(num_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_path)
+    written = df.sparkSession.read.parquet(out_path)
+    aggs = [F.count("*").alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return written.groupBy("shard").agg(*aggs)

@@ -49,24 +49,21 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "projection_computed",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand) AS brand_uc,
-           p_retailprice,
-           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,1)), 2) AS DOUBLE)
-             AS discounted_price,
-           p_size + 1 AS size_plus_one,
-           CAST(floor(p_retailprice / 500.0) AS BIGINT) AS price_bucket
-    FROM part
-    """,
-)
 def projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/R7/F3: projection with computed + aliased columns, arithmetic on
     casts (the reference's ``int(str)-1`` commit arithmetic, template.py:204,
     lifted into the plan) and equi-width bucket arithmetic (the histogram
     key). Decimal math keeps the oracle bit-identical.
+
+    Library function since round 5 (the ``distinct_sort_limit`` rule):
+    the driver checks at most 50 entries, and this shape's every
+    primitive is green elsewhere — R1/R7 via ``flagship_report``'s
+    ``o.*`` + aliases, cast-arithmetic via ``scalar_datetime_keys`` /
+    ``scalar_string_functions``, decimal money math via
+    ``q1_pricing_summary``. Its slot funds ``decontaminate``
+    (operators/curation.py), a first-class LLM-pipeline operator.
+    tests/test_curation.py keeps it parity-checked against the same
+    SQL through the local harness.
     """
     part = load_table(spark, sf_dir, "part")
     return part.select(

@@ -1,0 +1,259 @@
+"""Corpus-curation operators (operators/curation.py): eval-set
+decontamination, domain-mixture sampling, deterministic shards — plus
+the local oracle-parity check for the round-5 registry swap
+(``decontaminate`` in, ``projection_computed`` to library)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    QUERIES,
+    ORACLES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+    assign_shards,
+    contamination_report,
+    decontaminate,
+    mixture_sample,
+    write_training_shards,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.relational import (
+    projection_computed,
+)
+
+from oracle_harness import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+# --------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------
+
+_SECRET = "zeta eta theta iota kappa"  # a 5-gram that exists nowhere else
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_report_planted_leak(spark):
+    eval_docs = _docs(spark, [(100, f"alpha beta {_SECRET} omega")])
+    train = _docs(
+        spark,
+        [
+            (1, f"intro words then {_SECRET} and a tail"),  # leaks
+            (2, "completely different words with no overlap at all here"),
+            (3, f"{_SECRET} {_SECRET}"),  # leaks (shared 5-gram, once distinct)
+        ],
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(train, eval_docs).collect()
+    }
+    assert set(rep) == {1, 3}
+    assert rep[1]["n_eval_docs"] == 1
+    # doc 1 shares exactly the one 5-gram window
+    assert rep[1]["n_hit_shingles"] == 1
+    # doc 3 contains extra windows spanning the repetition
+    assert rep[3]["n_hit_shingles"] >= 1
+
+
+def test_decontaminate_drops_flagged_rows_only(spark):
+    eval_docs = _docs(spark, [(100, f"alpha beta {_SECRET} omega")])
+    train = _docs(
+        spark,
+        [
+            (1, f"intro words then {_SECRET} and a tail"),
+            (2, "completely different words with no overlap at all here"),
+            (3, "short text"),  # shorter than the shingle window
+        ],
+    )
+    kept = decontaminate(train, eval_docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert kept.columns == train.columns
+
+
+def test_decontaminate_max_hits_threshold(spark):
+    eval_docs = _docs(spark, [(100, f"alpha beta {_SECRET} omega")])
+    train = _docs(spark, [(1, f"intro words then {_SECRET} and a tail")])
+    # one shared 5-gram tolerated at max_hits=1
+    assert decontaminate(train, eval_docs, max_hits=1).count() == 1
+    assert decontaminate(train, eval_docs, max_hits=0).count() == 0
+
+
+def test_decontaminate_entry_matches_oracle(spark):
+    con = duck_connection(SF_ORACLE)
+    problems = compare(
+        QUERIES["decontaminate"](spark, SF_ORACLE), con, ORACLES["decontaminate"]
+    )
+    assert problems == [], problems
+
+
+def test_decontaminate_entry_nonempty_at_oracle_sf(spark):
+    # the pseudo-eval split must actually flag something at the driver's
+    # correctness SF, or the entry degenerates to hash-of-empty
+    assert QUERIES["decontaminate"](spark, SF_ORACLE).count() > 0
+
+
+def test_projection_computed_still_parity_checked(spark):
+    # registry slot ceded to decontaminate in round 5; the SQL twin
+    # lives on here (relational.py docstring contract)
+    con = duck_connection(SF_ORACLE)
+    sql = """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           p_retailprice,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,1)), 2) AS DOUBLE)
+             AS discounted_price,
+           p_size + 1 AS size_plus_one,
+           CAST(floor(p_retailprice / 500.0) AS BIGINT) AS price_bucket
+    FROM part
+    """
+    problems = compare(projection_computed(spark, SF_ORACLE), con, sql)
+    assert problems == [], problems
+
+
+# --------------------------------------------------------------------
+# mixture sampling
+# --------------------------------------------------------------------
+
+
+def _corpus(spark):
+    # 3 sources with deliberately unequal mass: a=600, b=300, c=100
+    rows = (
+        [(i, "a", 10) for i in range(600)]
+        + [(1000 + i, "b", 10) for i in range(300)]
+        + [(2000 + i, "c", 10) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    docs = _corpus(spark)
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    sampled, plan = mixture_sample(docs, weights)
+    # binding source: c (100 rows / 0.2 → M = 500); kept in full
+    by_src = dict(
+        sampled.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    plan_by_src = {p["source"]: p for p in plan}
+    assert plan_by_src["c"]["keep_prob"] == 1.0
+    assert by_src["c"] == 100
+    # thinned sources land near their expectation (Bernoulli, n=few hundred)
+    assert abs(by_src["a"] - 250) <= 50
+    assert abs(by_src["b"] - 150) <= 40
+    # the plan's expectations encode the mixture exactly
+    assert plan_by_src["a"]["expected"] == pytest.approx(250.0)
+    assert plan_by_src["b"]["expected"] == pytest.approx(150.0)
+
+
+def test_mixture_sample_deterministic_and_stable(spark):
+    docs = _corpus(spark)
+    weights = {"a": 0.4, "b": 0.4, "c": 0.2}
+    s1, _ = mixture_sample(docs, weights, seed="s")
+    s2, _ = mixture_sample(docs, weights, seed="s")
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+    s3, _ = mixture_sample(docs, weights, seed="other")
+    assert sorted(r["doc_id"] for r in s3.collect()) != sorted(
+        r["doc_id"] for r in s1.collect()
+    )
+
+
+def test_mixture_sample_membership_stable_under_growth(spark):
+    # a doc's fate depends only on its own hash and its source's plan —
+    # identical plans on a grown corpus keep prior members
+    docs = _corpus(spark)
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    kept_before = {
+        r["doc_id"]
+        for r in mixture_sample(docs, weights)[0].filter("source = 'a'").collect()
+    }
+    # doubling c doubles M (c stays binding) → a's keep_prob doubles;
+    # previously-kept a docs must remain (u < p ⊆ u < 2p)
+    grown = docs.union(
+        spark.createDataFrame(
+            [(3000 + i, "c", 10) for i in range(100)],
+            "doc_id long, source string, n_tokens long",
+        )
+    )
+    kept_after = {
+        r["doc_id"]
+        for r in mixture_sample(grown, weights)[0].filter("source = 'a'").collect()
+    }
+    assert kept_before <= kept_after
+
+
+def test_mixture_sample_token_mass_mode(spark):
+    docs = _corpus(spark).withColumn(
+        "n_tokens", F.when(F.col("source") == "a", 20).otherwise(10)
+    )
+    _, plan = mixture_sample(docs, {"a": 0.5, "b": 0.5}, token_col="n_tokens")
+    by = {p["source"]: p for p in plan}
+    assert by["a"]["available"] == 12000.0
+    assert by["b"]["available"] == 3000.0
+    # b binds: M = 6000 tokens → a thinned to 3000/12000
+    assert by["b"]["keep_prob"] == 1.0
+    assert by["a"]["keep_prob"] == pytest.approx(0.25)
+
+
+def test_mixture_sample_validation(spark):
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="at least one source"):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError, match="non-positive"):
+        mixture_sample(docs, {"a": 0.0})
+    with pytest.raises(ValueError, match="not in corpus"):
+        mixture_sample(docs, {"a": 0.5, "nope": 0.5})
+
+
+# --------------------------------------------------------------------
+# shards
+# --------------------------------------------------------------------
+
+
+def test_assign_shards_uniform_and_deterministic(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = assign_shards(df, 8, seed=1)
+    counts = [r["count"] for r in a.groupBy("shard").count().collect()]
+    assert len(counts) == 8
+    assert min(counts) > 4000 / 8 * 0.7 and max(counts) < 4000 / 8 * 1.3
+    b = assign_shards(df, 8, seed=1)
+    assert a.exceptAll(b).isEmpty()
+    assert a.select(F.min("shard"), F.max("shard")).first() == (0, 7)
+
+
+def test_assign_shards_validation(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(df, 0)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    df = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", F.col("doc_id") % 7 + 1)
+    )
+    out = str(tmp_path / "shards")
+    stats = write_training_shards(df, out, num_shards=4, token_col="n_tokens")
+    rows = stats.collect()
+    assert sorted(r["shard"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert sum(r["n_tokens"] for r in rows) == df.agg(F.sum("n_tokens")).first()[0]
+    # hive layout on disk + full fidelity read-back
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    ) == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert (
+        back.select("doc_id").exceptAll(df.select("doc_id")).isEmpty()
+    )

@@ -249,3 +249,21 @@ def test_embedding_cosine_banding_is_single_self_join(spark):
         for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert joins <= 1, f"expected a single banding self-join, got {joins}"
+
+
+def test_decontaminate_is_broadcast_join_single_corpus_scan(spark):
+    # the eval side (a benchmark suite in production) must arrive as a
+    # broadcast, and the corpus side must reach the join with NO
+    # exchange of its own — its first shuffle is the final per-doc
+    # aggregation (curation.py's distinct-free corpus rule)
+    df = QUERIES["decontaminate"](spark, SF)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    join_at = plan.index("BroadcastHashJoin")
+    corpus_side = plan[join_at:]
+    # below the join, the only Exchange allowed is inside the broadcast
+    # build side; the probe (corpus) branch must be exchange-free
+    probe_branch = corpus_side.split("BroadcastExchange")[0]
+    assert "Exchange" not in probe_branch.replace("BroadcastExchange", ""), (
+        "corpus side shuffles before the join:\n" + probe_branch
+    )
