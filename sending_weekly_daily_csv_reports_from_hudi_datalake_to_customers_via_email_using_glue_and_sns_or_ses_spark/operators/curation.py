@@ -259,6 +259,88 @@ def mixture_sample(
 # --------------------------------------------------------------------
 
 
+def prepare_training_data(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_tokens: int = 256,
+    num_shards: int = 4,
+    min_quality: float = 0.3,
+    mixture: dict[str, float] | None = None,
+) -> dict:
+    """End-to-end training-data preparation over ``documents`` — the
+    composition the individual operators exist for:
+
+      1. profile + quality gate (``text_profile``'s score ≥ min_quality,
+         PII scrubbed — one scan, all JVM expressions);
+      2. exact dedup (keep the min-doc_id row per content fingerprint);
+      3. eval-set decontamination (the 10% pseudo-eval split held out
+         AND its 5-gram phrasing anti-joined away);
+      4. optional domain-mixture downsampling (``mixture`` weights);
+      5. sequence packing to ``max_tokens`` (``mlprep.pack_sequences``);
+      6. deterministic shard layout (``write_training_shards``) with
+         doc text + pack assignment, ready for a data-parallel trainer.
+
+    Returns a stats dict with per-stage row counts and the per-shard
+    stats rows — the pipeline's audit record. Stage counts are one
+    cheap job each on the cached survivor frame; at petabyte scale
+    you would log the same counts from the final write's metrics
+    instead.
+
+    Stage ORDER is the standard one for a reason: the quality gate and
+    dedup shrink the corpus before the (broadcast-join) decontamination
+    pass, and packing runs last so pack budgets see only surviving
+    docs.
+    """
+    from .mlprep import pack_sequences
+    from .textual import text_profile
+    from ..functions.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    profile = text_profile(spark, sf_dir).select(
+        "doc_id", "fingerprint", "quality", "n_tokens_ws", "lang_pred"
+    )
+    docs = d.join(profile, "doc_id").withColumn("text", scrub_pii("text"))
+    n_input = docs.count()
+
+    gated = docs.filter(F.col("quality") >= min_quality)
+    n_quality = gated.count()
+
+    # exact dedup: min doc_id per fingerprint (dedup.py's keeper rule)
+    keeper = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keeper, ["fingerprint", "doc_id"])
+    n_dedup = deduped.count()
+
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    train = decontaminate(deduped.filter(~is_eval), d.filter(is_eval))
+    n_decontam = train.count()
+
+    plan = None
+    if mixture:
+        train, plan = mixture_sample(
+            train, mixture, token_col="n_tokens_ws"
+        )
+    train = train.cache()
+    n_sampled = train.count()
+
+    packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
+    final = train.join(packs.select("doc_id", "pack_id", "seq_offset"), "doc_id")
+    shard_stats = write_training_shards(
+        final, out_path, num_shards, token_col="n_tokens_ws"
+    )
+    stats = {
+        "n_input": n_input,
+        "n_after_quality": n_quality,
+        "n_after_dedup": n_dedup,
+        "n_after_decontam": n_decontam,
+        "n_after_mixture": n_sampled,
+        "mixture_plan": plan,
+        "shards": [r.asDict() for r in shard_stats.collect()],
+    }
+    train.unpersist()
+    return stats
+
+
 def assign_shards(
     df: DataFrame,
     num_shards: int,

@@ -257,3 +257,73 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert (
         back.select("doc_id").exceptAll(df.select("doc_id")).isEmpty()
     )
+
+
+# --------------------------------------------------------------------
+# end-to-end training-data preparation
+# --------------------------------------------------------------------
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        _EVAL_MOD,
+        _EVAL_REM,
+        prepare_training_data,
+    )
+
+    out = str(tmp_path / "train")
+    stats = prepare_training_data(
+        spark, SF, out, max_tokens=256, num_shards=4, min_quality=0.0
+    )
+    # monotone funnel, nothing negative, everything accounted for
+    assert (
+        stats["n_input"]
+        >= stats["n_after_quality"]
+        >= stats["n_after_dedup"]
+        >= stats["n_after_decontam"]
+        == stats["n_after_mixture"]
+    )
+    assert stats["n_after_decontam"] > 0
+    written = spark.read.parquet(out)
+    assert written.count() == stats["n_after_decontam"]
+    assert sum(s["n_rows"] for s in stats["shards"]) == stats["n_after_decontam"]
+
+    # the eval split never leaks into the training output
+    assert (
+        written.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_REM).count() == 0
+    )
+    # content fingerprints are unique post-dedup
+    assert (
+        written.select("fingerprint").distinct().count() == written.count()
+    )
+    # every doc carries a pack assignment within budget (oversize docs
+    # sit alone at offset 0)
+    per_pack = written.groupBy("pack_id").agg(
+        F.sum("n_tokens_ws").alias("tot"), F.count("*").alias("n")
+    )
+    bad = per_pack.filter((F.col("tot") > 256) & (F.col("n") > 1))
+    assert bad.isEmpty()
+
+
+def test_prepare_training_data_with_mixture(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    out = str(tmp_path / "train_mix")
+    stats = prepare_training_data(
+        spark,
+        SF,
+        out,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        mixture={"src0": 0.5, "src1": 0.5},
+    )
+    assert stats["mixture_plan"] is not None
+    assert stats["n_after_mixture"] <= stats["n_after_decontam"]
+    srcs = {
+        r["source"]
+        for r in spark.read.parquet(out).select("source").distinct().collect()
+    }
+    assert srcs <= {"src0", "src1"}
