@@ -1,6 +1,7 @@
 """Reusable column-expression builders (JVM-side, no UDFs)."""
 
 from .text import (  # noqa: F401
+    duplicate_line_fraction,
     pii_hit_count,
     repetition_ratio,
     scrub_pii,

@@ -70,6 +70,19 @@ def repetition_ratio(col: Column | str) -> Column:
     )
 
 
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of a document's lines that are repeats of another line
+    (0 = all lines unique, → 1 for boilerplate walls) — the line-level
+    Gopher-style repetition gate, as a pure array expression: split on
+    newlines, 1 − distinct/total. Empty/NULL text scores 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n
+    )
+
+
 def strip_repeated_lines(col: Column | str) -> Column:
     """Drop consecutive duplicate lines (the cheap boilerplate/nav-menu
     strip): split on newlines, keep a line when it differs from its

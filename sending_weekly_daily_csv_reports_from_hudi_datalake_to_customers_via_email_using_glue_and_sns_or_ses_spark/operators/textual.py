@@ -365,3 +365,69 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_len"),
         )
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style n-gram repetition quality signals, per document:
+
+      * ``top_ngram_frac`` — fraction of the doc's tokens covered by
+        occurrences of its single most frequent n-gram (high = the doc
+        loops on one phrase);
+      * ``dup_ngram_frac`` — fraction of tokens covered by n-grams that
+        occur more than once (high = templated/boilerplate text).
+
+    Returns (id, n_tokens, top_ngram_frac, dup_ngram_frac). Docs
+    shorter than ``n`` tokens score 0 on both (nothing to repeat).
+
+    These are the published Gopher/MassiveText repetition filters
+    re-expressed over token counts; thresholds (e.g. drop when the
+    top 2-gram covers > 0.2) are corpus policy, not operator logic.
+
+    Scale: one explode + ONE shuffle keyed by (doc, gram) — uniform
+    keys (docs bound the per-key fan-in), then a per-doc combine. The
+    cheap zero-shuffle siblings (``repetition_ratio``,
+    ``duplicate_line_fraction``, functions/text.py) gate first;
+    this operator is the precise second-pass signal.
+    """
+    from .dedup import _shingle_array, _tokens
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = src.withColumn("toks", _tokens()).select(
+        "doc_id", F.size("toks").alias("n_tokens"), F.col("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(_shingle_array(F.col("toks"), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    signals = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.col("top_cnt") * n / F.col("n_tokens"), F.lit(1.0)).alias(
+            "top_ngram_frac"
+        ),
+        F.least(F.col("dup_cnt") * n / F.col("n_tokens"), F.lit(1.0)).alias(
+            "dup_ngram_frac"
+        ),
+    )
+    # docs with < n tokens produce no grams — restore them with 0s
+    return toks.select("doc_id", "n_tokens").join(signals, ["doc_id", "n_tokens"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+        F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+    )

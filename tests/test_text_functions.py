@@ -3,6 +3,9 @@ repetition scoring, boilerplate line stripping — all JVM built-ins."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions import (
     pii_hit_count,
@@ -75,3 +78,81 @@ def test_scrub_is_scan_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicate_line_fraction(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions.text import (
+        duplicate_line_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\nc\nd"),  # unique → 0
+            (2, "nav\nnav\nnav\nnav"),  # one distinct of 4 → 0.75
+            (3, "x\ny\nx\ny"),  # two distinct of 4 → 0.5
+            (4, ""),  # single empty line → 0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", duplicate_line_fraction("text").alias("f")).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 0.75
+    assert got[3] == 0.5
+    assert got[4] == 0.0
+
+
+def test_repetition_signals_known_values(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, every 2-gram unique → top = 2/6, dup = 0
+            (1, "a b c d e f"),
+            # "a b" appears 3x in 6 tokens → top = 6/6 = 1.0 (capped);
+            # all 5 bigrams are "a b"/"b a", each duplicated → dup = 1.0
+            (2, "a b a b a b"),
+            # shorter than the window → both 0
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df, n=2).collect()}
+    assert got[1]["top_ngram_frac"] == pytest.approx(2 / 6)
+    assert got[1]["dup_ngram_frac"] == 0.0
+    assert got[2]["top_ngram_frac"] == 1.0
+    assert got[2]["dup_ngram_frac"] == 1.0
+    assert got[3]["top_ngram_frac"] == 0.0
+    assert got[3]["dup_ngram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1
+
+
+def test_repetition_signals_on_fixture_corpus(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig = repetition_signals(docs, n=2)
+    assert sig.count() == docs.count()
+    bad = sig.filter(
+        (F.col("top_ngram_frac") < 0)
+        | (F.col("top_ngram_frac") > 1)
+        | (F.col("dup_ngram_frac") < 0)
+        | (F.col("dup_ngram_frac") > 1)
+        # a doc whose top gram repeats contributes it to dup coverage
+        # (dup ≥ top unless the top gram is a singleton, in which case
+        # top covers exactly one window's tokens)
+        | (
+            (F.col("dup_ngram_frac") < F.col("top_ngram_frac") - 1e-9)
+            & (F.col("top_ngram_frac") * F.col("n_tokens") > 2 + 1e-9)
+        )
+    )
+    assert bad.isEmpty()
