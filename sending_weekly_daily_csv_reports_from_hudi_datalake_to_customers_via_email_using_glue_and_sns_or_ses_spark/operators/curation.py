@@ -240,7 +240,6 @@ def mixture_sample(
         for s in sorted(norm)
     ]
 
-    prob = F.lit(None).cast("double")
     expr = None
     for row in plan:
         cond = F.col(source_col) == row["source"]
@@ -249,7 +248,7 @@ def mixture_sample(
             if expr is None
             else expr.when(cond, F.lit(row["keep_prob"]))
         )
-    prob = expr.otherwise(F.lit(0.0))
+    prob = expr.otherwise(F.lit(0.0))  # unlisted sources: weight 0, dropped
     sampled = docs.filter(_portable_uniform(F.col(id_col), seed) < prob)
     return sampled, plan
 

@@ -418,6 +418,37 @@ def _minhash_oracle() -> str:
 _MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _minhash_sig_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_N) minhash signatures for an arbitrary
+    (doc_id, text) frame — the derivation dedup_minhash_lsh caches,
+    reusable for incremental indexing (``build_corpus_index``)."""
+    d = docs.withColumn("__toks", _tokens())
+    shingles = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias(
+            "shingle"
+        ),
+    )
+    return shingles.groupBy("doc_id").agg(*_minhash_signature())
+
+
+def _band_struct_col() -> F.Column:
+    """The exploded (band, minhash-slice) struct array that both the
+    self-join banding (dedup_minhash_lsh) and the incremental
+    new-vs-index banding key on — one definition so the two can never
+    bucket differently."""
+    r = _MH_N // _MH_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"mh_{b * r + j}").alias(f"k{j}") for j in range(r)],
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
@@ -434,26 +465,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    r = _MH_N // _MH_BANDS
     from . import evict_dead_app_entries
 
     sig_key = (spark.sparkContext.applicationId, sf_dir)
     evict_dead_app_entries(_MINHASH_SIG_CACHE, sig_key[0])
     sig = _MINHASH_SIG_CACHE.get(sig_key)
     if sig is None:
-        d = load_table(spark, sf_dir, "documents").withColumn(
-            "__toks", _tokens()
-        )
-        shingles = d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(_shingle_array(F.col("__toks")))
-            ).alias("shingle"),
-        )
-        sig = (
-            shingles.groupBy("doc_id")
-            .agg(*_minhash_signature())
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _minhash_sig_table(load_table(spark, sf_dir, "documents")).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         _MINHASH_SIG_CACHE[sig_key] = sig
     # ^ the signature table feeds 10 plan branches (8 band arms + both
@@ -468,14 +487,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-equi-join on that struct finds all band agreements — one
     # shuffle keyed by the band tuple (data-size-proportional, 8n rows)
     # instead of eight per-band join branches (8 shuffles + union).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"mh_{b * r + j}").alias(f"k{j}") for j in range(r)],
-        )
-        for b in range(_MH_BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+    bands = sig.select("doc_id", F.explode(_band_struct_col()).alias("bk"))
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cands = (
         ba.join(
@@ -1006,3 +1018,116 @@ def dedup_clusters(
     return connected_components(
         pair_graph, checkpoint_dir, release_after_cut=caches
     )
+
+
+# --------------------------------------------------------------------
+# incremental dedup: new batch vs an existing corpus index
+# --------------------------------------------------------------------
+
+
+def build_corpus_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The per-document dedup index to persist ALONGSIDE a corpus:
+    (doc_id, fingerprint, mh_0..mh_31) — the exact-dup key plus the
+    MinHash signature. One row × 33 small columns per document, so the
+    index of a 100 TB corpus is a few hundred GB of parquet: the thing
+    that makes ``dedup_incremental`` possible without ever rescanning
+    corpus text.
+
+    Build it once when the corpus is written (one scan), append the new
+    batch's rows after each ingest — the same incremental contract as
+    sources/incremental.py, applied to dedup state.
+    """
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    fp = src.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+    return fp.join(_minhash_sig_table(src), "doc_id")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an EXISTING corpus without touching
+    corpus text: exact dups by fingerprint equality, near-dups by
+    MinHash band agreement (signature-estimated Jaccard ≥ threshold)
+    against the corpus's persisted ``build_corpus_index`` table.
+
+    Returns ``(clean_new_docs, report)``: the new rows that survive
+    (schema unchanged), and a (doc_id, matched_doc_id, reason,
+    est_jaccard) report of every dropped row — ``reason`` is 'exact'
+    or 'near'; exact matches report est_jaccard 1.0. A new doc matching
+    several corpus docs reports the strongest match (max est_jaccard,
+    min matched_doc_id tie-break).
+
+    This is the ingest-time path of a standing 100 TB corpus: the daily
+    crawl (≪ corpus) is indexed in one pass; the band join shuffles
+    batch + index rows by band key — data-proportional, never a corpus
+    text rescan. Within-batch duplicates are NOT handled here — run
+    the batch through the intra-corpus operators first (dedup_exact /
+    dedup_minhash_lsh), then this against the historical index.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    new_idx = build_corpus_index(new_docs, id_col, text_col)
+
+    # exact: fingerprint equi-join (corpus side keeps min doc_id per
+    # fingerprint — deterministic match attribution)
+    fp_keeper = corpus_index.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("matched_doc_id")
+    )
+    exact = new_idx.join(fp_keeper, "fingerprint").select(
+        "doc_id",
+        "matched_doc_id",
+        F.lit("exact").alias("reason"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+
+    # near: band agreement between new signatures and index signatures,
+    # then signature-agreement verify — the dedup_minhash_lsh pipeline
+    # with the self-join replaced by a new-vs-index join
+    nb = new_idx.select("doc_id", F.explode(_band_struct_col()).alias("bk"))
+    cb = corpus_index.select(
+        F.col("doc_id").alias("matched_doc_id"),
+        F.explode(_band_struct_col()).alias("bk"),
+    )
+    cands = nb.join(cb, "bk").select("doc_id", "matched_doc_id").distinct()
+    sa = new_idx.select("doc_id", *[f"mh_{i}" for i in range(_MH_N)]).alias("sa")
+    sb = corpus_index.select(
+        F.col("doc_id").alias("matched_doc_id"),
+        *[F.col(f"mh_{i}").alias(f"omh_{i}") for i in range(_MH_N)],
+    ).alias("sb")
+    agree = sum(
+        F.when(F.col(f"mh_{i}") == F.col(f"omh_{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    near = (
+        cands.join(sa, "doc_id")
+        .join(sb, "matched_doc_id")
+        .select(
+            "doc_id",
+            "matched_doc_id",
+            F.lit("near").alias("reason"),
+            (agree / F.lit(float(_MH_N))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+    # strongest match per new doc ('exact' outranks any 'near' via the
+    # est_jaccard = 1.0 + reason tie-break)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("reason"), F.asc("matched_doc_id")
+    )
+    report = (
+        exact.unionByName(near)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    clean = new_docs.join(
+        report.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    return clean, report

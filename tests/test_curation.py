@@ -327,3 +327,94 @@ def test_prepare_training_data_with_mixture(spark, tmp_path):
         for r in spark.read.parquet(out).select("source").distinct().collect()
     }
     assert srcs <= {"src0", "src1"}
+
+
+# --------------------------------------------------------------------
+# incremental dedup against a persisted corpus index
+# --------------------------------------------------------------------
+
+
+def _base_text(i):
+    # per-doc disjoint vocabulary: no cross-doc shingle overlap at all
+    return " ".join(f"w{i}x{j}" for j in range(30))
+
+
+def test_dedup_incremental_exact_near_and_fresh(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    corpus = _docs(spark, [(i, _base_text(i)) for i in range(5)])
+    index = build_corpus_index(corpus)
+
+    near = _base_text(2).split()
+    near[7] = "CHANGED"
+    new = _docs(
+        spark,
+        [
+            (100, _base_text(3)),  # exact copy of corpus doc 3
+            (101, " ".join(near)),  # near-dup of corpus doc 2
+            (102, "totally fresh content " + " ".join(f"w{k}" for k in range(27))),
+        ],
+    )
+    clean, report = dedup_incremental(new, index)
+    rep = {r["doc_id"]: r for r in report.collect()}
+
+    assert sorted(r["doc_id"] for r in clean.collect()) == [102]
+    assert clean.columns == new.columns
+    assert rep[100]["reason"] == "exact"
+    assert rep[100]["matched_doc_id"] == 3
+    assert rep[100]["est_jaccard"] == 1.0
+    assert rep[101]["reason"] == "near"
+    assert rep[101]["matched_doc_id"] == 2
+    assert 0.5 <= rep[101]["est_jaccard"] < 1.0
+    assert 102 not in rep
+
+
+def test_dedup_incremental_one_report_row_per_doc(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    # two identical corpus docs: a new exact copy matches both, but the
+    # report must attribute ONE strongest match (min corpus doc_id)
+    corpus = _docs(spark, [(1, _base_text(0)), (2, _base_text(0))])
+    new = _docs(spark, [(10, _base_text(0))])
+    clean, report = dedup_incremental(new, build_corpus_index(corpus))
+    rows = report.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 10
+    assert rows[0]["matched_doc_id"] == 1
+    assert rows[0]["reason"] == "exact"
+    assert clean.isEmpty()
+
+
+def test_dedup_incremental_threshold_validation(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    corpus = _docs(spark, [(1, _base_text(0))])
+    idx = build_corpus_index(corpus)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup_incremental(_docs(spark, [(2, "x")]), idx, threshold=0.0)
+
+
+def test_dedup_incremental_index_roundtrips_parquet(spark, tmp_path):
+    # the index is a PERSISTED artifact: write → read → same decisions
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    corpus = _docs(spark, [(i, _base_text(i)) for i in range(4)])
+    p = str(tmp_path / "dedup_index")
+    build_corpus_index(corpus).write.parquet(p)
+    index = spark.read.parquet(p)
+    new = _docs(spark, [(50, _base_text(1)), (51, "brand new words entirely")])
+    clean, report = dedup_incremental(new, index)
+    assert [r["doc_id"] for r in clean.collect()] == [51]
+    assert report.first()["matched_doc_id"] == 1
