@@ -1050,6 +1050,7 @@ def dedup_incremental(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_self: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an EXISTING corpus without touching
     corpus text: exact dups by fingerprint equality, near-dups by
@@ -1069,21 +1070,41 @@ def dedup_incremental(
     text rescan. Within-batch duplicates are NOT handled here — run
     the batch through the intra-corpus operators first (dedup_exact /
     dedup_minhash_lsh), then this against the historical index.
+
+    ``exclude_self`` ignores index rows whose doc_id equals the new
+    doc's id — required for replay idempotence when the caller appends
+    the batch's own index rows before acknowledging the batch
+    (streaming/ingest.stream_ingest_dedup): a replayed batch then
+    matches its own prior index entries, which must not count as dups.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     new_idx = build_corpus_index(new_docs, id_col, text_col)
 
-    # exact: fingerprint equi-join (corpus side keeps min doc_id per
-    # fingerprint — deterministic match attribution)
-    fp_keeper = corpus_index.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("matched_doc_id")
-    )
-    exact = new_idx.join(fp_keeper, "fingerprint").select(
-        "doc_id",
-        "matched_doc_id",
-        F.lit("exact").alias("reason"),
-        F.lit(1.0).alias("est_jaccard"),
+    def _drop_self(df: DataFrame) -> DataFrame:
+        # pairwise, BEFORE any attribution aggregate — aggregating
+        # first could let a self-row mask or win over a genuine match
+        return df.filter(F.col("matched_doc_id") != F.col("doc_id")) if exclude_self else df
+
+    # exact: fingerprint equi-join, then min corpus doc_id per new doc
+    # (deterministic match attribution)
+    exact = (
+        _drop_self(
+            new_idx.select("doc_id", "fingerprint").join(
+                corpus_index.select(
+                    F.col("doc_id").alias("matched_doc_id"), "fingerprint"
+                ),
+                "fingerprint",
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("matched_doc_id").alias("matched_doc_id"))
+        .select(
+            "doc_id",
+            "matched_doc_id",
+            F.lit("exact").alias("reason"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
     )
 
     # near: band agreement between new signatures and index signatures,
@@ -1094,7 +1115,9 @@ def dedup_incremental(
         F.col("doc_id").alias("matched_doc_id"),
         F.explode(_band_struct_col()).alias("bk"),
     )
-    cands = nb.join(cb, "bk").select("doc_id", "matched_doc_id").distinct()
+    cands = _drop_self(
+        nb.join(cb, "bk").select("doc_id", "matched_doc_id")
+    ).distinct()
     sa = new_idx.select("doc_id", *[f"mh_{i}" for i in range(_MH_N)]).alias("sa")
     sb = corpus_index.select(
         F.col("doc_id").alias("matched_doc_id"),

@@ -68,3 +68,107 @@ def stream_upsert(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_ingest_dedup(
+    stream_df: DataFrame,
+    table: KeyedTable,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_ingest_dedup",
+) -> StreamingQuery:
+    """Continuously ingest a document stream with STANDING dedup: each
+    micro-batch is deduped within itself (min-id keeper per content
+    fingerprint), then against the corpus's persisted dedup index
+    (``operators.dedup.build_corpus_index`` parquet at ``index_path``
+    — fingerprints + MinHash signatures, never the corpus text), and
+    only the survivors are upserted; their index rows are appended so
+    the NEXT batch dedups against them too.
+
+    Crash-replay reasoning (the stream_upsert contract extended):
+    the batch-id marker skips fully-acked batches; for a replay inside
+    the window, the index rows are appended BEFORE the table commit
+    and ``dedup_incremental(exclude_self=True)`` ignores a doc's own
+    prior index entry — so the replayed batch reaches identical
+    drop/keep decisions and the idempotent upsert converges. A crash
+    between index append and table commit leaves orphan index rows for
+    docs whose table rows land on the replay — self-matches, ignored
+    by construction. ``id_col`` must be globally unique across the
+    stream (it is the record key), or self-exclusion would misfire.
+
+    Scale: the index append is one job over the batch (≪ corpus); the
+    dedup joins shuffle batch + index rows by fingerprint/band key.
+    At a standing 100 TB corpus the index is a few hundred GB — the
+    whole point: ingest-time dedup without rescanning corpus text.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..fs import fs_for
+    from ..operators.dedup import (
+        _norm_text,
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied_batch_ids(table, checkpoint_dir):
+            return  # replayed micro-batch: its commit already landed
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        src = batch_df.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
+            text_col, "text"
+        )
+        # within-batch exact dedup: deterministic min-id keeper
+        w = Window.partitionBy(F.md5(_norm_text())).orderBy(F.asc("doc_id"))
+        intra = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        index = (
+            spark.read.parquet(index_path)
+            if fs_for(spark).exists(index_path)
+            else None
+        )
+        if index is not None:
+            clean, _report = dedup_incremental(
+                intra, index, threshold, exclude_self=True
+            )
+        else:
+            clean = intra
+        # persist decisions before acking: index rows first (replay
+        # self-matches are excluded above), then the marked table commit
+        clean = clean.persist()
+        try:
+            if not clean.isEmpty():
+                idx_rows = build_corpus_index(clean)
+                if index is not None:
+                    # replayed survivors already indexed themselves:
+                    # don't append their rows twice
+                    idx_rows = idx_rows.join(
+                        index.select("doc_id"), "doc_id", "left_anti"
+                    )
+                idx_rows.write.mode("append").parquet(index_path)
+                table.upsert(
+                    clean.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+                        "text", text_col
+                    ),
+                    instant_meta={
+                        "batch_id": batch_id,
+                        "checkpoint": checkpoint_dir,
+                    },
+                )
+        finally:
+            clean.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -351,3 +351,65 @@ def test_stream_upsert_fresh_checkpoint_not_skipped(spark, tmp_path):
     ]
     assert len(applied_for_ckpt2) == 1  # the replay was skipped
     assert len(meta) == n_commits_before + 1  # only ckpt2_replaylike added
+
+
+def test_stream_ingest_dedup_standing_corpus(spark, tmp_path):
+    """Dedup-on-ingest: micro-batches are deduped within themselves and
+    against the persisted corpus index; replaying the whole source over
+    the already-built corpus (fresh checkpoint) converges because a
+    doc's own index rows are self-excluded."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    src = str(tmp_path / "src")
+    # file 1: docs 0-2 (doc 2 = exact copy of doc 0 → intra-batch dup)
+    spark.createDataFrame(
+        [(0, txt(0)), (1, txt(1)), (2, txt(0))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    # file 2: doc 3 = exact copy of 1 (cross-batch), doc 4 = near-dup of
+    # 1 (one word changed), doc 5 = fresh
+    near = txt(1).split(); near[29] = "CHANGED"
+    spark.createDataFrame(
+        [(3, txt(1)), (4, " ".join(near)), (5, txt(5))],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    table = KeyedTable(
+        spark, str(tmp_path / "tbl"), record_key="doc_id", precombine="doc_id"
+    )
+    index_path = str(tmp_path / "dedup_index")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(stream, table, index_path, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in table.snapshot().collect())
+    assert kept == [0, 1, 5]
+    idx_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(index_path).collect()
+    )
+    assert idx_ids == [0, 1, 5]
+
+    # full-source replay under a fresh checkpoint: decisions identical
+    # (self-matches excluded), table unchanged
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = stream_ingest_dedup(
+        stream2, table, index_path, str(tmp_path / "ck2"), query_name="replay"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(r["doc_id"] for r in table.snapshot().collect()) == [0, 1, 5]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index_path).collect()
+    ) == [0, 1, 5]
