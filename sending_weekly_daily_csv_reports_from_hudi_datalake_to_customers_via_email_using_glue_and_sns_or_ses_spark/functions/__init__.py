@@ -3,6 +3,7 @@
 from .text import (  # noqa: F401
     duplicate_line_fraction,
     pii_hit_count,
+    regex_token_count,
     repetition_ratio,
     scrub_pii,
     strip_repeated_lines,

@@ -70,6 +70,27 @@ def repetition_ratio(col: Column | str) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer shape (public pattern family): contraction
+#: suffixes, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, residual whitespace. Java regex
+#: (\p{L}/\p{N} classes) — JVM-side, codegen, no UDF.
+BPE_TOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex — the budget
+    estimator for sequence packing / cost accounting when the real
+    tokenizer is out-of-process. Counts pre-token pieces (letter runs,
+    digit runs, punctuation runs, contraction suffixes, residual
+    whitespace runs — GPT-2 tokenizes those too); an actual BPE splits
+    rare words further, so this is a LOWER bound — but far closer than
+    whitespace counting, which misses punctuation entirely. NULL text
+    counts 0 (``size`` of a null array is -1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+    return F.when(c.isNull(), F.lit(0)).otherwise(n)
+
+
 def duplicate_line_fraction(col: Column | str) -> Column:
     """Fraction of a document's lines that are repeats of another line
     (0 = all lines unique, → 1 for boilerplate walls) — the line-level

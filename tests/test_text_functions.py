@@ -156,3 +156,29 @@ def test_repetition_signals_on_fixture_corpus(spark):
         )
     )
     assert bad.isEmpty()
+
+
+def test_regex_token_count(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions.text import (
+        regex_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world"),  # "Hello", " world"
+            (2, "it's 42 tokens!"),  # "it" "'s" " 42" " tokens" "!"
+            (3, None),
+            (4, ""),
+            (5, "a,b"),  # "a" "," "b"
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", regex_token_count("text").alias("n")).collect()
+    }
+    assert got[1] == 2
+    assert got[2] == 5
+    assert got[3] == 0
+    assert got[4] == 0
+    assert got[5] == 3
