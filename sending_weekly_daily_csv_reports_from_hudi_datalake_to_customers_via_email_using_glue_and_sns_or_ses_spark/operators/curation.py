@@ -311,7 +311,11 @@ def prepare_training_data(
     n_dedup = deduped.count()
 
     is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
-    train = decontaminate(deduped.filter(~is_eval), d.filter(is_eval))
+    # scrub the eval side too: train text is already scrubbed, and
+    # decontamination must compare like-for-like (a PII placeholder on
+    # one side only would silently break shingle matches)
+    eval_docs = d.filter(is_eval).withColumn("text", scrub_pii("text"))
+    train = decontaminate(deduped.filter(~is_eval), eval_docs)
     n_decontam = train.count()
 
     plan = None

@@ -130,11 +130,16 @@ def stream_ingest_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        index = (
-            spark.read.parquet(index_path)
-            if fs_for(spark).exists(index_path)
-            else None
-        )
+        index = None
+        if fs_for(spark).exists(index_path):
+            try:
+                index = spark.read.parquet(index_path)
+            except Exception:  # noqa: BLE001
+                # a crash during the FIRST batch's append can leave the
+                # directory with only uncommitted _temporary files — no
+                # readable footer, no committed rows: treat as empty
+                # rather than wedging the stream forever
+                index = None
         if index is not None:
             clean, _report = dedup_incremental(
                 intra, index, threshold, exclude_self=True
