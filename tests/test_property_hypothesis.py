@@ -5,6 +5,7 @@ example); the properties, not the volume, carry the weight.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -104,3 +105,116 @@ def test_mor_equals_cow_on_arbitrary_batches(spark, data, tmp_path_factory):
         for r in t.snapshot().select("key", "pre", "payload").collect()
     )
     assert rows_of(mor) == rows_of(cow)
+
+
+# --------------------------------------------------------------------
+# round-5 curation properties
+# --------------------------------------------------------------------
+
+_mix_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=3,
+    max_size=8,
+).filter(lambda rows: len({s for s, _ in rows}) == 3)
+
+_mix_weights = st.tuples(
+    st.floats(min_value=0.05, max_value=1.0),
+    st.floats(min_value=0.05, max_value=1.0),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(groups=_mix_corpora, w=_mix_weights)
+def test_mixture_sample_plan_invariants(spark, groups, w):
+    """For any corpus and positive weights: no source oversampled
+    (keep_prob ≤ 1), the binding source is kept in full, expected
+    masses realize the normalized mixture, and membership is a subset
+    of the corpus, deterministic under the same seed."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = []
+    next_id = 0
+    for s, cnt in groups:
+        for _ in range(cnt):
+            rows.append((next_id, s))
+            next_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = dict(zip("abc", w))
+    sampled, plan = mixture_sample(docs, weights)
+
+    total_w = sum(weights.values())
+    norm = {s: x / total_w for s, x in weights.items()}
+    avail = {s: sum(c for src, c in groups if src == s) for s in "abc"}
+    M = min(avail[s] / norm[s] for s in "abc")
+
+    for p in plan:
+        assert 0.0 < p["keep_prob"] <= 1.0
+        assert p["expected"] == pytest.approx(norm[p["source"]] * M)
+    binding = min("abc", key=lambda s: avail[s] / norm[s])
+    assert {p["source"]: p for p in plan}[binding]["keep_prob"] == pytest.approx(
+        1.0
+    )
+
+    got = sampled.collect()
+    assert {r["doc_id"] for r in got} <= {r[0] for r in rows}
+    again, _ = mixture_sample(docs, weights)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+
+
+_dedup_texts = st.lists(
+    st.integers(min_value=0, max_value=5),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus_keys=_dedup_texts, new_keys=_dedup_texts)
+def test_dedup_incremental_exact_membership_property(spark, corpus_keys, new_keys):
+    """Any new doc whose text key appears in the corpus is dropped as
+    an exact dup; any new doc with an unseen key survives — for random
+    multisets of text keys."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    def txt(k):
+        return " ".join(f"k{k}w{j}" for j in range(12))
+
+    corpus = spark.createDataFrame(
+        [(i, txt(k)) for i, k in enumerate(corpus_keys)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, txt(k)) for i, k in enumerate(new_keys)],
+        "doc_id long, text string",
+    )
+    clean, report = dedup_incremental(new, build_corpus_index(corpus))
+    seen = set(corpus_keys)
+    expect_survivors = sorted(
+        1000 + i for i, k in enumerate(new_keys) if k not in seen
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == expect_survivors
+    # every dropped row is attributed to a corpus doc with the SAME key
+    key_of = {1000 + i: k for i, k in enumerate(new_keys)}
+    corpus_key_of = {i: k for i, k in enumerate(corpus_keys)}
+    for r in report.collect():
+        assert corpus_key_of[r["matched_doc_id"]] == key_of[r["doc_id"]]
+        assert r["reason"] == "exact"
