@@ -424,10 +424,15 @@ def repetition_signals(
             "dup_ngram_frac"
         ),
     )
-    # docs with < n tokens produce no grams — restore them with 0s
-    return toks.select("doc_id", "n_tokens").join(signals, ["doc_id", "n_tokens"], "left").select(
+    # docs with < n tokens produce no grams, and docs with ≥ n tokens
+    # always produce at least one — the two populations are disjoint
+    # and exhaustive, so restoring short docs is a UNION of a filtered
+    # second scan, not a join back to the aggregate (a join would add a
+    # whole corpus-keyed shuffle to every run for the same rows)
+    short = toks.filter(F.col("n_tokens") < F.lit(n)).select(
         "doc_id",
         "n_tokens",
-        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
-        F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        F.lit(0.0).alias("top_ngram_frac"),
+        F.lit(0.0).alias("dup_ngram_frac"),
     )
+    return signals.unionByName(short)

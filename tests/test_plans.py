@@ -267,3 +267,57 @@ def test_decontaminate_is_broadcast_join_single_corpus_scan(spark):
     assert "Exchange" not in probe_branch.replace("BroadcastExchange", ""), (
         "corpus side shuffles before the join:\n" + probe_branch
     )
+
+
+def test_repetition_signals_no_join_back(spark):
+    """Short docs are restored by UNION of a filtered second scan, not
+    a join back to the aggregate — the plan must contain NO join and
+    only the two aggregation exchanges."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        repetition_signals,
+    )
+
+    plan = physical_plan(repetition_signals(load_table(spark, SF, "documents")))
+    for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert k not in plan, f"unexpected {k} in repetition_signals plan"
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_mixture_sample_is_scan_fused_filter(spark):
+    """The returned sample must be a filter fused into the scan — zero
+    Exchange, zero join; the per-source planning aggregate is a separate
+    (already collected) job."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sampled, _plan = mixture_sample(docs, {"src0": 2.0, "src1": 1.0})
+    plan = physical_plan(sampled)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_is_partition_local(spark):
+    """Packing is per-partition mapInPandas by contract — no Exchange
+    unless the caller asks for a rebalance."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    plan = physical_plan(pack_sequences(docs, max_tokens=256))
+    assert "Exchange" not in plan, plan
