@@ -19,8 +19,61 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
     distinct_sort_limit,
 )
 
+def _repetition_signals(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        repetition_signals,
+    )
+
+    return repetition_signals(load_table(spark, sf, "documents"))
+
+
+def _mixture_sample(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    sampled, _ = mixture_sample(
+        load_table(spark, sf, "documents"), {"src0": 2.0, "src1": 1.0}
+    )
+    return sampled
+
+
+def _dedup_incremental(spark, sf):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    d = load_table(spark, sf, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    idx_path = tempfile.mkdtemp(prefix="plans_dedup_idx_")
+    build_corpus_index(d.filter(~is_batch)).write.mode("overwrite").parquet(idx_path)
+    clean, _ = dedup_incremental(
+        d.filter(is_batch), spark.read.parquet(idx_path)
+    )
+    return clean
+
+
 #: library functions reviewed alongside the registered corpus
-EXTRA = {"distinct_sort_limit": distinct_sort_limit}
+EXTRA = {
+    "distinct_sort_limit": distinct_sort_limit,
+    "repetition_signals": _repetition_signals,
+    "mixture_sample": _mixture_sample,
+    "dedup_incremental": _dedup_incremental,
+}
 
 SF = "/root/testdata/sf0.001"
 
@@ -38,6 +91,9 @@ PICK = {
     "dedup_simhash": "ONE exploded (chunk-id, value) struct self-join (r5 rewrite; was 4 per-chunk join branches); signature rides the exploded rows.",
     "knn_approx_ivf": "probe scan of the cell-partitioned layout carries PartitionFilters (cell IN probed set) — only nprobe/K directories read.",
     "decontaminate": "eval shingles arrive as BroadcastExchange; corpus branch is exchange-free up to the join (no distinct shuffle); first corpus shuffle is the per-doc hit aggregation.",
+    "repetition_signals": "no join anywhere: short docs restored by UNION of a filtered second scan; two aggregation exchanges only.",
+    "mixture_sample": "membership is a filter fused into the scan — zero Exchange, zero join; the planning aggregate is a separate already-collected job.",
+    "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
 }
 
 
