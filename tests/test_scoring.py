@@ -1,0 +1,161 @@
+"""Model-based scoring (operators/scoring.py): unigram-LM perplexity —
+hand-computed probabilities, a DuckDB twin of the whole train+score
+pipeline on the fixture corpus, OOV pricing — and the MLlib quality
+classifier on planted separable features."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+    QUALITY_FEATURES,
+    doc_features,
+    lm_score,
+    score_quality,
+    train_quality_classifier,
+    train_unigram_lm,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_lm_hand_computed(spark):
+    # corpus tokens: a a b  →  N=3, types={a:2, b:1}, k=0.5, V=2
+    # denom = 3 + 0.5·(2+1) = 4.5 ; p(a)=2.5/4.5, p(b)=1.5/4.5, p(oov)=0.5/4.5
+    vocab, stats = train_unigram_lm(
+        _docs(spark, [(1, "a a b")]), vocab_size=10, smoothing_k=0.5
+    )
+    probs = {r["token"]: math.exp(r["logp"]) for r in vocab.collect()}
+    assert probs["a"] == pytest.approx(2.5 / 4.5)
+    assert probs["b"] == pytest.approx(1.5 / 4.5)
+    assert math.exp(stats["oov_logp"]) == pytest.approx(0.5 / 4.5)
+    assert stats["n_tokens"] == 3 and stats["n_types"] == 2
+
+    # score "a b c": c is OOV → avg_logp = (ln p(a)+ln p(b)+ln p(oov))/3
+    out = lm_score(
+        _docs(spark, [(7, "a b c")]), vocab, stats["oov_logp"]
+    ).collect()
+    assert len(out) == 1
+    expect = (
+        math.log(2.5 / 4.5) + math.log(1.5 / 4.5) + math.log(0.5 / 4.5)
+    ) / 3
+    assert out[0]["avg_logp"] == pytest.approx(expect)
+    assert out[0]["perplexity"] == pytest.approx(math.exp(-expect))
+    assert out[0]["n_tokens"] == 3
+
+
+def test_unigram_lm_vocab_cap_and_oov_mass(spark):
+    # cap V=1 keeps only the most frequent type; the chopped type's
+    # mass must be priced into the OOV bucket, not discarded
+    vocab, stats = train_unigram_lm(
+        _docs(spark, [(1, "x x x y")]), vocab_size=1, smoothing_k=1.0
+    )
+    rows = vocab.collect()
+    assert [r["token"] for r in rows] == ["x"]
+    denom = 4 + 1.0 * 2  # N + k·(V+1)
+    assert math.exp(rows[0]["logp"]) == pytest.approx((3 + 1) / denom)
+    assert math.exp(stats["oov_logp"]) == pytest.approx((1 + 1) / denom)
+
+
+def test_unigram_lm_duckdb_twin_on_fixture_corpus(spark):
+    """The whole train+score pipeline replicated in DuckDB on the
+    fixture documents (vocab cap 50 exercises the OOV path on real
+    text): per-doc avg_logp must match to float tolerance."""
+    V, K = 50, 0.5
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab, stats = train_unigram_lm(docs, vocab_size=V, smoothing_k=K)
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_score(docs, vocab, stats["oov_logp"]).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM '{SF}/documents.parquet'
+        ), counts AS (
+          SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ), tot AS (
+          SELECT sum(cnt) AS n, count(*) AS types FROM counts
+        ), vocab AS (
+          SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT {V}
+        ), consts AS (
+          SELECT n, least({V}, types) AS v_eff,
+                 n + {K} * (least({V}, types) + 1) AS denom,
+                 (SELECT n FROM tot) - (SELECT sum(cnt) FROM vocab) AS oov_cnt
+          FROM tot
+        )
+        SELECT t.doc_id,
+               avg(ln(coalesce(v.cnt + {K}, (SELECT oov_cnt FROM consts) + {K})
+                      / (SELECT denom FROM consts))) AS avg_logp
+        FROM toks t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+        """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for doc_id, spark_lp in got.items():
+        assert spark_lp == pytest.approx(want[doc_id], rel=1e-9), doc_id
+
+
+def test_unigram_lm_validation(spark):
+    d = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram_lm(d, vocab_size=0)
+    with pytest.raises(ValueError, match="smoothing_k"):
+        train_unigram_lm(d, smoothing_k=0.0)
+
+
+def test_doc_features_ranges(spark):
+    rows = doc_features(spark.read.parquet(f"{SF}/documents.parquet")).collect()
+    assert rows
+    for r in rows:
+        for c in QUALITY_FEATURES:
+            assert r[c] is not None and not math.isnan(r[c]), (r["doc_id"], c)
+        assert 0.0 <= r["f_len_sat"] <= 1.0
+        assert 0.0 <= r["f_alpha_ratio"] <= 1.0
+        assert 0.0 <= r["f_digit_ratio"] <= 1.0
+        assert 0.0 <= r["f_repetition"] <= 1.0
+        assert 0.0 <= r["f_dup_lines"] <= 1.0
+
+
+def test_quality_classifier_learns_planted_rule(spark):
+    """Separable planted populations: 'good' docs are long prose,
+    'bad' docs are short digit-heavy noise — the classifier must
+    recover the split it was trained on."""
+    good = [
+        (i, "the quick brown fox jumps over the lazy dog near the river bank "
+            * 3)
+        for i in range(200)
+    ]
+    bad = [(1000 + i, f"{i} 404 !!! {i * 7} zzz {i}") for i in range(200)]
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, good + bad)
+    feats = doc_features(docs).withColumn(
+        "label", (F.col("doc_id") < 1000).cast("double")
+    )
+    model = train_quality_classifier(feats)
+    scored = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, feats).collect()}
+    correct = sum(
+        1
+        for doc_id, p in scored.items()
+        if (p >= 0.5) == (doc_id < 1000)
+    )
+    assert correct / len(scored) >= 0.95
+    assert all(0.0 <= p <= 1.0 for p in scored.values())
+
+
+def test_quality_classifier_missing_column_raises(spark):
+    feats = doc_features(_docs(spark, [(1, "hello world")]))
+    with pytest.raises(ValueError, match="missing columns"):
+        train_quality_classifier(feats)  # no label column

@@ -357,6 +357,36 @@ def _dedup_incremental(spark, sf_dir):
 #: operators (mlprep/curation/incremental-dedup) have no registry
 #: entry (50-entry budget), so THIS is where their slopes get measured
 #: rather than argued
+def _lm_perplexity(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score,
+        train_unigram_lm,
+    )
+
+    # train + score in one timed region: one ingest-and-gate cycle
+    d = _docs(spark, sf_dir)
+    vocab, stats = train_unigram_lm(d, vocab_size=1 << 14)
+    return lm_score(d, vocab, stats["oov_logp"])
+
+
+def _quality_classifier(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        doc_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    # bootstrap labels from a deterministic split (stands in for the
+    # curated-vs-crawl label source); train + score timed together
+    feats = doc_features(_docs(spark, sf_dir)).withColumn(
+        "label", (F.pmod(F.col("doc_id"), F.lit(2))).cast("double")
+    )
+    model = train_quality_classifier(feats, max_iter=20)
+    return score_quality(model, feats)
+
+
 EXTRA_SCALE = {
     "dedup_clusters_minhash": _minhash_clusters,
     "pack_sequences": _pack_sequences,
@@ -364,6 +394,8 @@ EXTRA_SCALE = {
     "repetition_signals": _repetition_signals,
     "mixture_sample": _mixture_sample,
     "dedup_incremental": _dedup_incremental,
+    "lm_perplexity": _lm_perplexity,
+    "quality_classifier": _quality_classifier,
 }
 
 
