@@ -159,3 +159,23 @@ def test_quality_classifier_missing_column_raises(spark):
     feats = doc_features(_docs(spark, [(1, "hello world")]))
     with pytest.raises(ValueError, match="missing columns"):
         train_quality_classifier(feats)  # no label column
+
+
+def test_unigram_lm_is_proper_distribution(spark):
+    """Law: vocab probabilities plus the pooled OOV probability sum to
+    exactly 1 for ANY corpus and ANY cap — the smoothing conserves all
+    observed mass. (Deterministic sweep instead of hypothesis: each
+    example costs Spark jobs; the cap/corpus grid carries the weight.)"""
+    corpora = [
+        [(1, "a")],
+        [(1, "a a b"), (2, "b c d e")],
+        [(1, "x " * 50), (2, "y z " * 10), (3, "u v w x y z")],
+    ]
+    for rows_ in corpora:
+        for cap in (1, 2, 1000):
+            vocab, stats = train_unigram_lm(
+                _docs(spark, rows_), vocab_size=cap, smoothing_k=0.7
+            )
+            total = sum(math.exp(r["logp"]) for r in vocab.collect())
+            total += math.exp(stats["oov_logp"])
+            assert total == pytest.approx(1.0, abs=1e-12), (rows_, cap)
