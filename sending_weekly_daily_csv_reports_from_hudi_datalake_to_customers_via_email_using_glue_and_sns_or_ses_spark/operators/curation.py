@@ -266,12 +266,22 @@ def prepare_training_data(
     num_shards: int = 4,
     min_quality: float = 0.3,
     mixture: dict[str, float] | None = None,
+    max_perplexity: float | None = None,
+    lm_vocab_size: int = 1 << 14,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
 
       1. profile + quality gate (``text_profile``'s score ≥ min_quality,
          PII scrubbed — one scan, all JVM expressions);
+      1b. optional LM-perplexity gate (``max_perplexity``): a unigram LM
+         (``scoring.train_unigram_lm``) is fit on the quality-gated
+         corpus itself and docs scoring above the threshold are dropped
+         — SELF-perplexity mode, which removes only the corpus's own
+         weird tail (noise, boilerplate, wrong-language shards). The
+         CCNet form — scoring against a curated reference LM — is the
+         same machinery with the LM trained on a reference frame
+         instead; callers wanting it use scoring.py directly;
       2. exact dedup (keep the min-doc_id row per content fingerprint);
       3. eval-set decontamination (the 10% pseudo-eval split held out
          AND its 5-gram phrasing anti-joined away);
@@ -305,6 +315,24 @@ def prepare_training_data(
     gated = docs.filter(F.col("quality") >= min_quality)
     n_quality = gated.count()
 
+    n_perplexity = n_quality
+    if max_perplexity is not None:
+        from .scoring import lm_score, train_unigram_lm
+
+        # the LM pass evaluates `gated` three times (count agg, top-V,
+        # score) — cache it for the duration of the gate
+        gated = gated.persist()
+        vocab, lm_stats = train_unigram_lm(gated, vocab_size=lm_vocab_size)
+        keep = (
+            lm_score(gated, vocab, lm_stats["oov_logp"])
+            .filter(F.col("perplexity") <= max_perplexity)
+            .select("doc_id")
+        )
+        surviving = gated.join(keep, "doc_id")
+        n_perplexity = surviving.count()
+        gated.unpersist()
+        gated = surviving
+
     # exact dedup: min doc_id per fingerprint (dedup.py's keeper rule)
     keeper = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     deduped = gated.join(keeper, ["fingerprint", "doc_id"])
@@ -334,6 +362,7 @@ def prepare_training_data(
     stats = {
         "n_input": n_input,
         "n_after_quality": n_quality,
+        "n_after_perplexity": n_perplexity,
         "n_after_dedup": n_dedup,
         "n_after_decontam": n_decontam,
         "n_after_mixture": n_sampled,

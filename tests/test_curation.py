@@ -418,3 +418,51 @@ def test_dedup_incremental_index_roundtrips_parquet(spark, tmp_path):
     clean, report = dedup_incremental(new, index)
     assert [r["doc_id"] for r in clean.collect()] == [51]
     assert report.first()["matched_doc_id"] == 1
+
+
+def test_prepare_training_data_perplexity_gate(spark, tmp_path):
+    """The optional LM gate (stage 1b) must drop exactly the docs whose
+    self-perplexity exceeds the threshold — replicated here with the
+    scoring operators directly on the same (scrubbed, quality-gated)
+    frame the funnel feeds its LM."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions.text import (
+        scrub_pii,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score,
+        train_unigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "text", scrub_pii("text")
+    )
+    vocab, stats_lm = train_unigram_lm(docs, vocab_size=1 << 14)
+    ppl = sorted(
+        r["perplexity"]
+        for r in lm_score(docs, vocab, stats_lm["oov_logp"]).collect()
+    )
+    # median threshold: strictly between "drops none" and "drops all"
+    threshold = ppl[len(ppl) // 2]
+    expect_kept = sum(1 for p in ppl if p <= threshold)
+
+    out = str(tmp_path / "train_ppl")
+    stats = prepare_training_data(
+        spark, SF, out, min_quality=0.0, max_perplexity=threshold
+    )
+    assert stats["n_after_perplexity"] == expect_kept
+    assert 0 < stats["n_after_perplexity"] < stats["n_after_quality"]
+    assert (
+        stats["n_after_quality"]
+        >= stats["n_after_perplexity"]
+        >= stats["n_after_dedup"]
+        >= stats["n_after_decontam"]
+    )
+    # a loose threshold gates nothing
+    stats_loose = prepare_training_data(
+        spark, str(SF), str(tmp_path / "train_loose"), min_quality=0.0,
+        max_perplexity=1e12,
+    )
+    assert stats_loose["n_after_perplexity"] == stats_loose["n_after_quality"]
