@@ -44,7 +44,7 @@ from ..functions.text import (
     pii_hit_count,
     repetition_ratio,
 )
-from .dedup import _tokens
+from .dedup import _shingle_array, _tokens
 
 #: default vocabulary cap: 2^16 types ≈ a BPE vocabulary's order of
 #: magnitude, and small enough that the (token, logp) table broadcasts
@@ -153,6 +153,128 @@ def lm_score(
         "doc_id", F.coalesce("logp", F.lit(float(oov_logp))).alias("logp")
     )
     return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("logp").alias("avg_logp"),
+        F.exp(-F.avg("logp")).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------
+# bigram LM with stupid backoff
+# --------------------------------------------------------------------
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    vocab_size: int = _DEFAULT_VOCAB,
+    bigram_size: int = _DEFAULT_VOCAB,
+    smoothing_k: float = 0.5,
+    backoff: float = 0.4,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Fit a bigram LM with stupid backoff (Brants et al. 2007) — the
+    order-2 member of the n-gram family ``train_unigram_lm`` starts.
+
+    Returns ``(vocab, bigrams, stats)``: the smoothed unigram table
+    (exactly ``train_unigram_lm``'s output — the backoff target), a
+    (bigram string "prev cur", logscore double) table of the
+    ``bigram_size`` most frequent bigrams scored with their relative
+    frequency log(c(prev,cur)/c(prev)), and the unigram ``stats`` dict
+    extended with ``backoff`` and ``n_bigrams``. Stupid backoff
+    deliberately emits SCORES, not normalized probabilities — for the
+    filtering use case only the ordering matters, and skipping the
+    normalization is what makes the estimator one aggregation.
+
+    Scale: bigram counts are one (prev,cur) aggregation (map-side
+    combine absorbs the Zipf head exactly as in the unigram pass); the
+    c(prev) denominator joins in from the unigram count aggregation
+    keyed by the uniform prev token; both capped tables collect to the
+    driver (bounded by construction) so the returned LM is literal and
+    lineage-free.
+    """
+    if bigram_size <= 0:
+        raise ValueError(f"bigram_size must be positive, got {bigram_size}")
+    if not 0.0 < backoff <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    vocab, stats = train_unigram_lm(docs, vocab_size, smoothing_k, text_col)
+
+    src = docs.select(F.col(text_col).alias("text")).withColumn("toks", _tokens())
+    tok_counts = (
+        src.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("prev_cnt"))
+    )
+    big_counts = (
+        src.select(F.explode(_shingle_array(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        big_counts.withColumn(
+            "token", F.substring_index("bigram", " ", 1)
+        )
+        .join(tok_counts, "token")
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(bigram_size)
+        .select("bigram", "cnt", "prev_cnt")
+        .collect()
+    )
+    bigrams = docs.sparkSession.createDataFrame(
+        [(r["bigram"], math.log(r["cnt"] / r["prev_cnt"])) for r in top],
+        "bigram string, logscore double",
+    )
+    stats = {**stats, "backoff": backoff, "n_bigrams": len(top)}
+    return vocab, bigrams, stats
+
+
+def lm_score_bigram(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    stats: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a stupid-backoff bigram LM: the first
+    token prices at its smoothed unigram probability; every transition
+    (prev→cur) prices at the bigram relative frequency when the bigram
+    is in the capped table, else at backoff·p_unigram(cur). Returns
+    (doc_id, n_tokens, avg_logp, perplexity) — same contract as
+    ``lm_score`` (``perplexity`` here is exp of the mean negative
+    SCORE: monotone with fluency, not a true perplexity — stupid
+    backoff is unnormalized by design).
+
+    One scan, two broadcast joins (both tables capped at train time),
+    one per-doc aggregation — the unigram plan plus one bounded join.
+    """
+    oov_logp = float(stats["oov_logp"])
+    log_backoff = math.log(float(stats["backoff"]))
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("toks", _tokens())
+
+    first = toked.select(
+        "doc_id", F.element_at("toks", 1).alias("token")
+    ).join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", F.coalesce("logp", F.lit(oov_logp)).alias("logp")
+    )
+    trans = (
+        toked.select(
+            "doc_id", F.explode(_shingle_array(F.col("toks"), 2)).alias("bigram")
+        )
+        .withColumn("token", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(bigrams), "bigram", "left")
+        .join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "logscore",
+                F.lit(log_backoff)
+                + F.coalesce("logp", F.lit(oov_logp)),
+            ).alias("logp"),
+        )
+    )
+    return first.unionByName(trans).groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.avg("logp").alias("avg_logp"),
         F.exp(-F.avg("logp")).alias("perplexity"),

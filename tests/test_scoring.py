@@ -179,3 +179,121 @@ def test_unigram_lm_is_proper_distribution(spark):
             total = sum(math.exp(r["logp"]) for r in vocab.collect())
             total += math.exp(stats["oov_logp"])
             assert total == pytest.approx(1.0, abs=1e-12), (rows_, cap)
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b a b c" → unigrams {a:2,b:2,c:1} N=5 V=3 k=0.5
+    #   denom = 5 + 0.5·4 = 7 ; p(a)=p(b)=2.5/7, p(c)=1.5/7, p(oov)=0.5/7
+    # bigrams: "a b":2, "b a":1, "b c":1 ; c(a)=2, c(b)=2
+    #   s(b|a)=2/2=1, s(a|b)=1/2, s(c|b)=1/2
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score_bigram,
+        train_bigram_lm,
+    )
+
+    vocab, bigrams, stats = train_bigram_lm(
+        _docs(spark, [(1, "a b a b c")]), smoothing_k=0.5, backoff=0.4
+    )
+    bg = {r["bigram"]: math.exp(r["logscore"]) for r in bigrams.collect()}
+    assert bg == pytest.approx({"a b": 1.0, "b a": 0.5, "b c": 0.5})
+    assert stats["n_bigrams"] == 3
+
+    # score "a b z": first token a → unigram 2.5/7; "a b" → 1.0;
+    # "b z" unseen → backoff·p_uni(z=OOV) = 0.4·0.5/7
+    out = lm_score_bigram(_docs(spark, [(9, "a b z")]), vocab, bigrams, stats).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 3
+    expect = (
+        math.log(2.5 / 7) + math.log(1.0) + math.log(0.4 * 0.5 / 7)
+    ) / 3
+    assert out[0]["avg_logp"] == pytest.approx(expect)
+
+
+def test_bigram_lm_cap_and_validation(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, [(1, "a b a b a c")])
+    # cap 1 keeps only the most frequent bigram ("a b":2)
+    _, bigrams, stats = train_bigram_lm(d, bigram_size=1)
+    assert [r["bigram"] for r in bigrams.collect()] == ["a b"]
+    assert stats["n_bigrams"] == 1
+    with pytest.raises(ValueError, match="bigram_size"):
+        train_bigram_lm(d, bigram_size=0)
+    with pytest.raises(ValueError, match="backoff"):
+        train_bigram_lm(d, backoff=0.0)
+
+
+def test_bigram_lm_duckdb_twin_on_fixture_corpus(spark):
+    """Train+score replicated in DuckDB on the fixture documents with
+    BOTH caps binding (vocab 50, bigrams 200): unigram backoff, OOV
+    and bigram-hit paths all exercised on real text."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score_bigram,
+        train_bigram_lm,
+    )
+
+    V, B, K, BO = 50, 200, 0.5, 0.4
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab, bigrams, stats = train_bigram_lm(
+        docs, vocab_size=V, bigram_size=B, smoothing_k=K, backoff=BO
+    )
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_score_bigram(docs, vocab, bigrams, stats).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            rf"""
+        WITH toks AS (
+          SELECT doc_id, t.tok, t.pos
+          FROM '{SF}/documents.parquet',
+               LATERAL (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok,
+                               generate_subscripts(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS pos) t
+        ), counts AS (
+          SELECT tok AS token, count(*) AS cnt FROM toks GROUP BY 1
+        ), tot AS (
+          SELECT sum(cnt) AS n, count(*) AS types FROM counts
+        ), vocab AS (
+          SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT {V}
+        ), consts AS (
+          SELECT n + {K} * (least({V}, types) + 1) AS denom,
+                 n - (SELECT sum(cnt) FROM vocab) AS oov_cnt
+          FROM tot
+        ), uni AS (
+          SELECT token, ln((cnt + {K}) / (SELECT denom FROM consts)) AS logp
+          FROM vocab
+        ), bigs AS (
+          SELECT t0.doc_id, t0.tok || ' ' || t1.tok AS bigram,
+                 t0.tok AS prev, t1.tok AS cur
+          FROM toks t0 JOIN toks t1
+            ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        ), bcounts AS (
+          SELECT bigram, count(*) AS cnt FROM bigs GROUP BY 1
+        ), btop AS (
+          SELECT b.bigram, ln(b.cnt * 1.0 / c.cnt) AS logscore
+          FROM bcounts b JOIN counts c ON c.token = string_split(b.bigram, ' ')[1]
+          ORDER BY b.cnt DESC, b.bigram ASC LIMIT {B}
+        ), first_tok AS (
+          SELECT t.doc_id,
+                 coalesce(u.logp, ln(((SELECT oov_cnt FROM consts) + {K}) / (SELECT denom FROM consts))) AS lp
+          FROM toks t LEFT JOIN uni u ON u.token = t.tok
+          WHERE t.pos = 1
+        ), trans AS (
+          SELECT g.doc_id,
+                 coalesce(bt.logscore,
+                          ln({BO}) + coalesce(u.logp,
+                              ln(((SELECT oov_cnt FROM consts) + {K}) / (SELECT denom FROM consts)))) AS lp
+          FROM bigs g
+          LEFT JOIN btop bt USING (bigram)
+          LEFT JOIN uni u ON u.token = g.cur
+        )
+        SELECT doc_id, avg(lp) AS avg_logp
+        FROM (SELECT * FROM first_tok UNION ALL SELECT * FROM trans)
+        GROUP BY doc_id
+        """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for doc_id, lp in got.items():
+        assert lp == pytest.approx(want[doc_id], rel=1e-9), doc_id

@@ -369,6 +369,19 @@ def _lm_perplexity(spark, sf_dir):
     return lm_score(d, vocab, stats["oov_logp"])
 
 
+def _lm_perplexity_bigram(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score_bigram,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir)
+    vocab, bigrams, stats = train_bigram_lm(
+        d, vocab_size=1 << 14, bigram_size=1 << 14
+    )
+    return lm_score_bigram(d, vocab, bigrams, stats)
+
+
 def _quality_classifier(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -395,6 +408,7 @@ EXTRA_SCALE = {
     "mixture_sample": _mixture_sample,
     "dedup_incremental": _dedup_incremental,
     "lm_perplexity": _lm_perplexity,
+    "lm_perplexity_bigram": _lm_perplexity_bigram,
     "quality_classifier": _quality_classifier,
 }
 
