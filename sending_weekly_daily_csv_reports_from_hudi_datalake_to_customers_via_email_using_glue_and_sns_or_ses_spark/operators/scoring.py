@@ -198,27 +198,38 @@ def train_bigram_lm(
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
     vocab, stats = train_unigram_lm(docs, vocab_size, smoothing_k, text_col)
 
-    src = docs.select(F.col(text_col).alias("text")).withColumn("toks", _tokens())
-    tok_counts = (
-        src.select(F.explode("toks").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("prev_cnt"))
+    # the token-count and bigram-count aggregations both read the
+    # tokenized corpus — persist it across the two passes
+    src = (
+        docs.select(F.col(text_col).alias("text"))
+        .withColumn("toks", _tokens())
+        .persist()
     )
-    big_counts = (
-        src.select(F.explode(_shingle_array(F.col("toks"), 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("cnt"))
-    )
-    top = (
-        big_counts.withColumn(
-            "token", F.substring_index("bigram", " ", 1)
+    try:
+        tok_counts = (
+            src.select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("prev_cnt"))
         )
-        .join(tok_counts, "token")
-        .orderBy(F.desc("cnt"), F.asc("bigram"))
-        .limit(bigram_size)
-        .select("bigram", "cnt", "prev_cnt")
-        .collect()
-    )
+        big_counts = (
+            src.select(
+                F.explode(_shingle_array(F.col("toks"), 2)).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = (
+            big_counts.withColumn(
+                "token", F.substring_index("bigram", " ", 1)
+            )
+            .join(tok_counts, "token")
+            .orderBy(F.desc("cnt"), F.asc("bigram"))
+            .limit(bigram_size)
+            .select("bigram", "cnt", "prev_cnt")
+            .collect()
+        )
+    finally:
+        src.unpersist()
     bigrams = docs.sparkSession.createDataFrame(
         [(r["bigram"], math.log(r["cnt"] / r["prev_cnt"])) for r in top],
         "bigram string, logscore double",
