@@ -1020,6 +1020,45 @@ def dedup_clusters(
     )
 
 
+def semantic_dedup(
+    e: DataFrame,
+    threshold: float = 0.97,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): drop all but one of every group of semantically
+    near-identical items, where "near-identical" is embedding cosine ≥
+    ``threshold`` and groups are the transitive closure of the pair
+    relation.
+
+    Input: a (vec_id, embedding) frame. Returns ``(kept, report)``:
+    ``kept`` is the input rows that survive (schema unchanged), and
+    ``report`` is (vec_id, representative) for every dropped row — the
+    representative is its group's smallest vec_id (deterministic; the
+    published recipe keeps the item farthest from the cluster centroid,
+    a policy choice this operator leaves to the caller — swap the
+    min-id keeper by re-ranking ``report`` groups).
+
+    Composition of the two scale-hardened primitives this family
+    already ships: candidate pairs from `embedding_cosine_pairs` (LSH
+    band-bucketing bounds the candidate set — the role k-means
+    clustering plays in the paper), grouping from
+    `connected_components` (Hash-Min, lineage-cut per round;
+    ``checkpoint_dir`` passes through for executor-loss-safe runs).
+    Everything is bucketed/banded — no all-pairs join at any stage.
+    """
+    pairs = embedding_cosine_pairs(e, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs, checkpoint_dir)
+    report = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("representative"),
+    )
+    kept = e.join(report.select("vec_id"), "vec_id", "left_anti")
+    return kept, report
+
+
 # --------------------------------------------------------------------
 # incremental dedup: new batch vs an existing corpus index
 # --------------------------------------------------------------------

@@ -538,3 +538,45 @@ def test_connected_components_random_graph_fuzz(spark):
         touched = {x for e in edges for x in e}
         expect = {x: ref[x] for x in touched}
         assert got == expect, f"n={n}, edges={edges[:10]}..."
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup composition: planted near-identical groups (clones with
+    tiny noise) must collapse to their min-id representative; singletons
+    and the report must account for every input row exactly once."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5150)
+    base = rng.standard_normal((60, 64)).astype(np.float64)
+    # groups: ids {0,60,61} clone base[0]; {5,62} clone base[5]
+    clones = np.vstack(
+        [
+            base[0] + 0.01 * rng.standard_normal(64),
+            base[0] + 0.01 * rng.standard_normal(64),
+            base[5] + 0.01 * rng.standard_normal(64),
+        ]
+    )
+    vecs = np.vstack([base, clones])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs)),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+    # confirm the planted structure is the ONLY >=0.97 structure
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = n @ n.T
+    iu = np.triu_indices(len(vecs), k=1)
+    truth_pairs = {
+        (int(i), int(j)) for i, j in zip(*iu) if round(S[i, j], 4) >= 0.97
+    }
+    assert truth_pairs == {(0, 60), (0, 61), (60, 61), (5, 62)}
+
+    kept, report = semantic_dedup(spark.createDataFrame(pdf), threshold=0.97)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    rep = {r["vec_id"]: r["representative"] for r in report.collect()}
+    assert rep == {60: 0, 61: 0, 62: 5}
+    assert kept_ids == set(range(len(vecs))) - set(rep)
+    assert 0 in kept_ids and 5 in kept_ids
