@@ -317,6 +317,13 @@ def prepare_training_data(
 
     n_perplexity = n_quality
     if max_perplexity is not None:
+        if max_perplexity <= 1.0:
+            # unigram self-perplexity is exp(−avg ln p) over p < 1, so
+            # it is ALWAYS > 1 — a threshold at or below 1 silently
+            # drops the whole corpus, which is never what was meant
+            raise ValueError(
+                f"max_perplexity must be > 1, got {max_perplexity}"
+            )
         from .scoring import lm_score, train_unigram_lm
 
         # the LM pass evaluates `gated` three times (count agg, top-V,

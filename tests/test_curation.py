@@ -466,3 +466,14 @@ def test_prepare_training_data_perplexity_gate(spark, tmp_path):
         max_perplexity=1e12,
     )
     assert stats_loose["n_after_perplexity"] == stats_loose["n_after_quality"]
+
+
+def test_prepare_training_data_perplexity_validation(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    with pytest.raises(ValueError, match="max_perplexity"):
+        prepare_training_data(
+            spark, SF, str(tmp_path / "x"), max_perplexity=0.5
+        )
