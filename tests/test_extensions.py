@@ -580,3 +580,24 @@ def test_semantic_dedup_planted_groups(spark):
     assert rep == {60: 0, 61: 0, 62: 5}
     assert kept_ids == set(range(len(vecs))) - set(rep)
     assert 0 in kept_ids and 5 in kept_ids
+
+
+def test_semantic_dedup_no_near_pairs_keeps_everything(spark):
+    """A corpus with no cosine>=threshold structure must come back
+    intact with an empty report (the empty-pair-graph path through
+    connected_components)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((30, 64))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(30),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+    kept, report = semantic_dedup(spark.createDataFrame(pdf), threshold=0.99)
+    assert report.isEmpty()
+    assert kept.count() == 30
