@@ -326,19 +326,24 @@ def prepare_training_data(
             )
         from .scoring import lm_score, train_unigram_lm
 
-        # the LM pass evaluates `gated` three times (count agg, top-V,
-        # score) — cache it for the duration of the gate
-        gated = gated.persist()
-        vocab, lm_stats = train_unigram_lm(gated, vocab_size=lm_vocab_size)
+        # cache the gated frame for the WHOLE remaining funnel, not
+        # just the gate: it feeds the LM train, the score join (both
+        # sides), and — through `surviving` — every later stage's
+        # action (dedup count, decontaminate, mixture planning, the
+        # final cache), each of which would otherwise replay the
+        # profile join + LM scoring from scratch. Released after the
+        # survivors' own cache materializes (n_sampled below).
+        # Zero-token docs (empty after scrubbing) score perplexity
+        # +inf and are dropped here explicitly whenever the gate is on.
+        gate_cache = gated.persist()
+        vocab, lm_stats = train_unigram_lm(gate_cache, vocab_size=lm_vocab_size)
         keep = (
-            lm_score(gated, vocab, lm_stats["oov_logp"])
+            lm_score(gate_cache, vocab, lm_stats["oov_logp"])
             .filter(F.col("perplexity") <= max_perplexity)
             .select("doc_id")
         )
-        surviving = gated.join(keep, "doc_id")
-        n_perplexity = surviving.count()
-        gated.unpersist()
-        gated = surviving
+        gated = gate_cache.join(keep, "doc_id")
+        n_perplexity = gated.count()
 
     # exact dedup: min doc_id per fingerprint (dedup.py's keeper rule)
     keeper = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
@@ -360,6 +365,8 @@ def prepare_training_data(
         )
     train = train.cache()
     n_sampled = train.count()
+    if max_perplexity is not None:
+        gate_cache.unpersist()  # survivors are materialized in `train` now
 
     packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
     final = train.join(packs.select("doc_id", "pack_id", "seq_offset"), "doc_id")

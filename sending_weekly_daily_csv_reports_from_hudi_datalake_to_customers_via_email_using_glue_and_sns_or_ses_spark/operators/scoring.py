@@ -81,33 +81,64 @@ def train_unigram_lm(
     if smoothing_k <= 0:
         raise ValueError(f"smoothing_k must be positive, got {smoothing_k}")
 
-    toks = (
-        docs.select(F.col(text_col).alias("text"))
-        .withColumn("toks", _tokens())
-        .select(F.explode("toks").alias("token"))
-    )
     # persist the (≤ n_types rows) count table: the totals pass and the
     # top-V selection would otherwise each re-run the corpus aggregation
-    counts = toks.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    counts = _token_counts(docs, text_col).persist()
     try:
-        totals = counts.agg(
-            F.sum("cnt").alias("n"), F.count("*").alias("types")
-        ).first()
-        n_tokens, n_types = int(totals["n"] or 0), int(totals["types"] or 0)
-        if n_tokens == 0:
-            raise ValueError("train_unigram_lm: corpus has no tokens")
-        # TakeOrdered top-V to the driver (the cap bounds this at a few
-        # MB): the returned vocab is then a literal frame, independent
-        # of the corpus lineage — scoring it later can never re-trigger
-        # the training scan
-        vocab_rows = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(
-            vocab_size
-        ).collect()
+        return _unigram_from_counts(
+            docs.sparkSession, counts, vocab_size, smoothing_k
+        )
     finally:
         counts.unpersist()
+
+
+def _clean_toks() -> F.Column:
+    """Token array of the (coalesced-to-empty) ``text`` column with
+    empty-string tokens removed: an empty or whitespace-only or NULL
+    document tokenizes to [] — NOT to [''] (Spark's split('', ' ')
+    returns ['']), so '' never enters the vocabulary and empty docs are
+    visible as zero-token rows instead of fluent-looking ones."""
+    return F.filter(_tokens(), lambda t: t != "")
+
+
+def _with_clean_toks(docs: DataFrame, id_cols: list, text_col: str) -> DataFrame:
+    return docs.select(
+        *id_cols, F.coalesce(F.col(text_col), F.lit("")).alias("text")
+    ).withColumn("toks", _clean_toks())
+
+
+def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, cnt) over all non-empty tokens of the corpus — the one
+    skew-absorbing aggregation both LM orders train from."""
+    return (
+        _with_clean_toks(docs, [], text_col)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _unigram_from_counts(
+    spark, counts: DataFrame, vocab_size: int, smoothing_k: float
+) -> tuple[DataFrame, dict]:
+    """Smoothed unigram (vocab, stats) from a token-count table the
+    caller manages (persist before, unpersist after)."""
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("types")
+    ).first()
+    n_tokens, n_types = int(totals["n"] or 0), int(totals["types"] or 0)
+    if n_tokens == 0:
+        raise ValueError("train_unigram_lm: corpus has no tokens")
+    # TakeOrdered top-V to the driver (the cap bounds this at a few
+    # MB): the returned vocab is then a literal frame, independent
+    # of the corpus lineage — scoring it later can never re-trigger
+    # the training scan
+    vocab_rows = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(
+        vocab_size
+    ).collect()
     v_eff = min(vocab_size, n_types)
     denom = n_tokens + smoothing_k * (v_eff + 1)
-    vocab = docs.sparkSession.createDataFrame(
+    vocab = spark.createDataFrame(
         [
             (r["token"], math.log((r["cnt"] + smoothing_k) / denom))
             for r in vocab_rows
@@ -143,20 +174,32 @@ def lm_score(
     One scan: explode tokens, LEFT join the broadcast vocab (misses
     price at ``oov_logp``), one per-doc aggregation. The vocabulary is
     capped at train time, so the broadcast is bounded by construction.
+
+    Empty/whitespace/NULL documents have no tokens to price: they come
+    back EXPLICITLY as (n_tokens=0, avg_logp=NULL, perplexity=+inf) —
+    restored by union of a filtered second scan (disjoint-exhaustive,
+    the repetition_signals pattern) — so a perplexity threshold drops
+    them deterministically instead of the row silently vanishing.
     """
-    toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("toks", _tokens())
-        .select("doc_id", F.explode("toks").alias("token"))
+    toked = _with_clean_toks(
+        docs, [F.col(id_col).alias("doc_id")], text_col
     )
+    toks = toked.select("doc_id", F.explode("toks").alias("token"))
     scored = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", F.coalesce("logp", F.lit(float(oov_logp))).alias("logp")
     )
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.avg("logp").alias("avg_logp"),
         F.exp(-F.avg("logp")).alias("perplexity"),
     )
+    empty = toked.filter(F.size("toks") == 0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(float("inf")).alias("perplexity"),
+    )
+    return agg.unionByName(empty)
 
 
 # --------------------------------------------------------------------
@@ -192,24 +235,27 @@ def train_bigram_lm(
     driver (bounded by construction) so the returned LM is literal and
     lineage-free.
     """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if smoothing_k <= 0:
+        raise ValueError(f"smoothing_k must be positive, got {smoothing_k}")
     if bigram_size <= 0:
         raise ValueError(f"bigram_size must be positive, got {bigram_size}")
     if not 0.0 < backoff <= 1.0:
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
-    vocab, stats = train_unigram_lm(docs, vocab_size, smoothing_k, text_col)
 
-    # the token-count and bigram-count aggregations both read the
-    # tokenized corpus — persist it across the two passes
-    src = (
-        docs.select(F.col(text_col).alias("text"))
-        .withColumn("toks", _tokens())
-        .persist()
-    )
+    # ONE tokenization persisted across the passes, and ONE token-count
+    # aggregation serving both the unigram training and the bigram
+    # denominators (a first version called train_unigram_lm and then
+    # re-derived identical counts — a second full-corpus scan and a
+    # second Zipf-skew shuffle for nothing)
+    src = _with_clean_toks(docs, [], text_col).persist()
+    tok_counts = src.select(F.explode("toks").alias("token")).groupBy(
+        "token"
+    ).agg(F.count("*").alias("cnt")).persist()
     try:
-        tok_counts = (
-            src.select(F.explode("toks").alias("token"))
-            .groupBy("token")
-            .agg(F.count("*").alias("prev_cnt"))
+        vocab, stats = _unigram_from_counts(
+            docs.sparkSession, tok_counts, vocab_size, smoothing_k
         )
         big_counts = (
             src.select(
@@ -222,13 +268,16 @@ def train_bigram_lm(
             big_counts.withColumn(
                 "token", F.substring_index("bigram", " ", 1)
             )
-            .join(tok_counts, "token")
+            .join(
+                tok_counts.withColumnRenamed("cnt", "prev_cnt"), "token"
+            )
             .orderBy(F.desc("cnt"), F.asc("bigram"))
             .limit(bigram_size)
             .select("bigram", "cnt", "prev_cnt")
             .collect()
         )
     finally:
+        tok_counts.unpersist()
         src.unpersist()
     bigrams = docs.sparkSession.createDataFrame(
         [(r["bigram"], math.log(r["cnt"] / r["prev_cnt"])) for r in top],
@@ -257,14 +306,16 @@ def lm_score_bigram(
 
     One scan, two broadcast joins (both tables capped at train time),
     one per-doc aggregation — the unigram plan plus one bounded join.
+    Zero-token documents come back as (0, NULL, +inf), exactly as in
+    ``lm_score``.
     """
     oov_logp = float(stats["oov_logp"])
     log_backoff = math.log(float(stats["backoff"]))
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("toks", _tokens())
+    toked = _with_clean_toks(
+        docs, [F.col(id_col).alias("doc_id")], text_col
+    )
 
-    first = toked.select(
+    first = toked.filter(F.size("toks") > 0).select(
         "doc_id", F.element_at("toks", 1).alias("token")
     ).join(F.broadcast(vocab), "token", "left").select(
         "doc_id", F.coalesce("logp", F.lit(oov_logp)).alias("logp")
@@ -285,11 +336,18 @@ def lm_score_bigram(
             ).alias("logp"),
         )
     )
-    return first.unionByName(trans).groupBy("doc_id").agg(
+    agg = first.unionByName(trans).groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.avg("logp").alias("avg_logp"),
         F.exp(-F.avg("logp")).alias("perplexity"),
     )
+    empty = toked.filter(F.size("toks") == 0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(float("inf")).alias("perplexity"),
+    )
+    return agg.unionByName(empty)
 
 
 # --------------------------------------------------------------------
@@ -314,8 +372,14 @@ def doc_features(
 ) -> DataFrame:
     """Per-document numeric feature vector for quality modeling — the
     featurization pass shared by training and scoring (one definition,
-    so the two can never drift). All JVM built-ins; one scan."""
-    text = F.col(text_col)
+    so the two can never drift). All JVM built-ins; one scan.
+
+    NULL text is treated as empty text: every feature evaluates to its
+    empty-document value (all zeros except f_mean_token_len's 0/1) —
+    NULL features would crash MLlib's VectorAssembler mid-fit, and
+    least()'s null-skipping would otherwise score a NULL doc as
+    maximum-length."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
     n_toks = F.greatest(F.size(F.split(text, r"\s+")), F.lit(1)).cast("double")
 

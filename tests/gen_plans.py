@@ -45,8 +45,6 @@ def _mixture_sample(spark, sf):
 
 
 def _dedup_incremental(spark, sf):
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
@@ -59,7 +57,9 @@ def _dedup_incremental(spark, sf):
 
     d = load_table(spark, sf, "documents")
     is_batch = F.col("doc_id") % 10 == 0
-    idx_path = tempfile.mkdtemp(prefix="plans_dedup_idx_")
+    # fixed, overwritten path: a fresh mkdtemp per run would leak one
+    # index directory per plan-generation invocation
+    idx_path = "/tmp/plans_dedup_idx"
     build_corpus_index(d.filter(~is_batch)).write.mode("overwrite").parquet(idx_path)
     clean, _ = dedup_incremental(
         d.filter(is_batch), spark.read.parquet(idx_path)

@@ -444,8 +444,13 @@ def test_prepare_training_data_perplexity_gate(spark, tmp_path):
         r["perplexity"]
         for r in lm_score(docs, vocab, stats_lm["oov_logp"]).collect()
     )
-    # median threshold: strictly between "drops none" and "drops all"
-    threshold = ppl[len(ppl) // 2]
+    # threshold STRICTLY BETWEEN two adjacent distinct perplexities
+    # near the median — a threshold equal to a doc's own perplexity
+    # would make the expectation hinge on last-ulp float agreement
+    # between this plan and the funnel's differently-shuffled one
+    m = len(ppl) // 2
+    above = next(p for p in ppl[m:] if p > ppl[m])
+    threshold = (ppl[m] + above) / 2
     expect_kept = sum(1 for p in ppl if p <= threshold)
 
     out = str(tmp_path / "train_ppl")

@@ -297,3 +297,81 @@ def test_bigram_lm_duckdb_twin_on_fixture_corpus(spark):
     assert set(got) == set(want)
     for doc_id, lp in got.items():
         assert lp == pytest.approx(want[doc_id], rel=1e-9), doc_id
+
+
+def test_lm_empty_null_and_whitespace_docs(spark):
+    """Empty/NULL/whitespace docs: excluded from the vocabulary (''
+    never becomes a token type) and scored EXPLICITLY as
+    (n_tokens=0, avg_logp=NULL, perplexity=+inf) rather than vanishing
+    or masquerading as fluent text."""
+    vocab, stats = train_unigram_lm(
+        spark.createDataFrame([(1, ""), (2, "a a")], "doc_id long, text string"),
+        vocab_size=10,
+    )
+    assert [r["token"] for r in vocab.collect()] == ["a"]
+    assert stats["n_tokens"] == 2 and stats["n_types"] == 1
+
+    scored = {
+        r["doc_id"]: r
+        for r in lm_score(
+            spark.createDataFrame(
+                [(1, "a"), (2, ""), (3, None), (4, "   ")],
+                "doc_id long, text string",
+            ),
+            vocab,
+            stats["oov_logp"],
+        ).collect()
+    }
+    assert set(scored) == {1, 2, 3, 4}
+    assert scored[1]["n_tokens"] == 1
+    for d in (2, 3, 4):
+        assert scored[d]["n_tokens"] == 0
+        assert scored[d]["avg_logp"] is None
+        assert scored[d]["perplexity"] == float("inf")
+
+
+def test_bigram_lm_empty_docs_explicit(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score_bigram,
+        train_bigram_lm,
+    )
+
+    vocab, bigrams, stats = train_bigram_lm(
+        spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_score_bigram(
+            spark.createDataFrame(
+                [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
+            ),
+            vocab,
+            bigrams,
+            stats,
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 2
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["perplexity"] == float("inf")
+
+
+def test_doc_features_null_text_and_fit(spark):
+    """NULL text featurizes as an empty doc (no NULL features, no
+    max-length artifact) and a fit over a frame containing such rows
+    does not crash VectorAssembler."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real prose text here"), (3, "more words appear here")]
+        * 10,
+        "doc_id long, text string",
+    )
+    feats = doc_features(docs)
+    row = {r["doc_id"]: r for r in feats.collect()}[1]
+    for c in QUALITY_FEATURES:
+        assert row[c] is not None and not math.isnan(row[c])
+    assert row["f_len_sat"] == 0.0
+    labeled = feats.withColumn("label", (F.col("doc_id") > 1).cast("double"))
+    model = train_quality_classifier(labeled, max_iter=5)
+    assert score_quality(model, feats).count() == 30
