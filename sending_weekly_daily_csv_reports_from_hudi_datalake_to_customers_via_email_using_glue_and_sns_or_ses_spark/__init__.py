@@ -11,8 +11,9 @@ Layout (SURVEY.md §7):
               (template.py:197-322 semantics)
   sinks/      CSV report sink, keyed upsert writer (Hudi emulation)
   operators/  the query corpus — every operator from SURVEY.md §2 plus
-              LLM-data-pipeline extensions (dedup, similarity, text,
-              multimodal, timeseries)
+              LLM-data-pipeline extensions (dedup incl. incremental +
+              semantic, similarity, text, multimodal, timeseries,
+              curation, mlprep, scoring)
   functions/  reusable column-expression builders (vector math, text)
   streaming/  Structured Streaming variants (watermark windows, stateful)
   plans/      plan-inspection helpers
