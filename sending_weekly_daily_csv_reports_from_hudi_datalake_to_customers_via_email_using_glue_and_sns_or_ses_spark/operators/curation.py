@@ -316,75 +316,92 @@ def prepare_training_data(
     n_quality = gated.count()
 
     n_perplexity = n_quality
-    if max_perplexity is not None:
-        if max_perplexity <= 1.0:
-            # unigram self-perplexity is exp(−avg ln p) over p < 1, so
-            # it is ALWAYS > 1 — a threshold at or below 1 silently
-            # drops the whole corpus, which is never what was meant
-            raise ValueError(
-                f"max_perplexity must be > 1, got {max_perplexity}"
+    gate_cache = None
+    train = None
+    # finally-scoped unpersists: the funnel between the gate's persist
+    # and the final stats is long and has real error paths (mixture
+    # validation, empty-corpus LM train) — an exception must not leak
+    # a cached full-corpus frame for the session's lifetime
+    try:
+        if max_perplexity is not None:
+            if max_perplexity <= 1.0:
+                # unigram self-perplexity is exp(−avg ln p) over p < 1,
+                # so it is ALWAYS > 1 — a threshold at or below 1
+                # silently drops the whole corpus, never what was meant
+                raise ValueError(
+                    f"max_perplexity must be > 1, got {max_perplexity}"
+                )
+            from .scoring import lm_score, train_unigram_lm
+
+            # cache the gated frame for the WHOLE remaining funnel, not
+            # just the gate: it feeds the LM train, the score join (both
+            # sides), and — through the survivor join — every later
+            # stage's action (dedup count, decontaminate, mixture
+            # planning, the final cache), each of which would otherwise
+            # replay the profile join + LM scoring from scratch.
+            # Released early once the survivors' own cache materializes
+            # (n_sampled below); the finally covers error paths.
+            # Zero-token docs (empty after scrubbing) score perplexity
+            # +inf and are dropped here explicitly when the gate is on.
+            gate_cache = gated.persist()
+            vocab, lm_stats = train_unigram_lm(
+                gate_cache, vocab_size=lm_vocab_size
             )
-        from .scoring import lm_score, train_unigram_lm
+            keep = (
+                lm_score(gate_cache, vocab, lm_stats["oov_logp"])
+                .filter(F.col("perplexity") <= max_perplexity)
+                .select("doc_id")
+            )
+            gated = gate_cache.join(keep, "doc_id")
+            n_perplexity = gated.count()
 
-        # cache the gated frame for the WHOLE remaining funnel, not
-        # just the gate: it feeds the LM train, the score join (both
-        # sides), and — through `surviving` — every later stage's
-        # action (dedup count, decontaminate, mixture planning, the
-        # final cache), each of which would otherwise replay the
-        # profile join + LM scoring from scratch. Released after the
-        # survivors' own cache materializes (n_sampled below).
-        # Zero-token docs (empty after scrubbing) score perplexity
-        # +inf and are dropped here explicitly whenever the gate is on.
-        gate_cache = gated.persist()
-        vocab, lm_stats = train_unigram_lm(gate_cache, vocab_size=lm_vocab_size)
-        keep = (
-            lm_score(gate_cache, vocab, lm_stats["oov_logp"])
-            .filter(F.col("perplexity") <= max_perplexity)
-            .select("doc_id")
+        # exact dedup: min doc_id per fingerprint (dedup.py keeper rule)
+        keeper = gated.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id")
         )
-        gated = gate_cache.join(keep, "doc_id")
-        n_perplexity = gated.count()
+        deduped = gated.join(keeper, ["fingerprint", "doc_id"])
+        n_dedup = deduped.count()
 
-    # exact dedup: min doc_id per fingerprint (dedup.py's keeper rule)
-    keeper = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    deduped = gated.join(keeper, ["fingerprint", "doc_id"])
-    n_dedup = deduped.count()
+        is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+        # scrub the eval side too: train text is already scrubbed, and
+        # decontamination must compare like-for-like (a PII placeholder
+        # on one side only would silently break shingle matches)
+        eval_docs = d.filter(is_eval).withColumn("text", scrub_pii("text"))
+        train = decontaminate(deduped.filter(~is_eval), eval_docs)
+        n_decontam = train.count()
 
-    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
-    # scrub the eval side too: train text is already scrubbed, and
-    # decontamination must compare like-for-like (a PII placeholder on
-    # one side only would silently break shingle matches)
-    eval_docs = d.filter(is_eval).withColumn("text", scrub_pii("text"))
-    train = decontaminate(deduped.filter(~is_eval), eval_docs)
-    n_decontam = train.count()
+        plan = None
+        if mixture:
+            train, plan = mixture_sample(
+                train, mixture, token_col="n_tokens_ws"
+            )
+        train = train.cache()
+        n_sampled = train.count()
+        if gate_cache is not None:
+            gate_cache.unpersist()  # survivors materialized in `train`
 
-    plan = None
-    if mixture:
-        train, plan = mixture_sample(
-            train, mixture, token_col="n_tokens_ws"
+        packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
+        final = train.join(
+            packs.select("doc_id", "pack_id", "seq_offset"), "doc_id"
         )
-    train = train.cache()
-    n_sampled = train.count()
-    if max_perplexity is not None:
-        gate_cache.unpersist()  # survivors are materialized in `train` now
-
-    packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
-    final = train.join(packs.select("doc_id", "pack_id", "seq_offset"), "doc_id")
-    shard_stats = write_training_shards(
-        final, out_path, num_shards, token_col="n_tokens_ws"
-    )
-    stats = {
-        "n_input": n_input,
-        "n_after_quality": n_quality,
-        "n_after_perplexity": n_perplexity,
-        "n_after_dedup": n_dedup,
-        "n_after_decontam": n_decontam,
-        "n_after_mixture": n_sampled,
-        "mixture_plan": plan,
-        "shards": [r.asDict() for r in shard_stats.collect()],
-    }
-    train.unpersist()
-    return stats
+        shard_stats = write_training_shards(
+            final, out_path, num_shards, token_col="n_tokens_ws"
+        )
+        return {
+            "n_input": n_input,
+            "n_after_quality": n_quality,
+            "n_after_perplexity": n_perplexity,
+            "n_after_dedup": n_dedup,
+            "n_after_decontam": n_decontam,
+            "n_after_mixture": n_sampled,
+            "mixture_plan": plan,
+            "shards": [r.asDict() for r in shard_stats.collect()],
+        }
+    finally:
+        if gate_cache is not None:
+            gate_cache.unpersist()  # no-op when already released above
+        if train is not None:
+            train.unpersist()
 
 
 def assign_shards(

@@ -107,15 +107,19 @@ def _with_clean_toks(docs: DataFrame, id_cols: list, text_col: str) -> DataFrame
     ).withColumn("toks", _clean_toks())
 
 
-def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
-    """(token, cnt) over all non-empty tokens of the corpus — the one
-    skew-absorbing aggregation both LM orders train from."""
+def _counts_from_toked(src: DataFrame) -> DataFrame:
+    """(token, cnt) from a tokenized frame — ONE definition of the
+    count aggregation both LM orders train from (a second inline copy
+    would let the unigram and bigram estimators fork silently)."""
     return (
-        _with_clean_toks(docs, [], text_col)
-        .select(F.explode("toks").alias("token"))
+        src.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return _counts_from_toked(_with_clean_toks(docs, [], text_col))
 
 
 def _unigram_from_counts(
@@ -177,29 +181,31 @@ def lm_score(
 
     Empty/whitespace/NULL documents have no tokens to price: they come
     back EXPLICITLY as (n_tokens=0, avg_logp=NULL, perplexity=+inf) —
-    restored by union of a filtered second scan (disjoint-exhaustive,
-    the repetition_signals pattern) — so a perplexity threshold drops
-    them deterministically instead of the row silently vanishing.
+    so a perplexity threshold drops them deterministically instead of
+    the row silently vanishing. Single-lineage: ``explode_outer`` emits
+    one NULL-token row per zero-token doc in the SAME scan (a union of
+    a filtered second scan would tokenize the corpus twice), and the
+    aggregate's count/avg null-skipping turns that row into the
+    (0, NULL, +inf) sentinel.
     """
     toked = _with_clean_toks(
         docs, [F.col(id_col).alias("doc_id")], text_col
     )
-    toks = toked.select("doc_id", F.explode("toks").alias("token"))
+    toks = toked.select("doc_id", F.explode_outer("toks").alias("token"))
     scored = toks.join(F.broadcast(vocab), "token", "left").select(
-        "doc_id", F.coalesce("logp", F.lit(float(oov_logp))).alias("logp")
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.avg("logp").alias("avg_logp"),
-        F.exp(-F.avg("logp")).alias("perplexity"),
-    )
-    empty = toked.filter(F.size("toks") == 0).select(
         "doc_id",
-        F.lit(0).cast("long").alias("n_tokens"),
-        F.lit(None).cast("double").alias("avg_logp"),
-        F.lit(float("inf")).alias("perplexity"),
+        F.when(
+            F.col("token").isNotNull(),
+            F.coalesce("logp", F.lit(float(oov_logp))),
+        ).alias("logp"),
     )
-    return agg.unionByName(empty)
+    return scored.groupBy("doc_id").agg(
+        F.count("logp").alias("n_tokens"),
+        F.avg("logp").alias("avg_logp"),
+        F.coalesce(F.exp(-F.avg("logp")), F.lit(float("inf"))).alias(
+            "perplexity"
+        ),
+    )
 
 
 # --------------------------------------------------------------------
@@ -250,9 +256,7 @@ def train_bigram_lm(
     # re-derived identical counts — a second full-corpus scan and a
     # second Zipf-skew shuffle for nothing)
     src = _with_clean_toks(docs, [], text_col).persist()
-    tok_counts = src.select(F.explode("toks").alias("token")).groupBy(
-        "token"
-    ).agg(F.count("*").alias("cnt")).persist()
+    tok_counts = _counts_from_toked(src).persist()
     try:
         vocab, stats = _unigram_from_counts(
             docs.sparkSession, tok_counts, vocab_size, smoothing_k
@@ -320,34 +324,37 @@ def lm_score_bigram(
     ).join(F.broadcast(vocab), "token", "left").select(
         "doc_id", F.coalesce("logp", F.lit(oov_logp)).alias("logp")
     )
+    # explode_outer keeps a NULL-bigram row for docs with < 2 tokens,
+    # so EVERY doc reaches the aggregate through this branch: zero-token
+    # docs (absent from `first`) become the (0, NULL, +inf) sentinel via
+    # count/avg null-skipping, one-token docs contribute nothing here
+    # and keep their unigram-priced first token — no third scan needed
     trans = (
         toked.select(
-            "doc_id", F.explode(_shingle_array(F.col("toks"), 2)).alias("bigram")
+            "doc_id",
+            F.explode_outer(_shingle_array(F.col("toks"), 2)).alias("bigram"),
         )
         .withColumn("token", F.substring_index("bigram", " ", -1))
         .join(F.broadcast(bigrams), "bigram", "left")
         .join(F.broadcast(vocab), "token", "left")
         .select(
             "doc_id",
-            F.coalesce(
-                "logscore",
-                F.lit(log_backoff)
-                + F.coalesce("logp", F.lit(oov_logp)),
+            F.when(
+                F.col("bigram").isNotNull(),
+                F.coalesce(
+                    "logscore",
+                    F.lit(log_backoff) + F.coalesce("logp", F.lit(oov_logp)),
+                ),
             ).alias("logp"),
         )
     )
-    agg = first.unionByName(trans).groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
+    return first.unionByName(trans).groupBy("doc_id").agg(
+        F.count("logp").alias("n_tokens"),
         F.avg("logp").alias("avg_logp"),
-        F.exp(-F.avg("logp")).alias("perplexity"),
+        F.coalesce(F.exp(-F.avg("logp")), F.lit(float("inf"))).alias(
+            "perplexity"
+        ),
     )
-    empty = toked.filter(F.size("toks") == 0).select(
-        "doc_id",
-        F.lit(0).cast("long").alias("n_tokens"),
-        F.lit(None).cast("double").alias("avg_logp"),
-        F.lit(float("inf")).alias("perplexity"),
-    )
-    return agg.unionByName(empty)
 
 
 # --------------------------------------------------------------------

@@ -55,11 +55,17 @@ def _dedup_incremental(spark, sf):
         dedup_incremental,
     )
 
+    import atexit
+    import shutil
+    import tempfile
+
     d = load_table(spark, sf, "documents")
     is_batch = F.col("doc_id") % 10 == 0
-    # fixed, overwritten path: a fresh mkdtemp per run would leak one
-    # index directory per plan-generation invocation
-    idx_path = "/tmp/plans_dedup_idx"
+    # per-run private dir (a fixed /tmp path would collide across
+    # concurrent runs/users), removed at interpreter exit — it must
+    # outlive this function because the returned plan is lazy
+    idx_path = tempfile.mkdtemp(prefix="plans_dedup_idx_")
+    atexit.register(shutil.rmtree, idx_path, ignore_errors=True)
     build_corpus_index(d.filter(~is_batch)).write.mode("overwrite").parquet(idx_path)
     clean, _ = dedup_incremental(
         d.filter(is_batch), spark.read.parquet(idx_path)

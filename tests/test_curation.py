@@ -449,7 +449,9 @@ def test_prepare_training_data_perplexity_gate(spark, tmp_path):
     # would make the expectation hinge on last-ulp float agreement
     # between this plan and the funnel's differently-shuffled one
     m = len(ppl) // 2
-    above = next(p for p in ppl[m:] if p > ppl[m])
+    above = next((p for p in ppl[m:] if p > ppl[m]), None)
+    if above is None:
+        pytest.skip("fixture corpus has no distinct perplexity above median")
     threshold = (ppl[m] + above) / 2
     expect_kept = sum(1 for p in ppl if p <= threshold)
 
