@@ -321,3 +321,23 @@ def test_pack_sequences_is_partition_local(spark):
     )
     plan = physical_plan(pack_sequences(docs, max_tokens=256))
     assert "Exchange" not in plan, plan
+
+
+def test_lm_score_is_single_scan_broadcast_join(spark):
+    """LM scoring must stay one corpus scan feeding a broadcast vocab
+    join and ONE aggregation exchange — the zero-token sentinel rides
+    the same lineage (explode_outer), not a unioned second scan."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
+        lm_score,
+        train_unigram_lm,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    vocab, stats = train_unigram_lm(docs, vocab_size=100)
+    plan = physical_plan(lm_score(docs, vocab, stats["oov_logp"]))
+    assert plan.count("FileScan") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.replace("BroadcastExchange", "").count("Exchange") <= 1, plan
