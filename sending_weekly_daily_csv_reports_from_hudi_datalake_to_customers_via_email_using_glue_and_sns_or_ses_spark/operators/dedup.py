@@ -1020,6 +1020,78 @@ def dedup_clusters(
     )
 
 
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 256,
+) -> DataFrame:
+    """Exact-substring duplicate detection: pairs of documents sharing
+    at least one IDENTICAL k-token window, with the count of distinct
+    shared windows per pair — the practical Spark form of
+    suffix-array-based training-data dedup (Lee et al. 2022,
+    arXiv:2107.06499, which uses k=50 tokens): substring-level overlap
+    catches quote/boilerplate reuse that whole-document similarity
+    (Jaccard/MinHash/SimHash) dilutes away.
+
+    Returns (doc_a, doc_b, n_shared_windows), doc_a < doc_b.
+
+    Mechanics: one scan tokenizes and emits each doc's k-token windows
+    as a DOUBLE 64-bit hash (two independent xxhash64 seeds — a single
+    64-bit key collides at corpus scale, ~n²/2⁶⁴, while 128 bits makes
+    collisions negligible and keeps the shuffle rows narrow: no window
+    text ever shuffles). Distinct (doc, window) postings join on the
+    hash pair; join cost is Σ postings² per window, so windows present
+    in more than ``max_postings`` docs are dropped the same way (and
+    for the same reason) as `dedup_ngram_jaccard`'s inverted index
+    drops pathological shingles — a window shared by hundreds of docs
+    is boilerplate, and the LOSSY cap is the documented trade for
+    avoiding the quadratic hot-key join. One shuffle keyed by the
+    window hash; volume ≈ total corpus tokens, rows of 3 longs.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_postings <= 1:
+        raise ValueError(f"max_postings must be > 1, got {max_postings}")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("toks", _tokens())
+    windows = (
+        src.select(
+            "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("w").alias("h1"),
+            F.xxhash64("w", F.lit(1)).alias("h2"),
+        )
+        .distinct()
+    )
+    hot = (
+        windows.groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_postings)
+        .select("h1", "h2")
+    )
+    postings = windows.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.97,

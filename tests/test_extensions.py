@@ -601,3 +601,56 @@ def test_semantic_dedup_no_near_pairs_keeps_everything(spark):
     kept, report = semantic_dedup(spark.createDataFrame(pdf), threshold=0.99)
     assert report.isEmpty()
     assert kept.count() == 30
+
+
+def test_exact_substring_pairs_planted_spans(spark):
+    """Docs sharing a >=k-token verbatim run pair up (with the right
+    shared-window count); shorter shared runs and disjoint docs don't;
+    a boilerplate window over the postings cap is dropped."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    short = " ".join(f"t{i}" for i in range(7))  # 7-token shared run
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10-token boilerplate
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"epsilon {span} zeta eta theta"),
+        (3, f"iota {short} kappa wholly unrelated words here indeed"),
+        (4, f"lambda {short} mu other unrelated vocabulary right there"),
+        (5, "completely disjoint text with nothing shared at all okay"),
+    ] + [(100 + i, f"x{i} {boiler} y{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in exact_substring_pairs(docs, k=10).collect()
+    }
+    # 12-token run shares 12-10+1 = 3 distinct 10-token windows
+    assert got.get((1, 2)) == 3
+    assert (3, 4) not in got  # 7 < k
+    assert not any(5 in p for p in got)
+    # boilerplate docs pair up below the cap...
+    assert (100, 101) in got
+    # ...and vanish when the cap is tighter than the family size
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_substring_pairs(docs, k=10, max_postings=4).collect()
+    }
+    assert not any(a >= 100 for a, _ in capped)
+    assert (1, 2) in capped
+
+
+def test_exact_substring_pairs_validation(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        exact_substring_pairs(d, k=0)
+    with _pytest.raises(ValueError, match="max_postings"):
+        exact_substring_pairs(d, max_postings=1)

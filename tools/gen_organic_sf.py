@@ -357,6 +357,14 @@ def _dedup_incremental(spark, sf_dir):
 #: operators (mlprep/curation/incremental-dedup) have no registry
 #: entry (50-entry budget), so THIS is where their slopes get measured
 #: rather than argued
+def _exact_substring(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    return exact_substring_pairs(_docs(spark, sf_dir), k=20)
+
+
 def _lm_perplexity(spark, sf_dir):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.scoring import (
         lm_score,
@@ -410,6 +418,7 @@ EXTRA_SCALE = {
     "lm_perplexity": _lm_perplexity,
     "lm_perplexity_bigram": _lm_perplexity_bigram,
     "quality_classifier": _quality_classifier,
+    "exact_substring_pairs": _exact_substring,
 }
 
 
