@@ -1037,12 +1037,19 @@ def exact_substring_pairs(
 
     Returns (doc_a, doc_b, n_shared_windows), doc_a < doc_b.
 
-    Mechanics: one scan tokenizes and emits each doc's k-token windows
-    as a DOUBLE 64-bit hash (two independent xxhash64 seeds — a single
-    64-bit key collides at corpus scale, ~n²/2⁶⁴, while 128 bits makes
-    collisions negligible and keeps the shuffle rows narrow: no window
-    text ever shuffles). Distinct (doc, window) postings join on the
-    hash pair; join cost is Σ postings² per window, so windows present
+    Mechanics: one scan tokenizes (empty tokens filtered, NULL text as
+    empty — blank documents share no windows) and emits each doc's
+    k-token windows as a DOUBLE 64-bit hash: a single 64-bit key
+    collides at corpus scale (~n²/2⁶⁴) while ~128 independent bits make
+    collisions negligible, and hashing keeps the shuffle rows narrow
+    (no window text ever shuffles). Independence caveat baked into the
+    construction: Spark's multi-arg ``xxhash64(a, b)`` FOLDS
+    sequentially, using hash(a) as b's seed — so ``xxhash64(w, 1)``
+    is a pure function of ``xxhash64(w)`` and adds zero entropy; the
+    second key must salt FIRST (``xxhash64(1, w)``), which hashes the
+    window itself under a different seed. Distinct (doc, window)
+    postings join on the hash pair; join cost is Σ postings² per
+    window, so windows present
     in more than ``max_postings`` docs are dropped the same way (and
     for the same reason) as `dedup_ngram_jaccard`'s inverted index
     drops pathological shingles — a window shared by hundreds of docs
@@ -1055,8 +1062,9 @@ def exact_substring_pairs(
     if max_postings <= 1:
         raise ValueError(f"max_postings must be > 1, got {max_postings}")
     src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("toks", _tokens())
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
     windows = (
         src.select(
             "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
@@ -1064,7 +1072,8 @@ def exact_substring_pairs(
         .select(
             "doc_id",
             F.xxhash64("w").alias("h1"),
-            F.xxhash64("w", F.lit(1)).alias("h2"),
+            # salt-FIRST: see the docstring's independence caveat
+            F.xxhash64(F.lit(1), "w").alias("h2"),
         )
         .distinct()
     )

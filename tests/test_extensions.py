@@ -654,3 +654,38 @@ def test_exact_substring_pairs_validation(spark):
         exact_substring_pairs(d, k=0)
     with _pytest.raises(ValueError, match="max_postings"):
         exact_substring_pairs(d, max_postings=1)
+
+
+def test_exact_substring_hash_independence_and_blank_docs(spark):
+    """The second window hash must not be a function of the first
+    (Spark's multi-arg xxhash64 folds sequentially, so a SUFFIX salt
+    adds zero entropy — the salt must come first), and blank/NULL docs
+    must share no windows."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    # empirical pin of the fold semantics this operator's construction
+    # depends on: suffix-salted == fold(h1), prefix-salted independent
+    r = spark.range(1).select(
+        F.xxhash64(F.lit("w"), F.lit(1)).alias("suffix"),
+        F.xxhash64(F.xxhash64(F.lit("w"))).alias("not_equal_probe"),
+        F.xxhash64(F.lit(1), F.lit("w")).alias("prefix"),
+        F.xxhash64(F.lit("w")).alias("h1"),
+    ).first()
+    # the operator uses the prefix form; it must differ from both h1
+    # and the suffix form (which the fold makes h1-determined)
+    assert r["prefix"] != r["h1"] and r["prefix"] != r["suffix"]
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, None), (4, "a b"), (5, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r2["doc_a"], r2["doc_b"])
+        for r2 in exact_substring_pairs(docs, k=1).collect()
+    }
+    # blank/NULL docs pair with nothing; the real shared window pairs
+    assert got == {(4, 5)}
