@@ -689,3 +689,52 @@ def test_exact_substring_hash_independence_and_blank_docs(spark):
     }
     # blank/NULL docs pair with nothing; the real shared window pairs
     assert got == {(4, 5)}
+
+
+def test_exact_substring_pairs_vs_bruteforce_reference(spark):
+    """Randomized cross-check: the operator's (pair → shared-window
+    count) map must equal a brute-force Python reference on corpora
+    with engineered overlap (shared spans spliced between random
+    docs). Deterministic seeds; k below/at/above span lengths."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    rng = np.random.default_rng(77)
+    vocab = [f"v{i}" for i in range(40)]
+
+    def rand_toks(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    for k in (3, 5, 8):
+        docs_toks = {}
+        for d in range(12):
+            docs_toks[d] = rand_toks(int(rng.integers(5, 25)))
+        # splice shared spans into some pairs
+        for a, b, span_len in ((0, 1, 9), (2, 3, 5), (4, 5, 3)):
+            span = rand_toks(span_len)
+            docs_toks[a] = docs_toks[a][:2] + span + docs_toks[a][2:]
+            docs_toks[b] = span + docs_toks[b][:4]
+
+        expect = {}
+        wins = {
+            d: {
+                tuple(t[i : i + k])
+                for i in range(len(t) - k + 1)
+            }
+            for d, t in docs_toks.items()
+        }
+        for a in wins:
+            for b in wins:
+                if a < b and wins[a] & wins[b]:
+                    expect[(a, b)] = len(wins[a] & wins[b])
+
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_toks.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+            for r in exact_substring_pairs(df, k=k).collect()
+        }
+        assert got == expect, f"k={k}"
