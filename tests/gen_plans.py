@@ -73,12 +73,24 @@ def _dedup_incremental(spark, sf):
     return clean
 
 
+def _exact_substring_pairs(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    return exact_substring_pairs(load_table(spark, sf, "documents"), k=10)
+
+
 #: library functions reviewed alongside the registered corpus
 EXTRA = {
     "distinct_sort_limit": distinct_sort_limit,
     "repetition_signals": _repetition_signals,
     "mixture_sample": _mixture_sample,
     "dedup_incremental": _dedup_incremental,
+    "exact_substring_pairs": _exact_substring_pairs,
 }
 
 SF = "/root/testdata/sf0.001"
@@ -100,6 +112,7 @@ PICK = {
     "repetition_signals": "no join anywhere: short docs restored by UNION of a filtered second scan; two aggregation exchanges only.",
     "mixture_sample": "membership is a filter fused into the scan — zero Exchange, zero join; the planning aggregate is a separate already-collected job.",
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
+    "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; hot-window set arrives as a broadcast anti-join; ONE self-equi-join on the hash pair feeds the per-pair count aggregate.",
 }
 
 
