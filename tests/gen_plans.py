@@ -112,7 +112,7 @@ PICK = {
     "repetition_signals": "no join anywhere: short docs restored by UNION of a filtered second scan; two aggregation exchanges only.",
     "mixture_sample": "membership is a filter fused into the scan — zero Exchange, zero join; the planning aggregate is a separate already-collected job.",
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
-    "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; hot-window set arrives as a broadcast anti-join; ONE self-equi-join on the hash pair feeds the per-pair count aggregate.",
+    "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition).",
 }
 
 

@@ -667,17 +667,24 @@ def test_exact_substring_hash_independence_and_blank_docs(spark):
         exact_substring_pairs,
     )
 
-    # empirical pin of the fold semantics this operator's construction
-    # depends on: suffix-salted == fold(h1), prefix-salted independent
-    r = spark.range(1).select(
-        F.xxhash64(F.lit("w"), F.lit(1)).alias("suffix"),
-        F.xxhash64(F.xxhash64(F.lit("w"))).alias("not_equal_probe"),
-        F.xxhash64(F.lit(1), F.lit("w")).alias("prefix"),
-        F.xxhash64(F.lit("w")).alias("h1"),
-    ).first()
-    # the operator uses the prefix form; it must differ from both h1
-    # and the suffix form (which the fold makes h1-determined)
-    assert r["prefix"] != r["h1"] and r["prefix"] != r["suffix"]
+    # pin the operator's ACTUAL h2 expression to the salt-first form by
+    # inspecting its plan: a regression back to the suffix-salt
+    # (xxhash64(w, 1) — a pure function of xxhash64(w) under the fold)
+    # is otherwise invisible to black-box tests, since engineering an
+    # xxhash64 collision to expose it is infeasible
+    probe = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        exact_substring_pairs(probe, k=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    assert re.search(r"xxhash64\(1,", plan), plan  # salt-first present
+    assert not re.search(r"xxhash64\(\w+#\d+, 1\)", plan), plan  # no suffix salt
 
     docs = spark.createDataFrame(
         [(1, "   "), (2, ""), (3, None), (4, "a b"), (5, "a b")],
