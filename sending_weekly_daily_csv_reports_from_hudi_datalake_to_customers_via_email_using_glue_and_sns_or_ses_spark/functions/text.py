@@ -95,9 +95,12 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     """Fraction of a document's lines that are repeats of another line
     (0 = all lines unique, → 1 for boilerplate walls) — the line-level
     Gopher-style repetition gate, as a pure array expression: split on
-    newlines, 1 − distinct/total. Empty/NULL text scores 0."""
+    newlines, 1 − distinct/total. Empty/NULL text scores 0 (the input
+    is coalesced to '' here — without it, NULL text propagates through
+    split/size, skips the n<=0 guard via NULL comparison, and the
+    function returns NULL instead of its documented 0)."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, "\n")
+    lines = F.split(F.coalesce(c, F.lit("")), "\n")
     n = F.size(lines)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(lines)) / n

@@ -1158,10 +1158,17 @@ def build_corpus_index(
     Build it once when the corpus is written (one scan), append the new
     batch's rows after each ingest — the same incremental contract as
     sources/incremental.py, applied to dedup state.
+
+    EVERY document gets a row: docs too short to shingle (<3 tokens)
+    have no MinHash signature, so their mh_* columns are NULL — they
+    participate in the exact-fingerprint path but are excluded from
+    the band/near path (a left join here, not inner, or short docs
+    would vanish from the index entirely and identical short docs
+    would be re-ingested forever).
     """
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     fp = src.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
-    return fp.join(_minhash_sig_table(src), "doc_id")
+    return fp.join(_minhash_sig_table(src), "doc_id", "left")
 
 
 def dedup_incremental(
@@ -1229,9 +1236,14 @@ def dedup_incremental(
 
     # near: band agreement between new signatures and index signatures,
     # then signature-agreement verify — the dedup_minhash_lsh pipeline
-    # with the self-join replaced by a new-vs-index join
-    nb = new_idx.select("doc_id", F.explode(_band_struct_col()).alias("bk"))
-    cb = corpus_index.select(
+    # with the self-join replaced by a new-vs-index join. Shingle-less
+    # docs carry NULL mh_* columns (build_corpus_index left join) and
+    # must be filtered BEFORE banding: Spark's struct equality treats
+    # NULL fields as equal, so two all-NULL bands would band-match.
+    nb = new_idx.filter(F.col("mh_0").isNotNull()).select(
+        "doc_id", F.explode(_band_struct_col()).alias("bk")
+    )
+    cb = corpus_index.filter(F.col("mh_0").isNotNull()).select(
         F.col("doc_id").alias("matched_doc_id"),
         F.explode(_band_struct_col()).alias("bk"),
     )

@@ -90,14 +90,25 @@ def stream_ingest_dedup(
 
     Crash-replay reasoning (the stream_upsert contract extended):
     the batch-id marker skips fully-acked batches; for a replay inside
-    the window, the index rows are appended BEFORE the table commit
-    and ``dedup_incremental(exclude_self=True)`` ignores a doc's own
-    prior index entry — so the replayed batch reaches identical
-    drop/keep decisions and the idempotent upsert converges. A crash
-    between index append and table commit leaves orphan index rows for
-    docs whose table rows land on the replay — self-matches, ignored
-    by construction. ``id_col`` must be globally unique across the
-    stream (it is the record key), or self-exclusion would misfire.
+    the window, the index rows are appended BEFORE the table commit,
+    and every appended row is TAGGED with the (checkpoint, batch_id)
+    that wrote it. The lookup path excludes rows carrying the current
+    batch's own tag — i.e. exactly the rows a prior partial attempt of
+    THIS batch appended. Excluding only self-matches would be
+    insufficient: a replayed doc could band-match a same-batch
+    SIBLING's freshly-appended index row (different doc_id) and be
+    dropped where the original run kept it, leaving an orphan index
+    row for a doc that never lands in the table. With the tag-scoped
+    exclusion, a replay sees exactly the pre-batch index, reaches
+    identical drop/keep decisions, and the idempotent upsert converges
+    — while a whole-source re-stream under a FRESH checkpoint (new
+    lineage, different tags) still dedups against every committed
+    index row, including each doc's own, and converges to an unchanged
+    table. ``id_col`` must be globally unique across the stream (it is
+    the record key). An index bootstrapped directly via
+    ``build_corpus_index`` (no tag columns) is read with mergeSchema,
+    its untagged rows never excluded — correct, since they predate any
+    streaming lineage.
 
     Scale: the index append is one job over the batch (≪ corpus); the
     dedup joins shuffle batch + index rows by fingerprint/band key.
@@ -133,7 +144,12 @@ def stream_ingest_dedup(
         index = None
         if fs_for(spark).exists(index_path):
             try:
-                index = spark.read.parquet(index_path)
+                # mergeSchema: a bootstrapped index (plain
+                # build_corpus_index parquet) has no tag columns;
+                # streaming appends add them — merge so both coexist
+                index = spark.read.option("mergeSchema", "true").parquet(
+                    index_path
+                )
             except Exception:  # noqa: BLE001
                 # a crash during the FIRST batch's append can leave the
                 # directory with only uncommitted _temporary files — no
@@ -141,9 +157,21 @@ def stream_ingest_dedup(
                 # rather than wedging the stream forever
                 index = None
         if index is not None:
-            clean, _report = dedup_incremental(
-                intra, index, threshold, exclude_self=True
-            )
+            # replay protection: drop index rows tagged by a prior
+            # partial attempt of THIS (checkpoint, batch_id) — not
+            # just self-matches (see the docstring's same-batch-
+            # sibling scenario) — so a replay dedups against exactly
+            # the pre-batch index. Untagged (bootstrap) rows have NULL
+            # tags and are always kept.
+            if "__src_ck" in index.columns:
+                lookup = index.filter(
+                    F.col("__src_ck").isNull()
+                    | (F.col("__src_ck") != F.lit(checkpoint_dir))
+                    | (F.col("__src_batch") != F.lit(batch_id))
+                )
+            else:
+                lookup = index
+            clean, _report = dedup_incremental(intra, lookup, threshold)
         else:
             clean = intra
         # persist decisions before acking: index rows first (replay
@@ -151,7 +179,11 @@ def stream_ingest_dedup(
         clean = clean.persist()
         try:
             if not clean.isEmpty():
-                idx_rows = build_corpus_index(clean)
+                idx_rows = build_corpus_index(clean).select(
+                    "*",
+                    F.lit(checkpoint_dir).alias("__src_ck"),
+                    F.lit(batch_id).cast("long").alias("__src_batch"),
+                )
                 if index is not None:
                     # replayed survivors already indexed themselves:
                     # don't append their rows twice

@@ -391,6 +391,37 @@ def test_dedup_incremental_one_report_row_per_doc(spark):
     assert clean.isEmpty()
 
 
+def test_dedup_incremental_short_docs_exact(spark):
+    """Docs too short to shingle (<3 tokens) still get index rows
+    (NULL mh_* via the left join) so exact duplicates of short docs are
+    caught, and two DISTINCT shingle-less docs must NOT near-match each
+    other through all-NULL band keys."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental,
+    )
+
+    corpus = _docs(spark, [(1, "hi there"), (2, "bye now"), (3, _base_text(3))])
+    index = build_corpus_index(corpus)
+    # every corpus doc is indexed, short ones with NULL signatures
+    rows = {r["doc_id"]: r for r in index.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["mh_0"] is None and rows[3]["mh_0"] is not None
+
+    new = _docs(
+        spark,
+        [
+            (10, "hi there"),  # exact copy of short corpus doc 1
+            (11, "seen you"),  # fresh short doc: must NOT match 1 or 2
+        ],
+    )
+    clean, report = dedup_incremental(new, index)
+    rep = {r["doc_id"]: r for r in report.collect()}
+    assert sorted(r["doc_id"] for r in clean.collect()) == [11]
+    assert rep[10]["reason"] == "exact"
+    assert rep[10]["matched_doc_id"] == 1
+
+
 def test_dedup_incremental_threshold_validation(spark):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
         build_corpus_index,

@@ -413,3 +413,62 @@ def test_stream_ingest_dedup_standing_corpus(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(index_path).collect()
     ) == [0, 1, 5]
+
+
+def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
+    """Crash window between index append and table commit, with a
+    WITHIN-BATCH near-dup pair: the replayed batch must not drop a doc
+    because it band-matches its same-batch sibling's freshly-appended
+    index row. The lookup path excludes index rows tagged with this
+    (checkpoint, batch_id), so a replay sees exactly the pre-batch
+    index and reaches the original decisions (keep both — within-batch
+    near-dups are out of scope by contract)."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    def txt(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    near = txt(10).split()
+    near[29] = "CHANGED"
+    batch = spark.createDataFrame(
+        [(10, txt(10)), (11, " ".join(near))], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)
+
+    # simulate the partial original run: index rows appended WITH this
+    # lineage's (checkpoint, batch 0) tag, no table commit, no batch-id
+    # marker — exactly what the sink leaves behind on a crash
+    index_path = str(tmp_path / "dedup_index")
+    build_corpus_index(batch).select(
+        "*",
+        F.lit(str(tmp_path / "ck")).alias("__src_ck"),
+        F.lit(0).cast("long").alias("__src_batch"),
+    ).write.parquet(index_path)
+
+    table = KeyedTable(
+        spark, str(tmp_path / "tbl"), record_key="doc_id", precombine="doc_id"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = stream_ingest_dedup(stream, table, index_path, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    # both docs land (11 was NOT dropped against 10's orphan index row)
+    assert sorted(r["doc_id"] for r in table.snapshot().collect()) == [10, 11]
+    # and their index rows were not appended a second time
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index_path).collect()
+    ) == [10, 11]

@@ -91,6 +91,7 @@ def test_duplicate_line_fraction(spark):
             (2, "nav\nnav\nnav\nnav"),  # one distinct of 4 → 0.75
             (3, "x\ny\nx\ny"),  # two distinct of 4 → 0.5
             (4, ""),  # single empty line → 0
+            (5, None),  # NULL text → 0, not NULL (exported-API contract)
         ],
         "id long, text string",
     )
@@ -102,6 +103,7 @@ def test_duplicate_line_fraction(spark):
     assert got[2] == 0.75
     assert got[3] == 0.5
     assert got[4] == 0.0
+    assert got[5] == 0.0
 
 
 def test_repetition_signals_known_values(spark):
