@@ -60,7 +60,10 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "exact_substring_pairs",
+    "semantic_dedup",
     "decontaminate",
+    "lm_perplexity",
     "text_profile",
     "tf_idf",
     "doc_chunking",

@@ -808,6 +808,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     while library callers of ``embedding_cosine_pairs`` never see a
     fabricated row.
     """
+    return embedding_cosine_pairs(_augmented_embeddings(spark, sf_dir))
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table plus eight deterministic near-dup twins
+    (vec_id+1_000_000, x → x + 0.02·x² per element) — the shared
+    test-harness corpus of ``dedup_embedding_cosine`` and the
+    ``semantic_dedup`` driver entry; the organic corpus's max pairwise
+    cosine (~0.60) would make either entry's driver row vacuous."""
     base = load_table(spark, sf_dir, "embeddings")
     perturbed = base.filter(F.col("vec_id") < 8).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -819,11 +828,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.02) * x.cast("double") * x.cast("double"),
         ).alias("embedding"),
     )
-    augmented = base.select(
+    return base.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(perturbed)
-    return embedding_cosine_pairs(augmented)
 
 
 def connected_components(
@@ -1110,6 +1118,45 @@ def exact_substring_pairs(
     )
 
 
+@query(
+    "exact_substring_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), wins AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+19], ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i)
+    ), keep AS (
+      SELECT w FROM wins GROUP BY w HAVING count(*) <= 256
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_windows
+    FROM wins a JOIN keep USING (w) JOIN wins b USING (w)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def exact_substring_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver entry for :func:`exact_substring_pairs` (new r6): k=20
+    token windows over the documents table, default postings cap.
+
+    The oracle does NOT replicate the double xxhash64 — it computes the
+    shared-window relation DIRECTLY (distinct (doc, 20-token window
+    string) postings, same ≤256-doc hot-window cap, self-join, count),
+    so a hash-pipeline bug (the r5 salt-fold flaw) shows up as a value
+    mismatch instead of being baked into both sides. Equality holds
+    because the double 64-bit hash is collision-free at any realistic
+    corpus size (~n²/2¹²⁸).
+    """
+    return exact_substring_pairs(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.97,
@@ -1147,6 +1194,52 @@ def semantic_dedup(
     )
     kept = e.join(report.select("vec_id"), "vec_id", "left_anti")
     return kept, report
+
+
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), e AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(emb, x -> x + 0.02 * x * x) AS emb
+      FROM base WHERE vec_id < 8
+    ), pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.97
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, x.dst FROM reach r JOIN edges x ON r.dst = x.src
+    )
+    SELECT src AS vec_id, least(src, min(dst)) AS representative
+    FROM reach GROUP BY src
+    HAVING least(src, min(dst)) <> src
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`semantic_dedup` (new r6): the drop
+    report (vec_id, representative) at cosine ≥ 0.97 over the same
+    twin-augmented embeddings corpus as ``dedup_embedding_cosine``
+    (organic max cosine ~0.60 — the twins make the row non-vacuous).
+
+    The oracle composes the two primitives' already-proven oracle
+    forms: an exact all-pairs cosine filter (the LSH banding's recall
+    at ≥0.97 is ~1 by construction — same argument the
+    dedup_embedding_cosine row has relied on since r3) and the
+    recursive-CTE transitive closure from dedup_clusters, reduced to
+    the dropped rows (label ≠ self).
+    """
+    _kept, report = semantic_dedup(_augmented_embeddings(spark, sf_dir), 0.97)
+    return report
 
 
 # --------------------------------------------------------------------

@@ -64,6 +64,10 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_metadata_sniff",
+    retired=True,  # r6: slot funded lm_perplexity; the sniff EXPRESSION
+    # (magic-prefix hex) is still driver-hash-checked via the
+    # magic_prefix column folded into media_decode_pipeline, and this
+    # aggregate shape is value-checked by tests/test_retired_parity.py
     oracle="""
     SELECT
       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -184,6 +188,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "mime",
             "blob",
+            "n_bytes",
             "chunk_idx",
             (F.col("chunk_idx") * (F.col("n_bytes") / k).cast("long")).alias("offset"),
             F.least(
@@ -207,14 +212,16 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              octet_length(encode(text)) AS n_bytes
       FROM documents
     ), chunks AS (
-      SELECT media_id, mime, text,
+      SELECT media_id, mime, text, n_bytes,
              CAST(i AS INT) AS chunk_idx,
              i * CAST(floor(n_bytes / 4.0) AS BIGINT) AS "offset",
              least(CAST(floor(n_bytes / 4.0) AS BIGINT),
                    n_bytes - i * CAST(floor(n_bytes / 4.0) AS BIGINT)) AS length
       FROM m, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
     )
-    SELECT media_id, mime, chunk_idx, "offset", length,
+    SELECT media_id, mime,
+           upper(substr(hex(encode(text)), 1, 8)) AS magic_prefix,
+           n_bytes, chunk_idx, "offset", length,
            CAST(length % 640 AS INT) AS width,
            CAST(length % 480 AS INT) AS height,
            CAST((ascii(substr(text, CAST("offset" AS INT) + 1, 1))
@@ -244,6 +251,12 @@ def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = media_frame_sample(spark, sf_dir).select(
         "media_id",
         "mime",
+        # metadata-sniff projection folded in (r6): the magic-byte
+        # format sniff and blob size ride along per chunk, JVM-side —
+        # the media_metadata_sniff triage aggregate retired to
+        # tests/test_retired_parity.py is a groupBy over exactly these
+        F.upper(F.hex(F.substring("blob", 1, 4))).alias("magic_prefix"),
+        "n_bytes",
         "chunk_idx",
         "offset",
         "length",
@@ -257,8 +270,17 @@ def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats = decode_image_batch(pdf["chunk_bytes"], fake=True)
             out = pd.concat(
                 [
-                    pdf[["media_id", "mime", "chunk_idx", "offset", "length"]]
-                    .reset_index(drop=True),
+                    pdf[
+                        [
+                            "media_id",
+                            "mime",
+                            "magic_prefix",
+                            "n_bytes",
+                            "chunk_idx",
+                            "offset",
+                            "length",
+                        ]
+                    ].reset_index(drop=True),
                     feats,
                 ],
                 axis=1,
@@ -268,7 +290,8 @@ def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.mapInPandas(
         run,
         schema=(
-            "media_id long, mime string, chunk_idx int, offset long, length long,"
+            "media_id long, mime string, magic_prefix string, n_bytes long,"
+            " chunk_idx int, offset long, length long,"
             " width int, height int, brightness double"
         ),
     )

@@ -74,6 +74,8 @@ def scalar_datetime_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_string_functions",
+    retired=True,  # r6: slot funded exact_substring_pairs; value-checked by
+    # tests/test_retired_parity.py; F5/F6 exprs also run inside flagship/q-queries
     oracle="""
     SELECT p_partkey,
            upper(p_name)                                   AS name_uc,
@@ -120,6 +122,8 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_functions",
+    retired=True,  # r6: slot funded semantic_dedup; value-checked by
+    # tests/test_retired_parity.py; l2_norm/array exprs also hash-checked via knn entries
     oracle="""
     SELECT vec_id, label,
            len(embedding) AS dim,

@@ -36,14 +36,16 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..functions.text import (
     duplicate_line_fraction,
     pii_hit_count,
     repetition_ratio,
 )
+from . import query
 from .dedup import _shingle_array, _tokens
 
 #: default vocabulary cap: 2^16 types ≈ a BPE vocabulary's order of
@@ -205,6 +207,64 @@ def lm_score(
         F.coalesce(F.exp(-F.avg("logp")), F.lit(float("inf"))).alias(
             "perplexity"
         ),
+    )
+
+
+@query(
+    "lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             x -> x <> '')) AS token) t
+    ), counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (
+      SELECT sum(cnt) AS n, count(*) AS types FROM counts
+    ), vocab AS (
+      SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 50
+    ), consts AS (
+      SELECT n, n + 0.5 * (least(50, types) + 1) AS denom,
+             n - (SELECT sum(cnt) FROM vocab) AS oov_cnt
+      FROM tot
+    ), scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             avg(ln(coalesce(v.cnt + 0.5, (SELECT oov_cnt FROM consts) + 0.5)
+                    / (SELECT denom FROM consts))) AS avg_logp
+      FROM toks t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(round(s.avg_logp, 4) + 0 AS DOUBLE) AS avg_logp,
+           CAST(coalesce(round(exp(-s.avg_logp), 4) + 0,
+                         CAST('infinity' AS DOUBLE)) AS DOUBLE) AS perplexity
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the unigram LM gate (new r6, promoted from the
+    pytest DuckDB twin): train on the documents table (vocab cap 50 so
+    the OOV bucket is exercised on real text, add-k 0.5), score every
+    document, report (doc_id, n_tokens, avg_logp, perplexity).
+
+    Floats are rounded to 4 decimals (+0 normalizes IEEE −0) — the
+    engines average the token logs in different orders, so raw doubles
+    differ at ~1e-13. Zero-token docs keep the (0, NULL, +inf)
+    sentinel contract on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, stats = train_unigram_lm(docs, vocab_size=50, smoothing_k=0.5)
+    s = lm_score(docs, vocab, stats["oov_logp"])
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        (F.round("avg_logp", 4) + F.lit(0.0)).cast("double").alias("avg_logp"),
+        (F.round("perplexity", 4) + F.lit(0.0))
+        .cast("double")
+        .alias("perplexity"),
     )
 
 
