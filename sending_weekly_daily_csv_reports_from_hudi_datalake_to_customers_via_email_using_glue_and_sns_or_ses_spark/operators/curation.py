@@ -268,6 +268,7 @@ def prepare_training_data(
     mixture: dict[str, float] | None = None,
     max_perplexity: float | None = None,
     lm_vocab_size: int = 1 << 14,
+    substring_dedup_k: int | None = None,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
@@ -283,6 +284,11 @@ def prepare_training_data(
          same machinery with the LM trained on a reference frame
          instead; callers wanting it use scoring.py directly;
       2. exact dedup (keep the min-doc_id row per content fingerprint);
+      2b. optional substring dedup (``substring_dedup_k``): duplicated
+         k-token spans are CUT from all but one canonical occurrence
+         (``dedup.remove_shared_substrings``, the Lee et al. removal
+         pass) and ``n_tokens_ws`` is recomputed from the cleaned text
+         so the packing budgets downstream see post-cut lengths;
       3. eval-set decontamination (the 10% pseudo-eval split held out
          AND its 5-gram phrasing anti-joined away);
       4. optional domain-mixture downsampling (``mixture`` weights);
@@ -362,6 +368,23 @@ def prepare_training_data(
         deduped = gated.join(keeper, ["fingerprint", "doc_id"])
         n_dedup = deduped.count()
 
+        n_substring_tokens_removed = 0
+        if substring_dedup_k is not None:
+            from .dedup import remove_shared_substrings
+
+            deduped = remove_shared_substrings(
+                deduped, k=substring_dedup_k
+            ).withColumn(
+                # packing reads n_tokens_ws — it must reflect the CUT
+                # text, or pack budgets overcount removed spans
+                "n_tokens_ws",
+                F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")),
+            )
+            n_substring_tokens_removed = (
+                deduped.agg(F.sum("n_tokens_removed")).first()[0] or 0
+            )
+            deduped = deduped.drop("n_tokens_removed")
+
         is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
         # scrub the eval side too: train text is already scrubbed, and
         # decontamination must compare like-for-like (a PII placeholder
@@ -392,6 +415,7 @@ def prepare_training_data(
             "n_after_quality": n_quality,
             "n_after_perplexity": n_perplexity,
             "n_after_dedup": n_dedup,
+            "n_substring_tokens_removed": n_substring_tokens_removed,
             "n_after_decontam": n_decontam,
             "n_after_mixture": n_sampled,
             "mixture_plan": plan,

@@ -1118,6 +1118,128 @@ def exact_substring_pairs(
     )
 
 
+def remove_shared_substrings(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut duplicated k-token spans from a corpus, keeping ONE canonical
+    occurrence — the removal half of the Lee et al. 2022 substring-dedup
+    recipe (arXiv:2107.06499 §3: "remove a substring from all but one of
+    the examples"), where :func:`exact_substring_pairs` is the detection
+    half.
+
+    Semantics (documented approximations follow the paper's):
+      * a k-token window occurring ≥2 times corpus-wide (across OR
+        within documents) is duplicated; its canonical occurrence is
+        the smallest (doc_id, position) — every other occurrence is
+        cut, so runs longer than k vanish wholesale from non-canonical
+        docs (their overlapping windows are all marked) while the
+        canonical doc keeps the whole run;
+      * matching is EXACT on whitespace-delimited tokens of the RAW
+        text (case-sensitive — unlike the detector's normalized
+        windows) so the surviving text keeps its original casing;
+        inter-token whitespace is collapsed to single spaces on rejoin;
+      * overlap wrinkle (ditto the greedy original): a window's
+        canonical occurrence can itself sit inside ANOTHER window's cut
+        region and be removed with it — the pass guarantees ≤1 surviving
+        occurrence per duplicated window, not exactly 1.
+
+    Returns the input frame with ``text_col`` replaced by the cleaned
+    text and an appended ``n_tokens_removed``. Docs with NULL text
+    clean to '' (0 removed).
+
+    Scale shape: one scan emits (doc_id, pos, double-64-bit window
+    hash) occurrences — 4-long rows, no window text in the shuffle; one
+    groupBy(hash) marks duplicates and picks canonicals (map-side
+    combine absorbs hot windows — no pairwise join anywhere, unlike
+    the detector); marked cut-starts aggregate per doc and the token
+    surgery is a pure array expression (per-doc cost O(n_tokens ×
+    n_cut_starts) — bounded by doc length squared for a fully-
+    duplicated doc, never by corpus size).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    others = [c for c in docs.columns if c != text_col]
+    src = docs.select(
+        F.col(id_col).alias("__rss_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__rss_text"),
+    ).withColumn(
+        "toks", F.filter(F.split("__rss_text", r"\s+"), lambda t: t != "")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.array_join(F.slice("toks", i, k), " ").alias("w"),
+        ),
+    )
+    occ = src.select(
+        "__rss_id",
+        # sequence(1, n) DESCENDS when n < 1 — guard short docs (the
+        # _shingle_array guard, same reason)
+        F.explode(
+            F.when(F.size("toks") >= k, wins).otherwise(
+                F.array().cast("array<struct<pos:int,w:string>>")
+            )
+        ).alias("o"),
+    ).select(
+        "__rss_id",
+        F.col("o.pos").alias("pos"),
+        F.xxhash64("o.w").alias("h1"),
+        # salt-FIRST (exact_substring_pairs' independence caveat)
+        F.xxhash64(F.lit(1), "o.w").alias("h2"),
+    )
+    dup = (
+        occ.groupBy("h1", "h2")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("__rss_id", "pos")).alias("canon"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("h1", "h2", "canon")
+    )
+    marked = (
+        occ.join(dup, ["h1", "h2"])
+        .filter(
+            ~(
+                (F.col("__rss_id") == F.col("canon.__rss_id"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .groupBy("__rss_id")
+        .agg(F.collect_set("pos").alias("cut_starts"))
+    )
+    cleaned = (
+        src.join(marked, "__rss_id", "left")
+        .withColumn(
+            "kept",
+            F.when(F.col("cut_starts").isNull(), F.col("toks")).otherwise(
+                F.filter(
+                    "toks",
+                    lambda t, i: ~F.exists(
+                        "cut_starts",
+                        lambda s: (i >= s) & (i < s + F.lit(k)),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "__rss_id",
+            F.array_join("kept", " ").alias(text_col),
+            (F.size("toks") - F.size("kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+    return (
+        docs.select(*others)
+        .join(cleaned.withColumnRenamed("__rss_id", id_col), id_col)
+        .select(*docs.columns, "n_tokens_removed")
+    )
+
+
 @query(
     "exact_substring_pairs",
     oracle=r"""

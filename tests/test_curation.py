@@ -305,6 +305,42 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     assert bad.isEmpty()
 
 
+def test_prepare_training_data_substring_dedup_stage(spark, tmp_path):
+    """Stage 2b: with substring_dedup_k on, duplicated k-token spans are
+    cut before decontamination, the removed-token stat is reported, and
+    the packing budget (n_tokens_ws) reflects the CUT text — every
+    written doc's recorded token count equals its actual post-cut
+    whitespace token count, so pack conservation holds on cleaned
+    lengths."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    out = str(tmp_path / "train_ss")
+    stats = prepare_training_data(
+        spark,
+        SF,
+        out,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        substring_dedup_k=10,
+    )
+    assert stats["n_substring_tokens_removed"] > 0  # fixture has real dups
+    written = spark.read.parquet(out)
+    recount = written.withColumn(
+        "__n", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    )
+    assert recount.filter(F.col("__n") != F.col("n_tokens_ws")).count() == 0
+    # no pack exceeds the budget under the post-cut token counts
+    over = (
+        written.groupBy("pack_id")
+        .agg(F.sum("n_tokens_ws").alias("tok"), F.count("*").alias("n"))
+        .filter((F.col("tok") > 256) & (F.col("n") > 1))
+    )
+    assert over.count() == 0
+
+
 def test_prepare_training_data_with_mixture(spark, tmp_path):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
         prepare_training_data,

@@ -642,6 +642,107 @@ def test_exact_substring_pairs_planted_spans(spark):
     assert (1, 2) in capped
 
 
+def test_remove_shared_substrings_planted_spans(spark):
+    """The removal half of the Lee et al. recipe: a shared >=k run is
+    cut from every non-canonical doc (canonical = smallest (doc_id,
+    pos) keeps it verbatim), unique text and short-shared text are
+    untouched, NULL cleans to ''."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    span = " ".join(f"S{i}" for i in range(25))
+    short = " ".join(f"t{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 b1 c1 {span} d1 e1"),
+            (2, f"a2 b2 {span} z2"),
+            (3, f"a3 {span} {span} z3"),  # within-doc repeat
+            (4, f"iota {short} kappa unrelated words here indeed truly"),
+            (5, f"lambda {short} mu other vocabulary right there now"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_shared_substrings(docs, k=20).collect()
+    }
+    assert out[1]["text"] == f"a1 b1 c1 {span} d1 e1"  # canonical: intact
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "a2 b2 z2"  # span excised, context kept
+    assert out[2]["n_tokens_removed"] == 25
+    # within-doc repeat: both occurrences are non-canonical vs doc 1
+    assert out[3]["text"] == "a3 z3"
+    assert out[3]["n_tokens_removed"] == 50
+    assert out[4]["n_tokens_removed"] == 0  # 7-token share < k
+    assert out[5]["n_tokens_removed"] == 0
+    assert out[6]["text"] == "" and out[6]["n_tokens_removed"] == 0
+    assert set(out[1].asDict()) == {"doc_id", "text", "n_tokens_removed"}
+
+    # idempotence on this corpus: the surviving single occurrence is no
+    # longer duplicated, so a second pass removes nothing
+    from pyspark.sql import functions as F
+
+    again = remove_shared_substrings(
+        spark.createDataFrame(
+            [(k, v["text"]) for k, v in out.items()],
+            "doc_id long, text string",
+        ),
+        k=20,
+    )
+    assert again.agg(F.sum("n_tokens_removed")).first()[0] == 0
+
+
+def test_remove_shared_substrings_duckdb_reference(spark):
+    """Cross-check against a direct window-string reference in DuckDB
+    on the fixture documents: per-doc removed-token counts must match a
+    hash-free recomputation of marked coverage."""
+    import duckdb
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    k = 10
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_shared_substrings(docs, k=k).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+          FROM '{SF}/documents.parquet'
+        ), occ AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+{k - 1}], ' ') AS w
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {k - 1})) AS i)
+        ), dup AS (
+          SELECT w, min(doc_id * 1000000 + pos) AS canon
+          FROM occ GROUP BY w HAVING count(*) >= 2
+        ), marked AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (w)
+          WHERE o.doc_id * 1000000 + o.pos <> d.canon
+        ), cover AS (
+          SELECT DISTINCT m.doc_id, m.pos + j AS tok_pos
+          FROM marked m, LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS j)
+        )
+        SELECT t.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN (
+          SELECT doc_id, count(*) AS n FROM cover GROUP BY doc_id
+        ) c USING (doc_id)
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert sum(got.values()) > 0  # the fixture corpus has real dups
+
+
 def test_exact_substring_pairs_validation(spark):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
         exact_substring_pairs,
