@@ -71,6 +71,7 @@ def contamination_report(
     n: int = _DECON_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-document eval-set overlap: for every doc in ``docs`` sharing
     at least one n-gram with ``eval_docs``, return
@@ -81,14 +82,22 @@ def contamination_report(
     training, any document that reproduces benchmark phrasing is
     flagged (and usually dropped — ``decontaminate``). The eval side is
     small by nature (a benchmark suite), so its distinct n-grams are
-    broadcast; the corpus is scanned once.
+    broadcast by default; the corpus is scanned once.
+
+    ``broadcast_eval=False`` is the size guard for eval suites too big
+    to pin on every executor (the broadcast hint FORCES a build-side
+    materialization regardless of size — past a few GB that is an
+    executor OOM, not a slowdown): the join falls back to an unhinted
+    shuffle join, where AQE still promotes a small-enough eval side to
+    a runtime broadcast and a genuinely huge one shuffles safely.
     """
     corpus_sh = _doc_shingles(docs, n, id_col, text_col, distinct=False)
     eval_sh = _doc_shingles(
         eval_docs, n, id_col, text_col, distinct=True
     ).withColumnRenamed("doc_id", "eval_doc_id")
+    build = F.broadcast(eval_sh) if broadcast_eval else eval_sh
     return (
-        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        corpus_sh.join(build, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_hit_shingles"),
@@ -115,6 +124,103 @@ def decontaminate(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Paraphrase-robust decontamination: drop every doc whose EXACT
+    document-level n-gram Jaccard against ANY eval doc is ≥
+    ``threshold``.
+
+    Why this exists: exact n-gram decontamination (``decontaminate``)
+    only catches VERBATIM benchmark phrasing — a paraphrase that swaps
+    a word every ≤4 tokens breaks every 5-gram and walks through it.
+    Why it is NOT the banded-MinHash composition the dedup family uses:
+    the paraphrase regime that defeats exact 5-grams (changes ≤4
+    tokens apart) caps the 3-gram Jaccard near 0.25 — and at J≈0.25
+    an 8-band×4-row signature agrees on some band with probability
+    1−(1−J⁴)⁸ ≈ 3%; even 16×2 banding recalls <50%. LSH banding is
+    the right tool for finding near-DUPLICATES (J ≥ 0.5) inside a
+    corpus too big to compare pairwise; here the eval side is a
+    benchmark suite — small enough to broadcast — so the exact Jaccard
+    is affordable and deterministic where banding would coin-flip.
+
+    Shape: the corpus pays ONE scan — per-doc distinct shingles come
+    from a pure array expression (no corpus-side distinct shuffle),
+    the broadcast hit join is ``contamination_report``'s, and the only
+    shuffles aggregate HIT rows. ``broadcast_eval=False`` is the same
+    big-suite guard as ``contamination_report``'s. Run the exact pass
+    too: it is cheaper and catches verbatim leakage at any length.
+
+    Returns ``(clean, report)``: surviving ``docs`` rows (schema
+    unchanged) and (doc_id, matched_doc_id, jaccard) naming the
+    strongest-matching eval doc per dropped row (max jaccard, min
+    eval id tie-break). Shared ids between the frames are NOT excluded
+    — matching your own eval twin is precisely a leak.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .dedup import _shingle_array, _tokens
+
+    def shingled(frame: DataFrame, out_id: str) -> DataFrame:
+        src = frame.select(
+            F.col(id_col).alias(out_id), F.col(text_col).alias("text")
+        )
+        return (
+            src.withColumn("toks", _tokens())
+            .withColumn("sh", F.array_distinct(_shingle_array(F.col("toks"), n)))
+            .select(
+                out_id,
+                F.size("sh").alias(f"n_{out_id}"),
+                F.explode("sh").alias("shingle"),
+            )
+        )
+
+    corpus_sh = shingled(docs, "doc_id")
+    eval_sh = shingled(eval_docs, "eval_doc_id")
+    build = F.broadcast(eval_sh) if broadcast_eval else eval_sh
+    # shingles are doc-distinct by construction, so count(*) over the
+    # hit join = |A ∩ B| and the carried sizes complete the Jaccard
+    pair = (
+        corpus_sh.join(build, "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("n_doc_id").alias("n_a"),
+            F.first("n_eval_doc_id").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("eval_doc_id")
+    )
+    report = (
+        pair.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("eval_doc_id").alias("matched_doc_id"),
+            F.round("jaccard", 4).cast("double").alias("jaccard"),
+        )
+    )
+    clean = docs.join(
+        report.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    return clean, report
 
 
 def _decon_oracle() -> str:

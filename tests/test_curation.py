@@ -85,6 +85,76 @@ def test_decontaminate_max_hits_threshold(spark):
     assert decontaminate(train, eval_docs, max_hits=0).count() == 0
 
 
+def test_contamination_report_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_eval=False (the big-eval-suite size guard) must give
+    identical results with no forced broadcast hint in the plan — the
+    join is left to AQE instead of pinning the eval n-grams on every
+    executor."""
+    eval_docs = _docs(spark, [(100, f"alpha beta {_SECRET} omega")])
+    train = _docs(
+        spark,
+        [
+            (1, f"intro words then {_SECRET} and a tail"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+    )
+    hinted = contamination_report(train, eval_docs)
+    unhinted = contamination_report(train, eval_docs, broadcast_eval=False)
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert as_rows(hinted) == as_rows(unhinted)
+    # the hint is really present/absent in the analyzed plans
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    assert (
+        "unresolvedhint"
+        not in unhinted._jdf.queryExecution().analyzed().toString().lower()
+    )
+
+
+def test_decontaminate_fuzzy_catches_planted_paraphrase(spark):
+    """A light paraphrase of an eval doc (every 4th token swapped —
+    which breaks EVERY 5-gram, so exact decontamination whiffs) is
+    caught by the exact-Jaccard fuzzy pass; an unrelated doc survives.
+    The exact path is unchanged. (Why exact Jaccard and not banded
+    MinHash: at this paraphrase density J≈0.15, where 8×4 banding
+    would recall ~2% — see decontaminate_fuzzy's docstring.)"""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    eval_text = " ".join(f"w{j}" for j in range(32))
+    para = eval_text.split()
+    for j in range(0, 32, 4):
+        para[j] = f"CHANGED{j}"
+    eval_docs = _docs(spark, [(100, eval_text)])
+    train = _docs(
+        spark,
+        [
+            (1, " ".join(para)),  # paraphrased leak
+            (2, "completely different words with no overlap at all here"),
+            (3, eval_text),  # verbatim leak (exact-fingerprint branch)
+        ],
+    )
+
+    # exact 5-gram decontamination misses the paraphrase (no 5
+    # consecutive tokens survive) but kills the verbatim copy
+    assert sorted(
+        r["doc_id"] for r in decontaminate(train, eval_docs).collect()
+    ) == [1, 2]
+
+    # paraphrase 3-gram Jaccard is exactly 8 shared / (30+30-8) = 0.1538
+    clean, report = decontaminate_fuzzy(train, eval_docs, threshold=0.15)
+    rep = {r["doc_id"]: r for r in report.collect()}
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    assert rep[1]["matched_doc_id"] == 100
+    assert rep[1]["jaccard"] == pytest.approx(8 / 52, abs=1e-4)
+    assert rep[3]["matched_doc_id"] == 100 and rep[3]["jaccard"] == 1.0
+    assert clean.columns == train.columns
+
+    # threshold validation guards the silent-drop-everything footgun
+    with pytest.raises(ValueError, match="threshold"):
+        decontaminate_fuzzy(train, eval_docs, threshold=0.0)
+
+
 def test_decontaminate_entry_matches_oracle(spark):
     con = duck_connection(SF_ORACLE)
     problems = compare(
