@@ -84,6 +84,32 @@ def _exact_substring_pairs(spark, sf):
     return exact_substring_pairs(load_table(spark, sf, "documents"), k=10)
 
 
+def _remove_shared_substrings(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    return remove_shared_substrings(
+        load_table(spark, sf, "documents").select("doc_id", "text"), k=10
+    )
+
+
+def _decontaminate_fuzzy(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    _clean, report = decontaminate_fuzzy(d, d.filter("doc_id % 10 = 7"))
+    return report
+
+
 #: library functions reviewed alongside the registered corpus
 EXTRA = {
     "distinct_sort_limit": distinct_sort_limit,
@@ -91,6 +117,8 @@ EXTRA = {
     "mixture_sample": _mixture_sample,
     "dedup_incremental": _dedup_incremental,
     "exact_substring_pairs": _exact_substring_pairs,
+    "remove_shared_substrings": _remove_shared_substrings,
+    "decontaminate_fuzzy": _decontaminate_fuzzy,
 }
 
 SF = "/root/testdata/sf0.001"
@@ -112,7 +140,10 @@ PICK = {
     "repetition_signals": "no join anywhere: short docs restored by UNION of a filtered second scan; two aggregation exchanges only.",
     "mixture_sample": "membership is a filter fused into the scan — zero Exchange, zero join; the planning aggregate is a separate already-collected job.",
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
-    "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition).",
+    "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition). Since r6 also a driver entry (documents, k=20) with a hash-free DuckDB window-string oracle.",
+    "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); token surgery is a pure array filter, no per-token explode back.",
+    "decontaminate_fuzzy": "per-doc distinct shingle counts ride the scan as an array expression (size ∘ array_distinct) — the corpus branch reaches the broadcast hit join exchange-free, exactly decontaminate's shape plus the carried sizes; Jaccard and the strongest-match window run over HIT rows only.",
+    "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
 }
 
 

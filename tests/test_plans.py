@@ -323,6 +323,55 @@ def test_pack_sequences_is_partition_local(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_remove_shared_substrings_no_pairwise_join(spark):
+    """The substring REMOVAL pass must never build the detector's
+    pairwise postings self-join: duplicate marking is one groupBy over
+    the window-hash (partial-aggregated, so hot boilerplate windows
+    combine map-side), and every join in the plan is keyed by doc_id /
+    the hash — no cartesian anywhere."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = remove_shared_substrings(docs, k=10)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregate(df), plan
+    joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins <= 3, f"expected ≤3 keyed joins (dup, marks, rejoin): {joins}"
+
+
+def test_decontaminate_fuzzy_corpus_side_shuffle_free(spark):
+    """decontaminate_fuzzy's corpus branch must reach the broadcast hit
+    join with no exchange of its own (per-doc shingle sizes come from a
+    pure array expression, not a corpus-side distinct)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    eval_docs = docs.filter("doc_id % 10 = 7")
+    _clean, report = decontaminate_fuzzy(docs, eval_docs)
+    plan = physical_plan(report)
+    assert "BroadcastHashJoin" in plan, plan
+    probe_branch = plan[plan.index("BroadcastHashJoin"):].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in probe_branch.replace("BroadcastExchange", ""), (
+        "corpus side shuffles before the hit join:\n" + probe_branch
+    )
+
+
 def test_lm_score_is_single_scan_broadcast_join(spark):
     """LM scoring must stay one corpus scan feeding a broadcast vocab
     join and ONE aggregation exchange — the zero-token sentinel rides
