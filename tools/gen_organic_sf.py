@@ -408,6 +408,29 @@ def _quality_classifier(spark, sf_dir):
     return score_quality(model, feats)
 
 
+def _remove_shared_substrings(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    return remove_shared_substrings(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=20
+    )
+
+
+def _decontaminate_fuzzy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    is_eval = F.col("doc_id") % 10 == 7
+    clean, _report = decontaminate_fuzzy(d.filter(~is_eval), d.filter(is_eval))
+    return clean
+
+
 EXTRA_SCALE = {
     "dedup_clusters_minhash": _minhash_clusters,
     "pack_sequences": _pack_sequences,
@@ -419,6 +442,8 @@ EXTRA_SCALE = {
     "lm_perplexity_bigram": _lm_perplexity_bigram,
     "quality_classifier": _quality_classifier,
     "exact_substring_pairs": _exact_substring,
+    "remove_shared_substrings": _remove_shared_substrings,
+    "decontaminate_fuzzy": _decontaminate_fuzzy,
 }
 
 
@@ -430,7 +455,11 @@ def _run_once(spark, sf_dir: str, name: str) -> float:
     # slope measurements time FIRST evaluations — a warm intermediate
     # cache would masquerade as a flat scaling curve
     clear_intermediate_caches()
-    fn = QUERIES.get(name) or EXTRA_SCALE[name]
+    # EXTRA_SCALE first: where a name exists in both (lm_perplexity,
+    # exact_substring_pairs since their r6 registry promotion), the
+    # EXTRA variant is the production-sized shape whose slope matters
+    # (e.g. 2^14 vocab vs the oracle entry's OOV-exercising 50)
+    fn = EXTRA_SCALE.get(name) or QUERIES[name]
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
