@@ -134,6 +134,7 @@ def decontaminate_fuzzy(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_eval: bool = True,
+    max_eval_postings: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Paraphrase-robust decontamination: drop every doc whose EXACT
     document-level n-gram Jaccard against ANY eval doc is ≥
@@ -152,50 +153,91 @@ def decontaminate_fuzzy(
     benchmark suite — small enough to broadcast — so the exact Jaccard
     is affordable and deterministic where banding would coin-flip.
 
-    Shape: the corpus pays ONE scan — per-doc distinct shingles come
-    from a pure array expression (no corpus-side distinct shuffle),
-    the broadcast hit join is ``contamination_report``'s, and the only
-    shuffles aggregate HIT rows. ``broadcast_eval=False`` is the same
-    big-suite guard as ``contamination_report``'s. Run the exact pass
-    too: it is cheaper and catches verbatim leakage at any length.
+    Shape: the corpus pays ONE scan emitting 16-byte (doc_id,
+    shingle-hash) rows; the distinct, the per-doc size aggregate, and
+    the hit join's probe all run over that narrow stream (the same
+    shuffle volume the MinHash signature build pays), the eval side
+    broadcasts, and everything stays in whole-stage codegen — per-doc
+    array surgery (array_distinct∘transform) was measured 8× slower
+    because stacked higher-order lambdas evaluate interpreted.
+    ``broadcast_eval=False`` is the same big-suite guard as
+    ``contamination_report``'s. Run the exact pass too: it is cheaper
+    and catches verbatim leakage at any length.
 
     Returns ``(clean, report)``: surviving ``docs`` rows (schema
     unchanged) and (doc_id, matched_doc_id, jaccard) naming the
     strongest-matching eval doc per dropped row (max jaccard, min
     eval id tie-break). Shared ids between the frames are NOT excluded
     — matching your own eval twin is precisely a leak.
+
+    ``max_eval_postings`` guards the join fan-out: a shingle present in
+    more than that many EVAL docs is boilerplate (or, on a small-
+    vocabulary corpus, a chance n-gram) and is dropped from the hit
+    join — without it the output is Σ_shingle corpus_postings ×
+    eval_postings rows, which on a 30-word-vocabulary fixture measured
+    ~30 s at sf0.1 where the capped form takes ~1 s. Same lossy
+    trade, same reason, as exact_substring_pairs' postings cap; docs
+    whose ONLY overlap is boilerplate shingles score a lower Jaccard
+    (denominators are computed before the cap).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_eval_postings <= 0:
+        raise ValueError(
+            f"max_eval_postings must be positive, got {max_eval_postings}"
+        )
     from .dedup import _shingle_array, _tokens
 
+    # ONE HOF layer then explode, and hash AFTER the explode: shingle
+    # identity becomes a 64-bit xxhash (collision-free in practice, the
+    # exact_substring_pairs argument) evaluated as a plain codegen'd
+    # function over exploded rows. The tempting pure-array form —
+    # array_distinct(transform(grams, xxhash)) per doc — stacks
+    # higher-order lambdas, which Spark evaluates INTERPRETED
+    # (no codegen for HOFs): measured 8.7 s single-task at sf0.1 vs
+    # ~1 s for this shape.
     def shingled(frame: DataFrame, out_id: str) -> DataFrame:
         src = frame.select(
             F.col(id_col).alias(out_id), F.col(text_col).alias("text")
         )
         return (
             src.withColumn("toks", _tokens())
-            .withColumn("sh", F.array_distinct(_shingle_array(F.col("toks"), n)))
             .select(
                 out_id,
-                F.size("sh").alias(f"n_{out_id}"),
-                F.explode("sh").alias("shingle"),
+                F.explode(_shingle_array(F.col("toks"), n)).alias("shingle"),
             )
+            .select(out_id, F.xxhash64("shingle").alias("h"))
+            .distinct()
         )
 
+    # the corpus-side distinct + size aggregation shuffle 16-byte
+    # (doc_id, h) rows — the same narrow-shuffle volume the MinHash
+    # signature build pays, and far cheaper than per-doc interpreted
+    # array surgery
     corpus_sh = shingled(docs, "doc_id")
+    corpus_sizes = corpus_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_a")
+    )
     eval_sh = shingled(eval_docs, "eval_doc_id")
-    build = F.broadcast(eval_sh) if broadcast_eval else eval_sh
-    # shingles are doc-distinct by construction, so count(*) over the
-    # hit join = |A ∩ B| and the carried sizes complete the Jaccard
+    eval_sizes = eval_sh.groupBy("eval_doc_id").agg(F.count("*").alias("n_b"))
+    # fan-out guard (docstring): drop shingles hot on the EVAL side —
+    # an aggregate over the (small) eval shingle table, no corpus cost
+    hot = (
+        eval_sh.groupBy("h")
+        .agg(F.count("*").alias("__n_posting"))
+        .filter(F.col("__n_posting") > max_eval_postings)
+        .select("h")
+    )
+    eval_kept = eval_sh.join(hot, "h", "left_anti")
+    build = F.broadcast(eval_kept) if broadcast_eval else eval_kept
+    # shingle hashes are doc-distinct, so count(*) over the hit join
+    # = |A ∩ B|; the size tables complete the Jaccard
     pair = (
-        corpus_sh.join(build, "shingle")
+        corpus_sh.join(build, "h")
         .groupBy("doc_id", "eval_doc_id")
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.first("n_doc_id").alias("n_a"),
-            F.first("n_eval_doc_id").alias("n_b"),
-        )
+        .agg(F.count("*").alias("n_shared"))
+        .join(corpus_sizes, "doc_id")
+        .join(F.broadcast(eval_sizes), "eval_doc_id")
         .withColumn(
             "jaccard",
             F.col("n_shared")
@@ -429,6 +471,7 @@ def prepare_training_data(
 
     n_perplexity = n_quality
     gate_cache = None
+    substring_cache = None
     train = None
     # finally-scoped unpersists: the funnel between the gate's persist
     # and the final stats is long and has real error paths (mixture
@@ -478,7 +521,7 @@ def prepare_training_data(
         if substring_dedup_k is not None:
             from .dedup import remove_shared_substrings
 
-            deduped = remove_shared_substrings(
+            cut = remove_shared_substrings(
                 deduped, k=substring_dedup_k
             ).withColumn(
                 # packing reads n_tokens_ws — it must reflect the CUT
@@ -486,10 +529,16 @@ def prepare_training_data(
                 "n_tokens_ws",
                 F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")),
             )
+            # persist the surgery output: the removed-token stat below,
+            # the decontaminate count, and the survivors' cache would
+            # otherwise each replay the window-hash marking + token
+            # surgery (the iterative-replay trap, funnel edition).
+            # Released once `train` materializes; finally covers errors.
+            substring_cache = cut.persist()
             n_substring_tokens_removed = (
-                deduped.agg(F.sum("n_tokens_removed")).first()[0] or 0
+                substring_cache.agg(F.sum("n_tokens_removed")).first()[0] or 0
             )
-            deduped = deduped.drop("n_tokens_removed")
+            deduped = substring_cache.drop("n_tokens_removed")
 
         is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
         # scrub the eval side too: train text is already scrubbed, and
@@ -508,6 +557,8 @@ def prepare_training_data(
         n_sampled = train.count()
         if gate_cache is not None:
             gate_cache.unpersist()  # survivors materialized in `train`
+        if substring_cache is not None:
+            substring_cache.unpersist()  # ditto for the surgery output
 
         packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
         final = train.join(
@@ -530,6 +581,8 @@ def prepare_training_data(
     finally:
         if gate_cache is not None:
             gate_cache.unpersist()  # no-op when already released above
+        if substring_cache is not None:
+            substring_cache.unpersist()  # no-op when already released
         if train is not None:
             train.unpersist()
 

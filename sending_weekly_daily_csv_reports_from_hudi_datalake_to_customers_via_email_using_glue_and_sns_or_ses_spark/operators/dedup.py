@@ -1140,7 +1140,9 @@ def remove_shared_substrings(
       * matching is EXACT on whitespace-delimited tokens of the RAW
         text (case-sensitive — unlike the detector's normalized
         windows) so the surviving text keeps its original casing;
-        inter-token whitespace is collapsed to single spaces on rejoin;
+        UNTOUCHED docs keep their text byte-for-byte (newlines/tabs
+        intact); only docs that lost a span are rebuilt from tokens,
+        with inter-token whitespace collapsed to single spaces;
       * overlap wrinkle (ditto the greedy original): a window's
         canonical occurrence can itself sit inside ANOTHER window's cut
         region and be removed with it — the pass guarantees ≤1 surviving
@@ -1215,20 +1217,24 @@ def remove_shared_substrings(
         src.join(marked, "__rss_id", "left")
         .withColumn(
             "kept",
-            F.when(F.col("cut_starts").isNull(), F.col("toks")).otherwise(
-                F.filter(
-                    "toks",
-                    lambda t, i: ~F.exists(
-                        "cut_starts",
-                        lambda s: (i >= s) & (i < s + F.lit(k)),
-                    ),
-                )
+            F.filter(
+                "toks",
+                lambda t, i: ~F.exists(
+                    "cut_starts",
+                    lambda s: (i >= s) & (i < s + F.lit(k)),
+                ),
             ),
         )
         .select(
             "__rss_id",
-            F.array_join("kept", " ").alias(text_col),
-            (F.size("toks") - F.size("kept"))
+            # untouched docs keep their ORIGINAL text byte-for-byte
+            # (newlines/tabs intact) — only cut docs are rebuilt from
+            # tokens (single-space joined, the documented collapse)
+            F.when(F.col("cut_starts").isNull(), F.col("__rss_text"))
+            .otherwise(F.array_join("kept", " "))
+            .alias(text_col),
+            F.when(F.col("cut_starts").isNull(), F.lit(0))
+            .otherwise(F.size("toks") - F.size("kept"))
             .cast("long")
             .alias("n_tokens_removed"),
         )
@@ -1423,10 +1429,16 @@ def dedup_incremental(
     dedup_minhash_lsh), then this against the historical index.
 
     ``exclude_self`` ignores index rows whose doc_id equals the new
-    doc's id — required for replay idempotence when the caller appends
-    the batch's own index rows before acknowledging the batch
-    (streaming/ingest.stream_ingest_dedup): a replayed batch then
-    matches its own prior index entries, which must not count as dups.
+    doc's id. NOTE it is NOT sufficient for replay idempotence in an
+    append-before-ack ingest loop: a replayed doc can still match a
+    same-batch SIBLING's previously-appended index row (different
+    doc_id) and be dropped where the original run kept it.
+    streaming/ingest.stream_ingest_dedup therefore tags appended rows
+    with their (checkpoint, batch_id) and excludes the whole tag on
+    replay instead of using this flag — do the same in any caller that
+    appends before acknowledging. ``exclude_self`` remains right for
+    the narrower case where only the doc's OWN row may pre-exist
+    (e.g. re-indexing a corrected document against a standing index).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

@@ -70,6 +70,22 @@ def stream_upsert(
     )
 
 
+def _canon_checkpoint(checkpoint_dir: str) -> str:
+    """Canonical form of a checkpoint path for the index-row tags: a
+    replayed batch may spell the SAME checkpoint differently (relative
+    vs absolute, trailing slash, file:// URI) and a raw string compare
+    would then silently skip the tag exclusion — re-opening the exact
+    sibling-drop hole the tags close. URI-aware, same rules as
+    connected_components' checkpoint-dir conflict check."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(checkpoint_dir)
+    if (u.scheme or "file") == "file" and not u.netloc:
+        return os.path.normpath(os.path.abspath(u.path))
+    return f"{u.scheme}://{u.netloc}{os.path.normpath(u.path.rstrip('/') or '/')}"
+
+
 def stream_ingest_dedup(
     stream_df: DataFrame,
     table: KeyedTable,
@@ -166,7 +182,7 @@ def stream_ingest_dedup(
             if "__src_ck" in index.columns:
                 lookup = index.filter(
                     F.col("__src_ck").isNull()
-                    | (F.col("__src_ck") != F.lit(checkpoint_dir))
+                    | (F.col("__src_ck") != F.lit(_canon_checkpoint(checkpoint_dir)))
                     | (F.col("__src_batch") != F.lit(batch_id))
                 )
             else:
@@ -181,7 +197,7 @@ def stream_ingest_dedup(
             if not clean.isEmpty():
                 idx_rows = build_corpus_index(clean).select(
                     "*",
-                    F.lit(checkpoint_dir).alias("__src_ck"),
+                    F.lit(_canon_checkpoint(checkpoint_dir)).alias("__src_ck"),
                     F.lit(batch_id).cast("long").alias("__src_batch"),
                 )
                 if index is not None:

@@ -157,7 +157,10 @@ def main() -> None:
         "one-line note states the property `tests/test_plans.py` pins.\n\n"
     )
     for name, note in PICK.items():
-        df = (QUERIES.get(name) or EXTRA[name])(spark, SF)
+        # EXTRA first (mirrors tools/gen_organic_sf.py): where a name
+        # exists in both — exact_substring_pairs since its r6 registry
+        # promotion — the reviewed plan is the library shape (k=10)
+        df = (EXTRA.get(name) or QUERIES[name])(spark, SF)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"## {name}\n\n{note}\n\n```\n{plan[:3000]}\n```\n\n")

@@ -155,6 +155,41 @@ def test_decontaminate_fuzzy_catches_planted_paraphrase(spark):
         decontaminate_fuzzy(train, eval_docs, threshold=0.0)
 
 
+def test_decontaminate_fuzzy_eval_postings_cap(spark):
+    """A shingle hot across the eval suite (boilerplate / small-vocab
+    chance n-gram) is dropped from the hit join by max_eval_postings —
+    the fan-out guard that keeps the join from going all-pairs on
+    low-entropy corpora (measured ~30x at sf0.1)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    boiler = "standard disclaimer applies here"
+    # the boilerplate shingle set appears in BOTH eval docs
+    eval_docs = _docs(
+        spark,
+        [
+            (100, f"{boiler} about alpha topics"),
+            (101, f"{boiler} about beta topics"),
+        ],
+    )
+    train = _docs(spark, [(1, f"{boiler} entirely different tail words")])
+
+    # uncapped (cap=2 allows postings in 2 eval docs): doc 1 is flagged
+    _c, rep = decontaminate_fuzzy(
+        train, eval_docs, threshold=0.1, max_eval_postings=2
+    )
+    assert [r["doc_id"] for r in rep.collect()] == [1]
+    # cap=1 drops every shingle shared by both eval docs → no flag
+    clean, rep = decontaminate_fuzzy(
+        train, eval_docs, threshold=0.1, max_eval_postings=1
+    )
+    assert rep.isEmpty()
+    assert clean.count() == 1
+    with pytest.raises(ValueError, match="max_eval_postings"):
+        decontaminate_fuzzy(train, eval_docs, max_eval_postings=0)
+
+
 def test_decontaminate_entry_matches_oracle(spark):
     con = duck_connection(SF_ORACLE)
     problems = compare(

@@ -348,10 +348,13 @@ def test_remove_shared_substrings_no_pairwise_join(spark):
     assert joins <= 3, f"expected ≤3 keyed joins (dup, marks, rejoin): {joins}"
 
 
-def test_decontaminate_fuzzy_corpus_side_shuffle_free(spark):
-    """decontaminate_fuzzy's corpus branch must reach the broadcast hit
-    join with no exchange of its own (per-doc shingle sizes come from a
-    pure array expression, not a corpus-side distinct)."""
+def test_decontaminate_fuzzy_narrow_codegen_shape(spark):
+    """decontaminate_fuzzy must stay in the narrow-hash shape: the eval
+    side broadcasts (no shuffle join against the corpus), there is no
+    cartesian anywhere, and the shingle identity is hashed BEFORE any
+    exchange so every shuffle moves 16-byte (id, hash) rows — never
+    shingle STRINGS (the exchanges' output schemas carry no string
+    shingle column)."""
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
         load_table,
     )
@@ -364,12 +367,11 @@ def test_decontaminate_fuzzy_corpus_side_shuffle_free(spark):
     _clean, report = decontaminate_fuzzy(docs, eval_docs)
     plan = physical_plan(report)
     assert "BroadcastHashJoin" in plan, plan
-    probe_branch = plan[plan.index("BroadcastHashJoin"):].split(
-        "BroadcastExchange"
-    )[0]
-    assert "Exchange" not in probe_branch.replace("BroadcastExchange", ""), (
-        "corpus side shuffles before the hit join:\n" + probe_branch
-    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import re
+
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in args, f"shingle strings shuffle: {args}"
 
 
 def test_lm_score_is_single_scan_broadcast_join(spark):

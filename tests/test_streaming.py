@@ -449,10 +449,14 @@ def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     # simulate the partial original run: index rows appended WITH this
     # lineage's (checkpoint, batch 0) tag, no table commit, no batch-id
     # marker — exactly what the sink leaves behind on a crash
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        _canon_checkpoint,
+    )
+
     index_path = str(tmp_path / "dedup_index")
     build_corpus_index(batch).select(
         "*",
-        F.lit(str(tmp_path / "ck")).alias("__src_ck"),
+        F.lit(_canon_checkpoint(str(tmp_path / "ck"))).alias("__src_ck"),
         F.lit(0).cast("long").alias("__src_batch"),
     ).write.parquet(index_path)
 
@@ -462,7 +466,9 @@ def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     stream = (
         spark.readStream.schema("doc_id long, text string").parquet(src)
     )
-    q = stream_ingest_dedup(stream, table, index_path, str(tmp_path / "ck"))
+    # the replay spells the SAME checkpoint with a trailing slash — the
+    # tag comparison must canonicalize, or the exclusion silently skips
+    q = stream_ingest_dedup(stream, table, index_path, str(tmp_path / "ck") + "/")
     q.processAllAvailable()
     q.stop()
 
