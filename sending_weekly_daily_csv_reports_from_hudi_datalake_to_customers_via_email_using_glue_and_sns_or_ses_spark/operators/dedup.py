@@ -214,6 +214,13 @@ def _jaccard_pairs_and_caches(
         return hit, []
 
     d = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    # array_distinct over the gram array is an interpreted HOF chain
+    # (the decontaminate_fuzzy r6 finding), but A/B at sf0.1 kept it:
+    # the explode-then-.distinct() alternative shuffles the full
+    # shingle-string stream and measured ~25% SLOWER end-to-end here —
+    # one interpreted pass over a frame persisted for four consumers
+    # beats an extra exchange. (minhash dropped its distinct entirely;
+    # exact Jaccard needs doc-distinct postings, so this one stays.)
     cached_shingles = d.select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias("shingle"),
@@ -423,11 +430,14 @@ def _minhash_sig_table(docs: DataFrame) -> DataFrame:
     (doc_id, text) frame — the derivation dedup_minhash_lsh caches,
     reusable for incremental indexing (``build_corpus_index``)."""
     d = docs.withColumn("__toks", _tokens())
+    # NO distinct: the signature is a min-aggregation over hashed
+    # shingles, which duplicate occurrences cannot change — and
+    # array_distinct stacked on the shingle transform would push the
+    # whole projection out of codegen (interpreted HOF chain, the
+    # decontaminate_fuzzy r6 finding)
     shingles = d.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingle_array(F.col("__toks")))).alias(
-            "shingle"
-        ),
+        F.explode(_shingle_array(F.col("__toks"))).alias("shingle"),
     )
     return shingles.groupBy("doc_id").agg(*_minhash_signature())
 
