@@ -1256,6 +1256,90 @@ def remove_shared_substrings(
     )
 
 
+def shared_substring_runs(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 256,
+) -> DataFrame:
+    """MAXIMAL shared runs between document pairs — the form Lee et al.
+    2022 (arXiv:2107.06499) actually report: where
+    :func:`exact_substring_pairs` says "these docs share N k-token
+    windows", this says "they share a run of exactly R tokens starting
+    at position p_a in one and p_b in the other". A shared run of R ≥ k
+    tokens appears as R−k+1 consecutive shared windows along one
+    diagonal (constant p_b − p_a); grouping consecutive window
+    positions per (pair, diagonal) and adding k−1 recovers the maximal
+    run — the gaps-and-islands composition, same trick as
+    sessionization.
+
+    Returns (doc_a, doc_b, start_a, start_b, run_tokens), doc_a <
+    doc_b, one row per maximal run (within-pair repeats yield one row
+    per diagonal occurrence). Positions index the docs'
+    whitespace-token streams after the detector's normalization,
+    0-based.
+
+    Same scale shape as the detector plus one extra shuffle: postings
+    are (doc, pos, h1, h2) — 4 longs, no text — the pair join is
+    postings² per window (hot windows capped identically), and the
+    run-assembly window shuffles the JOINED rows by (pair, diagonal),
+    data-proportional to the join output it already paid for.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_postings <= 1:
+        raise ValueError(f"max_postings must be > 1, got {max_postings}")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
+    occ = src.select(
+        "doc_id",
+        F.posexplode(_shingle_array(F.col("toks"), k)).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("w").alias("h1"),
+        # salt-FIRST (the detector's independence caveat)
+        F.xxhash64(F.lit(1), "w").alias("h2"),
+    )
+    hot = (
+        occ.select("doc_id", "h1", "h2")
+        .distinct()
+        .groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_postings)
+        .select("h1", "h2")
+    )
+    postings = occ.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = a.join(
+        b,
+        (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pb") - F.col("pa")
+    ).orderBy("pa")
+    return (
+        shared.withColumn("__grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", (F.col("pb") - F.col("pa")).alias("__d"), "__grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            (F.min("pa") + F.col("__d")).alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).cast("long").alias("run_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+    )
+
+
 @query(
     "exact_substring_pairs",
     oracle=r"""

@@ -693,6 +693,100 @@ def test_remove_shared_substrings_planted_spans(spark):
     assert again.agg(F.sum("n_tokens_removed")).first()[0] == 0
 
 
+def test_shared_substring_runs_planted(spark):
+    """Maximal-run recovery: a 30-token shared run and a separate
+    12-token shared run between the same pair come back as exactly two
+    rows with the right starts and lengths; sub-k shares and disjoint
+    docs yield nothing; a within-doc repeated span reports one run per
+    diagonal occurrence."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    run = " ".join(f"R{j}" for j in range(30))
+    run2 = " ".join(f"Q{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 b1 {run} c1 {run2} d1"),
+            (2, f"x2 {run} y2 z2 w2 v2 u2 t2 {run2} s2"),
+            (3, "totally different words " + " ".join(f"u{j}" for j in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["run_tokens"])
+        for r in shared_substring_runs(docs, k=10).collect()
+    )
+    assert got == [(1, 2, 2, 1, 30), (1, 2, 33, 37, 12)]
+
+    # within-doc repeat: doc 5 contains the span twice → two diagonals
+    span = " ".join(f"S{j}" for j in range(15))
+    docs2 = spark.createDataFrame(
+        [(4, f"h4 {span} t4"), (5, f"{span} mid5 {span}")],
+        "doc_id long, text string",
+    )
+    got2 = sorted(
+        (r["start_a"], r["start_b"], r["run_tokens"])
+        for r in shared_substring_runs(docs2, k=10).collect()
+    )
+    assert got2 == [(1, 0, 15), (1, 16, 15)]
+
+
+def test_shared_substring_runs_duckdb_reference(spark):
+    """Hash-free DuckDB recomputation of the maximal runs on the
+    fixture corpus (window strings + gaps-and-islands) must match the
+    operator row-for-row."""
+    import duckdb
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    k = 10
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = sorted(
+        map(tuple, shared_substring_runs(docs, k=k).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+                             t -> t <> '') AS toks
+          FROM '{SF}/documents.parquet'
+        ), occ AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+{k - 1}], ' ') AS w
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {k - 1})) AS i)
+        ), keep AS (
+          SELECT w FROM (SELECT DISTINCT doc_id, w FROM occ)
+          GROUP BY w HAVING count(*) <= 256
+        ), shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM occ a JOIN keep USING (w) JOIN occ b USING (w)
+          WHERE a.doc_id < b.doc_id
+        ), grp AS (
+          SELECT *, pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS g
+          FROM shared
+        )
+        SELECT doc_a, doc_b,
+               min(pa) AS start_a,
+               CAST(min(pa) + (pb - pa) AS BIGINT) AS start_b,
+               CAST(max(pa) - min(pa) + {k} AS BIGINT) AS run_tokens
+        FROM grp GROUP BY doc_a, doc_b, pb - pa, g
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert got  # the fixture corpus has real shared runs
+
+
 def test_remove_shared_substrings_duckdb_reference(spark):
     """Cross-check against a direct window-string reference in DuckDB
     on the fixture documents: per-doc removed-token counts must match a

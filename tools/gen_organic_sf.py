@@ -418,6 +418,14 @@ def _remove_shared_substrings(spark, sf_dir):
     )
 
 
+def _shared_substring_runs(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    return shared_substring_runs(_docs(spark, sf_dir), k=20)
+
+
 def _decontaminate_fuzzy(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -443,6 +451,7 @@ EXTRA_SCALE = {
     "quality_classifier": _quality_classifier,
     "exact_substring_pairs": _exact_substring,
     "remove_shared_substrings": _remove_shared_substrings,
+    "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
 }
 
