@@ -232,3 +232,68 @@ def embedding_pca(
         F.col(id_col), project(F.col(vec_col)).alias("proj")
     )
     return mean, comps, projected
+
+
+def quantize_embeddings(
+    e: DataFrame, vec_col: str = "embedding", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an ``array<float>``
+    column: ``scale = max(|x|)/127`` per row, elements become
+    ``round_half_up(x/scale)`` clamped to [−127, 127] — the standard
+    storage/serving compression for embedding corpora (float32 → 1
+    byte/dim + one float scale ≈ 4× smaller; at a 100 TB embedding
+    store that is the difference between fitting the ANN working set
+    in cluster memory or not).
+
+    Returns the input frame with ``vec_col`` replaced by
+    ``array<tinyint>`` plus the appended per-row ``scale_col`` (float).
+    All-zero (and NULL-free) vectors get scale 0 and all-zero codes —
+    ``dequantize_embeddings`` reconstructs them exactly. Pure JVM
+    expressions, single-layer lambdas only (the r6 interpreted-HOF
+    rule): one scan, no shuffle, no Python.
+
+    Reconstruction error per element is ≤ scale/2 = max|x|/254;
+    cosine/kNN ranking survives (pytest pins recall on the fixture
+    corpus). Deterministic round-half-up (floor(x+0.5)) so a NumPy
+    twin reproduces every code byte.
+    """
+    others = [c for c in e.columns if c != vec_col]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scaled = e.select(
+        *others,
+        v.alias("__qv"),
+        (
+            F.coalesce(
+                F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
+            )
+            / F.lit(127.0)
+        ).alias(scale_col),
+    )
+    q = F.transform(
+        "__qv",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(F.col(scale_col) == 0.0, F.lit(0.0))
+                .otherwise(F.floor(x / F.col(scale_col) + F.lit(0.5)))
+                .cast("int"),
+            ),
+        ).cast("tinyint"),
+    )
+    return scaled.select(
+        *others, q.alias(vec_col), F.col(scale_col).cast("float")
+    ).select(*e.columns, scale_col)
+
+
+def dequantize_embeddings(
+    e: DataFrame, vec_col: str = "embedding", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: codes × scale back to
+    ``array<float>``, dropping ``scale_col``. One scan, one
+    single-layer lambda."""
+    deq = F.transform(
+        F.col(vec_col),
+        lambda b: (b.cast("double") * F.col(scale_col)).cast("float"),
+    )
+    return e.withColumn(vec_col, deq).drop(scale_col)

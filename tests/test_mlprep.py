@@ -226,3 +226,84 @@ def test_embedding_pca_large_mean_stable(spark):
     assert np.allclose(mean, ref_mean, rtol=1e-12)
     for i in range(4):
         assert abs(float(np.dot(comps[i], ref[i]))) > 0.999
+
+
+def test_quantize_embeddings_roundtrip_and_numpy_twin(spark):
+    """int8 quantization: every code byte matches a NumPy twin
+    (round-half-up), reconstruction error is bounded by scale/2 per
+    element, schema/columns behave as documented, and zero vectors
+    roundtrip exactly."""
+    import numpy as np
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = quantize_embeddings(e)
+    assert q.columns == ["vec_id", "embedding", "q_scale"]
+    assert dict(q.dtypes)["embedding"] == "array<tinyint>"
+
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in e.collect()}
+    for r in q.collect():
+        x = src[r["vec_id"]]
+        scale = np.max(np.abs(x)) / 127.0
+        assert r["q_scale"] == pytest.approx(scale, rel=1e-6)
+        want = np.clip(np.floor(x / scale + 0.5), -127, 127).astype(np.int8)
+        assert list(r["embedding"]) == list(want), r["vec_id"]
+
+    back = dequantize_embeddings(q)
+    assert back.columns == ["vec_id", "embedding"]
+    for r in back.collect():
+        x = src[r["vec_id"]]
+        err = np.abs(np.array(r["embedding"], dtype=np.float64) - x)
+        assert err.max() <= np.max(np.abs(x)) / 254.0 + 1e-9, r["vec_id"]
+
+
+def test_quantize_embeddings_zero_vector_and_knn_recall(spark):
+    """A zero vector gets scale 0 / zero codes and reconstructs
+    exactly; quantized cosine kNN keeps >=90% of the exact top-10 on
+    the fixture corpus (the serving-path quality claim)."""
+    import numpy as np
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.mlprep import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    z = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.5, -2.0, 0.0, 3.25, -0.5, 0.1, 2.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(z).collect()}
+    assert rows[0]["q_scale"] == 0.0
+    assert set(rows[0]["embedding"]) == {0}
+    back = {r["vec_id"]: r["embedding"]
+            for r in dequantize_embeddings(quantize_embeddings(z)).collect()}
+    assert list(back[0]) == [0.0] * 8
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    X = np.stack([np.array(r["embedding"], dtype=np.float64)
+                  for r in e.orderBy("vec_id").collect()])
+    D = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in dequantize_embeddings(quantize_embeddings(e))
+         .orderBy("vec_id").collect()}
+    Q = np.stack([D[i] for i in range(len(D))])
+
+    def topk(M, q, k=10):
+        n = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = n @ (q / np.linalg.norm(q))
+        return set(np.argsort(-sims)[1:k + 1])  # skip self
+
+    recalls = []
+    for qid in range(3):
+        exact = topk(X, X[qid])
+        approx = topk(Q, Q[qid])
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.9
