@@ -142,7 +142,7 @@ PICK = {
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
     "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition). Since r6 also a driver entry (documents, k=20) with a hash-free DuckDB window-string oracle.",
     "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); token surgery is a pure array filter, no per-token explode back.",
-    "decontaminate_fuzzy": "per-doc distinct shingle counts ride the scan as an array expression (size ∘ array_distinct) — the corpus branch reaches the broadcast hit join exchange-free, exactly decontaminate's shape plus the carried sizes; Jaccard and the strongest-match window run over HIT rows only.",
+    "decontaminate_fuzzy": "one HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
     "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
 }
 
