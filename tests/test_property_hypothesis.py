@@ -218,3 +218,73 @@ def test_dedup_incremental_exact_membership_property(spark, corpus_keys, new_key
     for r in report.collect():
         assert corpus_key_of[r["matched_doc_id"]] == key_of[r["doc_id"]]
         assert r["reason"] == "exact"
+
+
+# --------------------------------------------------------------------
+# remove_shared_substrings vs a pure-Python reference
+# --------------------------------------------------------------------
+
+_K_RSS = 4
+
+corpora = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=5),  # tiny vocab → real dups
+        min_size=0,
+        max_size=14,
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+def _rss_reference(texts: list[list[str]], k: int) -> list[tuple[str, int]]:
+    """Direct reimplementation of the documented semantics: windows of
+    k tokens keyed by content; occurrences sorted by (doc, pos); every
+    non-canonical occurrence's positions are cut."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, toks in enumerate(texts):
+        for p in range(len(toks) - k + 1):
+            occ[tuple(toks[p:p + k])].append((d, p))
+    cut = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) < 2:
+            continue
+        canon = min(positions)
+        for d, p in positions:
+            if (d, p) != canon:
+                cut[d].update(range(p, p + k))
+    out = []
+    for d, toks in enumerate(texts):
+        kept = [t for i, t in enumerate(toks) if i not in cut[d]]
+        removed = len(toks) - len(kept)
+        out.append((" ".join(kept) if removed else " ".join(toks), removed))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=corpora)
+def test_remove_shared_substrings_matches_reference(spark, data):
+    """Cleaned text and removed-token counts agree with the pure-Python
+    reference on arbitrary tiny-vocabulary corpora (where duplicated
+    and overlapping windows are common by construction)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        remove_shared_substrings,
+    )
+
+    texts = [[f"w{t}" for t in toks] for toks in data]
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_shared_substrings(docs, k=_K_RSS).collect()
+    }
+    want = dict(enumerate(_rss_reference(texts, _K_RSS)))
+    assert got == want
