@@ -248,11 +248,18 @@ def quantize_embeddings(
     Returns the input frame with ``vec_col`` replaced by
     ``array<tinyint>`` plus the appended per-row ``scale_col`` (float).
     All-zero (and NULL-free) vectors get scale 0 and all-zero codes —
-    ``dequantize_embeddings`` reconstructs them exactly. Pure JVM
+    ``dequantize_embeddings`` reconstructs them exactly. NULL elements
+    stay NULL through the round trip (and are skipped by ``array_max``
+    when computing the scale) — ``least``/``greatest`` skip NULLs, so
+    without the explicit isNull guard a NULL element would silently
+    quantize to code 127, fabricating the vector max. Pure JVM
     expressions, single-layer lambdas only (the r6 interpreted-HOF
     rule): one scan, no shuffle, no Python.
 
-    Reconstruction error per element is ≤ scale/2 = max|x|/254;
+    Codes are computed against the float32-rounded scale that is
+    actually stored, so reconstruction error per element is ≤
+    stored_scale/2 exactly (quantizing against the double scale and
+    then rounding it for storage would leak up to 127·ulp extra).
     cosine/kNN ranking survives (pytest pins recall on the fixture
     corpus). Deterministic round-half-up (floor(x+0.5)) so a NumPy
     twin reproduces every code byte.
@@ -267,23 +274,29 @@ def quantize_embeddings(
                 F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
             )
             / F.lit(127.0)
-        ).alias(scale_col),
+        )
+        .cast("float")
+        .alias(scale_col),
     )
     q = F.transform(
         "__qv",
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.when(F.col(scale_col) == 0.0, F.lit(0.0))
-                .otherwise(F.floor(x / F.col(scale_col) + F.lit(0.5)))
-                .cast("int"),
-            ),
-        ).cast("tinyint"),
+        lambda x: F.when(x.isNull(), F.lit(None).cast("tinyint")).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.when(F.col(scale_col) == 0.0, F.lit(0.0))
+                    .otherwise(
+                        F.floor(x / F.col(scale_col).cast("double") + F.lit(0.5))
+                    )
+                    .cast("int"),
+                ),
+            ).cast("tinyint")
+        ),
     )
-    return scaled.select(
-        *others, q.alias(vec_col), F.col(scale_col).cast("float")
-    ).select(*e.columns, scale_col)
+    return scaled.select(*others, q.alias(vec_col), F.col(scale_col)).select(
+        *e.columns, scale_col
+    )
 
 
 def dequantize_embeddings(

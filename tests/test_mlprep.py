@@ -249,11 +249,16 @@ def test_quantize_embeddings_roundtrip_and_numpy_twin(spark):
 
     src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
            for r in e.collect()}
+    stored_scale = {}
     for r in q.collect():
         x = src[r["vec_id"]]
-        scale = np.max(np.abs(x)) / 127.0
-        assert r["q_scale"] == pytest.approx(scale, rel=1e-6)
-        want = np.clip(np.floor(x / scale + 0.5), -127, 127).astype(np.int8)
+        # codes are computed against the float32 scale that is stored
+        scale = np.float32(np.max(np.abs(x)) / 127.0)
+        stored_scale[r["vec_id"]] = scale
+        assert r["q_scale"] == scale
+        want = np.clip(
+            np.floor(x / np.float64(scale) + 0.5), -127, 127
+        ).astype(np.int8)
         assert list(r["embedding"]) == list(want), r["vec_id"]
 
     back = dequantize_embeddings(q)
@@ -261,7 +266,10 @@ def test_quantize_embeddings_roundtrip_and_numpy_twin(spark):
     for r in back.collect():
         x = src[r["vec_id"]]
         err = np.abs(np.array(r["embedding"], dtype=np.float64) - x)
-        assert err.max() <= np.max(np.abs(x)) / 254.0 + 1e-9, r["vec_id"]
+        # half the stored (float32) scale, plus the float32 cast of the
+        # reconstructed product (≤ 127·scale·2⁻²⁴ ≈ scale·7.6e-6)
+        s = np.float64(stored_scale[r["vec_id"]])
+        assert err.max() <= (s / 2.0) * (1.0 + 1e-4), r["vec_id"]
 
 
 def test_quantize_embeddings_zero_vector_and_knn_recall(spark):
@@ -285,6 +293,22 @@ def test_quantize_embeddings_zero_vector_and_knn_recall(spark):
     back = {r["vec_id"]: r["embedding"]
             for r in dequantize_embeddings(quantize_embeddings(z)).collect()}
     assert list(back[0]) == [0.0] * 8
+
+    # NULL elements stay NULL (least()/greatest() skip NULLs — without
+    # the guard a NULL element silently became code 127, the vector max)
+    # and NULL vectors pass through; neither perturbs the scale.
+    nl = spark.createDataFrame(
+        [(0, [3.0, None, -1.5]), (1, None)],
+        "vec_id long, embedding array<float>",
+    )
+    nq = {r["vec_id"]: r for r in quantize_embeddings(nl).collect()}
+    assert list(nq[0]["embedding"]) == [127, None, -64]
+    assert nq[0]["q_scale"] == pytest.approx(3.0 / 127.0, rel=1e-6)
+    assert nq[1]["embedding"] is None
+    nb = {r["vec_id"]: r["embedding"]
+          for r in dequantize_embeddings(quantize_embeddings(nl)).collect()}
+    assert nb[0][0] == pytest.approx(3.0, rel=1e-6) and nb[0][1] is None
+    assert nb[1] is None
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", "embedding"
