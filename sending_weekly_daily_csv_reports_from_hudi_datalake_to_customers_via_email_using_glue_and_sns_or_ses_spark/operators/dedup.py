@@ -1048,6 +1048,66 @@ def dedup_clusters(
     )
 
 
+def _window_postings(
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    max_postings: int,
+    with_positions: bool,
+) -> DataFrame:
+    """Shared postings builder for :func:`exact_substring_pairs` and
+    :func:`shared_substring_runs`: normalized-token k-windows as narrow
+    double-64-bit-hash rows (``doc_id[, pos], h1, h2`` — no window text
+    in the shuffle; salt-FIRST ``h2``, see the detector's independence
+    caveat), hot windows dropped by a broadcast anti-join.
+
+    The hot cap counts POSTING ROWS per window, which bounds the
+    consumers' self-join to ``max_postings²`` rows per window
+    unconditionally. Without positions the postings are distinct
+    (doc, window), so the cap equals the distinct-doc count; with
+    positions every occurrence is a row, so a window repeated within
+    one document counts each repeat — capping on distinct docs there
+    would leave the join occurrences-squared (two template pages each
+    repeating one boilerplate window 1,000× would emit 10⁶ joined rows
+    from a "2-doc" window).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_postings <= 1:
+        raise ValueError(f"max_postings must be > 1, got {max_postings}")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
+    if with_positions:
+        occ = src.select(
+            "doc_id",
+            F.posexplode(_shingle_array(F.col("toks"), k)).alias("pos", "w"),
+        )
+        keep = ["doc_id", "pos"]
+    else:
+        occ = src.select(
+            "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
+        )
+        keep = ["doc_id"]
+    hashed = occ.select(
+        *keep,
+        F.xxhash64("w").alias("h1"),
+        # salt-FIRST: see exact_substring_pairs' independence caveat
+        F.xxhash64(F.lit(1), "w").alias("h2"),
+    )
+    if not with_positions:
+        hashed = hashed.distinct()
+    hot = (
+        hashed.groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_post"))
+        .filter(F.col("n_post") > max_postings)
+        .select("h1", "h2")
+    )
+    return hashed.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+
+
 def exact_substring_pairs(
     docs: DataFrame,
     k: int = 20,
@@ -1085,33 +1145,9 @@ def exact_substring_pairs(
     avoiding the quadratic hot-key join. One shuffle keyed by the
     window hash; volume ≈ total corpus tokens, rows of 3 longs.
     """
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
-    if max_postings <= 1:
-        raise ValueError(f"max_postings must be > 1, got {max_postings}")
-    src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
-    windows = (
-        src.select(
-            "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
-        )
-        .select(
-            "doc_id",
-            F.xxhash64("w").alias("h1"),
-            # salt-FIRST: see the docstring's independence caveat
-            F.xxhash64(F.lit(1), "w").alias("h2"),
-        )
-        .distinct()
+    postings = _window_postings(
+        docs, k, id_col, text_col, max_postings, with_positions=False
     )
-    hot = (
-        windows.groupBy("h1", "h2")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") > max_postings)
-        .select("h1", "h2")
-    )
-    postings = windows.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     return (
         a.join(
@@ -1283,37 +1319,22 @@ def shared_substring_runs(
 
     Same scale shape as the detector plus one extra shuffle: postings
     are (doc, pos, h1, h2) — 4 longs, no text — the pair join is
-    postings² per window (hot windows capped identically), and the
-    run-assembly window shuffles the JOINED rows by (pair, diagonal),
-    data-proportional to the join output it already paid for.
+    postings² per window, and the run-assembly window shuffles the
+    JOINED rows by (pair, diagonal), data-proportional to the join
+    output it already paid for. The hot cap counts OCCURRENCES (not
+    distinct docs — positions are join fan-in here; see
+    :func:`_window_postings`), so the join is ≤ ``max_postings²`` rows
+    per window unconditionally. Two caveats of that lossy cap: a run
+    crossing a >``max_postings``-occurrence boilerplate window splits
+    at the dropped window — reported runs are maximal within the
+    SURVIVING window stream, so ubiquitous boilerplate inside a shared
+    span yields two sub-runs rather than one; and the detector's cap
+    counts distinct docs, so a window the detector keeps can be hot
+    here when it repeats within documents.
     """
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
-    if max_postings <= 1:
-        raise ValueError(f"max_postings must be > 1, got {max_postings}")
-    src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
-    occ = src.select(
-        "doc_id",
-        F.posexplode(_shingle_array(F.col("toks"), k)).alias("pos", "w"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("w").alias("h1"),
-        # salt-FIRST (the detector's independence caveat)
-        F.xxhash64(F.lit(1), "w").alias("h2"),
+    postings = _window_postings(
+        docs, k, id_col, text_col, max_postings, with_positions=True
     )
-    hot = (
-        occ.select("doc_id", "h1", "h2")
-        .distinct()
-        .groupBy("h1", "h2")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") > max_postings)
-        .select("h1", "h2")
-    )
-    postings = occ.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     shared = a.join(
         b,

@@ -97,6 +97,19 @@ def _remove_shared_substrings(spark, sf):
     )
 
 
+def _shared_substring_runs(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    return shared_substring_runs(
+        load_table(spark, sf, "documents").select("doc_id", "text"), k=10
+    )
+
+
 def _decontaminate_fuzzy(spark, sf):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
         load_table,
@@ -118,6 +131,7 @@ EXTRA = {
     "dedup_incremental": _dedup_incremental,
     "exact_substring_pairs": _exact_substring_pairs,
     "remove_shared_substrings": _remove_shared_substrings,
+    "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
 }
 
@@ -142,6 +156,7 @@ PICK = {
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
     "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition). Since r6 also a driver entry (documents, k=20) with a hash-free DuckDB window-string oracle.",
     "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); token surgery is a pure array filter, no per-token explode back.",
+    "shared_substring_runs": "the detector's narrow postings with positions kept (4-long rows — no window text in any exchange); the hot cap counts OCCURRENCES, not distinct docs, bounding the self-join to max_postings² per window even for within-doc repeats; run assembly is one Window over (pair, diagonal), data-proportional to the join output.",
     "decontaminate_fuzzy": "one HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
     "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
 }

@@ -731,6 +731,20 @@ def test_shared_substring_runs_planted(spark):
     )
     assert got2 == [(1, 0, 15), (1, 16, 15)]
 
+    # hot cap counts OCCURRENCES: a window repeated within documents
+    # past max_postings is dropped (bounding the self-join fan-in),
+    # even though only two distinct docs carry it
+    boiler = " ".join(f"B{j}" for j in range(10))
+    docs3 = spark.createDataFrame(
+        [(6, (boiler + " ") * 4), (7, (boiler + " ") * 4)],
+        "doc_id long, text string",
+    )
+    # each doc has 31 tokens → repeated windows; cap 5 < total
+    # occurrences of the all-boilerplate windows → nothing survives
+    assert shared_substring_runs(docs3, k=10, max_postings=5).count() == 0
+    # with a generous cap the shared runs come back
+    assert shared_substring_runs(docs3, k=10, max_postings=256).count() > 0
+
 
 def test_shared_substring_runs_duckdb_reference(spark):
     """Hash-free DuckDB recomputation of the maximal runs on the
@@ -762,8 +776,8 @@ def test_shared_substring_runs_duckdb_reference(spark):
                  array_to_string(toks[i:i+{k - 1}], ' ') AS w
           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {k - 1})) AS i)
         ), keep AS (
-          SELECT w FROM (SELECT DISTINCT doc_id, w FROM occ)
-          GROUP BY w HAVING count(*) <= 256
+          -- occurrence-count cap (join fan-in), not distinct docs
+          SELECT w FROM occ GROUP BY w HAVING count(*) <= 256
         ), shared AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos AS pa, b.pos AS pb

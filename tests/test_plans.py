@@ -348,6 +348,33 @@ def test_remove_shared_substrings_no_pairwise_join(spark):
     assert joins <= 3, f"expected ≤3 keyed joins (dup, marks, rejoin): {joins}"
 
 
+def test_shared_substring_runs_narrow_postings_shape(spark):
+    """The run assembler must keep the detector's narrow shape: every
+    shuffle row is longs-only (the 4-long postings / joined diagonals —
+    no token or window STRINGS in any exchange), the hot-window guard
+    is a broadcast join (anti; AQE may elide it when the hot set is
+    empty at tiny sf), and there is exactly one equi-self-join plus the
+    run-assembly window — no cartesian anywhere."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = shared_substring_runs(docs, k=10)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan, plan
+    import re
+
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "toks" not in args and not re.search(r"\bw\b", args), (
+            f"window/token strings shuffle: {args}"
+        )
+
+
 def test_decontaminate_fuzzy_narrow_codegen_shape(spark):
     """decontaminate_fuzzy must stay in the narrow-hash shape: the eval
     side broadcasts (no shuffle join against the corpus), there is no
