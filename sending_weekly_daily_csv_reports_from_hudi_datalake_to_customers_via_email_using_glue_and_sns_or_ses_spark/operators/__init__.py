@@ -95,6 +95,12 @@ def clear_intermediate_caches() -> None:
             except Exception:  # noqa: BLE001 — dead context: forget it
                 pass
         registry.clear()
+    for frame in dedup._POSTINGS_HANDLES:  # list, not keyed — same idea
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 — dead context: forget it
+            pass
+    dedup._POSTINGS_HANDLES.clear()
     # plain dicts (numpy matrices / layout paths) — nothing to unpersist
     similarity._CENT_CACHE.clear()
     import logging

@@ -191,6 +191,13 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: HIT: by then the (much smaller) pair frame has been materialized by
 #: the first caller, so the wide intermediate no longer earns its memory.
 _PAIRS_SHINGLE_HANDLE: dict[tuple[str, str], DataFrame] = {}
+#: persist handles for _window_postings frames (one per operator call;
+#: Spark's CacheManager dedupes canonically-equal plans, so repeat
+#: calls on the same corpus share one physical cache entry). Tracked
+#: only so clear_intermediate_caches / slope tooling can unpersist —
+#: unlike the keyed caches above these are never LOOKED UP, so there is
+#: no correctness exposure to key collisions.
+_POSTINGS_HANDLES: list[DataFrame] = []
 
 
 def _jaccard_pairs_and_caches(
@@ -1071,6 +1078,16 @@ def _window_postings(
     would leave the join occurrences-squared (two template pages each
     repeating one boilerplate window 1,000× would emit 10⁶ joined rows
     from a "2-doc" window).
+
+    The postings frame is PERSISTED (memory-and-disk): three plan paths
+    consume it (hot count, anti-join input, and both self-join sides
+    downstream) and Spark 4's AQE does not fold the identical subtrees
+    into one reused exchange here, so without the persist the full
+    tokenize→window→hash corpus scan runs three times (measured at
+    organic 10×: ~2× end-to-end, BASELINE.md r6). Narrow 3-4-long rows
+    spill fine at any scale; the cache releases when the caller drops
+    the returned frame (ContextCleaner) or via
+    ``clear_intermediate_caches``-style explicit unpersist by tooling.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1099,6 +1116,8 @@ def _window_postings(
     )
     if not with_positions:
         hashed = hashed.distinct()
+    hashed = hashed.persist()
+    _POSTINGS_HANDLES.append(hashed)
     hot = (
         hashed.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_post"))
