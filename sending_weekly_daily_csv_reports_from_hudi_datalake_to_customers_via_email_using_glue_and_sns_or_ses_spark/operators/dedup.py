@@ -852,10 +852,111 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(perturbed)
 
 
+def _star_components(pairs, _cut, max_rounds: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014): each large-star pass attaches every node's LARGER
+    neighbors to its neighborhood minimum, each small-star pass its
+    smaller-or-equal ones (and itself) — components contract to stars
+    rooted at their minimum id in O(log² n) full rounds regardless of
+    diameter. See :func:`connected_components` (``algorithm="star"``)
+    for when to prefer this over Hash-Min.
+
+    ``pairs`` is the already-materialized (doc_a, doc_b) frame from the
+    caller's lineage cut. Convergence = the canonical edge set is
+    unchanged across one full round, detected by a (count, 2×
+    independent-hash-sum) signature — one tiny aggregate per round; a
+    false stop needs two distinct edge sets agreeing on the count AND
+    both 64-bit sums (~2⁻¹²⁸, the double-window-hash argument). Stars
+    are fixed points of both passes, and the only ones, so signature
+    equality ⇒ converged star state. Per round: one eager cut after
+    the large pass (its output feeds four plan paths in the small
+    pass), one lazy cut materialized by the signature aggregate.
+    """
+    # canonical undirected edge set: (u, v) with u > v
+    E = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+    def _pass(E, large: bool) -> DataFrame:
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        if large:
+            # every larger neighbor attaches to the neighborhood min;
+            # m ≤ u < v, so (v, m) is already canonically ordered
+            out = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            # smaller neighbors AND the node itself attach to the min;
+            # m ≤ every neighbor, so (x, m) is canonically ordered
+            out = (
+                sym.join(m, "u")
+                .filter(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(
+                    m.select(F.col("u").alias("u"), F.col("m").alias("v"))
+                )
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig_agg = [
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        # salt-FIRST for an independent second sum (the sequential-fold
+        # caveat documented on exact_substring_pairs)
+        F.sum(F.xxhash64(F.lit(7), "u", "v").cast("decimal(38,0)")),
+    ]
+    prev_sig = None
+    for _round in range(max_rounds):
+        E = _cut(_pass(E, large=True))  # eager: 4 consumers below
+        E = _cut(_pass(E, large=False), eager=False)
+        sig = tuple(E.agg(*sig_agg).first())  # materializes the cut
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{max_rounds} rounds — raise max_rounds rather than ship "
+            "half-contracted cluster labels"
+        )
+    # converged state is a union of stars rooted at component minima:
+    # every non-root appears exactly once as u with its root as v
+    roots = nodes.join(
+        E.select(F.col("u").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return (
+        E.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            roots.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+    )
+
+
 def connected_components(
     pair_graph: DataFrame,
     checkpoint_dir: str | None = None,
     release_after_cut: list[DataFrame] | None = None,
+    algorithm: str = "hashmin",
+    max_rounds: int = 100,
 ) -> DataFrame:
     """PUBLIC connected-components operator over an undirected pair
     frame ``(doc_a, doc_b)``: every node labeled with the smallest
@@ -880,10 +981,27 @@ def connected_components(
       * each round is one shuffle keyed by doc_id, linear in edges.
 
     Near-dup components have tiny diameter, so the loop converges in
-    2-3 rounds; it runs to convergence (bounded only by a 100-round
-    safety rail that RAISES rather than return half-propagated labels —
-    a chain of templated docs longer than the old fixed cap must not
-    silently disagree with the exact closure).
+    2-3 rounds; it runs to convergence (bounded only by a
+    ``max_rounds`` safety rail, default 100, that RAISES rather than
+    return half-propagated labels — a chain of templated docs longer
+    than the old fixed cap must not silently disagree with the exact
+    closure).
+
+    ``algorithm`` picks the iteration scheme:
+      * ``"hashmin"`` (default) — the label-propagation loop above;
+        O(diameter) rounds, ONE shuffle per round. Right for near-dup
+        graphs, whose components are star-or-clique-shaped (diameter
+        2-3).
+      * ``"star"`` — alternating large-star/small-star edge rewriting
+        (Kiveris et al. 2014, "Connected Components in MapReduce and
+        Beyond"): each pass reattaches nodes to their neighborhood
+        minimum, contracting components to stars in O(log² n) rounds
+        REGARDLESS of diameter — the scale path for pathological
+        graphs (a 10⁶-doc chain of each-doc-near-dups-its-predecessor
+        needs 10⁶ Hash-Min rounds but ~20 star rounds). Costlier per
+        round (two passes, each a groupBy + join + distinct), so
+        hashmin stays the default for the low-diameter dedup graphs
+        every caller here builds.
 
     ``release_after_cut``: persisted frames the edge plan depended on,
     unpersisted once the pair frame is materialized by the first cut.
@@ -897,6 +1015,11 @@ def connected_components(
     function RAISES if a different checkpoint dir is already set on the
     context rather than overwrite it.
     """
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'hashmin' or 'star')"
+        )
     spark = pair_graph.sparkSession
     if checkpoint_dir is not None:
         import os
@@ -958,13 +1081,14 @@ def connected_components(
     # leaking session-lifetime cache entries
     for frame in release_after_cut or ():
         frame.unpersist()
+    if algorithm == "star":
+        return _star_components(pairs, _cut, max_rounds)
     nodes = _cut(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id")),
         eager=False,  # round 0's aggregate materializes it — saves a job
     )
-    max_rounds = 100  # safety rail only: Hash-Min needs ≤ graph-diameter rounds
     prev_sum = None
     for round_no in range(max_rounds):
         # each node adopts the min label among itself and its neighbors

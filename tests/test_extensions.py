@@ -531,13 +531,46 @@ def test_connected_components_random_graph_fuzz(spark):
         pair_graph = spark.createDataFrame(
             [(a, b) for a, b in edges], "doc_a long, doc_b long"
         )
-        got = {
-            int(r["doc_id"]): int(r["cluster_id"])
-            for r in connected_components(pair_graph).collect()
-        }
         touched = {x for e in edges for x in e}
         expect = {x: ref[x] for x in touched}
-        assert got == expect, f"n={n}, edges={edges[:10]}..."
+        for algorithm in ("hashmin", "star"):
+            got = {
+                int(r["doc_id"]): int(r["cluster_id"])
+                for r in connected_components(
+                    pair_graph, algorithm=algorithm
+                ).collect()
+            }
+            assert got == expect, (
+                f"{algorithm}: n={n}, edges={edges[:10]}..."
+            )
+
+
+def test_connected_components_star_long_chain(spark):
+    """The star contraction is the high-diameter scale path: a 60-node
+    chain converges within ~log² rounds where Hash-Min needs diameter
+    rounds (its max_rounds rail RAISES instead of returning
+    half-propagated labels); unknown algorithm names raise."""
+    import pytest as _pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in connected_components(
+            chain, algorithm="star", max_rounds=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, algorithm="hashmin", max_rounds=12).count()
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(chain, algorithm="bogus")
 
 
 def test_semantic_dedup_planted_groups(spark):
