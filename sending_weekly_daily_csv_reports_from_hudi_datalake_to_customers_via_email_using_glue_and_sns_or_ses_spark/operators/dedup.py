@@ -1147,6 +1147,7 @@ def dedup_clusters(
     sf_dir: str,
     checkpoint_dir: str | None = None,
     edge_source: str = "jaccard",
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Duplicate-cluster formation: :func:`connected_components` over a
     near-dup pair graph.
@@ -1162,6 +1163,10 @@ def dedup_clusters(
         the exact inverted-index join grows quadratically (measured
         organic 10× slope 2.1 vs 9.5). pytest verifies the labels
         against a union-find over the same minhash edge set.
+
+    ``algorithm`` passes through to :func:`connected_components` —
+    ``"star"`` for corpora whose duplicate chains could exceed the
+    Hash-Min diameter rail.
     """
     if edge_source not in ("jaccard", "minhash"):
         raise ValueError(
@@ -1172,10 +1177,15 @@ def dedup_clusters(
         pair_graph = dedup_minhash_lsh(spark, sf_dir).select(
             "doc_a", "doc_b"
         )
-        return connected_components(pair_graph, checkpoint_dir)
+        return connected_components(
+            pair_graph, checkpoint_dir, algorithm=algorithm
+        )
     pair_graph, caches = _jaccard_pairs_and_caches(spark, sf_dir)
     return connected_components(
-        pair_graph, checkpoint_dir, release_after_cut=caches
+        pair_graph,
+        checkpoint_dir,
+        release_after_cut=caches,
+        algorithm=algorithm,
     )
 
 
@@ -1548,6 +1558,7 @@ def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.97,
     checkpoint_dir: str | None = None,
+    algorithm: str = "hashmin",
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): drop all but one of every group of semantically
@@ -1568,13 +1579,14 @@ def semantic_dedup(
     band-bucketing bounds the candidate set — the role k-means
     clustering plays in the paper), grouping from
     `connected_components` (Hash-Min, lineage-cut per round;
-    ``checkpoint_dir`` passes through for executor-loss-safe runs).
+    ``checkpoint_dir`` passes through for executor-loss-safe runs, and
+    ``algorithm="star"`` for high-diameter duplicate chains).
     Everything is bucketed/banded — no all-pairs join at any stage.
     """
     pairs = embedding_cosine_pairs(e, threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    labels = connected_components(pairs, checkpoint_dir)
+    labels = connected_components(pairs, checkpoint_dir, algorithm=algorithm)
     report = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("representative"),
