@@ -10,6 +10,7 @@ sweep a single embarrassingly-parallel scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -436,3 +437,60 @@ def repetition_signals(
         F.lit(0.0).alias("dup_ngram_frac"),
     )
     return signals.unionByName(short)
+
+
+def compression_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the published
+    "compressibility" quality signal (used alongside the Gopher
+    repetition rules: highly repetitive/templated text compresses far
+    below natural prose, machine-generated gibberish barely compresses
+    at all). Returns (id, n_bytes, compressed_bytes, compression_ratio)
+    where ratio = compressed/uncompressed in (0, ~1.1] — LOW ratios
+    flag boilerplate walls, HIGH ratios (≈1, incompressible) flag
+    random-ish non-text; both tails are drop candidates. Thresholds
+    are corpus policy, not operator logic.
+
+    Empty/NULL text scores ratio 1.0 with 0 bytes (neutral — the
+    length gates, not this one, handle empties). DEFLATE level is
+    pinned (default 6) so the signal is deterministic across runs and
+    platforms (zlib output at a fixed level is stable for a given
+    input).
+
+    Scale: one Arrow-batched pandas UDF scan (zlib is C-speed, ~100
+    MB/s/core — the scan is compression-bound, not Python-bound), zero
+    shuffles, composes with the zero-shuffle gates in
+    functions/text.py. No JVM expression can do this: compression is
+    the one quality signal that genuinely needs a library call, which
+    is exactly what the Arrow batch path is for.
+    """
+    @F.pandas_udf("array<long>")
+    def _sizes(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str | None) -> list[int]:
+            if not t:
+                return [0, 0]
+            b = t.encode("utf-8")
+            return [len(b), len(zlib.compress(b, level))]
+
+        return pd.Series([one(t) for t in s])
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"), _sizes(F.col(text_col)).alias("sz")
+    )
+    return sized.select(
+        "doc_id",
+        F.element_at("sz", 1).alias("n_bytes"),
+        F.element_at("sz", 2).alias("compressed_bytes"),
+        F.when(F.element_at("sz", 1) <= 0, F.lit(1.0))
+        .otherwise(
+            F.element_at("sz", 2).cast("double")
+            / F.element_at("sz", 1).cast("double")
+        )
+        .alias("compression_ratio"),
+    )

@@ -348,6 +348,24 @@ def test_remove_shared_substrings_no_pairwise_join(spark):
     assert joins <= 3, f"expected ≤3 keyed joins (dup, marks, rejoin): {joins}"
 
 
+def test_compression_signals_zero_shuffle(spark):
+    """The compressibility signal is one Arrow-batched scan — no
+    Exchange, no join; the only non-scan node is the ArrowEvalPython
+    batch."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        compression_signals,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = physical_plan(compression_signals(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
 def test_shared_substring_runs_narrow_postings_shape(spark):
     """The run assembler must keep the detector's narrow shape: every
     shuffle row is longs-only (the 4-long postings / joined diagonals —

@@ -184,3 +184,43 @@ def test_regex_token_count(spark):
     assert got[3] == 0
     assert got[4] == 0
     assert got[5] == 3
+
+
+def test_compression_signals_twin_and_ordering(spark):
+    """compression_signals matches a direct Python zlib twin byte-for-
+    byte, ranks repetitive text below prose and below random-ish text,
+    and scores empty/NULL neutrally (ratio 1.0, 0 bytes)."""
+    import zlib
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        compression_signals,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while a curious "
+        "observer takes careful notes about seasonal migration patterns"
+    )
+    boiler = "click here to subscribe " * 40
+    randomish = "qz7xv2 jk9wp4 mn3rt8 bl5gy1 cd6hs0 fw8ne2 " * 3
+    rows = [(1, prose), (2, boiler), (3, randomish), (4, ""), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+
+    for doc_id, text in rows:
+        if not text:
+            assert got[doc_id]["n_bytes"] == 0
+            assert got[doc_id]["compressed_bytes"] == 0
+            assert got[doc_id]["compression_ratio"] == 1.0
+            continue
+        b = text.encode("utf-8")
+        assert got[doc_id]["n_bytes"] == len(b)
+        assert got[doc_id]["compressed_bytes"] == len(zlib.compress(b, 6))
+        assert got[doc_id]["compression_ratio"] == pytest.approx(
+            len(zlib.compress(b, 6)) / len(b)
+        )
+
+    # boilerplate compresses far below prose; random-ish gibberish sits
+    # above prose — the two drop-candidate tails
+    assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
+    assert got[3]["compression_ratio"] > got[2]["compression_ratio"]
+    assert got[2]["compression_ratio"] < 0.2
