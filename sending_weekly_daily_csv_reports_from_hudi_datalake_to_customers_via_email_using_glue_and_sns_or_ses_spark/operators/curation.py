@@ -417,12 +417,19 @@ def prepare_training_data(
     max_perplexity: float | None = None,
     lm_vocab_size: int = 1 << 14,
     substring_dedup_k: int | None = None,
+    compression_bounds: tuple[float, float] | None = None,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
 
       1. profile + quality gate (``text_profile``'s score ≥ min_quality,
          PII scrubbed — one scan, all JVM expressions);
+      1a. optional compressibility gate (``compression_bounds=(lo,
+         hi)``): docs whose zlib ratio falls outside the band are
+         dropped — low = boilerplate walls the token-level signals can
+         miss, ≈1 = incompressible non-text
+         (``textual.compression_ratio_column``, fused into the same
+         scan as a filter — no extra join or shuffle);
       1b. optional LM-perplexity gate (``max_perplexity``): a unigram LM
          (``scoring.train_unigram_lm``) is fit on the quality-gated
          corpus itself and docs scoring above the threshold are dropped
@@ -469,7 +476,22 @@ def prepare_training_data(
     gated = docs.filter(F.col("quality") >= min_quality)
     n_quality = gated.count()
 
-    n_perplexity = n_quality
+    n_compression = n_quality
+    if compression_bounds is not None:
+        lo, hi = compression_bounds
+        if not (0.0 <= lo < hi):
+            raise ValueError(
+                "compression_bounds must satisfy 0 <= lo < hi, got "
+                f"({lo}, {hi})"
+            )
+        from .textual import compression_ratio_column
+
+        gated = gated.filter(
+            compression_ratio_column("text").between(lo, hi)
+        )
+        n_compression = gated.count()
+
+    n_perplexity = n_compression
     gate_cache = None
     substring_cache = None
     train = None
@@ -570,6 +592,7 @@ def prepare_training_data(
         return {
             "n_input": n_input,
             "n_after_quality": n_quality,
+            "n_after_compression": n_compression,
             "n_after_perplexity": n_perplexity,
             "n_after_dedup": n_dedup,
             "n_substring_tokens_removed": n_substring_tokens_removed,
@@ -628,7 +651,11 @@ def write_training_shards(
     sharded.repartition(num_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(out_path)
-    written = df.sparkSession.read.parquet(out_path)
+    # explicit schema: an EMPTY input writes only the _SUCCESS marker,
+    # and schema inference over zero files raises — an empty corpus
+    # must yield empty stats, not a crash (the funnel's impossible-gate
+    # path hits this)
+    written = df.sparkSession.read.schema(sharded.schema).parquet(out_path)
     aggs = [F.count("*").alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("n_tokens"))

@@ -439,6 +439,37 @@ def repetition_signals(
     return signals.unionByName(short)
 
 
+def _zlib_sizes(level: int):
+    """Arrow-batched (raw_bytes, compressed_bytes) pandas UDF at a
+    pinned DEFLATE level — shared by :func:`compression_signals` and
+    the inline :func:`compression_ratio_column`."""
+
+    @F.pandas_udf("array<long>")
+    def _sizes(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str | None) -> list[int]:
+            if not t:
+                return [0, 0]
+            b = t.encode("utf-8")
+            return [len(b), len(zlib.compress(b, level))]
+
+        return pd.Series([one(t) for t in s])
+
+    return _sizes
+
+
+def compression_ratio_column(text_col: str = "text", level: int = 6):
+    """The compression ratio as a plain COLUMN expression (empty/NULL
+    → 1.0), for fusing the gate into an existing scan — e.g.
+    ``prepare_training_data``'s quality stage — without the separate
+    frame + join that :func:`compression_signals` implies."""
+    sz = _zlib_sizes(level)(F.col(text_col))
+    return F.when(F.element_at(sz, 1) <= 0, F.lit(1.0)).otherwise(
+        F.element_at(sz, 2).cast("double") / F.element_at(sz, 1).cast("double")
+    )
+
+
 def compression_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -468,20 +499,9 @@ def compression_signals(
     the one quality signal that genuinely needs a library call, which
     is exactly what the Arrow batch path is for.
     """
-    @F.pandas_udf("array<long>")
-    def _sizes(s: pd.Series) -> pd.Series:
-        import zlib
-
-        def one(t: str | None) -> list[int]:
-            if not t:
-                return [0, 0]
-            b = t.encode("utf-8")
-            return [len(b), len(zlib.compress(b, level))]
-
-        return pd.Series([one(t) for t in s])
-
     sized = docs.select(
-        F.col(id_col).alias("doc_id"), _sizes(F.col(text_col)).alias("sz")
+        F.col(id_col).alias("doc_id"),
+        _zlib_sizes(level)(F.col(text_col)).alias("sz"),
     )
     return sized.select(
         "doc_id",

@@ -410,6 +410,55 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     assert bad.isEmpty()
 
 
+def test_prepare_training_data_compression_gate(spark, tmp_path):
+    """The optional compressibility gate drops docs outside the ratio
+    band and records the stage count; bad bounds raise; the default
+    (None) leaves the funnel untouched."""
+    import pytest as _pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    out = str(tmp_path / "train_cg")
+    stats = prepare_training_data(
+        spark,
+        SF,
+        out,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        # generous band: sanity that the plumbing keeps most docs
+        compression_bounds=(0.05, 1.05),
+    )
+    assert (
+        stats["n_after_quality"]
+        >= stats["n_after_compression"]
+        >= stats["n_after_dedup"]
+    )
+    assert stats["n_after_compression"] > 0
+
+    # a band nothing satisfies empties the funnel at this stage (empty
+    # docs score exactly 1.0 — the NEUTRAL value — so the impossible
+    # band must sit below every real ratio, not hug 1.0)
+    out2 = str(tmp_path / "train_cg2")
+    stats2 = prepare_training_data(
+        spark,
+        SF,
+        out2,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        compression_bounds=(0.0001, 0.0002),
+    )
+    assert stats2["n_after_compression"] == 0
+
+    with _pytest.raises(ValueError, match="compression_bounds"):
+        prepare_training_data(
+            spark, SF, str(tmp_path / "x"), compression_bounds=(0.5, 0.2)
+        )
+
+
 def test_prepare_training_data_substring_dedup_stage(spark, tmp_path):
     """Stage 2b: with substring_dedup_k on, duplicated k-token spans are
     cut before decontamination, the removed-token stat is reported, and
