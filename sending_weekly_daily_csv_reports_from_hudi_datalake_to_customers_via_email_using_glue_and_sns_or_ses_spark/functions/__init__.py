@@ -1,5 +1,10 @@
 """Reusable column-expression builders (JVM-side, no UDFs)."""
 
+from .layout import (  # noqa: F401
+    add_zorder_key,
+    interleave_bits,
+    zorder_splits,
+)
 from .text import (  # noqa: F401
     duplicate_line_fraction,
     pii_hit_count,

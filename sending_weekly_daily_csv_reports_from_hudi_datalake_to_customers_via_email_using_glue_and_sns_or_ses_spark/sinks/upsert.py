@@ -606,18 +606,41 @@ def write_hudi(df: DataFrame, path: str, options: dict[str, str]) -> bool:
     return True
 
 
-def compact_snapshot(table: KeyedTable, target_files: int = 1) -> str | None:
+def compact_snapshot(
+    table: KeyedTable,
+    target_files: int = 1,
+    zorder_cols: list[str] | None = None,
+) -> str | None:
     """P5/P11 compaction: rewrite the live snapshot into ``target_files``
     files sorted by the record key (small-file compaction + clustering in
     one pass — the observable effect of hoodie.clustering/parquet file
     sizing, generate_hudi_table.py:150-167). Creates a new commit so
-    readers never see a half-compacted snapshot."""
+    readers never see a half-compacted snapshot.
+
+    ``zorder_cols`` clusters along a Morton curve over those numeric
+    columns instead of the record key — Hudi's z-order clustering
+    strategy (``hoodie.clustering.plan.strategy.sort.columns`` with the
+    spatial-curve option): every listed column gets partial file-level
+    min/max locality, so single-column filters prune files that a
+    lexicographic sort would only prune for its leading column. See
+    ``functions/layout.py`` for the curve mechanics and
+    tests/test_layout.py for the measured pruning benefit."""
     with table._txn():
         snap = table.snapshot()
         if snap is None:
             return None
         commit = table._new_commit_id()
-        compacted = snap.repartitionByRange(target_files, table.record_key)
+        if zorder_cols:
+            from ..functions.layout import add_zorder_key
+
+            compacted = (
+                add_zorder_key(snap, zorder_cols)
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            compacted = snap.repartitionByRange(target_files, table.record_key)
         table._write_snapshot(compacted, commit)
         table._publish(commit)
         table._record_instant(commit, "replace")
