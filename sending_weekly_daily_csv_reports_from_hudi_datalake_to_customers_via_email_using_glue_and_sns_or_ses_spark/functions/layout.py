@@ -75,11 +75,14 @@ def zorder_splits(
     out = {}
     for col, qs in zip(cols, quantiles):
         interior = sorted(set(qs))
-        out[col] = (
-            [float("-inf")] + interior + [float("inf")]
-            if interior
-            else [float("-inf"), float("inf")]
-        )
+        if not interior:
+            # constant, all-NULL, or empty column: approxQuantile
+            # returns nothing, and Bucketizer REQUIRES ≥3 split points
+            # — degenerate to one real boundary (every value lands in
+            # one bucket, the column contributes no curve bits, and
+            # compaction still succeeds)
+            interior = [0.0]
+        out[col] = [float("-inf")] + interior + [float("inf")]
     return out
 
 

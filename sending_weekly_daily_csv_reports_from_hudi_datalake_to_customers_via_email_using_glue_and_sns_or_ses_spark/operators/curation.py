@@ -418,6 +418,7 @@ def prepare_training_data(
     lm_vocab_size: int = 1 << 14,
     substring_dedup_k: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
+    compression_min_bytes: int = 256,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
@@ -429,7 +430,11 @@ def prepare_training_data(
          dropped — low = boilerplate walls the token-level signals can
          miss, ≈1 = incompressible non-text
          (``textual.compression_ratio_column``, fused into the same
-         scan as a filter — no extra join or shuffle);
+         scan as a filter — no extra join or shuffle). Docs under
+         ``compression_min_bytes`` BYPASS the band: zlib's fixed
+         ~11-byte overhead makes short-doc ratios meaningless (a
+         50-byte sentence scores ~1.2) — length policy belongs to the
+         quality gate, not this one;
       1b. optional LM-perplexity gate (``max_perplexity``): a unigram LM
          (``scoring.train_unigram_lm``) is fit on the quality-gated
          corpus itself and docs scoring above the threshold are dropped
@@ -477,21 +482,7 @@ def prepare_training_data(
     n_quality = gated.count()
 
     n_compression = n_quality
-    if compression_bounds is not None:
-        lo, hi = compression_bounds
-        if not (0.0 <= lo < hi):
-            raise ValueError(
-                "compression_bounds must satisfy 0 <= lo < hi, got "
-                f"({lo}, {hi})"
-            )
-        from .textual import compression_ratio_column
-
-        gated = gated.filter(
-            compression_ratio_column("text").between(lo, hi)
-        )
-        n_compression = gated.count()
-
-    n_perplexity = n_compression
+    n_perplexity = n_quality
     gate_cache = None
     substring_cache = None
     train = None
@@ -500,6 +491,29 @@ def prepare_training_data(
     # validation, empty-corpus LM train) — an exception must not leak
     # a cached full-corpus frame for the session's lifetime
     try:
+        if compression_bounds is not None:
+            lo, hi = compression_bounds
+            if not (0.0 <= lo < hi):
+                raise ValueError(
+                    "compression_bounds must satisfy 0 <= lo < hi, got "
+                    f"({lo}, {hi})"
+                )
+            from .textual import compression_ratio_column
+
+            # short docs bypass the band (docstring: zlib's fixed
+            # overhead makes their ratio meaningless); persist the
+            # survivors — the zlib scan is the funnel's most expensive
+            # single pass and every downstream stage count would
+            # otherwise replay it
+            gated = gated.filter(
+                (F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+                 < compression_min_bytes)
+                | compression_ratio_column("text").between(lo, hi)
+            )
+            gate_cache = gated.persist()
+            n_compression = gated.count()
+            n_perplexity = n_compression
+
         if max_perplexity is not None:
             if max_perplexity <= 1.0:
                 # unigram self-perplexity is exp(−avg ln p) over p < 1,
@@ -520,7 +534,9 @@ def prepare_training_data(
             # (n_sampled below); the finally covers error paths.
             # Zero-token docs (empty after scrubbing) score perplexity
             # +inf and are dropped here explicitly when the gate is on.
-            gate_cache = gated.persist()
+            # (The compression gate may have persisted already — reuse.)
+            if gate_cache is None:
+                gate_cache = gated.persist()
             vocab, lm_stats = train_unigram_lm(
                 gate_cache, vocab_size=lm_vocab_size
             )

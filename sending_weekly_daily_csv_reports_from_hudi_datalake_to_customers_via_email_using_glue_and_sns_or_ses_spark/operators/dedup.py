@@ -193,11 +193,26 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_SHINGLE_HANDLE: dict[tuple[str, str], DataFrame] = {}
 #: persist handles for _window_postings frames (one per operator call;
 #: Spark's CacheManager dedupes canonically-equal plans, so repeat
-#: calls on the same corpus share one physical cache entry). Tracked
-#: only so clear_intermediate_caches / slope tooling can unpersist —
-#: unlike the keyed caches above these are never LOOKED UP, so there is
-#: no correctness exposure to key collisions.
+#: calls on the same corpus share one physical cache entry). BOUNDED:
+#: CacheManager entries are only freed by explicit unpersist — never by
+#: GC/ContextCleaner — so a long-lived session looping over distinct
+#: corpora would otherwise accumulate memory-and-disk cache entries
+#: forever. Appending past the cap unpersists the oldest handle (a
+#: cache miss and recompute for that corpus, never a wrong result —
+#: these handles are never LOOKED UP, so there is no correctness
+#: exposure). clear_intermediate_caches empties it outright.
 _POSTINGS_HANDLES: list[DataFrame] = []
+_POSTINGS_HANDLES_MAX = 8
+
+
+def _track_postings_handle(frame: DataFrame) -> None:
+    _POSTINGS_HANDLES.append(frame)
+    while len(_POSTINGS_HANDLES) > _POSTINGS_HANDLES_MAX:
+        stale = _POSTINGS_HANDLES.pop(0)
+        try:
+            stale.unpersist()
+        except Exception:  # noqa: BLE001 — dead context: forget it
+            pass
 
 
 def _jaccard_pairs_and_caches(
@@ -1219,9 +1234,10 @@ def _window_postings(
     into one reused exchange here, so without the persist the full
     tokenize→window→hash corpus scan runs three times (measured at
     organic 10×: ~2× end-to-end, BASELINE.md r6). Narrow 3-4-long rows
-    spill fine at any scale; the cache releases when the caller drops
-    the returned frame (ContextCleaner) or via
-    ``clear_intermediate_caches``-style explicit unpersist by tooling.
+    spill fine at any scale. Handles go through the BOUNDED
+    ``_track_postings_handle`` registry (CacheManager never frees
+    entries on its own — see ``_POSTINGS_HANDLES``), and
+    ``clear_intermediate_caches`` releases them all.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1251,7 +1267,7 @@ def _window_postings(
     if not with_positions:
         hashed = hashed.distinct()
     hashed = hashed.persist()
-    _POSTINGS_HANDLES.append(hashed)
+    _track_postings_handle(hashed)
     hot = (
         hashed.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_post"))

@@ -459,15 +459,22 @@ def _zlib_sizes(level: int):
     return _sizes
 
 
+def _ratio_from_sizes(sz):
+    """compressed/raw from a (raw, compressed) sizes array; empty/NULL
+    text (raw 0) scores the neutral 1.0. ONE definition shared by the
+    frame operator and the fused column so the two can never drift."""
+    return F.when(F.element_at(sz, 1) <= 0, F.lit(1.0)).otherwise(
+        F.element_at(sz, 2).cast("double") / F.element_at(sz, 1).cast("double")
+    )
+
+
 def compression_ratio_column(text_col: str = "text", level: int = 6):
     """The compression ratio as a plain COLUMN expression (empty/NULL
     → 1.0), for fusing the gate into an existing scan — e.g.
     ``prepare_training_data``'s quality stage — without the separate
-    frame + join that :func:`compression_signals` implies."""
-    sz = _zlib_sizes(level)(F.col(text_col))
-    return F.when(F.element_at(sz, 1) <= 0, F.lit(1.0)).otherwise(
-        F.element_at(sz, 2).cast("double") / F.element_at(sz, 1).cast("double")
-    )
+    frame + join that :func:`compression_signals` implies. Mind the
+    short-doc caveat on :func:`compression_signals` when thresholding."""
+    return _ratio_from_sizes(_zlib_sizes(level)(F.col(text_col)))
 
 
 def compression_signals(
@@ -481,10 +488,18 @@ def compression_signals(
     repetition rules: highly repetitive/templated text compresses far
     below natural prose, machine-generated gibberish barely compresses
     at all). Returns (id, n_bytes, compressed_bytes, compression_ratio)
-    where ratio = compressed/uncompressed in (0, ~1.1] — LOW ratios
-    flag boilerplate walls, HIGH ratios (≈1, incompressible) flag
+    where ratio = compressed/uncompressed — LOW ratios flag boilerplate
+    walls, HIGH ratios (≈1 for long docs, incompressible) flag
     random-ish non-text; both tails are drop candidates. Thresholds
     are corpus policy, not operator logic.
+
+    SHORT-DOC caveat: zlib's fixed ~11-byte header/checksum overhead
+    dominates small inputs, so a legitimate 50-byte sentence scores
+    ~1.2 and an 11-byte one ~1.7 — the ratio is only meaningful once
+    ``n_bytes`` is a few hundred. Threshold ON TOP of a length floor
+    (``prepare_training_data``'s gate bypasses docs under
+    ``compression_min_bytes`` for exactly this reason) rather than
+    assuming the ratio is ≤ ~1.1 for all real text.
 
     Empty/NULL text scores ratio 1.0 with 0 bytes (neutral — the
     length gates, not this one, handle empties). DEFLATE level is
@@ -507,10 +522,5 @@ def compression_signals(
         "doc_id",
         F.element_at("sz", 1).alias("n_bytes"),
         F.element_at("sz", 2).alias("compressed_bytes"),
-        F.when(F.element_at("sz", 1) <= 0, F.lit(1.0))
-        .otherwise(
-            F.element_at("sz", 2).cast("double")
-            / F.element_at("sz", 1).cast("double")
-        )
-        .alias("compression_ratio"),
+        _ratio_from_sizes(F.col("sz")).alias("compression_ratio"),
     )

@@ -440,7 +440,8 @@ def test_prepare_training_data_compression_gate(spark, tmp_path):
 
     # a band nothing satisfies empties the funnel at this stage (empty
     # docs score exactly 1.0 — the NEUTRAL value — so the impossible
-    # band must sit below every real ratio, not hug 1.0)
+    # band must sit below every real ratio, not hug 1.0; and the
+    # short-doc bypass must be disabled or short docs survive the band)
     out2 = str(tmp_path / "train_cg2")
     stats2 = prepare_training_data(
         spark,
@@ -450,8 +451,25 @@ def test_prepare_training_data_compression_gate(spark, tmp_path):
         num_shards=2,
         min_quality=0.0,
         compression_bounds=(0.0001, 0.0002),
+        compression_min_bytes=0,
     )
     assert stats2["n_after_compression"] == 0
+
+    # short docs BYPASS the band (zlib overhead makes their ratio
+    # meaningless): with a huge floor every doc bypasses and the same
+    # impossible band drops nothing
+    out3 = str(tmp_path / "train_cg3")
+    stats3 = prepare_training_data(
+        spark,
+        SF,
+        out3,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        compression_bounds=(0.0001, 0.0002),
+        compression_min_bytes=1 << 30,
+    )
+    assert stats3["n_after_compression"] == stats3["n_after_quality"]
 
     with _pytest.raises(ValueError, match="compression_bounds"):
         prepare_training_data(

@@ -71,6 +71,24 @@ def test_add_zorder_key_nulls_and_determinism(spark):
     }
 
 
+def test_add_zorder_key_degenerate_columns(spark):
+    """Constant and all-NULL columns must not crash the Bucketizer
+    (approxQuantile returns no interior splits there — the splits
+    builder degenerates to one boundary and the column contributes no
+    curve bits)."""
+    df = spark.createDataFrame(
+        [(i, 7.0, None) for i in range(20)],
+        "id long, const double, empty double",
+    )
+    keyed = add_zorder_key(df, ["const", "empty"], bits=4)
+    assert keyed.count() == 20
+    assert keyed.select("__zkey").distinct().count() == 1
+
+    # fully empty frame: splits degenerate the same way
+    empty = df.filter("id < 0")
+    assert add_zorder_key(empty, ["const", "empty"], bits=4).count() == 0
+
+
 def test_zorder_prunes_second_column_better_than_lexicographic(spark):
     """The measured claim: range-partition 10k uniform rows into 16
     buckets by (a) lexicographic (a, b) and (b) the z-key, compute each
