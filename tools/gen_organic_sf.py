@@ -439,6 +439,15 @@ def _decontaminate_fuzzy(spark, sf_dir):
     return clean
 
 
+
+def _compression_signals(spark, sf_dir):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        compression_signals,
+    )
+
+    return compression_signals(_docs(spark, sf_dir))
+
+
 EXTRA_SCALE = {
     "dedup_clusters_minhash": _minhash_clusters,
     "pack_sequences": _pack_sequences,
@@ -453,6 +462,7 @@ EXTRA_SCALE = {
     "remove_shared_substrings": _remove_shared_substrings,
     "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
+    "compression_signals": _compression_signals,
 }
 
 
