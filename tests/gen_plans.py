@@ -123,6 +123,20 @@ def _decontaminate_fuzzy(spark, sf):
     return report
 
 
+
+def _compression_signals(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        compression_signals,
+    )
+
+    return compression_signals(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+
 #: library functions reviewed alongside the registered corpus
 EXTRA = {
     "distinct_sort_limit": distinct_sort_limit,
@@ -133,6 +147,7 @@ EXTRA = {
     "remove_shared_substrings": _remove_shared_substrings,
     "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
+    "compression_signals": _compression_signals,
 }
 
 SF = "/root/testdata/sf0.001"
@@ -158,6 +173,7 @@ PICK = {
     "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); token surgery is a pure array filter, no per-token explode back.",
     "shared_substring_runs": "the detector's narrow postings with positions kept (4-long rows — no window text in any exchange); the hot cap counts OCCURRENCES, not distinct docs, bounding the self-join to max_postings² per window even for within-doc repeats; run assembly is one Window over (pair, diagonal), data-proportional to the join output; postings persisted (shared _window_postings builder, see exact_substring_pairs).",
     "decontaminate_fuzzy": "one HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
+    "compression_signals": "one Arrow-batched zlib scan (single ArrowEvalPython node, the UDF deduplicated across its three consumers) — zero Exchange, zero Join; the one quality signal that genuinely needs a library call (plan-pinned by test_compression_signals_zero_shuffle).",
     "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
 }
 
