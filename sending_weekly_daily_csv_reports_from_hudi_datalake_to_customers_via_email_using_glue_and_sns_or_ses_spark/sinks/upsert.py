@@ -486,13 +486,18 @@ class KeyedTable:
                 "staging parent not removed (non-fatal): %s", exc
             )
 
-    def _write_snapshot(self, df: DataFrame, commit: str) -> None:
+    def _write_snapshot(
+        self, df: DataFrame, commit: str, presorted: bool = False
+    ) -> None:
         path = os.path.join(self.root, "snapshots", f"v={commit}")
         if self.partition_cols:
             # P4 hive-style layout → partition pruning on read; P5
             # clustering-lite: sort within partitions on the record key
-            # for row-group locality
-            out = df.sortWithinPartitions(self.record_key)
+            # for row-group locality. ``presorted`` callers (z-order
+            # compaction) already ordered the rows along their own
+            # cluster key — re-sorting by the record key here would
+            # silently destroy that layout inside every written file.
+            out = df if presorted else df.sortWithinPartitions(self.record_key)
             self._staged_write(
                 lambda p: out.write.mode("overwrite")
                 .partitionBy(*self.partition_cols)
@@ -641,7 +646,7 @@ def compact_snapshot(
             )
         else:
             compacted = snap.repartitionByRange(target_files, table.record_key)
-        table._write_snapshot(compacted, commit)
+        table._write_snapshot(compacted, commit, presorted=bool(zorder_cols))
         table._publish(commit)
         table._record_instant(commit, "replace")
         table._clean()
