@@ -100,3 +100,30 @@ def run_stream_on_batch(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def dedupe_stream_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` emits the first occurrence of
+    each key and expires state once the event-time watermark passes —
+    the idiomatic Spark form of at-most-once-per-key ingest when
+    duplicates arrive CLOSE TOGETHER (at-least-once upstream delivery,
+    replayed batches), state bounded by watermark horizon × key rate
+    regardless of stream lifetime.
+
+    Complements ``streaming/stateful.dedupe_stream`` (the
+    applyInPandasWithState TTL variant): that one gives exact
+    first-occurrence semantics with explicit TTL control and custom
+    state, this one is pure built-in — no Python in the loop, state
+    management owned by the engine. Use the stateful variant when
+    duplicates can arrive ARBITRARILY far apart (standing-corpus dedup
+    belongs to dedup.build_corpus_index / stream_ingest_dedup); use
+    this when the dedup horizon is a bounded replay window.
+    """
+    e = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    return e.dropDuplicatesWithinWatermark(list(keys or ["event_id"]))

@@ -478,3 +478,27 @@ def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(index_path).collect()
     ) == [10, 11]
+
+
+def test_dedupe_stream_watermark_exactly_once(spark, tmp_path):
+    """The built-in bounded-state dedup: the same events landed twice
+    (duplicates arrive within the watermark horizon) emit exactly once
+    per event_id, matching the batch distinct."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.windows import (
+        dedupe_stream_watermark,
+    )
+
+    batch = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    path = str(tmp_path / "dup_events")
+    batch.write.parquet(path)
+    batch.write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = run_stream_on_batch(
+        dedupe_stream_watermark(stream, keys=["event_id"]),
+        "wm_dedupe_out",
+    )
+    n_unique = batch.select("event_id").distinct().count()
+    emitted = out.collect()
+    assert len(emitted) == n_unique
+    assert len({r["event_id"] for r in emitted}) == n_unique
