@@ -252,7 +252,12 @@ def quantize_embeddings(
     stay NULL through the round trip (and are skipped by ``array_max``
     when computing the scale) — ``least``/``greatest`` skip NULLs, so
     without the explicit isNull guard a NULL element would silently
-    quantize to code 127, fabricating the vector max. Pure JVM
+    quantize to code 127, fabricating the vector max. NaN elements are
+    treated the same way (skipped for the scale, NULL after the round
+    trip — int8 has no NaN to map to): ``array_max`` sorts NaN as the
+    GREATEST value, so an unguarded max would make the scale NaN and
+    the int cast would collapse every code to 0 — the whole vector
+    silently round-tripping to garbage. Pure JVM
     expressions, single-layer lambdas only (the r6 interpreted-HOF
     rule): one scan, no shuffle, no Python.
 
@@ -266,21 +271,26 @@ def quantize_embeddings(
     """
     others = [c for c in e.columns if c != vec_col]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # NaN elements are treated exactly like NULL elements (skipped for
+    # the scale, NULL through the round trip): array_max sorts NaN as
+    # the GREATEST value, so an unguarded max would make the scale NaN,
+    # every code NaN, and the int cast would silently collapse the
+    # whole vector to zeros — corruption with no error
+    finite_abs = F.transform(
+        v, lambda x: F.when(F.isnan(x), F.lit(None)).otherwise(F.abs(x))
+    )
     scaled = e.select(
         *others,
         v.alias("__qv"),
-        (
-            F.coalesce(
-                F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
-            )
-            / F.lit(127.0)
-        )
+        (F.coalesce(F.array_max(finite_abs), F.lit(0.0)) / F.lit(127.0))
         .cast("float")
         .alias(scale_col),
     )
     q = F.transform(
         "__qv",
-        lambda x: F.when(x.isNull(), F.lit(None).cast("tinyint")).otherwise(
+        lambda x: F.when(
+            x.isNull() | F.isnan(x), F.lit(None).cast("tinyint")
+        ).otherwise(
             F.greatest(
                 F.lit(-127),
                 F.least(

@@ -83,7 +83,13 @@ def _canon_checkpoint(checkpoint_dir: str) -> str:
     u = urlparse(checkpoint_dir)
     if (u.scheme or "file") == "file" and not u.netloc:
         return os.path.normpath(os.path.abspath(u.path))
-    return f"{u.scheme}://{u.netloc}{os.path.normpath(u.path.rstrip('/') or '/')}"
+    # authorities are case-insensitive (urlparse lowercases only the
+    # scheme): hdfs://HOST/ck and hdfs://host/ck are the same lineage,
+    # and differing tags would silently skip the replay exclusion
+    return (
+        f"{u.scheme}://{u.netloc.lower()}"
+        f"{os.path.normpath(u.path.rstrip('/') or '/')}"
+    )
 
 
 def stream_ingest_dedup(
@@ -119,9 +125,16 @@ def stream_ingest_dedup(
     identical drop/keep decisions, and the idempotent upsert converges
     — while a whole-source re-stream under a FRESH checkpoint (new
     lineage, different tags) still dedups against every committed
-    index row, including each doc's own, and converges to an unchanged
-    table. ``id_col`` must be globally unique across the stream (it is
-    the record key). An index bootstrapped directly via
+    index row and converges to an unchanged table. Exact SELF-matches
+    (index doc_id == batch doc_id) are additionally excluded: the tags
+    only cover replays under the SAME checkpoint, and recovery under a
+    different checkpoint dir after a crash between index append and
+    table commit would otherwise band-match each doc against its own
+    orphan index row and drop it forever without it ever landing in
+    the table — safe because the upsert is idempotent and the append
+    path anti-joins the index, so a doc whose committed row pre-exists
+    neither double-appends nor changes outcome. ``id_col`` must be
+    globally unique across the stream (it is the record key). An index bootstrapped directly via
     ``build_corpus_index`` (no tag columns) is read with mergeSchema,
     its untagged rows never excluded — correct, since they predate any
     streaming lineage.
@@ -187,7 +200,19 @@ def stream_ingest_dedup(
                 )
             else:
                 lookup = index
-            clean, _report = dedup_incremental(intra, lookup, threshold)
+            # exclude_self on top of the tag scoping: the tags cover a
+            # replay under the SAME checkpoint, but a crash between
+            # index append and table commit followed by re-ingestion
+            # under a DIFFERENT checkpoint dir leaves orphan index rows
+            # whose tags no longer match — without the self exclusion
+            # each such doc would match its own orphan row and be
+            # dropped forever without ever landing in the table. Safe:
+            # the upsert is idempotent and the append path anti-joins
+            # the index, so a legitimate committed self-row never
+            # double-appends; sibling matches still resolve via tags.
+            clean, _report = dedup_incremental(
+                intra, lookup, threshold, exclude_self=True
+            )
         else:
             clean = intra
         # persist decisions before acking: index rows first (replay

@@ -310,6 +310,21 @@ def test_quantize_embeddings_zero_vector_and_knn_recall(spark):
     assert nb[0][0] == pytest.approx(3.0, rel=1e-6) and nb[0][1] is None
     assert nb[1] is None
 
+    # NaN elements behave like NULL (skipped for the scale, NULL after
+    # the round trip): array_max sorts NaN GREATEST, so without the
+    # guard the scale became NaN and every code collapsed to 0 — the
+    # finite elements must still quantize correctly
+    nan = spark.createDataFrame(
+        [(0, [2.0, float("nan"), -1.0]), (1, [float("nan")] * 3)],
+        "vec_id long, embedding array<float>",
+    )
+    qn = {r["vec_id"]: r for r in quantize_embeddings(nan).collect()}
+    assert list(qn[0]["embedding"]) == [127, None, -64]
+    assert qn[0]["q_scale"] == pytest.approx(2.0 / 127.0, rel=1e-6)
+    # all-NaN vector: no finite element → scale 0, all-NULL codes
+    assert qn[1]["q_scale"] == 0.0
+    assert list(qn[1]["embedding"]) == [None, None, None]
+
     e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", "embedding"
     )

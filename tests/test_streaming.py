@@ -480,6 +480,75 @@ def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     ) == [10, 11]
 
 
+def test_canon_checkpoint_case_and_recovery_under_new_checkpoint(
+    spark, tmp_path
+):
+    """Two lineage-tag rules from the r6 ADVICE review: (a) the URI
+    authority is case-insensitive, so hdfs://HOST/ck and hdfs://host/ck
+    must canonicalize identically (urlparse lowercases only the
+    scheme); (b) recovery under a DIFFERENT checkpoint dir after a
+    crash between index append and table commit must not drop each doc
+    against its own orphan index row — exact self-matches are excluded
+    from the lookup on top of the tag scoping."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        _canon_checkpoint,
+        stream_ingest_dedup,
+    )
+
+    assert _canon_checkpoint("hdfs://NAMENODE:9000/ck") == _canon_checkpoint(
+        "hdfs://namenode:9000/ck/"
+    )
+    assert _canon_checkpoint("file:///tmp/ck") == _canon_checkpoint("/tmp/ck")
+
+    def txt(i):
+        # fully disjoint token streams: the docs must not near-match
+        # EACH OTHER, so the only index hits are the self-matches the
+        # exclusion is for
+        return " ".join(f"w{i}_{j}" for j in range(24))
+
+    batch = spark.createDataFrame(
+        [(20, txt(20)), (21, txt(21))], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src2")
+    batch.coalesce(1).write.parquet(src)
+
+    # orphan state: index rows tagged by the ORIGINAL checkpoint's
+    # batch 0, but no table commit and no batch-id marker — then the
+    # operator resumes ingestion under a DIFFERENT checkpoint dir, so
+    # the tags no longer match and only the self-match exclusion
+    # stands between each doc and a permanent silent drop
+    index_path = str(tmp_path / "dedup_index2")
+    build_corpus_index(batch).select(
+        "*",
+        F.lit(_canon_checkpoint(str(tmp_path / "ck_old"))).alias("__src_ck"),
+        F.lit(0).cast("long").alias("__src_batch"),
+    ).write.parquet(index_path)
+
+    table = KeyedTable(
+        spark, str(tmp_path / "tbl2"), record_key="doc_id", precombine="doc_id"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_ingest_dedup(
+        stream, table, index_path, str(tmp_path / "ck_new")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # the docs land despite their own orphan index rows (the two docs
+    # are genuinely distinct texts, so neither matches the other's row)
+    assert sorted(r["doc_id"] for r in table.snapshot().collect()) == [20, 21]
+    # and the anti-join kept the index single-rowed per doc
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index_path).collect()
+    ) == [20, 21]
+
+
 def test_dedupe_stream_watermark_exactly_once(spark, tmp_path):
     """The built-in bounded-state dedup: the same events landed twice
     (duplicates arrive within the watermark horizon) emit exactly once
