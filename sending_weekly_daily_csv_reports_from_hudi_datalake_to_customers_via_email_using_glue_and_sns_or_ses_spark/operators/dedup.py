@@ -1372,10 +1372,17 @@ def remove_shared_substrings(
     hash) occurrences — 4-long rows, no window text in the shuffle; one
     groupBy(hash) marks duplicates and picks canonicals (map-side
     combine absorbs hot windows — no pairwise join anywhere, unlike
-    the detector); marked cut-starts aggregate per doc and the token
-    surgery is a pure array expression (per-doc cost O(n_tokens ×
-    n_cut_starts) — bounded by doc length squared for a fully-
-    duplicated doc, never by corpus size).
+    the detector); marked cut starts then MERGE into disjoint
+    [start, end) intervals per doc (gaps-and-islands over the sorted
+    starts — ``shared_substring_runs``' trick pointed at the cut set)
+    before the token surgery, so the per-token ``exists`` probes
+    O(n_merged_intervals), not O(n_cut_starts): a wholesale-duplicated
+    doc has ONE interval covering it, where probing raw starts was
+    O(n_tokens × n_starts) in interpreted higher-order lambdas — the
+    measured 8× HOF cliff, quadratic on exactly the boilerplate-heavy
+    docs this pass exists to clean (adversarial 50k-token measurement
+    in BASELINE.md r7). The interval pass adds no extra shuffle: the
+    window and the groupBy share the per-doc partitioning.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1418,16 +1425,45 @@ def remove_shared_substrings(
         .filter(F.col("n_occ") >= 2)
         .select("h1", "h2", "canon")
     )
+    cut_occ = occ.join(dup, ["h1", "h2"]).filter(
+        ~(
+            (F.col("__rss_id") == F.col("canon.__rss_id"))
+            & (F.col("pos") == F.col("canon.pos"))
+        )
+    )
+    # merge overlapping/adjacent cut windows [pos, pos+k) into disjoint
+    # intervals BEFORE the per-token probe: gaps-and-islands on the
+    # sorted starts — a start opens a new island iff it clears the
+    # running max end of everything before it. The window and the two
+    # groupBys below all key on __rss_id, so this is one shuffle total.
+    iw = Window.partitionBy("__rss_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        iw.rowsBetween(Window.unboundedPreceding, -1)
+    )
     marked = (
-        occ.join(dup, ["h1", "h2"])
-        .filter(
-            ~(
-                (F.col("__rss_id") == F.col("canon.__rss_id"))
-                & (F.col("pos") == F.col("canon.pos"))
-            )
+        cut_occ.withColumn(
+            "__isl",
+            F.sum(
+                F.when(
+                    F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1
+                ).otherwise(0)
+            ).over(iw),
+        )
+        .groupBy("__rss_id", "__isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k)).alias("e"),
         )
         .groupBy("__rss_id")
-        .agg(F.collect_set("pos").alias("cut_starts"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias(
+                "cut_ivals"
+            ),
+            # intervals are disjoint and within [0, n_tokens], so the
+            # removed-token count is just their total length — no need
+            # to re-derive it from the surgery's output sizes
+            F.sum(F.col("e") - F.col("s")).alias("__n_removed"),
+        )
     )
     cleaned = (
         src.join(marked, "__rss_id", "left")
@@ -1436,8 +1472,8 @@ def remove_shared_substrings(
             F.filter(
                 "toks",
                 lambda t, i: ~F.exists(
-                    "cut_starts",
-                    lambda s: (i >= s) & (i < s + F.lit(k)),
+                    "cut_ivals",
+                    lambda v: (i >= v["s"]) & (i < v["e"]),
                 ),
             ),
         )
@@ -1446,11 +1482,10 @@ def remove_shared_substrings(
             # untouched docs keep their ORIGINAL text byte-for-byte
             # (newlines/tabs intact) — only cut docs are rebuilt from
             # tokens (single-space joined, the documented collapse)
-            F.when(F.col("cut_starts").isNull(), F.col("__rss_text"))
+            F.when(F.col("cut_ivals").isNull(), F.col("__rss_text"))
             .otherwise(F.array_join("kept", " "))
             .alias(text_col),
-            F.when(F.col("cut_starts").isNull(), F.lit(0))
-            .otherwise(F.size("toks") - F.size("kept"))
+            F.coalesce(F.col("__n_removed"), F.lit(0))
             .cast("long")
             .alias("n_tokens_removed"),
         )
