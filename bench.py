@@ -61,8 +61,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "exact_substring_pairs",
+    "shared_substring_runs",
+    "remove_shared_substrings",
     "semantic_dedup",
     "decontaminate",
+    "decontaminate_fuzzy",
     "lm_perplexity",
     "text_profile",
     "tf_idf",

@@ -194,6 +194,8 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_unpivot",
+    retired=True,  # r7: slot funded shared_substring_runs; the pivot/
+    # unpivot primitives stay value-checked by test_retired_parity
     oracle="""
     SELECT l_returnflag, 'O' AS linestatus,
            CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty
@@ -264,6 +266,9 @@ def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "profile_columns",
+    retired=True,  # r7: slot funded remove_shared_substrings; X1's
+    # multi-aggregate shape stays green via q1_pricing_summary and
+    # salted_heavy_hitter_agg, and this entry via test_retired_parity
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_rows,
@@ -299,6 +304,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "daily_value_outliers",
+    retired=True,  # r7: slot funded decontaminate_fuzzy; the window/
+    # agg primitives stay driver-green elsewhere (window_frames,
+    # q1_pricing_summary), this entry via test_retired_parity
     oracle="""
     WITH stats AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

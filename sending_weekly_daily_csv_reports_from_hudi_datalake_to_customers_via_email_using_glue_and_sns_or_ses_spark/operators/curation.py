@@ -312,6 +312,82 @@ def decontaminate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d.filter(~is_eval), d.filter(is_eval))
 
 
+#: doc-level 3-gram Jaccard threshold for the fuzzy driver entry. 0.2
+#: sits in a wide gap of the fixture corpora's score distribution (the
+#: planted near-dups score ≥ ~0.95, the organic background tops out at
+#: ~0.11 at sf0.1, ~0.06 at sf0.001) — a threshold equal to an attained
+#: value would be ulp-flaky across plan shapes.
+_FUZZY_T = 0.2
+
+
+def _decon_fuzzy_oracle() -> str:
+    """Hash-free DuckDB twin of the fuzzy driver entry: exact doc-level
+    3-gram Jaccard from distinct shingle STRINGS (the Spark side
+    dedups xxhash64 values — collision-free in practice, so the two
+    relations agree), same 10% pseudo-eval split, same eval-side hot
+    cap, same max-jaccard/min-id attribution."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
+    ), train_sh AS (
+      SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    ), eval_sh AS (
+      SELECT doc_id AS eval_doc_id, s FROM sh
+      WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+    ), sizes_t AS (
+      SELECT doc_id, count(*) AS n_a FROM train_sh GROUP BY doc_id
+    ), sizes_e AS (
+      SELECT eval_doc_id, count(*) AS n_b FROM eval_sh GROUP BY eval_doc_id
+    ), hot AS (
+      -- the eval-postings fan-out cap (denominators already computed)
+      SELECT s FROM eval_sh GROUP BY s HAVING count(*) > 64
+    ), pair AS (
+      SELECT t.doc_id, e.eval_doc_id, count(*) AS n_shared
+      FROM train_sh t
+      JOIN (SELECT e0.* FROM eval_sh e0 LEFT JOIN hot USING (s)
+            WHERE hot.s IS NULL) e USING (s)
+      GROUP BY t.doc_id, e.eval_doc_id
+    ), scored AS (
+      SELECT p.doc_id, p.eval_doc_id,
+             CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS j
+      FROM pair p
+      JOIN sizes_t USING (doc_id) JOIN sizes_e USING (eval_doc_id)
+    ), ranked AS (
+      SELECT doc_id, eval_doc_id, j, row_number() OVER (
+               PARTITION BY doc_id ORDER BY j DESC, eval_doc_id ASC) AS rn
+      FROM scored WHERE j >= {_FUZZY_T}
+    )
+    SELECT doc_id, eval_doc_id AS matched_doc_id,
+           CAST(round(j, 4) AS DOUBLE) AS jaccard
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("decontaminate_fuzzy", oracle=_decon_fuzzy_oracle())
+def decontaminate_fuzzy_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`decontaminate_fuzzy` (registered r7,
+    funded by retiring ``daily_value_outliers``): exact doc-level
+    3-gram Jaccard of the training split against the held-out 10%
+    pseudo-eval split (doc_id % 10 == 7), threshold ``_FUZZY_T``.
+    Returns the drop report — (doc_id, matched_doc_id, jaccard) naming
+    the strongest-matching eval doc for every doc the fuzzy pass would
+    remove; the ``clean`` half is the same computation ending in an
+    anti-join. The fixture corpora's planted near-dup documents cross
+    the modulo split at every SF, so the entry exercises real hits, not
+    an empty relation."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    _clean, report = decontaminate_fuzzy(
+        d.filter(~is_eval), d.filter(is_eval), threshold=_FUZZY_T, n=3
+    )
+    return report
+
+
 # --------------------------------------------------------------------
 # domain-mixture sampling
 # --------------------------------------------------------------------

@@ -1605,6 +1605,123 @@ def exact_substring_pairs_documents(
     return exact_substring_pairs(load_table(spark, sf_dir, "documents"), k=20)
 
 
+@query(
+    "shared_substring_runs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+19], ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i)
+    ), keep AS (
+      -- occurrence-count cap (join fan-in), not distinct docs
+      SELECT w FROM occ GROUP BY w HAVING count(*) <= 256
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM occ a JOIN keep USING (w) JOIN occ b USING (w)
+      WHERE a.doc_id < b.doc_id
+    ), grp AS (
+      SELECT *, pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS g
+      FROM shared
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS INTEGER) AS start_a,
+           CAST(min(pa) + (pb - pa) AS INTEGER) AS start_b,
+           CAST(max(pa) - min(pa) + 20 AS BIGINT) AS run_tokens
+    FROM grp GROUP BY doc_a, doc_b, pb - pa, g
+    """,
+)
+def shared_substring_runs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver entry for :func:`shared_substring_runs` (registered r7,
+    funded by retiring ``pivot_unpivot``): k=20 token windows over the
+    documents table, default occurrence cap.
+
+    Like the detector's entry, the oracle is hash-FREE — it recomputes
+    the maximal runs from the window STRINGS (postings → occurrence
+    cap → pair join → gaps-and-islands over diagonals), so a bug in
+    the double-xxhash64 pipeline or in the run assembly shows up as a
+    value mismatch instead of being baked into both sides.
+    """
+    return shared_substring_runs(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "remove_shared_substrings",
+    oracle=r"""
+    WITH toks AS (
+      -- RAW text tokens (case-sensitive), the removal pass's contract:
+      -- surviving text keeps its original casing
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+             coalesce(text, '') AS orig
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+19], ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i)
+    ), dup AS (
+      SELECT w FROM occ GROUP BY w HAVING count(*) >= 2
+    ), ranked AS (
+      SELECT o.doc_id, o.pos, row_number() OVER (
+               PARTITION BY o.w ORDER BY o.doc_id, o.pos) AS rn
+      FROM occ o JOIN dup USING (w)
+    ), marked AS (
+      SELECT doc_id, pos FROM ranked WHERE rn > 1
+    ), cover AS (
+      SELECT DISTINCT m.doc_id, m.pos + j AS tp
+      FROM marked m, LATERAL (SELECT unnest(generate_series(0, 19)) AS j)
+    ), cut_docs AS (
+      SELECT DISTINCT doc_id FROM marked
+    ), tokpos AS (
+      SELECT t.doc_id, j - 1 AS tp, t.toks[j] AS tok
+      FROM toks t JOIN cut_docs USING (doc_id),
+           LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS j)
+    ), rebuilt AS (
+      SELECT tp.doc_id,
+             coalesce(string_agg(tp.tok, ' ' ORDER BY tp.tp), '') AS txt
+      FROM tokpos tp
+      LEFT JOIN cover c ON c.doc_id = tp.doc_id AND c.tp = tp.tp
+      WHERE c.tp IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN cd.doc_id IS NULL THEN t.orig
+                ELSE coalesce(r.txt, '') END AS text,
+           CAST(coalesce(cv.n, 0) AS BIGINT) AS n_tokens_removed
+    FROM toks t
+    LEFT JOIN cut_docs cd USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM cover GROUP BY doc_id) cv
+           USING (doc_id)
+    """,
+)
+def remove_shared_substrings_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver entry for :func:`remove_shared_substrings` (registered
+    r7, funded by retiring ``profile_columns``): k=20 token spans over
+    the documents table; the value hash covers the full CLEANED TEXT of
+    every document plus the removed-token counts.
+
+    Hash-free oracle: DuckDB recomputes duplicated windows from the
+    window STRINGS, picks the same smallest-(doc_id, pos) canonical via
+    row_number, expands marked windows to covered token positions, and
+    rebuilds each cut doc's text by re-joining the surviving tokens —
+    so the token surgery (interval merge + per-token probe) is checked
+    against an independent set-algebra construction, not against its
+    own hashes.
+    """
+    return remove_shared_substrings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), k=20
+    )
+
+
 def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.97,

@@ -14,6 +14,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
     QUERIES,
+    RETIRED_QUERIES,
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
     decode_image_batch,
@@ -369,7 +370,7 @@ def test_pivot_missing_cell_zero_filled(spark, tmp_path):
     ).write.parquet(str(tmp_path / "lineitem.parquet"))
     got = {
         (r["l_returnflag"], r["linestatus"]): r["qty"]
-        for r in QUERIES["pivot_unpivot"](spark, str(tmp_path)).collect()
+        for r in RETIRED_QUERIES["pivot_unpivot"](spark, str(tmp_path)).collect()
     }
     assert got[("R", "O")] == 0.0  # absent combo: zero, never NULL
     assert got[("R", "F")] == 3.0
@@ -395,7 +396,7 @@ def test_outliers_zero_variance_day_survives_ansi(spark, tmp_path):
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, value double"
     ).write.parquet(str(tmp_path / "events.parquet"))
-    out = QUERIES["daily_value_outliers"](spark, str(tmp_path)).collect()
+    out = RETIRED_QUERIES["daily_value_outliers"](spark, str(tmp_path)).collect()
     # no exception, and no rows from the zero-variance day
     assert all(r["event_id"] not in (1, 2, 3) for r in out)
 
