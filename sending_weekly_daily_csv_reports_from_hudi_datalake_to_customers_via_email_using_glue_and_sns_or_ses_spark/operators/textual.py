@@ -439,10 +439,15 @@ def repetition_signals(
     return signals.unionByName(short)
 
 
-def _zlib_sizes(level: int):
-    """Arrow-batched (raw_bytes, compressed_bytes) pandas UDF at a
+def _zlib_sizes(level: int, max_bytes: int | None = None):
+    """Arrow-batched (measured_bytes, compressed_bytes) pandas UDF at a
     pinned DEFLATE level — shared by :func:`compression_signals` and
-    the inline :func:`compression_ratio_column`."""
+    the inline :func:`compression_ratio_column`. With ``max_bytes``,
+    only the doc's first ``max_bytes`` UTF-8 bytes are compressed and
+    measured (a byte-boundary truncation may split a multibyte char —
+    harmless, zlib sees bytes); ``None`` compresses everything."""
+    if max_bytes is not None and max_bytes <= 0:
+        raise ValueError(f"max_bytes must be positive or None, got {max_bytes}")
 
     @F.pandas_udf("array<long>")
     def _sizes(s: pd.Series) -> pd.Series:
@@ -452,6 +457,8 @@ def _zlib_sizes(level: int):
             if not t:
                 return [0, 0]
             b = t.encode("utf-8")
+            if max_bytes is not None:
+                b = b[:max_bytes]
             return [len(b), len(zlib.compress(b, level))]
 
         return pd.Series([one(t) for t in s])
@@ -468,13 +475,16 @@ def _ratio_from_sizes(sz):
     )
 
 
-def compression_ratio_column(text_col: str = "text", level: int = 6):
+def compression_ratio_column(
+    text_col: str = "text", level: int = 6, max_bytes: int | None = 65536
+):
     """The compression ratio as a plain COLUMN expression (empty/NULL
     → 1.0), for fusing the gate into an existing scan — e.g.
     ``prepare_training_data``'s quality stage — without the separate
     frame + join that :func:`compression_signals` implies. Mind the
-    short-doc caveat on :func:`compression_signals` when thresholding."""
-    return _ratio_from_sizes(_zlib_sizes(level)(F.col(text_col)))
+    short-doc caveat on :func:`compression_signals` when thresholding;
+    ``max_bytes`` caps the measured prefix the same way (see there)."""
+    return _ratio_from_sizes(_zlib_sizes(level, max_bytes)(F.col(text_col)))
 
 
 def compression_signals(
@@ -482,6 +492,7 @@ def compression_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     level: int = 6,
+    max_bytes: int | None = 65536,
 ) -> DataFrame:
     """Per-document zlib compression ratio — the published
     "compressibility" quality signal (used alongside the Gopher
@@ -507,6 +518,19 @@ def compression_signals(
     platforms (zlib output at a fixed level is stable for a given
     input).
 
+    ``max_bytes`` (default 64 KB) caps the measured prefix: only the
+    doc's first ``max_bytes`` UTF-8 bytes are compressed, so the zlib
+    pass costs O(min(doc, cap)) per doc — at 100 TB the compression
+    scan is the funnel's most expensive signal, and the ratio
+    saturates long before 64 KB on real text (repetition/entropy are
+    document-global properties; a boilerplate wall or gibberish stream
+    looks the same in its first 64 KB as in its first 10 MB). The
+    reported ``n_bytes``/``compressed_bytes`` and their ratio all
+    refer to the measured prefix — a threshold tuned on capped runs
+    compares like with like. Pass ``max_bytes=None`` for the uncapped
+    signal (parity tests; corpora of pathological docs whose tail
+    diverges from their head).
+
     Scale: one Arrow-batched pandas UDF scan (zlib is C-speed, ~100
     MB/s/core — the scan is compression-bound, not Python-bound), zero
     shuffles, composes with the zero-shuffle gates in
@@ -516,7 +540,7 @@ def compression_signals(
     """
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
-        _zlib_sizes(level)(F.col(text_col)).alias("sz"),
+        _zlib_sizes(level, max_bytes)(F.col(text_col)).alias("sz"),
     )
     return sized.select(
         "doc_id",

@@ -224,3 +224,50 @@ def test_compression_signals_twin_and_ordering(spark):
     assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
     assert got[3]["compression_ratio"] > got[2]["compression_ratio"]
     assert got[2]["compression_ratio"] < 0.2
+
+
+def test_compression_signals_byte_cap(spark):
+    """max_bytes caps the measured prefix: a doc longer than the cap
+    scores exactly what its first max_bytes bytes score (zlib cost
+    O(min(doc, cap)) at scale), shorter docs are unaffected, and
+    max_bytes=None keeps the uncapped signal."""
+    import zlib
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        compression_signals,
+    )
+
+    long_doc = ("lorem ipsum dolor sit amet " * 40)[:1000] + "Z" * 500
+    short_doc = "a modest document under every cap"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+
+    capped = {
+        r["doc_id"]: r
+        for r in compression_signals(docs, max_bytes=256).collect()
+    }
+    prefix = long_doc.encode("utf-8")[:256]
+    assert capped[1]["n_bytes"] == 256
+    assert capped[1]["compressed_bytes"] == len(zlib.compress(prefix, 6))
+    assert capped[1]["compression_ratio"] == pytest.approx(
+        len(zlib.compress(prefix, 6)) / 256
+    )
+    # short doc: cap is a no-op
+    sb = short_doc.encode("utf-8")
+    assert capped[2]["n_bytes"] == len(sb)
+    assert capped[2]["compressed_bytes"] == len(zlib.compress(sb, 6))
+
+    # uncapped path unchanged (parity lane)
+    full = {
+        r["doc_id"]: r
+        for r in compression_signals(docs, max_bytes=None).collect()
+    }
+    lb = long_doc.encode("utf-8")
+    assert full[1]["n_bytes"] == len(lb)
+    assert full[1]["compressed_bytes"] == len(zlib.compress(lb, 6))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bytes"):
+        compression_signals(docs, max_bytes=0)
