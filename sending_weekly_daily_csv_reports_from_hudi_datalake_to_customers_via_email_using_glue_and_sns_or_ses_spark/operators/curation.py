@@ -135,7 +135,8 @@ def decontaminate_fuzzy(
     text_col: str = "text",
     broadcast_eval: bool = True,
     max_eval_postings: int = 64,
-) -> tuple[DataFrame, DataFrame]:
+    cap_report: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Paraphrase-robust decontamination: drop every doc whose EXACT
     document-level n-gram Jaccard against ANY eval doc is ≥
     ``threshold``.
@@ -179,6 +180,12 @@ def decontaminate_fuzzy(
     trade, same reason, as exact_substring_pairs' postings cap; docs
     whose ONLY overlap is boilerplate shingles score a lower Jaccard
     (denominators are computed before the cap).
+
+    ``cap_report=True`` appends a third returned frame: one lazy row
+    (n_hot_shingles, dropped_eval_postings, max_eval_postings)
+    quantifying what the eval cap ate — computed off the (small) eval
+    shingle table, no corpus cost; the no-silent-caps principle as
+    data rather than a docstring.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -226,9 +233,15 @@ def decontaminate_fuzzy(
         eval_sh.groupBy("h")
         .agg(F.count("*").alias("__n_posting"))
         .filter(F.col("__n_posting") > max_eval_postings)
-        .select("h")
     )
-    eval_kept = eval_sh.join(hot, "h", "left_anti")
+    eval_kept = eval_sh.join(hot.select("h"), "h", "left_anti")
+    cap = hot.agg(
+        F.count("*").alias("n_hot_shingles"),
+        F.coalesce(F.sum("__n_posting"), F.lit(0)).alias(
+            "dropped_eval_postings"
+        ),
+        F.lit(max_eval_postings).alias("max_eval_postings"),
+    )
     build = F.broadcast(eval_kept) if broadcast_eval else eval_kept
     # shingle hashes are doc-distinct, so count(*) over the hit join
     # = |A ∩ B|; the size tables complete the Jaccard
@@ -262,7 +275,7 @@ def decontaminate_fuzzy(
     clean = docs.join(
         report.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
-    return clean, report
+    return (clean, report, cap) if cap_report else (clean, report)
 
 
 def _decon_oracle() -> str:

@@ -1211,7 +1211,7 @@ def _window_postings(
     text_col: str,
     max_postings: int,
     with_positions: bool,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Shared postings builder for :func:`exact_substring_pairs` and
     :func:`shared_substring_runs`: normalized-token k-windows as narrow
     double-64-bit-hash rows (``doc_id[, pos], h1, h2`` — no window text
@@ -1238,6 +1238,15 @@ def _window_postings(
     ``_track_postings_handle`` registry (CacheManager never frees
     entries on its own — see ``_POSTINGS_HANDLES``), and
     ``clear_intermediate_caches`` releases them all.
+
+    Returns ``(kept_postings, cap_report)``: the cap_report is a
+    one-row lazy frame (n_hot_windows, dropped_postings, max_postings)
+    quantifying what the lossy cap ate — computed off the SAME
+    persisted postings (one cheap aggregate, no extra corpus scan), so
+    surfacing it costs one small job, and NOT materializing it costs
+    nothing. The no-silent-caps principle as data: a 100 TB operator
+    can log how many boilerplate windows (and how much posting mass)
+    the cap dropped instead of trusting a docstring.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1272,9 +1281,16 @@ def _window_postings(
         hashed.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_post"))
         .filter(F.col("n_post") > max_postings)
-        .select("h1", "h2")
     )
-    return hashed.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    kept = hashed.join(
+        F.broadcast(hot.select("h1", "h2")), ["h1", "h2"], "left_anti"
+    )
+    cap_report = hot.agg(
+        F.count("*").alias("n_hot_windows"),
+        F.coalesce(F.sum("n_post"), F.lit(0)).alias("dropped_postings"),
+        F.lit(max_postings).alias("max_postings"),
+    )
+    return kept, cap_report
 
 
 def exact_substring_pairs(
@@ -1283,7 +1299,8 @@ def exact_substring_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings: int = 256,
-) -> DataFrame:
+    cap_report: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact-substring duplicate detection: pairs of documents sharing
     at least one IDENTICAL k-token window, with the count of distinct
     shared windows per pair — the practical Spark form of
@@ -1313,12 +1330,17 @@ def exact_substring_pairs(
     is boilerplate, and the LOSSY cap is the documented trade for
     avoiding the quadratic hot-key join. One shuffle keyed by the
     window hash; volume ≈ total corpus tokens, rows of 3 longs.
+
+    ``cap_report=True`` additionally returns the one-row
+    (n_hot_windows, dropped_postings, max_postings) frame quantifying
+    what the cap dropped (see :func:`_window_postings`) — the pair
+    frame comes first in the returned tuple.
     """
-    postings = _window_postings(
+    postings, cap = _window_postings(
         docs, k, id_col, text_col, max_postings, with_positions=False
     )
     a, b = postings.alias("a"), postings.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.h1") == F.col("b.h1"))
@@ -1332,6 +1354,7 @@ def exact_substring_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_windows"))
     )
+    return (pairs, cap) if cap_report else pairs
 
 
 def remove_shared_substrings(
@@ -1503,7 +1526,8 @@ def shared_substring_runs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings: int = 256,
-) -> DataFrame:
+    cap_report: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """MAXIMAL shared runs between document pairs — the form Lee et al.
     2022 (arXiv:2107.06499) actually report: where
     :func:`exact_substring_pairs` says "these docs share N k-token
@@ -1535,8 +1559,13 @@ def shared_substring_runs(
     span yields two sub-runs rather than one; and the detector's cap
     counts distinct docs, so a window the detector keeps can be hot
     here when it repeats within documents.
+
+    ``cap_report=True`` additionally returns the one-row
+    (n_hot_windows, dropped_postings, max_postings) frame quantifying
+    what the cap dropped (see :func:`_window_postings`) — the runs
+    frame comes first in the returned tuple.
     """
-    postings = _window_postings(
+    postings, cap = _window_postings(
         docs, k, id_col, text_col, max_postings, with_positions=True
     )
     a, b = postings.alias("a"), postings.alias("b")
@@ -1554,7 +1583,7 @@ def shared_substring_runs(
     w = Window.partitionBy(
         "doc_a", "doc_b", F.col("pb") - F.col("pa")
     ).orderBy("pa")
-    return (
+    runs = (
         shared.withColumn("__grp", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", (F.col("pb") - F.col("pa")).alias("__d"), "__grp")
         .agg(
@@ -1564,6 +1593,7 @@ def shared_substring_runs(
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
     )
+    return (runs, cap) if cap_report else runs
 
 
 @query(

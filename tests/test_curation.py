@@ -189,6 +189,28 @@ def test_decontaminate_fuzzy_eval_postings_cap(spark):
     with pytest.raises(ValueError, match="max_eval_postings"):
         decontaminate_fuzzy(train, eval_docs, max_eval_postings=0)
 
+    # cap observability: the report matches the hand-computed fixture.
+    # The two eval docs share exactly 3 shingles ("standard disclaimer
+    # applies", "disclaimer applies here", "applies here about") — at
+    # cap 1 each is hot with 2 eval postings: (3 hot, 6 dropped)
+    _c2, _r2, cap = decontaminate_fuzzy(
+        train, eval_docs, threshold=0.1, max_eval_postings=1,
+        cap_report=True,
+    )
+    row = cap.first()
+    assert (
+        row["n_hot_shingles"],
+        row["dropped_eval_postings"],
+        row["max_eval_postings"],
+    ) == (3, 6, 1)
+    # and at a cap nothing exceeds, the report is an explicit zero row
+    _c3, _r3, cap0 = decontaminate_fuzzy(
+        train, eval_docs, threshold=0.1, max_eval_postings=64,
+        cap_report=True,
+    )
+    row0 = cap0.first()
+    assert (row0["n_hot_shingles"], row0["dropped_eval_postings"]) == (0, 0)
+
 
 def test_decontaminate_entry_matches_oracle(spark):
     con = duck_connection(SF_ORACLE)

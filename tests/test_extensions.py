@@ -885,6 +885,58 @@ def test_remove_shared_substrings_duckdb_reference(spark):
     assert sum(got.values()) > 0  # the fixture corpus has real dups
 
 
+def test_substring_cap_report_hand_computed(spark):
+    """The postings-cap observability report matches a hand-computed
+    fixture: 5 docs sharing exactly ONE identical 5-token window, cap
+    3 → one hot window, 5 dropped posting rows — and the same cap run
+    with positions counts occurrences, so a within-doc repeat raises
+    the dropped mass without adding docs."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        exact_substring_pairs,
+        shared_substring_runs,
+    )
+
+    boiler = "B1 B2 B3 B4 B5"
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs, cap = exact_substring_pairs(
+        docs, k=5, max_postings=3, cap_report=True
+    )
+    row = cap.first()
+    # only the pure-boilerplate window is identical across docs (every
+    # other window mixes in per-doc unique tokens): 1 hot window with
+    # one distinct-doc posting per doc
+    assert (
+        row["n_hot_windows"],
+        row["dropped_postings"],
+        row["max_postings"],
+    ) == (1, 5, 3)
+    # the cap actually dropped the window: no doc pair shares anything
+    assert pairs.count() == 0
+
+    # positional path: duplicate the window inside one doc — postings
+    # count OCCURRENCES, so the dropped mass rises to 6 from 5 docs
+    docs2 = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(4)]
+        + [(4, f"u4a u4b {boiler} x4 y4 z4 w4 v4 {boiler} u4c")],
+        "doc_id long, text string",
+    )
+    _runs, cap2 = shared_substring_runs(
+        docs2, k=5, max_postings=3, cap_report=True
+    )
+    row2 = cap2.first()
+    assert (row2["n_hot_windows"], row2["dropped_postings"]) == (1, 6)
+
+    # an uncapped run reports zeros — the report is present, not NULL
+    _p3, cap3 = exact_substring_pairs(
+        docs, k=5, max_postings=256, cap_report=True
+    )
+    row3 = cap3.first()
+    assert (row3["n_hot_windows"], row3["dropped_postings"]) == (0, 0)
+
+
 def test_exact_substring_pairs_validation(spark):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
         exact_substring_pairs,
