@@ -622,9 +622,12 @@ def compact_snapshot(
     sizing, generate_hudi_table.py:150-167). Creates a new commit so
     readers never see a half-compacted snapshot.
 
-    ``zorder_cols`` clusters along a Morton curve over those numeric
-    columns instead of the record key — Hudi's z-order clustering
-    strategy (``hoodie.clustering.plan.strategy.sort.columns`` with the
+    ``zorder_cols`` clusters along a Morton curve over those columns
+    (numeric, string, timestamp, or date — strings ride an
+    order-preserving prefix surrogate, matching the reference's own
+    string sort columns like ``state``) instead of the record key —
+    Hudi's z-order clustering strategy
+    (``hoodie.clustering.plan.strategy.sort.columns`` with the
     spatial-curve option): every listed column gets partial file-level
     min/max locality, so single-column filters prune files that a
     lexicographic sort would only prune for its leading column. See
