@@ -1204,6 +1204,44 @@ def dedup_clusters(
     )
 
 
+def _hashed_windows(
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    with_positions: bool,
+) -> DataFrame:
+    """One corpus scan → (doc_id[, pos], h1, h2) k-token-window rows
+    (normalized tokens, double 64-bit hash, salt-FIRST ``h2`` — see
+    :func:`exact_substring_pairs`). NOT deduplicated and NOT capped:
+    the batch operators layer the hot cap on top
+    (:func:`_window_postings`), the standing index layers distinct
+    (:func:`build_window_index`)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
+    if with_positions:
+        occ = src.select(
+            "doc_id",
+            F.posexplode(_shingle_array(F.col("toks"), k)).alias("pos", "w"),
+        )
+        keep = ["doc_id", "pos"]
+    else:
+        occ = src.select(
+            "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
+        )
+        keep = ["doc_id"]
+    return occ.select(
+        *keep,
+        F.xxhash64("w").alias("h1"),
+        # salt-FIRST: see exact_substring_pairs' independence caveat
+        F.xxhash64(F.lit(1), "w").alias("h2"),
+    )
+
+
 def _window_postings(
     docs: DataFrame,
     k: int,
@@ -1248,31 +1286,9 @@ def _window_postings(
     can log how many boilerplate windows (and how much posting mass)
     the cap dropped instead of trusting a docstring.
     """
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
     if max_postings <= 1:
         raise ValueError(f"max_postings must be > 1, got {max_postings}")
-    src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-    ).withColumn("toks", F.filter(_tokens(), lambda t: t != ""))
-    if with_positions:
-        occ = src.select(
-            "doc_id",
-            F.posexplode(_shingle_array(F.col("toks"), k)).alias("pos", "w"),
-        )
-        keep = ["doc_id", "pos"]
-    else:
-        occ = src.select(
-            "doc_id", F.explode(_shingle_array(F.col("toks"), k)).alias("w")
-        )
-        keep = ["doc_id"]
-    hashed = occ.select(
-        *keep,
-        F.xxhash64("w").alias("h1"),
-        # salt-FIRST: see exact_substring_pairs' independence caveat
-        F.xxhash64(F.lit(1), "w").alias("h2"),
-    )
+    hashed = _hashed_windows(docs, k, id_col, text_col, with_positions)
     if not with_positions:
         hashed = hashed.distinct()
     hashed = hashed.persist()
@@ -1870,6 +1886,134 @@ def build_corpus_index(
     return fp.join(_minhash_sig_table(src), "doc_id", "left")
 
 
+def build_window_index(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SUBSTRING-level companion of :func:`build_corpus_index`: a
+    persisted-alongside-the-corpus postings table of distinct
+    (doc_id, h1, h2, k) window hashes, so new batches can be
+    substring-checked against the standing corpus WITHOUT rescanning
+    corpus text (:func:`exact_substring_pairs_incremental`) — the gap
+    the fingerprint+MinHash index leaves: those catch whole-document
+    duplication, not a quoted/boilerplate k-token span.
+
+    Same lifecycle contract as the fingerprint index: build once when
+    the corpus is written (one scan), append the surviving batch's rows
+    after each ingest. Honest size note: one row per distinct k-window
+    ≈ one per corpus token — three longs + a small int ≈ 25 bytes/token
+    of parquet before compression, a low single-digit percent of corpus
+    text size (vs the fingerprint index's one ROW per document). That
+    is the price of substring granularity; partition the parquet by
+    ``pmod(h1, N)`` when the index outgrows single-dir listing.
+
+    The ``k`` column pins the window size the index was built with —
+    a query at a different k would silently match nothing, so the
+    incremental checker validates it instead of guessing.
+    """
+    return (
+        _hashed_windows(docs, k, id_col, text_col, with_positions=False)
+        .distinct()
+        .withColumn("k", F.lit(k))
+    )
+
+
+def exact_substring_pairs_incremental(
+    new_docs: DataFrame,
+    window_index: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 256,
+    within_batch: bool = True,
+) -> DataFrame:
+    """:func:`exact_substring_pairs` for a NEW batch against a standing
+    corpus: every pair involving a new document that shares ≥1
+    identical k-token window with the corpus (via its persisted
+    :func:`build_window_index` — corpus TEXT is never rescanned) or,
+    with ``within_batch`` (default), with another new document.
+    Returns (doc_a, doc_b, n_shared_windows), doc_a < doc_b — EXACTLY
+    the batch detector's rows touching a new doc when run on the
+    union (pytest-pinned, including the cap). Standing within-corpus
+    pairs are the index owner's, computed when the corpus was indexed;
+    note the cap is monotone — a window the batch pushes over
+    ``max_postings`` is dropped here AND would be dropped from any
+    union re-run, but standing pairs counted under the smaller corpus
+    keep their historical window counts until recomputed.
+
+    The hot cap counts postings over the UNION (index ∪ batch), the
+    same totals the batch detector sees on the combined corpus — a
+    window pushed over the cap by the new batch is dropped from both
+    sides. That count is one aggregate over the index's narrow long
+    rows each batch: data-proportional to the INDEX (not to corpus
+    text), the honest standing cost of exact cap parity; a corpus
+    whose index outgrows per-batch re-aggregation can persist the
+    per-window counts and merge increments instead.
+
+    Replay-safe by construction: index rows whose doc_id is in the
+    batch are excluded first (broadcast anti-join on the small batch's
+    ids — a map-side filter, no index shuffle), so re-running a batch
+    whose index rows were already appended (the crash-between-append-
+    and-commit window of streaming/ingest.py) returns the same pairs
+    as the first attempt instead of double-counting.
+    """
+    if max_postings <= 1:
+        raise ValueError(f"max_postings must be > 1, got {max_postings}")
+    if "k" in window_index.columns:
+        idx_k = window_index.select("k").first()
+        if idx_k is not None and idx_k["k"] != k:
+            raise ValueError(
+                f"window index was built with k={idx_k['k']}, queried "
+                f"with k={k}: windows of different sizes never match"
+            )
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    new_post = (
+        _hashed_windows(new_docs, k, id_col, text_col, with_positions=False)
+        .distinct()
+        .persist()
+    )
+    _track_postings_handle(new_post)
+    idx_post = window_index.select("doc_id", "h1", "h2").join(
+        F.broadcast(new_ids), "doc_id", "left_anti"
+    )
+    all_post = idx_post.withColumn("is_new", F.lit(False)).unionByName(
+        new_post.withColumn("is_new", F.lit(True))
+    )
+    hot = (
+        all_post.groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_post"))
+        .filter(F.col("n_post") > max_postings)
+        .select("h1", "h2")
+    )
+    probe = new_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    build = all_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    if not within_batch:
+        build = build.filter(~F.col("is_new"))
+    a, b = probe.alias("a"), build.alias("b")
+    # corpus matches join once (disjoint ids after the anti-join);
+    # batch-batch matches are restricted to a < b so each new-new pair
+    # counts exactly once — least/greatest then normalizes orientation
+    cond = (
+        (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (
+            (~F.col("b.is_new"))
+            | (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     corpus_index: DataFrame,
@@ -1877,6 +2021,9 @@ def dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_self: bool = False,
+    window_index: DataFrame | None = None,
+    min_shared_windows: int = 1,
+    window_k: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an EXISTING corpus without touching
     corpus text: exact dups by fingerprint equality, near-dups by
@@ -1908,9 +2055,31 @@ def dedup_incremental(
     appends before acknowledging. ``exclude_self`` remains right for
     the narrower case where only the doc's OWN row may pre-exist
     (e.g. re-indexing a corrected document against a standing index).
+
+    ``window_index`` (a persisted :func:`build_window_index` table)
+    adds the SUBSTRING lane: a new doc sharing at least
+    ``min_shared_windows`` identical ``window_k``-token windows with
+    any corpus doc is also dropped, reported with reason 'substring'
+    and NULL est_jaccard (a window count is not a Jaccard). Substring
+    matches rank below exact/near in the attribution (DESC est_jaccard
+    puts NULL last), so a doc that is both reports the stronger
+    reason; ties inside the lane attribute to the most shared windows,
+    then the smallest corpus id. Within-batch substring pairs are not
+    handled here, matching the fingerprint lanes' contract; the lane
+    ALWAYS excludes the batch's own index rows (the incremental
+    checker's broadcast anti-join), so it is replay-safe regardless of
+    ``exclude_self``. The lane costs
+    one batch scan plus one aggregate over the window index's narrow
+    rows (exact cap parity — see
+    :func:`exact_substring_pairs_incremental`); corpus text is never
+    rescanned.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if min_shared_windows <= 0:
+        raise ValueError(
+            f"min_shared_windows must be positive, got {min_shared_windows}"
+        )
     new_idx = build_corpus_index(new_docs, id_col, text_col)
 
     def _drop_self(df: DataFrame) -> DataFrame:
@@ -1976,14 +2145,59 @@ def dedup_incremental(
         .filter(F.col("est_jaccard") >= threshold)
     )
 
+    lanes = exact.unionByName(near)
+
+    if window_index is not None:
+        sub_pairs = exact_substring_pairs_incremental(
+            new_docs,
+            window_index,
+            k=window_k,
+            id_col=id_col,
+            text_col=text_col,
+            within_batch=False,
+        ).filter(F.col("n_shared_windows") >= min_shared_windows)
+        # pairs are (least, greatest)-oriented; recover which side is
+        # the new doc (the other is the corpus match)
+        sub_pairs = sub_pairs.join(
+            F.broadcast(
+                new_docs.select(F.col(id_col).alias("__new_id")).distinct()
+            ),
+            F.col("doc_a") == F.col("__new_id"),
+            "left",
+        ).select(
+            F.when(F.col("__new_id").isNotNull(), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id"),
+            F.when(F.col("__new_id").isNotNull(), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("matched_doc_id"),
+            "n_shared_windows",
+        )
+        # no _drop_self needed: the corpus side was anti-joined against
+        # the batch's ids, so matched_doc_id can never equal doc_id
+        ws = Window.partitionBy("doc_id").orderBy(
+            F.desc("n_shared_windows"), F.asc("matched_doc_id")
+        )
+        substring = (
+            sub_pairs.withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "doc_id",
+                "matched_doc_id",
+                F.lit("substring").alias("reason"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+        )
+        lanes = lanes.unionByName(substring)
+
     # strongest match per new doc ('exact' outranks any 'near' via the
-    # est_jaccard = 1.0 + reason tie-break)
+    # est_jaccard = 1.0 + reason tie-break; 'substring' rows carry NULL
+    # est_jaccard, which DESC orders last — the weakest lane)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("est_jaccard"), F.asc("reason"), F.asc("matched_doc_id")
     )
     report = (
-        exact.unionByName(near)
-        .withColumn("__rn", F.row_number().over(w))
+        lanes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
