@@ -70,9 +70,11 @@ def _surrogate_expr(df: DataFrame, col: str) -> Column | None:
         )
         prefix = F.substring(padded, 1, _PREFIX_BYTES)
         return F.conv(F.hex(prefix), 16, 10).cast("long")
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
         return F.col(col).cast("double")
-    if isinstance(dt, T.DateType):
+    if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+        # Spark rejects a direct TIMESTAMP_NTZ/DATE → DOUBLE cast;
+        # hop through the session-zone timestamp first
         return F.col(col).cast("timestamp").cast("double")
     raise ValueError(
         f"z-order column {col!r} has unsupported type {dt.simpleString()}: "

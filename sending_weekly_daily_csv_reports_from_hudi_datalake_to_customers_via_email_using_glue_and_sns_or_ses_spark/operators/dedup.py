@@ -1962,10 +1962,14 @@ def exact_substring_pairs_incremental(
     if max_postings <= 1:
         raise ValueError(f"max_postings must be > 1, got {max_postings}")
     if "k" in window_index.columns:
-        idx_k = window_index.select("k").first()
-        if idx_k is not None and idx_k["k"] != k:
+        # DISTINCT, not first(): a mixed-k index (k=10 rows appended
+        # onto a k=20 index) must raise, not pass whenever the sampled
+        # row happens to carry the right k while the foreign-k rows
+        # silently match nothing and skew the hot-cap totals
+        idx_ks = {r["k"] for r in window_index.select("k").distinct().collect()}
+        if idx_ks and idx_ks != {k}:
             raise ValueError(
-                f"window index was built with k={idx_k['k']}, queried "
+                f"window index was built with k={sorted(idx_ks)}, queried "
                 f"with k={k}: windows of different sizes never match"
             )
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()

@@ -252,11 +252,12 @@ def quantize_embeddings(
     stay NULL through the round trip (and are skipped by ``array_max``
     when computing the scale) — ``least``/``greatest`` skip NULLs, so
     without the explicit isNull guard a NULL element would silently
-    quantize to code 127, fabricating the vector max. NaN elements are
-    treated the same way (skipped for the scale, NULL after the round
-    trip — int8 has no NaN to map to): ``array_max`` sorts NaN as the
-    GREATEST value, so an unguarded max would make the scale NaN and
-    the int cast would collapse every code to 0 — the whole vector
+    quantize to code 127, fabricating the vector max. NaN and ±Inf
+    elements are treated the same way (skipped for the scale, NULL
+    after the round trip — int8 can represent neither): ``array_max``
+    sorts NaN as the GREATEST value and Inf above every finite, so an
+    unguarded max would make the scale NaN/Inf and collapse every
+    code — including the finite elements' — to 0, the whole vector
     silently round-tripping to garbage. Pure JVM
     expressions, single-layer lambdas only (the r6 interpreted-HOF
     rule): one scan, no shuffle, no Python.
@@ -276,8 +277,12 @@ def quantize_embeddings(
     # the GREATEST value, so an unguarded max would make the scale NaN,
     # every code NaN, and the int cast would silently collapse the
     # whole vector to zeros — corruption with no error
+    inf = F.lit(float("inf"))
     finite_abs = F.transform(
-        v, lambda x: F.when(F.isnan(x), F.lit(None)).otherwise(F.abs(x))
+        v,
+        lambda x: F.when(
+            F.isnan(x) | (F.abs(x) == inf), F.lit(None)
+        ).otherwise(F.abs(x)),
     )
     scaled = e.select(
         *others,
@@ -289,7 +294,8 @@ def quantize_embeddings(
     q = F.transform(
         "__qv",
         lambda x: F.when(
-            x.isNull() | F.isnan(x), F.lit(None).cast("tinyint")
+            x.isNull() | F.isnan(x) | (F.abs(x) == inf),
+            F.lit(None).cast("tinyint"),
         ).otherwise(
             F.greatest(
                 F.lit(-127),

@@ -527,9 +527,13 @@ def compression_signals(
     looks the same in its first 64 KB as in its first 10 MB). The
     reported ``n_bytes``/``compressed_bytes`` and their ratio all
     refer to the measured prefix — a threshold tuned on capped runs
-    compares like with like. Pass ``max_bytes=None`` for the uncapped
-    signal (parity tests; corpora of pathological docs whose tail
-    diverges from their head).
+    compares like with like — and the appended ``truncated`` flag
+    marks every doc the cap touched (no-silent-caps: the truncation is
+    visible per row, and ``truncated.sum()`` is the corpus-level cap
+    report). Pass ``max_bytes=None`` for the uncapped signal — do so
+    for thresholds TUNED ON FULL-DOCUMENT ratios before this cap
+    existed, or for corpora of pathological docs whose tail diverges
+    from their head; the default changed from uncapped in r7.
 
     Scale: one Arrow-batched pandas UDF scan (zlib is C-speed, ~100
     MB/s/core — the scan is compression-bound, not Python-bound), zero
@@ -541,10 +545,16 @@ def compression_signals(
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
         _zlib_sizes(level, max_bytes)(F.col(text_col)).alias("sz"),
+        # full UTF-8 length JVM-side — one octet_length, no second
+        # Python pass — so the cap's effect is observable per row
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "__full"
+        ),
     )
     return sized.select(
         "doc_id",
         F.element_at("sz", 1).alias("n_bytes"),
         F.element_at("sz", 2).alias("compressed_bytes"),
         _ratio_from_sizes(F.col("sz")).alias("compression_ratio"),
+        (F.col("__full") > F.element_at("sz", 1)).alias("truncated"),
     )

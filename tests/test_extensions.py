@@ -955,9 +955,15 @@ def test_incremental_substring_index_matches_batch_on_union(spark):
     )
     assert rows(again) == inc
 
-    # k mismatch is an explicit error, not silent emptiness
-    with pytest.raises(ValueError, match="built with k=8"):
+    # k mismatch is an explicit error, not silent emptiness — and a
+    # MIXED-k index (foreign-k rows appended) raises too, rather than
+    # passing on a lucky sampled row while the foreign rows silently
+    # match nothing
+    with pytest.raises(ValueError, match=r"built with k=\[8\]"):
         exact_substring_pairs_incremental(batch, idx, k=10)
+    mixed = idx.unionByName(build_window_index(batch, k=10))
+    with pytest.raises(ValueError, match=r"built with k=\[8, 10\]"):
+        exact_substring_pairs_incremental(batch, mixed, k=8)
 
 
 def test_dedup_incremental_substring_lane(spark):

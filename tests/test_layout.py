@@ -165,6 +165,33 @@ def test_zorder_string_surrogate_preserves_order(spark):
         add_zorder_key(bad, ["arr"], bits=4)
 
 
+def test_add_zorder_key_temporal_columns(spark):
+    """timestamp, timestamp_ntz, and date columns all z-order without
+    engine errors (TIMESTAMP_NTZ → DOUBLE is not directly castable in
+    Spark — the surrogate hops through the session-zone timestamp)."""
+    import datetime as dt
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions.layout import (
+        add_zorder_key,
+    )
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    df = (
+        spark.createDataFrame(
+            [(i, base + dt.timedelta(hours=i), float(i)) for i in range(50)],
+            "id long, ts timestamp, v double",
+        )
+        .withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("d", F.col("ts").cast("date"))
+    )
+    for cols in (["ts", "v"], ["ts_ntz", "v"], ["d", "v"]):
+        keyed = add_zorder_key(df, cols, bits=4)
+        assert keyed.count() == 50
+        # later timestamps land at-or-above earlier ones on the curve's
+        # leading column (order preservation through the surrogate)
+        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+
+
 def test_zorder_string_column_prunes_like_numeric(spark):
     """The VERDICT-r6 gap measurement: a (string, numeric) z-order pair
     — the reference's own clustering shape (state + value) — must give

@@ -325,6 +325,17 @@ def test_quantize_embeddings_zero_vector_and_knn_recall(spark):
     assert qn[1]["q_scale"] == 0.0
     assert list(qn[1]["embedding"]) == [None, None, None]
 
+    # ±Inf behaves like NaN: skipped for the scale, NULL codes —
+    # without the guard the scale became Inf and every FINITE element's
+    # code collapsed to 0 (the same silent-corruption class)
+    iv = spark.createDataFrame(
+        [(0, [2.0, float("inf"), float("-inf"), -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qi = quantize_embeddings(iv).first()
+    assert list(qi["embedding"]) == [127, None, None, -64]
+    assert qi["q_scale"] == pytest.approx(2.0 / 127.0, rel=1e-6)
+
     e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", "embedding"
     )

@@ -253,10 +253,12 @@ def test_compression_signals_byte_cap(spark):
     assert capped[1]["compression_ratio"] == pytest.approx(
         len(zlib.compress(prefix, 6)) / 256
     )
+    assert capped[1]["truncated"] is True  # the cap's effect is visible
     # short doc: cap is a no-op
     sb = short_doc.encode("utf-8")
     assert capped[2]["n_bytes"] == len(sb)
     assert capped[2]["compressed_bytes"] == len(zlib.compress(sb, 6))
+    assert capped[2]["truncated"] is False
 
     # uncapped path unchanged (parity lane)
     full = {
@@ -266,6 +268,7 @@ def test_compression_signals_byte_cap(spark):
     lb = long_doc.encode("utf-8")
     assert full[1]["n_bytes"] == len(lb)
     assert full[1]["compressed_bytes"] == len(zlib.compress(lb, 6))
+    assert full[1]["truncated"] is False and full[2]["truncated"] is False
 
     import pytest as _pytest
 
