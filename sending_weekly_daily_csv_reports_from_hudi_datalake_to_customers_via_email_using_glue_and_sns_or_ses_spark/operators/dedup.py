@@ -2068,11 +2068,20 @@ def dedup_incremental(
     matches rank below exact/near in the attribution (DESC est_jaccard
     puts NULL last), so a doc that is both reports the stronger
     reason; ties inside the lane attribute to the most shared windows,
-    then the smallest corpus id. Within-batch substring pairs are not
-    handled here, matching the fingerprint lanes' contract; the lane
-    ALWAYS excludes the batch's own index rows (the incremental
-    checker's broadcast anti-join), so it is replay-safe regardless of
-    ``exclude_self``. The lane costs
+    then the smallest keeper id. UNLIKE the fingerprint lanes, this
+    lane also handles WITHIN-BATCH substring pairs (its postings are
+    built from the batch anyway): a new-vs-corpus match drops the new
+    doc, a new-vs-new match drops the larger id (the intra-batch
+    min-id-keeper convention) — which is what keeps replay convergent
+    under ANY batching, since a re-streamed source whose span owner
+    and quoter collapse into one micro-batch still reaches the
+    original decision. Greedy caveat: in a chain A<B<C where B matches
+    A and C matches only B, C is dropped even though its keeper B was
+    dropped too — deterministic and conservative (over-drops, never
+    under-drops); run the batch detector + components for exact
+    cluster-level keep policies. The lane ALWAYS excludes the batch's
+    own index rows (the incremental checker's broadcast anti-join), so
+    it is replay-safe regardless of ``exclude_self``. The lane costs
     one batch scan plus one aggregate over the window index's narrow
     rows (exact cap parity — see
     :func:`exact_substring_pairs_incremental`); corpus text is never
@@ -2158,27 +2167,31 @@ def dedup_incremental(
             k=window_k,
             id_col=id_col,
             text_col=text_col,
-            within_batch=False,
+            within_batch=True,
         ).filter(F.col("n_shared_windows") >= min_shared_windows)
-        # pairs are (least, greatest)-oriented; recover which side is
-        # the new doc (the other is the corpus match)
+        # victim/keeper orientation per (doc_a < doc_b) pair: a
+        # new-vs-corpus match drops the NEW doc; a new-vs-new
+        # (within-batch) match drops the LARGER id — the same min-id
+        # keeper convention the intra-batch exact dedup uses, which is
+        # what makes replay converge under ANY batching (a re-streamed
+        # source whose span owner and quoter land in one batch still
+        # reaches the two-batch run's decision). Since doc_b > doc_a,
+        # the victim is doc_b whenever doc_b is new, else doc_a.
+        new_ids = new_docs.select(F.col(id_col).alias("__nid")).distinct()
         sub_pairs = sub_pairs.join(
-            F.broadcast(
-                new_docs.select(F.col(id_col).alias("__new_id")).distinct()
-            ),
-            F.col("doc_a") == F.col("__new_id"),
-            "left",
+            F.broadcast(new_ids), F.col("doc_b") == F.col("__nid"), "left"
         ).select(
-            F.when(F.col("__new_id").isNotNull(), F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("doc_id"),
-            F.when(F.col("__new_id").isNotNull(), F.col("doc_b"))
+            F.when(F.col("__nid").isNotNull(), F.col("doc_b"))
             .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            F.when(F.col("__nid").isNotNull(), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
             .alias("matched_doc_id"),
             "n_shared_windows",
         )
-        # no _drop_self needed: the corpus side was anti-joined against
-        # the batch's ids, so matched_doc_id can never equal doc_id
+        # no _drop_self needed: victim and keeper are different docs by
+        # construction (pairs require doc_a < doc_b; corpus rows for
+        # batch ids were anti-joined away)
         ws = Window.partitionBy("doc_id").orderBy(
             F.desc("n_shared_windows"), F.asc("matched_doc_id")
         )

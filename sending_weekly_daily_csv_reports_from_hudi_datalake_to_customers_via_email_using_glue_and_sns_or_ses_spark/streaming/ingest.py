@@ -101,6 +101,9 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "stream_ingest_dedup",
+    window_index_path: str | None = None,
+    window_k: int = 20,
+    min_shared_windows: int = 1,
 ) -> StreamingQuery:
     """Continuously ingest a document stream with STANDING dedup: each
     micro-batch is deduped within itself (min-id keeper per content
@@ -139,10 +142,26 @@ def stream_ingest_dedup(
     its untagged rows never excluded — correct, since they predate any
     streaming lineage.
 
+    ``window_index_path`` (r7) adds the SUBSTRING lane: a persisted
+    ``build_window_index`` parquet checked and appended the same way —
+    docs sharing ≥ ``min_shared_windows`` identical ``window_k``-token
+    windows with the standing corpus are dropped (reason 'substring'),
+    catching quote/boilerplate reuse whole-document fingerprints and
+    MinHash dilute away. This lane needs NO lineage tags: the
+    incremental checker always anti-joins index rows carrying the
+    batch's own ids (self AND same-batch siblings — the whole batch's
+    id set), so a replay after a crash between window append and table
+    commit sees exactly the pre-batch window index; the append path's
+    anti-join keeps the index single-rowed per (doc, window).
+
     Scale: the index append is one job over the batch (≪ corpus); the
-    dedup joins shuffle batch + index rows by fingerprint/band key.
-    At a standing 100 TB corpus the index is a few hundred GB — the
-    whole point: ingest-time dedup without rescanning corpus text.
+    dedup joins shuffle batch + index rows by fingerprint/band key,
+    and the window lane adds one aggregate over the window index's
+    narrow long rows (cap parity — see
+    ``exact_substring_pairs_incremental``). At a standing 100 TB
+    corpus the fingerprint index is a few hundred GB and the window
+    index a few TB — the whole point: ingest-time dedup without
+    rescanning corpus text.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -151,8 +170,20 @@ def stream_ingest_dedup(
     from ..operators.dedup import (
         _norm_text,
         build_corpus_index,
+        build_window_index,
         dedup_incremental,
     )
+
+    def _read_index(spark, path: str) -> DataFrame | None:
+        """None when absent or when a first-batch crash left only
+        uncommitted _temporary files (no readable footer) — treat as
+        empty rather than wedging the stream forever."""
+        if not fs_for(spark).exists(path):
+            return None
+        try:
+            return spark.read.option("mergeSchema", "true").parquet(path)
+        except Exception:  # noqa: BLE001 — unreadable partial dir
+            return None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in applied_batch_ids(table, checkpoint_dir):
@@ -170,36 +201,35 @@ def stream_ingest_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        index = None
-        if fs_for(spark).exists(index_path):
-            try:
-                # mergeSchema: a bootstrapped index (plain
-                # build_corpus_index parquet) has no tag columns;
-                # streaming appends add them — merge so both coexist
-                index = spark.read.option("mergeSchema", "true").parquet(
-                    index_path
-                )
-            except Exception:  # noqa: BLE001
-                # a crash during the FIRST batch's append can leave the
-                # directory with only uncommitted _temporary files — no
-                # readable footer, no committed rows: treat as empty
-                # rather than wedging the stream forever
-                index = None
-        if index is not None:
+        # mergeSchema: a bootstrapped index (plain build_corpus_index
+        # parquet) has no tag columns; streaming appends add them —
+        # merge so both coexist
+        index = _read_index(spark, index_path)
+        windex = (
+            _read_index(spark, window_index_path)
+            if window_index_path
+            else None
+        )
+        if index is not None or windex is not None:
             # replay protection: drop index rows tagged by a prior
             # partial attempt of THIS (checkpoint, batch_id) — not
             # just self-matches (see the docstring's same-batch-
             # sibling scenario) — so a replay dedups against exactly
             # the pre-batch index. Untagged (bootstrap) rows have NULL
             # tags and are always kept.
-            if "__src_ck" in index.columns:
+            if index is not None and "__src_ck" in index.columns:
                 lookup = index.filter(
                     F.col("__src_ck").isNull()
                     | (F.col("__src_ck") != F.lit(_canon_checkpoint(checkpoint_dir)))
                     | (F.col("__src_batch") != F.lit(batch_id))
                 )
-            else:
+            elif index is not None:
                 lookup = index
+            else:
+                # window lane only (fingerprint index not created yet):
+                # an empty fingerprint index keeps the exact/near lanes
+                # quiet without a separate code path
+                lookup = build_corpus_index(intra.limit(0))
             # exclude_self on top of the tag scoping: the tags cover a
             # replay under the SAME checkpoint, but a crash between
             # index append and table commit followed by re-ingestion
@@ -210,8 +240,16 @@ def stream_ingest_dedup(
             # the upsert is idempotent and the append path anti-joins
             # the index, so a legitimate committed self-row never
             # double-appends; sibling matches still resolve via tags.
+            # The window lane needs neither tags nor the flag: its
+            # checker anti-joins the batch's whole id set.
             clean, _report = dedup_incremental(
-                intra, lookup, threshold, exclude_self=True
+                intra,
+                lookup,
+                threshold,
+                exclude_self=True,
+                window_index=windex,
+                min_shared_windows=min_shared_windows,
+                window_k=window_k,
             )
         else:
             clean = intra
@@ -232,6 +270,16 @@ def stream_ingest_dedup(
                         index.select("doc_id"), "doc_id", "left_anti"
                     )
                 idx_rows.write.mode("append").parquet(index_path)
+                if window_index_path:
+                    wrows = build_window_index(clean, k=window_k)
+                    if windex is not None:
+                        # same replay anti-join, window edition
+                        wrows = wrows.join(
+                            windex.select("doc_id").distinct(),
+                            "doc_id",
+                            "left_anti",
+                        )
+                    wrows.write.mode("append").parquet(window_index_path)
                 table.upsert(
                     clean.withColumnRenamed("doc_id", id_col).withColumnRenamed(
                         "text", text_col

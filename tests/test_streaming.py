@@ -415,6 +415,87 @@ def test_stream_ingest_dedup_standing_corpus(spark, tmp_path):
     ) == [0, 1, 5]
 
 
+def test_stream_ingest_dedup_window_index_substring_lane(spark, tmp_path):
+    """stream_ingest_dedup(window_index_path=...): a later micro-batch
+    doc QUOTING a k-token span from the standing corpus (whole-doc
+    Jaccard far below the near threshold — only substring granularity
+    can catch it) is dropped with the standing window index, never a
+    corpus text rescan; unique docs land and append their own window
+    rows; a full-source replay under a fresh checkpoint converges
+    (the window lane anti-joins the batch's own ids by construction)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    span = " ".join(f"Q{j}" for j in range(8))
+    src = str(tmp_path / "wsrc")
+    # batch 1: the corpus doc carrying the span, plus an unrelated doc
+    spark.createDataFrame(
+        [
+            (0, " ".join(f"a{j}" for j in range(10)) + f" {span} " + " ".join(f"b{j}" for j in range(10))),
+            (1, " ".join(f"c{j}" for j in range(25))),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    # batch 2: doc 10 quotes the span inside otherwise-unique text
+    # (J ≈ 0.17 — the near lane at 0.5 cannot see it), doc 11 is fresh
+    spark.createDataFrame(
+        [
+            (10, " ".join(f"x{j}" for j in range(10)) + f" {span} " + " ".join(f"y{j}" for j in range(10))),
+            (11, " ".join(f"z{j}" for j in range(25))),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    table = KeyedTable(
+        spark, str(tmp_path / "wtbl"), record_key="doc_id", precombine="doc_id"
+    )
+    index_path = str(tmp_path / "w_fp_index")
+    window_path = str(tmp_path / "w_win_index")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream,
+        table,
+        index_path,
+        str(tmp_path / "wck"),
+        window_index_path=window_path,
+        window_k=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in table.snapshot().collect())
+    assert kept == [0, 1, 11]  # the quoting doc 10 was dropped
+    widx = spark.read.parquet(window_path)
+    assert sorted(set(r["doc_id"] for r in widx.collect())) == [0, 1, 11]
+
+    # full-source replay, fresh checkpoint: decisions converge (doc 0
+    # is not dropped against its own window rows — batch-id anti-join)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = stream_ingest_dedup(
+        stream2,
+        table,
+        index_path,
+        str(tmp_path / "wck2"),
+        window_index_path=window_path,
+        window_k=8,
+        query_name="wreplay",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(r["doc_id"] for r in table.snapshot().collect()) == [0, 1, 11]
+    assert sorted(
+        set(r["doc_id"] for r in spark.read.parquet(window_path).collect())
+    ) == [0, 1, 11]
+
+
 def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     """Crash window between index append and table commit, with a
     WITHIN-BATCH near-dup pair: the replayed batch must not drop a doc
