@@ -1529,6 +1529,12 @@ def remove_shared_substrings(
             .alias("n_tokens_removed"),
         )
     )
+    if others == [id_col]:
+        # (id, text)-shaped input: the passthrough rejoin would be a
+        # full extra shuffle join carrying every cleaned text — skip it
+        return cleaned.withColumnRenamed("__rss_id", id_col).select(
+            *docs.columns, "n_tokens_removed"
+        )
     return (
         docs.select(*others)
         .join(cleaned.withColumnRenamed("__rss_id", id_col), id_col)
