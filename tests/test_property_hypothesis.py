@@ -288,3 +288,62 @@ def test_remove_shared_substrings_matches_reference(spark, data):
     }
     want = dict(enumerate(_rss_reference(texts, _K_RSS)))
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=corpora, split=st.integers(min_value=1, max_value=6))
+def test_incremental_substring_pairs_match_union_property(spark, data, split):
+    """The standing-index contract on ARBITRARY tiny-vocab corpora:
+    for any corpus/batch split, exact_substring_pairs_incremental over
+    the corpus's window index returns exactly the batch detector's
+    union-run rows that touch a batch doc — and is unchanged when the
+    batch's own rows were already appended (crash replay)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        exact_substring_pairs,
+        exact_substring_pairs_incremental,
+    )
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in data]
+    cut = min(split, len(texts))
+    corpus_rows = [(i, t) for i, t in enumerate(texts[:cut])]
+    batch_rows = [(100 + i, t) for i, t in enumerate(texts[cut:])]
+    if not batch_rows:
+        return
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    idx = build_window_index(corpus, k=_K_RSS)
+    inc = sorted(
+        map(
+            tuple,
+            exact_substring_pairs_incremental(batch, idx, k=_K_RSS).collect(),
+        )
+    )
+    union_run = sorted(
+        map(
+            tuple,
+            exact_substring_pairs(
+                corpus.unionByName(batch), k=_K_RSS
+            ).collect(),
+        )
+    )
+    want = [t for t in union_run if t[0] >= 100 or t[1] >= 100]
+    assert inc == want
+
+    # crash-replay: batch rows already in the index → same answer
+    replay = sorted(
+        map(
+            tuple,
+            exact_substring_pairs_incremental(
+                batch,
+                idx.unionByName(build_window_index(batch, k=_K_RSS)),
+                k=_K_RSS,
+            ).collect(),
+        )
+    )
+    assert replay == inc
