@@ -1455,6 +1455,15 @@ def remove_shared_substrings(
         # salt-FIRST (exact_substring_pairs' independence caveat)
         F.xxhash64(F.lit(1), "o.w").alias("h2"),
     )
+    # two plan paths consume occ (the dup aggregate and the canonical-
+    # marking join) and AQE does not fold the identical subtrees — the
+    # _window_postings persist rationale; without it the tokenize+
+    # window+hash corpus scan ran THREE times per run (the third is
+    # the text rebuild, which needs only the raw parquet scan). Narrow
+    # 4-long rows; bounded handle registry, released by
+    # clear_intermediate_caches.
+    occ = occ.persist()
+    _track_postings_handle(occ)
     dup = (
         occ.groupBy("h1", "h2")
         .agg(
