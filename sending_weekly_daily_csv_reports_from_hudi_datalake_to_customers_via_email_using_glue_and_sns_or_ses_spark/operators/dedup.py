@@ -1943,7 +1943,8 @@ def exact_substring_pairs_incremental(
     text_col: str = "text",
     max_postings: int = 256,
     within_batch: bool = True,
-) -> DataFrame:
+    cap_report: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """:func:`exact_substring_pairs` for a NEW batch against a standing
     corpus: every pair involving a new document that shares ≥1
     identical k-token window with the corpus (via its persisted
@@ -1973,6 +1974,10 @@ def exact_substring_pairs_incremental(
     whose index rows were already appended (the crash-between-append-
     and-commit window of streaming/ingest.py) returns the same pairs
     as the first attempt instead of double-counting.
+
+    ``cap_report=True`` additionally returns the one-row
+    (n_hot_windows, dropped_postings, max_postings) frame over the
+    UNION's totals — the batch operators' cap observability, here too.
     """
     if max_postings <= 1:
         raise ValueError(f"max_postings must be > 1, got {max_postings}")
@@ -2000,11 +2005,16 @@ def exact_substring_pairs_incremental(
     all_post = idx_post.withColumn("is_new", F.lit(False)).unionByName(
         new_post.withColumn("is_new", F.lit(True))
     )
-    hot = (
+    hot_full = (
         all_post.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_post"))
         .filter(F.col("n_post") > max_postings)
-        .select("h1", "h2")
+    )
+    hot = hot_full.select("h1", "h2")
+    cap = hot_full.agg(
+        F.count("*").alias("n_hot_windows"),
+        F.coalesce(F.sum("n_post"), F.lit(0)).alias("dropped_postings"),
+        F.lit(max_postings).alias("max_postings"),
     )
     probe = new_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     build = all_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
@@ -2022,7 +2032,7 @@ def exact_substring_pairs_incremental(
             | (F.col("a.doc_id") < F.col("b.doc_id"))
         )
     )
-    return (
+    pairs = (
         a.join(b, cond)
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -2031,6 +2041,7 @@ def exact_substring_pairs_incremental(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_windows"))
     )
+    return (pairs, cap) if cap_report else pairs
 
 
 def dedup_incremental(

@@ -955,6 +955,19 @@ def test_incremental_substring_index_matches_batch_on_union(spark):
     )
     assert rows(again) == inc
 
+    # the incremental checker reports its union cap too: 4 occupied
+    # docs for hotwin (2 corpus + 2 batch) over cap 3 → 1 hot window,
+    # 4 dropped distinct-doc postings
+    _p, capr = exact_substring_pairs_incremental(
+        batch, idx, k=k, max_postings=cap, cap_report=True
+    )
+    rowc = capr.first()
+    assert (
+        rowc["n_hot_windows"],
+        rowc["dropped_postings"],
+        rowc["max_postings"],
+    ) == (1, 4, 3)
+
     # k mismatch is an explicit error, not silent emptiness — and a
     # MIXED-k index (foreign-k rows appended) raises too, rather than
     # passing on a lucky sampled row while the foreign rows silently
