@@ -448,6 +448,27 @@ def _compression_signals(spark, sf_dir):
     return compression_signals(_docs(spark, sf_dir))
 
 
+def _substring_incremental(spark, sf_dir):
+    """Standing-corpus substring check: window-index the 90% 'corpus'
+    split, then run the incremental detector for the 10% 'batch'
+    split. The timed cost is index build (one linear corpus scan) +
+    union-cap aggregate + batch-vs-index join — every component
+    data-proportional, so the 10× ratio should stay near the batch
+    detector's."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        exact_substring_pairs_incremental,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    batch = d.filter(F.col("doc_id") % 10 == 3)
+    idx = build_window_index(corpus, k=20)
+    return exact_substring_pairs_incremental(batch, idx, k=20)
+
+
 EXTRA_SCALE = {
     "dedup_clusters_minhash": _minhash_clusters,
     "pack_sequences": _pack_sequences,
@@ -459,6 +480,7 @@ EXTRA_SCALE = {
     "lm_perplexity_bigram": _lm_perplexity_bigram,
     "quality_classifier": _quality_classifier,
     "exact_substring_pairs": _exact_substring,
+    "substring_incremental": _substring_incremental,
     "remove_shared_substrings": _remove_shared_substrings,
     "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
