@@ -63,6 +63,7 @@ HEADLINE = [
     "exact_substring_pairs",
     "shared_substring_runs",
     "remove_shared_substrings",
+    "substring_incremental",
     "semantic_dedup",
     "decontaminate",
     "decontaminate_fuzzy",

@@ -1783,6 +1783,56 @@ def remove_shared_substrings_documents(
     )
 
 
+@query(
+    "substring_incremental",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), wins AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+19], ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i)
+    ), keep AS (
+      -- the cap counts the UNION's totals — whole-corpus window counts
+      SELECT w FROM wins GROUP BY w HAVING count(*) <= 256
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_windows
+      FROM wins a JOIN keep USING (w) JOIN wins b USING (w)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT * FROM pairs WHERE doc_a % 10 = 3 OR doc_b % 10 = 3
+    """,
+)
+def substring_incremental_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver entry for the STANDING-CORPUS substring path (registered
+    r7, funded by retiring ``subquery_in_not_in``): window-index the
+    90% 'corpus' split (doc_id % 10 != 3), then run
+    :func:`exact_substring_pairs_incremental` for the 10% 'batch'
+    split — corpus text is never rescanned by the checker; only the
+    index's narrow hash rows participate.
+
+    The hash-free oracle states the CONTRACT rather than the
+    mechanism: the incremental result must equal the batch detector's
+    union-run rows touching a batch doc (window strings, union-cap,
+    same pair counts) — so the index build, the batch-id anti-join,
+    the union-cap aggregate, and the is_new join orientation are all
+    value-hash-checked against a construction that knows nothing about
+    any of them.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    batch = d.filter(F.col("doc_id") % 10 == 3)
+    idx = build_window_index(corpus, k=20)
+    return exact_substring_pairs_incremental(batch, idx, k=20)
+
+
 def semantic_dedup(
     e: DataFrame,
     threshold: float = 0.97,
