@@ -393,6 +393,38 @@ def test_shared_substring_runs_narrow_postings_shape(spark):
         )
 
 
+def test_substring_incremental_narrow_no_text_shape(spark):
+    """The standing-corpus substring check must keep the family's
+    narrow shape: the batch's id set arrives at the index as a
+    BROADCAST anti-join build side (no index shuffle to exclude replay
+    rows), no cartesian anywhere, and no token/window STRINGS in any
+    exchange — only the index build's one corpus scan ever touches
+    text."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        exact_substring_pairs_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = build_window_index(d.filter(F.col("doc_id") % 10 != 3), k=10)
+    df = exact_substring_pairs_incremental(
+        d.filter(F.col("doc_id") % 10 == 3), idx, k=10
+    )
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan, plan  # replay anti-join + hot cap
+    import re
+
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "toks" not in args and not re.search(r"\bw\b", args), (
+            f"window/token strings shuffle: {args}"
+        )
+
+
 def test_decontaminate_fuzzy_narrow_codegen_shape(spark):
     """decontaminate_fuzzy must stay in the narrow-hash shape: the eval
     side broadcasts (no shuffle join against the corpus), there is no
