@@ -2012,11 +2012,18 @@ def exact_substring_pairs_incremental(
     The hot cap counts postings over the UNION (index ∪ batch), the
     same totals the batch detector sees on the combined corpus — a
     window pushed over the cap by the new batch is dropped from both
-    sides. That count is one aggregate over the index's narrow long
-    rows each batch: data-proportional to the INDEX (not to corpus
-    text), the honest standing cost of exact cap parity; a corpus
-    whose index outgrows per-batch re-aggregation can persist the
-    per-window counts and merge increments instead.
+    sides. Cost shape: ONE scan of the index's narrow long rows per
+    batch, filtered MAP-SIDE to batch-touched windows by a broadcast
+    semi-join on the batch's hash set before anything shuffles —
+    untouched windows (the overwhelming majority against a big corpus)
+    never leave their executors, so the cap aggregate and the pair
+    join are batch-proportional; only the scan itself is
+    index-proportional (a hash-bucketed index layout would prune that
+    too). Untouched windows cannot appear in any pair and their
+    hotness cannot affect surviving pairs, so union-cap parity is
+    exact (the hypothesis property pins it); the ``cap_report``
+    accordingly covers BATCH-TOUCHED hot windows — the ones that
+    affected this result — not the whole corpus's boilerplate census.
 
     Replay-safe by construction: index rows whose doc_id is in the
     batch are excluded first (broadcast anti-join on the small batch's
@@ -2032,14 +2039,17 @@ def exact_substring_pairs_incremental(
     if max_postings <= 1:
         raise ValueError(f"max_postings must be > 1, got {max_postings}")
     if "k" in window_index.columns:
-        # DISTINCT, not first(): a mixed-k index (k=10 rows appended
-        # onto a k=20 index) must raise, not pass whenever the sampled
-        # row happens to carry the right k while the foreign-k rows
-        # silently match nothing and skew the hot-cap totals
-        idx_ks = {r["k"] for r in window_index.select("k").distinct().collect()}
-        if idx_ks and idx_ks != {k}:
+        # exact mixed-k detection at near-zero standing cost: the
+        # predicate pushes to parquet row-group stats, so on a
+        # well-formed index (every group min=max=k) the scan skips
+        # EVERYTHING; a foreign-k row — appended by a misconfigured
+        # writer — is found immediately. (A first()-sample would pass
+        # on a lucky row; an unconditional distinct() full-scanned the
+        # index once per micro-batch.)
+        bad = window_index.filter(F.col("k") != F.lit(k)).select("k").first()
+        if bad is not None:
             raise ValueError(
-                f"window index was built with k={sorted(idx_ks)}, queried "
+                f"window index contains k={bad['k']} rows but was queried "
                 f"with k={k}: windows of different sizes never match"
             )
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -2055,8 +2065,23 @@ def exact_substring_pairs_incremental(
     all_post = idx_post.withColumn("is_new", F.lit(False)).unionByName(
         new_post.withColumn("is_new", F.lit(True))
     )
+    # restrict everything downstream to BATCH-TOUCHED windows first: a
+    # broadcast semi-join on the batch's (small) hash set filters the
+    # index map-side, so the cap aggregate and the pair join shuffle
+    # only rows that can produce output. Untouched windows cannot
+    # appear in any pair, and their hotness is irrelevant to the
+    # surviving pairs — union-cap parity is preserved exactly (the
+    # hypothesis property pins it). Without this, both stages
+    # aggregated/shuffled the FULL index per batch.
+    batch_keys = new_post.select("h1", "h2").distinct()
+    touched = all_post.join(F.broadcast(batch_keys), ["h1", "h2"], "left_semi")
+    # two consumers (cap aggregate + join build side) and the frame is
+    # batch-proportional: persist it so the INDEX scan behind it runs
+    # once per call, not twice
+    touched = touched.persist()
+    _track_postings_handle(touched)
     hot_full = (
-        all_post.groupBy("h1", "h2")
+        touched.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_post"))
         .filter(F.col("n_post") > max_postings)
     )
@@ -2067,7 +2092,7 @@ def exact_substring_pairs_incremental(
         F.lit(max_postings).alias("max_postings"),
     )
     probe = new_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
-    build = all_post.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    build = touched.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     if not within_batch:
         build = build.filter(~F.col("is_new"))
     a, b = probe.alias("a"), build.alias("b")
@@ -2148,10 +2173,18 @@ def dedup_incremental(
     lane also handles WITHIN-BATCH substring pairs (its postings are
     built from the batch anyway): a new-vs-corpus match drops the new
     doc, a new-vs-new match drops the larger id (the intra-batch
-    min-id-keeper convention) — which is what keeps replay convergent
-    under ANY batching, since a re-streamed source whose span owner
-    and quoter collapse into one micro-batch still reaches the
-    original decision. Greedy caveat: in a chain A<B<C where B matches
+    min-id-keeper convention) — which makes replay BATCHING-INVARIANT
+    when ids are monotone with arrival order (the natural contract of
+    an append-only ingest assigning keys at intake): a re-streamed
+    source whose span owner and quoter collapse into one micro-batch
+    then reaches the original decision, because the earlier-arriving
+    owner also carries the smaller id. With NON-monotone ids the
+    two policies can disagree — a small-id quoter arriving after a
+    large-id owner is dropped batch-by-batch (new-vs-corpus) but kept
+    when re-streamed in one batch (min-id keeper prefers it) — so a
+    collapsed re-stream may keep a different member of the pair than
+    the incremental run did (never both more than transiently: the
+    next pass over the union drops one again). Greedy caveat: in a chain A<B<C where B matches
     A and C matches only B, C is dropped even though its keeper B was
     dropped too — deterministic and conservative (over-drops, never
     under-drops); run the batch detector + components for exact
@@ -2248,10 +2281,9 @@ def dedup_incremental(
         # victim/keeper orientation per (doc_a < doc_b) pair: a
         # new-vs-corpus match drops the NEW doc; a new-vs-new
         # (within-batch) match drops the LARGER id — the same min-id
-        # keeper convention the intra-batch exact dedup uses, which is
-        # what makes replay converge under ANY batching (a re-streamed
-        # source whose span owner and quoter land in one batch still
-        # reaches the two-batch run's decision). Since doc_b > doc_a,
+        # keeper convention the intra-batch exact dedup uses — replay is
+        # batching-invariant when ids are monotone with arrival order
+        # (see the docstring's non-monotone caveat). Since doc_b > doc_a,
         # the victim is doc_b whenever doc_b is new, else doc_a.
         new_ids = new_docs.select(F.col(id_col).alias("__nid")).distinct()
         sub_pairs = sub_pairs.join(

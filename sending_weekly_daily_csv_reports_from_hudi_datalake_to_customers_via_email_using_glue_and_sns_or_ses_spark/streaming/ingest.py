@@ -151,8 +151,15 @@ def stream_ingest_dedup(
     incremental checker always anti-joins index rows carrying the
     batch's own ids (self AND same-batch siblings — the whole batch's
     id set), so a replay after a crash between window append and table
-    commit sees exactly the pre-batch window index; the append path's
-    anti-join keeps the index single-rowed per (doc, window).
+    commit sees exactly the pre-batch window index; the append path
+    anti-joins at (doc, h1, h2) ROW granularity against the batch
+    docs' existing rows (broadcast-semi-filtered, batch-sized), so a
+    partially committed append is healed — a replay appends exactly
+    the missing remainder, never a duplicate row. The lane runs from
+    the FIRST batch (empty index frame when the file does not exist
+    yet), so within-batch pairs are caught under any batching; replay
+    decisions are batching-invariant when doc ids are monotone with
+    arrival order (see ``dedup_incremental``'s non-monotone caveat).
 
     Scale: the index append is one job over the batch (≪ corpus); the
     dedup joins shuffle batch + index rows by fingerprint/band key,
@@ -175,14 +182,31 @@ def stream_ingest_dedup(
     )
 
     def _read_index(spark, path: str) -> DataFrame | None:
-        """None when absent or when a first-batch crash left only
-        uncommitted _temporary files (no readable footer) — treat as
-        empty rather than wedging the stream forever."""
+        """None when the index is genuinely absent: the path does not
+        exist, or a first-batch crash left only uncommitted _temporary
+        files (no committed part file) — treat as empty rather than
+        wedging the stream forever. A read FAILURE over committed data
+        (object-store throttle, corrupt footer) RE-RAISES so the
+        streaming engine retries the batch: silently treating a
+        populated index as empty would skip the dedup lanes AND the
+        append anti-joins for one batch — double-appending rows and
+        landing docs a healthy read would have dropped."""
         if not fs_for(spark).exists(path):
             return None
         try:
             return spark.read.option("mergeSchema", "true").parquet(path)
-        except Exception:  # noqa: BLE001 — unreadable partial dir
+        except Exception:
+            import os
+
+            committed = False
+            if os.path.isdir(path):  # local-fs path (the test envs)
+                committed = any(
+                    f.startswith("part-") for f in os.listdir(path)
+                )
+            else:  # URI: conservatively assume data may exist
+                committed = True
+            if committed:
+                raise
             return None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -210,7 +234,16 @@ def stream_ingest_dedup(
             if window_index_path
             else None
         )
-        if index is not None or windex is not None:
+        # the substring lane must run from the FIRST batch when it is
+        # configured: its within-batch half needs no standing rows, and
+        # skipping it until the index file exists would let a span
+        # owner and quoter that arrive together slip through where any
+        # later batching catches them. An empty index frame keeps one
+        # code path.
+        windex_lookup = windex
+        if window_index_path and windex is None:
+            windex_lookup = build_window_index(intra.limit(0), k=window_k)
+        if index is not None or windex_lookup is not None:
             # replay protection: drop index rows tagged by a prior
             # partial attempt of THIS (checkpoint, batch_id) — not
             # just self-matches (see the docstring's same-batch-
@@ -247,7 +280,7 @@ def stream_ingest_dedup(
                 lookup,
                 threshold,
                 exclude_self=True,
-                window_index=windex,
+                window_index=windex_lookup,
                 min_shared_windows=min_shared_windows,
                 window_k=window_k,
             )
@@ -273,11 +306,22 @@ def stream_ingest_dedup(
                 if window_index_path:
                     wrows = build_window_index(clean, k=window_k)
                     if windex is not None:
-                        # same replay anti-join, window edition
+                        # replay anti-join at ROW granularity: a crash
+                        # mid-append can commit only SOME of a doc's
+                        # window files, and a doc-level anti-join would
+                        # then permanently orphan the missing windows
+                        # (future quoters of those spans never caught).
+                        # The existing rows of batch docs are fetched
+                        # by a broadcast semi-join (map-side filter on
+                        # the index, batch-sized output), then the
+                        # exact (doc, h1, h2) anti-join appends exactly
+                        # the remainder — idempotent AND self-healing.
+                        batch_ids = clean.select("doc_id").distinct()
+                        existing = windex.select(
+                            "doc_id", "h1", "h2"
+                        ).join(F.broadcast(batch_ids), "doc_id", "left_semi")
                         wrows = wrows.join(
-                            windex.select("doc_id").distinct(),
-                            "doc_id",
-                            "left_anti",
+                            existing, ["doc_id", "h1", "h2"], "left_anti"
                         )
                     wrows.write.mode("append").parquet(window_index_path)
                 table.upsert(

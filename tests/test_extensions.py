@@ -971,11 +971,12 @@ def test_incremental_substring_index_matches_batch_on_union(spark):
     # k mismatch is an explicit error, not silent emptiness — and a
     # MIXED-k index (foreign-k rows appended) raises too, rather than
     # passing on a lucky sampled row while the foreign rows silently
-    # match nothing
-    with pytest.raises(ValueError, match=r"built with k=\[8\]"):
+    # match nothing (the check is a parquet-stats-skippable predicate,
+    # so a well-formed index pays ~nothing for it)
+    with pytest.raises(ValueError, match="contains k=8 .* queried\\s+with k=10"):
         exact_substring_pairs_incremental(batch, idx, k=10)
     mixed = idx.unionByName(build_window_index(batch, k=10))
-    with pytest.raises(ValueError, match=r"built with k=\[8, 10\]"):
+    with pytest.raises(ValueError, match="contains k=10 .* queried\\s+with k=8"):
         exact_substring_pairs_incremental(batch, mixed, k=8)
 
 

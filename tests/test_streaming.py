@@ -496,6 +496,100 @@ def test_stream_ingest_dedup_window_index_substring_lane(spark, tmp_path):
     ) == [0, 1, 11]
 
 
+def test_stream_ingest_window_lane_first_batch_and_partial_heal(
+    spark, tmp_path
+):
+    """Two review-found holes, pinned closed: (a) the substring lane
+    runs from the FIRST batch — a span owner and quoter arriving
+    together before any index file exists still resolve (min-id
+    keeper), instead of both slipping through; (b) a PARTIALLY
+    committed window append (crash mid-append leaves a subset of a
+    doc's window rows) is healed on replay — the row-granular
+    anti-join appends exactly the missing remainder, no duplicates, no
+    permanently orphaned windows."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    span = " ".join(f"P{j}" for j in range(8))
+    owner = " ".join(f"a{j}" for j in range(10)) + f" {span} " + " ".join(
+        f"b{j}" for j in range(10)
+    )
+    quoter = " ".join(f"x{j}" for j in range(10)) + f" {span} " + " ".join(
+        f"y{j}" for j in range(10)
+    )
+    batch = spark.createDataFrame(
+        [(0, owner), (10, quoter)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "fb_src")
+    batch.coalesce(1).write.parquet(src)
+
+    # (a) no index file exists yet; owner and quoter share one batch
+    table = KeyedTable(
+        spark, str(tmp_path / "fb_tbl"), record_key="doc_id", precombine="doc_id"
+    )
+    window_path = str(tmp_path / "fb_win")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_ingest_dedup(
+        stream,
+        table,
+        str(tmp_path / "fb_fp"),
+        str(tmp_path / "fb_ck"),
+        window_index_path=window_path,
+        window_k=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["doc_id"] for r in table.snapshot().collect()) == [0]
+
+    # (b) partial-append heal: seed a window index holding only HALF
+    # of doc 20's rows (the crash-mid-append state), then ingest a
+    # batch containing doc 20 — the replay must append the remainder
+    doc20 = " ".join(f"m{j}" for j in range(30))
+    b2 = spark.createDataFrame([(20, doc20)], "doc_id long, text string")
+    full_rows = sorted(
+        map(tuple, build_window_index(b2, k=8).collect())
+    )
+    partial_path = str(tmp_path / "heal_win")
+    part = spark.createDataFrame(
+        full_rows[: len(full_rows) // 2],
+        build_window_index(b2, k=8).schema,
+    )
+    part.write.parquet(partial_path)
+
+    src2 = str(tmp_path / "heal_src")
+    b2.coalesce(1).write.parquet(src2)
+    table2 = KeyedTable(
+        spark, str(tmp_path / "heal_tbl"), record_key="doc_id",
+        precombine="doc_id",
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
+    q2 = stream_ingest_dedup(
+        stream2,
+        table2,
+        str(tmp_path / "heal_fp"),
+        str(tmp_path / "heal_ck"),
+        window_index_path=partial_path,
+        window_k=8,
+        query_name="heal",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # doc 20 landed (its own partial rows are batch-id-excluded from
+    # the lookup) and its index rows are now COMPLETE with no dups
+    assert [r["doc_id"] for r in table2.snapshot().collect()] == [20]
+    got_rows = sorted(
+        map(tuple, spark.read.parquet(partial_path).collect())
+    )
+    assert got_rows == full_rows
+
+
 def test_stream_ingest_dedup_replay_sibling_near_dup(spark, tmp_path):
     """Crash window between index append and table commit, with a
     WITHIN-BATCH near-dup pair: the replayed batch must not drop a doc
