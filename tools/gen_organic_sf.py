@@ -439,6 +439,26 @@ def _decontaminate_fuzzy(spark, sf_dir):
     return clean
 
 
+def _decontaminate_fuzzy_fixedeval(spark, sf_dir):
+    """Production-shaped fuzzy-decontamination slope: the eval side is
+    pinned to the x1 id range (doc_id % 10 == 7 AND doc_id < 5000 —
+    ~500 docs at BOTH scales) while the corpus side grows with the
+    data. The plain `decontaminate_fuzzy` slope entry grows the
+    pseudo-eval split WITH the corpus (both join sides 10×), which
+    overstates the scaling of the real workload — an eval suite is a
+    fixed-size artifact, only the corpus being scanned grows."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    is_eval = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 5000)
+    clean, _report = decontaminate_fuzzy(d.filter(~is_eval), d.filter(is_eval))
+    return clean
+
+
 
 def _compression_signals(spark, sf_dir):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
@@ -484,6 +504,7 @@ EXTRA_SCALE = {
     "remove_shared_substrings": _remove_shared_substrings,
     "shared_substring_runs": _shared_substring_runs,
     "decontaminate_fuzzy": _decontaminate_fuzzy,
+    "decontaminate_fuzzy_fixedeval": _decontaminate_fuzzy_fixedeval,
     "compression_signals": _compression_signals,
 }
 
