@@ -417,6 +417,10 @@ def test_substring_incremental_narrow_no_text_shape(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastExchange" in plan, plan  # replay anti-join + hot cap
+    # the index is filtered MAP-SIDE to batch-touched windows by a
+    # broadcast semi-join BEFORE the cap aggregate and the pair join —
+    # without it, both stages aggregate/shuffle the FULL index per batch
+    assert "LeftSemi" in plan, plan
     import re
 
     for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
