@@ -53,6 +53,19 @@ class LocalFS:
             # checkpoint (e.g. clean before first run) is a no-op
             logging.getLogger(__name__).debug("delete: %s already absent", path)
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Directory/file rename with HDFS semantics: False when the
+        destination already exists (no overwrite), True on success."""
+        if os.path.exists(dst):
+            return False
+        os.rename(src, dst)
+        return True
+
+    def delete_recursive(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class HadoopFS:
     """Hadoop FileSystem implementation: scheme-dispatched by the URI
@@ -217,6 +230,16 @@ class HadoopFS:
     def delete(self, path: str) -> None:
         self._fs(path).delete(self._path(path), False)
         self._delete_versions(path, keep=None)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """FileSystem.rename: False when the destination exists (HDFS
+        contract — no overwrite), True on success. Atomic on HDFS and
+        local; copy+delete on S3A (callers stage so a torn state is
+        detectable, see compact_window_index's heal)."""
+        return bool(self._fs(src).rename(self._path(src), self._path(dst)))
+
+    def delete_recursive(self, path: str) -> None:
+        self._fs(path).delete(self._path(path), True)
 
 
 def fs_for(spark: SparkSession | None):

@@ -1985,6 +1985,139 @@ def build_window_index(
     )
 
 
+def compact_window_index(
+    spark: SparkSession,
+    path: str,
+    max_postings: int | None = None,
+    target_rows_per_file: int = 4_000_000,
+    hot_keep_margin: int = 8,
+) -> dict:
+    """Offline maintenance for a persisted :func:`build_window_index`
+    directory that :func:`~..streaming.ingest.stream_ingest_dedup`
+    appends to: every micro-batch adds a handful of parquet files, so a
+    long-running ingest accumulates thousands of tiny files — the
+    classic small-file problem that makes the per-batch index scan
+    listing-bound long before it is data-bound. Rewrites the index as
+    ``ceil(rows / target_rows_per_file)`` right-sized files and swaps
+    the directory atomically (two renames; a crash at any point is
+    healed by the next call — see below).
+
+    With ``max_postings`` it ALSO trims corpus-hot windows: a window
+    already present in more than ``max_postings`` docs is boilerplate
+    the incremental checker's union cap drops from every future result
+    anyway, yet the index keeps paying to store and scan ALL its rows
+    forever. The trim keeps the ``max_postings + 1 + hot_keep_margin``
+    smallest-doc_id rows per window and drops the rest — enough rows
+    that the union count stays strictly over the cap, so the window
+    stays hot in EVERY future check (the cap is monotone: union counts
+    only exceed index counts) and incremental results are bit-identical
+    pre/post trim (pytest-pinned). The margin absorbs replay exclusion:
+    a check anti-joins index rows carrying the current batch's ids, so
+    if kept rows' docs are re-ingested the surviving count must still
+    exceed the cap — ``hot_keep_margin`` re-ingested keeper docs are
+    tolerated per window; pass a larger margin when whole corpus slices
+    get replayed. Trimming is index-lifecycle-lossy (a later
+    ``max_postings`` INCREASE would need the dropped rows back; rebuild
+    from corpus text for that), which is the same documented trade the
+    per-query hot cap already makes.
+
+    Single-writer contract (the same one Hudi's offline compaction
+    honors): run only while ingestion is quiesced at a committed batch
+    boundary — compacting concurrently with an in-flight append can
+    lose that append's rows at the swap.
+
+    Crash safety: data lands in ``<path>__compact_tmp`` first, then
+    ``path`` → ``<path>__compact_old`` → tmp → ``path`` → delete old.
+    On entry, a torn previous run is healed: a COMPLETE tmp (_SUCCESS
+    present) with the index dir missing rolls forward, anything else
+    rolls back / cleans up. Returns a small report dict
+    (rows_before/after, files_before/after, hot_windows_trimmed,
+    rows_trimmed) — the no-silent-caps principle again: what the trim
+    ate is data, not a docstring.
+    """
+    from ..fs import fs_for
+
+    fs = fs_for(spark)
+    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
+
+    # heal a torn previous swap before touching anything
+    if fs.exists(old):
+        if not fs.exists(path) and fs.exists(f"{tmp}/_SUCCESS"):
+            # crash between the two renames with a complete rewrite:
+            # roll forward
+            if not fs.rename(tmp, path):
+                raise OSError(f"heal: rename {tmp} -> {path} failed")
+            fs.delete_recursive(old)
+        elif not fs.exists(path):
+            # incomplete tmp: roll back to the pre-compaction index
+            fs.delete_recursive(tmp)
+            if not fs.rename(old, path):
+                raise OSError(f"heal: rename {old} -> {path} failed")
+        else:
+            # swap completed, only the old dir's delete was lost
+            fs.delete_recursive(old)
+    if fs.exists(tmp):
+        fs.delete_recursive(tmp)
+
+    idx = spark.read.option("mergeSchema", "true").parquet(path)
+    ks = [r["k"] for r in idx.select("k").distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError(
+            f"window index at {path} contains k={sorted(ks)}: refusing to "
+            "compact a mixed-k index (windows of different sizes never "
+            "match — rebuild it at one k instead)"
+        )
+    files_before = idx.select(F.input_file_name()).distinct().count()
+    rows_before = idx.count()
+
+    # the append lane keeps the index single-rowed per (doc, window),
+    # but compaction is where accidental duplicates from torn writers
+    # get washed out — distinct() is one shuffle on an offline op.
+    # Persisted: up to three consumers (trim stats, row count, rewrite)
+    # would each replay the read+distinct otherwise.
+    base = idx.distinct().persist()
+    compacted = base
+    trim_report = {"hot_windows_trimmed": 0, "rows_trimmed": 0}
+    if max_postings is not None:
+        if max_postings <= 1:
+            raise ValueError(f"max_postings must be > 1, got {max_postings}")
+        keep = max_postings + 1 + hot_keep_margin
+        w = Window.partitionBy("h1", "h2").orderBy("doc_id")
+        compacted = compacted.withColumn("__rn", F.row_number().over(w))
+        trimmed = compacted.filter(F.col("__rn") > keep)
+        stats = trimmed.agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("h1", "h2").alias("windows"),
+        ).first()
+        trim_report = {
+            "hot_windows_trimmed": int(stats["windows"]),
+            "rows_trimmed": int(stats["rows"]),
+        }
+        compacted = compacted.filter(F.col("__rn") <= keep).drop("__rn")
+
+    try:
+        rows_after = compacted.count()
+        n_files = max(1, -(-rows_after // max(1, target_rows_per_file)))
+        compacted.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    finally:
+        base.unpersist()
+
+    if not fs.rename(path, old):
+        raise OSError(f"rename {path} -> {old} failed")
+    if not fs.rename(tmp, path):
+        # put the index back rather than leaving it missing
+        fs.rename(old, path)
+        raise OSError(f"rename {tmp} -> {path} failed")
+    fs.delete_recursive(old)
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+        "files_before": int(files_before),
+        "files_after": int(n_files),
+        **trim_report,
+    }
+
+
 def exact_substring_pairs_incremental(
     new_docs: DataFrame,
     window_index: DataFrame,

@@ -168,7 +168,11 @@ def stream_ingest_dedup(
     ``exact_substring_pairs_incremental``). At a standing 100 TB
     corpus the fingerprint index is a few hundred GB and the window
     index a few TB — the whole point: ingest-time dedup without
-    rescanning corpus text.
+    rescanning corpus text. Every micro-batch appends a few parquet
+    files to each index, so a long-running ingest should periodically
+    quiesce at a committed batch boundary and run
+    :func:`~..operators.dedup.compact_window_index` — small-file
+    rewrite plus the monotone-safe hot-window trim.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F

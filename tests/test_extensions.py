@@ -980,6 +980,127 @@ def test_incremental_substring_index_matches_batch_on_union(spark):
         exact_substring_pairs_incremental(batch, mixed, k=8)
 
 
+def test_compact_window_index_parity_and_trim(spark, tmp_path):
+    """compact_window_index: (a) rewrites a many-small-files index into
+    right-sized files with the SAME rows; (b) the hot-window trim keeps
+    max_postings+1+margin rows per boilerplate window, and incremental
+    results are bit-identical pre/post trim — the union cap is monotone,
+    so a window over the cap from the index alone stays over it in
+    every future check; (c) a mixed-k index is refused."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        compact_window_index,
+        exact_substring_pairs_incremental,
+    )
+
+    k = 8
+    cap, margin = 3, 1
+    keep = cap + 1 + margin  # 5 rows kept per hot window
+    hotwin = " ".join(f"H{j}" for j in range(k))
+    span = " ".join(f"S{j}" for j in range(k + 4))
+    corpus_rows = [(i, f"a{i} {hotwin} b{i}") for i in range(9)]  # 9 > keep
+    corpus_rows += [(20, f"x20 {span} y20"), (21, f"x21 {span} y21")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    path = str(tmp_path / "widx")
+    # three separate appends → many small files, like the streaming lane
+    for lo, hi in [(0, 4), (4, 9), (9, 30)]:
+        chunk = corpus.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        build_window_index(chunk, k=k).write.mode("append").parquet(path)
+
+    batch = spark.createDataFrame(
+        [(100, f"q100 {hotwin} r100"), (101, f"q101 {span} r101")],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def check():
+        idx = spark.read.parquet(path)
+        return rows(
+            exact_substring_pairs_incremental(batch, idx, k=k, max_postings=cap)
+        )
+
+    import glob
+
+    before = check()
+    files_before = len(glob.glob(f"{path}/part-*"))
+    rows_before = spark.read.parquet(path).count()
+    report = compact_window_index(
+        spark, path, max_postings=cap, hot_keep_margin=margin
+    )
+    # bit-identical incremental results: span pairs survive, the hot
+    # window stays dropped (9 kept→5 rows, 5 + 1 batch = 6 > cap)
+    assert check() == before
+    assert {(t[0], t[1]) for t in before} >= {(20, 101), (21, 101)}
+    assert not any(100 in (a, b) for a, b, _ in before)
+    # hotwin spans only one k-window; its 9 rows trim to keep=5
+    assert report["hot_windows_trimmed"] == 1
+    assert report["rows_trimmed"] == 9 - keep
+    assert report["rows_before"] == rows_before
+    assert report["rows_after"] == rows_before - (9 - keep)
+    assert spark.read.parquet(path).count() == report["rows_after"]
+    # small-file rewrite: 3+ appends' files collapse to the computed
+    # file count (row volume far below target_rows_per_file → 1)
+    files_after = len(glob.glob(f"{path}/part-*"))
+    assert files_after == report["files_after"] == 1 < files_before
+    assert report["files_before"] == files_before
+    # untrimmed windows keep every row: doc 20/21's span windows intact
+    # (x20 + 12 span tokens + y20 = 14 tokens → 7 k=8 windows per doc)
+    kept = spark.read.parquet(path)
+    assert kept.filter("doc_id in (20, 21)").count() == 2 * 7
+    # k column survives the rewrite
+    assert {r["k"] for r in kept.select("k").distinct().collect()} == {k}
+
+    # mixed-k refusal — compaction must not bake a broken index
+    build_window_index(batch, k=k + 2).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="mixed-k"):
+        compact_window_index(spark, path)
+
+
+def test_compact_window_index_heals_torn_swap(spark, tmp_path):
+    """A crash at any point of the two-rename swap is healed by the
+    next call: an incomplete tmp rolls BACK to the pre-compaction
+    index; a complete tmp with the index dir missing rolls FORWARD."""
+    import os
+    import shutil
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        compact_window_index,
+    )
+
+    k = 8
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(k + 2))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "widx")
+    build_window_index(docs, k=k).write.parquet(path)
+    expect = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # roll-back: crash between the renames left old in place and an
+    # INCOMPLETE tmp (no _SUCCESS) — the index dir is missing
+    os.rename(path, f"{path}__compact_old")
+    os.makedirs(f"{path}__compact_tmp")
+    with open(f"{path}__compact_tmp/part-junk.parquet", "wb") as f:
+        f.write(b"torn")
+    report = compact_window_index(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == expect
+    assert report["rows_after"] == len(expect)
+    assert not os.path.exists(f"{path}__compact_old")
+    assert not os.path.exists(f"{path}__compact_tmp")
+
+    # roll-forward: complete tmp (_SUCCESS present), index dir missing
+    shutil.copytree(path, f"{path}__compact_tmp")
+    os.rename(path, f"{path}__compact_old")
+    report = compact_window_index(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == expect
+    assert report["rows_after"] == len(expect)
+    assert not os.path.exists(f"{path}__compact_old")
+    assert not os.path.exists(f"{path}__compact_tmp")
+
+
 def test_dedup_incremental_substring_lane(spark):
     """dedup_incremental(window_index=...): a new doc sharing >=
     min_shared_windows k-token windows with the corpus drops with
