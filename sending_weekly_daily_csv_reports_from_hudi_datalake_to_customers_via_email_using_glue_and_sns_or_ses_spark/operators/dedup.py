@@ -2038,27 +2038,7 @@ def compact_window_index(
     from ..fs import fs_for
 
     fs = fs_for(spark)
-    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
-
-    # heal a torn previous swap before touching anything
-    if fs.exists(old):
-        if not fs.exists(path) and fs.exists(f"{tmp}/_SUCCESS"):
-            # crash between the two renames with a complete rewrite:
-            # roll forward
-            if not fs.rename(tmp, path):
-                raise OSError(f"heal: rename {tmp} -> {path} failed")
-            fs.delete_recursive(old)
-        elif not fs.exists(path):
-            # incomplete tmp: roll back to the pre-compaction index
-            fs.delete_recursive(tmp)
-            if not fs.rename(old, path):
-                raise OSError(f"heal: rename {old} -> {path} failed")
-        else:
-            # swap completed, only the old dir's delete was lost
-            fs.delete_recursive(old)
-    if fs.exists(tmp):
-        fs.delete_recursive(tmp)
-
+    _heal_compact_swap(fs, path)
     idx = spark.read.option("mergeSchema", "true").parquet(path)
     ks = [r["k"] for r in idx.select("k").distinct().collect()]
     if len(ks) != 1:
@@ -2097,11 +2077,50 @@ def compact_window_index(
 
     try:
         rows_after = compacted.count()
-        n_files = max(1, -(-rows_after // max(1, target_rows_per_file)))
-        compacted.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        n_files = _write_compact_swap(
+            fs, path, compacted, rows_after, target_rows_per_file
+        )
     finally:
         base.unpersist()
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+        "files_before": int(files_before),
+        "files_after": int(n_files),
+        **trim_report,
+    }
 
+
+def _heal_compact_swap(fs, path: str) -> None:
+    """Entry guard for the compaction swap: heal a torn previous run.
+    A COMPLETE tmp (_SUCCESS present) with the index dir missing rolls
+    forward; an incomplete tmp rolls back to the pre-compaction dir; a
+    leftover old dir after a completed swap is deleted."""
+    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
+    if fs.exists(old):
+        if not fs.exists(path) and fs.exists(f"{tmp}/_SUCCESS"):
+            if not fs.rename(tmp, path):
+                raise OSError(f"heal: rename {tmp} -> {path} failed")
+            fs.delete_recursive(old)
+        elif not fs.exists(path):
+            fs.delete_recursive(tmp)
+            if not fs.rename(old, path):
+                raise OSError(f"heal: rename {old} -> {path} failed")
+        else:
+            fs.delete_recursive(old)
+    if fs.exists(tmp):
+        fs.delete_recursive(tmp)
+
+
+def _write_compact_swap(
+    fs, path: str, frame: DataFrame, rows: int, target_rows_per_file: int
+) -> int:
+    """Write ``frame`` as ``ceil(rows / target)`` files to the tmp dir,
+    then swap it in (path → old → delete; tmp → path). Returns the
+    file count."""
+    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
+    n_files = max(1, -(-rows // max(1, target_rows_per_file)))
+    frame.repartition(n_files).write.mode("overwrite").parquet(tmp)
     if not fs.rename(path, old):
         raise OSError(f"rename {path} -> {old} failed")
     if not fs.rename(tmp, path):
@@ -2109,12 +2128,47 @@ def compact_window_index(
         fs.rename(old, path)
         raise OSError(f"rename {tmp} -> {path} failed")
     fs.delete_recursive(old)
+    return n_files
+
+
+def compact_corpus_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 8_000_000,
+) -> dict:
+    """:func:`compact_window_index`'s sibling for the per-document
+    fingerprint+MinHash index (:func:`build_corpus_index`) that
+    :func:`~..streaming.ingest.stream_ingest_dedup` appends to each
+    micro-batch: rewrite the accumulated small files as right-sized
+    ones behind the same crash-healed atomic swap. No trim dimension —
+    the index is one row per surviving document by construction (the
+    append path anti-joins already-indexed doc ids), so compaction
+    only washes out byte-identical duplicate rows from torn writers
+    (``distinct()`` on the full row, which PRESERVES the ``__src_*``
+    replay tags — rows differing only in provenance are kept rather
+    than second-guessed). Same single-writer contract: run while
+    ingestion is quiesced at a committed batch boundary.
+    """
+    from ..fs import fs_for
+
+    fs = fs_for(spark)
+    _heal_compact_swap(fs, path)
+    idx = spark.read.option("mergeSchema", "true").parquet(path)
+    files_before = idx.select(F.input_file_name()).distinct().count()
+    rows_before = idx.count()
+    compacted = idx.distinct().persist()
+    try:
+        rows_after = compacted.count()
+        n_files = _write_compact_swap(
+            fs, path, compacted, rows_after, target_rows_per_file
+        )
+    finally:
+        compacted.unpersist()
     return {
         "rows_before": int(rows_before),
         "rows_after": int(rows_after),
         "files_before": int(files_before),
         "files_after": int(n_files),
-        **trim_report,
     }
 
 

@@ -171,8 +171,10 @@ def stream_ingest_dedup(
     rescanning corpus text. Every micro-batch appends a few parquet
     files to each index, so a long-running ingest should periodically
     quiesce at a committed batch boundary and run
-    :func:`~..operators.dedup.compact_window_index` — small-file
-    rewrite plus the monotone-safe hot-window trim.
+    :func:`~..operators.dedup.compact_window_index` (small-file
+    rewrite plus the monotone-safe hot-window trim) and
+    :func:`~..operators.dedup.compact_corpus_index` (rewrite only —
+    one row per doc by construction).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F

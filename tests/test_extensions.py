@@ -1058,6 +1058,66 @@ def test_compact_window_index_parity_and_trim(spark, tmp_path):
         compact_window_index(spark, path)
 
 
+def test_compact_corpus_index_rewrite_preserves_rows_and_tags(spark, tmp_path):
+    """compact_corpus_index: many small appended files collapse to one,
+    the row SET (including __src_* replay tags) is unchanged, and
+    dedup_incremental over the compacted index reaches the same
+    decisions."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_corpus_index,
+        compact_corpus_index,
+        dedup_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body tokens alpha beta gamma {i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cidx")
+    # three tagged appends, like three committed micro-batches
+    for b, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
+        chunk = docs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        build_corpus_index(chunk).select(
+            "*",
+            F.lit("file:///ck").alias("__src_ck"),
+            F.lit(b).cast("long").alias("__src_batch"),
+        ).write.mode("append").parquet(path)
+
+    import glob
+
+    def rows(df):
+        return sorted(map(tuple, df.fillna(0).collect()))
+
+    before_rows = rows(spark.read.parquet(path))
+    files_before = len(glob.glob(f"{path}/part-*"))
+    # a batch containing one exact dup of doc 4 and one fresh doc
+    batch = spark.createDataFrame(
+        [(100, "doc number 4 body tokens alpha beta gamma 4"), (101, "entirely new content here")],
+        "doc_id long, text string",
+    )
+
+    def decisions():
+        kept, report = dedup_incremental(
+            batch, spark.read.option("mergeSchema", "true").parquet(path)
+        )
+        return (
+            sorted(r["doc_id"] for r in kept.select("doc_id").collect()),
+            sorted(map(tuple, report.select("doc_id", "reason").collect())),
+        )
+
+    before = decisions()
+    rep = compact_corpus_index(spark, path)
+    assert decisions() == before
+    assert before[0] == [101]  # the exact dup of doc 4 dropped
+    assert rows(spark.read.parquet(path)) == before_rows
+    assert rep["rows_before"] == rep["rows_after"] == len(before_rows)
+    files_after = len(glob.glob(f"{path}/part-*"))
+    assert files_after == rep["files_after"] == 1 < files_before
+    assert rep["files_before"] == files_before
+
+
 def test_compact_window_index_heals_torn_swap(spark, tmp_path):
     """A crash at any point of the two-rename swap is healed by the
     next call: an incomplete tmp rolls BACK to the pre-compaction
