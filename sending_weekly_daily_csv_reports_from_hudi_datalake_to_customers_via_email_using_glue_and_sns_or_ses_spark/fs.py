@@ -86,9 +86,6 @@ class HadoopFS:
     def mkdirs(self, path: str) -> None:
         self._fs(path).mkdirs(self._path(path))
 
-    def exists(self, path: str) -> bool:
-        return self._fs(path).exists(self._path(path))
-
     def _read_file(self, path: str) -> str:
         stream = self._fs(path).open(self._path(path))
         try:

@@ -2029,53 +2029,129 @@ def compact_window_index(
     Crash safety: data lands in ``<path>__compact_tmp`` first, then
     ``path`` → ``<path>__compact_old`` → tmp → ``path`` → delete old.
     On entry, a torn previous run is healed: a COMPLETE tmp (_SUCCESS
-    present) with the index dir missing rolls forward, anything else
-    rolls back / cleans up. Returns a small report dict
+    present) with the index dir missing rolls forward, an incomplete
+    one rolls back, a leftover old dir after a completed swap is
+    deleted. The heal is exact on stores with ATOMIC directory rename
+    (HDFS, local, ABFS); a store whose rename is copy+delete (S3A) can
+    tear MID-rename and leave all three dirs partially populated — the
+    heal detects that state and RAISES with the recovery options
+    rather than guess which copy is whole (see
+    :func:`_heal_compact_swap`). Returns a small report dict
     (rows_before/after, files_before/after, hot_windows_trimmed,
     rows_trimmed) — the no-silent-caps principle again: what the trim
     ate is data, not a docstring.
     """
+    if max_postings is not None:
+        if max_postings <= 1:
+            raise ValueError(f"max_postings must be > 1, got {max_postings}")
+        if hot_keep_margin < 0:
+            # keep = max_postings+1+margin must stay > max_postings or
+            # the trim itself would un-hot (or with keep <= 0 EMPTY)
+            # the windows it is supposed to preserve as hot
+            raise ValueError(
+                f"hot_keep_margin must be >= 0, got {hot_keep_margin}"
+            )
+
+    def prepare(base: DataFrame, stats) -> tuple[DataFrame, dict]:
+        ks = sorted(stats["__ks"])
+        if len(ks) != 1:
+            raise ValueError(
+                f"window index at {path} contains k={ks}: refusing to "
+                "compact a mixed-k index (windows of different sizes "
+                "never match — rebuild it at one k instead)"
+            )
+        trim_report = {"hot_windows_trimmed": 0, "rows_trimmed": 0}
+        if max_postings is None:
+            return base, trim_report
+        keep = max_postings + 1 + hot_keep_margin
+        w = Window.partitionBy("h1", "h2").orderBy("doc_id")
+        numbered = base.withColumn("__rn", F.row_number().over(w))
+        tstats = (
+            numbered.filter(F.col("__rn") > keep)
+            .agg(
+                F.count("*").alias("rows"),
+                F.count_distinct("h1", "h2").alias("windows"),
+            )
+            .first()
+        )
+        trim_report = {
+            "hot_windows_trimmed": int(tstats["windows"]),
+            "rows_trimmed": int(tstats["rows"]),
+        }
+        return (
+            numbered.filter(F.col("__rn") <= keep).drop("__rn"),
+            trim_report,
+        )
+
+    return _compact_index_dir(
+        spark,
+        path,
+        target_rows_per_file,
+        extra_stats=[F.collect_set("k").alias("__ks")],
+        prepare=prepare,
+    )
+
+
+def compact_corpus_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 8_000_000,
+) -> dict:
+    """:func:`compact_window_index`'s sibling for the per-document
+    fingerprint+MinHash index (:func:`build_corpus_index`) that
+    :func:`~..streaming.ingest.stream_ingest_dedup` appends to each
+    micro-batch: rewrite the accumulated small files as right-sized
+    ones behind the same crash-healed atomic swap. No trim dimension —
+    the index is one row per surviving document by construction (the
+    append path anti-joins already-indexed doc ids), so compaction
+    only washes out byte-identical duplicate rows from torn writers
+    (``distinct()`` on the full row, which PRESERVES the ``__src_*``
+    replay tags — rows differing only in provenance are kept rather
+    than second-guessed). Same single-writer contract: run while
+    ingestion is quiesced at a committed batch boundary.
+    """
+    return _compact_index_dir(spark, path, target_rows_per_file)
+
+
+def _compact_index_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    extra_stats: list | None = None,
+    prepare=None,
+) -> dict:
+    """Shared compaction scaffold: heal a torn previous swap, collect
+    every pre-stat in ONE scan (the indexes this op exists for are
+    listing-bound — per-stat scans would multiply the maintenance
+    window), full-row distinct, an optional caller hook (validation /
+    trim) over the persisted base, then the sized rewrite + swap."""
     from ..fs import fs_for
 
     fs = fs_for(spark)
     _heal_compact_swap(fs, path)
     idx = spark.read.option("mergeSchema", "true").parquet(path)
-    ks = [r["k"] for r in idx.select("k").distinct().collect()]
-    if len(ks) != 1:
-        raise ValueError(
-            f"window index at {path} contains k={sorted(ks)}: refusing to "
-            "compact a mixed-k index (windows of different sizes never "
-            "match — rebuild it at one k instead)"
+    # input_file_name() is non-deterministic and rejected inside an
+    # aggregate argument — project it first
+    stats = (
+        idx.withColumn("__f", F.input_file_name())
+        .agg(
+            F.count("*").alias("__rows"),
+            F.count_distinct("__f").alias("__files"),
+            *(extra_stats or []),
         )
-    files_before = idx.select(F.input_file_name()).distinct().count()
-    rows_before = idx.count()
+        .first()
+    )
 
-    # the append lane keeps the index single-rowed per (doc, window),
-    # but compaction is where accidental duplicates from torn writers
-    # get washed out — distinct() is one shuffle on an offline op.
-    # Persisted: up to three consumers (trim stats, row count, rewrite)
-    # would each replay the read+distinct otherwise.
+    # the append lanes keep the indexes single-rowed per key, but
+    # compaction is where accidental byte-identical duplicates from
+    # torn writers get washed out — distinct() is one shuffle on an
+    # offline op. Persisted: the hook's stats, the row count, and the
+    # rewrite would each replay the read+distinct otherwise.
     base = idx.distinct().persist()
-    compacted = base
-    trim_report = {"hot_windows_trimmed": 0, "rows_trimmed": 0}
-    if max_postings is not None:
-        if max_postings <= 1:
-            raise ValueError(f"max_postings must be > 1, got {max_postings}")
-        keep = max_postings + 1 + hot_keep_margin
-        w = Window.partitionBy("h1", "h2").orderBy("doc_id")
-        compacted = compacted.withColumn("__rn", F.row_number().over(w))
-        trimmed = compacted.filter(F.col("__rn") > keep)
-        stats = trimmed.agg(
-            F.count("*").alias("rows"),
-            F.count_distinct("h1", "h2").alias("windows"),
-        ).first()
-        trim_report = {
-            "hot_windows_trimmed": int(stats["windows"]),
-            "rows_trimmed": int(stats["rows"]),
-        }
-        compacted = compacted.filter(F.col("__rn") <= keep).drop("__rn")
-
     try:
+        compacted, extra_report = (
+            prepare(base, stats) if prepare is not None else (base, {})
+        )
         rows_after = compacted.count()
         n_files = _write_compact_swap(
             fs, path, compacted, rows_after, target_rows_per_file
@@ -2083,31 +2159,57 @@ def compact_window_index(
     finally:
         base.unpersist()
     return {
-        "rows_before": int(rows_before),
+        "rows_before": int(stats["__rows"]),
         "rows_after": int(rows_after),
-        "files_before": int(files_before),
+        "files_before": int(stats["__files"]),
         "files_after": int(n_files),
-        **trim_report,
+        **extra_report,
     }
 
 
 def _heal_compact_swap(fs, path: str) -> None:
     """Entry guard for the compaction swap: heal a torn previous run.
-    A COMPLETE tmp (_SUCCESS present) with the index dir missing rolls
-    forward; an incomplete tmp rolls back to the pre-compaction dir; a
-    leftover old dir after a completed swap is deleted."""
+
+    Under ATOMIC directory rename the reachable crash states are
+    exactly: {old, complete tmp, no index dir} (between the two
+    renames) → roll the rewrite forward; {old, index dir, no tmp}
+    (after the second rename) → only old's delete was lost, finish it;
+    {old, incomplete tmp, no index dir} → roll back to the
+    pre-compaction dir. All three dirs existing at once is UNREACHABLE
+    under atomic rename — it means the store renames by copy+delete
+    (S3A) and a rename tore mid-copy, so the index dir AND old may
+    both be partial: refuse to guess which copy is whole and raise
+    with the recovery options instead of deleting a recovery source.
+    """
     tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
     if fs.exists(old):
-        if not fs.exists(path) and fs.exists(f"{tmp}/_SUCCESS"):
+        if fs.exists(path):
+            if fs.exists(tmp):
+                raise OSError(
+                    f"compaction swap at {path} is torn in a way atomic "
+                    f"renames cannot produce ({old} and {tmp} both "
+                    "present alongside the index dir): this store's "
+                    "rename is non-atomic (S3A-style copy+delete) and a "
+                    "rename tore mid-copy, so the index dir and the old "
+                    "copy may BOTH be partial. Recover manually: if "
+                    f"{tmp} contains _SUCCESS and a full file set, it is "
+                    "the complete rewrite; otherwise reconcile "
+                    f"{path} ∪ {old} (their union covers the "
+                    "pre-compaction index) or rebuild from corpus text."
+                )
+            # swap completed; only the old dir's delete was lost
+            fs.delete_recursive(old)
+        elif fs.exists(f"{tmp}/_SUCCESS"):
+            # crash between the two renames with a complete rewrite:
+            # roll forward
             if not fs.rename(tmp, path):
                 raise OSError(f"heal: rename {tmp} -> {path} failed")
             fs.delete_recursive(old)
-        elif not fs.exists(path):
+        else:
+            # incomplete tmp: roll back to the pre-compaction index
             fs.delete_recursive(tmp)
             if not fs.rename(old, path):
                 raise OSError(f"heal: rename {old} -> {path} failed")
-        else:
-            fs.delete_recursive(old)
     if fs.exists(tmp):
         fs.delete_recursive(tmp)
 
@@ -2129,47 +2231,6 @@ def _write_compact_swap(
         raise OSError(f"rename {tmp} -> {path} failed")
     fs.delete_recursive(old)
     return n_files
-
-
-def compact_corpus_index(
-    spark: SparkSession,
-    path: str,
-    target_rows_per_file: int = 8_000_000,
-) -> dict:
-    """:func:`compact_window_index`'s sibling for the per-document
-    fingerprint+MinHash index (:func:`build_corpus_index`) that
-    :func:`~..streaming.ingest.stream_ingest_dedup` appends to each
-    micro-batch: rewrite the accumulated small files as right-sized
-    ones behind the same crash-healed atomic swap. No trim dimension —
-    the index is one row per surviving document by construction (the
-    append path anti-joins already-indexed doc ids), so compaction
-    only washes out byte-identical duplicate rows from torn writers
-    (``distinct()`` on the full row, which PRESERVES the ``__src_*``
-    replay tags — rows differing only in provenance are kept rather
-    than second-guessed). Same single-writer contract: run while
-    ingestion is quiesced at a committed batch boundary.
-    """
-    from ..fs import fs_for
-
-    fs = fs_for(spark)
-    _heal_compact_swap(fs, path)
-    idx = spark.read.option("mergeSchema", "true").parquet(path)
-    files_before = idx.select(F.input_file_name()).distinct().count()
-    rows_before = idx.count()
-    compacted = idx.distinct().persist()
-    try:
-        rows_after = compacted.count()
-        n_files = _write_compact_swap(
-            fs, path, compacted, rows_after, target_rows_per_file
-        )
-    finally:
-        compacted.unpersist()
-    return {
-        "rows_before": int(rows_before),
-        "rows_after": int(rows_after),
-        "files_before": int(files_before),
-        "files_after": int(n_files),
-    }
 
 
 def exact_substring_pairs_incremental(

@@ -1160,6 +1160,24 @@ def test_compact_window_index_heals_torn_swap(spark, tmp_path):
     assert not os.path.exists(f"{path}__compact_old")
     assert not os.path.exists(f"{path}__compact_tmp")
 
+    # all three dirs present is unreachable under atomic rename — it
+    # means a non-atomic (S3A-style) rename tore mid-copy and the index
+    # dir and old may BOTH be partial: the heal must refuse to guess
+    # (and must not delete either recovery source)
+    shutil.copytree(path, f"{path}__compact_tmp")
+    shutil.copytree(path, f"{path}__compact_old")
+    with pytest.raises(OSError, match="non-atomic"):
+        compact_window_index(spark, path)
+    assert os.path.exists(f"{path}__compact_old")
+    assert os.path.exists(f"{path}__compact_tmp")
+    shutil.rmtree(f"{path}__compact_tmp")
+    shutil.rmtree(f"{path}__compact_old")
+
+    # a negative margin would let the trim un-hot (or empty) the very
+    # windows it must preserve as hot — rejected at the API boundary
+    with pytest.raises(ValueError, match="hot_keep_margin"):
+        compact_window_index(spark, path, max_postings=2, hot_keep_margin=-1)
+
 
 def test_dedup_incremental_substring_lane(spark):
     """dedup_incremental(window_index=...): a new doc sharing >=
