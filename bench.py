@@ -67,6 +67,7 @@ HEADLINE = [
     "semantic_dedup",
     "decontaminate",
     "decontaminate_fuzzy",
+    "quality_quantile_gate",
     "lm_perplexity",
     "text_profile",
     "tf_idf",

@@ -27,7 +27,7 @@ Scale design, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -488,6 +488,128 @@ def mixture_sample(
     prob = expr.otherwise(F.lit(0.0))  # unlisted sources: weight 0, dropped
     sampled = docs.filter(_portable_uniform(F.col(id_col), seed) < prob)
     return sampled, plan
+
+
+# --------------------------------------------------------------------
+# per-source quality-quantile gating
+# --------------------------------------------------------------------
+
+#: driver-entry keep fraction: top quarter of each source by quality.
+_GATE_KEEP = 0.25
+
+
+def quality_quantile_gate(
+    docs: DataFrame,
+    keep_frac: float,
+    score_col: str = "quality",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-group quality-quantile gate: keep the top
+    ``keep_frac`` of each ``by`` group ranked by ``score_col``
+    (descending, ties broken by ``id_col`` ascending so the cut is
+    deterministic and engine-portable). Adds ``quality_rank`` (1-based
+    within the group). The per-source-quantile policy (rather than one
+    global threshold) is the published FineWeb-Edu / DataComp-LM recipe:
+    a global cut would empty low-scoring-but-wanted sources entirely.
+
+    Scale: the window partitions by ``by`` — group cardinality is the
+    skew axis. With a handful of giant sources (the 100 TB common
+    case), each group becomes ONE sort partition; use
+    :func:`quality_threshold_gate` there, which replaces the per-group
+    sort with a mergeable sketch + broadcast threshold join and keeps
+    *approximately* ``keep_frac``. This exact path is for moderate
+    group sizes or when an exact, reproducible cut is required
+    (e.g. fixed-size curated subsets).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(by).orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = docs.withColumn(
+        "quality_rank", F.row_number().over(w).cast("bigint")
+    ).withColumn("_n_grp", F.count("*").over(Window.partitionBy(by)))
+    return ranked.filter(
+        F.col("quality_rank") <= F.ceil(F.lit(keep_frac) * F.col("_n_grp"))
+    ).drop("_n_grp")
+
+
+def quality_threshold_gate(
+    docs: DataFrame,
+    keep_frac: float,
+    score_col: str = "quality",
+    by: str = "source",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """APPROXIMATE per-group quality gate, the 100 TB path: one
+    ``approx_percentile`` aggregation (mergeable sketch — map-side
+    partial, #groups rows out) computes each group's score threshold at
+    the (1 - keep_frac) quantile, the tiny threshold table broadcasts,
+    and the gate is a stateless ``score >= threshold`` filter. No
+    per-group sort, no skew exposure: the only shuffle is the sketch
+    merge, whose reduce side is #groups rows.
+
+    Keeps *approximately* ``keep_frac`` per group (sketch error ~
+    1/accuracy, plus ALL docs tying the threshold score are kept — the
+    filter is a clean cut in score space, never an arbitrary split of
+    equal-quality docs). Adds the applied ``q_threshold`` so the cut is
+    auditable downstream.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    thr = docs.groupBy(by).agg(
+        F.percentile_approx(score_col, 1.0 - keep_frac, accuracy).alias(
+            "q_threshold"
+        )
+    )
+    return docs.join(F.broadcast(thr), on=by, how="inner").filter(
+        F.col(score_col) >= F.col("q_threshold")
+    )
+
+
+def _quality_gate_oracle() -> str:
+    """DuckDB twin of the driver entry: same shared quality expression
+    (textual.quality_sql — single definition of truth with
+    ``text_profile``), same round-to-6 before ranking so both engines
+    order identical doubles, same (quality DESC, doc_id ASC) tie-break."""
+    from .textual import quality_sql
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(round({quality_sql("text")}, 6) AS DOUBLE) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS quality_rank,
+             count(*) OVER (PARTITION BY source) AS n_grp
+      FROM scored)
+    SELECT doc_id, source, quality, quality_rank
+    FROM ranked
+    WHERE quality_rank <= ceil({_GATE_KEEP} * n_grp)
+    """
+
+
+@query("quality_quantile_gate", oracle=_quality_gate_oracle())
+def quality_quantile_gate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: keep each source's top 25% of documents by the
+    shared quality heuristic (textual.quality_score_column). Exact
+    rank-window path — the oracle-scale variant of the
+    ``quality_threshold_gate`` sketch+broadcast design documented (and
+    pytest-compared) as the 100 TB plan."""
+    from .textual import quality_score_column
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_column(F.col("text")), 6)
+        .cast("double")
+        .alias("quality"),
+    )
+    return quality_quantile_gate(scored, _GATE_KEEP).select(
+        "doc_id", "source", "quality", "quality_rank"
+    )
 
 
 # --------------------------------------------------------------------

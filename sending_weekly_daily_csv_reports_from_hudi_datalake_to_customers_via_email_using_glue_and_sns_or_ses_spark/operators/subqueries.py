@@ -95,7 +95,14 @@ WHERE r.rnk <= 25
 """
 
 
-@query("cte_top_spenders", oracle=_CTE_QUERY)
+@query(
+    "cte_top_spenders",
+    retired=True,  # r7: slot funded quality_quantile_gate; the CTE/
+    # HAVING/global-rank/dim-join primitives stay driver-green via
+    # window_ranking_topk, join_multiway_revenue and
+    # subquery_exists_scalar, this entry via test_retired_parity
+    oracle=_CTE_QUERY,
+)
 def cte_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CTEs + HAVING + global ranking + dimension join: top-25
     repeat customers (≥5 orders — the post-aggregation HAVING predicate)

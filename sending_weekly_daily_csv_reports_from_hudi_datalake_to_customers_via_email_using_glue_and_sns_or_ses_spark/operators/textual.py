@@ -32,6 +32,43 @@ def _word_re(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
+def quality_score_column(text: F.Column) -> F.Column:
+    """The corpus quality heuristic, UNROUNDED: a weighted blend of
+    length saturation (docs ≥500 chars max out), alpha-char ratio, and
+    ' the ' stopword density (capped at 5 occurrences). One definition
+    shared by ``text_profile``, the training funnel's quality gate, and
+    ``curation.quality_quantile_gate`` — a local copy in any of them
+    would silently drift the gate from the reported score. Callers
+    round (``F.round(..., 6)``) before comparing or ordering so both
+    engines agree bit-for-bit. SQL twin: :func:`quality_sql`."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    the_count = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
+    ) / 5.0
+    return (
+        0.4 * F.least(F.length(text) / 500.0, F.lit(1.0))
+        + 0.3
+        * (
+            F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+            / F.greatest(F.length(text), F.lit(1))
+        )
+        + 0.3 * F.least(the_count / 5.0, F.lit(1.0))
+    )
+
+
+def quality_sql(c: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score_column` (same term order —
+    float addition is not associative, so reordering would break the
+    bit-identical round(…, 6) contract the oracles rely on)."""
+    return (
+        f"0.4 * least(length({c}) / 500.0, 1.0)\n"
+        f"           + 0.3 * (length(regexp_replace({c}, '[^a-zA-Z ]', '', 'g'))"
+        f" * 1.0 / greatest(length({c}), 1))\n"
+        f"           + 0.3 * least((length(' ' || {c} || ' ')\n"
+        f"                          - length(replace(' ' || {c} || ' ', ' the ', ''))) / 5.0 / 5.0, 1.0)"
+    )
+
+
 # normalization/tokenization come FROM dedup so the fingerprint and
 # token stream can never desynchronize from the dedup family (they are
 # documented as the same key; a local copy would drift silently)
@@ -61,10 +98,7 @@ _TF_CACHE: dict[tuple[str, str], DataFrame] = {}
              AS n_tokens_bpe_est,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
            CAST(round(
-             0.4 * least(length(text) / 500.0, 1.0)
-           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / greatest(length(text), 1))
-           + 0.3 * least((length(' ' || text || ' ')
-                          - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0 / 5.0, 1.0)
+             {quality_sql("text")}
            , 6) AS DOUBLE) AS quality,
            s_en, s_es, s_fr, s_de,
            CASE greatest(s_en, s_es, s_fr, s_de)
@@ -91,19 +125,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimmed = F.trim(text)
     norm = _norm_text()
     low = F.lower(text)
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    the_count = (
-        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
-    ) / 5.0
-    quality = (
-        0.4 * F.least(F.length(text) / 500.0, F.lit(1.0))
-        + 0.3
-        * (
-            F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
-            / F.greatest(F.length(text), F.lit(1))
-        )
-        + 0.3 * F.least(the_count / 5.0, F.lit(1.0))
-    )
+    quality = quality_score_column(text)
     scores = {
         lang: F.size(F.regexp_extract_all(low, F.lit(_word_re(words)), 0))
         for lang, words in _LANG_MARKERS.items()

@@ -815,3 +815,129 @@ def test_prepare_training_data_perplexity_validation(spark, tmp_path):
         prepare_training_data(
             spark, SF, str(tmp_path / "x"), max_perplexity=0.5
         )
+
+
+# --------------------------------------------------------------------
+# per-source quality-quantile gating
+# --------------------------------------------------------------------
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, quality double")
+
+
+def test_quality_quantile_gate_exact_cut(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_quantile_gate,
+    )
+
+    # src a: 8 docs scored 0.1..0.8 → keep_frac 0.25 keeps ceil(2)=2 (0.8, 0.7)
+    # src b: 3 docs → ceil(0.75)=1 (the max)
+    rows = [(i, "a", i / 10.0) for i in range(1, 9)] + [
+        (100, "b", 0.5),
+        (101, "b", 0.9),
+        (102, "b", 0.2),
+    ]
+    kept = quality_quantile_gate(_scored(spark, rows), 0.25).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.quality, r.quality_rank))
+    assert sorted(by_src["a"]) == [(7, 0.7, 2), (8, 0.8, 1)]
+    assert by_src["b"] == [(101, 0.9, 1)]
+
+
+def test_quality_quantile_gate_tie_break_deterministic(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_quantile_gate,
+    )
+
+    # four docs all tied on quality: the cut must be by doc_id ascending,
+    # identically on every run/plan — never an arbitrary split of ties
+    rows = [(i, "a", 0.5) for i in (4, 2, 3, 1)]
+    for _ in range(2):
+        kept = sorted(
+            r.doc_id
+            for r in quality_quantile_gate(_scored(spark, rows), 0.5).collect()
+        )
+        assert kept == [1, 2]
+
+
+def test_quality_quantile_gate_keep_frac_validation(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_quantile_gate,
+        quality_threshold_gate,
+    )
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality_quantile_gate(_scored(spark, [(1, "a", 0.5)]), 0.0)
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality_threshold_gate(_scored(spark, [(1, "a", 0.5)]), 1.5)
+
+
+def test_quality_threshold_gate_is_clean_cut_and_close_to_exact(spark):
+    """The 100 TB sketch+broadcast path vs the exact rank path on the
+    real corpus: (1) the approximate gate is a CLEAN cut in score space
+    (min kept >= max dropped per source), (2) its kept count per source
+    is within sketch-error+ties of the exact gate's, and (3) every doc
+    the exact gate keeps above the threshold is kept by both."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_quantile_gate,
+        quality_threshold_gate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        quality_score_column,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_score_column(F.col("text")), 6)
+        .cast("double")
+        .alias("quality"),
+    )
+    keep = 0.25
+    approx = quality_threshold_gate(docs, keep).collect()
+    exact_n = {
+        r.source: r.n
+        for r in quality_quantile_gate(docs, keep)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept_scores, thresholds = {}, {}
+    for r in approx:
+        kept_scores.setdefault(r.source, []).append(r.quality)
+        thresholds[r.source] = r.q_threshold
+    all_scores = [
+        (r.source, r.quality) for r in docs.collect()
+    ]
+    for src, n_total in totals.items():
+        kept = kept_scores.get(src, [])
+        thr = thresholds[src]
+        dropped = [q for s, q in all_scores if s == src and q < thr]
+        # clean cut: every kept score >= threshold > every dropped score
+        assert all(q >= thr for q in kept)
+        assert all(q < thr for q in dropped)
+        assert len(kept) + len(dropped) == n_total
+        # close to the exact cut: ties at the threshold can only ADD docs
+        n_thr_ties = sum(1 for s, q in all_scores if s == src and q == thr)
+        assert exact_n[src] <= len(kept) <= exact_n[src] + n_thr_ties + max(
+            2, n_total // 100
+        )
+
+
+def test_quality_quantile_gate_entry_matches_oracle_locally(spark):
+    con = duck_connection(SF)
+    problems = compare(
+        QUERIES["quality_quantile_gate"](spark, SF),
+        con,
+        ORACLES["quality_quantile_gate"],
+    )
+    assert not problems, problems

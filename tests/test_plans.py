@@ -473,3 +473,46 @@ def test_lm_score_is_single_scan_broadcast_join(spark):
     assert plan.count("FileScan") == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.replace("BroadcastExchange", "").count("Exchange") <= 1, plan
+
+
+def test_quality_threshold_gate_broadcasts_thresholds(spark):
+    """The 100 TB gate path: the per-source threshold table (#groups
+    rows) must come back as a BROADCAST join — a shuffle join here
+    would re-key the whole corpus by source (the skew axis) just to
+    apply #groups scalar thresholds. The corpus side stays one scan:
+    the sketch agg's partial phase reads it once, the filter reads it
+    once more (no cache — callers persist if they fan out)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_threshold_gate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        quality_score_column,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", quality_score_column(F.col("text")).alias("quality")
+    )
+    df = quality_threshold_gate(docs, 0.25)
+    assert has_broadcast_join(df)
+    # the sketch aggregation must combine map-side (partial_percentile
+    # rows, not raw docs, cross the exchange)
+    assert has_partial_aggregate(df)
+
+
+def test_quality_quantile_gate_entry_single_window_pruned_scan(spark):
+    """The exact driver entry: ONE window pass (rank and group count
+    share the source partitioning — a second exchange would mean the
+    two window specs diverged), and the documents scan is pruned to the
+    three referenced columns."""
+    df = QUERIES["quality_quantile_gate"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schema and "text" in read_schema[0]
+    assert "n_chars" not in read_schema[0]  # unused column pruned
