@@ -68,10 +68,10 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_fuzzy",
     "quality_quantile_gate",
+    "url_canonical_dedup",
     "lm_perplexity",
     "text_profile",
     "tf_idf",
-    "doc_chunking",
     "doc_winnowing_fingerprints",
     "similarity_pairs",
     "knn_bruteforce",

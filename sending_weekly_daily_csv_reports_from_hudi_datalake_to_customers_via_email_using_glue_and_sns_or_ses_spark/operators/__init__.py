@@ -127,6 +127,7 @@ def _load_all() -> None:
         subqueries,
         textual,
         curation,
+        weburl,
         timeseries,
         streaming_entries,
         similarity,

@@ -346,6 +346,10 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_chunking",
+    retired=True,  # r7: slot funded url_canonical_dedup; the substr
+    # arithmetic / explode(sequence) primitives stay driver-green via
+    # exact_substring_pairs (windowing) and the shingle explodes in
+    # decontaminate/tf_idf, this entry via test_retired_parity
     oracle="""
     WITH params AS (SELECT 200 AS chunk, 50 AS stride)
     SELECT doc_id, chunk_idx,

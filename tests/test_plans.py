@@ -516,3 +516,18 @@ def test_quality_quantile_gate_entry_single_window_pruned_scan(spark):
     ]
     assert read_schema and "text" in read_schema[0]
     assert "n_chars" not in read_schema[0]  # unused column pruned
+
+
+def test_url_canonical_dedup_scan_fused_single_exchange(spark):
+    """URL curation's 100 TB contract: fabrication + canonicalization
+    are pure codegen fused into the scan, and the dedup aggregate is
+    partial (map-side combine) with ONE exchange on the canonical URL.
+    No join, no window, no second shuffle."""
+    df = QUERIES["url_canonical_dedup"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert has_partial_aggregate(df)
+    # only doc_id + source leave the parquet scan (text never read)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0]

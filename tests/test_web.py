@@ -1,0 +1,218 @@
+"""URL curation family (functions/web.py, operators/weburl.py):
+cross-engine canonicalization parity on adversarial fixtures, canonical
+dedup semantics, domain block/allow filtering, eTLD+1 heuristic, and
+the driver entry's local oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_harness import compare, duck_connection
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.functions.web import (
+    canonicalize_url,
+    canonicalize_url_sql_steps,
+    registered_domain,
+    url_host,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    ORACLES,
+    QUERIES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+    domain_filter,
+    domain_profile,
+    url_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: one case per canonicalization axis, plus the nasty combinations
+NASTY_URLS = [
+    "HTTP://WWW.Example.COM:80/a/b/../c//d/?utm_source=x&id=2&utm_medium=y#frag",
+    "https://example.co.uk:443/path/",
+    "https://example.com",
+    "http://example.com/?fbclid=abc",
+    "http://example.com/p?gclid=1&q=2&msclkid=3",
+    "http://example.com/p/?ref_src=tw",
+    "  http://a.b.example.com/x//y/  ",
+    "ftp://Files.Example.com:21/pub/",
+    "relative/path#frag",
+    "http://1.2.3.4:8080/x?utm_campaign=z",
+    "http://example.com/p?utm_x=1",
+    "http://example.com?id=1",
+    "http://www.example.com/#",
+    "https://shop.example.co.uk/item?id=1&utm_term=x&sort=asc",
+    "http://example.com/?redirect=http://evil.example.org/x",
+    None,
+]
+
+
+def _urls_df(spark, urls=NASTY_URLS):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+
+
+def test_canonicalize_matches_duckdb_twin_case_by_case(spark):
+    """The Spark expression and the SQL step list are twins — a regex
+    that behaves differently between Java and RE2 would silently split
+    them, so every axis is compared value-by-value here (the driver's
+    hash check then guards the composition)."""
+    got = {
+        r.i: r.c
+        for r in _urls_df(spark).select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, u) for i, u in enumerate(NASTY_URLS)]
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT i, canon_url FROM "
+            f"(SELECT i, {canonicalize_url_sql_steps('url')} FROM t)"
+        ).fetchall()
+    )
+    for i, u in enumerate(NASTY_URLS):
+        assert got[i] == duck[i], f"case {i}: {u!r} → {got[i]!r} vs {duck[i]!r}"
+
+
+def test_canonicalize_axes(spark):
+    got = {
+        r.i: r.c
+        for r in _urls_df(spark).select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    # case+port+www+trackers+fragment+dup-slash, one trailing slash
+    assert got[0] == "http://example.com/a/b/../c/d?id=2"
+    assert got[1] == "https://example.co.uk/path"  # :443 for https
+    assert got[2] == "https://example.com/"  # empty path → '/'
+    assert got[3] == "http://example.com/"  # only-tracker query drops
+    assert got[4] == "http://example.com/p?q=2"  # mid+end trackers out
+    assert got[7] == "ftp://files.example.com:21/pub"  # :21 NOT default
+    assert got[8] == "relative/path"  # scheme-less: fragment-strip only
+    assert got[9] == "http://1.2.3.4:8080/x"  # nonstandard port kept
+    assert got[14] == "http://example.com/?redirect=http://evil.example.org/x"
+    assert got[15] is None
+
+
+def test_url_host_and_registered_domain(spark):
+    rows = _urls_df(spark).select(
+        "i",
+        url_host("url").alias("h"),
+        registered_domain(url_host("url")).alias("d"),
+    ).collect()
+    got = {r.i: (r.h, r.d) for r in rows}
+    assert got[0] == ("example.com", "example.com")
+    assert got[1] == ("example.co.uk", "example.co.uk")  # multi-suffix
+    assert got[6] == ("a.b.example.com", "example.com")  # deep subdomain
+    assert got[9] == ("1.2.3.4", "1.2.3.4")  # IPv4 passes through
+    assert got[13] == ("shop.example.co.uk", "example.co.uk")
+    assert got[8] == (None, None)  # relative reference: no authority
+
+
+def test_url_dedup_keeps_best_quality_then_min_id(spark):
+    rows = [
+        # three spellings of one page, quality picks doc 3
+        (1, "http://www.example.com/p?utm_source=a", 0.2),
+        (2, "http://example.com:80/p", 0.5),
+        (3, "http://example.com/p/", 0.9),
+        # quality tie on another page → min doc_id wins
+        (4, "https://example.com/q", 0.7),
+        (5, "https://www.example.com/q", 0.7),
+        # unique page survives untouched
+        (6, "https://example.com/r", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    kept = {r.doc_id: r for r in url_dedup(df, quality_col="quality").collect()}
+    assert set(kept) == {3, 4, 6}
+    assert kept[3].n_url_dups == 3  # all three spellings collapsed
+    # without quality: min doc_id per canonical page
+    kept_ids = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept_ids == [1, 4, 6]
+
+
+def test_url_dedup_dup_counts(spark):
+    rows = [
+        (1, "http://www.example.com/p?utm_source=a"),
+        (2, "http://example.com:80/p"),
+        (3, "http://example.com/p/"),
+        (4, "https://example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.canon_url: r.n_url_dups for r in url_dedup(df).collect()}
+    assert got == {"http://example.com/p": 3, "https://example.com/q": 1}
+
+
+def test_domain_filter_block_and_allow(spark):
+    rows = [
+        (1, "http://spam.example.com/x"),  # subdomain of blocked domain
+        (2, "https://example.com/y"),  # blocked domain itself
+        (3, "https://other.org/z"),
+        (4, "relative/no-host"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["example.com"]
+    assert sorted(
+        r.doc_id for r in domain_filter(df, blocked, mode="block").collect()
+    ) == [3, 4]  # no-host rows KEPT under block
+    assert sorted(
+        r.doc_id for r in domain_filter(df, blocked, mode="allow").collect()
+    ) == [1, 2]  # no-host rows DROPPED under allow
+    # DataFrame blocklist takes the broadcast-join path, same answer
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    assert sorted(
+        r.doc_id for r in domain_filter(df, bl, mode="block").collect()
+    ) == [3, 4]
+    assert sorted(
+        r.doc_id for r in domain_filter(df, bl, mode="allow").collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="mode"):
+        domain_filter(df, blocked, mode="deny")
+    with pytest.raises(ValueError, match="one column"):
+        domain_filter(df, df, mode="block")
+
+
+def test_domain_profile(spark):
+    rows = [
+        (1, "http://www.example.com/p", 0.2),
+        (2, "http://example.com/p/", 0.4),  # same canonical URL
+        (3, "http://sub.example.com/q", 0.6),
+        (4, "https://other.org/z", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    got = {
+        r.domain: (r.n_docs, r.n_urls, round(r.avg_quality, 6))
+        for r in domain_profile(df, quality_col="quality").collect()
+    }
+    assert got["example.com"] == (3, 2, 0.4)
+    assert got["other.org"] == (1, 1, 1.0)
+
+
+def test_url_entry_matches_oracle_locally(spark):
+    con = duck_connection(SF)
+    problems = compare(
+        QUERIES["url_canonical_dedup"](spark, SF),
+        con,
+        ORACLES["url_canonical_dedup"],
+    )
+    assert not problems, problems
+
+
+def test_url_entry_collapses_variants(spark):
+    """The fabrication must actually exercise dedup: fewer canonical
+    pages than documents, and every canonical URL is tracker-free and
+    www-free."""
+    df = QUERIES["url_canonical_dedup"](spark, SF)
+    rows = df.collect()
+    n_docs = sum(r.n_docs for r in rows)
+    assert len(rows) < n_docs  # real collapses happened
+    assert all("utm_" not in r.canon_url for r in rows)
+    assert all("www." not in r.canon_url for r in rows)
+    assert all("#" not in r.canon_url for r in rows)
