@@ -553,6 +553,16 @@ def quality_threshold_gate(
     filter is a clean cut in score space, never an arbitrary split of
     equal-quality docs). Adds the applied ``q_threshold`` so the cut is
     auditable downstream.
+
+    ``docs`` is scanned TWICE — once feeding the sketch, once feeding
+    the filter. With a cheap or already-materialized ``score_col``
+    that's two narrow column-pruned scans and exactly what you want at
+    100 TB. If the score is an expensive expression (the full-text
+    regex heuristic, a model score), materialize it first — compute it
+    into a table/persisted projection the way ``prepare_training_data``
+    computes ``text_profile`` once — or the expression runs twice
+    (measured 1.7× end-to-end on the organic 10× corpus, BASELINE.md
+    r7).
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")

@@ -531,3 +531,17 @@ def test_url_canonical_dedup_scan_fused_single_exchange(spark):
     # only doc_id + source leave the parquet scan (text never read)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "text" not in read_schema[0]
+
+
+def test_url_dedup_library_single_exchange(spark):
+    """url_dedup's two window specs (ordered row_number, unordered
+    count) share the canon_url partitioning — they must resolve to ONE
+    exchange, not one per spec."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        _fabricated_urls,
+        url_dedup,
+    )
+
+    plan = physical_plan(url_dedup(_fabricated_urls(spark, SF)))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

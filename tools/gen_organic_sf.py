@@ -489,7 +489,44 @@ def _substring_incremental(spark, sf_dir):
     return exact_substring_pairs_incremental(batch, idx, k=20)
 
 
+def _quality_threshold_gate(spark, sf_dir):
+    """Slope of the 100 TB gate path in its PRODUCTION shape: score
+    once into a persisted narrow projection (the gate's documented
+    contract — it scans its input twice, sketch pass + filter pass, so
+    an expensive score expression must be materialized first, as the
+    funnel materializes text_profile). Timed region = the scoring scan
+    (cache build) + sketch merge + broadcast filter."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_threshold_gate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        quality_score_column,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score_column(F.col("text")).alias("quality")
+    ).persist()  # bench process; released with the session
+    return quality_threshold_gate(d, 0.25)
+
+
+def _url_dedup(spark, sf_dir):
+    """Canonical-URL dedup slope over the fabricated messy URLs: pure
+    codegen canonicalization + one shuffle keyed by the canonical URL
+    (window keep, the library path — the driver entry's groupBy shape
+    shares the same single exchange)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        _fabricated_urls,
+        url_dedup,
+    )
+
+    return url_dedup(_fabricated_urls(spark, sf_dir))
+
+
 EXTRA_SCALE = {
+    "quality_threshold_gate": _quality_threshold_gate,
+    "url_dedup": _url_dedup,
     "dedup_clusters_minhash": _minhash_clusters,
     "pack_sequences": _pack_sequences,
     "embedding_pca": _embedding_pca,
