@@ -138,8 +138,38 @@ def _compression_signals(spark, sf):
 
 
 #: library functions reviewed alongside the registered corpus
+def _quality_threshold_gate(spark, sf):
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_threshold_gate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.textual import (
+        quality_score_column,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", quality_score_column(F.col("text")).alias("quality")
+    )
+    return quality_threshold_gate(d, 0.25)
+
+
+def _url_dedup(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        _fabricated_urls,
+        url_dedup,
+    )
+
+    return url_dedup(_fabricated_urls(spark, sf))
+
+
 EXTRA = {
     "distinct_sort_limit": distinct_sort_limit,
+    "quality_threshold_gate": _quality_threshold_gate,
+    "url_dedup": _url_dedup,
     "repetition_signals": _repetition_signals,
     "mixture_sample": _mixture_sample,
     "dedup_incremental": _dedup_incremental,
@@ -176,6 +206,10 @@ PICK = {
     "decontaminate_fuzzy": "driver entry since r7 (exact string-shingle DuckDB oracle). One HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
     "compression_signals": "one Arrow-batched zlib scan (single ArrowEvalPython node, the UDF deduplicated across its three consumers) — zero Exchange, zero Join; the one quality signal that genuinely needs a library call (plan-pinned by test_compression_signals_zero_shuffle).",
     "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
+    "quality_quantile_gate": "driver entry since r7: exact per-source quantile cut — the rank and group-count window specs share one source-keyed Exchange (pinned); 3-column ReadSchema (text scored in the scan projection, nothing else read).",
+    "quality_threshold_gate": "the 100 TB gate path: approx_percentile partial/final (sketch merge moves #partitions×#sources sketches, not rows) → #sources-row BroadcastHashJoin → stateless score filter. Two scans of the input by contract — materialize expensive scores first (docstring + BASELINE r7).",
+    "url_canonical_dedup": "driver entry since r7: URL fabrication + canonicalization fuse into the scan as pure codegen (no Python, no join); ONE Exchange on the canonical URL feeding a partial/final count-min aggregate; text column never read (pinned).",
+    "url_dedup": "library keep-one-per-canonical-URL: same scan-fused canonicalization; the ordered row_number and unordered count window specs share ONE canon_url Exchange (pinned).",
 }
 
 
