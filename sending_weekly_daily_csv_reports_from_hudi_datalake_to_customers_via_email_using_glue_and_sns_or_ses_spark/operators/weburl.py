@@ -122,6 +122,59 @@ def domain_profile(
     return canon.groupBy("domain").agg(*aggs)
 
 
+def cap_per_domain(
+    docs: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per registered domain — the
+    standard anti-SEO-farm / boilerplate-site cap (RefinedWeb caps
+    documents per domain for exactly this reason): a single template
+    site must not dominate the corpus no matter how many URLs it
+    crawled. Keeps the best ``quality_col`` (NULLs last) then lowest
+    ``id_col`` — the same deterministic order as :func:`url_dedup`.
+    Rows with no extractable domain (relative/NULL URLs) are never
+    capped (each is its own unattributable 'domain').
+
+    Scale: Catalyst rewrites the rank-filter into WindowGroupLimit
+    (plan-pinned) — each MAP partition forwards at most ``max_docs``
+    rows per domain into the shuffle, so a billion-doc domain shuffles
+    ≤ max_docs × #map-partitions rows, not a billion. On top of that,
+    ``prefilter=True`` (default) routes UNDER-cap domains — the
+    Zipfian long tail, usually >90% of domains — around the window
+    shuffle entirely via a tiny per-domain count broadcast: they union
+    straight through. Cost of the option: one extra (cheap, counted)
+    pass over the input for the counts; set ``prefilter=False`` when
+    the input is a one-shot stream that must be scanned once."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    dom = registered_domain(url_host(url_col))
+    tagged = docs.withColumn("_dom", dom)
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order = [F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()]
+    w = Window.partitionBy("_dom").orderBy(*order)
+    ranked = lambda df: (  # noqa: E731 — tiny plan builder used twice
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+    if not prefilter:
+        return ranked(tagged.filter(F.col("_dom").isNotNull())).unionByName(
+            tagged.filter(F.col("_dom").isNull())
+        ).drop("_dom")
+    counts = tagged.groupBy("_dom").agg(F.count("*").alias("_n_dom"))
+    over = F.broadcast(
+        counts.filter(F.col("_n_dom") > max_docs).select("_dom")
+    )
+    head = tagged.join(over, on="_dom", how="left_semi")
+    tail = tagged.join(over, on="_dom", how="left_anti")  # incl. NULL domains
+    return ranked(head).unionByName(tail).drop("_dom")
+
+
 # --------------------------------------------------------------------
 # driver entry — deterministic URL fabrication (the documents table has
 # no URL column; the fabrication IS part of the checked contract, same

@@ -216,3 +216,64 @@ def test_url_entry_collapses_variants(spark):
     assert all("utm_" not in r.canon_url for r in rows)
     assert all("www." not in r.canon_url for r in rows)
     assert all("#" not in r.canon_url for r in rows)
+
+
+@pytest.mark.parametrize("prefilter", [True, False])
+def test_cap_per_domain(spark, prefilter):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        cap_per_domain,
+    )
+
+    rows = [
+        # 4 docs on example.com (incl. a subdomain) → cap 2 keeps the
+        # two best-quality
+        (1, "http://example.com/a", 0.1),
+        (2, "http://example.com/b", 0.9),
+        (3, "http://sub.example.com/c", 0.5),
+        (4, "http://example.com/d", 0.7),
+        # under-cap domain passes through whole (prefilter fast path)
+        (5, "https://other.org/x", 0.2),
+        # domain-less rows are never capped
+        (6, "relative/1", 0.0),
+        (7, "relative/2", 0.0),
+        (8, "relative/3", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    kept = sorted(
+        r.doc_id
+        for r in cap_per_domain(
+            df, 2, quality_col="quality", prefilter=prefilter
+        ).collect()
+    )
+    assert kept == [2, 4, 5, 6, 7, 8]  # 0.9 and 0.7 beat 0.5 and 0.1
+    # no quality: lowest ids win
+    kept_ids = sorted(
+        r.doc_id for r in cap_per_domain(df, 2, prefilter=prefilter).collect()
+    )
+    assert kept_ids == [1, 2, 5, 6, 7, 8]
+    # output schema matches input (helper columns dropped)
+    assert cap_per_domain(df, 2, prefilter=prefilter).columns == df.columns
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_per_domain(df, 0)
+
+
+def test_cap_per_domain_prefilter_routes_tail_around_window(spark):
+    """The scale properties of the cap: (1) only the over-cap HEAD
+    branch carries the rank window — the Zipfian tail unions around it
+    via the broadcast anti-join; (2) Spark's WindowGroupLimit rewrite
+    fires (partial, map-side top-N per domain before the shuffle — the
+    optimizer's own salting of the exact per-key rank)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        cap_per_domain,
+        _fabricated_urls,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    import re
+
+    plan = formatted_plan(cap_per_domain(_fabricated_urls(spark, SF), 3))
+    # exactly one Window operator (head branch only, tail un-windowed)
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
