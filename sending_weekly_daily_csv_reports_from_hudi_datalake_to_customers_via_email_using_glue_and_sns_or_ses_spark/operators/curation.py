@@ -640,10 +640,22 @@ def prepare_training_data(
     substring_dedup_k: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
     compression_min_bytes: int = 256,
+    url_col: str | None = None,
+    blocked_domains: list | DataFrame | None = None,
+    max_docs_per_domain: int | None = None,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
 
+      0. optional URL stage (``url_col`` names a URL column on the
+         documents table): canonical-URL dedup (min-doc_id keep — the
+         quality score doesn't exist yet at this point; compose
+         ``weburl.url_dedup(quality_col=…)`` manually for
+         quality-aware URL dedup), then optional domain blocklist
+         (``blocked_domains``) and per-domain cap
+         (``max_docs_per_domain``). URL curation runs FIRST because it
+         is the cheapest cut — a few hundred bytes per doc, no text
+         read (C4/RefinedWeb stage order);
       1. profile + quality gate (``text_profile``'s score ≥ min_quality,
          PII scrubbed — one scan, all JVM expressions);
       1a. optional compressibility gate (``compression_bounds=(lo,
@@ -693,6 +705,31 @@ def prepare_training_data(
     from ..functions.text import scrub_pii
 
     d = load_table(spark, sf_dir, "documents")
+    n_url_dedup = n_domain_filter = n_domain_cap = None
+    if url_col is not None:
+        from .weburl import cap_per_domain, domain_filter, url_dedup
+
+        if url_col not in d.columns:
+            raise ValueError(
+                f"url_col {url_col!r} not in documents columns {d.columns}"
+            )
+        d = url_dedup(d, url_col=url_col).drop("canon_url", "n_url_dups")
+        n_url_dedup = d.count()
+        if blocked_domains is not None:
+            d = domain_filter(d, blocked_domains, url_col=url_col)
+            n_domain_filter = d.count()
+        if max_docs_per_domain is not None:
+            d = cap_per_domain(d, max_docs_per_domain, url_col=url_col)
+            n_domain_cap = d.count()
+    elif blocked_domains is not None or max_docs_per_domain is not None:
+        raise ValueError(
+            "blocked_domains / max_docs_per_domain require url_col"
+        )
+    # NOTE: text_profile scans the full table; URL-dropped rows vanish
+    # at the doc_id join below. At petabyte scale, push the URL stage
+    # into the profile scan (score only survivors) by materializing the
+    # URL-curated frame first — the join keeps this composition correct
+    # either way.
     profile = text_profile(spark, sf_dir).select(
         "doc_id", "fingerprint", "quality", "n_tokens_ws", "lang_pred"
     )
@@ -827,6 +864,9 @@ def prepare_training_data(
             final, out_path, num_shards, token_col="n_tokens_ws"
         )
         return {
+            "n_after_url_dedup": n_url_dedup,
+            "n_after_domain_filter": n_domain_filter,
+            "n_after_domain_cap": n_domain_cap,
             "n_input": n_input,
             "n_after_quality": n_quality,
             "n_after_compression": n_compression,

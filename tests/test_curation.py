@@ -941,3 +941,57 @@ def test_quality_quantile_gate_entry_matches_oracle_locally(spark):
         ORACLES["quality_quantile_gate"],
     )
     assert not problems, problems
+
+
+def test_prepare_training_data_url_stage(spark, tmp_path):
+    """Funnel stage 0: URL dedup + blocklist + domain cap over a
+    documents table augmented with fabricated messy URLs (written to a
+    private sf_dir — the driver's table has no URL column)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.weburl import (
+        _fabricated_urls,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    sf_url = str(tmp_path / "sf_url")
+    docs = load_table(spark, SF, "documents").join(
+        _fabricated_urls(spark, SF).select("doc_id", "url"), "doc_id"
+    )
+    docs.write.parquet(f"{sf_url}/documents.parquet")
+
+    stats = prepare_training_data(
+        spark,
+        sf_url,
+        str(tmp_path / "out"),
+        min_quality=0.0,
+        url_col="url",
+        # every fabricated URL lives under *.example.com; block a
+        # nonexistent domain so the filter is exercised but drops nothing
+        blocked_domains=["blocked.org"],
+        max_docs_per_domain=20,
+    )
+    n_raw = docs.count()
+    assert (
+        n_raw
+        > stats["n_after_url_dedup"]  # fabrication guarantees collapses
+        >= stats["n_after_domain_filter"]
+        >= stats["n_after_domain_cap"]
+        == stats["n_input"]  # profile join preserves URL survivors
+        >= stats["n_after_decontam"]
+    )
+    assert stats["n_after_domain_filter"] == stats["n_after_url_dedup"]
+    # 5 sources → 5 domains → cap 20 bounds the survivors
+    assert stats["n_after_domain_cap"] <= 5 * 20
+    assert stats["n_after_decontam"] > 0
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_training_data(
+            spark, SF, str(tmp_path / "x"), blocked_domains=["a.com"]
+        )
+    with pytest.raises(ValueError, match="not in documents columns"):
+        prepare_training_data(
+            spark, SF, str(tmp_path / "y"), url_col="url"
+        )
