@@ -11,7 +11,9 @@ canonicalizer here implements the standard, documented subset:
   * default ports stripped (``:80`` for http, ``:443`` for https);
   * a leading ``www.`` dropped from the host;
   * tracking query parameters removed (``utm_*``, ``fbclid``,
-    ``gclid``, ``msclkid``, ``mc_eid``, ``igshid``, ``ref_src``);
+    ``gclid``, ``msclkid``, ``mc_eid``, ``igshid``, ``ref_src`` —
+    with or without a ``=value``, since click-through links often
+    drop it);
   * duplicate slashes in the path collapsed, one trailing slash
     stripped (except the root path), empty path normalized to ``/``.
 
@@ -50,9 +52,24 @@ MULTI_SUFFIXES = (
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
+#: explicit whitespace class — Java's ``\s`` includes U+000B where
+#: RE2's does not, so the twins spell the class out instead
+_WS = r"[ \t\r\n\f]"
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _strip_ws(u: Column) -> Column:
+    """Strip surrounding whitespace INCLUDING newlines (``trim`` strips
+    only spaces in both engines). Load-bearing for parity: with no
+    trailing line terminator left, Java's ``$`` anchor (end-of-input or
+    before a final terminator) and RE2's (end-of-text) agree on every
+    later ``$``-anchored pattern."""
+    return F.regexp_replace(
+        F.regexp_replace(u, f"^{_WS}+", ""), f"{_WS}+$", ""
+    )
 
 
 def canonicalize_url(col: Column | str) -> Column:
@@ -60,9 +77,11 @@ def canonicalize_url(col: Column | str) -> Column:
     exact rule set). NULL → NULL; scheme-less input → fragment-stripped
     input. One nested codegen expression — a 100 TB URL sweep stays a
     single embarrassingly-parallel scan."""
-    u = F.trim(_c(col))
-    # fragment first: nothing after '#' survives in any branch
-    u = F.regexp_replace(u, r"#.*$", "")
+    u = _strip_ws(_c(col))
+    # fragment first: nothing after the first '#' survives in any
+    # branch — a separator split, not a regex, so an embedded newline
+    # in the fragment cannot produce engine-divergent anchoring
+    u = F.substring_index(u, "#", 1)
     scheme = F.regexp_extract(u, _SCHEME_RE, 1)
     has_scheme = scheme != ""
     # slice by the scheme's length rather than splitting on '://' — a
@@ -79,13 +98,21 @@ def canonicalize_url(col: Column | str) -> Column:
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     query = F.substr(tail, F.length(path) + F.lit(1))  # '?a=1&b=2' or ''
-    # query surgery: normalize the first separator to '&' so every
-    # parameter is uniformly '&k=v', strip trackers globally, then
-    # rebuild '?' + remaining (or nothing)
-    q = F.regexp_replace(query, r"^\?", "&")
-    q = F.regexp_replace(q, r"&(" + TRACKING_PARAMS + r")=[^&]*", "")
-    q = F.regexp_replace(q, r"^&", "")
-    q = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    # query surgery: give every parameter its OWN '&…&' delimiters by
+    # doubling the separators and bracketing ('a=1&fbclid&b=2' →
+    # '&a=1&&fbclid&&b=2&'), so the tracker pattern — value OPTIONAL,
+    # since click-through links drop it — removes each tracker with
+    # both its private delimiters and adjacent matches never compete
+    # for a shared '&' (RE2 has no lookahead to express the boundary
+    # otherwise). Collapse '&&' and strip the brackets to rebuild.
+    qbody = F.regexp_replace(query, r"^\?", "")
+    qd = F.concat(
+        F.lit("&"), F.replace(qbody, F.lit("&"), F.lit("&&")), F.lit("&")
+    )
+    qd = F.regexp_replace(qd, r"&(" + TRACKING_PARAMS + r")(=[^&]*)?&", "")
+    qd = F.replace(qd, F.lit("&&"), F.lit("&"))
+    qd = F.regexp_replace(qd, r"^&+|&+$", "")
+    q = F.when(qd == "", F.lit("")).otherwise(F.concat(F.lit("?"), qd))
     p = F.regexp_replace(path, r"/{2,}", "/")
     p = F.regexp_replace(p, r"(.)/$", r"$1")
     p = F.when(p == "", F.lit("/")).otherwise(p)
@@ -104,7 +131,10 @@ def canonicalize_url_sql_steps(c: str) -> str:
     ``SELECT …, {{canonicalize_url_sql_steps('url')}} FROM t`` and
     project/drop the intermediate ``_cu_*`` columns as needed."""
     return rf"""
-      regexp_replace(trim({c}), '#.*$', '') AS _cu_u,
+      CASE WHEN {c} IS NULL THEN NULL  -- split_part maps NULL to ''
+           ELSE split_part(regexp_replace(regexp_replace({c}, '^{_WS}+', ''),
+                                          '{_WS}+$', ''), '#', 1)
+      END AS _cu_u,
       regexp_extract(_cu_u, '{_SCHEME_RE}', 1) AS _cu_scheme,
       substr(_cu_u, length(_cu_scheme) + 4) AS _cu_rest,
       regexp_extract(_cu_rest, '^([^/?]+)', 1) AS _cu_auth,
@@ -118,9 +148,10 @@ def canonicalize_url_sql_steps(c: str) -> str:
         '^www\.', '') AS _cu_host,
       regexp_extract(_cu_tail, '^([^?]*)', 1) AS _cu_path,
       substr(_cu_tail, length(_cu_path) + 1) AS _cu_query,
-      regexp_replace(regexp_replace(
-        regexp_replace(_cu_query, '^\?', '&'),
-        '&({TRACKING_PARAMS})=[^&]*', '', 'g'), '^&', '') AS _cu_q,
+      regexp_replace(
+        '&' || replace(regexp_replace(_cu_query, '^\?', ''), '&', '&&') || '&',
+        '&({TRACKING_PARAMS})(=[^&]*)?&', '', 'g') AS _cu_q0,
+      regexp_replace(replace(_cu_q0, '&&', '&'), '^&+|&+$', '', 'g') AS _cu_q,
       regexp_replace(regexp_replace(_cu_path, '/{{2,}}', '/', 'g'),
                      '(.)/$', '\1') AS _cu_p,
       CASE WHEN _cu_scheme = '' THEN _cu_u
@@ -135,7 +166,7 @@ def url_host(col: Column | str) -> Column:
     """Lowercased host of an absolute URL, ``www.`` and port stripped
     (any port — a host key should not split on nonstandard ports).
     Scheme-less input → NULL (no authority to extract)."""
-    u = F.regexp_replace(F.trim(_c(col)), r"#.*$", "")
+    u = F.substring_index(_strip_ws(_c(col)), "#", 1)
     scheme = F.regexp_extract(u, _SCHEME_RE, 1)
     has_scheme = scheme != ""
     rest = F.substr(u, F.length(scheme) + F.lit(4))

@@ -332,6 +332,11 @@ def decontaminate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: value would be ulp-flaky across plan shapes.
 _FUZZY_T = 0.2
 
+#: decontaminate_fuzzy's default eval-postings hot cap — interpolated
+#: into the DuckDB twin below so retuning the default cannot silently
+#: split the two sides (every other shared constant here already is).
+_MAX_EVAL_POSTINGS = 64
+
 
 def _decon_fuzzy_oracle() -> str:
     """Hash-free DuckDB twin of the fuzzy driver entry: exact doc-level
@@ -358,7 +363,7 @@ def _decon_fuzzy_oracle() -> str:
       SELECT eval_doc_id, count(*) AS n_b FROM eval_sh GROUP BY eval_doc_id
     ), hot AS (
       -- the eval-postings fan-out cap (denominators already computed)
-      SELECT s FROM eval_sh GROUP BY s HAVING count(*) > 64
+      SELECT s FROM eval_sh GROUP BY s HAVING count(*) > {_MAX_EVAL_POSTINGS}
     ), pair AS (
       SELECT t.doc_id, e.eval_doc_id, count(*) AS n_shared
       FROM train_sh t
@@ -396,7 +401,11 @@ def decontaminate_fuzzy_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
     _clean, report = decontaminate_fuzzy(
-        d.filter(~is_eval), d.filter(is_eval), threshold=_FUZZY_T, n=3
+        d.filter(~is_eval),
+        d.filter(is_eval),
+        threshold=_FUZZY_T,
+        n=3,
+        max_eval_postings=_MAX_EVAL_POSTINGS,  # pinned to the oracle's cap
     )
     return report
 
@@ -571,8 +580,20 @@ def quality_threshold_gate(
             "q_threshold"
         )
     )
-    return docs.join(F.broadcast(thr), on=by, how="inner").filter(
-        F.col(score_col) >= F.col("q_threshold")
+    # null-SAFE join key: groupBy emits a NULL group (matching the
+    # exact gate, whose window treats NULL as a partition value), so a
+    # null-unsafe equality here would silently delete every NULL-group
+    # doc — the one place the two gates would diverge beyond sketch
+    # error
+    thr = thr.withColumnRenamed(by, "_gate_by")
+    return (
+        docs.join(
+            F.broadcast(thr),
+            on=F.col(by).eqNullSafe(F.col("_gate_by")),
+            how="inner",
+        )
+        .filter(F.col(score_col) >= F.col("q_threshold"))
+        .drop("_gate_by")
     )
 
 
@@ -705,7 +726,12 @@ def prepare_training_data(
     from ..functions.text import scrub_pii
 
     d = load_table(spark, sf_dir, "documents")
+    # the decontamination eval split must come from the FULL table —
+    # a URL-deduped/blocked/capped eval doc still must have its
+    # phrasing anti-joined out of training (stage 3's contract)
+    d_full = d
     n_url_dedup = n_domain_filter = n_domain_cap = None
+    url_cache = None
     if url_col is not None:
         from .weburl import cap_per_domain, domain_filter, url_dedup
 
@@ -721,6 +747,10 @@ def prepare_training_data(
         if max_docs_per_domain is not None:
             d = cap_per_domain(d, max_docs_per_domain, url_col=url_col)
             n_domain_cap = d.count()
+        # every later funnel action hangs off `d`: without a persist
+        # each would replay the URL windows/joins, not a table scan
+        url_cache = d.persist()
+        d = url_cache
     elif blocked_domains is not None or max_docs_per_domain is not None:
         raise ValueError(
             "blocked_domains / max_docs_per_domain require url_col"
@@ -840,7 +870,7 @@ def prepare_training_data(
         # scrub the eval side too: train text is already scrubbed, and
         # decontamination must compare like-for-like (a PII placeholder
         # on one side only would silently break shingle matches)
-        eval_docs = d.filter(is_eval).withColumn("text", scrub_pii("text"))
+        eval_docs = d_full.filter(is_eval).withColumn("text", scrub_pii("text"))
         train = decontaminate(deduped.filter(~is_eval), eval_docs)
         n_decontam = train.count()
 
@@ -879,6 +909,8 @@ def prepare_training_data(
             "shards": [r.asDict() for r in shard_stats.collect()],
         }
     finally:
+        if url_cache is not None:
+            url_cache.unpersist()
         if gate_cache is not None:
             gate_cache.unpersist()  # no-op when already released above
         if substring_cache is not None:

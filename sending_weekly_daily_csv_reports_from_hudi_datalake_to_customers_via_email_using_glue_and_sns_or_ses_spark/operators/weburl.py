@@ -48,21 +48,33 @@ def url_dedup(
     runs. Adds ``canon_url`` and ``n_url_dups`` (how many raw rows
     collapsed into the kept one) to the surviving rows.
 
+    Rows with a NULL or empty URL have no page identity: they BYPASS
+    the dedup untouched (``n_url_dups`` = 1) — grouping them would
+    silently collapse every URL-less document into one survivor, and
+    it would also make the no-identity key the one hot partition. Same
+    no-attribution contract as ``domain_filter``/``cap_per_domain``.
+
     One shuffle, keyed by the canonical URL. The window partitions are
     per-page duplication degrees — bounded small numbers, never a skew
     axis (contrast content-hash dedup where an empty-text key can be
     hot; a URL IS the identity being deduped)."""
     canon = docs.withColumn("canon_url", canonicalize_url(url_col))
+    no_page = F.col("canon_url").isNull() | (F.col("canon_url") == "")
     order = [F.col(id_col).asc()]
     if quality_col is not None:
         order = [F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()]
     w = Window.partitionBy("canon_url").orderBy(*order)
-    return (
-        canon.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        canon.filter(~no_page)
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("n_url_dups", F.count("*").over(Window.partitionBy("canon_url")))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    bypass = canon.filter(no_page).withColumn(
+        "n_url_dups", F.lit(1).cast("bigint")
+    )
+    return deduped.unionByName(bypass)
 
 
 def domain_filter(

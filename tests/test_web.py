@@ -46,6 +46,14 @@ NASTY_URLS = [
     "http://www.example.com/#",
     "https://shop.example.co.uk/item?id=1&utm_term=x&sort=asc",
     "http://example.com/?redirect=http://evil.example.org/x",
+    "http://example.com/x?id=1#frag\n",  # trailing newline (Java $ trap)
+    "\thttp://example.com/y\r\n",  # tab/CRLF padding
+    "http://example.com/p?fbclid",  # valueless tracker
+    "http://example.com/p?utm_source&id=1",  # bare tracker then real
+    "http://example.com/p?fbclid&gclid&id=1",  # ADJACENT bare trackers
+    "http://example.com/p?a=1&",  # trailing separator
+    "http://example.com/p?a=1&&b=2",  # doubled separator survives
+    "http://example.com/p?fbclidx=1",  # tracker-PREFIX param is kept
     None,
 ]
 
@@ -99,7 +107,15 @@ def test_canonicalize_axes(spark):
     assert got[8] == "relative/path"  # scheme-less: fragment-strip only
     assert got[9] == "http://1.2.3.4:8080/x"  # nonstandard port kept
     assert got[14] == "http://example.com/?redirect=http://evil.example.org/x"
-    assert got[15] is None
+    assert got[15] == "http://example.com/x?id=1"  # \n + fragment gone
+    assert got[16] == "http://example.com/y"  # tab/CRLF stripped
+    assert got[17] == "http://example.com/p"  # valueless tracker out
+    assert got[18] == "http://example.com/p?id=1"
+    assert got[19] == "http://example.com/p?id=1"  # adjacent bare trackers
+    assert got[20] == "http://example.com/p?a=1"  # trailing sep dropped
+    assert got[21] == "http://example.com/p?a=1&&b=2"  # kept verbatim
+    assert got[22] == "http://example.com/p?fbclidx=1"  # prefix ≠ tracker
+    assert got[23] is None
 
 
 def test_url_host_and_registered_domain(spark):
@@ -277,3 +293,51 @@ def test_cap_per_domain_prefilter_routes_tail_around_window(spark):
     # exactly one Window operator (head branch only, tail un-windowed)
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_url_dedup_null_and_empty_urls_bypass(spark):
+    """URL-less rows have no page identity: every one must survive
+    (grouping NULL canon_urls would silently collapse a million
+    no-URL docs into one row — the review-caught failure mode)."""
+    rows = [
+        (1, "http://example.com/p", None),
+        (2, "http://www.example.com/p", None),  # dup of 1
+        (3, None, None),
+        (4, None, None),
+        (5, "", None),
+        (6, "   ", None),  # whitespace-only → canon ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    kept = {r.doc_id: r.n_url_dups for r in url_dedup(df).collect()}
+    assert sorted(kept) == [1, 3, 4, 5, 6]
+    assert kept[1] == 2 and all(kept[i] == 1 for i in (3, 4, 5, 6))
+
+
+def test_quality_threshold_gate_keeps_null_group(spark):
+    """The sketch gate must treat a NULL group key exactly like the
+    exact gate's window does (a value): a null-unsafe inner join would
+    delete every NULL-source doc."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        quality_quantile_gate,
+        quality_threshold_gate,
+    )
+
+    rows = [(i, None, i / 10.0) for i in range(1, 9)] + [
+        (100, "b", 0.5),
+        (101, "b", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    approx = quality_threshold_gate(df, 0.25).collect()
+    null_kept = sorted(r.doc_id for r in approx if r.source is None)
+    assert null_kept, "NULL-source group was dropped entirely"
+    # the sketch's 0.75-quantile of 8 values is the rank-6 element
+    # (0.6), and the >=-cut keeps its ties — one more than the exact
+    # rank gate's ceil(0.25·8)=2, per the documented contract
+    assert null_kept == [6, 7, 8]
+    exact_null = sorted(
+        r.doc_id
+        for r in quality_quantile_gate(df, 0.25).collect()
+        if r.source is None
+    )
+    assert exact_null == [7, 8]
+    assert "_gate_by" not in quality_threshold_gate(df, 0.25).columns
