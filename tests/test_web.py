@@ -341,3 +341,57 @@ def test_quality_threshold_gate_keeps_null_group(spark):
     )
     assert exact_null == [7, 8]
     assert "_gate_by" not in quality_threshold_gate(df, 0.25).columns
+
+
+def test_canonicalize_combinatorial_parity_and_idempotence(spark):
+    """~500 seeded combinations of every URL part the canonicalizer
+    touches (scheme case, www, ports, dup/trailing slashes, tracker
+    placements, bare trackers, fragments, newline padding), checked in
+    ONE Spark job and ONE DuckDB query for (a) cross-engine equality
+    and (b) idempotence — canonicalize(canonicalize(u)) == canonicalize(u),
+    the algebraic contract that makes re-running the stage harmless."""
+    import random
+
+    schemes = ["http://", "HTTP://", "https://", "ftp://", ""]
+    wwws = ["", "www.", "WWW."]
+    hosts = ["example.com", "Example.Co.Uk", "1.2.3.4"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a//b/", "/a/b", "//x"]
+    queries = [
+        "", "?", "?utm_source=1", "?a=1&fbclid", "?fbclid&a=1",
+        "?a=1&b=2&", "?fbclid&gclid", "?a=1&&b=2", "?utm_x",
+    ]
+    frags = ["", "#f", "#a\nb"]
+    pads = ["", " ", "\n", "\t"]
+    rng = random.Random(7)
+    urls = sorted(
+        {
+            rng.choice(pads)
+            + rng.choice(schemes) + rng.choice(wwws) + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+            + rng.choice(frags) + rng.choice(pads)
+            for _ in range(500)
+        }
+    )
+    df = _urls_df(spark, urls)
+    rows = df.select(
+        "i",
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()
+    got = {r.i: (r.c1, r.c2) for r in rows}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(urls))
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT i, canon_url FROM "
+            f"(SELECT i, {canonicalize_url_sql_steps('url')} FROM t)"
+        ).fetchall()
+    )
+    for i, u in enumerate(urls):
+        c1, c2 = got[i]
+        assert c1 == duck[i], f"engine split: {u!r} → {c1!r} vs {duck[i]!r}"
+        assert c2 == c1, f"not idempotent: {u!r} → {c1!r} → {c2!r}"
