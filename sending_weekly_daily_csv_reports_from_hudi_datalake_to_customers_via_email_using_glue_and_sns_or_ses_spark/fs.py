@@ -66,6 +66,15 @@ class LocalFS:
 
         shutil.rmtree(path, ignore_errors=True)
 
+    def list_names(self, path: str) -> list[str]:
+        """Child names of a directory; [] for a missing path or a plain
+        file (callers probe directory CONTENTS — a non-directory has
+        none)."""
+        try:
+            return os.listdir(path)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
 
 class HadoopFS:
     """Hadoop FileSystem implementation: scheme-dispatched by the URI
@@ -237,6 +246,16 @@ class HadoopFS:
 
     def delete_recursive(self, path: str) -> None:
         self._fs(path).delete(self._path(path), True)
+
+    def list_names(self, path: str) -> list[str]:
+        """Child names of a directory; [] for a missing path or a plain
+        file — mirrors LocalFS so committed-ness probes (any part-*
+        present?) work on every scheme, not just local paths."""
+        fs = self._fs(path)
+        p = self._path(path)
+        if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
+            return []
+        return [str(s.getPath().getName()) for s in fs.listStatus(p)]
 
 
 def fs_for(spark: SparkSession | None):

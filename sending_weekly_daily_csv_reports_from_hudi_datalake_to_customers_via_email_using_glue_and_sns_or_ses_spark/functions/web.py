@@ -19,9 +19,13 @@ canonicalizer here implements the standard, documented subset:
 
 Deliberately NOT done (documented trade-offs): query-parameter
 reordering (changes semantics for some sites), percent-encoding
-normalization, userinfo stripping, IDN/punycode folding. Inputs without
-a ``scheme://`` are returned fragment-stripped but otherwise untouched —
-relative references have no authority to normalize.
+normalization, userinfo stripping, IDN/punycode folding. Userinfo
+(``user:pass@``) is preserved BYTE-FOR-BYTE — RFC 3986 §6.2.2.1 case
+normalization covers scheme and host only, and the ``www.``/port rules
+apply to the host alone, never to a userinfo that happens to start
+with ``www.`` or end in ``:80``. Inputs without a ``scheme://`` are
+returned fragment-stripped but otherwise untouched — relative
+references have no authority to normalize.
 
 ``registered_domain`` is the eTLD+1 heuristic over a SMALL built-in
 multi-part-suffix set (co.uk, com.au, …): the full Mozilla public-suffix
@@ -52,9 +56,18 @@ MULTI_SUFFIXES = (
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
-#: explicit whitespace class — Java's ``\s`` includes U+000B where
-#: RE2's does not, so the twins spell the class out instead
-_WS = r"[ \t\r\n\f]"
+#: characters removed ANYWHERE in the input before parsing: ASCII tab
+#: and line terminators (the WHATWG URL parser strips tab/LF/CR from
+#: any position before splitting — copy-pasted URLs carry them mid-
+#: string), extended with ``\f`` and the Unicode line terminators
+#: U+0085/U+2028/U+2029. Load-bearing for twin parity: Java's ``$``
+#: matches before a FINAL line terminator where RE2's means strict
+#: end-of-text, so an interior newline ahead of the path would make
+#: every later ``$``-anchored pattern (port strip, trailing-slash
+#: strip) diverge between the engines — removing the whole terminator
+#: class up front is what keeps them in lockstep. ``\x{hhhh}`` is the
+#: hex escape both Java and RE2 accept.
+_CTRL = r"[\t\n\r\f\x{0085}\x{2028}\x{2029}]"
 
 
 def _c(col: Column | str) -> Column:
@@ -62,14 +75,11 @@ def _c(col: Column | str) -> Column:
 
 
 def _strip_ws(u: Column) -> Column:
-    """Strip surrounding whitespace INCLUDING newlines (``trim`` strips
-    only spaces in both engines). Load-bearing for parity: with no
-    trailing line terminator left, Java's ``$`` anchor (end-of-input or
-    before a final terminator) and RE2's (end-of-text) agree on every
-    later ``$``-anchored pattern."""
-    return F.regexp_replace(
-        F.regexp_replace(u, f"^{_WS}+", ""), f"{_WS}+$", ""
-    )
+    """Remove the tab/line-terminator class ANYWHERE in the string (see
+    ``_CTRL`` — WHATWG strip semantics + the Java-vs-RE2 ``$`` anchor
+    guarantee), then trim surrounding spaces (``trim`` is space-only
+    and identical in both engines)."""
+    return F.trim(F.regexp_replace(u, _CTRL, ""))
 
 
 def canonicalize_url(col: Column | str) -> Column:
@@ -89,7 +99,13 @@ def canonicalize_url(col: Column | str) -> Column:
     rest = F.substr(u, F.length(scheme) + F.lit(4))
     authority = F.regexp_extract(rest, r"^([^/?]+)", 1)
     tail = F.substr(rest, F.length(authority) + F.lit(1))  # '/path?q', '?q' or ''
-    host = F.lower(authority)
+    # split userinfo off BEFORE any host rule: lowercasing, default-port
+    # strip, and the www-strip are host normalizations — applying them
+    # to 'www.alice@example.com' would mangle the (case-sensitive,
+    # preserved-verbatim) userinfo and collapse distinct URLs. Greedy
+    # '.*@' reaches the LAST '@' (RFC 3986: the host starts after it).
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)  # '' when none
+    host = F.lower(F.substr(authority, F.length(userinfo) + F.lit(1)))
     host = F.when(
         F.lower(scheme) == "http", F.regexp_replace(host, r":80$", "")
     ).when(
@@ -116,7 +132,7 @@ def canonicalize_url(col: Column | str) -> Column:
     p = F.regexp_replace(path, r"/{2,}", "/")
     p = F.regexp_replace(p, r"(.)/$", r"$1")
     p = F.when(p == "", F.lit("/")).otherwise(p)
-    canon = F.concat(F.lower(scheme), F.lit("://"), host, p, q)
+    canon = F.concat(F.lower(scheme), F.lit("://"), userinfo, host, p, q)
     return F.when(has_scheme, canon).otherwise(u)
 
 
@@ -132,19 +148,22 @@ def canonicalize_url_sql_steps(c: str) -> str:
     project/drop the intermediate ``_cu_*`` columns as needed."""
     return rf"""
       CASE WHEN {c} IS NULL THEN NULL  -- split_part maps NULL to ''
-           ELSE split_part(regexp_replace(regexp_replace({c}, '^{_WS}+', ''),
-                                          '{_WS}+$', ''), '#', 1)
+           ELSE split_part(trim(regexp_replace({c}, '{_CTRL}', '', 'g')),
+                           '#', 1)
       END AS _cu_u,
       regexp_extract(_cu_u, '{_SCHEME_RE}', 1) AS _cu_scheme,
       substr(_cu_u, length(_cu_scheme) + 4) AS _cu_rest,
       regexp_extract(_cu_rest, '^([^/?]+)', 1) AS _cu_auth,
       substr(_cu_rest, length(_cu_auth) + 1) AS _cu_tail,
+      regexp_extract(_cu_auth, '^(.*@)', 1) AS _cu_user,
       regexp_replace(
         CASE WHEN lower(_cu_scheme) = 'http'
-               THEN regexp_replace(lower(_cu_auth), ':80$', '')
+               THEN regexp_replace(lower(substr(_cu_auth, length(_cu_user) + 1)),
+                                   ':80$', '')
              WHEN lower(_cu_scheme) = 'https'
-               THEN regexp_replace(lower(_cu_auth), ':443$', '')
-             ELSE lower(_cu_auth) END,
+               THEN regexp_replace(lower(substr(_cu_auth, length(_cu_user) + 1)),
+                                   ':443$', '')
+             ELSE lower(substr(_cu_auth, length(_cu_user) + 1)) END,
         '^www\.', '') AS _cu_host,
       regexp_extract(_cu_tail, '^([^?]*)', 1) AS _cu_path,
       substr(_cu_tail, length(_cu_path) + 1) AS _cu_query,
@@ -155,7 +174,7 @@ def canonicalize_url_sql_steps(c: str) -> str:
       regexp_replace(regexp_replace(_cu_path, '/{{2,}}', '/', 'g'),
                      '(.)/$', '\1') AS _cu_p,
       CASE WHEN _cu_scheme = '' THEN _cu_u
-           ELSE lower(_cu_scheme) || '://' || _cu_host
+           ELSE lower(_cu_scheme) || '://' || _cu_user || _cu_host
                 || (CASE WHEN _cu_p = '' THEN '/' ELSE _cu_p END)
                 || (CASE WHEN _cu_q = '' THEN ''
                          ELSE '?' || _cu_q END)
@@ -163,15 +182,19 @@ def canonicalize_url_sql_steps(c: str) -> str:
 
 
 def url_host(col: Column | str) -> Column:
-    """Lowercased host of an absolute URL, ``www.`` and port stripped
-    (any port — a host key should not split on nonstandard ports).
-    Scheme-less input → NULL (no authority to extract)."""
+    """Lowercased host of an absolute URL: userinfo stripped (greedy to
+    the LAST ``@`` — 'http://x@blocked.com' must attribute to
+    blocked.com, or any blocklist is one ``user@`` away from a bypass),
+    ``www.`` and port stripped (any port — a host key should not split
+    on nonstandard ports). Scheme-less input → NULL (no authority to
+    extract)."""
     u = F.substring_index(_strip_ws(_c(col)), "#", 1)
     scheme = F.regexp_extract(u, _SCHEME_RE, 1)
     has_scheme = scheme != ""
     rest = F.substr(u, F.length(scheme) + F.lit(4))
     authority = F.regexp_extract(rest, r"^([^/?]+)", 1)
-    host = F.regexp_replace(F.lower(authority), r":[0-9]+$", "")
+    host = F.regexp_replace(F.lower(authority), r"^.*@", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(has_scheme & (host != ""), host).otherwise(F.lit(None))
 

@@ -739,7 +739,17 @@ def prepare_training_data(
             raise ValueError(
                 f"url_col {url_col!r} not in documents columns {d.columns}"
             )
-        d = url_dedup(d, url_col=url_col).drop("canon_url", "n_url_dups")
+        # persist BEFORE the stage counts: the counts are the first
+        # actions on this chain, and each would otherwise replay the
+        # canonicalize + window-dedup shuffle from the table scan (3
+        # extra full URL passes at corpus scale). The cache sits at the
+        # dedup output — the one expensive shuffle; the filter/cap
+        # stages on top of it are broadcast joins, cheap to re-run both
+        # for their own counts and for the downstream funnel.
+        url_cache = url_dedup(d, url_col=url_col).drop(
+            "canon_url", "n_url_dups"
+        ).persist()
+        d = url_cache
         n_url_dedup = d.count()
         if blocked_domains is not None:
             d = domain_filter(d, blocked_domains, url_col=url_col)
@@ -747,10 +757,6 @@ def prepare_training_data(
         if max_docs_per_domain is not None:
             d = cap_per_domain(d, max_docs_per_domain, url_col=url_col)
             n_domain_cap = d.count()
-        # every later funnel action hangs off `d`: without a persist
-        # each would replay the URL windows/joins, not a table scan
-        url_cache = d.persist()
-        d = url_cache
     elif blocked_domains is not None or max_docs_per_domain is not None:
         raise ValueError(
             "blocked_domains / max_docs_per_domain require url_col"

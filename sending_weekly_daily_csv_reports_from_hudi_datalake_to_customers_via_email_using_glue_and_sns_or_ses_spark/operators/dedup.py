@@ -2054,7 +2054,11 @@ def compact_window_index(
 
     def prepare(base: DataFrame, stats) -> tuple[DataFrame, dict]:
         ks = sorted(stats["__ks"])
-        if len(ks) != 1:
+        # zero rows → zero distinct k values: a first micro-batch whose
+        # docs all deduped away legitimately leaves an empty index dir,
+        # and compacting it is a valid no-op rewrite — only MIXED k
+        # (>1) is the rebuild-worthy contract violation
+        if len(ks) > 1:
             raise ValueError(
                 f"window index at {path} contains k={ks}: refusing to "
                 "compact a mixed-k index (windows of different sizes "

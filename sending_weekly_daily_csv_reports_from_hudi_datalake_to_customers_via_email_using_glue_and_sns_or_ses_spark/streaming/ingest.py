@@ -197,20 +197,22 @@ def stream_ingest_dedup(
         populated index as empty would skip the dedup lanes AND the
         append anti-joins for one batch — double-appending rows and
         landing docs a healthy read would have dropped."""
-        if not fs_for(spark).exists(path):
+        fs = fs_for(spark)
+        if not fs.exists(path):
             return None
         try:
             return spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:
-            import os
-
-            committed = False
-            if os.path.isdir(path):  # local-fs path (the test envs)
-                committed = any(
-                    f.startswith("part-") for f in os.listdir(path)
-                )
-            else:  # URI: conservatively assume data may exist
-                committed = True
+            # committed-ness probe through the SAME fs abstraction the
+            # read used: any part-* file means data landed (raise →
+            # batch retry); only _temporary/_SUCCESS-less wreckage
+            # means the first append crashed pre-commit (→ empty). An
+            # os.path probe here would misclassify every URI store
+            # (hdfs://, s3a://, file://) as committed and wedge the
+            # stream in exactly the state this branch exists to heal.
+            committed = any(
+                n.startswith("part-") for n in fs.list_names(path)
+            )
             if committed:
                 raise
             return None

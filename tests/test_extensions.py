@@ -1058,6 +1058,26 @@ def test_compact_window_index_parity_and_trim(spark, tmp_path):
         compact_window_index(spark, path)
 
 
+def test_compact_window_index_empty_index_is_a_noop_rewrite(spark, tmp_path):
+    """A first micro-batch whose docs all dedup away leaves a ZERO-row
+    window index (the append lane always writes the frame) — offline
+    maintenance over it must no-op cleanly, not raise the mixed-k
+    error (collect_set over zero rows is [], which is not 'mixed')."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_window_index,
+        compact_window_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "widx_empty")
+    build_window_index(empty, k=8).write.parquet(path)
+    report = compact_window_index(spark, path, max_postings=4)
+    assert report["rows_before"] == report["rows_after"] == 0
+    assert report["hot_windows_trimmed"] == report["rows_trimmed"] == 0
+    # the swapped-in index is still a readable, appendable parquet dir
+    assert spark.read.parquet(path).count() == 0
+
+
 def test_compact_corpus_index_rewrite_preserves_rows_and_tags(spark, tmp_path):
     """compact_corpus_index: many small appended files collapse to one,
     the row SET (including __src_* replay tags) is unchanged, and
