@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "exact_substring_pairs",
+    "dedup_lines",
     "shared_substring_runs",
     "remove_shared_substrings",
     "substring_incremental",
@@ -73,7 +74,6 @@ HEADLINE = [
     "text_profile",
     "tf_idf",
     "doc_winnowing_fingerprints",
-    "similarity_pairs",
     "knn_bruteforce",
     "knn_approx",
     "knn_approx_ivf",

@@ -1551,6 +1551,183 @@ def remove_shared_substrings(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    min_occurrences: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    r"""Corpus-wide LINE-level dedup — the CCNet / RefinedWeb
+    boilerplate-removal pass (Wenzek et al. 2019, arXiv:1911.00359 §4.1
+    dedups paragraphs by hash across shards; Penedo et al. 2023,
+    arXiv:2306.01116 removes duplicated lines): a line whose normalized
+    form occurs ≥ ``min_occurrences`` times ACROSS THE CORPUS (any doc,
+    any position — nav menus, cookie banners, share buttons) is cut
+    from every doc, keeping the single smallest-(doc, line_no)
+    occurrence under ``keep='first'`` or none at all under
+    ``keep='none'`` (CCNet's choice — boilerplate is worthless even
+    once).
+
+    Fills the gap between two adjacent passes:
+    ``functions.text.strip_repeated_lines`` is WITHIN-doc only, and
+    :func:`remove_shared_substrings` cuts k-TOKEN windows — a short
+    boilerplate line (< k tokens) repeated across a million pages
+    sails through both.
+
+    Semantics:
+      * lines are ``text_col`` split on ``\n`` (0-based positions);
+      * the match key is the line trimmed, inner whitespace collapsed,
+        lowercased (``normalize=False`` keys on the raw line bytes) —
+        CCNet's normalization idea minus its digit/accent folds, the
+        same documented-subset stance as ``canonicalize_url``;
+      * blank-KEY lines (empty or all-whitespace) are never counted or
+        cut — every doc has them, and cutting them would shred
+        paragraph structure, not remove boilerplate;
+      * untouched docs keep their text byte-for-byte; docs that lost a
+        line are rebuilt by joining the SURVIVING lines (original
+        bytes — normalization only feeds the key) with ``\n``; NULL
+        text cleans to ``''`` (0 removed).
+
+    Returns the input frame with ``text_col`` replaced and an appended
+    ``n_lines_removed``.
+
+    Scale shape: one scan explodes (doc, line_no, double-64-bit key
+    hash) — 4-long rows, no line text in the shuffle; one
+    groupBy(hash) counts occurrences corpus-wide, where map-side
+    combine absorbs hot boilerplate (a 10⁶× cookie banner is 10⁶ input
+    rows but ONE reduced row — no postings cap needed because nothing
+    is ever joined pairwise, unlike the substring detector); cut line
+    numbers merge into consecutive-run intervals per doc
+    (gaps-and-islands — boilerplate arrives in blocks, so the
+    per-line ``exists`` probe is O(n_blocks), not O(n_cut_lines):
+    the :func:`remove_shared_substrings` HOF-cliff fix applied here
+    from day one) and the surgery is array-side — the interval window
+    and both groupBys key on the doc id, one shuffle total, and only
+    docs that actually lost a line are rebuilt.
+    """
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be ≥ 2, got {min_occurrences} "
+            "(1 would cut every non-blank line in the corpus)"
+        )
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    others = [c for c in docs.columns if c != text_col]
+    # `lines` is the ONLY evaluation of the input text expression: the
+    # untouched-doc branch rebuilds via array_join(lines, '\n') — a
+    # byte-exact split/join roundtrip — instead of re-referencing the
+    # text column, because a caller may pass text as an unmaterialized
+    # EXPRESSION (the driver entry's 12-token chunking does) and
+    # interpreted projections do not common-subexpression-eliminate:
+    # every extra reference re-runs the whole expression per row
+    # (measured 24.5 s → 9 s at organic x1 on the entry's corpus)
+    src = docs.select(
+        F.col(id_col).alias("__dl_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1).alias(
+            "lines"
+        ),
+    )
+    key = F.col("line")
+    if normalize:
+        key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
+    occ = (
+        src.select("__dl_id", F.posexplode("lines").alias("ln", "line"))
+        .withColumn("__k", key)
+        .filter(F.col("__k") != "")
+        .select(
+            "__dl_id",
+            "ln",
+            F.xxhash64("__k").alias("h1"),
+            # salt-FIRST (the substring family's independence caveat)
+            F.xxhash64(F.lit(1), "__k").alias("h2"),
+        )
+    )
+    # two consumers (the hot aggregate and the cut join) — AQE does not
+    # fold identical subtrees, so persist the narrow rows once; bounded
+    # handle registry, released by clear_intermediate_caches
+    occ = occ.persist()
+    _track_postings_handle(occ)
+    hot = (
+        occ.groupBy("h1", "h2")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("__dl_id", "ln")).alias("canon"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("h1", "h2", "canon")
+    )
+    cut = occ.join(hot, ["h1", "h2"])
+    if keep == "first":
+        cut = cut.filter(
+            ~(
+                (F.col("__dl_id") == F.col("canon.__dl_id"))
+                & (F.col("ln") == F.col("canon.ln"))
+            )
+        )
+    # consecutive cut lines collapse to [s, e) blocks before the
+    # per-line probe (boilerplate is contiguous; a wholesale-duplicated
+    # doc is ONE block)
+    iw = Window.partitionBy("__dl_id").orderBy("ln")
+    marked = (
+        cut.withColumn(
+            "__isl",
+            F.sum(
+                F.when(
+                    F.col("ln")
+                    > F.coalesce(F.lag("ln").over(iw), F.lit(-2)) + 1,
+                    1,
+                ).otherwise(0)
+            ).over(iw),
+        )
+        .groupBy("__dl_id", "__isl")
+        .agg(F.min("ln").alias("s"), (F.max("ln") + 1).alias("e"))
+        .groupBy("__dl_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias(
+                "cut_ivals"
+            ),
+            F.sum(F.col("e") - F.col("s")).alias("__n_removed"),
+        )
+    )
+    cleaned = (
+        src.join(marked, "__dl_id", "left")
+        .withColumn(
+            "kept",
+            F.filter(
+                "lines",
+                lambda l, i: ~F.exists(
+                    "cut_ivals",
+                    lambda v: (i >= v["s"]) & (i < v["e"]),
+                ),
+            ),
+        )
+        .select(
+            "__dl_id",
+            F.array_join(
+                F.when(F.col("cut_ivals").isNull(), F.col("lines"))
+                .otherwise(F.col("kept")),
+                "\n",
+            ).alias(text_col),
+            F.coalesce(F.col("__n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+    if others == [id_col]:
+        # (id, text)-shaped input: skip the passthrough rejoin (it
+        # would be a full extra shuffle carrying every cleaned text)
+        return cleaned.withColumnRenamed("__dl_id", id_col).select(
+            *docs.columns, "n_lines_removed"
+        )
+    return (
+        docs.select(*others)
+        .join(cleaned.withColumnRenamed("__dl_id", id_col), id_col)
+        .select(*docs.columns, "n_lines_removed")
+    )
+
+
 def shared_substring_runs(
     docs: DataFrame,
     k: int = 20,
@@ -1781,6 +1958,105 @@ def remove_shared_substrings_documents(
     return remove_shared_substrings(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), k=20
     )
+
+
+@query(
+    "dedup_lines",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, i - 1 AS ln,
+             array_to_string(toks[(i-1)*12+1 : (i-1)*12+12], ' ') AS line
+      FROM toks, LATERAL (SELECT unnest(generate_series(
+               1, CAST(ceil(len(toks) / 12.0) AS INT))) AS i)
+    ), ranked AS (
+      SELECT doc_id, ln,
+             count(*) OVER (PARTITION BY key) AS n,
+             row_number() OVER (
+               PARTITION BY key ORDER BY doc_id, ln) AS rn
+      FROM (SELECT *, lower(trim(regexp_replace(line, '\s+', ' ', 'g')))
+                      AS key
+            FROM lines)
+      WHERE key <> ''
+    ), cut AS (
+      SELECT doc_id, ln FROM ranked WHERE n >= 2 AND rn > 1
+    ), rebuilt AS (
+      SELECT l.doc_id,
+             coalesce(string_agg(l.line, chr(10) ORDER BY l.ln),
+                      '') AS text
+      FROM lines l LEFT JOIN cut c
+        ON c.doc_id = l.doc_id AND c.ln = l.ln
+      WHERE c.ln IS NULL
+      GROUP BY l.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.text, '') AS text,
+           CAST(coalesce(cv.n, 0) AS BIGINT) AS n_lines_removed
+    FROM toks t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM cut GROUP BY doc_id) cv
+           USING (doc_id)
+    """,
+)
+def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Driver entry for :func:`dedup_lines` (registered r7, funded by
+    retiring ``similarity_pairs`` — its cosine-pair primitive stays
+    driver-checked via ``dedup_embedding_cosine`` and
+    ``semantic_dedup``). The documents table is single-line token
+    streams, so the entry first re-chunks each doc into 12-token
+    lines joined by ``\n`` (deterministic, replicated in the oracle —
+    the ``_augmented_embeddings`` twin-augmentation pattern), then
+    runs the default corpus-wide pass (min_occurrences=2,
+    keep='first'). 206 duplicate-line occurrences across 69 docs fire
+    at sf0.01; the value hash covers the full CLEANED text of every
+    document plus the removed-line counts.
+
+    The oracle is hash-free: DuckDB recomputes hot lines from the line
+    STRINGS (window count over the normalized key), picks the same
+    smallest-(doc_id, ln) canonical via row_number, and rebuilds the
+    surviving text with an ordered string_agg — so the double-xxhash64
+    key pipeline, the interval merge, and the array-side surgery are
+    all checked against an independent construction. Line keys here
+    equal the raw lines (chunks are single-space token joins), so the
+    oracle needs no blank-key branch; the library's own blank/NULL
+    edge cases are pytest-covered on planted fixtures.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            # sequence(1, n) DESCENDS when n < 1 — guard zero-token
+            # docs (the _shingle_array guard, same reason)
+            F.when(
+                F.size(toks) > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size(toks) / F.lit(12.0)).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - F.lit(1)) * 12 + 1, 12), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+            "\n",
+        ).alias("text"),
+    )
+    # the chunking is an interpreted HOF stack and dedup_lines scans
+    # its input twice (hash build + rebuild join) — persist so it runs
+    # once (bounded handle registry, released by
+    # clear_intermediate_caches; measured ~2× on this entry)
+    lined = lined.persist()
+    _track_postings_handle(lined)
+    return dedup_lines(lined, min_occurrences=2, keep="first")
 
 
 @query(

@@ -34,6 +34,10 @@ _QUERY_IDS = (0, 1, 2)
 
 @query(
     "similarity_pairs",
+    retired=True,  # r7: slot funded dedup_lines; the cosine-pair
+    # primitive stays driver-checked via dedup_embedding_cosine and
+    # semantic_dedup, and this exact (query, oracle) contract is
+    # value-checked every CI pass by test_retired_parity.py
     oracle=f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id IN {_QUERY_IDS}),

@@ -727,6 +727,107 @@ def test_remove_shared_substrings_planted_spans(spark):
     assert again.agg(F.sum("n_tokens_removed")).first()[0] == 0
 
 
+def test_dedup_lines_planted(spark):
+    """Corpus-wide line dedup (the CCNet/RefinedWeb boilerplate pass):
+    a repeated line is cut everywhere but its smallest-(doc, line_no)
+    occurrence under keep='first' and everywhere under keep='none';
+    normalization folds case/inner-whitespace; blank lines are never
+    counted or cut; untouched docs keep text byte-for-byte (tabs,
+    blank lines intact); NULL cleans to ''."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    banner = "Accept our cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha\n{banner}\nbeta gamma"),
+            (2, f"{banner}\ndelta\n{banner}"),  # within-doc repeat too
+            (3, "unique text\n\nwith\ta tab  kept"),
+            (4, "ACCEPT   OUR COOKIES\nepsilon"),  # normalized match
+            (5, "\n\n"),  # only blank lines — 3 docs share '' as a key
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["text"] == f"alpha\n{banner}\nbeta gamma"  # canonical
+    assert out[1]["n_lines_removed"] == 0
+    assert out[2]["text"] == "delta"  # both non-canonical copies cut
+    assert out[2]["n_lines_removed"] == 2
+    assert out[3]["text"] == "unique text\n\nwith\ta tab  kept"  # bytes
+    assert out[3]["n_lines_removed"] == 0
+    assert out[4]["text"] == "epsilon"  # case+whitespace fold matched
+    assert out[4]["n_lines_removed"] == 1
+    assert out[5]["text"] == "\n\n" and out[5]["n_lines_removed"] == 0
+    assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 0
+    assert set(out[1].asDict()) == {"doc_id", "text", "n_lines_removed"}
+
+    # keep='none': the canonical occurrence goes too (CCNet's choice)
+    none_out = {
+        r["doc_id"]: r for r in dedup_lines(docs, keep="none").collect()
+    }
+    assert none_out[1]["text"] == "alpha\nbeta gamma"
+    assert none_out[1]["n_lines_removed"] == 1
+
+    # normalize=False: the case variant no longer matches, and with
+    # only 2 raw-equal occurrences left doc 1's copy is canonical
+    raw_out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, normalize=False).collect()
+    }
+    assert raw_out[4]["n_lines_removed"] == 0
+    assert raw_out[1]["n_lines_removed"] == 0
+    assert raw_out[2]["text"] == "delta"
+
+    # threshold: 4 normalized occurrences exist (doc 2 has two), so
+    # min_occurrences=4 still fires on all three non-canonicals; 5
+    # does not
+    assert (
+        dedup_lines(docs, min_occurrences=4)
+        .agg(F.sum("n_lines_removed"))
+        .first()[0]
+        == 3
+    )
+    assert (
+        dedup_lines(docs, min_occurrences=5)
+        .agg(F.sum("n_lines_removed"))
+        .first()[0]
+        == 0
+    )
+
+    # idempotence under keep='first': one occurrence survives, so a
+    # second pass removes nothing
+    again = dedup_lines(
+        spark.createDataFrame(
+            [(k, v["text"]) for k, v in out.items()],
+            "doc_id long, text string",
+        )
+    )
+    assert again.agg(F.sum("n_lines_removed")).first()[0] == 0
+
+    # passthrough columns survive in order
+    with_src = spark.createDataFrame(
+        [(1, "web", f"{banner}\nx"), (2, "web", f"y\n{banner}")],
+        "doc_id long, src string, text string",
+    )
+    got = dedup_lines(with_src)
+    assert got.columns == ["doc_id", "src", "text", "n_lines_removed"]
+    assert {r["doc_id"]: r["text"] for r in got.collect()} == {
+        1: f"{banner}\nx",
+        2: "y",
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_occurrences"):
+        dedup_lines(docs, min_occurrences=1)
+    with _pytest.raises(ValueError, match="keep"):
+        dedup_lines(docs, keep="bogus")
+
+
 def test_shared_substring_runs_planted(spark):
     """Maximal-run recovery: a 30-token shared run and a separate
     12-token shared run between the same pair come back as exactly two
