@@ -658,6 +658,8 @@ def prepare_training_data(
     mixture: dict[str, float] | None = None,
     max_perplexity: float | None = None,
     lm_vocab_size: int = 1 << 14,
+    line_dedup_min_occurrences: int | None = None,
+    line_dedup_keep: str = "first",
     substring_dedup_k: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
     compression_min_bytes: int = 256,
@@ -698,6 +700,15 @@ def prepare_training_data(
          same machinery with the LM trained on a reference frame
          instead; callers wanting it use scoring.py directly;
       2. exact dedup (keep the min-doc_id row per content fingerprint);
+      2a. optional corpus-wide LINE dedup (``line_dedup_min_occurrences``
+         — the CCNet/RefinedWeb boilerplate pass, ``dedup.dedup_lines``
+         with ``line_dedup_keep`` 'first' or 'none'): lines whose
+         normalized form repeats across the corpus are cut, and
+         ``n_tokens_ws`` is recomputed so packing sees post-cut
+         lengths. Runs BEFORE the substring cut: it is the cheaper
+         pass (one hash groupBy, no window explosion) and removing
+         whole boilerplate blocks first shrinks the substring stage's
+         window stream;
       2b. optional substring dedup (``substring_dedup_k``): duplicated
          k-token spans are CUT from all but one canonical occurrence
          (``dedup.remove_shared_substrings``, the Lee et al. removal
@@ -778,6 +789,7 @@ def prepare_training_data(
     n_compression = n_quality
     n_perplexity = n_quality
     gate_cache = None
+    line_cache = None
     substring_cache = None
     train = None
     # finally-scoped unpersists: the funnel between the gate's persist
@@ -849,6 +861,31 @@ def prepare_training_data(
         deduped = gated.join(keeper, ["fingerprint", "doc_id"])
         n_dedup = deduped.count()
 
+        n_lines_removed = 0
+        if line_dedup_min_occurrences is not None:
+            from .dedup import dedup_lines
+
+            cut_lines = dedup_lines(
+                deduped,
+                min_occurrences=line_dedup_min_occurrences,
+                keep=line_dedup_keep,
+            ).withColumn(
+                # packing reads n_tokens_ws — recompute from the cut
+                # text (same contract as the substring stage below)
+                "n_tokens_ws",
+                F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")),
+            )
+            # persist for the same reason as the substring stage: the
+            # removed-line stat, every later stage count, and the
+            # survivors' cache would otherwise each replay the line
+            # hash groupBy + surgery. Released once `train`
+            # materializes; finally covers errors.
+            line_cache = cut_lines.persist()
+            n_lines_removed = (
+                line_cache.agg(F.sum("n_lines_removed")).first()[0] or 0
+            )
+            deduped = line_cache.drop("n_lines_removed")
+
         n_substring_tokens_removed = 0
         if substring_dedup_k is not None:
             from .dedup import remove_shared_substrings
@@ -889,6 +926,8 @@ def prepare_training_data(
         n_sampled = train.count()
         if gate_cache is not None:
             gate_cache.unpersist()  # survivors materialized in `train`
+        if line_cache is not None:
+            line_cache.unpersist()  # ditto for the line-cut output
         if substring_cache is not None:
             substring_cache.unpersist()  # ditto for the surgery output
 
@@ -908,6 +947,7 @@ def prepare_training_data(
             "n_after_compression": n_compression,
             "n_after_perplexity": n_perplexity,
             "n_after_dedup": n_dedup,
+            "n_lines_removed": n_lines_removed,
             "n_substring_tokens_removed": n_substring_tokens_removed,
             "n_after_decontam": n_decontam,
             "n_after_mixture": n_sampled,
@@ -919,6 +959,8 @@ def prepare_training_data(
             url_cache.unpersist()
         if gate_cache is not None:
             gate_cache.unpersist()  # no-op when already released above
+        if line_cache is not None:
+            line_cache.unpersist()  # no-op when already released
         if substring_cache is not None:
             substring_cache.unpersist()  # no-op when already released
         if train is not None:

@@ -535,6 +535,65 @@ def test_prepare_training_data_substring_dedup_stage(spark, tmp_path):
     assert over.count() == 0
 
 
+def test_prepare_training_data_line_dedup_stage(spark, tmp_path):
+    """Stage 2a: with line_dedup_min_occurrences on, a boilerplate line
+    planted across many docs (written to a private sf_dir — the
+    driver's docs are single-line) is cut corpus-wide keeping one
+    canonical copy, the removed-line stat is reported, and the packing
+    budget (n_tokens_ws) reflects the cut text."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    banner = "accept all cookies to continue reading"
+    sf_lined = str(tmp_path / "sf_lined")
+    docs = load_table(spark, SF, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(banner + "\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    docs.write.parquet(f"{sf_lined}/documents.parquet")
+    n_planted = docs.filter(F.col("doc_id") % 2 == 0).count()
+
+    out = str(tmp_path / "train_lines")
+    stats = prepare_training_data(
+        spark,
+        sf_lined,
+        out,
+        max_tokens=256,
+        num_shards=2,
+        min_quality=0.0,
+        line_dedup_min_occurrences=2,
+    )
+    # the planted banner is cut from every doc but one canonical; the
+    # stat may exceed n_planted-1 only if the corpus organically
+    # repeats other lines (it cannot here: original docs are one line
+    # each and survive exact dedup distinct)
+    assert stats["n_lines_removed"] == n_planted - 1
+    written = spark.read.parquet(out)
+    # at most one surviving doc still carries the banner (the canonical
+    # may itself have been dropped by a later stage)
+    assert written.filter(F.col("text").contains(banner)).count() <= 1
+    recount = written.withColumn(
+        "__n", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    )
+    assert recount.filter(F.col("__n") != F.col("n_tokens_ws")).count() == 0
+    with pytest.raises(ValueError, match="keep"):
+        prepare_training_data(
+            spark,
+            sf_lined,
+            str(tmp_path / "x"),
+            min_quality=0.0,
+            line_dedup_min_occurrences=2,
+            line_dedup_keep="bogus",
+        )
+
+
 def test_prepare_training_data_with_mixture(spark, tmp_path):
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
         prepare_training_data,
