@@ -1614,15 +1614,46 @@ def dedup_lines(
         )
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    others = [c for c in docs.columns if c != text_col]
-    # `lines` is the ONLY evaluation of the input text expression: the
-    # untouched-doc branch rebuilds via array_join(lines, '\n') — a
-    # byte-exact split/join roundtrip — instead of re-referencing the
-    # text column, because a caller may pass text as an unmaterialized
-    # EXPRESSION (the driver entry's 12-token chunking does) and
-    # interpreted projections do not common-subexpression-eliminate:
-    # every extra reference re-runs the whole expression per row
-    # (measured 24.5 s → 9 s at organic x1 on the entry's corpus)
+    src, occ = _line_occurrences(docs, id_col, text_col, normalize)
+    hot = (
+        occ.groupBy("h1", "h2")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("__dl_id", "ln")).alias("canon"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("h1", "h2", "canon")
+    )
+    cut = occ.join(hot, ["h1", "h2"])
+    if keep == "first":
+        cut = cut.filter(
+            ~(
+                (F.col("__dl_id") == F.col("canon.__dl_id"))
+                & (F.col("ln") == F.col("canon.ln"))
+            )
+        )
+    cleaned = _apply_line_cuts(src, cut, text_col)
+    return _rejoin_line_output(docs, cleaned, id_col, text_col)
+
+
+def _line_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, normalize: bool
+) -> tuple[DataFrame, DataFrame]:
+    r"""Shared head of the line-dedup family: ``src`` = (__dl_id,
+    lines) and ``occ`` = persisted (__dl_id, ln, h1, h2) non-blank-key
+    occurrences.
+
+    ``lines`` is the ONLY evaluation of the input text expression: the
+    untouched-doc branch rebuilds via array_join(lines, '\n') — a
+    byte-exact split/join roundtrip — instead of re-referencing the
+    text column, because a caller may pass text as an unmaterialized
+    EXPRESSION (the driver entry's 12-token chunking does) and
+    interpreted projections do not common-subexpression-eliminate:
+    every extra reference re-runs the whole expression per row
+    (measured 24.5 s → 9 s at organic x1 on the entry's corpus).
+    ``occ`` persists because it has two consumers (the hash build and
+    the cut join) and AQE does not fold identical subtrees; bounded
+    handle registry, released by clear_intermediate_caches."""
     src = docs.select(
         F.col(id_col).alias("__dl_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1).alias(
@@ -1644,31 +1675,21 @@ def dedup_lines(
             F.xxhash64(F.lit(1), "__k").alias("h2"),
         )
     )
-    # two consumers (the hot aggregate and the cut join) — AQE does not
-    # fold identical subtrees, so persist the narrow rows once; bounded
-    # handle registry, released by clear_intermediate_caches
     occ = occ.persist()
     _track_postings_handle(occ)
-    hot = (
-        occ.groupBy("h1", "h2")
-        .agg(
-            F.count("*").alias("n_occ"),
-            F.min(F.struct("__dl_id", "ln")).alias("canon"),
-        )
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("h1", "h2", "canon")
-    )
-    cut = occ.join(hot, ["h1", "h2"])
-    if keep == "first":
-        cut = cut.filter(
-            ~(
-                (F.col("__dl_id") == F.col("canon.__dl_id"))
-                & (F.col("ln") == F.col("canon.ln"))
-            )
-        )
-    # consecutive cut lines collapse to [s, e) blocks before the
-    # per-line probe (boilerplate is contiguous; a wholesale-duplicated
-    # doc is ONE block)
+    return src, occ
+
+
+def _apply_line_cuts(
+    src: DataFrame, cut: DataFrame, text_col: str
+) -> DataFrame:
+    """Shared surgery of the line-dedup family: remove the (__dl_id,
+    ln) rows in ``cut`` from ``src``'s line arrays. Consecutive cut
+    lines collapse to [s, e) blocks before the per-line probe
+    (boilerplate is contiguous; a wholesale-duplicated doc is ONE
+    block); the window and both groupBys key on the doc id — one
+    shuffle total — and only docs that actually lost a line carry a
+    cut_ivals array. Returns (__dl_id, text_col, n_lines_removed)."""
     iw = Window.partitionBy("__dl_id").orderBy("ln")
     marked = (
         cut.withColumn(
@@ -1691,7 +1712,7 @@ def dedup_lines(
             F.sum(F.col("e") - F.col("s")).alias("__n_removed"),
         )
     )
-    cleaned = (
+    return (
         src.join(marked, "__dl_id", "left")
         .withColumn(
             "kept",
@@ -1715,6 +1736,15 @@ def dedup_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def _rejoin_line_output(
+    docs: DataFrame, cleaned: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Reattach passthrough columns to the (__dl_id, text,
+    n_lines_removed) surgery output, preserving the input column
+    order."""
+    others = [c for c in docs.columns if c != text_col]
     if others == [id_col]:
         # (id, text)-shaped input: skip the passthrough rejoin (it
         # would be a full extra shuffle carrying every cleaned text)
@@ -1726,6 +1756,149 @@ def dedup_lines(
         .join(cleaned.withColumnRenamed("__dl_id", id_col), id_col)
         .select(*docs.columns, "n_lines_removed")
     )
+
+
+def build_line_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """The LINE-level companion of :func:`build_window_index`: a
+    persisted-alongside-the-corpus table of per-(doc, line-key)
+    aggregates — (h1, h2, doc_id, n_occ, min_ln, norm) — so new
+    batches can be line-deduped against the standing corpus WITHOUT
+    rescanning corpus text (:func:`dedup_lines_incremental`).
+
+    Same lifecycle contract as the fingerprint and window indexes:
+    build once when the corpus is written (one scan), append the
+    surviving batch's rows after each ingest (the read side re-merges
+    with sum/min, so appended rows never need a rewrite). Size: one
+    row per distinct (doc, line key) ≤ one per corpus LINE — four
+    longs + an int + a bool, substantially smaller than the window
+    index's per-token rows. No hot cap is needed anywhere in this
+    family: counts aggregate, nothing is ever joined pairwise, so a
+    million-fold banner is one index row per doc that carries it.
+
+    ``norm`` pins whether keys were normalized (trim + inner-whitespace
+    collapse + lowercase) — a query under the other setting would
+    silently match nothing, so the incremental checker validates it
+    instead of guessing.
+    """
+    _, occ = _line_occurrences(docs, id_col, text_col, normalize)
+    return (
+        occ.groupBy("h1", "h2", "__dl_id")
+        .agg(F.count("*").alias("n_occ"), F.min("ln").alias("min_ln"))
+        .select(
+            "h1",
+            "h2",
+            F.col("__dl_id").alias("doc_id"),
+            "n_occ",
+            "min_ln",
+            F.lit(normalize).alias("norm"),
+        )
+    )
+
+
+def dedup_lines_incremental(
+    new_docs: DataFrame,
+    line_index: DataFrame,
+    min_occurrences: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Line-dedup a NEW batch against a standing corpus's persisted
+    :func:`build_line_index` table — corpus text is never rescanned;
+    only the index's narrow aggregate rows participate. The ingest-time
+    form of :func:`dedup_lines`: a batch line is cut when its
+    normalized form occurs ≥ ``min_occurrences`` times across the
+    UNION (index totals + batch totals); under ``keep='first'`` the
+    single globally-smallest (doc_id, line_no) occurrence survives —
+    exact across both sides (corpus minima come from the index, so a
+    batch occurrence survives only when it precedes every corpus one
+    in (doc, line) order), matching ``dedup_lines`` on the union
+    restricted to batch docs. Corpus docs are NOT modified — an
+    already-written corpus is immutable here; re-clean it with the
+    batch operator offline if its own boilerplate must go.
+
+    Returns the batch frame with ``text_col`` replaced and
+    ``n_lines_removed`` appended (same contract as the batch pass).
+
+    Scale shape: one batch scan (narrow hashed rows, persisted), one
+    groupBy per side keyed by the line hash, one hash-keyed join
+    between them — index rows stream, nothing pairwise, and the only
+    per-doc work is the shared interval-merge surgery on the batch's
+    own cut lines.
+    """
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be ≥ 2, got {min_occurrences} "
+            "(1 would cut every non-blank line in the batch)"
+        )
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    expected = {"h1", "h2", "doc_id", "n_occ", "min_ln", "norm"}
+    if not expected.issubset(set(line_index.columns)):
+        raise ValueError(
+            f"line_index columns {line_index.columns} lack "
+            f"{sorted(expected - set(line_index.columns))} — build it "
+            "with build_line_index"
+        )
+    # fail fast on a normalization mismatch (one tiny aggregate over
+    # the index's bool column, the window index's k-validation pattern)
+    norms = [
+        r["norm"]
+        for r in line_index.select("norm").distinct().limit(2).collect()
+    ]
+    if norms and norms != [normalize]:
+        raise ValueError(
+            f"line_index was built with normalize={norms}, query asked "
+            f"for normalize={normalize} — keys would silently never match"
+        )
+    src, occ = _line_occurrences(new_docs, id_col, text_col, normalize)
+    corpus = line_index.groupBy("h1", "h2").agg(
+        F.sum("n_occ").alias("c_occ"),
+        F.min(F.struct(F.col("doc_id"), F.col("min_ln").alias("ln"))).alias(
+            "c_canon"
+        ),
+    )
+    batch = occ.groupBy("h1", "h2").agg(
+        F.count("*").alias("b_occ"),
+        F.min(F.struct(F.col("__dl_id").alias("doc_id"), F.col("ln"))).alias(
+            "b_canon"
+        ),
+    )
+    hot = (
+        batch.join(corpus, ["h1", "h2"], "left")
+        .filter(
+            F.col("b_occ") + F.coalesce(F.col("c_occ"), F.lit(0))
+            >= min_occurrences
+        )
+        .select(
+            "h1",
+            "h2",
+            # the global canonical: corpus and batch minima are both
+            # (doc_id, ln) structs, so least() is exactly the union's
+            # min(struct) — no monotone-id assumption needed
+            F.when(
+                F.col("c_canon").isNull(), F.col("b_canon")
+            )
+            .otherwise(F.least("c_canon", "b_canon"))
+            .alias("canon"),
+        )
+    )
+    cut = occ.join(hot, ["h1", "h2"])
+    if keep == "first":
+        cut = cut.filter(
+            ~(
+                (F.col("__dl_id") == F.col("canon.doc_id"))
+                & (F.col("ln") == F.col("canon.ln"))
+            )
+        )
+    cleaned = _apply_line_cuts(src, cut, text_col)
+    return _rejoin_line_output(new_docs, cleaned, id_col, text_col)
 
 
 def shared_substring_runs(
@@ -2368,6 +2541,59 @@ def compact_window_index(
         path,
         target_rows_per_file,
         extra_stats=[F.collect_set("k").alias("__ks")],
+        prepare=prepare,
+    )
+
+
+def compact_line_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 8_000_000,
+) -> dict:
+    """:func:`compact_window_index`'s sibling for the line index
+    (:func:`build_line_index`): rewrite accumulated small appended
+    files as right-sized ones behind the same crash-healed atomic
+    swap. No trim dimension — the index is per-(line-key, doc)
+    AGGREGATES, never joined pairwise, so there is no fan-in to cap.
+    Byte-identical duplicate rows from torn writers wash out in the
+    scaffold's distinct(); what must NOT be silently merged is two
+    rows for the same (line-key, doc) with DIFFERENT aggregates — that
+    means a doc's text changed between appends without its old rows
+    being retracted, and summing stale+new counts would overstate
+    hotness forever — so compaction validates and RAISES (the
+    mixed-k contract-violation stance), as does a mixed ``norm``
+    column. Same single-writer contract: run while ingestion is
+    quiesced at a committed batch boundary.
+    """
+
+    def prepare(base: DataFrame, stats) -> tuple[DataFrame, dict]:
+        norms = sorted(stats["__norms"] or [])
+        if len(norms) > 1:
+            raise ValueError(
+                f"line index at {path} mixes norm={norms}: keys hashed "
+                "under different normalizations never match each other "
+                "— rebuild the index one way"
+            )
+        conflicts = (
+            base.groupBy("h1", "h2", "doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if conflicts:
+            raise ValueError(
+                f"line index at {path} holds {conflicts} (line-key, doc) "
+                "keys with conflicting aggregates — a doc was re-indexed "
+                "without retracting its old rows; rebuild its rows "
+                "instead of compacting the contradiction in"
+            )
+        return base, {}
+
+    return _compact_index_dir(
+        spark,
+        path,
+        target_rows_per_file,
+        extra_stats=[F.collect_set("norm").alias("__norms")],
         prepare=prepare,
     )
 

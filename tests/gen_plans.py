@@ -166,8 +166,20 @@ def _url_dedup(spark, sf):
     return url_dedup(_fabricated_urls(spark, sf))
 
 
+def _dedup_lines(spark, sf):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    return dedup_lines(load_table(spark, sf, "documents").select("doc_id", "text"))
+
+
 EXTRA = {
     "distinct_sort_limit": distinct_sort_limit,
+    "dedup_lines": _dedup_lines,
     "quality_threshold_gate": _quality_threshold_gate,
     "url_dedup": _url_dedup,
     "repetition_signals": _repetition_signals,
@@ -200,6 +212,7 @@ PICK = {
     "mixture_sample": "membership is a filter fused into the scan — zero Exchange, zero join; the planning aggregate is a separate already-collected job.",
     "dedup_incremental": "every index-side join (fingerprint, band key, verify signatures) broadcasts the batch-derived side and the persisted index only streams — probed at organic x10: 6 BroadcastHashJoins, and the only 2 SortMergeJoins are between batch-sized frames (final anti-join, candidate×signature). At this sf0.001 snapshot some of those batch-sized joins also print as SMJ (tiny-stats AQE); the x10 shape is the contract.",
     "exact_substring_pairs": "narrow (doc, h1, h2) postings — no window text in the shuffle; ONE self-equi-join on the hash pair feeds the per-pair count aggregate. The hot-window guard is a broadcast LeftAnti in the logical plan, but at this sf0.001 snapshot the hot set is EMPTY and AQE's empty-relation propagation elides the node from the final plan (the dedup_incremental tiny-stats caveat, anti-join edition). Since r6 also a driver entry (documents, k=20) with a hash-free DuckDB window-string oracle. The postings are PERSISTED (InMemoryTableScan below the join): three plan paths consume them and AQE does not fold the identical subtrees — without the persist the corpus scan ran 3x (BASELINE r6).",
+    "dedup_lines": "corpus-wide line dedup (late r7, also a driver entry over 12-token-chunked docs): hot-line marking is ONE partial-aggregated groupBy over the double-xxhash64 line key — map-side combine absorbs million-fold banners, nothing pairwise, no cap needed; exchanges carry (id, line_no, h1, h2) only, never line text; consecutive cut lines merge to intervals on the SAME per-doc partitioning as the rejoin; untouched docs rebuilt from the split array (single evaluation point — an expression-valued text input is computed once, BASELINE r7).",
     "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); r7: cut starts merge into disjoint intervals via ONE Window + groupBy on the SAME per-doc partitioning (no extra exchange) before the token surgery, so the per-token array probe is O(n_merged_intervals) — the interpreted-HOF quadratic on boilerplate-heavy docs is gone (18x on the adversarial 50k-token doc, BASELINE r7). Driver entry since r7 with a hash-free cleaned-text-rebuilding oracle.",
     "shared_substring_runs": "driver entry since r7 (hash-free window-string oracle). The detector's narrow postings with positions kept (4-long rows — no window text in any exchange); the hot cap counts OCCURRENCES, not distinct docs, bounding the self-join to max_postings² per window even for within-doc repeats; run assembly is one Window over (pair, diagonal), data-proportional to the join output; postings persisted (shared _window_postings builder, see exact_substring_pairs).",
     "substring_incremental": "driver entry since r7: the standing-corpus substring check — the window index's narrow (doc, h1, h2) rows stream into the union-cap aggregate and the probe/build joins; the batch side broadcasts its id set for the replay anti-join; corpus TEXT appears in no exchange anywhere (only the index build scans it, once).",

@@ -828,6 +828,142 @@ def test_dedup_lines_planted(spark):
         dedup_lines(docs, keep="bogus")
 
 
+def test_dedup_lines_incremental_union_parity(spark):
+    """The standing-corpus line lane: dedup_lines_incremental(batch,
+    build_line_index(corpus)) must equal the batch operator run on the
+    UNION restricted to batch docs — for both keep modes — without
+    ever rescanning corpus text. Also: the append lifecycle (index +
+    batch rows) catches a later batch, and the validation rails fire."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_line_index,
+        dedup_lines,
+        dedup_lines_incremental,
+    )
+
+    banner = "subscribe to our newsletter"
+    footer = "all rights reserved"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha\n{banner}\nbody one"),
+            (2, f"{banner}\nbody two\n{footer}"),
+            (3, "unique corpus text"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # banner: corpus-hot already → cut here (canonical in corpus)
+            (10, f"{banner}\nfresh ten"),
+            # footer: 1 corpus + 1 batch occurrence → hot via the union
+            (11, f"fresh eleven\n{footer}"),
+            # batch-internal duplicate: canonical is (12, 0), cut in 13
+            (12, "promo line repeated\nfresh twelve"),
+            (13, "promo line repeated\nfresh thirteen"),
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_line_index(corpus)
+    batch_ids = {10, 11, 12, 13, 14}
+    for keep in ("first", "none"):
+        inc = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in dedup_lines_incremental(batch, idx, keep=keep).collect()
+        }
+        ref = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in dedup_lines(corpus.unionByName(batch), keep=keep)
+            .filter(F.col("doc_id") >= 10)
+            .collect()
+        }
+        assert inc == ref, f"keep={keep}: {inc} != {ref}"
+        assert set(inc) == batch_ids
+    # spot semantics: corpus canonicals win, batch canonicals survive
+    inc = {
+        r["doc_id"]: r
+        for r in dedup_lines_incremental(batch, idx).collect()
+    }
+    assert inc[10]["text"] == "fresh ten"
+    assert inc[11]["text"] == "fresh eleven"
+    assert inc[12]["text"] == "promo line repeated\nfresh twelve"
+    assert inc[13]["text"] == "fresh thirteen"
+    assert inc[14]["text"] == "" and inc[14]["n_lines_removed"] == 0
+
+    # append lifecycle: index + this batch's rows catches a later batch
+    # reusing a batch-only line ('promo line repeated' is now indexed)
+    idx2 = idx.unionByName(build_line_index(batch))
+    later = spark.createDataFrame(
+        [(20, "promo line repeated\nbrand new")],
+        "doc_id long, text string",
+    )
+    got = dedup_lines_incremental(later, idx2).collect()[0]
+    assert got["text"] == "brand new" and got["n_lines_removed"] == 1
+
+    # rails: normalization mismatch, malformed index, bad params
+    with pytest.raises(ValueError, match="normalize"):
+        dedup_lines_incremental(batch, idx, normalize=False)
+    with pytest.raises(ValueError, match="build_line_index"):
+        dedup_lines_incremental(batch, corpus)
+    with pytest.raises(ValueError, match="min_occurrences"):
+        dedup_lines_incremental(batch, idx, min_occurrences=1)
+    with pytest.raises(ValueError, match="keep"):
+        dedup_lines_incremental(batch, idx, keep="bogus")
+
+
+def test_dedup_lines_incremental_random_parity(spark):
+    """Seeded fuzz of the union-parity contract: random multi-line docs
+    over a tiny vocabulary (so collisions are common), split into
+    corpus/batch — the incremental result must equal the batch
+    operator on the union restricted to batch docs, for both keep
+    modes and a higher threshold."""
+    import random
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_line_index,
+        dedup_lines,
+        dedup_lines_incremental,
+    )
+
+    voc = ["ad", "buy", "now", "read", "more", "cookie"]
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+
+        def doc():
+            return "\n".join(
+                " ".join(
+                    rng.choice(voc) for _ in range(rng.randint(1, 3))
+                )
+                for _ in range(rng.randint(0, 5))
+            )
+
+        corpus = spark.createDataFrame(
+            [(i, doc()) for i in range(20)], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, doc()) for i in range(10)],
+            "doc_id long, text string",
+        )
+        idx = build_line_index(corpus)
+        for keep, mo in (("first", 2), ("none", 2), ("first", 3)):
+            inc = {
+                r["doc_id"]: (r["text"], r["n_lines_removed"])
+                for r in dedup_lines_incremental(
+                    batch, idx, min_occurrences=mo, keep=keep
+                ).collect()
+            }
+            ref = {
+                r["doc_id"]: (r["text"], r["n_lines_removed"])
+                for r in dedup_lines(
+                    corpus.unionByName(batch), min_occurrences=mo, keep=keep
+                )
+                .filter("doc_id >= 100")
+                .collect()
+            }
+            assert inc == ref, f"seed={seed} keep={keep} mo={mo}"
+
+
 def test_shared_substring_runs_planted(spark):
     """Maximal-run recovery: a 30-token shared run and a separate
     12-token shared run between the same pair come back as exactly two
@@ -1177,6 +1313,65 @@ def test_compact_window_index_empty_index_is_a_noop_rewrite(spark, tmp_path):
     assert report["hot_windows_trimmed"] == report["rows_trimmed"] == 0
     # the swapped-in index is still a readable, appendable parquet dir
     assert spark.read.parquet(path).count() == 0
+
+
+def test_compact_line_index_rewrite_and_rails(spark, tmp_path):
+    """compact_line_index: appended small files collapse, the row SET
+    is unchanged, the swapped dir keeps serving dedup_lines_incremental
+    with identical results; conflicting (line-key, doc) aggregates and
+    mixed norm both RAISE instead of merging the contradiction in."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_line_index,
+        compact_line_index,
+        dedup_lines_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "shared banner\nalpha"), (2, "shared banner\nbeta")],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(3, "shared banner\ngamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lidx")
+    build_line_index(corpus).write.parquet(path)
+    build_line_index(extra).write.mode("append").parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    batch = spark.createDataFrame(
+        [(10, "shared banner\nfresh")], "doc_id long, text string"
+    )
+    got_before = dedup_lines_incremental(
+        batch, spark.read.parquet(path)
+    ).collect()
+    report = compact_line_index(spark, path, target_rows_per_file=100)
+    assert report["rows_before"] == report["rows_after"] == len(before)
+    assert report["files_after"] <= report["files_before"]
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    got_after = dedup_lines_incremental(
+        batch, spark.read.parquet(path)
+    ).collect()
+    assert got_after == got_before
+    assert got_after[0]["text"] == "fresh"
+
+    # conflicting aggregates for the same (line-key, doc): RAISE
+    conflicted = spark.read.parquet(path).withColumn(
+        "n_occ", F.col("n_occ") + 1
+    )
+    conflicted.write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="conflicting aggregates"):
+        compact_line_index(spark, path)
+
+    # mixed norm: RAISE
+    path2 = str(tmp_path / "lidx2")
+    build_line_index(corpus).write.parquet(path2)
+    build_line_index(extra, normalize=False).write.mode("append").parquet(
+        path2
+    )
+    with pytest.raises(ValueError, match="norm"):
+        compact_line_index(spark, path2)
 
 
 def test_compact_corpus_index_rewrite_preserves_rows_and_tags(spark, tmp_path):

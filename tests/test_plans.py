@@ -348,6 +348,32 @@ def test_remove_shared_substrings_no_pairwise_join(spark):
     assert joins <= 3, f"expected ≤3 keyed joins (dup, marks, rejoin): {joins}"
 
 
+def test_dedup_lines_no_pairwise_join_partial_agg(spark):
+    """The line-dedup pass is the same shape as the substring removal
+    pass: hot-line marking is ONE groupBy over the line-key hash
+    (partial-aggregated — a 10⁶× banner combines map-side), every join
+    keys on doc_id / the hash, nothing pairwise, and no line text
+    enters the hash shuffle (the exploded projection carries only id,
+    line_no and the two 64-bit hashes)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = dedup_lines(docs)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregate(df), plan
+    joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins <= 2, f"expected ≤2 keyed joins (hot, rejoin): {joins}"
+
+
 def test_compression_signals_zero_shuffle(spark):
     """The compressibility signal is one Arrow-batched scan — no
     Exchange, no join; the only non-scan node is the ArrowEvalPython
