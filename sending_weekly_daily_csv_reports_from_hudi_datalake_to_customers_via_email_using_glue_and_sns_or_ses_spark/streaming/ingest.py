@@ -104,6 +104,9 @@ def stream_ingest_dedup(
     window_index_path: str | None = None,
     window_k: int = 20,
     min_shared_windows: int = 1,
+    line_index_path: str | None = None,
+    line_min_occurrences: int = 2,
+    line_keep: str = "first",
 ) -> StreamingQuery:
     """Continuously ingest a document stream with STANDING dedup: each
     micro-batch is deduped within itself (min-id keeper per content
@@ -161,6 +164,26 @@ def stream_ingest_dedup(
     decisions are batching-invariant when doc ids are monotone with
     arrival order (see ``dedup_incremental``'s non-monotone caveat).
 
+    ``line_index_path`` (late r7) adds the LINE lane — the only lane
+    that REWRITES instead of drops: boilerplate lines occurring ≥
+    ``line_min_occurrences`` times across standing corpus + batch are
+    CUT from surviving docs (``dedup_lines_incremental`` against a
+    persisted ``build_line_index`` parquet; ``line_keep`` as there)
+    before the doc lands, and the cleaned docs append their own line
+    rows. It runs AFTER the drop lanes (no point cutting lines from a
+    doc about to be dropped) and BEFORE the fingerprint/window index
+    appends and the upsert, so every persisted artifact reflects the
+    text that actually landed. Replay exclusion is the window lane's
+    pattern: the lookup anti-joins index rows carrying any of the
+    batch's own doc ids (covers self, same-batch siblings, and
+    orphan rows under a DIFFERENT recovery checkpoint — doc ids match
+    regardless of lineage), and the append anti-joins at
+    (line-key, doc) row granularity so a torn append heals to exactly
+    the missing remainder. Caveat shared with the batch operator: two
+    docs whose texts differ only by cut boilerplate land as distinct
+    rows (the exact lane saw their ORIGINAL fingerprints); re-run the
+    offline exact pass if post-cut convergence matters.
+
     Scale: the index append is one job over the batch (≪ corpus); the
     dedup joins shuffle batch + index rows by fingerprint/band key,
     and the window lane adds one aggregate over the window index's
@@ -174,7 +197,9 @@ def stream_ingest_dedup(
     :func:`~..operators.dedup.compact_window_index` (small-file
     rewrite plus the monotone-safe hot-window trim) and
     :func:`~..operators.dedup.compact_corpus_index` (rewrite only —
-    one row per doc by construction).
+    one row per doc by construction) /
+    :func:`~..operators.dedup.compact_line_index` (rewrite +
+    conflicting-aggregate and mixed-norm rails).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -183,8 +208,10 @@ def stream_ingest_dedup(
     from ..operators.dedup import (
         _norm_text,
         build_corpus_index,
+        build_line_index,
         build_window_index,
         dedup_incremental,
+        dedup_lines_incremental,
     )
 
     def _read_index(spark, path: str) -> DataFrame | None:
@@ -294,6 +321,29 @@ def stream_ingest_dedup(
             )
         else:
             clean = intra
+        lindex = (
+            _read_index(spark, line_index_path) if line_index_path else None
+        )
+        if line_index_path:
+            batch_ids_l = intra.select("doc_id").distinct()
+            if lindex is None:
+                lookup_l = build_line_index(intra.limit(0))
+            else:
+                # replay exclusion, window-lane style: drop index rows
+                # carrying ANY batch doc id — a prior partial attempt's
+                # appended rows (self or sibling) vanish from the
+                # lookup, so a replay cuts against exactly the
+                # pre-batch index; works under a different recovery
+                # checkpoint too (ids match regardless of lineage)
+                lookup_l = lindex.join(
+                    F.broadcast(batch_ids_l), "doc_id", "left_anti"
+                )
+            clean = dedup_lines_incremental(
+                clean,
+                lookup_l,
+                min_occurrences=line_min_occurrences,
+                keep=line_keep,
+            ).drop("n_lines_removed")
         # persist decisions before acking: index rows first (replay
         # self-matches are excluded above), then the marked table commit
         clean = clean.persist()
@@ -332,6 +382,21 @@ def stream_ingest_dedup(
                             existing, ["doc_id", "h1", "h2"], "left_anti"
                         )
                     wrows.write.mode("append").parquet(window_index_path)
+                if line_index_path:
+                    lrows = build_line_index(clean)
+                    if lindex is not None:
+                        # same row-granularity heal as the window lane:
+                        # a torn append committed SOME of a doc's line
+                        # rows — append exactly the remainder
+                        existing_l = lindex.select(
+                            "h1", "h2", "doc_id"
+                        ).join(
+                            F.broadcast(batch_ids_l), "doc_id", "left_semi"
+                        )
+                        lrows = lrows.join(
+                            existing_l, ["h1", "h2", "doc_id"], "left_anti"
+                        )
+                    lrows.write.mode("append").parquet(line_index_path)
                 table.upsert(
                     clean.withColumnRenamed("doc_id", id_col).withColumnRenamed(
                         "text", text_col

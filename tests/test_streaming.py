@@ -496,6 +496,115 @@ def test_stream_ingest_dedup_window_index_substring_lane(spark, tmp_path):
     ) == [0, 1, 11]
 
 
+def test_stream_ingest_dedup_line_lane_rewrites(spark, tmp_path):
+    """stream_ingest_dedup(line_index_path=...): the only lane that
+    REWRITES — a boilerplate line arriving in batch 1 twice is cut
+    from the non-canonical doc at ingest; a batch-2 doc carrying the
+    now-indexed line lands CLEANED against the standing line index
+    (no corpus rescan); fresh lines land intact; the line index rows
+    reflect the text that actually landed; a full-source replay under
+    a fresh checkpoint converges (batch-id anti-join exclusion)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_ingest_dedup,
+    )
+
+    banner = "click here to accept cookies"
+    src = str(tmp_path / "lsrc")
+    # batch 1: docs 0 and 1 both carry the banner line (doc 0 is the
+    # (doc, line) canonical and keeps it); texts otherwise unrelated
+    spark.createDataFrame(
+        [
+            (0, f"{banner}\n" + " ".join(f"a{j}" for j in range(12))),
+            (1, f"{banner}\n" + " ".join(f"b{j}" for j in range(12))),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    # batch 2: doc 10 carries the standing banner + fresh content;
+    # doc 11 is entirely fresh multi-line text
+    spark.createDataFrame(
+        [
+            (10, " ".join(f"x{j}" for j in range(6)) + f"\n{banner}\n" + " ".join(f"y{j}" for j in range(6))),
+            (11, "totally new line one\ntotally new line two"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    table = KeyedTable(
+        spark, str(tmp_path / "ltbl"), record_key="doc_id", precombine="doc_id"
+    )
+    index_path = str(tmp_path / "l_fp_index")
+    line_path = str(tmp_path / "l_line_index")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream,
+        table,
+        index_path,
+        str(tmp_path / "lck"),
+        line_index_path=line_path,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    snap = {r["doc_id"]: r["text"] for r in table.snapshot().collect()}
+    assert sorted(snap) == [0, 1, 10, 11]  # nothing dropped, only cut
+    assert snap[0].startswith(banner)  # canonical keeps the line
+    assert banner not in snap[1] and snap[1] == " ".join(
+        f"b{j}" for j in range(12)
+    )
+    # batch 2: cut against the STANDING index (batch 2 alone has one
+    # occurrence — only the union makes it hot)
+    assert banner not in snap[10]
+    assert snap[10] == (
+        " ".join(f"x{j}" for j in range(6))
+        + "\n"
+        + " ".join(f"y{j}" for j in range(6))
+    )
+    assert snap[11] == "totally new line one\ntotally new line two"
+    # the line index reflects LANDED text: doc 1/10 carry no banner row
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        build_line_index,
+    )
+
+    lidx = spark.read.parquet(line_path)
+    banner_key = build_line_index(
+        spark.createDataFrame([(0, banner)], "doc_id long, text string")
+    ).select("h1", "h2")
+    carriers = sorted(
+        r["doc_id"]
+        for r in lidx.join(banner_key, ["h1", "h2"]).collect()
+    )
+    assert carriers == [0]
+
+    # full-source replay under a fresh checkpoint: decisions converge
+    # (each batch's docs are excluded from their own lookup by id)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = stream_ingest_dedup(
+        stream2,
+        table,
+        index_path,
+        str(tmp_path / "lck2"),
+        line_index_path=line_path,
+        query_name="lreplay",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    snap2 = {r["doc_id"]: r["text"] for r in table.snapshot().collect()}
+    assert snap2 == snap
+    lidx2 = spark.read.parquet(line_path)
+    carriers2 = sorted(
+        r["doc_id"]
+        for r in lidx2.join(banner_key, ["h1", "h2"]).collect()
+    )
+    assert carriers2 == [0]
+
+
 def test_stream_ingest_window_lane_first_batch_and_partial_heal(
     spark, tmp_path
 ):
