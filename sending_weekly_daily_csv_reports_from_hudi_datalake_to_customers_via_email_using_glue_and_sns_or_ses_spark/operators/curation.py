@@ -736,6 +736,21 @@ def prepare_training_data(
     from .textual import text_profile
     from ..functions.text import scrub_pii
 
+    # fail-fast on stage-2a params: both are known before any Spark
+    # job, and dedup_lines would otherwise raise only AFTER the quality
+    # gate / zlib scan / LM train have burned hours at corpus scale
+    if line_dedup_min_occurrences is not None:
+        if line_dedup_min_occurrences < 2:
+            raise ValueError(
+                "line_dedup_min_occurrences must be ≥ 2, got "
+                f"{line_dedup_min_occurrences}"
+            )
+        if line_dedup_keep not in ("first", "none"):
+            raise ValueError(
+                f"line_dedup_keep must be 'first' or 'none', got "
+                f"{line_dedup_keep!r}"
+            )
+
     d = load_table(spark, sf_dir, "documents")
     # the decontamination eval split must come from the FULL table —
     # a URL-deduped/blocked/capped eval doc still must have its

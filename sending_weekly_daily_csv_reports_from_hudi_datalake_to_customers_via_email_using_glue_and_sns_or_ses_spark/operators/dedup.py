@@ -1637,7 +1637,11 @@ def dedup_lines(
 
 
 def _line_occurrences(
-    docs: DataFrame, id_col: str, text_col: str, normalize: bool
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     r"""Shared head of the line-dedup family: ``src`` = (__dl_id,
     lines) and ``occ`` = persisted (__dl_id, ln, h1, h2) non-blank-key
@@ -1651,9 +1655,14 @@ def _line_occurrences(
     interpreted projections do not common-subexpression-eliminate:
     every extra reference re-runs the whole expression per row
     (measured 24.5 s → 9 s at organic x1 on the entry's corpus).
-    ``occ`` persists because it has two consumers (the hash build and
-    the cut join) and AQE does not fold identical subtrees; bounded
-    handle registry, released by clear_intermediate_caches."""
+    ``occ`` persists (default) because the dedup passes consume it
+    twice (the hash build and the cut join) and AQE does not fold
+    identical subtrees; bounded handle registry, released by
+    clear_intermediate_caches. Single-consumer callers —
+    :func:`build_line_index`, which feeds occ straight into one
+    groupBy — pass ``persist=False``: caching there would be pure
+    overhead AND would push a handle into the registry every ingest
+    micro-batch, evicting other operators' still-warm frames."""
     src = docs.select(
         F.col(id_col).alias("__dl_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1).alias(
@@ -1675,8 +1684,9 @@ def _line_occurrences(
             F.xxhash64(F.lit(1), "__k").alias("h2"),
         )
     )
-    occ = occ.persist()
-    _track_postings_handle(occ)
+    if persist:
+        occ = occ.persist()
+        _track_postings_handle(occ)
     return src, occ
 
 
@@ -1785,7 +1795,9 @@ def build_line_index(
     silently match nothing, so the incremental checker validates it
     instead of guessing.
     """
-    _, occ = _line_occurrences(docs, id_col, text_col, normalize)
+    _, occ = _line_occurrences(
+        docs, id_col, text_col, normalize, persist=False
+    )
     return (
         occ.groupBy("h1", "h2", "__dl_id")
         .agg(F.count("*").alias("n_occ"), F.min("ln").alias("min_ln"))
@@ -1846,16 +1858,21 @@ def dedup_lines_incremental(
             f"{sorted(expected - set(line_index.columns))} — build it "
             "with build_line_index"
         )
-    # fail fast on a normalization mismatch (one tiny aggregate over
-    # the index's bool column, the window index's k-validation pattern)
-    norms = [
-        r["norm"]
-        for r in line_index.select("norm").distinct().limit(2).collect()
-    ]
-    if norms and norms != [normalize]:
+    # fail fast on a normalization mismatch — the window index's
+    # k-validation pattern: the != predicate pushes to parquet
+    # row-group stats, so a healthy single-norm index scans NOTHING
+    # per micro-batch, while a foreign-norm row is found immediately
+    # (an unconditional distinct() would full-scan the index per call)
+    bad = (
+        line_index.filter(F.col("norm") != F.lit(normalize))
+        .select("norm")
+        .first()
+    )
+    if bad is not None:
         raise ValueError(
-            f"line_index was built with normalize={norms}, query asked "
-            f"for normalize={normalize} — keys would silently never match"
+            f"line_index was built with normalize={bad['norm']}, query "
+            f"asked for normalize={normalize} — keys would silently "
+            "never match"
         )
     src, occ = _line_occurrences(new_docs, id_col, text_col, normalize)
     corpus = line_index.groupBy("h1", "h2").agg(

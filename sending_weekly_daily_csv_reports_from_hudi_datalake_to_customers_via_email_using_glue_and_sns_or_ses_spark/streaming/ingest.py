@@ -347,6 +347,28 @@ def stream_ingest_dedup(
         # persist decisions before acking: index rows first (replay
         # self-matches are excluded above), then the marked table commit
         clean = clean.persist()
+
+        def append_healed(rows: DataFrame, index_df, path: str) -> None:
+            """Replay-safe index append shared by the window and line
+            lanes — anti-join at (doc, h1, h2) ROW granularity: a
+            crash mid-append can commit only SOME of a doc's rows, and
+            a doc-level anti-join would then permanently orphan the
+            missing remainder (future matches of those keys never
+            caught). The existing rows of this batch's docs are
+            fetched by a broadcast semi-join (map-side filter on the
+            index, batch-sized output), then the exact anti-join
+            appends precisely what is missing — idempotent AND
+            self-healing."""
+            if index_df is not None:
+                ids = clean.select("doc_id").distinct()
+                existing = index_df.select("doc_id", "h1", "h2").join(
+                    F.broadcast(ids), "doc_id", "left_semi"
+                )
+                rows = rows.join(
+                    existing, ["doc_id", "h1", "h2"], "left_anti"
+                )
+            rows.write.mode("append").parquet(path)
+
         try:
             if not clean.isEmpty():
                 idx_rows = build_corpus_index(clean).select(
@@ -362,41 +384,15 @@ def stream_ingest_dedup(
                     )
                 idx_rows.write.mode("append").parquet(index_path)
                 if window_index_path:
-                    wrows = build_window_index(clean, k=window_k)
-                    if windex is not None:
-                        # replay anti-join at ROW granularity: a crash
-                        # mid-append can commit only SOME of a doc's
-                        # window files, and a doc-level anti-join would
-                        # then permanently orphan the missing windows
-                        # (future quoters of those spans never caught).
-                        # The existing rows of batch docs are fetched
-                        # by a broadcast semi-join (map-side filter on
-                        # the index, batch-sized output), then the
-                        # exact (doc, h1, h2) anti-join appends exactly
-                        # the remainder — idempotent AND self-healing.
-                        batch_ids = clean.select("doc_id").distinct()
-                        existing = windex.select(
-                            "doc_id", "h1", "h2"
-                        ).join(F.broadcast(batch_ids), "doc_id", "left_semi")
-                        wrows = wrows.join(
-                            existing, ["doc_id", "h1", "h2"], "left_anti"
-                        )
-                    wrows.write.mode("append").parquet(window_index_path)
+                    append_healed(
+                        build_window_index(clean, k=window_k),
+                        windex,
+                        window_index_path,
+                    )
                 if line_index_path:
-                    lrows = build_line_index(clean)
-                    if lindex is not None:
-                        # same row-granularity heal as the window lane:
-                        # a torn append committed SOME of a doc's line
-                        # rows — append exactly the remainder
-                        existing_l = lindex.select(
-                            "h1", "h2", "doc_id"
-                        ).join(
-                            F.broadcast(batch_ids_l), "doc_id", "left_semi"
-                        )
-                        lrows = lrows.join(
-                            existing_l, ["h1", "h2", "doc_id"], "left_anti"
-                        )
-                    lrows.write.mode("append").parquet(line_index_path)
+                    append_healed(
+                        build_line_index(clean), lindex, line_index_path
+                    )
                 table.upsert(
                     clean.withColumnRenamed("doc_id", id_col).withColumnRenamed(
                         "text", text_col
