@@ -340,8 +340,13 @@ class KeyedTable:
             os.path.join(self.root, "snapshots", f"v={commit}")
         )
 
-    def snapshot(self) -> DataFrame | None:
-        """S1: latest full snapshot (one live row per key).
+    def snapshot(self, as_of: str | None = None) -> DataFrame | None:
+        """S1: full snapshot (one live row per key) — latest, or with
+        ``as_of`` the table's state AS OF that instant (Hudi's
+        ``as.of.instant`` time-travel read): every committed instant
+        with id ≤ ``as_of`` is included. ``as_of`` past the latest
+        commit reads latest (Hudi's clamp); before the first commit it
+        reads an empty frame.
 
         COW: the materialized snapshot IS current. MOR (P3,
         generate_hudi_table.py:99/116): the read-time log-merge — base
@@ -350,11 +355,25 @@ class KeyedTable:
         application reaches (max by (precombine, commit) lexicographic =
         'larger precombine wins, ties → later commit'). That is the
         read-amplification half of the COW/MOR trade: O(base + delta)
-        per read instead of a full rewrite per write."""
-        base = self._base_snapshot()
+        per read instead of a full rewrite per write.
+
+        Time travel composes the same two pieces bounded at ``as_of``:
+        the newest SURVIVING materialized snapshot ≤ as_of, plus the
+        log window (base, as_of]. Correct because every commit is
+        either snapshot-materialized (COW upsert, delete, compaction)
+        or log-recorded (MOR upsert) — EXCEPT deletes, which write no
+        log rows: when the cleaner (P6) has removed the snapshot a
+        delete ≤ as_of materialized and no later surviving snapshot ≤
+        as_of subsumes it, the state is unreconstructable and this
+        RAISES rather than silently resurrecting deleted rows. Raise =
+        'retained history does not reach that instant', the Hudi
+        cleaner trade-off surfaced instead of corrupted."""
         latest = self.latest_commit()
         if latest is None:
             return None
+        if as_of is not None and as_of < latest:
+            return self._snapshot_as_of(as_of)
+        base = self._base_snapshot()
         base_commit = self._base_commit()
         if base_commit is not None and base_commit == latest:
             return base  # COW, or MOR right after compaction
@@ -366,6 +385,49 @@ class KeyedTable:
         )
         if delta is None:
             return base
+        unioned = delta if base is None else base.unionByName(delta)
+        return _merge_latest(
+            unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
+        )
+
+    def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
+        """Time-travel read path (see :meth:`snapshot`): newest
+        surviving snapshot ≤ as_of ∪ log window (base, as_of], with the
+        cleaned-delete rail."""
+        latest = self.latest_commit()
+        surviving = [
+            c for c in self.commits() if c <= as_of and c <= latest
+        ]
+        base_commit = surviving[-1] if surviving else None
+        lost_deletes = sorted(
+            c
+            for c, op in self._timeline_instants().items()
+            if op == "delete"
+            and c <= as_of
+            and (base_commit is None or c > base_commit)
+        )
+        if lost_deletes:
+            raise ValueError(
+                f"state as of {as_of} needs the snapshot that delete "
+                f"commit {lost_deletes[0]} materialized, but the cleaner "
+                "removed it (keep_versions) — deletes write no log rows, "
+                "so replaying the log would resurrect the deleted keys; "
+                "raise keep_versions or time-travel within retained "
+                "history"
+            )
+        base = None
+        if base_commit is not None:
+            base = self.spark.read.parquet(
+                os.path.join(self.root, "snapshots", f"v={base_commit}")
+            )
+        log = self.log()
+        delta = None
+        if log is not None:
+            delta = log.filter(F.col(COMMIT_COL) <= F.lit(as_of))
+            if base_commit is not None:
+                delta = delta.filter(F.col(COMMIT_COL) > F.lit(base_commit))
+        if delta is None:
+            return base  # pre-log table (or no log yet): base only
         unioned = delta if base is None else base.unionByName(delta)
         return _merge_latest(
             unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL

@@ -83,6 +83,99 @@ def test_delete(spark, table):
     assert table.snapshot().count() == 7
 
 
+def test_snapshot_as_of_time_travel(spark, tmp_path):
+    """Hudi 'as.of.instant' time travel: snapshot(as_of=c) reproduces
+    the state captured right after commit c — across COW and MOR, at
+    between-commit instants, past-latest (clamps), before-first
+    (empty), and through the cleaner via the log; a delete whose
+    materialized snapshot the cleaner removed RAISES instead of
+    silently resurrecting the deleted keys."""
+    import pytest as _pytest
+
+    for table_type in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = KeyedTable(
+            spark,
+            str(tmp_path / f"tt_{table_type}"),
+            record_key="customer_id",
+            precombine="created_at",
+            table_type=table_type,
+        )
+        states, commits = [], []
+        for b in range(3):
+            commits.append(t.upsert(fixtures.customers(spark, 10, batch=b)))
+            states.append(
+                sorted(
+                    tuple(r)
+                    for r in t.snapshot().drop("_commit_time").collect()
+                )
+            )
+        for c, want in zip(commits, states):
+            got = sorted(
+                tuple(r)
+                for r in t.snapshot(as_of=c).drop("_commit_time").collect()
+            )
+            assert got == want, f"{table_type} as_of={c}"
+        # between-commit instant reads the earlier state; past-latest
+        # clamps; before-first is empty
+        between = commits[0] + "0"  # lexicographically c0 < between < c1
+        assert commits[0] < between < commits[1]
+        assert sorted(
+            tuple(r)
+            for r in t.snapshot(as_of=between).drop("_commit_time").collect()
+        ) == states[0]
+        assert sorted(
+            tuple(r)
+            for r in t.snapshot(as_of="99999999999999999")
+            .drop("_commit_time")
+            .collect()
+        ) == states[-1]
+        assert t.snapshot(as_of="0").count() == 0
+
+    # through the cleaner: 5 COW commits with keep_versions=3 — the
+    # first commits' snapshot dirs are gone, but the log reconstructs
+    t2 = KeyedTable(
+        spark,
+        str(tmp_path / "tt_cleaned"),
+        record_key="customer_id",
+        precombine="created_at",
+    )
+    cs, sts = [], []
+    for b in range(5):
+        cs.append(t2.upsert(fixtures.customers(spark, 5, batch=b)))
+        sts.append(
+            sorted(
+                tuple(r)
+                for r in t2.snapshot().drop("_commit_time").collect()
+            )
+        )
+    assert len(t2.commits()) == 3  # cleaner ran
+    assert sorted(
+        tuple(r)
+        for r in t2.snapshot(as_of=cs[1]).drop("_commit_time").collect()
+    ) == sts[1]
+
+    # deletes: retained history reads fine; a cleaned delete RAISES
+    t3 = KeyedTable(
+        spark,
+        str(tmp_path / "tt_del"),
+        record_key="customer_id",
+        precombine="created_at",
+        keep_versions=1,
+    )
+    c_ins = t3.upsert(fixtures.customers(spark, 10))
+    c_del = t3.delete(fixtures.customers(spark, 10).limit(3))
+    assert t3.snapshot(as_of=c_del).count() == 7  # delete dir survives
+    # pre-delete instant: reconstructable from the log alone
+    assert t3.snapshot(as_of=c_ins).count() == 10
+    t3.upsert(fixtures.customers(spark, 10, batch=1))
+    t3.upsert(fixtures.customers(spark, 10, batch=2))  # cleans c_del dir
+    assert c_del not in t3.commits()
+    with _pytest.raises(ValueError, match="delete"):
+        t3.snapshot(as_of=c_del)
+    # but instants at/after a SURVIVING snapshot still read fine
+    assert t3.snapshot().count() == 10
+
+
 def test_cleaner_keeps_n_versions(spark, table):
     for b in range(5):
         table.upsert(fixtures.customers(spark, 5, batch=b))
