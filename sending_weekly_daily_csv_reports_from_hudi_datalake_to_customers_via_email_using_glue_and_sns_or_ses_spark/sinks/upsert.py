@@ -184,10 +184,11 @@ class KeyedTable:
     def _rollback_failed(self) -> None:
         """Lazy failed-write cleaning (Hudi pairs OCC with
         hoodie.cleaner.policy.failed.writes=LAZY for exactly this):
-        a crashed writer leaves snapshot/log dirs NEWER than the
-        published ``_latest`` pointer with no timeline marker — the
-        pointer flip is the commit point, and the marker is written
-        only after it, so anything beyond the pointer is by definition
+        a crashed writer leaves snapshot/log dirs — and, for deletes,
+        a timeline marker, written BEFORE the pointer flip so the
+        time-travel rail never misses a published delete — NEWER than
+        the published ``_latest`` pointer. The pointer flip is the
+        commit point, so anything beyond the pointer is by definition
         an uncommitted write. Left in place those orphans would (a) be
         classified by _check_conflict as completed whole-table commits,
         wedging every later locked write in permanent
@@ -208,6 +209,17 @@ class KeyedTable:
                     os.path.join(self.root, "log", f"c={c}"),
                     ignore_errors=True,
                 )
+        tl = self._timeline_dir()
+        if os.path.isdir(tl):
+            for name in os.listdir(tl):
+                if not name.endswith(".json") or name.startswith("."):
+                    continue
+                c = name[: -len(".json")]
+                if latest is None or c > latest:
+                    try:
+                        os.remove(os.path.join(tl, name))
+                    except OSError:
+                        pass  # already gone: rollback is idempotent
         # abandoned staging dirs (crash mid-parquet-write)
         staging = os.path.join(self.root, "_staging")
         if os.path.isdir(staging):
@@ -228,8 +240,10 @@ class KeyedTable:
         """Durable per-commit timeline marker (the .hoodie-timeline
         analogue). Snapshot dirs get cleaned (P6) and deletes write no
         log, so conflict detection needs a record of every completed
-        instant that SURVIVES the cleaner — these markers are never
-        deleted (they are a few bytes each). ``meta`` carries
+        instant that SURVIVES the cleaner — markers are a few bytes
+        each and are removed only by the failed-write rollback (a
+        beyond-pointer marker is an uncommitted delete attempt, see
+        _rollback_failed). ``meta`` carries
         caller-supplied commit metadata (e.g. the streaming-ingest
         batch id, the Hudi DeltaStreamer checkpoint-in-commit
         pattern)."""
@@ -332,14 +346,6 @@ class KeyedTable:
         commits = [c for c in self.commits() if c <= latest]
         return commits[-1] if commits else None
 
-    def _base_snapshot(self) -> DataFrame | None:
-        commit = self._base_commit()
-        if commit is None:
-            return None
-        return self.spark.read.parquet(
-            os.path.join(self.root, "snapshots", f"v={commit}")
-        )
-
     def snapshot(self, as_of: str | None = None) -> DataFrame | None:
         """S1: full snapshot (one live row per key) — latest, or with
         ``as_of`` the table's state AS OF that instant (Hudi's
@@ -371,41 +377,20 @@ class KeyedTable:
         latest = self.latest_commit()
         if latest is None:
             return None
-        if as_of is not None and as_of < latest:
-            return self._snapshot_as_of(as_of)
-        base = self._base_snapshot()
-        base_commit = self._base_commit()
-        if base_commit is not None and base_commit == latest:
-            return base  # COW, or MOR right after compaction
-        log = self.log()
-        delta = (
-            log
-            if log is None or base_commit is None
-            else log.filter(F.col(COMMIT_COL) > F.lit(base_commit))
-        )
-        if delta is None:
-            return base
-        unioned = delta if base is None else base.unionByName(delta)
-        return _merge_latest(
-            unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
-        )
+        effective = latest if as_of is None or as_of > latest else as_of
+        return self._snapshot_as_of(effective)
 
     def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
-        """Time-travel read path (see :meth:`snapshot`): newest
-        surviving snapshot ≤ as_of ∪ log window (base, as_of], with the
-        cleaned-delete rail."""
-        latest = self.latest_commit()
-        surviving = [
-            c for c in self.commits() if c <= as_of and c <= latest
-        ]
+        """The one snapshot read path (``as_of`` = the latest commit
+        for plain reads): newest surviving snapshot ≤ as_of ∪ log
+        window (base, as_of], with the cleaned-delete rail. Bounding
+        the log at ``as_of`` also keeps a crashed writer's orphan log
+        dirs (> the published pointer, not yet lazily rolled back) out
+        of every read — the pointer flip is the commit point, so
+        uncommitted rows must never surface."""
+        surviving = [c for c in self.commits() if c <= as_of]
         base_commit = surviving[-1] if surviving else None
-        lost_deletes = sorted(
-            c
-            for c, op in self._timeline_instants().items()
-            if op == "delete"
-            and c <= as_of
-            and (base_commit is None or c > base_commit)
-        )
+        lost_deletes = self._delete_instants_in(base_commit, as_of)
         if lost_deletes:
             raise ValueError(
                 f"state as of {as_of} needs the snapshot that delete "
@@ -420,6 +405,8 @@ class KeyedTable:
             base = self.spark.read.parquet(
                 os.path.join(self.root, "snapshots", f"v={base_commit}")
             )
+        if base_commit == as_of:
+            return base  # COW / delete instant / MOR right after compaction
         log = self.log()
         delta = None
         if log is not None:
@@ -432,6 +419,26 @@ class KeyedTable:
         return _merge_latest(
             unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
         )
+
+    def _delete_instants_in(self, lo: str | None, hi: str) -> list[str]:
+        """Delete-op commit ids in (lo, hi], from the timeline markers.
+        Marker FILENAMES are the commit ids, so the window is selected
+        before any file is opened — a ten-thousand-commit table pays a
+        handful of json loads per read, not one per commit."""
+        tl = self._timeline_dir()
+        if not os.path.isdir(tl):
+            return []  # pre-timeline (r1) table: no rail possible
+        out = []
+        for name in os.listdir(tl):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            c = name[: -len(".json")]
+            if c > hi or (lo is not None and c <= lo):
+                continue
+            with open(os.path.join(tl, name)) as f:
+                if json.load(f).get("op") == "delete":
+                    out.append(c)
+        return sorted(out)
 
     def log(self) -> DataFrame | None:
         """The change stream: all per-commit upserted rows, carrying
@@ -522,8 +529,17 @@ class KeyedTable:
                 keys.select(self.record_key), self.record_key, "left_anti"
             )
             self._write_snapshot(remaining, commit)
-            self._publish(commit)
+            # marker BEFORE the pointer flip — deletes are the one op
+            # with no log rows, so the time-travel delete rail depends
+            # on the marker existing for every PUBLISHED delete: with
+            # the old after-publish order, a crash between the two left
+            # a committed delete invisible to the rail, and once the
+            # cleaner removed its snapshot a time-travel read would
+            # silently resurrect the deleted keys. A crash between
+            # marker and publish instead leaves a beyond-pointer marker
+            # that _rollback_failed removes with the orphan dirs.
             self._record_instant(commit, "delete")
+            self._publish(commit)
             self._clean()
             return commit
 

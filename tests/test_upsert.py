@@ -90,8 +90,6 @@ def test_snapshot_as_of_time_travel(spark, tmp_path):
     (empty), and through the cleaner via the log; a delete whose
     materialized snapshot the cleaner removed RAISES instead of
     silently resurrecting the deleted keys."""
-    import pytest as _pytest
-
     for table_type in ("COPY_ON_WRITE", "MERGE_ON_READ"):
         t = KeyedTable(
             spark,
@@ -170,10 +168,39 @@ def test_snapshot_as_of_time_travel(spark, tmp_path):
     t3.upsert(fixtures.customers(spark, 10, batch=1))
     t3.upsert(fixtures.customers(spark, 10, batch=2))  # cleans c_del dir
     assert c_del not in t3.commits()
-    with _pytest.raises(ValueError, match="delete"):
+    with pytest.raises(ValueError, match="delete"):
         t3.snapshot(as_of=c_del)
     # but instants at/after a SURVIVING snapshot still read fine
     assert t3.snapshot().count() == 10
+
+
+def test_delete_crash_window_marker_before_publish(spark, tmp_path):
+    """The delete commit protocol writes its timeline marker BEFORE
+    the pointer flip (a published delete must never be invisible to
+    the time-travel rail). The residual crash window — marker + dirs
+    written, publish never happened — leaves a beyond-pointer marker:
+    reads ignore it (bounded at the pointer) and the next write's
+    lazy rollback removes it with the orphan dirs."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "crash_del"),
+        record_key="customer_id",
+        precombine="created_at",
+    )
+    t.upsert(fixtures.customers(spark, 10))
+    latest = t.latest_commit()
+    # simulate the crash: a delete attempt that wrote its snapshot and
+    # marker but died before _publish
+    orphan = str(int(latest) + 7).zfill(len(latest))
+    t._write_snapshot(t.snapshot().limit(4), orphan)
+    t._record_instant(orphan, "delete")
+    assert t.snapshot().count() == 10  # reads bound at the pointer
+    assert t.snapshot(as_of=latest).count() == 10
+    # the next write rolls the orphan attempt back entirely
+    t.upsert(fixtures.customers(spark, 10, batch=1))
+    assert orphan not in t.commits()
+    assert orphan not in t._timeline_instants()
+    assert t.snapshot().count() == 10
 
 
 def test_cleaner_keeps_n_versions(spark, table):
