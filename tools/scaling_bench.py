@@ -51,6 +51,7 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_lines",
     "decontaminate",
     "knn_bruteforce",
     "tf_idf",
