@@ -347,3 +347,108 @@ def test_incremental_substring_pairs_match_union_property(spark, data, split):
         )
     )
     assert replay == inc
+
+
+# --------------------------------------------------------------------
+# round-7 time-travel property
+# --------------------------------------------------------------------
+
+def _unique_key_batch(rows):
+    """One row per key (within-batch equal-precombine ties have no
+    defined winner — the law under test is the cross-commit one)."""
+    seen = {}
+    for k, p, pl in rows:
+        seen[k] = (k, p, pl)
+    return list(seen.values())
+
+
+_tt_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("up"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=0, max_value=9),
+                ),
+                min_size=1,
+                max_size=6,
+            ).map(_unique_key_batch),
+        ),
+        st.tuples(
+            st.just("del"),
+            st.lists(
+                st.integers(min_value=0, max_value=5),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=_tt_ops,
+    table_type=st.sampled_from(["COPY_ON_WRITE", "MERGE_ON_READ"]),
+)
+def test_time_travel_replays_any_history(
+    spark, ops, table_type, tmp_path_factory
+):
+    """Time-travel law: for ANY sequence of upserts and deletes (no
+    cleaning — keep_versions large, so every instant is
+    reconstructable), snapshot(as_of=c_i) equals the pure-Python model
+    of the state right after commit i: upsert keeps the larger
+    precombine, equal precombine in a LATER commit wins, delete drops
+    keys. The latest read must equal the final model too."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path_factory.mktemp("ttprop") / "t"),
+        record_key="key",
+        precombine="pre",
+        table_type=table_type,
+        keep_versions=50,
+    )
+    state: dict[int, tuple[int, int]] = {}
+    history: list[tuple[str, list]] = []
+    for op, payload in ops:
+        if op == "up":
+            c = t.upsert(_df(spark, payload))
+            for k, p, pl in payload:
+                if k not in state or p >= state[k][0]:
+                    state[k] = (p, pl)
+        else:
+            if not state:
+                continue  # delete on an empty table is a no-op path
+            keys = [k for k in payload if k in state] or payload[:1]
+            c = t.delete(_df(spark, [(k, 0, 0) for k in keys]))
+            for k in keys:
+                state.pop(k, None)
+        history.append(
+            (c, sorted((k, v[0], v[1]) for k, v in state.items()))
+        )
+    for c, want in history:
+        got = sorted(
+            (r["key"], r["pre"], r["payload"])
+            for r in t.snapshot(as_of=c)
+            .select("key", "pre", "payload")
+            .collect()
+        )
+        assert got == want, f"{table_type} as_of={c}"
+    final = sorted(
+        (r["key"], r["pre"], r["payload"])
+        for r in t.snapshot().select("key", "pre", "payload").collect()
+    )
+    assert final == history[-1][1]
