@@ -660,6 +660,7 @@ def prepare_training_data(
     lm_vocab_size: int = 1 << 14,
     line_dedup_min_occurrences: int | None = None,
     line_dedup_keep: str = "first",
+    line_dedup_count_mode: str = "occurrences",
     substring_dedup_k: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
     compression_min_bytes: int = 256,
@@ -749,6 +750,11 @@ def prepare_training_data(
             raise ValueError(
                 f"line_dedup_keep must be 'first' or 'none', got "
                 f"{line_dedup_keep!r}"
+            )
+        if line_dedup_count_mode not in ("occurrences", "docs"):
+            raise ValueError(
+                "line_dedup_count_mode must be 'occurrences' or 'docs', "
+                f"got {line_dedup_count_mode!r}"
             )
 
     d = load_table(spark, sf_dir, "documents")
@@ -884,6 +890,7 @@ def prepare_training_data(
                 deduped,
                 min_occurrences=line_dedup_min_occurrences,
                 keep=line_dedup_keep,
+                count_mode=line_dedup_count_mode,
             ).withColumn(
                 # packing reads n_tokens_ws — recompute from the cut
                 # text (same contract as the substring stage below)

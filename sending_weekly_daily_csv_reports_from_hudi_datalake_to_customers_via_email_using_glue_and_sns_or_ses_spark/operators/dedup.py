@@ -1558,6 +1558,7 @@ def dedup_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    count_mode: str = "occurrences",
 ) -> DataFrame:
     r"""Corpus-wide LINE-level dedup — the CCNet / RefinedWeb
     boilerplate-removal pass (Wenzek et al. 2019, arXiv:1911.00359 §4.1
@@ -1588,7 +1589,13 @@ def dedup_lines(
       * untouched docs keep their text byte-for-byte; docs that lost a
         line are rebuilt by joining the SURVIVING lines (original
         bytes — normalization only feeds the key) with ``\n``; NULL
-        text cleans to ``''`` (0 removed).
+        text cleans to ``''`` (0 removed);
+      * ``count_mode`` picks what ``min_occurrences`` counts:
+        ``'occurrences'`` (default — any repetition is boilerplate
+        mass, within- or cross-doc) or ``'docs'`` (distinct documents
+        — CCNet's cross-shard notion: a doc repeating its OWN nav
+        line never makes that line corpus-hot by itself, but once the
+        line IS hot every occurrence is still cut).
 
     Returns the input frame with ``text_col`` replaced and an appended
     ``n_lines_removed``.
@@ -1614,11 +1621,22 @@ def dedup_lines(
         )
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if count_mode not in ("occurrences", "docs"):
+        raise ValueError(
+            f"count_mode must be 'occurrences' or 'docs', got {count_mode!r}"
+        )
     src, occ = _line_occurrences(docs, id_col, text_col, normalize)
+    counter = (
+        F.count("*")
+        if count_mode == "occurrences"
+        # still one partial-aggregated groupBy: count_distinct over the
+        # doc id partial-aggregates as a per-partition set merge
+        else F.count_distinct("__dl_id")
+    )
     hot = (
         occ.groupBy("h1", "h2")
         .agg(
-            F.count("*").alias("n_occ"),
+            counter.alias("n_occ"),
             F.min(F.struct("__dl_id", "ln")).alias("canon"),
         )
         .filter(F.col("n_occ") >= min_occurrences)
@@ -1820,6 +1838,7 @@ def dedup_lines_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    count_mode: str = "occurrences",
 ) -> DataFrame:
     """Line-dedup a NEW batch against a standing corpus's persisted
     :func:`build_line_index` table — corpus text is never rescanned;
@@ -1843,6 +1862,12 @@ def dedup_lines_incremental(
     between them — index rows stream, nothing pairwise, and the only
     per-doc work is the shared interval-merge surgery on the batch's
     own cut lines.
+
+    ``count_mode`` follows the batch operator: ``'occurrences'`` sums
+    raw repetition mass (index ``n_occ`` + batch occurrences);
+    ``'docs'`` counts distinct documents (index rows are per-(key,
+    doc) by contract, batch side count-distinct) — CCNet's
+    cross-shard notion.
     """
     if min_occurrences < 2:
         raise ValueError(
@@ -1874,15 +1899,31 @@ def dedup_lines_incremental(
             f"asked for normalize={normalize} — keys would silently "
             "never match"
         )
+    if count_mode not in ("occurrences", "docs"):
+        raise ValueError(
+            f"count_mode must be 'occurrences' or 'docs', got {count_mode!r}"
+        )
     src, occ = _line_occurrences(new_docs, id_col, text_col, normalize)
+    # 'docs' mode counts the index's per-(key, doc) ROWS — exactly one
+    # per doc carrying the key (the append path anti-joins at that
+    # granularity and compaction raises on violations), so no distinct
+    # is needed on the corpus side
+    c_counter = (
+        F.sum("n_occ") if count_mode == "occurrences" else F.count("*")
+    )
+    b_counter = (
+        F.count("*")
+        if count_mode == "occurrences"
+        else F.count_distinct("__dl_id")
+    )
     corpus = line_index.groupBy("h1", "h2").agg(
-        F.sum("n_occ").alias("c_occ"),
+        c_counter.alias("c_occ"),
         F.min(F.struct(F.col("doc_id"), F.col("min_ln").alias("ln"))).alias(
             "c_canon"
         ),
     )
     batch = occ.groupBy("h1", "h2").agg(
-        F.count("*").alias("b_occ"),
+        b_counter.alias("b_occ"),
         F.min(F.struct(F.col("__dl_id").alias("doc_id"), F.col("ln"))).alias(
             "b_canon"
         ),

@@ -107,6 +107,7 @@ def stream_ingest_dedup(
     line_index_path: str | None = None,
     line_min_occurrences: int = 2,
     line_keep: str = "first",
+    line_count_mode: str = "occurrences",
 ) -> StreamingQuery:
     """Continuously ingest a document stream with STANDING dedup: each
     micro-batch is deduped within itself (min-id keeper per content
@@ -343,6 +344,7 @@ def stream_ingest_dedup(
                 lookup_l,
                 min_occurrences=line_min_occurrences,
                 keep=line_keep,
+                count_mode=line_count_mode,
             ).drop("n_lines_removed")
         # persist decisions before acking: index rows first (replay
         # self-matches are excluded above), then the marked table commit

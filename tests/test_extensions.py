@@ -912,6 +912,55 @@ def test_dedup_lines_incremental_union_parity(spark):
         dedup_lines_incremental(batch, idx, keep="bogus")
 
 
+def test_dedup_lines_count_mode_docs(spark):
+    """count_mode='docs' (CCNet's cross-shard notion): a line repeated
+    only WITHIN one doc never becomes hot, while a cross-doc line does
+    — and once hot, every occurrence (within-doc repeats included) is
+    still cut except the canonical."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    nav = "home products about"
+    banner = "accept cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nalpha\n{nav}\n{nav}"),  # nav is 1-doc only
+            (2, f"{banner}\nbeta\n{banner}"),  # banner crosses docs
+            (3, f"gamma\n{banner}"),
+        ],
+        "doc_id long, text string",
+    )
+    occ = {
+        r["doc_id"]: r for r in dedup_lines(docs).collect()
+    }  # occurrences mode: both fire
+    assert occ[1]["text"] == f"{nav}\nalpha"
+    assert occ[1]["n_lines_removed"] == 2
+    dm = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, count_mode="docs").collect()
+    }
+    # nav: 3 occurrences but ONE doc — untouched in docs mode
+    assert dm[1]["text"] == f"{nav}\nalpha\n{nav}\n{nav}"
+    assert dm[1]["n_lines_removed"] == 0
+    # banner: 2 docs — hot; doc 2 keeps the canonical, loses its repeat
+    assert dm[2]["text"] == f"{banner}\nbeta"
+    assert dm[2]["n_lines_removed"] == 1
+    assert dm[3]["text"] == "gamma"
+    assert (
+        dedup_lines(docs, count_mode="docs", min_occurrences=3)
+        .agg(F.sum("n_lines_removed"))
+        .first()[0]
+        == 0
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="count_mode"):
+        dedup_lines(docs, count_mode="bogus")
+
+
 def test_dedup_lines_incremental_random_parity(spark):
     """Seeded fuzz of the union-parity contract: random multi-line docs
     over a tiny vocabulary (so collisions are common), split into
@@ -946,22 +995,31 @@ def test_dedup_lines_incremental_random_parity(spark):
             "doc_id long, text string",
         )
         idx = build_line_index(corpus)
-        for keep, mo in (("first", 2), ("none", 2), ("first", 3)):
+        for keep, mo, cm in (
+            ("first", 2, "occurrences"),
+            ("none", 2, "occurrences"),
+            ("first", 3, "occurrences"),
+            ("first", 2, "docs"),
+            ("none", 3, "docs"),
+        ):
             inc = {
                 r["doc_id"]: (r["text"], r["n_lines_removed"])
                 for r in dedup_lines_incremental(
-                    batch, idx, min_occurrences=mo, keep=keep
+                    batch, idx, min_occurrences=mo, keep=keep, count_mode=cm
                 ).collect()
             }
             ref = {
                 r["doc_id"]: (r["text"], r["n_lines_removed"])
                 for r in dedup_lines(
-                    corpus.unionByName(batch), min_occurrences=mo, keep=keep
+                    corpus.unionByName(batch),
+                    min_occurrences=mo,
+                    keep=keep,
+                    count_mode=cm,
                 )
                 .filter("doc_id >= 100")
                 .collect()
             }
-            assert inc == ref, f"seed={seed} keep={keep} mo={mo}"
+            assert inc == ref, f"seed={seed} keep={keep} mo={mo} cm={cm}"
 
 
 def test_shared_substring_runs_planted(spark):
