@@ -152,6 +152,23 @@ class KeyedTable:
             return []
         return sorted(d.split("=", 1)[1] for d in os.listdir(snap_dir) if "=" in d)
 
+    def instants(self) -> list[str]:
+        """All PUBLISHED commit ids, oldest first: timeline markers ∪
+        log dirs ∪ snapshot dirs, bounded by the ``_latest`` pointer
+        (the commit point — anything beyond it is a crashed writer's
+        orphan, not history). The union covers every table vintage:
+        pre-timeline r1 tables have only dirs, cleaned commits may
+        survive only as markers or log dirs."""
+        latest = self.latest_commit()
+        if latest is None:
+            return []
+        seen = (
+            set(self._timeline_instants())
+            | set(self._log_commits())
+            | set(self.commits())
+        )
+        return sorted(c for c in seen if c <= latest)
+
     def _new_commit_id(self) -> str:
         # yyyyMMddHHmmssSSS, strictly increasing even for rapid commits
         ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")[:-3]
@@ -218,6 +235,19 @@ class KeyedTable:
                 if latest is None or c > latest:
                     try:
                         os.remove(os.path.join(tl, name))
+                    except OSError:
+                        pass  # already gone: rollback is idempotent
+        # savepoints of beyond-pointer instants: dangling after a
+        # restore/rollback removed the commit they pin
+        sp = self._savepoint_dir()
+        if os.path.isdir(sp):
+            for name in os.listdir(sp):
+                if not name.endswith(".json") or name.startswith("."):
+                    continue
+                c = name[: -len(".json")]
+                if latest is None or c > latest:
+                    try:
+                        os.remove(os.path.join(sp, name))
                     except OSError:
                         pass  # already gone: rollback is idempotent
         # abandoned staging dirs (crash mid-parquet-write)
@@ -445,6 +475,163 @@ class KeyedTable:
         _commit_time — what sources/incremental.py reads."""
         return read_commit_log(self.spark, self.root)
 
+    def cdc(
+        self,
+        begin: str | None = None,
+        end: str | None = None,
+        suppress_unchanged: bool = True,
+    ) -> DataFrame | None:
+        """Change-data-capture read (Hudi's ``hoodie.table.cdc.enabled``
+        incremental query, the Debezium-style op/before/after stream):
+        one row per (record key, commit) whose table state changed in
+        commits ``(begin, end]``, with
+
+          * ``_change_op``: ``'i'`` (key absent before the commit),
+            ``'u'`` (present, value replaced), ``'d'`` (delete);
+          * ``_before`` / ``_after``: struct of the data columns — the
+            key's merged state immediately before/after the commit
+            (``_before`` NULL on insert, ``_after`` NULL on delete).
+
+        ``begin=None`` starts from table creation (every first
+        appearance is an insert); ``end=None``/past-latest clamps to
+        the latest commit, like :meth:`snapshot`.
+
+        Semantics note — ``suppress_unchanged`` (default True): an
+        upsert whose incoming row LOSES the precombine merge rewrites
+        the file but leaves the key's state identical; those no-op
+        'u' rows are dropped (null-safe before≡after compare), which is
+        the state-change notion a CDC consumer materializing downstream
+        state wants. ``False`` keeps them — the file-level "this key
+        was touched" notion.
+
+        Implementation (all keyed by record key — one shuffle family):
+        the change stream is the commit-log window plus fabricated
+        delete rows (deletes write no log: a delete commit's dropped
+        keys are the key-diff of its neighbouring snapshots, one
+        column-pruned anti-join per delete commit — bounded by delete
+        count, not table size), seeded with the as-of-``begin`` state
+        restricted (semi-join) to touched keys. Per key, deletes split
+        history into epochs (running delete count); the state after
+        each row is the epoch's running ``max(struct(precombine,
+        commit, payload))`` — lexicographic struct ordering IS the P2
+        merge rule ('larger precombine wins, ties → later commit') —
+        and the before-image is ``lag`` of that state over the full
+        key history (a delete's NULL state makes the next appearance
+        an insert). Cleaned history raises the same
+        retained-history rail as time travel."""
+        latest = self.latest_commit()
+        if latest is None:
+            return None
+        end_eff = latest if end is None or end > latest else end
+        insts = [c for c in self.instants() if c <= end_eff]
+        window = [c for c in insts if begin is None or c > begin]
+        log = self.log()
+        if log is None:
+            raise ValueError(
+                "CDC needs the commit log; this root has none "
+                "(pre-log table layout)"
+            )
+        key, pre = self.record_key, self.precombine
+        data_cols = [c for c in log.columns if c not in (key, COMMIT_COL)]
+        payload = F.struct(*[F.col(c) for c in data_cols])
+
+        lw = log.filter(F.col(COMMIT_COL) <= F.lit(end_eff))
+        if begin is not None:
+            lw = lw.filter(F.col(COMMIT_COL) > F.lit(begin))
+        changes = lw.select(
+            F.col(key),
+            F.col(COMMIT_COL),
+            F.lit(False).alias("__is_delete"),
+            F.lit(True).alias("__in_window"),
+            payload.alias("__row"),
+        )
+        row_type = changes.schema["__row"].dataType
+
+        timeline = self._timeline_instants()
+        for d in (c for c in window if timeline.get(c) == "delete"):
+            prev = insts[insts.index(d) - 1] if insts.index(d) else None
+            if prev is None:
+                continue  # delete as first instant: nothing to drop
+            dropped = (
+                self._snapshot_as_of(prev)
+                .select(key)
+                .join(self._snapshot_as_of(d).select(key), key, "left_anti")
+            )
+            changes = changes.unionByName(
+                dropped.select(
+                    F.col(key),
+                    F.lit(d).alias(COMMIT_COL),
+                    F.lit(True).alias("__is_delete"),
+                    F.lit(True).alias("__in_window"),
+                    F.lit(None).cast(row_type).alias("__row"),
+                )
+            )
+
+        if begin is not None:
+            base = self._snapshot_as_of(begin)
+            if base is not None:
+                seed = base.join(
+                    changes.select(key), key, "left_semi"
+                ).select(
+                    F.col(key),
+                    F.col(COMMIT_COL),  # actual commit ≤ begin < window
+                    F.lit(False).alias("__is_delete"),
+                    F.lit(False).alias("__in_window"),
+                    payload.alias("__row"),
+                )
+                changes = changes.unionByName(seed)
+
+        w_key = Window.partitionBy(key).orderBy(COMMIT_COL)
+        state_struct = F.when(
+            ~F.col("__is_delete"),
+            F.struct(
+                F.col("__row")[pre].alias("__p"),
+                F.col(COMMIT_COL).alias("__c"),
+                F.col("__row").alias("__payload"),
+            ),
+        )
+        staged = changes.withColumn(
+            "__epoch",
+            F.coalesce(
+                F.sum(F.col("__is_delete").cast("int")).over(
+                    w_key.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).withColumn(
+            "__after",
+            F.when(
+                ~F.col("__is_delete"),
+                F.max(state_struct).over(
+                    Window.partitionBy(key, "__epoch")
+                    .orderBy(COMMIT_COL)
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )["__payload"],
+            ),
+        )
+        out = (
+            staged.withColumn("__before", F.lag("__after").over(w_key))
+            .filter(F.col("__in_window"))
+            .withColumn(
+                "_change_op",
+                F.when(F.col("__is_delete"), F.lit("d"))
+                .when(F.col("__before").isNull(), F.lit("i"))
+                .otherwise(F.lit("u")),
+            )
+        )
+        if suppress_unchanged:
+            out = out.filter(
+                (F.col("_change_op") != "u")
+                | ~F.col("__before").eqNullSafe(F.col("__after"))
+            )
+        return out.select(
+            F.col(key),
+            F.col(COMMIT_COL),
+            F.col("_change_op"),
+            F.col("__before").alias("_before"),
+            F.col("__after").alias("_after"),
+        )
+
     # -- writes ---------------------------------------------------------
     def upsert(self, incoming: DataFrame, instant_meta: dict | None = None) -> str:
         """K1: merge incoming into the table; returns the new commit id.
@@ -543,6 +730,128 @@ class KeyedTable:
             self._clean()
             return commit
 
+    # -- savepoint / restore / rollback (Hudi table lifecycle) ----------
+    def _savepoint_dir(self) -> str:
+        return os.path.join(self.root, "savepoints")
+
+    def savepoint(self, commit: str | None = None, name: str | None = None) -> str:
+        """Hudi savepoint: pin a committed instant so the cleaner (P6)
+        never removes the files needed to read — or :meth:`restore` to —
+        its state. Defaults to the latest commit. Keeping the newest
+        surviving snapshot ≤ the savepoint suffices: any delete in
+        (that snapshot, savepoint] would itself be a newer snapshot ≤
+        the savepoint, a contradiction — so the time-travel delete rail
+        can never fire inside a savepointed window."""
+        with self._txn():
+            target = commit if commit is not None else self.latest_commit()
+            if target is None:
+                raise ValueError("cannot savepoint an empty table")
+            if target not in self.instants():
+                raise ValueError(f"unknown instant: {target!r}")
+            # the instant must still be reconstructable NOW — the
+            # cleaner may already have eaten the history behind it
+            self._snapshot_as_of(target)
+            os.makedirs(self._savepoint_dir(), exist_ok=True)
+            tmp = os.path.join(self._savepoint_dir(), f".{target}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "name": name,
+                        "created_at": datetime.now(timezone.utc).isoformat(),
+                    },
+                    f,
+                )
+            os.replace(
+                tmp, os.path.join(self._savepoint_dir(), f"{target}.json")
+            )
+            return target
+
+    def savepoints(self) -> dict[str, dict]:
+        """commit id → savepoint metadata (name, created_at)."""
+        sp = self._savepoint_dir()
+        if not os.path.isdir(sp):
+            return {}
+        out: dict[str, dict] = {}
+        for fname in os.listdir(sp):
+            if not fname.endswith(".json") or fname.startswith("."):
+                continue
+            with open(os.path.join(sp, fname)) as f:
+                out[fname[: -len(".json")]] = json.load(f)
+        return out
+
+    def delete_savepoint(self, commit: str) -> None:
+        """Unpin an instant; the next clean may collect its history."""
+        try:
+            os.remove(os.path.join(self._savepoint_dir(), f"{commit}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no savepoint at instant {commit!r}") from None
+
+    def _protected_commits(self) -> set[str]:
+        """Snapshot commits the cleaner must keep: for each savepoint,
+        the newest surviving snapshot ≤ it (see :meth:`savepoint` for
+        why that alone makes the instant reconstructable forever)."""
+        protected: set[str] = set()
+        commits = self.commits()
+        for sp in self.savepoints():
+            base = [c for c in commits if c <= sp]
+            if base:
+                protected.add(base[-1])
+        return protected
+
+    def restore(self, commit: str) -> str:
+        """Hudi restore-to-instant: drop every commit after ``commit``,
+        returning the table — snapshot reads, time travel, incremental
+        and CDC streams alike — to exactly its state at that instant.
+        Typically pointed at a :meth:`savepoint`.
+
+        Crash-safe by construction: after verifying the target is
+        reconstructable, the ONLY mutation is the ``_latest`` pointer
+        flip — the same commit point every write uses — which instantly
+        reclassifies all newer snapshots/log dirs/markers as
+        beyond-pointer orphans; ``_rollback_failed`` (run here and
+        lazily by every later transaction) physically removes them. A
+        crash at any point leaves either the old table or the restored
+        table, never a torn one.
+
+        Caveat (same as Hudi): downstream incremental checkpoints that
+        advanced past ``commit`` must be reset by the caller — commit
+        ids are time-based, so post-restore commits will normally sort
+        after the removed ones, but a checkpoint taken from a removed
+        commit refers to history that no longer exists."""
+        with self._txn():
+            latest = self.latest_commit()
+            if latest is None:
+                raise ValueError("cannot restore an empty table")
+            if commit not in self.instants():
+                raise ValueError(f"unknown instant: {commit!r}")
+            if commit == latest:
+                return commit
+            self._snapshot_as_of(commit)  # reconstructability rail
+            self._publish(commit)
+            self._rollback_failed()
+            return commit
+
+    def rollback(self) -> str | None:
+        """Hudi rollback: undo the LATEST commit (restore to its
+        predecessor). Rolling back the only commit empties the table
+        (pointer removed first — the same orphan-reclassification
+        commit point as :meth:`restore`). Returns the new latest
+        commit, or None when the table is now (or was already) empty."""
+        with self._txn():
+            latest = self.latest_commit()
+            if latest is None:
+                return None
+            insts = self.instants()
+            if len(insts) >= 2:
+                prev = insts[-2]
+                self._snapshot_as_of(prev)
+                self._publish(prev)
+                self._rollback_failed()
+                return prev
+            os.remove(self._latest_path())
+            self._rollback_failed()
+            return None
+
     def _staged_write(self, write_fn, final_path: str) -> None:
         """Stage a Spark directory write under root/_staging and move it
         into place with one rename — readers (and the failed-write
@@ -602,9 +911,14 @@ class KeyedTable:
 
     def _clean(self) -> None:
         """P6 cleaner: KEEP_LATEST_FILE_VERSIONS over snapshot dirs.
-        Log dirs are kept (they are the incremental history)."""
+        Log dirs are kept (they are the incremental history).
+        Savepointed history is skipped (see _protected_commits) —
+        Hudi's cleaner makes the same exception."""
         commits = self.commits()
+        protected = self._protected_commits()
         for old in commits[: -self.keep_versions]:
+            if old in protected:
+                continue
             shutil.rmtree(
                 os.path.join(self.root, "snapshots", f"v={old}"),
                 ignore_errors=True,

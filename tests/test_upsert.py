@@ -692,3 +692,269 @@ def test_staging_leftovers_cleaned(spark, tmp_path):
     t.upsert(fixtures.customers(spark, 5, batch=1))
     assert not os.path.isdir(os.path.join(t.root, "_staging"))
     assert t.snapshot().count() == 5
+
+
+# -- CDC / savepoint / restore / rollback (Hudi table lifecycle) --------
+
+
+def _kv_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, pre int, v string")
+
+
+def _lifecycle_table(spark, tmp_path, name="cdc", **kw):
+    kw.setdefault("keep_versions", 10)
+    return KeyedTable(
+        spark, str(tmp_path / name), record_key="k", precombine="pre", **kw
+    )
+
+
+def test_cdc_ops_and_images(spark, tmp_path):
+    """The op taxonomy end-to-end: insert, merge-winning update,
+    merge-LOSING update (suppressed by default, visible as a no-op 'u'
+    with suppress_unchanged=False), delete with before-image, and
+    re-insert after delete classified as 'i' (not 'u')."""
+    t = _lifecycle_table(spark, tmp_path)
+    t.upsert(_kv_df(spark, [(1, 10, "a"), (2, 10, "b")]))
+    c2 = t.upsert(_kv_df(spark, [(1, 20, "a2"), (3, 5, "c"), (2, 5, "stale")]))
+    t.delete(spark.createDataFrame([(1,)], "k int"))
+    t.upsert(_kv_df(spark, [(1, 1, "reborn"), (3, 50, "c2")]))
+
+    rows = {
+        (r["k"], r["_commit_time"]): r
+        for r in t.cdc().collect()
+    }
+    insts = t.instants()
+    assert len(rows) == 7
+    assert rows[(1, insts[0])]["_change_op"] == "i"
+    assert rows[(1, insts[0])]["_before"] is None
+    assert rows[(1, insts[1])]["_change_op"] == "u"
+    assert rows[(1, insts[1])]["_before"]["v"] == "a"
+    assert rows[(1, insts[1])]["_after"]["v"] == "a2"
+    # key 2's stale update lost the precombine merge → suppressed
+    assert (2, insts[1]) not in rows
+    assert rows[(1, insts[2])]["_change_op"] == "d"
+    assert rows[(1, insts[2])]["_before"]["v"] == "a2"
+    assert rows[(1, insts[2])]["_after"] is None
+    # re-insert after delete is an insert, not an update
+    assert rows[(1, insts[3])]["_change_op"] == "i"
+    assert rows[(1, insts[3])]["_before"] is None
+
+    noop = [
+        r
+        for r in t.cdc(suppress_unchanged=False).collect()
+        if r["k"] == 2 and r["_commit_time"] == insts[1]
+    ]
+    assert len(noop) == 1 and noop[0]["_change_op"] == "u"
+    assert noop[0]["_before"] == noop[0]["_after"]
+
+    # windowed read: before-images come from the as-of-begin state
+    win = {
+        (r["k"], r["_commit_time"]): r for r in t.cdc(begin=c2).collect()
+    }
+    assert set(win) == {
+        (1, insts[2]),
+        (1, insts[3]),
+        (3, insts[3]),
+    }
+    assert win[(3, insts[3])]["_change_op"] == "u"
+    assert win[(3, insts[3])]["_before"]["v"] == "c"
+
+
+def _brute_cdc(t):
+    """Reference CDC: per-instant snapshot value-diffs."""
+    expected = []
+    prev: dict = {}
+    for c in t.instants():
+        snap = t._snapshot_as_of(c)
+        cur = {
+            r["k"]: (r["pre"], r["v"])
+            for r in snap.collect()
+        }
+        for k in cur.keys() - prev.keys():
+            expected.append((k, c, "i", None, cur[k]))
+        for k in prev.keys() - cur.keys():
+            expected.append((k, c, "d", prev[k], None))
+        for k in cur.keys() & prev.keys():
+            if cur[k] != prev[k]:
+                expected.append((k, c, "u", prev[k], cur[k]))
+        prev = cur
+    return sorted(expected)
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_cdc_matches_bruteforce_snapshot_diffs(spark, tmp_path, table_type):
+    """Property: over a seeded random upsert/delete history, cdc() is
+    exactly the per-instant snapshot value-diff — both table types."""
+    import random
+
+    rng = random.Random(42)
+    t = _lifecycle_table(spark, tmp_path, name=table_type, table_type=table_type)
+    for step in range(7):
+        live = t.snapshot()
+        live_keys = (
+            [r["k"] for r in live.select("k").collect()] if live is not None else []
+        )
+        if step in (3, 5) and live_keys:
+            victims = rng.sample(live_keys, k=max(1, len(live_keys) // 3))
+            t.delete(spark.createDataFrame([(k,) for k in victims], "k int"))
+        else:
+            batch = [
+                (rng.randrange(8), rng.randrange(100), f"v{step}.{i}")
+                for i in range(rng.randrange(1, 6))
+            ]
+            t.upsert(_kv_df(spark, batch))
+
+    got = sorted(
+        (
+            r["k"],
+            r["_commit_time"],
+            r["_change_op"],
+            tuple(r["_before"]) if r["_before"] is not None else None,
+            tuple(r["_after"]) if r["_after"] is not None else None,
+        )
+        for r in t.cdc().collect()
+    )
+    assert got == _brute_cdc(t)
+
+    # windowed reads partition the full stream at every instant boundary
+    insts = t.instants()
+    mid = insts[len(insts) // 2]
+    head = {
+        (r["k"], r["_commit_time"]) for r in t.cdc(end=mid).collect()
+    }
+    tail = {
+        (r["k"], r["_commit_time"]) for r in t.cdc(begin=mid).collect()
+    }
+    assert head | tail == {(k, c) for k, c, *_ in got}
+    assert not head & tail
+
+
+def test_cdc_raises_on_cleaned_delete_history(spark, tmp_path):
+    """Same retained-history rail as time travel: a delete whose
+    snapshot the cleaner removed makes the window unreconstructable —
+    raise, never resurrect."""
+    t = _lifecycle_table(spark, tmp_path, keep_versions=1)
+    t.upsert(_kv_df(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t.delete(spark.createDataFrame([(1,)], "k int"))
+    t.upsert(_kv_df(spark, [(3, 1, "c")]))
+    t.upsert(_kv_df(spark, [(4, 1, "d")]))  # cleaner eats the delete snapshot
+    with pytest.raises(ValueError, match="cleaner"):
+        t.cdc().collect()
+
+
+def test_savepoint_protects_history_from_cleaner(spark, tmp_path):
+    """keep_versions=1 with churn would normally clean everything old;
+    a savepoint keeps its instant readable (time travel) and restorable
+    forever."""
+    t = _lifecycle_table(spark, tmp_path, keep_versions=1)
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    sp = t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    t.savepoint(sp, name="weekly")
+    for i in range(4):
+        t.upsert(_kv_df(spark, [(9, i, f"x{i}")]))
+    assert t.savepoints()[sp]["name"] == "weekly"
+    state = sorted(
+        (r["k"], r["v"]) for r in t.snapshot(as_of=sp).collect()
+    )
+    assert state == [(1, "a"), (2, "b")]
+    t.restore(sp)
+    assert t.latest_commit() == sp
+    assert sorted(
+        (r["k"], r["v"]) for r in t.snapshot().collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_savepoint_delete_rail_stays_closed(spark, tmp_path):
+    """A savepoint BEHIND a delete: the delete's snapshot is ≤ later
+    savepoints' bases, and the savepoint probe guarantees its window
+    has no cleaned deletes — churn must never break the savepointed
+    read."""
+    t = _lifecycle_table(spark, tmp_path, keep_versions=1)
+    t.upsert(_kv_df(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t.delete(spark.createDataFrame([(1,)], "k int"))
+    sp = t.upsert(_kv_df(spark, [(3, 1, "c")]))
+    t.savepoint(sp)
+    for i in range(4):
+        t.upsert(_kv_df(spark, [(9, i, f"x{i}")]))
+    assert sorted(r["k"] for r in t.snapshot(as_of=sp).collect()) == [2, 3]
+
+
+def test_savepoint_validation(spark, tmp_path):
+    t = _lifecycle_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="empty"):
+        t.savepoint()
+    c1 = t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="unknown instant"):
+        t.savepoint("19990101000000000")
+    t.savepoint()  # defaults to latest
+    assert list(t.savepoints()) == [c1]
+    t.delete_savepoint(c1)
+    assert t.savepoints() == {}
+    with pytest.raises(ValueError, match="no savepoint"):
+        t.delete_savepoint(c1)
+
+
+def test_restore_truncates_history(spark, tmp_path):
+    """Restore drops every newer commit from EVERY read path: snapshot,
+    instants, the incremental log stream, and CDC; new writes then
+    continue from the restored instant."""
+    t = _lifecycle_table(spark, tmp_path)
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    c2 = t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    t.upsert(_kv_df(spark, [(1, 9, "a-new"), (3, 1, "c")]))
+    t.delete(spark.createDataFrame([(2,)], "k int"))
+    t.restore(c2)
+    assert t.latest_commit() == c2
+    assert len(t.instants()) == 2
+    assert sorted(
+        (r["k"], r["v"]) for r in t.snapshot().collect()
+    ) == [(1, "a"), (2, "b")]
+    assert t.log().select("_commit_time").distinct().count() == 2
+    assert t.cdc().count() == 2  # two inserts
+    assert t.savepoints() == {}
+    # table remains writable; restore to an unknown instant refuses
+    t.upsert(_kv_df(spark, [(4, 1, "d")]))
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2, 4]
+    with pytest.raises(ValueError, match="unknown instant"):
+        t.restore("19990101000000000")
+
+
+def test_restore_removes_dangling_savepoints(spark, tmp_path):
+    t = _lifecycle_table(spark, tmp_path)
+    c1 = t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    c2 = t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    t.savepoint(c2)
+    t.restore(c1)
+    assert t.savepoints() == {}
+    assert t.latest_commit() == c1
+
+
+def test_rollback_last_commit_and_to_empty(spark, tmp_path):
+    t = _lifecycle_table(spark, tmp_path)
+    c1 = t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    assert t.rollback() == c1
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1]
+    assert t.rollback() is None
+    assert t.snapshot() is None
+    assert t.instants() == []
+    assert t.rollback() is None  # idempotent on empty
+    # the emptied table accepts fresh history
+    t.upsert(_kv_df(spark, [(5, 1, "e")]))
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [5]
+
+
+def test_restore_mor_table(spark, tmp_path):
+    """MOR restore: log truncation alone must carry the state back
+    (upserts live only in the log until compaction)."""
+    t = _lifecycle_table(
+        spark, tmp_path, name="mor", table_type="MERGE_ON_READ"
+    )
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    c2 = t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    t.upsert(_kv_df(spark, [(1, 5, "a-new")]))
+    t.compact()
+    t.restore(c2)
+    assert sorted(
+        (r["k"], r["v"]) for r in t.snapshot().collect()
+    ) == [(1, "a"), (2, "b")]
