@@ -43,6 +43,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 #: operator family, including the full near-dup dedup suite.
 HEADLINE = [
     "flagship_report",
+    "cdc_scan",
     "q1_pricing_summary",
     "join_multiway_revenue",
     "join_semi_anti",

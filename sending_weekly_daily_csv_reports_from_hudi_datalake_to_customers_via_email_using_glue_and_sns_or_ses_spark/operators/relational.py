@@ -13,6 +13,9 @@ R8 (select-star passthrough, template.py:215) is exercised by
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,6 +110,11 @@ def distinct_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "commit_bounds",
+    retired=True,  # r7: slot funded cdc_scan — the min/max/countDistinct
+    # primitives stay driver-green via q1_pricing_summary, and the S3/S4
+    # subsystem gets the strictly stronger cdc_scan row (full lifecycle:
+    # upsert/merge/delete replay through the real KeyedTable); the entry
+    # stays value-checked every CI pass by test_retired_parity.
     oracle="""
     SELECT CAST(min(o_orderdate) AS TIMESTAMP) AS begin_commit,
            CAST(max(o_orderdate) AS TIMESTAMP) AS last_commit,
@@ -152,4 +160,128 @@ def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderstatus") == "O")
         & (F.col("o_totalprice") > 150000.0)
         & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+
+
+#: built CDC fixture tables: sf_dir → KeyedTable root. The build is
+#: deterministic per sf_dir (seeded slices of orders, merge rules fixed),
+#: so repeated driver/parity/bench invocations in one process reuse one
+#: table instead of re-running four upserts and a delete per call. The
+#: value is a PATH (no Spark objects), valid across session restarts.
+_CDC_TABLES: dict[str, str] = {}
+
+
+def _cdc_fixture_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a KeyedTable with a known 4-commit
+    history derived from ``orders``: three upsert batches sliced by
+    ``o_orderkey % 3`` plus a delete of every seventh key — forcing all
+    CDC op kinds: inserts, merge-winning updates, merge-LOSING updates
+    (suppressed), deletes with before-images, and post-delete
+    re-inserts. Key = o_orderkey % 97 (heavy collisions), precombine =
+    o_orderkey (unique → every merge deterministic)."""
+    cached = _CDC_TABLES.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..sinks.upsert import KeyedTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 97).cast("int").alias("k"),
+        F.col("o_orderkey").cast("long").alias("pre"),
+        F.col("o_orderpriority").alias("val"),
+        F.col("o_totalprice").alias("val_price"),
+        (F.col("o_orderkey") % 3).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_fixture_")
+    t = KeyedTable(
+        spark, root, record_key="k", precombine="pre", keep_versions=10
+    )
+    t.upsert(src.filter(F.col("b") == 0).drop("b"))
+    t.upsert(src.filter(F.col("b") == 1).drop("b"))
+    t.delete(src.select("k").distinct().filter(F.col("k") % 7 == 0))
+    t.upsert(src.filter(F.col("b") == 2).drop("b"))
+    _CDC_TABLES[sf_dir] = root
+    return root
+
+
+@query(
+    "cdc_scan",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 97 AS INT) AS k,
+             CAST(o_orderkey AS BIGINT) AS pre,
+             o_orderpriority AS val,
+             o_totalprice AS val_price,
+             o_orderkey % 3 AS b
+      FROM orders
+    ),
+    u12 AS (SELECT k, pre, val, val_price FROM src WHERE b IN (0, 1)),
+    s1 AS (SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+                  arg_max(val_price, pre) AS val_price
+           FROM src WHERE b = 0 GROUP BY k),
+    w2 AS (SELECT k, max(pre) AS pre FROM src WHERE b = 1 GROUP BY k),
+    s2 AS (SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+                  arg_max(val_price, pre) AS val_price
+           FROM u12 GROUP BY k),
+    s3 AS (SELECT * FROM s2 WHERE k % 7 <> 0),
+    w4 AS (SELECT k, max(pre) AS pre FROM src WHERE b = 2 GROUP BY k),
+    s4 AS (SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+                  arg_max(val_price, pre) AS val_price
+           FROM (SELECT k, pre, val, val_price FROM u12 WHERE k % 7 <> 0
+                 UNION ALL
+                 SELECT k, pre, val, val_price FROM src WHERE b = 2) u
+           GROUP BY k)
+    SELECT CAST(1 AS INT) AS commit_seq, k, 'i' AS change_op,
+           CAST(NULL AS BIGINT) AS before_pre,
+           CAST(NULL AS VARCHAR) AS before_val,
+           CAST(NULL AS DOUBLE) AS before_price,
+           pre AS after_pre, val AS after_val, val_price AS after_price
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), w2.k,
+           CASE WHEN s1.k IS NULL THEN 'i' ELSE 'u' END,
+           s1.pre, s1.val, s1.val_price, s2.pre, s2.val, s2.val_price
+    FROM w2 JOIN s2 ON w2.k = s2.k LEFT JOIN s1 ON w2.k = s1.k
+    WHERE s1.k IS NULL OR s2.pre <> s1.pre
+    UNION ALL
+    SELECT CAST(3 AS INT), s2.k, 'd', s2.pre, s2.val, s2.val_price,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM s2 WHERE s2.k % 7 = 0
+    UNION ALL
+    SELECT CAST(4 AS INT), w4.k,
+           CASE WHEN s3.k IS NULL THEN 'i' ELSE 'u' END,
+           s3.pre, s3.val, s3.val_price, s4.pre, s4.val, s4.val_price
+    FROM w4 JOIN s4 ON w4.k = s4.k LEFT JOIN s3 ON w4.k = s3.k
+    WHERE s3.k IS NULL OR s4.pre <> s3.pre
+    """,
+)
+def cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ (Hudi CDC incremental query): drive the REAL
+    ``KeyedTable.cdc()`` over a 4-commit upsert/delete history built
+    from orders, flattening the op/before/after stream for the hash
+    gate. The DuckDB oracle re-derives every per-commit state by set
+    algebra over the same slices (per-key ``arg_max`` by the unique
+    precombine = the P2 merge rule), including the no-op-update
+    suppression and the delete before-images — so the whole CDC
+    pipeline (epoch segmentation, running struct-max, lag
+    before-imaging, fabricated delete rows) is value-checked end to
+    end. Commit ids are wall-clock; the output maps them to their
+    deterministic 1-based position in the table's instant list."""
+    from ..sinks.upsert import KeyedTable
+
+    t = KeyedTable.open(spark, _cdc_fixture_table(spark, sf_dir))
+    cdc = t.cdc()
+    seq = F.lit(None).cast("int")
+    for i, c in enumerate(t.instants(), start=1):
+        seq = F.when(F.col("_commit_time") == c, F.lit(i)).otherwise(seq)
+    return cdc.select(
+        seq.cast("int").alias("commit_seq"),
+        F.col("k"),
+        F.col("_change_op").alias("change_op"),
+        F.col("_before")["pre"].alias("before_pre"),
+        F.col("_before")["val"].alias("before_val"),
+        F.col("_before")["val_price"].alias("before_price"),
+        F.col("_after")["pre"].alias("after_pre"),
+        F.col("_after")["val"].alias("after_val"),
+        F.col("_after")["val_price"].alias("after_price"),
     )
