@@ -730,6 +730,78 @@ class KeyedTable:
             self._clean()
             return commit
 
+    def apply_cdc(self, cdc_df: DataFrame) -> list[str]:
+        """Consume a CDC window (the :meth:`cdc` schema: key,
+        ``_commit_time``, ``_change_op``, ``_before``/``_after``
+        structs) into THIS table — the APPLY CHANGES INTO pattern that
+        keeps a downstream replica in sync with an upstream table
+        without full rescans. Returns the commit ids written (0-2).
+
+        Net effect first: one ``max_by(commit)`` aggregate collapses a
+        multi-commit window to each key's final (op, after) — a replica
+        needs ending states, not intermediate hops. Keys whose final op
+        is a delete are deleted; the rest are upserted with their final
+        after-image.
+
+        Precombine subtlety: a plain upsert is NOT always enough — an
+        upstream delete + re-insert with a SMALLER precombine nets to
+        an upsert whose after-image would LOSE the merge against the
+        replica's stale row, silently pinning the replica to deleted
+        state. Those keys (final after.precombine < replica's current
+        precombine) are force-converged by delete-then-upsert; they are
+        found with one key/precombine join against the replica
+        snapshot (column-pruned — payloads never read). The two-commit
+        force window is visible to replica readers (apply is not
+        atomic across its commits); schedule applies accordingly.
+
+        Idempotent by construction: re-applying the same window leaves
+        the replica state unchanged (equal precombine → incoming wins
+        with identical payload; deletes of absent keys no-op), which is
+        exactly what the at-least-once CDCReader checkpoint protocol
+        (sources/incremental.py) needs."""
+        key, pre = self.record_key, self.precombine
+        nets = (
+            cdc_df.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("_change_op").alias("op"),
+                        F.col("_after").alias("after"),
+                    ),
+                    F.col(COMMIT_COL),
+                ).alias("net")
+            )
+            .select(
+                F.col(key),
+                F.col("net")["op"].alias("__op"),
+                F.col("net")["after"].alias("__after"),
+            )
+        )
+        snap = self.snapshot()
+        force = nets.filter(F.col("__op") == "d").select(key)
+        if snap is not None:
+            stale_wins = (
+                nets.filter(F.col("__op") != "d")
+                .join(
+                    snap.select(F.col(key), F.col(pre).alias("__cur_pre")),
+                    key,
+                )
+                .filter(F.col("__after")[pre] < F.col("__cur_pre"))
+                .select(key)
+            )
+            force = force.unionByName(stale_wins)
+        commits: list[str] = []
+        if not force.isEmpty():
+            c = self.delete(force)
+            if c is not None:
+                commits.append(c)
+        upserts = nets.filter(F.col("__op") != "d").select(
+            F.col(key), F.col("__after.*")
+        )
+        if not upserts.isEmpty():
+            commits.append(self.upsert(upserts))
+        return commits
+
     # -- savepoint / restore / rollback (Hudi table lifecycle) ----------
     def _savepoint_dir(self) -> str:
         return os.path.join(self.root, "savepoints")

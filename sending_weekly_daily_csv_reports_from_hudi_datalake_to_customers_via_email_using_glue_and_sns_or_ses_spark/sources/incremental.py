@@ -219,3 +219,62 @@ class IncrementalReader:
     def reset(self) -> None:
         self.store.clean(self.table_name)
         self._release()
+
+
+class CDCReader:
+    """Checkpointed change-data-capture reader over a KeyedTable root —
+    the CDC twin of :class:`IncrementalReader`, for consumers that need
+    op/before/after rows (replication, incremental view maintenance)
+    rather than the raw upserted-row stream.
+
+    Same at-least-once protocol: ``read()`` returns the window
+    (checkpoint, latest] and STAGES the new checkpoint; call
+    ``commit()`` only after the downstream sink succeeds. Unlike the
+    row-stream reader no cache pin is needed: the window is bounded by
+    explicit (begin, end] instants, so a recompute re-reads exactly the
+    staged window — deterministic by construction (commits are
+    immutable once published, and the reader never reads beyond its
+    staged ``end``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_name: str,
+        path: str,
+        checkpoint_root: str = "/tmp/report_engine_metadata",
+    ):
+        from ..sinks.upsert import KeyedTable  # late: avoids cycle
+
+        self.spark = spark
+        self.table_name = table_name
+        self.table = KeyedTable.open(spark, path)
+        self.store = CheckpointStore(checkpoint_root, spark=spark)
+        self._pending_commit: str | None = None
+
+    def read(self) -> DataFrame | None:
+        """The not-yet-processed CDC window, or None when the upstream
+        table has no new commits (checkpoint already at latest)."""
+        begin = (
+            self.store.read(self.table_name).last_processed_commit
+            if self.store.exists(self.table_name)
+            else None
+        )
+        end = self.table.latest_commit()
+        if end is None or (begin is not None and end <= begin):
+            self._pending_commit = None
+            return None
+        self._pending_commit = end
+        return self.table.cdc(begin=begin, end=end)
+
+    def commit(self) -> None:
+        """Advance the checkpoint to the staged window end. No-op when
+        the last read found nothing."""
+        if self._pending_commit is not None:
+            self.store.advance(
+                self.table_name, self.table.root, self._pending_commit
+            )
+            self._pending_commit = None
+
+    def reset(self) -> None:
+        self.store.clean(self.table_name)
+        self._pending_commit = None

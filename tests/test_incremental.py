@@ -177,3 +177,123 @@ def test_catalog_full_hudi_fmt_reads_keyed_snapshot(spark, tmp_path):
     )
     assert df.count() == 9
     assert spark.table("orders_hudi").count() == 9
+
+
+# -- CDC reader + apply (replication) -----------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k int, pre int, v string")
+
+
+def _state(t: KeyedTable):
+    snap = t.snapshot()
+    if snap is None:
+        return []
+    return sorted((r["k"], r["pre"], r["v"]) for r in snap.collect())
+
+
+def _cdc_reader(spark, t: KeyedTable, tmp_path, name="src"):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        CDCReader,
+    )
+
+    return CDCReader(
+        spark, name, t.root, checkpoint_root=str(tmp_path / "cdc_meta")
+    )
+
+
+def test_cdc_replication_end_to_end(spark, tmp_path):
+    """The full consume loop: CDCReader windows + apply_cdc keep a
+    replica byte-equal (data columns) with the source across upserts,
+    merges, deletes, and re-inserts — syncing after every phase."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src"), record_key="k", precombine="pre"
+    )
+    dst = KeyedTable(
+        spark, str(tmp_path / "dst"), record_key="k", precombine="pre"
+    )
+    r = _cdc_reader(spark, src, tmp_path)
+
+    phases = [
+        lambda: src.upsert(_kv(spark, [(1, 10, "a"), (2, 10, "b")])),
+        lambda: (
+            src.upsert(_kv(spark, [(1, 20, "a2"), (3, 5, "c")])),
+            src.delete(spark.createDataFrame([(2,)], "k int")),
+        ),
+        lambda: (
+            src.delete(spark.createDataFrame([(1,)], "k int")),
+            src.upsert(_kv(spark, [(1, 1, "reborn"), (4, 7, "d")])),
+        ),
+    ]
+    for phase in phases:
+        phase()
+        win = r.read()
+        assert win is not None
+        dst.apply_cdc(win)
+        r.commit()
+        assert _state(dst) == _state(src)
+
+    # quiescent source → empty window, checkpoint untouched
+    assert r.read() is None
+
+
+def test_apply_cdc_forces_smaller_precombine(spark, tmp_path):
+    """The stale-win hazard: upstream delete + re-insert with a SMALLER
+    precombine must not lose the merge against the replica's old row —
+    apply must force-converge those keys."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src2"), record_key="k", precombine="pre"
+    )
+    dst = KeyedTable(
+        spark, str(tmp_path / "dst2"), record_key="k", precombine="pre"
+    )
+    r = _cdc_reader(spark, src, tmp_path, name="src2")
+    src.upsert(_kv(spark, [(1, 100, "old")]))
+    dst.apply_cdc(r.read())
+    r.commit()
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    src.upsert(_kv(spark, [(1, 1, "new")]))
+    dst.apply_cdc(r.read())
+    r.commit()
+    assert _state(dst) == [(1, 1, "new")] == _state(src)
+
+
+def test_apply_cdc_net_effect_and_idempotence(spark, tmp_path):
+    """A multi-commit window nets to final states (insert+update+delete
+    of one key → net delete); re-applying the same window is a state
+    no-op (the at-least-once contract)."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src3"), record_key="k", precombine="pre"
+    )
+    dst = KeyedTable(
+        spark, str(tmp_path / "dst3"), record_key="k", precombine="pre"
+    )
+    src.upsert(_kv(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src.upsert(_kv(spark, [(1, 2, "a2")]))
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    win = src.cdc()
+    commits = dst.apply_cdc(win)
+    assert commits  # at least the upsert commit
+    assert _state(dst) == _state(src) == [(2, 1, "b")]
+    # redelivery: same window again → unchanged state
+    dst.apply_cdc(win)
+    assert _state(dst) == [(2, 1, "b")]
+
+
+def test_apply_cdc_delete_only_window(spark, tmp_path):
+    src = KeyedTable(
+        spark, str(tmp_path / "src4"), record_key="k", precombine="pre"
+    )
+    dst = KeyedTable(
+        spark, str(tmp_path / "dst4"), record_key="k", precombine="pre"
+    )
+    r = _cdc_reader(spark, src, tmp_path, name="src4")
+    src.upsert(_kv(spark, [(1, 1, "a"), (2, 1, "b")]))
+    dst.apply_cdc(r.read())
+    r.commit()
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    commits = dst.apply_cdc(r.read())
+    r.commit()
+    assert len(commits) == 1  # one delete commit, no upsert commit
+    assert _state(dst) == [(2, 1, "b")]
