@@ -1,0 +1,167 @@
+"""Incremental view maintenance over CDC streams (operators/ivm.py):
+the maintained aggregate must equal a direct recompute over the source
+snapshot after every window — inserts, merge updates, deletes, group
+migrations, and group disappearance included."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+    MaintainedAggregate,
+    cdc_agg_delta,
+    merge_agg_delta,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+    KeyedTable,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+    CDCReader,
+)
+
+SCHEMA = "k int, pre int, grp string, amount long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _recompute(t: KeyedTable):
+    snap = t.snapshot()
+    if snap is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"])
+        for r in snap.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").alias("sum_amount"),
+        )
+        .collect()
+    )
+
+
+def _maintained(df):
+    if df is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"]) for r in df.collect()
+    )
+
+
+def test_ivm_tracks_recompute_over_random_history(spark, tmp_path):
+    """Property: after every applied window, union+re-agg maintenance
+    equals a full groupBy recompute — seeded random upserts/deletes
+    with heavy key collisions and group churn (integer sums → exact)."""
+    rng = random.Random(7)
+    src = KeyedTable(
+        spark, str(tmp_path / "src"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "src", src.root, checkpoint_root=str(tmp_path / "ck")
+    )
+    current = None
+    for step in range(6):
+        if step in (2, 4):
+            live = src.snapshot()
+            keys = [r["k"] for r in live.select("k").collect()]
+            victims = rng.sample(keys, k=max(1, len(keys) // 3))
+            src.delete(
+                spark.createDataFrame([(k,) for k in victims], "k int")
+            )
+        else:
+            batch = [
+                (
+                    rng.randrange(10),
+                    rng.randrange(100),
+                    rng.choice(["a", "b", "c"]),
+                    rng.randrange(-50, 500),
+                )
+                for _ in range(rng.randrange(2, 8))
+            ]
+            src.upsert(_df(spark, batch))
+        win = reader.read()
+        assert win is not None
+        delta = cdc_agg_delta(win, ["grp"], ["amount"])
+        current = merge_agg_delta(current, delta)
+        current = spark.createDataFrame(
+            current.collect(), current.schema
+        )  # pin (simulates the parquet roundtrip between windows)
+        reader.commit()
+        assert _maintained(current) == _recompute(src)
+
+
+def test_ivm_group_migration_and_disappearance(spark, tmp_path):
+    """An update that moves a key between groups retracts from the old
+    group and adds to the new; emptying a group drops its row."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src2"), record_key="k", precombine="pre"
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "b", 20)]))
+    delta = cdc_agg_delta(src.cdc(), ["grp"], ["amount"])
+    current = merge_agg_delta(None, delta)
+    assert _maintained(current) == [("a", 1, 10), ("b", 1, 20)]
+
+    begin = src.latest_commit()
+    src.upsert(_df(spark, [(1, 2, "b", 15)]))  # a → b migration
+    delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
+    current = merge_agg_delta(current, delta)
+    # group a emptied → dropped; b holds both rows
+    assert _maintained(current) == [("b", 2, 35)] == _recompute(src)
+
+
+def test_maintained_aggregate_end_to_end(spark, tmp_path):
+    """The parquet-backed loop: CDCReader windows → MaintainedAggregate
+    apply/publish; survives process-style reopen (fresh object reads
+    the pointer), and rebuild() heals from a snapshot."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src3"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "src3", src.root, checkpoint_root=str(tmp_path / "ck3")
+    )
+    view = MaintainedAggregate(
+        spark, str(tmp_path / "view"), group_cols=["grp"], sum_cols=["amount"]
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 5), (2, 1, "a", 7), (3, 1, "b", 1)]))
+    view.apply(reader.read())
+    reader.commit()
+    assert _maintained(view.current()) == [("a", 2, 12), ("b", 1, 1)]
+
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    src.upsert(_df(spark, [(4, 1, "b", 9)]))
+    view.apply(reader.read())
+    reader.commit()
+    assert _maintained(view.current()) == _recompute(src)
+
+    # reopen (new object over the same path) sees the published state
+    reopened = MaintainedAggregate(
+        spark, str(tmp_path / "view"), group_cols=["grp"], sum_cols=["amount"]
+    )
+    assert _maintained(reopened.current()) == _recompute(src)
+
+    # rebuild from snapshot reproduces the maintained state exactly
+    reopened.rebuild(src.snapshot())
+    assert _maintained(reopened.current()) == _recompute(src)
+
+
+def test_ivm_empty_group_row_not_dropped_on_zero_delta(spark, tmp_path):
+    """A window that touches a group but nets to zero delta must leave
+    the group's row intact (the drop rule keys on merged count, not on
+    delta count)."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src4"), record_key="k", precombine="pre"
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "a", 3)]))
+    current = merge_agg_delta(
+        None, cdc_agg_delta(src.cdc(), ["grp"], ["amount"])
+    )
+    begin = src.latest_commit()
+    # delete one key and insert another in the same group, same amount
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    src.upsert(_df(spark, [(9, 1, "a", 10)]))
+    delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
+    current = merge_agg_delta(current, delta)
+    assert _maintained(current) == [("a", 2, 13)] == _recompute(src)
