@@ -11,7 +11,7 @@ Techniques, and Applications", IEEE Data Eng. Bull. 1995) is that
 COUNT/SUM (and AVG = SUM/COUNT) are self-maintainable from insert/
 delete/update deltas alone; MIN/MAX are not (a retraction of the
 current extremum needs the base table) — this module implements the
-self-maintainable family and refuses the rest loudly.
+self-maintainable family.
 
 Contract: each CDC row contributes −(before state) and +(after state)
 to the groups those states belong to. Summed over any window the
@@ -19,6 +19,12 @@ intermediate states telescope away, so the total delta equals
 (final − initial) per key — group migrations included (the −before
 lands in the old group, the +after in the new one), and rows
 suppressed as no-ops would have contributed exactly 0.
+
+NULL measures: SQL SUM skips NULLs and returns NULL over an all-NULL
+group, while COUNT(*) does not — so each sum carries its own non-null
+count (``n_<col>``) and is nulled out when that count reaches zero.
+Without it, retracting the last non-null value would leave a
+maintained 0 where a recompute says NULL — silent divergence.
 
 Float caveat: retraction arithmetic (+x then −x) is exact for integer
 and decimal columns; for double columns the maintained sum drifts from
@@ -32,11 +38,35 @@ frame (itself |groups| rows). No join against the source table, ever.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: the maintained row-count column (also the group-liveness witness)
 COUNT_COL = "n_rows"
+
+
+def _nulled_sums(df: DataFrame, sum_cols: list[str]) -> DataFrame:
+    """Present each sum as NULL when its non-null count is zero — the
+    SQL aggregate semantics a recompute would produce. Stored that way
+    the NULL re-merges correctly too (SUM skips it; the dropped raw
+    value is necessarily the empty-sum 0, so nothing is lost).
+
+    ONLY valid on a MERGED aggregate, where ``n_<c>`` is the true
+    non-null row count. On a raw window delta ``n_<c>`` is a NET
+    change and 0 is ordinary — e.g. one key's amount updated 10→330
+    telescopes to (n: +1−1 = 0, sum: +320); nulling that out would
+    silently destroy the 320."""
+    out = df
+    for c in sum_cols:
+        out = out.withColumn(
+            f"sum_{c}",
+            F.when(F.col(f"n_{c}") != 0, F.col(f"sum_{c}")),
+        )
+    return out
 
 
 def cdc_agg_delta(
@@ -45,10 +75,11 @@ def cdc_agg_delta(
     sum_cols: list[str],
 ) -> DataFrame:
     """The window's aggregate delta: for each group (fields of the CDC
-    payload structs), the net change to the row count and to each
-    ``sum_cols`` total. Output schema: ``group_cols + [n_rows] +
-    [sum_<c> for c in sum_cols]`` — the same shape the maintained
-    aggregate table uses, so :func:`merge_agg_delta` is one union."""
+    payload structs), the net change to the row count, to each
+    ``sum_cols`` total, and to each total's non-null count. Output
+    schema: ``group_cols + [n_rows] + [sum_<c>, n_<c> per c]`` — the
+    same shape the maintained aggregate uses, so
+    :func:`merge_agg_delta` is one union."""
     sides = []
     for img, sign in (("_before", -1), ("_after", 1)):
         sides.append(
@@ -59,16 +90,30 @@ def cdc_agg_delta(
                     (F.col(img)[c] * sign).alias(f"sum_{c}")
                     for c in sum_cols
                 ],
+                *[
+                    F.when(F.col(img)[c].isNotNull(), sign)
+                    .otherwise(0)
+                    .cast("long")
+                    .alias(f"n_{c}")
+                    for c in sum_cols
+                ],
             )
         )
     contrib = sides[0].unionByName(sides[1])
+    # raw sums, deliberately NOT null-adjusted — see _nulled_sums
     return contrib.groupBy(*group_cols).agg(
         F.sum(COUNT_COL).alias(COUNT_COL),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[F.sum(f"n_{c}").alias(f"n_{c}") for c in sum_cols],
     )
 
 
-def merge_agg_delta(current: DataFrame | None, delta: DataFrame) -> DataFrame:
+def merge_agg_delta(
+    current: DataFrame | None,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
     """Fold a delta into the maintained aggregate: union + re-aggregate
     (both sides share the delta schema), dropping groups whose row
     count reaches zero — the group no longer exists upstream. With
@@ -78,20 +123,17 @@ def merge_agg_delta(current: DataFrame | None, delta: DataFrame) -> DataFrame:
     inputs are |groups|-sized, the aggregation is partial-combined, and
     there is exactly one shuffle on the group key."""
     if current is None:
-        merged = delta
+        merged = delta  # genesis window: its net n_<c> IS the true count
     else:
-        group_cols = [
-            c
-            for c in delta.columns
-            if c != COUNT_COL and not c.startswith("sum_")
+        value_cols = [COUNT_COL] + [
+            name for c in sum_cols for name in (f"sum_{c}", f"n_{c}")
         ]
-        value_cols = [c for c in delta.columns if c not in group_cols]
         merged = (
             current.unionByName(delta)
             .groupBy(*group_cols)
             .agg(*[F.sum(c).alias(c) for c in value_cols])
         )
-    return merged.filter(F.col(COUNT_COL) != 0)
+    return _nulled_sums(merged, sum_cols).filter(F.col(COUNT_COL) != 0)
 
 
 class MaintainedAggregate:
@@ -104,19 +146,24 @@ class MaintainedAggregate:
             spark, path, group_cols=["status"], sum_cols=["amount"])
         win = reader.read()
         if win is not None:
-            view.apply(win)          # write-after-read
+            view.apply(win, through=reader.staged_end())
             reader.commit()          # checkpoint only after the sink
 
     Durability: each apply writes a NEW versioned dir and flips a
     pointer file (the KeyedTable commit discipline in miniature) — a
-    crash mid-write leaves the previous version live. Combined with the
-    reader's commit-after-sink protocol the loop is at-least-once with
-    an idempotence caveat unlike ``apply_cdc``'s: re-applying the SAME
-    window double-counts (deltas are not idempotent), so the caller
-    must pair one reader.commit() with each successful apply() — the
-    crash window between them re-delivers, which for a maintained
-    REPORT means one stale-refresh, healed by ``rebuild()`` from the
-    source snapshot (O(table), the escape hatch IVM systems ship)."""
+    crash mid-write leaves the previous version live.
+
+    Exactly-once: aggregate deltas are NOT idempotent (re-adding a
+    delta double-counts), so the pointer records the upstream instant
+    the view is maintained ``through``; :meth:`apply` with a
+    ``through`` token at or below it is a no-op. A crash between
+    ``apply`` and ``reader.commit()`` therefore redelivers a window
+    the view recognizes and skips — at-least-once delivery, exactly-
+    once effect. Omitting ``through`` keeps the raw at-least-once
+    behavior (caller owns dedup). :meth:`rebuild` seeds or re-seeds
+    from a source snapshot; pass the snapshot's latest commit as its
+    ``through`` so the next window resumes without double-counting
+    (and reset the reader checkpoint to the same instant)."""
 
     def __init__(
         self,
@@ -125,8 +172,6 @@ class MaintainedAggregate:
         group_cols: list[str],
         sum_cols: list[str],
     ):
-        import os
-
         self.spark = spark
         self.path = path
         self.group_cols = group_cols
@@ -134,54 +179,80 @@ class MaintainedAggregate:
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:
-        import os
-
         return os.path.join(self.path, "_latest")
 
-    def _version(self) -> int | None:
+    def _meta(self) -> dict | None:
         try:
             with open(self._pointer()) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+                raw = f.read().strip()
+        except FileNotFoundError:
             return None
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return {"version": int(raw), "through": None}  # v1 pointer
+
+    def through(self) -> str | None:
+        """The upstream instant the aggregate is maintained through
+        (None when unknown — never applied with a token)."""
+        meta = self._meta()
+        return meta.get("through") if meta else None
 
     def current(self) -> DataFrame | None:
-        import os
-
-        v = self._version()
-        if v is None:
+        meta = self._meta()
+        if meta is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v={meta['version']}")
+        )
 
-    def apply(self, cdc_window: DataFrame) -> None:
-        """Fold one CDC window into the aggregate and publish."""
+    def apply(self, cdc_window: DataFrame, through: str | None = None) -> bool:
+        """Fold one CDC window into the aggregate and publish. Returns
+        False (no-op) when ``through`` shows the window was already
+        applied — the redelivery guard."""
+        if through is not None:
+            seen = self.through()
+            if seen is not None and through <= seen:
+                return False
         delta = cdc_agg_delta(cdc_window, self.group_cols, self.sum_cols)
-        self._publish(merge_agg_delta(self.current(), delta))
+        self._publish(
+            merge_agg_delta(
+                self.current(), delta, self.group_cols, self.sum_cols
+            ),
+            through,
+        )
+        return True
 
-    def rebuild(self, source_snapshot: DataFrame) -> None:
+    def rebuild(
+        self, source_snapshot: DataFrame, through: str | None = None
+    ) -> None:
         """O(table) recompute from a source snapshot — initial seeding,
-        or healing after a crash in the apply/commit window."""
+        or healing after an untokenized crash. Record the snapshot's
+        latest commit as ``through`` and realign the reader checkpoint
+        to it, or the next window will re-fold changes the snapshot
+        already contains."""
         agg = source_snapshot.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias(COUNT_COL),
             *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
+            *[F.count(c).alias(f"n_{c}") for c in self.sum_cols],
         )
-        self._publish(agg)
+        self._publish(agg, through)
 
-    def _publish(self, df: DataFrame) -> None:
-        import os
-
-        v = (self._version() or 0) + 1
+    def _publish(self, df: DataFrame, through: str | None) -> None:
+        meta = self._meta()
+        v = (meta["version"] if meta else 0) + 1
         out = os.path.join(self.path, f"v={v}")
         df.write.mode("overwrite").parquet(out)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(v))
+            json.dump({"version": v, "through": through}, f)
         os.replace(tmp, self._pointer())
-        # keep last two versions (readers of v-1 may be in flight)
+        # keep last two versions (readers of v-1 may be in flight);
+        # ignore non-numeric v= entries (backups etc.) rather than
+        # wedging every later publish on them
         for name in os.listdir(self.path):
-            if name.startswith("v=") and int(name[2:]) < v - 1:
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(self.path, name), ignore_errors=True
-                )
+            if name.startswith("v=") and name[2:].isdigit():
+                if int(name[2:]) < v - 1:
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )

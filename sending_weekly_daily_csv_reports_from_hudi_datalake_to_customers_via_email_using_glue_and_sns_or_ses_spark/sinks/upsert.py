@@ -226,6 +226,14 @@ class KeyedTable:
                     os.path.join(self.root, "log", f"c={c}"),
                     ignore_errors=True,
                 )
+        ts_dir = os.path.join(self.root, "tombstones")
+        if os.path.isdir(ts_dir):
+            for d in os.listdir(ts_dir):
+                c = d.split("=", 1)[1] if "=" in d else None
+                if c is not None and (latest is None or c > latest):
+                    shutil.rmtree(
+                        os.path.join(ts_dir, d), ignore_errors=True
+                    )
         tl = self._timeline_dir()
         if os.path.isdir(tl):
             for name in os.listdir(tl):
@@ -506,10 +514,11 @@ class KeyedTable:
 
         Implementation (all keyed by record key — one shuffle family):
         the change stream is the commit-log window plus fabricated
-        delete rows (deletes write no log: a delete commit's dropped
-        keys are the key-diff of its neighbouring snapshots, one
-        column-pruned anti-join per delete commit — bounded by delete
-        count, not table size), seeded with the as-of-``begin`` state
+        delete rows — read from the delete commit's tombstone log
+        (O(dropped keys), cleaner-proof) or, for pre-tombstone
+        vintages, the key-diff of its neighbouring snapshots (one
+        column-pruned anti-join per delete commit, subject to the
+        retained-history rail) — seeded with the as-of-``begin`` state
         restricted (semi-join) to touched keys. Per key, deletes split
         history into epochs (running delete count); the state after
         each row is the epoch's running ``max(struct(precombine,
@@ -549,14 +558,27 @@ class KeyedTable:
 
         timeline = self._timeline_instants()
         for d in (c for c in window if timeline.get(c) == "delete"):
-            prev = insts[insts.index(d) - 1] if insts.index(d) else None
-            if prev is None:
-                continue  # delete as first instant: nothing to drop
-            dropped = (
-                self._snapshot_as_of(prev)
-                .select(key)
-                .join(self._snapshot_as_of(d).select(key), key, "left_anti")
-            )
+            ts_path = os.path.join(self.root, "tombstones", f"c={d}")
+            if os.path.isdir(ts_path):
+                # late-r7 tables: the delete recorded its dropped keys —
+                # O(dropped) read, valid even after the cleaner removed
+                # the delete's snapshot dirs (a lagging CDC consumer
+                # stays serviceable)
+                dropped = self.spark.read.parquet(ts_path).select(key)
+            else:
+                # pre-tombstone vintage: key-diff of the neighbouring
+                # snapshots (raises the retained-history rail when the
+                # cleaner got there first)
+                prev = insts[insts.index(d) - 1] if insts.index(d) else None
+                if prev is None:
+                    continue  # delete as first instant: nothing to drop
+                dropped = (
+                    self._snapshot_as_of(prev)
+                    .select(key)
+                    .join(
+                        self._snapshot_as_of(d).select(key), key, "left_anti"
+                    )
+                )
             changes = changes.unionByName(
                 dropped.select(
                     F.col(key),
@@ -716,6 +738,21 @@ class KeyedTable:
                 keys.select(self.record_key), self.record_key, "left_anti"
             )
             self._write_snapshot(remaining, commit)
+            # tombstone log: the keys this delete actually dropped, as a
+            # key-only parquet dir (late r7). CDC reads deleted keys
+            # from here directly — O(dropped keys), no neighbouring-
+            # snapshot diff — which also decouples CDC windows from the
+            # cleaner: a lagging consumer can fabricate delete rows for
+            # a commit whose snapshot dirs are long gone. Written
+            # before the pointer flip like the marker (same crash
+            # rail: beyond-pointer tombstones are orphans).
+            dropped = existing.join(
+                keys.select(self.record_key), self.record_key, "left_semi"
+            ).select(self.record_key)
+            self._staged_write(
+                lambda p: dropped.write.mode("overwrite").parquet(p),
+                os.path.join(self.root, "tombstones", f"c={commit}"),
+            )
             # marker BEFORE the pointer flip — deletes are the one op
             # with no log rows, so the time-travel delete rail depends
             # on the marker existing for every PUBLISHED delete: with
@@ -754,11 +791,22 @@ class KeyedTable:
         force window is visible to replica readers (apply is not
         atomic across its commits); schedule applies accordingly.
 
-        Idempotent by construction: re-applying the same window leaves
-        the replica state unchanged (equal precombine → incoming wins
-        with identical payload; deletes of absent keys no-op), which is
-        exactly what the at-least-once CDCReader checkpoint protocol
-        (sources/incremental.py) needs."""
+        Idempotent in BOTH senses under at-least-once redelivery (the
+        CDCReader checkpoint protocol, sources/incremental.py): state —
+        re-applying the same window leaves the replica unchanged — and
+        commits — deletes are presence-filtered against the replica and
+        upserts drop rows already byte-equal in it, so a redelivered
+        window writes NO commits at all (no whole-table COW rewrites,
+        no cleaner advancement, no phantom rows in the replica's own
+        incremental/CDC streams).
+
+        The net aggregate is persisted for the duration of the apply:
+        its consumers (the force probe, the delete's key frame, the
+        changed-row filter, the upsert) would otherwise each re-run
+        the full CDC window plan — log scan, delete fabrication,
+        window family — once per action."""
+        from pyspark import StorageLevel
+
         key, pre = self.record_key, self.precombine
         nets = (
             cdc_df.groupBy(key)
@@ -776,31 +824,55 @@ class KeyedTable:
                 F.col("net")["op"].alias("__op"),
                 F.col("net")["after"].alias("__after"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        snap = self.snapshot()
-        force = nets.filter(F.col("__op") == "d").select(key)
-        if snap is not None:
-            stale_wins = (
-                nets.filter(F.col("__op") != "d")
-                .join(
-                    snap.select(F.col(key), F.col(pre).alias("__cur_pre")),
-                    key,
-                )
-                .filter(F.col("__after")[pre] < F.col("__cur_pre"))
-                .select(key)
+        try:
+            snap = self.snapshot()
+            commits: list[str] = []
+            upserts = nets.filter(F.col("__op") != "d").select(
+                F.col(key), F.col("__after.*")
             )
-            force = force.unionByName(stale_wins)
-        commits: list[str] = []
-        if not force.isEmpty():
-            c = self.delete(force)
-            if c is not None:
-                commits.append(c)
-        upserts = nets.filter(F.col("__op") != "d").select(
-            F.col(key), F.col("__after.*")
-        )
-        if not upserts.isEmpty():
-            commits.append(self.upsert(upserts))
-        return commits
+            if snap is not None:
+                # force-convergence set: deletes of PRESENT keys, plus
+                # keys whose final after-image would lose the merge
+                # against the replica's stale row
+                d_present = (
+                    nets.filter(F.col("__op") == "d")
+                    .join(snap.select(key), key, "left_semi")
+                    .select(key)
+                )
+                stale_wins = (
+                    nets.filter(F.col("__op") != "d")
+                    .join(
+                        snap.select(
+                            F.col(key), F.col(pre).alias("__cur_pre")
+                        ),
+                        key,
+                    )
+                    .filter(F.col("__after")[pre] < F.col("__cur_pre"))
+                    .select(key)
+                )
+                force = d_present.unionByName(stale_wins)
+                if not force.isEmpty():
+                    c = self.delete(force)
+                    if c is not None:
+                        commits.append(c)
+                # redelivery no-op: drop rows already byte-equal in the
+                # replica (null-unsafe equality — NULL-bearing rows are
+                # conservatively re-upserted, which is state-harmless).
+                # Safe against the force pass: a force-deleted key's
+                # after-image differs from the pre-delete row by
+                # construction, so it never matches here.
+                upserts = upserts.join(
+                    snap.select(*upserts.columns),
+                    on=list(upserts.columns),
+                    how="left_anti",
+                )
+            if not upserts.isEmpty():
+                commits.append(self.upsert(upserts))
+            return commits
+        finally:
+            nets.unpersist()
 
     # -- savepoint / restore / rollback (Hudi table lifecycle) ----------
     def _savepoint_dir(self) -> str:

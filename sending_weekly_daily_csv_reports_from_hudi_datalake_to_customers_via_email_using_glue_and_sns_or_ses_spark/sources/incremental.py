@@ -232,9 +232,20 @@ class CDCReader:
     ``commit()`` only after the downstream sink succeeds. Unlike the
     row-stream reader no cache pin is needed: the window is bounded by
     explicit (begin, end] instants, so a recompute re-reads exactly the
-    staged window — deterministic by construction (commits are
-    immutable once published, and the reader never reads beyond its
-    staged ``end``)."""
+    staged window (the reader never reads beyond its staged ``end``).
+
+    Retention coupling: the window's BEFORE-images reconstruct state
+    as of the checkpoint, which needs a surviving snapshot ≤ it (or a
+    clean log replay) — exactly the time-travel rail. Deleted-key
+    fabrication is cleaner-proof on tombstone-vintage tables, but a
+    consumer lagging further than the upstream's snapshot retention
+    can still hit the rail on its seed; size ``keep_versions`` to
+    cover the maximum consumer lag, or pin a ``savepoint`` at the
+    slowest checkpoint (the same sizing rule Hudi's cleaner-vs-
+    incremental-query docs give). For sinks that need exactly-once,
+    pair each window with :meth:`staged_end` — e.g.
+    ``MaintainedAggregate.apply(win, through=reader.staged_end())``
+    makes redelivered windows no-ops."""
 
     def __init__(
         self,
@@ -265,6 +276,12 @@ class CDCReader:
             return None
         self._pending_commit = end
         return self.table.cdc(begin=begin, end=end)
+
+    def staged_end(self) -> str | None:
+        """The staged window's end instant (None when the last read
+        found nothing) — the idempotence token exactly-once sinks pair
+        with each window (see class docstring)."""
+        return self._pending_commit
 
     def commit(self) -> None:
         """Advance the checkpoint to the staged window end. No-op when

@@ -297,3 +297,24 @@ def test_apply_cdc_delete_only_window(spark, tmp_path):
     r.commit()
     assert len(commits) == 1  # one delete commit, no upsert commit
     assert _state(dst) == [(2, 1, "b")]
+
+
+def test_apply_cdc_redelivery_writes_no_commits(spark, tmp_path):
+    """Commit-level idempotence: a redelivered window (crash between
+    sink and reader.commit) must not rewrite the replica at all — no
+    delete commit (presence-filtered) and no upsert commit (byte-equal
+    rows dropped)."""
+    src = KeyedTable(
+        spark, str(tmp_path / "src5"), record_key="k", precombine="pre"
+    )
+    dst = KeyedTable(
+        spark, str(tmp_path / "dst5"), record_key="k", precombine="pre"
+    )
+    src.upsert(_kv(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    win = src.cdc()
+    assert len(dst.apply_cdc(win)) >= 1
+    before_instants = dst.instants()
+    assert dst.apply_cdc(win) == []  # redelivery: zero commits
+    assert dst.instants() == before_instants
+    assert _state(dst) == _state(src)

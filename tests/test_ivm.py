@@ -77,7 +77,10 @@ def test_ivm_tracks_recompute_over_random_history(spark, tmp_path):
                     rng.randrange(10),
                     rng.randrange(100),
                     rng.choice(["a", "b", "c"]),
-                    rng.randrange(-50, 500),
+                    # NULL measures included: the n_<col> machinery must
+                    # keep maintained sums equal to SQL-semantics
+                    # recomputes (NULL over all-NULL groups)
+                    None if rng.random() < 0.25 else rng.randrange(-50, 500),
                 )
                 for _ in range(rng.randrange(2, 8))
             ]
@@ -85,7 +88,7 @@ def test_ivm_tracks_recompute_over_random_history(spark, tmp_path):
         win = reader.read()
         assert win is not None
         delta = cdc_agg_delta(win, ["grp"], ["amount"])
-        current = merge_agg_delta(current, delta)
+        current = merge_agg_delta(current, delta, ["grp"], ["amount"])
         current = spark.createDataFrame(
             current.collect(), current.schema
         )  # pin (simulates the parquet roundtrip between windows)
@@ -101,13 +104,13 @@ def test_ivm_group_migration_and_disappearance(spark, tmp_path):
     )
     src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "b", 20)]))
     delta = cdc_agg_delta(src.cdc(), ["grp"], ["amount"])
-    current = merge_agg_delta(None, delta)
+    current = merge_agg_delta(None, delta, ["grp"], ["amount"])
     assert _maintained(current) == [("a", 1, 10), ("b", 1, 20)]
 
     begin = src.latest_commit()
     src.upsert(_df(spark, [(1, 2, "b", 15)]))  # a → b migration
     delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
-    current = merge_agg_delta(current, delta)
+    current = merge_agg_delta(current, delta, ["grp"], ["amount"])
     # group a emptied → dropped; b holds both rows
     assert _maintained(current) == [("b", 2, 35)] == _recompute(src)
 
@@ -156,12 +159,69 @@ def test_ivm_empty_group_row_not_dropped_on_zero_delta(spark, tmp_path):
     )
     src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "a", 3)]))
     current = merge_agg_delta(
-        None, cdc_agg_delta(src.cdc(), ["grp"], ["amount"])
+        None, cdc_agg_delta(src.cdc(), ["grp"], ["amount"]), ["grp"], ["amount"]
     )
     begin = src.latest_commit()
     # delete one key and insert another in the same group, same amount
     src.delete(spark.createDataFrame([(1,)], "k int"))
     src.upsert(_df(spark, [(9, 1, "a", 10)]))
     delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
-    current = merge_agg_delta(current, delta)
+    current = merge_agg_delta(current, delta, ["grp"], ["amount"])
     assert _maintained(current) == [("a", 2, 13)] == _recompute(src)
+
+
+def test_ivm_null_measure_retraction(spark, tmp_path):
+    """Retracting the last non-null value must take the maintained sum
+    to NULL (SQL SUM over an all-NULL group), not 0 — the silent
+    divergence the n_<col> companion count exists to prevent."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcN"), record_key="k", precombine="pre"
+    )
+    src.upsert(_df(spark, [(1, 1, "a", None), (2, 1, "a", 5)]))
+    current = merge_agg_delta(
+        None, cdc_agg_delta(src.cdc(), ["grp"], ["amount"]), ["grp"], ["amount"]
+    )
+    assert _maintained(current) == [("a", 2, 5)]
+    begin = src.latest_commit()
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
+    current = merge_agg_delta(current, delta, ["grp"], ["amount"])
+    assert _maintained(current) == [("a", 1, None)] == _recompute(src)
+    # and back: a non-null insert revives the sum
+    begin = src.latest_commit()
+    src.upsert(_df(spark, [(3, 1, "a", 7)]))
+    delta = cdc_agg_delta(src.cdc(begin=begin), ["grp"], ["amount"])
+    current = merge_agg_delta(current, delta, ["grp"], ["amount"])
+    assert _maintained(current) == [("a", 2, 7)] == _recompute(src)
+
+
+def test_maintained_aggregate_exactly_once_token(spark, tmp_path):
+    """The through-token redelivery guard: re-applying a window with
+    the same staged end is a no-op (returns False, state unchanged) —
+    the crash-between-apply-and-commit recovery path."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcT"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcT", src.root, checkpoint_root=str(tmp_path / "ckT")
+    )
+    view = MaintainedAggregate(
+        spark, str(tmp_path / "viewT"), group_cols=["grp"], sum_cols=["amount"]
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 5)]))
+    win = reader.read()
+    end = reader.staged_end()
+    assert view.apply(win, through=end) is True
+    # crash before reader.commit(): the window is redelivered
+    win2 = reader.read()
+    assert reader.staged_end() == end
+    assert view.apply(win2, through=end) is False  # guarded no-op
+    reader.commit()
+    assert _maintained(view.current()) == [("a", 1, 5)] == _recompute(src)
+    assert view.through() == end
+    # the next real window applies normally
+    src.upsert(_df(spark, [(2, 1, "a", 3)]))
+    win3 = reader.read()
+    assert view.apply(win3, through=reader.staged_end()) is True
+    reader.commit()
+    assert _maintained(view.current()) == [("a", 2, 8)] == _recompute(src)

@@ -829,15 +829,24 @@ def test_cdc_matches_bruteforce_snapshot_diffs(spark, tmp_path, table_type):
     assert not head & tail
 
 
-def test_cdc_raises_on_cleaned_delete_history(spark, tmp_path):
-    """Same retained-history rail as time travel: a delete whose
-    snapshot the cleaner removed makes the window unreconstructable —
-    raise, never resurrect."""
+def test_cdc_cleaned_delete_history(spark, tmp_path):
+    """Deleted-key fabrication survives the cleaner on tombstone-vintage
+    tables (the delete recorded its dropped keys); a pre-tombstone
+    table falls back to the neighbouring-snapshot diff and hits the
+    same retained-history rail as time travel — raise, never
+    resurrect."""
+    import shutil
+
     t = _lifecycle_table(spark, tmp_path, keep_versions=1)
     t.upsert(_kv_df(spark, [(1, 1, "a"), (2, 1, "b")]))
-    t.delete(spark.createDataFrame([(1,)], "k int"))
+    d = t.delete(spark.createDataFrame([(1,)], "k int"))
     t.upsert(_kv_df(spark, [(3, 1, "c")]))
     t.upsert(_kv_df(spark, [(4, 1, "d")]))  # cleaner eats the delete snapshot
+    rows = {(r["k"], r["_commit_time"]): r for r in t.cdc().collect()}
+    assert rows[(1, d)]["_change_op"] == "d"
+    assert rows[(1, d)]["_before"]["v"] == "a"
+    # pre-tombstone vintage: remove the tombstone log → fallback rails
+    shutil.rmtree(os.path.join(t.root, "tombstones"))
     with pytest.raises(ValueError, match="cleaner"):
         t.cdc().collect()
 
