@@ -177,6 +177,61 @@ class KeyedTable:
             ts = str(int(last) + 1).zfill(len(ts))
         return ts
 
+    # -- schema evolution (late r7) -------------------------------------
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
+
+    def _update_schema(self, incoming: DataFrame) -> None:
+        """Record the table's current DATA schema (_schema.json, the
+        Hudi commit-metadata schema analogue): the union of every
+        upsert's columns, in first-seen order, all nullable. The
+        explicit-schema log read (sources/incremental.read_commit_log)
+        depends on it — pre-evolution commit dirs are NULL-filled by
+        the parquet reader against this schema, with no per-file
+        footer sweep (mergeSchema) at any scale.
+
+        Adding nullable columns is the supported evolution; a same-name
+        TYPE change raises here, loudly, before any file is written —
+        the union would otherwise fail (COW) or poison reads (MOR)."""
+        from pyspark.sql.types import StructField, StructType
+
+        new_fields = [
+            f for f in incoming.schema.fields if f.name != COMMIT_COL
+        ]
+        current: list[StructField] = []
+        if os.path.isfile(self._schema_path()):
+            with open(self._schema_path()) as f:
+                current = list(StructType.fromJson(json.load(f)).fields)
+        by_name = {f.name: f for f in current}
+        changed = False
+        for f in new_fields:
+            seen = by_name.get(f.name)
+            if seen is None:
+                current.append(StructField(f.name, f.dataType, True))
+                changed = True
+            elif seen.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution supports ADDING nullable columns, "
+                    f"not type changes: column {f.name!r} is "
+                    f"{seen.dataType.simpleString()} in the table but "
+                    f"{f.dataType.simpleString()} in the incoming batch"
+                )
+        if changed or not os.path.isfile(self._schema_path()):
+            tmp = self._schema_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(json.loads(StructType(current).json()), f)
+            os.replace(tmp, self._schema_path())
+
+    def table_schema(self):
+        """The table's current data schema, or None for roots created
+        before schema recording (they infer from files)."""
+        from pyspark.sql.types import StructType
+
+        if not os.path.isfile(self._schema_path()):
+            return None
+        with open(self._schema_path()) as f:
+            return StructType.fromJson(json.load(f))
+
     # -- P9: transactions / conflict detection --------------------------
     @contextmanager
     def _txn(self):
@@ -453,7 +508,13 @@ class KeyedTable:
                 delta = delta.filter(F.col(COMMIT_COL) > F.lit(base_commit))
         if delta is None:
             return base  # pre-log table (or no log yet): base only
-        unioned = delta if base is None else base.unionByName(delta)
+        unioned = (
+            delta
+            if base is None
+            # allowMissingColumns: a pre-evolution base snapshot merges
+            # with a post-evolution log window (missing cols NULL)
+            else base.unionByName(delta, allowMissingColumns=True)
+        )
         return _merge_latest(
             unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
         )
@@ -592,6 +653,20 @@ class KeyedTable:
         if begin is not None:
             base = self._snapshot_as_of(begin)
             if base is not None:
+                # schema-evolution tolerance: a pre-evolution base lacks
+                # later columns — NULL-fill them so the payload struct
+                # matches the log's (post-evolution) shape
+                log_types = {f.name: f.dataType for f in log.schema.fields}
+                base_payload = F.struct(
+                    *[
+                        (
+                            F.col(c)
+                            if c in base.columns
+                            else F.lit(None).cast(log_types[c])
+                        ).alias(c)
+                        for c in data_cols
+                    ]
+                )
                 seed = base.join(
                     changes.select(key), key, "left_semi"
                 ).select(
@@ -599,7 +674,7 @@ class KeyedTable:
                     F.col(COMMIT_COL),  # actual commit ≤ begin < window
                     F.lit(False).alias("__is_delete"),
                     F.lit(False).alias("__in_window"),
-                    payload.alias("__row"),
+                    base_payload.alias("__row"),
                 )
                 changes = changes.unionByName(seed)
 
@@ -675,6 +750,7 @@ class KeyedTable:
 
         with self._txn():
             self._check_conflict(base_instant, deduped)
+            self._update_schema(deduped)  # widening is recorded first
             commit = self._new_commit_id()
             stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
 
@@ -688,12 +764,14 @@ class KeyedTable:
             # wins; on ties the incoming row (larger _commit_time) wins.
             # Read under the lock: non-conflicting concurrent commits
             # are thereby rebased onto automatically.
+            # allowMissingColumns = schema evolution: columns either
+            # side lacks are NULL-filled (Hudi reconcile semantics).
             existing = self.snapshot()
             merged = (
                 stamped
                 if existing is None
                 else _merge_latest(
-                    existing.unionByName(stamped),
+                    existing.unionByName(stamped, allowMissingColumns=True),
                     self.record_key,
                     self.precombine,
                     prefer_col=COMMIT_COL,
@@ -862,12 +940,16 @@ class KeyedTable:
                 # conservatively re-upserted, which is state-harmless).
                 # Safe against the force pass: a force-deleted key's
                 # after-image differs from the pre-delete row by
-                # construction, so it never matches here.
-                upserts = upserts.join(
-                    snap.select(*upserts.columns),
-                    on=list(upserts.columns),
-                    how="left_anti",
-                )
+                # construction, so it never matches here. Skipped when
+                # the window carries newly-evolved columns the replica
+                # snapshot lacks (first post-evolution apply): every
+                # row is genuinely new-shaped then.
+                if set(upserts.columns) <= set(snap.columns):
+                    upserts = upserts.join(
+                        snap.select(*upserts.columns),
+                        on=list(upserts.columns),
+                        how="left_anti",
+                    )
             if not upserts.isEmpty():
                 commits.append(self.upsert(upserts))
             return commits

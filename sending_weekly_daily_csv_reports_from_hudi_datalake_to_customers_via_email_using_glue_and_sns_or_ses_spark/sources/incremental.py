@@ -58,9 +58,30 @@ def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
     log_dir = os.path.join(root, "log")
     if not os.path.isdir(log_dir):
         return None
+    reader = spark.read.option("basePath", log_dir)
+    # schema evolution (late r7): when the table records its current
+    # schema (_schema.json, updated by every widening upsert), read the
+    # log with it EXPLICITLY — parquet fills columns a pre-evolution
+    # commit dir lacks with NULL, and no per-file footer sweep
+    # (mergeSchema) is ever needed. Tables that never evolved have no
+    # schema file and infer as before.
+    schema_path = os.path.join(root, "_schema.json")
+    if os.path.isfile(schema_path):
+        import json as _json
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        with open(schema_path) as f:
+            data_schema = StructType.fromJson(_json.load(f))
+        # the partition-dir column is appended by the source, typed as
+        # it parses (int64 for the numeric commit ids)
+        reader = reader.schema(
+            StructType(
+                list(data_schema.fields) + [StructField("c", LongType())]
+            )
+        )
     df = (
-        spark.read.option("basePath", log_dir)
-        .parquet(os.path.join(log_dir, "c=*"))
+        reader.parquet(os.path.join(log_dir, "c=*"))
         .withColumnRenamed("c", COMMIT_COL)
         .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
     )

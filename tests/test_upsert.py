@@ -967,3 +967,95 @@ def test_restore_mor_table(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in t.snapshot().collect()
     ) == [(1, "a"), (2, "b")]
+
+
+# -- schema evolution (late r7) -----------------------------------------
+
+
+def test_schema_evolution_cow(spark, tmp_path):
+    """Adding a nullable column mid-history: old rows read NULL, the
+    log serves all commits under the evolved schema with no footer
+    sweep, and an incoming batch MISSING a column NULLs it on win
+    (overwrite-payload semantics, Hudi reconcile)."""
+    t = _lifecycle_table(spark, tmp_path, name="evo")
+    t.upsert(_kv_df(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t.upsert(
+        spark.createDataFrame(
+            [(3, 1, "c", "new"), (1, 5, "a2", "x")],
+            "k int, pre int, v string, w string",
+        )
+    )
+    snap = {r["k"]: (r["v"], r["w"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a2", "x"), 2: ("b", None), 3: ("c", "new")}
+    # the log stream carries every commit in the evolved shape
+    log = t.log()
+    assert "w" in log.columns
+    assert log.count() == 4
+    # incoming batch missing v: the winner's v becomes NULL
+    t.upsert(
+        spark.createDataFrame([(2, 9, "later")], "k int, pre int, w string")
+    )
+    row = {r["k"]: (r["v"], r["w"]) for r in t.snapshot().collect()}[2]
+    assert row == (None, "later")
+
+
+def test_schema_evolution_mor_and_reopen(spark, tmp_path):
+    """MOR: evolution lives only in the log until compaction; the
+    read-time merge NULL-fills the pre-evolution base, compaction
+    materializes the evolved schema, and a reopened root keeps it."""
+    t = _lifecycle_table(
+        spark, tmp_path, name="evomor", table_type="MERGE_ON_READ"
+    )
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    t.compact()  # pre-evolution base snapshot
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, "b", 7)], "k int, pre int, v string, z int"
+        )
+    )
+    snap = {r["k"]: (r["v"], r["z"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", None), 2: ("b", 7)}
+    t.compact()
+    reopened = KeyedTable.open(spark, t.root)
+    snap = {r["k"]: (r["v"], r["z"]) for r in reopened.snapshot().collect()}
+    assert snap == {1: ("a", None), 2: ("b", 7)}
+    assert [f.name for f in reopened.table_schema().fields] == [
+        "k",
+        "pre",
+        "v",
+        "z",
+    ]
+
+
+def test_schema_evolution_cdc_and_replication(spark, tmp_path):
+    """CDC across an evolution boundary: pre-evolution before-images
+    NULL-fill the new column (including the as-of-begin seed), and the
+    apply loop carries the replica through the widening."""
+    src = _lifecycle_table(spark, tmp_path, name="evosrc")
+    dst = _lifecycle_table(spark, tmp_path, name="evodst")
+    c1 = src.upsert(_kv_df(spark, [(1, 1, "a")]))
+    dst.apply_cdc(src.cdc())
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 5, "a2", 42), (2, 1, "b", 7)],
+            "k int, pre int, v string, z int",
+        )
+    )
+    win = src.cdc(begin=c1)  # seed comes from the pre-evolution state
+    rows = {r["k"]: r for r in win.collect()}
+    assert rows[1]["_change_op"] == "u"
+    assert rows[1]["_before"]["v"] == "a" and rows[1]["_before"]["z"] is None
+    assert rows[1]["_after"]["z"] == 42
+    dst.apply_cdc(win)
+    assert sorted(
+        (r["k"], r["v"], r["z"]) for r in dst.snapshot().collect()
+    ) == [(1, "a2", 42), (2, "b", 7)]
+
+
+def test_schema_type_change_raises(spark, tmp_path):
+    t = _lifecycle_table(spark, tmp_path, name="evotype")
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="type changes"):
+        t.upsert(
+            spark.createDataFrame([(2, 1, 99)], "k int, pre int, v int")
+        )

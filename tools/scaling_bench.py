@@ -43,6 +43,7 @@ BASE_SF = "/root/testdata/sf0.1"
 #: the queries whose scaling matters most (top cost in BENCH_r01 + the
 #: r2 rewrites whose scale behavior the verdict questioned)
 SCALE_QUERIES = [
+    "cdc_scan",
     "q1_pricing_summary",
     "join_multiway_revenue",
     "join_range_asof",
