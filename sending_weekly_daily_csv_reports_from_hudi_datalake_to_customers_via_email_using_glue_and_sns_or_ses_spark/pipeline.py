@@ -127,3 +127,88 @@ def config_from_loaders(
         file_expires_in=int(email.get("file_expires_in", 86400)),
         subject=email.get("subject", "Your scheduled report"),
     )
+
+
+@dataclass
+class MaintainedReportConfig:
+    """The scheduled-report loop the reference runs nightly, done
+    incrementally (late r7): instead of re-running the full SQL
+    transform per schedule, a CDC window maintains a grouped aggregate
+    and the report is written from the |groups|-sized view — O(changed
+    rows) per run. ``avg_cols=True`` adds ``avg_<c> = sum_<c>/n_<c>``
+    presentation columns (NULL-safe)."""
+
+    source_path: str  # KeyedTable root
+    table_name: str
+    group_cols: list[str]
+    sum_cols: list[str]
+    view_path: str
+    report_base: str
+    checkpoint_root: str
+    recipients: list[str] = field(default_factory=list)
+    file_expires_in: int = 86400
+    subject: str = "Your scheduled report"
+    avg_cols: bool = True
+
+
+def run_maintained_report(
+    spark: SparkSession,
+    config: MaintainedReportConfig,
+    presigner: Presigner | None = None,
+    sender: EmailSender | None = None,
+) -> PipelineResult | None:
+    """One scheduled run: fold the new CDC window into the maintained
+    aggregate, write the CSV report, deliver, then checkpoint. Returns
+    None — no report, no email — when the source has no new commits.
+
+    Exactly-once effect under the at-least-once protocol: the apply is
+    guarded by the window's ``staged_end`` token, the CSV write is
+    idempotent by report_id = that instant (a redelivered run rewrites
+    the same key), and only the email is at-least-once — the
+    reference's own delivery semantics (template.py:244-251 was
+    at-MOST-once; losing a report was judged worse than re-sending
+    one)."""
+    from .operators.ivm import MaintainedAggregate
+    from .sources.incremental import CDCReader
+
+    reader = CDCReader(
+        spark,
+        config.table_name,
+        config.source_path,
+        checkpoint_root=config.checkpoint_root,
+    )
+    view = MaintainedAggregate(
+        spark,
+        config.view_path,
+        group_cols=config.group_cols,
+        sum_cols=config.sum_cols,
+    )
+    win = reader.read()
+    if win is None:
+        return None  # quiescent source: no new report this run
+    through = reader.staged_end()
+    view.apply(win, through=through)
+    df = view.current()
+    if config.avg_cols:
+        from pyspark.sql import functions as F
+
+        for c in config.sum_cols:
+            df = df.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+    report_path = write_csv_report(
+        df, config.report_base, report_id=f"cdc_{through}", single_file=True
+    )
+    email = deliver_report(
+        report_path,
+        config.recipients,
+        presigner=presigner,
+        sender=sender,
+        expires_in=config.file_expires_in,
+        subject=config.subject,
+    )
+    reader.commit()
+    return PipelineResult(df=df, report_path=report_path, email=email)

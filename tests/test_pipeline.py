@@ -187,3 +187,86 @@ def test_cli_runs_reference_config(tmp_path, capsys):
     assert out["rows"] > 0
     assert out["recipients"] == ["ops@example.com"]
     assert glob.glob(os.path.join(out["report_path"], "*.csv"))
+
+
+def test_maintained_report_loop(spark, tmp_path):
+    """The reference's nightly report, incrementally (late r7): CDC
+    window → maintained aggregate → CSV → email, exactly-once effect.
+    Three runs: seed, quiescent (no report), changed (delta applied);
+    plus a crash-redelivery run that must not double-count."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedReportConfig,
+        run_maintained_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    src = KeyedTable(
+        spark, str(tmp_path / "src"), record_key="k", precombine="pre"
+    )
+    cfg = MaintainedReportConfig(
+        source_path=src.root,
+        table_name="orders_src",
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "view"),
+        report_base=str(tmp_path / "reports"),
+        checkpoint_root=str(tmp_path / "ck"),
+        recipients=["a@example.com"],
+    )
+    sender = EmailSender()
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["n_rows"], r["sum_amount"], r["avg_amount"])
+            for r in df.collect()
+        )
+
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10), (2, 1, "a", 20), (3, 1, "b", 6)],
+            "k int, pre int, grp string, amount long",
+        )
+    )
+    res = run_maintained_report(spark, cfg, sender=sender)
+    assert rows(res.df) == [("a", 2, 30, 15.0), ("b", 1, 6, 6.0)]
+    assert len(sender.outbox) == 1
+    assert os.path.isdir(res.report_path)
+
+    # quiescent source → no report, no email
+    assert run_maintained_report(spark, cfg, sender=sender) is None
+    assert len(sender.outbox) == 1
+
+    # a change → next run folds only the delta
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    src.upsert(
+        spark.createDataFrame(
+            [(4, 1, "b", 4)], "k int, pre int, grp string, amount long"
+        )
+    )
+    res2 = run_maintained_report(spark, cfg, sender=sender)
+    assert rows(res2.df) == [("a", 1, 10, 10.0), ("b", 2, 10, 5.0)]
+    assert res2.report_path != res.report_path  # new instant, new key
+
+    # crash redelivery: reader checkpoint NOT advanced (simulated by
+    # cleaning it back), same window re-runs — the through-token guard
+    # must keep the aggregate state identical
+    src.upsert(
+        spark.createDataFrame(
+            [(5, 1, "a", 100)], "k int, pre int, grp string, amount long"
+        )
+    )
+    res3 = run_maintained_report(spark, cfg, sender=sender)
+    want = rows(res3.df)
+    # simulate: the commit never landed; the SAME window redelivers
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(cfg.checkpoint_root, spark=spark)
+    store.advance(
+        cfg.table_name, src.root, res2.report_path.rsplit("cdc_", 1)[1]
+    )
+    res4 = run_maintained_report(spark, cfg, sender=sender)
+    assert rows(res4.df) == want  # guarded no-op fold, same state
