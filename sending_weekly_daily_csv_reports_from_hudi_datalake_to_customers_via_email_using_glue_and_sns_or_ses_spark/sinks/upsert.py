@@ -69,6 +69,41 @@ def _merge_latest(
     )
 
 
+def _merge_partial(
+    df: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """Partial-update merge (the PartialUpdateAvroPayload analogue):
+    per key, each column independently takes its LAST NON-NULL value in
+    ``order_cols`` ascending order; the surviving row carries the
+    highest-ordered row's own ordering columns. Column-independent
+    last-non-null is associative, which is what makes the engine's
+    commit-order rule identical whether applied as an incremental COW
+    fold or as one MOR read-time window (see KeyedTable ``payload``).
+
+    One Exchange: the fill window and the pick-last row_number share
+    the key partitioning."""
+    asc = [F.asc(c) for c in order_cols]
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    data_cols = [c for c in df.columns if c != key]
+    filled = df.select(
+        key,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(wf).alias(c)
+            for c in data_cols
+        ],
+    )
+    wn = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        filled.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 class KeyedTable:
     def __init__(
         self,
@@ -81,9 +116,12 @@ class KeyedTable:
         table_type: str = "COPY_ON_WRITE",
         lock_provider=None,
         lock_timeout_s: float = 60.0,
+        payload: str = "overwrite",
     ):
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table_type: {table_type!r}")
+        if payload not in ("overwrite", "partial_update"):
+            raise ValueError(f"unknown payload: {payload!r}")
         self.spark = spark
         self.root = root
         self.record_key = record_key
@@ -91,6 +129,25 @@ class KeyedTable:
         self.partition_cols = partition_cols or []
         self.keep_versions = keep_versions
         self.table_type = table_type
+        #: merge payload (the hoodie.datasource.write.payload.class
+        #: analogue): "overwrite" = OverwriteWithLatestAvroPayload (the
+        #: P2 rule — larger precombine wins whole-row). "partial_update"
+        #: = PartialUpdateAvroPayload-style column patching: NULL
+        #: incoming fields KEEP the existing value (so NULL cannot be
+        #: written explicitly — Hudi's own limitation), non-null fields
+        #: overwrite. Merge order for partial tables is (commit,
+        #: precombine): ARRIVAL order decides between batches, the
+        #: precombine field only orders within one batch — column-
+        #: independent last-non-null under a total order is associative,
+        #: which makes the incremental COW fold and the single MOR
+        #: read-time window provably identical; Hudi's ordering-field-
+        #: across-batches variant is NOT associative (a filled column
+        #: inherits the winner's ordering label), so this engine
+        #: deliberately trades cross-batch stale protection for
+        #: fold/window equivalence. Late batches DO patch — partial
+        #: tables are for CDC-style column-stream sources where arrival
+        #: order IS the truth.
+        self.payload = payload
         # P9: optimistic concurrency control. None = single-writer mode
         # (the r1 default, zero overhead); a lock provider from
         # sinks/concurrency.py turns on the Hudi-style OCC protocol —
@@ -117,6 +174,7 @@ class KeyedTable:
                     "partition_cols": self.partition_cols,
                     "keep_versions": self.keep_versions,
                     "table_type": self.table_type,
+                    "payload": self.payload,
                 },
                 f,
             )
@@ -515,9 +573,7 @@ class KeyedTable:
             # with a post-evolution log window (missing cols NULL)
             else base.unionByName(delta, allowMissingColumns=True)
         )
-        return _merge_latest(
-            unioned, self.record_key, self.precombine, prefer_col=COMMIT_COL
-        )
+        return self._combine(unioned)
 
     def _delete_instants_in(self, lo: str | None, hi: str) -> list[str]:
         """Delete-op commit ids in (lo, hi], from the timeline markers.
@@ -543,6 +599,21 @@ class KeyedTable:
         """The change stream: all per-commit upserted rows, carrying
         _commit_time — what sources/incremental.py reads."""
         return read_commit_log(self.spark, self.root)
+
+    def _combine(self, versions: DataFrame) -> DataFrame:
+        """The payload-dispatching cross-commit merge: given a union of
+        materialized state and/or stamped log rows, produce one live
+        row per key. overwrite = the P2 rule (larger precombine wins,
+        commit breaks ties toward the newer row); partial_update =
+        column-independent last-non-null in (commit, precombine) order
+        (see the ``payload`` attribute for why arrival order leads)."""
+        if self.payload == "partial_update":
+            return _merge_partial(
+                versions, self.record_key, [COMMIT_COL, self.precombine]
+            )
+        return _merge_latest(
+            versions, self.record_key, self.precombine, prefer_col=COMMIT_COL
+        )
 
     def cdc(
         self,
@@ -679,14 +750,35 @@ class KeyedTable:
                 changes = changes.unionByName(seed)
 
         w_key = Window.partitionBy(key).orderBy(COMMIT_COL)
-        state_struct = F.when(
-            ~F.col("__is_delete"),
-            F.struct(
-                F.col("__row")[pre].alias("__p"),
-                F.col(COMMIT_COL).alias("__c"),
-                F.col("__row").alias("__payload"),
-            ),
+        w_epoch = (
+            Window.partitionBy(key, "__epoch")
+            .orderBy(COMMIT_COL)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        if self.payload == "partial_update":
+            # partial tables: the running state is per-column
+            # last-non-null within the epoch (commit order) — the same
+            # column-independent rule _merge_partial materializes; the
+            # epoch split keeps a post-delete re-insert from inheriting
+            # pre-delete columns
+            after_state = F.struct(
+                *[
+                    F.last(F.col("__row")[c], ignorenulls=True)
+                    .over(w_epoch)
+                    .alias(c)
+                    for c in data_cols
+                ]
+            )
+        else:
+            state_struct = F.when(
+                ~F.col("__is_delete"),
+                F.struct(
+                    F.col("__row")[pre].alias("__p"),
+                    F.col(COMMIT_COL).alias("__c"),
+                    F.col("__row").alias("__payload"),
+                ),
+            )
+            after_state = F.max(state_struct).over(w_epoch)["__payload"]
         staged = changes.withColumn(
             "__epoch",
             F.coalesce(
@@ -697,14 +789,7 @@ class KeyedTable:
             ),
         ).withColumn(
             "__after",
-            F.when(
-                ~F.col("__is_delete"),
-                F.max(state_struct).over(
-                    Window.partitionBy(key, "__epoch")
-                    .orderBy(COMMIT_COL)
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                )["__payload"],
-            ),
+            F.when(~F.col("__is_delete"), after_state),
         )
         out = (
             staged.withColumn("__before", F.lag("__after").over(w_key))
@@ -746,7 +831,11 @@ class KeyedTable:
         # batch itself (precombine within batch,
         # generate_hudi_table.py:119 semantics)
         base_instant = self.latest_commit()
-        deduped = _merge_latest(incoming, self.record_key, self.precombine)
+        deduped = (
+            _merge_partial(incoming, self.record_key, [self.precombine])
+            if self.payload == "partial_update"
+            else _merge_latest(incoming, self.record_key, self.precombine)
+        )
 
         with self._txn():
             self._check_conflict(base_instant, deduped)
@@ -770,11 +859,8 @@ class KeyedTable:
             merged = (
                 stamped
                 if existing is None
-                else _merge_latest(
-                    existing.unionByName(stamped, allowMissingColumns=True),
-                    self.record_key,
-                    self.precombine,
-                    prefer_col=COMMIT_COL,
+                else self._combine(
+                    existing.unionByName(stamped, allowMissingColumns=True)
                 )
             )
 
@@ -1166,6 +1252,7 @@ def hudi_write_options(
     lock_provider_class: str = (
         "org.apache.hudi.client.transaction.lock.FileSystemBasedLockProvider"
     ),
+    payload: str = "overwrite",
 ) -> dict[str, str]:
     """Real-Hudi passthrough: the same physical-layout contract KeyedTable
     emulates, expressed as hoodie.* writer options (the full surface the
@@ -1184,6 +1271,13 @@ def hudi_write_options(
         "hoodie.datasource.write.operation": "upsert",  # K1
         "hoodie.datasource.write.recordkey.field": record_key,  # P1
         "hoodie.datasource.write.precombine.field": precombine,  # P2
+        # payload class (KeyedTable ``payload`` analogue; note the
+        # engine's partial rule merges in arrival order, see _combine)
+        "hoodie.datasource.write.payload.class": (
+            "org.apache.hudi.common.model.PartialUpdateAvroPayload"
+            if payload == "partial_update"
+            else "org.apache.hudi.common.model.OverwriteWithLatestAvroPayload"
+        ),
         "hoodie.index.type": index_type,  # P7
         "hoodie.parquet.compression.codec": parquet_codec,  # P11
         "hoodie.parquet.max.file.size": str(max_file_bytes),  # P11

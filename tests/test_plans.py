@@ -576,9 +576,9 @@ def test_url_dedup_library_single_exchange(spark):
 def test_cdc_scan_single_exchange_pruned_diffs(spark):
     """cdc_scan's scale contract: the whole window family (epoch count,
     running struct-max state, lag before-images) shares ONE shuffle on
-    the record key; the delete-commit key-diffs never read payload
-    columns (ReadSchema pruned to the key) and join as broadcasts; the
-    log scan is partition-pruned on its commit dir column."""
+    the record key; delete fabrication is a bare key-only TOMBSTONE
+    scan (no join against any snapshot — the late-r7 cleaner-proof
+    path); the log scan is partition-pruned on its commit dir column."""
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
         formatted_plan,
     )
@@ -586,15 +586,14 @@ def test_cdc_scan_single_exchange_pruned_diffs(spark):
     plan = formatted_plan(QUERIES["cdc_scan"](spark, SF))
     n_exchanges = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert n_exchanges == 1, f"{n_exchanges} shuffles\n{plan}"
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    # every snapshot scan (a delete key-diff side) reads ONLY the key:
-    # the formatted plan lists each scan's Location then ReadSchema
+    # no join of any kind: deleted keys come straight from tombstones
+    assert "Join" not in plan, plan
     scans = [
         frag
         for frag in plan.split("\n\n")
-        if "/snapshots/" in frag and "ReadSchema" in frag
+        if "/tombstones/" in frag and "ReadSchema" in frag
     ]
-    assert scans, f"no snapshot scans found in plan\n{plan}"
+    assert scans, f"no tombstone scans found in plan\n{plan}"
     for frag in scans:
         line = next(l for l in frag.splitlines() if "ReadSchema" in l)
         assert "struct<k:int>" in line, line

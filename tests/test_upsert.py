@@ -1059,3 +1059,144 @@ def test_schema_type_change_raises(spark, tmp_path):
         t.upsert(
             spark.createDataFrame([(2, 1, 99)], "k int, pre int, v int")
         )
+
+
+# -- partial-update payload (late r7) -----------------------------------
+
+
+def _patch_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, pre int, v string, n int")
+
+
+def test_partial_update_payload_cow(spark, tmp_path):
+    """PartialUpdateAvroPayload semantics: NULL incoming fields KEEP the
+    existing value, non-null fields patch — within one batch (pre
+    order) and across commits (arrival order); combined with schema
+    evolution a batch can carry just the columns it updates."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "pp"),
+        record_key="k",
+        precombine="pre",
+        payload="partial_update",
+        keep_versions=10,
+    )
+    # within-batch fill: two partial rows of one key combine by pre
+    t.upsert(
+        _patch_df(spark, [(1, 1, "a", None), (1, 2, None, 10), (2, 1, "b", 5)])
+    )
+    snap = {r["k"]: (r["v"], r["n"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", 10), 2: ("b", 5)}
+    # cross-commit patch: only n changes, v kept
+    t.upsert(_patch_df(spark, [(1, 1, None, 99)]))
+    snap = {r["k"]: (r["v"], r["n"]) for r in t.snapshot().collect()}
+    assert snap[1] == ("a", 99)
+    # schema-evolved subset batch: patches v only, everything else kept
+    t.upsert(spark.createDataFrame([(2, 9, "b2")], "k int, pre int, v string"))
+    snap = {r["k"]: (r["v"], r["n"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", 99), 2: ("b2", 5)}
+
+
+def test_partial_update_mor_equals_cow(spark, tmp_path):
+    """The commit-order partial rule is associative, so the incremental
+    COW fold and the single MOR read-time window must produce identical
+    state — including through compaction."""
+    histories = [
+        [(1, 5, "a", None), (2, 1, "b", 1)],
+        [(1, 1, None, 7)],  # late batch with SMALLER pre still patches
+        [(1, 9, "a3", None), (3, 1, "c", 3)],
+    ]
+    tables = {}
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = KeyedTable(
+            spark,
+            str(tmp_path / f"pp_{tt}"),
+            record_key="k",
+            precombine="pre",
+            table_type=tt,
+            payload="partial_update",
+            keep_versions=10,
+        )
+        for batch in histories:
+            t.upsert(_patch_df(spark, batch))
+        tables[tt] = t
+    state = {
+        tt: sorted(
+            (r["k"], r["v"], r["n"])
+            for r in t.snapshot().collect()
+        )
+        for tt, t in tables.items()
+    }
+    assert state["COPY_ON_WRITE"] == state["MERGE_ON_READ"]
+    assert state["COPY_ON_WRITE"] == [(1, "a3", 7), (2, "b", 1), (3, "c", 3)]
+    # compaction preserves the merged state
+    tables["MERGE_ON_READ"].compact()
+    assert state["MERGE_ON_READ"] == sorted(
+        (r["k"], r["v"], r["n"])
+        for r in tables["MERGE_ON_READ"].snapshot().collect()
+    )
+
+
+def test_partial_update_cdc_matches_snapshot_diffs(spark, tmp_path):
+    """CDC on a partial table: after-images are the FILLED states (the
+    per-column last-non-null rule), verified against per-instant
+    snapshot diffs — patches, deletes, and post-delete re-inserts that
+    must NOT inherit pre-delete columns."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "ppcdc"),
+        record_key="k",
+        precombine="pre",
+        payload="partial_update",
+        keep_versions=10,
+    )
+    t.upsert(_patch_df(spark, [(1, 1, "a", 1), (2, 1, "b", None)]))
+    t.upsert(_patch_df(spark, [(1, 2, None, 42), (2, 2, "b2", None)]))
+    t.delete(spark.createDataFrame([(1,)], "k int"))
+    t.upsert(_patch_df(spark, [(1, 3, None, 7)]))  # reborn: v must be NULL
+
+    expected = []
+    prev: dict = {}
+    for c in t.instants():
+        cur = {
+            r["k"]: (r["pre"], r["v"], r["n"])
+            for r in t._snapshot_as_of(c).collect()
+        }
+        for k in cur.keys() - prev.keys():
+            expected.append((k, c, "i", None, cur[k]))
+        for k in prev.keys() - cur.keys():
+            expected.append((k, c, "d", prev[k], None))
+        for k in cur.keys() & prev.keys():
+            if cur[k] != prev[k]:
+                expected.append((k, c, "u", prev[k], cur[k]))
+        prev = cur
+    got = sorted(
+        (
+            r["k"],
+            r["_commit_time"],
+            r["_change_op"],
+            tuple(r["_before"]) if r["_before"] is not None else None,
+            tuple(r["_after"]) if r["_after"] is not None else None,
+        )
+        for r in t.cdc().collect()
+    )
+    assert got == sorted(expected)
+    # the reborn key's state carries no pre-delete columns
+    reborn = {r["k"]: r for r in t.snapshot().collect()}[1]
+    assert (reborn["v"], reborn["n"]) == (None, 7)
+
+
+def test_partial_update_payload_persisted_in_meta(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "ppmeta"),
+        record_key="k",
+        precombine="pre",
+        payload="partial_update",
+    )
+    t.upsert(_patch_df(spark, [(1, 1, "a", 1)]))
+    t.upsert(_patch_df(spark, [(1, 2, None, 9)]))
+    reopened = KeyedTable.open(spark, t.root)
+    assert reopened.payload == "partial_update"
+    snap = {r["k"]: (r["v"], r["n"]) for r in reopened.snapshot().collect()}
+    assert snap == {1: ("a", 9)}
