@@ -51,6 +51,10 @@ from pyspark.sql import functions as F
 from ..sources.incremental import COMMIT_COL, read_commit_log
 from .concurrency import CommitConflictError, LockAcquireTimeout
 
+#: the derived composite-key meta column (the _hoodie_record_key
+#: analogue), materialized when ``record_key`` names several fields
+COMPOSITE_KEY_COL = "_record_key"
+
 
 def _merge_latest(
     df: DataFrame, key: str, precombine: str, prefer_col: str | None = None
@@ -109,7 +113,7 @@ class KeyedTable:
         self,
         spark: SparkSession,
         root: str,
-        record_key: str,
+        record_key: str | list[str],
         precombine: str,
         partition_cols: list[str] | None = None,
         keep_versions: int = 3,
@@ -124,7 +128,23 @@ class KeyedTable:
             raise ValueError(f"unknown payload: {payload!r}")
         self.spark = spark
         self.root = root
-        self.record_key = record_key
+        # composite record keys (Hudi ComplexKeyGenerator, late r7): a
+        # list (or comma-separated string) of fields materializes a
+        # derived `_record_key` meta column — exactly Hudi's
+        # _hoodie_record_key — and EVERY downstream mechanism (merge,
+        # conflict detection, tombstones, CDC, replication) works on
+        # that single column unchanged. Encoding is null-safe
+        # (unit-separator join with a null sentinel), so ("a", NULL)
+        # and (NULL, "a") never collide; Hudi itself rejects null key
+        # fields, this engine just keys them distinctly.
+        if isinstance(record_key, str) and "," in record_key:
+            record_key = [f.strip() for f in record_key.split(",")]
+        if isinstance(record_key, list):
+            self.key_fields: list[str] = list(record_key)
+            self.record_key = COMPOSITE_KEY_COL
+        else:
+            self.key_fields = [record_key]
+            self.record_key = record_key
         self.precombine = precombine
         self.partition_cols = partition_cols or []
         self.keep_versions = keep_versions
@@ -169,7 +189,13 @@ class KeyedTable:
         with open(tmp, "w") as f:
             json.dump(
                 {
-                    "record_key": self.record_key,
+                    # the ORIGINAL key spec (field list for composite
+                    # tables) so open() reconstructs the key generator
+                    "record_key": (
+                        self.key_fields
+                        if self.record_key == COMPOSITE_KEY_COL
+                        else self.record_key
+                    ),
                     "precombine": self.precombine,
                     "partition_cols": self.partition_cols,
                     "keep_versions": self.keep_versions,
@@ -234,6 +260,30 @@ class KeyedTable:
         if last is not None and ts <= last:
             ts = str(int(last) + 1).zfill(len(ts))
         return ts
+
+    # -- composite key generator (late r7) ------------------------------
+    def _with_key(self, df: DataFrame) -> DataFrame:
+        """Materialize the derived ``_record_key`` column on composite
+        tables (no-op for single-field keys or frames that already
+        carry it, e.g. replication afters). Null-safe encoding: fields
+        cast to string, joined on the unit separator, NULL → a
+        sentinel — no cross-field collisions."""
+        if self.record_key != COMPOSITE_KEY_COL:
+            return df
+        if COMPOSITE_KEY_COL in df.columns:
+            return df
+        missing = [c for c in self.key_fields if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"composite key fields missing from batch: {missing}"
+            )
+        parts = []
+        for c in self.key_fields:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            )
+            parts.append(F.lit("\x1f"))
+        return df.withColumn(COMPOSITE_KEY_COL, F.concat(*parts[:-1]))
 
     # -- schema evolution (late r7) -------------------------------------
     def _schema_path(self) -> str:
@@ -831,6 +881,7 @@ class KeyedTable:
         # batch itself (precombine within batch,
         # generate_hudi_table.py:119 semantics)
         base_instant = self.latest_commit()
+        incoming = self._with_key(incoming)
         deduped = (
             _merge_partial(incoming, self.record_key, [self.precombine])
             if self.payload == "partial_update"
@@ -897,6 +948,7 @@ class KeyedTable:
             existing = self.snapshot()
             if existing is None:
                 return None
+            keys = self._with_key(keys)
             commit = self._new_commit_id()
             remaining = existing.join(
                 keys.select(self.record_key), self.record_key, "left_anti"
@@ -1269,7 +1321,18 @@ def hudi_write_options(
         "hoodie.table.name": table_name,
         "hoodie.datasource.write.table.type": table_type,  # P3
         "hoodie.datasource.write.operation": "upsert",  # K1
-        "hoodie.datasource.write.recordkey.field": record_key,  # P1
+        # P1; a comma-separated field list gets Hudi's composite key
+        # generator (the KeyedTable list-key analogue)
+        "hoodie.datasource.write.recordkey.field": record_key,
+        **(
+            {
+                "hoodie.datasource.write.keygenerator.class": (
+                    "org.apache.hudi.keygen.ComplexKeyGenerator"
+                )
+            }
+            if "," in record_key
+            else {}
+        ),
         "hoodie.datasource.write.precombine.field": precombine,  # P2
         # payload class (KeyedTable ``payload`` analogue; note the
         # engine's partial rule merges in arrival order, see _combine)
