@@ -183,8 +183,14 @@ def run_maintained_report(
         group_cols=config.group_cols,
         sum_cols=config.sum_cols,
     )
-    win = reader.read()
+    # the window starts at max(reader checkpoint, view.through()): a
+    # crash between apply and commit followed by NEW upstream commits
+    # must not hand the fold an extended window whose prefix the view
+    # already contains (delta re-folds double-count)
+    win = reader.read(after=view.through())
     if win is None:
+        if reader.staged_end() is not None:
+            reader.commit()  # view already covers it: checkpoint catch-up
         return None  # quiescent source: no new report this run
     through = reader.staged_end()
     view.apply(win, through=through)

@@ -265,9 +265,20 @@ class KeyedTable:
     def _with_key(self, df: DataFrame) -> DataFrame:
         """Materialize the derived ``_record_key`` column on composite
         tables (no-op for single-field keys or frames that already
-        carry it, e.g. replication afters). Null-safe encoding: fields
-        cast to string, joined on the unit separator, NULL → a
-        sentinel — no cross-field collisions."""
+        carry it, e.g. replication afters). The encoding is INJECTIVE
+        — distinct field tuples can never collide:
+
+          * each field value escapes ``\\x01`` → ``\\x01\\x01`` and the
+            ``\\x1f`` separator → ``\\x01s`` (so the separator never
+            occurs inside an escaped value),
+          * NULL becomes the sentinel ``\\x01n`` (unreachable by
+            escaping: escaped output only ever pairs ``\\x01`` with
+            ``\\x01`` or ``s``),
+          * fields join on ``\\x1f``.
+
+        An unescaped join would silently MERGE keys like
+        ('a\\x1fb', 'c') and ('a', 'b\\x1fc') — dropping the
+        precombine loser's row for uncontrolled string inputs."""
         if self.record_key != COMPOSITE_KEY_COL:
             return df
         if COMPOSITE_KEY_COL in df.columns:
@@ -279,24 +290,37 @@ class KeyedTable:
             )
         parts = []
         for c in self.key_fields:
-            parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            escaped = F.regexp_replace(
+                F.regexp_replace(
+                    F.col(c).cast("string"), "\x01", "\x01\x01"
+                ),
+                "\x1f",
+                "\x01s",
             )
+            parts.append(F.coalesce(escaped, F.lit("\x01n")))
             parts.append(F.lit("\x1f"))
         return df.withColumn(COMPOSITE_KEY_COL, F.concat(*parts[:-1]))
 
     # -- schema evolution (late r7) -------------------------------------
-    def _schema_path(self) -> str:
-        return os.path.join(self.root, "_schema.json")
+    def _schema_dir(self) -> str:
+        return os.path.join(self.root, "schema")
 
-    def _update_schema(self, incoming: DataFrame) -> None:
-        """Record the table's current DATA schema (_schema.json, the
-        Hudi commit-metadata schema analogue): the union of every
+    def _update_schema(self, incoming: DataFrame, commit: str) -> None:
+        """Record the table's data schema AS OF ``commit`` (the Hudi
+        commit-metadata schema analogue): the union of every committed
         upsert's columns, in first-seen order, all nullable. The
         explicit-schema log read (sources/incremental.read_commit_log)
         depends on it — pre-evolution commit dirs are NULL-filled by
         the parquet reader against this schema, with no per-file
         footer sweep (mergeSchema) at any scale.
+
+        Crash-consistent like every other table mutation: the schema
+        is stamped per commit (schema/<commit>.json) and readers honor
+        only files ≤ the ``_latest`` pointer, so a widened schema
+        becomes visible atomically WITH its data at the pointer flip —
+        a crashed upsert's schema file is a beyond-pointer orphan that
+        ``_rollback_failed`` reaps (no phantom columns, and a retry
+        with a different type is not spuriously rejected).
 
         Adding nullable columns is the supported evolution; a same-name
         TYPE change raises here, loudly, before any file is written —
@@ -306,16 +330,16 @@ class KeyedTable:
         new_fields = [
             f for f in incoming.schema.fields if f.name != COMMIT_COL
         ]
-        current: list[StructField] = []
-        if os.path.isfile(self._schema_path()):
-            with open(self._schema_path()) as f:
-                current = list(StructType.fromJson(json.load(f)).fields)
-        by_name = {f.name: f for f in current}
+        current = self.table_schema()
+        current_fields: list[StructField] = (
+            list(current.fields) if current is not None else []
+        )
+        by_name = {f.name: f for f in current_fields}
         changed = False
         for f in new_fields:
             seen = by_name.get(f.name)
             if seen is None:
-                current.append(StructField(f.name, f.dataType, True))
+                current_fields.append(StructField(f.name, f.dataType, True))
                 changed = True
             elif seen.dataType != f.dataType:
                 raise ValueError(
@@ -324,21 +348,31 @@ class KeyedTable:
                     f"{seen.dataType.simpleString()} in the table but "
                     f"{f.dataType.simpleString()} in the incoming batch"
                 )
-        if changed or not os.path.isfile(self._schema_path()):
-            tmp = self._schema_path() + ".tmp"
+        if changed or current is None:
+            os.makedirs(self._schema_dir(), exist_ok=True)
+            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
             with open(tmp, "w") as f:
-                json.dump(json.loads(StructType(current).json()), f)
-            os.replace(tmp, self._schema_path())
+                json.dump(
+                    json.loads(StructType(current_fields).json()), f
+                )
+            os.replace(
+                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            )
 
     def table_schema(self):
-        """The table's current data schema, or None for roots created
-        before schema recording (they infer from files)."""
-        from pyspark.sql.types import StructType
+        """The table's current COMMITTED data schema: the newest
+        schema/<commit>.json at or below the ``_latest`` pointer
+        (legacy single-file _schema.json honored as a fallback), or
+        None for roots that never recorded one (they infer from
+        files). A mid-transaction staged schema file (> pointer) is
+        deliberately NOT consulted: it is a superset of the committed
+        schema, and reads of committed data under the older schema
+        stay correct (the merge unions tolerate missing columns), so
+        the pointer bound keeps crashed writers' orphan schema files
+        from ever surfacing phantom columns."""
+        from ..sources.incremental import _committed_schema
 
-        if not os.path.isfile(self._schema_path()):
-            return None
-        with open(self._schema_path()) as f:
-            return StructType.fromJson(json.load(f))
+        return _committed_schema(self.root)
 
     # -- P9: transactions / conflict detection --------------------------
     @contextmanager
@@ -397,6 +431,21 @@ class KeyedTable:
                     shutil.rmtree(
                         os.path.join(ts_dir, d), ignore_errors=True
                     )
+        # beyond-pointer schema files: a crashed widening upsert's
+        # record — left in place it would re-reject a retried batch
+        # whose column type legitimately differs (no data ever
+        # committed under the orphan schema)
+        sd = self._schema_dir()
+        if os.path.isdir(sd):
+            for name in os.listdir(sd):
+                if not name.endswith(".json") or name.startswith("."):
+                    continue
+                c = name[: -len(".json")]
+                if latest is None or c > latest:
+                    try:
+                        os.remove(os.path.join(sd, name))
+                    except OSError:
+                        pass  # already gone: rollback is idempotent
         tl = self._timeline_dir()
         if os.path.isdir(tl):
             for name in os.listdir(tl):
@@ -890,8 +939,11 @@ class KeyedTable:
 
         with self._txn():
             self._check_conflict(base_instant, deduped)
-            self._update_schema(deduped)  # widening is recorded first
             commit = self._new_commit_id()
+            # widening recorded under THIS commit id — visible to
+            # readers only after the pointer flip, reaped with the
+            # other orphans if this write never publishes
+            self._update_schema(deduped, commit)
             stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
 
             if self.table_type == "MERGE_ON_READ":
@@ -1049,45 +1101,58 @@ class KeyedTable:
                 F.col(key), F.col("__after.*")
             )
             if snap is not None:
-                # force-convergence set: deletes of PRESENT keys, plus
-                # keys whose final after-image would lose the merge
-                # against the replica's stale row
-                d_present = (
-                    nets.filter(F.col("__op") == "d")
-                    .join(snap.select(key), key, "left_semi")
-                    .select(key)
-                )
-                stale_wins = (
-                    nets.filter(F.col("__op") != "d")
-                    .join(
-                        snap.select(
-                            F.col(key), F.col(pre).alias("__cur_pre")
-                        ),
-                        key,
-                    )
-                    .filter(F.col("__after")[pre] < F.col("__cur_pre"))
-                    .select(key)
-                )
-                force = d_present.unionByName(stale_wins)
-                if not force.isEmpty():
-                    c = self.delete(force)
-                    if c is not None:
-                        commits.append(c)
-                # redelivery no-op: drop rows already byte-equal in the
-                # replica (null-unsafe equality — NULL-bearing rows are
-                # conservatively re-upserted, which is state-harmless).
-                # Safe against the force pass: a force-deleted key's
-                # after-image differs from the pre-delete row by
-                # construction, so it never matches here. Skipped when
-                # the window carries newly-evolved columns the replica
-                # snapshot lacks (first post-evolution apply): every
-                # row is genuinely new-shaped then.
+                # redelivery no-op FIRST: drop rows already byte-equal
+                # in the replica (null-unsafe equality — NULL-bearing
+                # rows are conservatively re-upserted, which is
+                # state-harmless). Safe against the force pass below: a
+                # force-deleted key's after-image differs from the
+                # replica row by construction, so it never matches
+                # here. Skipped when the window carries newly-evolved
+                # columns the replica snapshot lacks (first
+                # post-evolution apply): every row is genuinely
+                # new-shaped then.
                 if set(upserts.columns) <= set(snap.columns):
                     upserts = upserts.join(
                         snap.select(*upserts.columns),
                         on=list(upserts.columns),
                         how="left_anti",
                     )
+                # force-convergence set: deletes of PRESENT keys, plus
+                # upserted keys whose final after-image a plain merge
+                # would NOT reproduce. overwrite replicas: only keys
+                # whose after-image would LOSE the precombine merge to
+                # the replica's stale row. partial_update replicas:
+                # EVERY changed present key — the after-image is a full
+                # authoritative state, but the partial rule keeps the
+                # replica's stale value wherever the after carries NULL
+                # (e.g. a reborn key whose upstream epoch-split cleared
+                # a column), so convergence needs the delete first.
+                d_present = (
+                    nets.filter(F.col("__op") == "d")
+                    .join(snap.select(key), key, "left_semi")
+                    .select(key)
+                )
+                if self.payload == "partial_update":
+                    risky = upserts.select(key).join(
+                        snap.select(key), key, "left_semi"
+                    )
+                else:
+                    risky = (
+                        nets.filter(F.col("__op") != "d")
+                        .join(
+                            snap.select(
+                                F.col(key), F.col(pre).alias("__cur_pre")
+                            ),
+                            key,
+                        )
+                        .filter(F.col("__after")[pre] < F.col("__cur_pre"))
+                        .select(key)
+                    )
+                force = d_present.unionByName(risky)
+                if not force.isEmpty():
+                    c = self.delete(force)
+                    if c is not None:
+                        commits.append(c)
             if not upserts.isEmpty():
                 commits.append(self.upsert(upserts))
             return commits
@@ -1358,7 +1423,11 @@ def hudi_write_options(
     if partition_cols:  # P4
         opts["hoodie.datasource.write.partitionpath.field"] = ",".join(partition_cols)
         opts["hoodie.datasource.write.hive_style_partitioning"] = "true"
-    else:
+    elif "," not in record_key:
+        # single-field key, no partitioning → Hudi's non-partitioned
+        # generator; a COMPOSITE key keeps ComplexKeyGenerator (set
+        # above) — NonpartitionedKeyGenerator resolves only one field
+        # and would key 'a,b' wrongly on the real-Hudi passthrough
         opts["hoodie.datasource.write.keygenerator.class"] = (
             "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
         )

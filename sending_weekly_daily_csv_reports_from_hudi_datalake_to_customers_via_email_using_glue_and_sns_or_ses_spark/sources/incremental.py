@@ -43,6 +43,38 @@ COMMIT_COL = "_commit_time"
 HUDI_COMMIT_COL = "_hoodie_commit_time"
 
 
+def _committed_schema(root: str):
+    """The table's committed data schema: newest schema/<commit>.json
+    at or below the ``_latest`` pointer, the legacy _schema.json as a
+    fallback, else None (infer from files)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    try:
+        with open(os.path.join(root, "_latest")) as f:
+            latest = f.read().strip() or None
+    except FileNotFoundError:
+        latest = None
+    sd = os.path.join(root, "schema")
+    if latest is not None and os.path.isdir(sd):
+        eligible = sorted(
+            name[: -len(".json")]
+            for name in os.listdir(sd)
+            if name.endswith(".json")
+            and not name.startswith(".")
+            and name[: -len(".json")] <= latest
+        )
+        if eligible:
+            with open(os.path.join(sd, f"{eligible[-1]}.json")) as f:
+                return StructType.fromJson(_json.load(f))
+    legacy = os.path.join(root, "_schema.json")
+    if os.path.isfile(legacy):
+        with open(legacy) as f:
+            return StructType.fromJson(_json.load(f))
+    return None
+
+
 def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
     """Read a KeyedTable commit log (root/log/c=<commit>/) as the change
     stream, commit ids restored into ``_commit_time``. Returns None when
@@ -59,20 +91,17 @@ def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
     if not os.path.isdir(log_dir):
         return None
     reader = spark.read.option("basePath", log_dir)
-    # schema evolution (late r7): when the table records its current
-    # schema (_schema.json, updated by every widening upsert), read the
-    # log with it EXPLICITLY — parquet fills columns a pre-evolution
-    # commit dir lacks with NULL, and no per-file footer sweep
-    # (mergeSchema) is ever needed. Tables that never evolved have no
-    # schema file and infer as before.
-    schema_path = os.path.join(root, "_schema.json")
-    if os.path.isfile(schema_path):
-        import json as _json
-
+    # schema evolution (late r7): when the table records its committed
+    # schema (schema/<commit>.json, stamped by every widening upsert;
+    # legacy single-file _schema.json honored), read the log with it
+    # EXPLICITLY — parquet fills columns a pre-evolution commit dir
+    # lacks with NULL, and no per-file footer sweep (mergeSchema) is
+    # ever needed. Only files at or below the published pointer count
+    # (crash consistency — same bound the row filter below applies).
+    data_schema = _committed_schema(root)
+    if data_schema is not None:
         from pyspark.sql.types import LongType, StructField, StructType
 
-        with open(schema_path) as f:
-            data_schema = StructType.fromJson(_json.load(f))
         # the partition-dir column is appended by the source, typed as
         # it parses (int64 for the numeric commit ids)
         reader = reader.schema(
@@ -283,9 +312,21 @@ class CDCReader:
         self.store = CheckpointStore(checkpoint_root, spark=spark)
         self._pending_commit: str | None = None
 
-    def read(self) -> DataFrame | None:
+    def read(self, after: str | None = None) -> DataFrame | None:
         """The not-yet-processed CDC window, or None when the upstream
-        table has no new commits (checkpoint already at latest)."""
+        table has no new commits (checkpoint already at latest).
+
+        ``after``: a downstream high-water instant (e.g. a
+        MaintainedAggregate's ``through()``) that may be AHEAD of this
+        reader's checkpoint when a previous run crashed between the
+        sink and ``commit()`` — the window then starts at
+        max(checkpoint, after), so the already-applied prefix is never
+        re-read. Without it, a crash followed by NEW upstream commits
+        would hand the sink an extended window whose redelivered
+        prefix double-counts in any delta-folding consumer (state
+        replicas are immune, aggregates are not). If ``after`` already
+        covers everything, read returns None but still STAGES the end
+        so ``commit()`` can catch the checkpoint up."""
         begin = (
             self.store.read(self.table_name).last_processed_commit
             if self.store.exists(self.table_name)
@@ -295,7 +336,11 @@ class CDCReader:
         if end is None or (begin is not None and end <= begin):
             self._pending_commit = None
             return None
+        if after is not None and (begin is None or after > begin):
+            begin = after
         self._pending_commit = end
+        if begin is not None and end <= begin:
+            return None  # downstream already covers it; commit() catches up
         return self.table.cdc(begin=begin, end=end)
 
     def staged_end(self) -> str | None:

@@ -318,3 +318,42 @@ def test_apply_cdc_redelivery_writes_no_commits(spark, tmp_path):
     assert dst.apply_cdc(win) == []  # redelivery: zero commits
     assert dst.instants() == before_instants
     assert _state(dst) == _state(src)
+
+
+def test_apply_cdc_partial_replica_reborn_key_converges(spark, tmp_path):
+    """Partial-payload replica: a reborn upstream key whose after-image
+    carries NULL columns must NOT inherit the replica's pre-delete
+    values — apply force-converges every changed present key on
+    partial replicas."""
+    mk = lambda name: KeyedTable(
+        spark,
+        str(tmp_path / name),
+        record_key="k",
+        precombine="pre",
+        payload="partial_update",
+        keep_versions=10,
+    )
+    src, dst = mk("psrc"), mk("pdst")
+    r = _cdc_reader(spark, src, tmp_path, name="psrc")
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 1)], "k int, pre int, v string, n int"
+        )
+    )
+    dst.apply_cdc(r.read())
+    r.commit()
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 5, None, 7)], "k int, pre int, v string, n int"
+        )
+    )
+    dst.apply_cdc(r.read())
+    r.commit()
+    want = sorted(
+        (r_["k"], r_["v"], r_["n"]) for r_ in src.snapshot().collect()
+    )
+    got = sorted(
+        (r_["k"], r_["v"], r_["n"]) for r_ in dst.snapshot().collect()
+    )
+    assert got == want == [(1, None, 7)]

@@ -225,3 +225,40 @@ def test_maintained_aggregate_exactly_once_token(spark, tmp_path):
     assert view.apply(win3, through=reader.staged_end()) is True
     reader.commit()
     assert _maintained(view.current()) == [("a", 2, 8)] == _recompute(src)
+
+
+def test_maintained_aggregate_extended_window_no_double_count(spark, tmp_path):
+    """Crash between apply and reader.commit, then NEW upstream
+    commits: the next window must start at the view's through-instant,
+    not the stale checkpoint — otherwise the redelivered prefix
+    re-folds and every count/sum inflates silently."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcX"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcX", src.root, checkpoint_root=str(tmp_path / "ckX")
+    )
+    view = MaintainedAggregate(
+        spark, str(tmp_path / "viewX"), group_cols=["grp"], sum_cols=["amount"]
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 10)]))
+    win = reader.read(after=view.through())
+    view.apply(win, through=reader.staged_end())
+    reader.commit()
+    src.upsert(_df(spark, [(2, 1, "a", 5)]))
+    win = reader.read(after=view.through())
+    view.apply(win, through=reader.staged_end())
+    # CRASH: reader.commit() never runs. New upstream commit lands:
+    src.upsert(_df(spark, [(3, 1, "a", 2)]))
+    win = reader.read(after=view.through())  # must exclude (ck, through]
+    view.apply(win, through=reader.staged_end())
+    reader.commit()
+    assert _maintained(view.current()) == _recompute(src) == [("a", 3, 17)]
+    # and when the view is FULLY ahead: read stages a catch-up
+    src_latest = src.latest_commit()
+    reader.reset()
+    assert view.through() == src_latest
+    win = reader.read(after=view.through())
+    assert win is None and reader.staged_end() == src_latest
+    reader.commit()  # checkpoint catch-up without a fold
+    assert reader.read(after=view.through()) is None

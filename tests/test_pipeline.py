@@ -268,5 +268,23 @@ def test_maintained_report_loop(spark, tmp_path):
     store.advance(
         cfg.table_name, src.root, res2.report_path.rsplit("cdc_", 1)[1]
     )
-    res4 = run_maintained_report(spark, cfg, sender=sender)
-    assert rows(res4.df) == want  # guarded no-op fold, same state
+    n_sent = len(sender.outbox)
+    # the view's through-instant already covers the redelivered window:
+    # the run is a pure checkpoint catch-up — no re-fold, no duplicate
+    # report or email — and the view state is untouched
+    assert run_maintained_report(spark, cfg, sender=sender) is None
+    assert len(sender.outbox) == n_sent
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedAggregate,
+    )
+
+    view = MaintainedAggregate(
+        spark, cfg.view_path, group_cols=["grp"], sum_cols=["amount"]
+    )
+    assert sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"])
+        for r in view.current().collect()
+    ) == [(g, n, s) for g, n, s, _ in want]
+    # and the catch-up really advanced the checkpoint: next run is a
+    # plain no-op, not another catch-up
+    assert run_maintained_report(spark, cfg, sender=sender) is None

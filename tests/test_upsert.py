@@ -1286,3 +1286,84 @@ def test_composite_key_reopen_and_cdc_replication(spark, tmp_path):
     assert sorted(
         (r["region"], r["item"], r["qty"]) for r in dst.snapshot().collect()
     ) == [("eu", 1, 10)]
+
+
+def test_composite_key_separator_injection_no_collision(spark, tmp_path):
+    """Injective encoding: field values containing the separator (or
+    the escape/sentinel bytes) must not merge distinct composite
+    identities."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "ckesc"),
+        record_key=["a", "b"],
+        precombine="pre",
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [
+                ("a\x1fb", "c", 1, 1),
+                ("a", "b\x1fc", 1, 2),
+                ("x\x01", "y", 1, 3),
+                ("x", "\x01y", 1, 4),
+                ("\x01n", None, 1, 5),  # literal sentinel vs real NULL
+                (None, "\x01n", 1, 6),
+            ],
+            "a string, b string, pre int, v int",
+        )
+    )
+    assert t.snapshot().count() == 6
+
+
+def test_crashed_widening_upsert_leaves_no_phantom_schema(spark, tmp_path):
+    """A schema file beyond the pointer (crashed widening upsert) must
+    not surface phantom columns, and a retried batch whose column type
+    differs must not be rejected by the orphan."""
+    import json as _json
+
+    t = _lifecycle_table(spark, tmp_path, name="schemacrash")
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    # simulate: a widening upsert wrote schema/<orphan>.json then died
+    latest = t.latest_commit()
+    orphan = str(int(latest) + 5).zfill(len(latest))
+    os.makedirs(t._schema_dir(), exist_ok=True)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = t.table_schema()
+    widened = StructType(
+        list(base.fields) + [StructField("x", IntegerType(), True)]
+    )
+    with open(os.path.join(t._schema_dir(), f"{orphan}.json"), "w") as f:
+        _json.dump(_json.loads(widened.json()), f)
+    # readers never see the phantom column
+    assert "x" not in [f.name for f in t.table_schema().fields]
+    assert "x" not in t.snapshot().columns
+    # the retry legitimately sends x as a STRING — must be accepted
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, "b", "s")], "k int, pre int, v string, x string"
+        )
+    )
+    assert dict(
+        (f.name, f.dataType.simpleString())
+        for f in t.table_schema().fields
+    )["x"] == "string"
+    assert not os.path.exists(
+        os.path.join(t._schema_dir(), f"{orphan}.json")
+    )
+
+
+def test_hudi_options_composite_key_generator(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        hudi_write_options,
+    )
+
+    # composite + NO partition cols: ComplexKeyGenerator must survive
+    opts = hudi_write_options("t", "region,item", "pre")
+    assert opts["hoodie.datasource.write.keygenerator.class"].endswith(
+        "ComplexKeyGenerator"
+    )
+    # single-field + no partition cols keeps the non-partitioned one
+    opts = hudi_write_options("t", "k", "pre")
+    assert opts["hoodie.datasource.write.keygenerator.class"].endswith(
+        "NonpartitionedKeyGenerator"
+    )
