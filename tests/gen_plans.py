@@ -223,6 +223,7 @@ PICK = {
     "quality_threshold_gate": "the 100 TB gate path: approx_percentile partial/final (sketch merge moves #partitions×#sources sketches, not rows) → #sources-row BroadcastHashJoin → stateless score filter. Two scans of the input by contract — materialize expensive scores first (docstring + BASELINE r7).",
     "url_canonical_dedup": "driver entry since r7: URL fabrication + canonicalization fuse into the scan as pure codegen (no Python, no join); ONE Exchange on the canonical URL feeding a partial/final count-min aggregate; text column never read (pinned).",
     "url_dedup": "library keep-one-per-canonical-URL: same scan-fused canonicalization; the ordered row_number and unordered count window specs share ONE canon_url Exchange (pinned).",
+    "cdc_scan": "driver entry since late r7: the whole CDC window family (epoch count, running struct-max state, lag before-images) shares ONE record-key Exchange; delete fabrication is a bare key-only tombstone scan (no join of any kind, cleaner-proof); the log scan is partition-pruned on its commit dir column (pinned).",
 }
 
 
