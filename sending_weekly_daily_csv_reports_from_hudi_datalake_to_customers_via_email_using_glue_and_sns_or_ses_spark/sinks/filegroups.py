@@ -1,0 +1,537 @@
+"""Bucket-indexed COPY_ON_WRITE table: Hudi file groups made real.
+
+:class:`.upsert.KeyedTable`'s COW path rewrites the FULL snapshot every
+commit — correct, but O(table) write amplification: at 100 TB an upsert
+of a 1 GB batch must not rewrite 100 TB. Hudi's answer is the two-level
+structure this module implements (SURVEY.md §2.5 P7 — the index — as a
+working mechanism instead of an option passthrough):
+
+  * **file groups**: the key space is split into ``num_buckets`` groups
+    by a stable hash of the record key (Hudi's BUCKET index,
+    ``hoodie.index.type=BUCKET`` + ``hoodie.bucket.index.num.buckets``
+    — the simple-bucket-engine variant with a fixed bucket count);
+  * **file slices**: each commit writes a NEW merged slice only for the
+    file groups the batch touches; untouched groups keep their current
+    slice. A commit's cost is O(touched groups' data + batch), never
+    O(table).
+
+Layout::
+
+    root/
+      _table.json                (record_key / precombine / num_buckets /
+                                  payload — lets readers open a root)
+      slices/b=<bucket>/v=<commit>/   (merged state of that file group
+                                       as of <commit>; rows keep their
+                                       origin ``_commit_time`` stamp)
+      manifests/<commit>.json    (op + {bucket → slice commit}: the
+                                  commit's full file-slice view — the
+                                  Hudi timeline-instant + metadata-table
+                                  FILES partition in one document)
+      log/c=<commit>/            (rows upserted in that commit — same
+                                  shape KeyedTable writes, so
+                                  sources/incremental.py reads both)
+      _latest                    (pointer file → current commit; the
+                                  flip is the commit point)
+
+Reads resolve a manifest, not a directory listing: ``snapshot()`` is
+the union of the manifest's referenced slices (one parquet multi-path
+scan), ``snapshot(as_of)`` is the SAME read off an older manifest —
+time travel needs no delete rail here, because a manifest pins the
+exact slice set (a delete is just a commit whose touched buckets got
+smaller slices). ``read_keys`` routes probe keys to their buckets and
+scans ONLY those slices — the metadata-index point-lookup win (P8),
+measured in tests/test_filegroups.py via ``inputFiles()``.
+
+Scale notes (the reason this module exists):
+
+  * upsert shuffles (touched slices ∪ batch) once on the record key —
+    a batch that hits b of B buckets reads and rewrites ~b/B of the
+    table. With date-correlated keys and enough buckets, steady-state
+    ingestion cost is bounded by batch size, not table size.
+  * ``num_buckets`` is fixed at table creation (the Hudi simple bucket
+    engine's constraint — resizing would re-route every key). Size it
+    so table_bytes / num_buckets ≈ the 1-4 GB file-group target.
+  * the per-commit manifest is O(num_buckets) JSON — thousands of
+    entries, not millions; the driver never lists data files.
+  * the cleaner removes slices unreferenced by the last
+    ``keep_versions`` manifests; older manifests stay (they are tiny)
+    and raise a clear error if read past retained history.
+
+Single-writer by design (the P9 OCC lock protocol lives in KeyedTable;
+composing it here would duplicate, not add, coverage). CDC/IVM also
+stay KeyedTable features — this module is the write-amplification half
+of the engine.
+
+Reference parity: generate_hudi_table.py:86-214 configures upsert by
+record key + precombine; this class honors the identical P1/P2 merge
+contract (shared ``_merge_latest`` / ``_merge_partial``), so every
+behavioral test in tests/test_upsert.py has a twin here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..sources.incremental import COMMIT_COL
+from .upsert import (
+    COMPOSITE_KEY_COL,
+    _merge_latest,
+    _merge_partial,
+    with_composite_key,
+)
+
+#: derived bucket-routing column (materialized transiently for writes,
+#: recomputed from the key on reads — never stored in slice files)
+BUCKET_COL = "_bucket"
+
+
+class BucketedTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        record_key: str | list[str],
+        precombine: str,
+        num_buckets: int = 16,
+        keep_versions: int = 3,
+        payload: str = "overwrite",
+    ):
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        if payload not in ("overwrite", "partial_update"):
+            raise ValueError(f"unknown payload: {payload!r}")
+        self.spark = spark
+        self.root = root
+        if isinstance(record_key, str) and "," in record_key:
+            record_key = [f.strip() for f in record_key.split(",")]
+        if isinstance(record_key, list):
+            self.key_fields: list[str] = list(record_key)
+            self.record_key = COMPOSITE_KEY_COL
+        else:
+            self.key_fields = [record_key]
+            self.record_key = record_key
+        self.precombine = precombine
+        self.num_buckets = num_buckets
+        self.keep_versions = keep_versions
+        self.payload = payload
+        os.makedirs(root, exist_ok=True)
+        self._write_meta()
+
+    # -- table metadata -------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_table.json")
+
+    def _write_meta(self) -> None:
+        meta = {
+            "engine": "bucketed",
+            "record_key": self.key_fields
+            if self.record_key == COMPOSITE_KEY_COL
+            else self.record_key,
+            "precombine": self.precombine,
+            "num_buckets": self.num_buckets,
+            "keep_versions": self.keep_versions,
+            "payload": self.payload,
+        }
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                existing = json.load(f)
+            if existing.get("num_buckets") != self.num_buckets:
+                # re-routing every key silently would corrupt the table
+                raise ValueError(
+                    f"table at {self.root} has num_buckets="
+                    f"{existing.get('num_buckets')}; cannot reopen with "
+                    f"{self.num_buckets} (bucket count is fixed at "
+                    "creation — rewrite into a new table to resize)"
+                )
+            return
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "BucketedTable":
+        """Open an existing root from its persisted metadata."""
+        with open(os.path.join(root, "_table.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            root,
+            record_key=meta["record_key"],
+            precombine=meta["precombine"],
+            num_buckets=meta["num_buckets"],
+            keep_versions=meta.get("keep_versions", 3),
+            payload=meta.get("payload", "overwrite"),
+        )
+
+    # -- commit timeline ------------------------------------------------
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_latest")
+
+    def latest_commit(self) -> str | None:
+        try:
+            with open(self._latest_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def commits(self) -> list[str]:
+        """Published commit ids, oldest first: manifest files at or
+        below the pointer (a crashed writer's manifest beyond the
+        pointer is invisible, same rule as KeyedTable)."""
+        latest = self.latest_commit()
+        if latest is None:
+            return []
+        mdir = os.path.join(self.root, "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        out = [
+            n[: -len(".json")]
+            for n in os.listdir(mdir)
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+        return sorted(c for c in out if c <= latest)
+
+    def _new_commit_id(self) -> str:
+        ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")[:-3]
+        last = self.latest_commit()
+        if last is not None and ts <= last:
+            ts = str(int(last) + 1).zfill(len(ts))
+        return ts
+
+    def _publish(self, commit: str) -> None:
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(commit)
+        os.replace(tmp, self._latest_path())
+
+    # -- manifests ------------------------------------------------------
+    def _manifest_path(self, commit: str) -> str:
+        return os.path.join(self.root, "manifests", f"{commit}.json")
+
+    def _manifest(self, commit: str) -> dict:
+        with open(self._manifest_path(commit)) as f:
+            return json.load(f)
+
+    def _write_manifest(
+        self,
+        commit: str,
+        op: str,
+        slices: dict[int, str | None],
+        schema: StructType,
+    ) -> None:
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        doc = {
+            "op": op,
+            # bucket → commit of its current slice; None = group empty
+            "slices": {str(b): c for b, c in sorted(slices.items())},
+            # committed data schema — empty snapshots and explicit-
+            # schema readers reconstruct from here (KeyedTable's
+            # schema/ dir analogue, inlined since the manifest already
+            # exists per commit)
+            "schema": json.loads(schema.json()),
+        }
+        tmp = self._manifest_path(commit) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path(commit))
+
+    # -- key routing ----------------------------------------------------
+    def _with_key(self, df: DataFrame) -> DataFrame:
+        if self.record_key != COMPOSITE_KEY_COL:
+            return df
+        return with_composite_key(df, self.key_fields)
+
+    def _bucket_expr(self):
+        """Stable key → file-group routing: xxhash64 of the STRING form
+        of the key (cast pins the hash input so int and bigint key
+        columns route identically across writers), mod num_buckets.
+        Pure codegen — routing adds no Python and no shuffle of its
+        own."""
+        return F.pmod(
+            F.xxhash64(F.col(self.record_key).cast("string")),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    def _slice_path(self, bucket: int, commit: str) -> str:
+        return os.path.join(self.root, "slices", f"b={bucket}", f"v={commit}")
+
+    def _read_slices(self, pairs: list[tuple[int, str]]) -> DataFrame | None:
+        """One multi-path parquet scan over the given (bucket, slice
+        commit) set. mergeSchema unions per-slice schemas — schema
+        evolution only rewrites the slices a widening batch touches, so
+        a snapshot legitimately spans schema versions."""
+        if not pairs:
+            return None
+        paths = []
+        for b, c in pairs:
+            p = self._slice_path(b, c)
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"file slice b={b}/v={c} was removed by the cleaner "
+                    "(keep_versions) — raise keep_versions or read within "
+                    "retained history"
+                )
+            paths.append(p)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -- merge payload --------------------------------------------------
+    def _combine(self, versions: DataFrame) -> DataFrame:
+        if self.payload == "partial_update":
+            return _merge_partial(
+                versions, self.record_key, [COMMIT_COL, self.precombine]
+            )
+        return _merge_latest(
+            versions, self.record_key, self.precombine, prefer_col=COMMIT_COL
+        )
+
+    # -- write path -----------------------------------------------------
+    def _write_touched(
+        self, merged: DataFrame, touched: list[int], commit: str
+    ) -> dict[int, str | None]:
+        """Write the merged state of the touched buckets as new file
+        slices: ONE partitionBy job into staging, then one rename per
+        bucket. Returns the touched part of the new slice map (None for
+        buckets left empty — partitionBy writes no dir for an empty
+        partition, which is exactly the 'group is now empty' signal)."""
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        (
+            merged.withColumn(BUCKET_COL, self._bucket_expr())
+            # key-sorted rows inside each slice file (P5 clustering-lite,
+            # same as KeyedTable snapshots) → row-group locality for
+            # point lookups
+            .sortWithinPartitions(BUCKET_COL, self.record_key)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        out: dict[int, str | None] = {}
+        for b in touched:
+            src = os.path.join(staging, f"{BUCKET_COL}={b}")
+            if os.path.isdir(src):
+                dst = self._slice_path(b, commit)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+                out[b] = commit
+            else:
+                out[b] = None
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _touched_buckets(self, keyed: DataFrame) -> list[int]:
+        """Distinct bucket ids the batch routes to — a bounded driver
+        aggregate (≤ num_buckets ints), the ONLY collect in the write
+        path."""
+        rows = (
+            keyed.select(self._bucket_expr().alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        return sorted(r[BUCKET_COL] for r in rows)
+
+    def _current_slices(self) -> dict[int, str | None]:
+        latest = self.latest_commit()
+        if latest is None:
+            return {}
+        return {
+            int(b): c for b, c in self._manifest(latest)["slices"].items()
+        }
+
+    def upsert(self, incoming: DataFrame) -> str:
+        """K1 with bounded write amplification: merge the batch into
+        ONLY the file groups it touches. Cost = one key shuffle over
+        (touched slices ∪ batch) + one parquet write of the touched
+        groups; untouched groups carry forward by manifest pointer —
+        zero bytes moved."""
+        incoming = self._with_key(incoming)
+        deduped = (
+            _merge_partial(incoming, self.record_key, [self.precombine])
+            if self.payload == "partial_update"
+            else _merge_latest(incoming, self.record_key, self.precombine)
+        )
+        commit = self._new_commit_id()
+        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+        touched = self._touched_buckets(stamped)
+        slices = self._current_slices()
+        existing = self._read_slices(
+            [(b, slices[b]) for b in touched if slices.get(b) is not None]
+        )
+        merged = (
+            stamped
+            if existing is None
+            else self._combine(
+                existing.unionByName(stamped, allowMissingColumns=True)
+            )
+        )
+        new_slices = dict(slices)
+        new_slices.update(self._write_touched(merged, touched, commit))
+        self._write_log(stamped, commit)
+        self._write_manifest(commit, "upsert", new_slices, self._union_schema(stamped.schema))
+        self._publish(commit)
+        self._clean()
+        return commit
+
+    def delete(self, keys: DataFrame) -> str | None:
+        """Hudi delete: drop the given record keys — reads and rewrites
+        only the buckets the keys route to."""
+        keys = self._with_key(keys)
+        keyed = keys.select(self.record_key).distinct()
+        touched = self._touched_buckets(keyed)
+        slices = self._current_slices()
+        live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
+        if not live:
+            return None  # none of the keys' groups hold data
+        commit = self._new_commit_id()
+        existing = self._read_slices(live)
+        remaining = existing.join(
+            F.broadcast(keyed), on=self.record_key, how="left_anti"
+        )
+        new_slices = dict(slices)
+        new_slices.update(
+            self._write_touched(remaining, [b for b, _ in live], commit)
+        )
+        self._write_manifest(
+            commit, "delete", new_slices, self._union_schema(None)
+        )
+        self._publish(commit)
+        self._clean()
+        return commit
+
+    def _union_schema(self, incoming: StructType | None) -> StructType:
+        """Committed data schema: previous manifest's schema widened by
+        the incoming batch (order-preserving name union; an evolved
+        column keeps its first-seen position)."""
+        latest = self.latest_commit()
+        prev = None
+        if latest is not None:
+            prev = StructType.fromJson(self._manifest(latest)["schema"])
+        if incoming is None:
+            return prev if prev is not None else StructType([])
+        if prev is None:
+            return incoming
+        names = {f.name for f in prev.fields}
+        merged = list(prev.fields) + [
+            f for f in incoming.fields if f.name not in names
+        ]
+        return StructType(merged)
+
+    def _write_log(self, df: DataFrame, commit: str) -> None:
+        path = os.path.join(self.root, "log", f"c={commit}")
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        df.drop(COMMIT_COL).write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)
+
+    # -- read path ------------------------------------------------------
+    def snapshot(self, as_of: str | None = None) -> DataFrame | None:
+        """S1 snapshot (one live row per key), latest or as of an older
+        instant. A manifest IS the snapshot definition: the read is the
+        union of its referenced slices — already per-key merged at
+        write time, so no read-side combine at all (the read-optimized
+        half of COW, preserved). Time travel composes for free and
+        needs NO delete rail: an old manifest pins the exact pre-delete
+        slice set; the only failure mode is the cleaner having removed
+        a referenced slice, which raises with the retained-history
+        message."""
+        latest = self.latest_commit()
+        if latest is None:
+            return None
+        effective = latest if as_of is None or as_of > latest else as_of
+        surviving = [c for c in self.commits() if c <= effective]
+        if not surviving:
+            return None  # as_of before the first commit
+        manifest = self._manifest(surviving[-1])
+        pairs = [
+            (int(b), c)
+            for b, c in manifest["slices"].items()
+            if c is not None
+        ]
+        df = self._read_slices(pairs)
+        if df is None:
+            # every group empty (e.g. all rows deleted): an EMPTY frame
+            # in the committed schema, not None — the table exists
+            schema = StructType.fromJson(manifest["schema"])
+            return self.spark.createDataFrame([], schema)
+        return df
+
+    def read_keys(self, keys: DataFrame) -> DataFrame:
+        """P8 point lookup: route the probe keys to their buckets and
+        scan ONLY those file slices — 1/num_buckets of the table per
+        probed group instead of a full scan. The probe side is joined
+        broadcast (point lookups are small by definition)."""
+        keys = self._with_key(keys)
+        keyed = keys.select(self.record_key).distinct()
+        touched = self._touched_buckets(keyed)
+        slices = self._current_slices()
+        live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
+        df = self._read_slices(live)
+        if df is None:
+            schema = self._union_schema(None)
+            return self.spark.createDataFrame([], schema)
+        return df.join(F.broadcast(keyed), on=self.record_key, how="left_semi")
+
+    # -- maintenance ----------------------------------------------------
+    def _clean(self) -> None:
+        """P6 cleaner, slice-granular: keep every file slice referenced
+        by the last ``keep_versions`` manifests; remove the rest. A
+        slice shared by many manifests (untouched group) survives as
+        long as ANY retained manifest references it — carry-forward
+        makes retention cheap: N versions of a table where commits
+        touch b of B groups cost ~(1 + N·b/B)× table bytes, not N×."""
+        commits = self.commits()
+        retained = commits[-self.keep_versions :]
+        referenced: set[tuple[int, str]] = set()
+        for c in retained:
+            for b, sc in self._manifest(c)["slices"].items():
+                if sc is not None:
+                    referenced.add((int(b), sc))
+        sdir = os.path.join(self.root, "slices")
+        if not os.path.isdir(sdir):
+            return
+        for bname in os.listdir(sdir):
+            if not bname.startswith("b="):
+                continue
+            b = int(bname[2:])
+            bdir = os.path.join(sdir, bname)
+            for vname in os.listdir(bdir):
+                if not vname.startswith("v="):
+                    continue
+                if (b, vname[2:]) not in referenced:
+                    shutil.rmtree(os.path.join(bdir, vname), ignore_errors=True)
+
+    def stats(self) -> dict:
+        """Observability for the write-amplification claim: per-commit
+        touched-group counts and on-disk slice bytes, so an operator
+        can SEE that commit cost tracks batch spread, not table size."""
+        out: dict = {"num_buckets": self.num_buckets, "commits": {}}
+        prev_slices: dict[str, str | None] = {}
+        for c in self.commits():
+            m = self._manifest(c)
+            touched = [
+                int(b)
+                for b, sc in m["slices"].items()
+                if prev_slices.get(b, "__absent__") != sc
+            ]
+            prev_slices = m["slices"]
+            written = 0
+            for b in touched:
+                p = self._slice_path(b, c)
+                if os.path.isdir(p):
+                    for f in os.listdir(p):
+                        written += os.path.getsize(os.path.join(p, f))
+            out["commits"][c] = {
+                "op": m["op"],
+                "touched_groups": len(touched),
+                "bytes_written": written,
+            }
+        return out

@@ -56,6 +56,29 @@ from .concurrency import CommitConflictError, LockAcquireTimeout
 COMPOSITE_KEY_COL = "_record_key"
 
 
+def with_composite_key(df: DataFrame, key_fields: list[str]) -> DataFrame:
+    """Materialize the derived ``_record_key`` meta column for a
+    composite key (no-op when the frame already carries it). Shared by
+    :class:`KeyedTable` and :class:`.filegroups.BucketedTable` so both
+    engines key identically. See :meth:`KeyedTable._with_key` for the
+    injectivity argument (escape + null sentinel + separator join)."""
+    if COMPOSITE_KEY_COL in df.columns:
+        return df
+    missing = [c for c in key_fields if c not in df.columns]
+    if missing:
+        raise ValueError(f"composite key fields missing from batch: {missing}")
+    parts = []
+    for c in key_fields:
+        escaped = F.regexp_replace(
+            F.regexp_replace(F.col(c).cast("string"), "\x01", "\x01\x01"),
+            "\x1f",
+            "\x01s",
+        )
+        parts.append(F.coalesce(escaped, F.lit("\x01n")))
+        parts.append(F.lit("\x1f"))
+    return df.withColumn(COMPOSITE_KEY_COL, F.concat(*parts[:-1]))
+
+
 def _merge_latest(
     df: DataFrame, key: str, precombine: str, prefer_col: str | None = None
 ) -> DataFrame:
@@ -281,25 +304,7 @@ class KeyedTable:
         precombine loser's row for uncontrolled string inputs."""
         if self.record_key != COMPOSITE_KEY_COL:
             return df
-        if COMPOSITE_KEY_COL in df.columns:
-            return df
-        missing = [c for c in self.key_fields if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"composite key fields missing from batch: {missing}"
-            )
-        parts = []
-        for c in self.key_fields:
-            escaped = F.regexp_replace(
-                F.regexp_replace(
-                    F.col(c).cast("string"), "\x01", "\x01\x01"
-                ),
-                "\x1f",
-                "\x01s",
-            )
-            parts.append(F.coalesce(escaped, F.lit("\x01n")))
-            parts.append(F.lit("\x1f"))
-        return df.withColumn(COMPOSITE_KEY_COL, F.concat(*parts[:-1]))
+        return with_composite_key(df, self.key_fields)
 
     # -- schema evolution (late r7) -------------------------------------
     def _schema_dir(self) -> str:
