@@ -285,3 +285,92 @@ def cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_after")["val"].alias("after_val"),
         F.col("_after")["val_price"].alias("after_price"),
     )
+
+
+_FG_TABLES: dict[str, str] = {}
+
+
+def _filegroup_fixture_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a BucketedTable (sinks/filegroups.py —
+    Hudi bucket-index COW) with the SAME 4-commit history the CDC
+    fixture uses: three upsert batches sliced by ``o_orderkey % 3``
+    plus a delete of every seventh key. Heavy key collisions
+    (k = o_orderkey % 97) spread across 8 file groups, so the history
+    exercises cross-commit merges inside slices, carry-forward of
+    untouched groups, delete rewrites, AND manifest time travel."""
+    cached = _FG_TABLES.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..sinks.filegroups import BucketedTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 97).cast("int").alias("k"),
+        F.col("o_orderkey").cast("long").alias("pre"),
+        F.col("o_orderpriority").alias("val"),
+        F.col("o_totalprice").alias("val_price"),
+        (F.col("o_orderkey") % 3).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="fg_fixture_")
+    t = BucketedTable(
+        spark, root, record_key="k", precombine="pre",
+        num_buckets=8, keep_versions=10,
+    )
+    t.upsert(src.filter(F.col("b") == 0).drop("b"))
+    t.upsert(src.filter(F.col("b") == 1).drop("b"))
+    t.delete(src.select("k").distinct().filter(F.col("k") % 7 == 0))
+    t.upsert(src.filter(F.col("b") == 2).drop("b"))
+    _FG_TABLES[sf_dir] = root
+    return root
+
+
+@query(
+    "filegroup_snapshot",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 97 AS INT) AS k,
+             CAST(o_orderkey AS BIGINT) AS pre,
+             o_orderpriority AS val,
+             o_totalprice AS val_price,
+             o_orderkey % 3 AS b
+      FROM orders
+    ),
+    u12 AS (SELECT k, pre, val, val_price FROM src WHERE b IN (0, 1)),
+    s2 AS (SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+                  arg_max(val_price, pre) AS val_price
+           FROM u12 GROUP BY k),
+    s4 AS (SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+                  arg_max(val_price, pre) AS val_price
+           FROM (SELECT k, pre, val, val_price FROM u12 WHERE k % 7 <> 0
+                 UNION ALL
+                 SELECT k, pre, val, val_price FROM src WHERE b = 2) u
+           GROUP BY k)
+    SELECT CAST(2 AS INT) AS state_seq, k, pre, val, val_price FROM s2
+    UNION ALL
+    SELECT CAST(4 AS INT) AS state_seq, k, pre, val, val_price FROM s4
+    """,
+)
+def filegroup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 over the bucket-indexed COW engine (sinks/filegroups.py, P7):
+    snapshot() resolves the latest manifest's file slices — per-key
+    merged at write time, zero read-side combine — and
+    snapshot(as_of=second commit) time-travels through an OLDER
+    manifest that pins the pre-delete slice set (no delete rail
+    needed). The DuckDB oracle re-derives both states by per-key
+    ``arg_max`` set algebra over the same order slices, so the whole
+    write path — bucket routing, touched-group-only slice rewrite,
+    carry-forward manifests, delete anti-join, P2 merge — is
+    value-checked end to end, at two instants."""
+    from ..sinks.filegroups import BucketedTable
+
+    t = BucketedTable.open(spark, _filegroup_fixture_table(spark, sf_dir))
+    second = t.commits()[1]
+    cols = ["k", "pre", "val", "val_price"]
+    return (
+        t.snapshot(as_of=second)
+        .select(F.lit(2).cast("int").alias("state_seq"), *cols)
+        .unionByName(
+            t.snapshot().select(
+                F.lit(4).cast("int").alias("state_seq"), *cols
+            )
+        )
+    )

@@ -17,6 +17,11 @@ from . import query
 
 @query(
     "set_operations",
+    retired=True,  # r7: slot funded filegroup_snapshot; every set-op
+    # primitive (UNION ALL/DISTINCT, INTERSECT→semi, EXCEPT→anti) is
+    # load-bearing inside other driver-oracled entries (dedup unions,
+    # decontaminate anti-joins, join_semi_anti); value-checked by
+    # tests/test_retired_parity.py
     oracle="""
     SELECT 'union_all' AS op, nationkey FROM (
       SELECT c_nationkey AS nationkey FROM customer

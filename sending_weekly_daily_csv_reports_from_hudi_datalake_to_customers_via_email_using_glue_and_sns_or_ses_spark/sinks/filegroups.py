@@ -231,6 +231,9 @@ class BucketedTable:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         doc = {
             "op": op,
+            # commit-time write accounting, so stats() reports what the
+            # commit WROTE even after the cleaner removes the slices
+            "bytes_written": getattr(self, "_last_bytes_written", 0),
             # bucket → commit of its current slice; None = group empty
             "slices": {str(b): c for b, c in sorted(slices.items())},
             # committed data schema — empty snapshots and explicit-
@@ -305,6 +308,13 @@ class BucketedTable:
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         (
             merged.withColumn(BUCKET_COL, self._bucket_expr())
+            # ONE output file per file group: without the bucket
+            # repartition, partitionBy fans each of the merge shuffle's
+            # P tasks across every bucket dir → up to P small files per
+            # group per commit — the classic small-files failure at
+            # 1000 executors. The extra exchange moves only touched-
+            # group data (each group's rows land in exactly one task).
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
             # key-sorted rows inside each slice file (P5 clustering-lite,
             # same as KeyedTable snapshots) → row-group locality for
             # point lookups
@@ -314,6 +324,7 @@ class BucketedTable:
             .parquet(staging)
         )
         out: dict[int, str | None] = {}
+        self._last_bytes_written = 0
         for b in touched:
             src = os.path.join(staging, f"{BUCKET_COL}={b}")
             if os.path.isdir(src):
@@ -322,6 +333,10 @@ class BucketedTable:
                 shutil.rmtree(dst, ignore_errors=True)
                 os.rename(src, dst)
                 out[b] = commit
+                for f in os.listdir(dst):
+                    self._last_bytes_written += os.path.getsize(
+                        os.path.join(dst, f)
+                    )
             else:
                 out[b] = None
         shutil.rmtree(staging, ignore_errors=True)
@@ -360,7 +375,10 @@ class BucketedTable:
         )
         commit = self._new_commit_id()
         stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
-        touched = self._touched_buckets(stamped)
+        # routing depends only on the key SET, identical pre- and
+        # post-dedupe — compute it off the raw batch (narrow key-only
+        # lineage, no merge window behind it)
+        touched = self._touched_buckets(incoming)
         slices = self._current_slices()
         existing = self._read_slices(
             [(b, slices[b]) for b in touched if slices.get(b) is not None]
@@ -523,15 +541,10 @@ class BucketedTable:
                 if prev_slices.get(b, "__absent__") != sc
             ]
             prev_slices = m["slices"]
-            written = 0
-            for b in touched:
-                p = self._slice_path(b, c)
-                if os.path.isdir(p):
-                    for f in os.listdir(p):
-                        written += os.path.getsize(os.path.join(p, f))
             out["commits"][c] = {
                 "op": m["op"],
                 "touched_groups": len(touched),
-                "bytes_written": written,
+                # recorded at commit time — survives the cleaner
+                "bytes_written": m.get("bytes_written", 0),
             }
         return out
