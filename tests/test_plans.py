@@ -599,3 +599,21 @@ def test_cdc_scan_single_exchange_pruned_diffs(spark):
         assert "struct<k:int>" in line, line
     # the log scan prunes on the c= partition column
     assert "PartitionFilters" in plan
+
+
+def test_filegroup_snapshot_zero_read_side_merge(spark):
+    """The bucket-index engine's read contract: a snapshot (latest OR
+    time-travel) is the UNION of the manifest's file slices — per-key
+    merged at write time — so the read plan has no Window, no
+    aggregate, and no shuffle at all: parquet scans + projections +
+    union, wholly codegen. That is the read-optimized half of COW,
+    preserved under bounded-write-amplification commits."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["filegroup_snapshot"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert "Union" in plan, plan
