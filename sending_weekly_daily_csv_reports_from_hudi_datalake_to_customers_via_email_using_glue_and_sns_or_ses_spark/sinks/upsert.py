@@ -635,6 +635,49 @@ class KeyedTable:
         effective = latest if as_of is None or as_of > latest else as_of
         return self._snapshot_as_of(effective)
 
+    def snapshot_where(
+        self,
+        predicates: dict,
+        as_of: str | None = None,
+        with_report: bool = False,
+    ):
+        """P8 data-skipping snapshot read — semantically IDENTICAL to
+        ``snapshot(as_of).filter(lo <= col <= hi ...)``, but when the
+        effective state is exactly a materialized snapshot carrying a
+        ``_colstats.json`` index (written by ``compact_snapshot(...,
+        stats_cols=...)``), the scan plans over ONLY the files whose
+        [min, max] can intersect the predicates — at 100 TB that is
+        the difference between listing/footer-probing 10⁵ files and
+        reading the handful a clustered layout confines the range to.
+
+        MOR log windows and pre-index snapshots fall back to the full
+        merge + filter: filtering BEFORE a log merge would be wrong
+        (a newer log row can move a key out of range, and the stale
+        base row must still lose to it), so the fast path requires
+        base_commit == effective. ``with_report=True`` also returns
+        the skipping report (see colstats.prune_files); fallbacks
+        report ``{"fallback": True}``."""
+        from ..sources.colstats import predicates_to_filter, read_skipping
+
+        latest = self.latest_commit()
+        if latest is None:
+            return (None, {"fallback": True}) if with_report else None
+        effective = latest if as_of is None or as_of > latest else as_of
+        surviving = [c for c in self.commits() if c <= effective]
+        base_commit = surviving[-1] if surviving else None
+        if base_commit == effective:
+            path = os.path.join(self.root, "snapshots", f"v={base_commit}")
+            return read_skipping(
+                self.spark, path, predicates, with_report=with_report
+            )
+        snap = self._snapshot_as_of(effective)
+        df = (
+            None
+            if snap is None
+            else snap.where(predicates_to_filter(predicates))
+        )
+        return (df, {"fallback": True}) if with_report else df
+
     def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
         """The one snapshot read path (``as_of`` = the latest commit
         for plain reads): newest surviving snapshot ≤ as_of ∪ log
@@ -1464,6 +1507,7 @@ def compact_snapshot(
     table: KeyedTable,
     target_files: int = 1,
     zorder_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> str | None:
     """P5/P11 compaction: rewrite the live snapshot into ``target_files``
     files sorted by the record key (small-file compaction + clustering in
@@ -1481,7 +1525,18 @@ def compact_snapshot(
     min/max locality, so single-column filters prune files that a
     lexicographic sort would only prune for its leading column. See
     ``functions/layout.py`` for the curve mechanics and
-    tests/test_layout.py for the measured pruning benefit."""
+    tests/test_layout.py for the measured pruning benefit.
+
+    ``stats_cols`` additionally writes the P8 ``_colstats.json``
+    per-file min/max index into the new snapshot dir (Hudi's metadata
+    table ``col_stats``; ``hoodie.metadata.index.column.stats.enable``)
+    — clustering creates the file-level value locality, the index lets
+    ``KeyedTable.snapshot_where`` exploit it without opening a single
+    pruned file's footer. The stats pass reads only the indexed
+    columns of the snapshot just written (one column-pruned scan,
+    write-time cost, amortized over every skipping read), and the
+    manifest lands BEFORE the commit publishes — readers see
+    snapshot+index together or not at all."""
     with table._txn():
         snap = table.snapshot()
         if snap is None:
@@ -1499,6 +1554,14 @@ def compact_snapshot(
         else:
             compacted = snap.repartitionByRange(target_files, table.record_key)
         table._write_snapshot(compacted, commit, presorted=bool(zorder_cols))
+        if stats_cols:
+            from ..sources.colstats import write_colstats
+
+            write_colstats(
+                table.spark,
+                os.path.join(table.root, "snapshots", f"v={commit}"),
+                stats_cols,
+            )
         table._publish(commit)
         table._record_instant(commit, "replace")
         table._clean()
