@@ -50,7 +50,7 @@ HEADLINE = [
     "join_range_asof",
     "cube_rollup_revenue",
     "window_ranking_topk",
-    "window_frames",
+    "colstats_skipping",
     "dedup_latest_per_key",
     "sessionization",
     "sliding_json_counts",

@@ -374,3 +374,90 @@ def filegroup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_CS_TABLES: dict[str, str] = {}
+
+
+def _colstats_fixture_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) lineitem as a 16-file z-order-clustered
+    parquet layout over (ship_ts, price) carrying the P8
+    ``_colstats.json`` per-file min/max index — the layout+index pair
+    data skipping needs. Every source row passes through UNMERGED (the
+    synthetic lineitem is NOT (orderkey, linenumber)-unique, so a
+    keyed-table fixture would silently drop precombine losers and
+    break oracle identity — the KeyedTable integration is instead
+    pinned by tests/test_colstats.py's end-to-end case)."""
+    cached = _CS_TABLES.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..functions.layout import add_zorder_key
+    from ..sources.colstats import write_colstats
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("k"),
+        F.col("l_shipdate").alias("ship_ts"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("rf"),
+    )
+    root = tempfile.mkdtemp(prefix="cs_fixture_")
+    path = os.path.join(root, "lineitem_z")
+    (
+        add_zorder_key(src, ["ship_ts", "price"])
+        .repartitionByRange(16, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.parquet(path)
+    )
+    write_colstats(spark, path, ["ship_ts", "price"])
+    _CS_TABLES[sf_dir] = root
+    return root
+
+
+@query(
+    "colstats_skipping",
+    oracle="""
+    SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS k,
+           l_shipdate AS ship_ts,
+           l_extendedprice AS price,
+           l_quantity AS qty,
+           l_returnflag AS rf
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                         AND TIMESTAMP '1996-05-31 23:59:59'
+      AND l_extendedprice BETWEEN 20000.0 AND 45000.0
+    """,
+)
+def colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 data skipping end to end (sources/colstats.py): a z-order
+    clustered lineitem layout with a per-file min/max index answers a
+    two-column range query via ``read_skipping`` — the scan plans over
+    ONLY the files whose [min, max] intersect the ranges (Hudi
+    metadata-table col_stats; at 100 TB this replaces 10⁵ footer
+    probes with one manifest read). The DuckDB oracle is the same
+    closed ranges over raw lineitem — complete because the clustered
+    rewrite is row-preserving — so the whole chain (z-order layout →
+    stats collection → file pruning → residual filter) is
+    value-checked; pruning really firing is pinned by
+    tests/test_colstats.py and measured in BASELINE.md."""
+    import datetime
+
+    from ..sources.colstats import read_skipping
+
+    path = os.path.join(
+        _colstats_fixture_layout(spark, sf_dir), "lineitem_z"
+    )
+    return read_skipping(
+        spark,
+        path,
+        {
+            "ship_ts": (
+                datetime.datetime(1996, 3, 1),
+                datetime.datetime(1996, 5, 31, 23, 59, 59),
+            ),
+            "price": (20000.0, 45000.0),
+        },
+    ).select("k", "ship_ts", "price", "qty", "rf")

@@ -65,6 +65,10 @@ def window_ranking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_frames",
+    retired=True,  # r7: slot funded colstats_skipping; the frame/offset/
+    # ntile/range-frame primitives stay value-checked by
+    # test_retired_parity, and X3 keeps a live driver row via
+    # window_ranking_topk
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

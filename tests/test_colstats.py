@@ -257,3 +257,15 @@ def test_keyed_table_snapshot_where(spark, tmp_path):
     got2, rep2 = t2.snapshot_where({"v": (9000.0, 10000.0)}, with_report=True)
     assert rep2 == {"fallback": True}
     assert _rows(got2.select("k", "v")) == [(600, 9999.0)]
+
+
+def test_driver_entry_prunes_files(spark):
+    """The colstats_skipping DRIVER ENTRY must actually skip: its scan
+    plans over a strict subset of the 16-file z-ordered layout."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        QUERIES,
+    )
+
+    df = QUERIES["colstats_skipping"](spark, "/root/testdata/sf0.001")
+    n = len(df.inputFiles())
+    assert 0 < n < 16, n

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
     QUERIES,
+    RETIRED_QUERIES,
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
     codegen_stage_count,
@@ -148,7 +149,8 @@ def test_merged_windows_share_one_exchange(spark):
     EnsureRequirements reuses the exchange (extra specs cost only an
     in-partition sort, never another shuffle)."""
     for name in ("window_frames", "window_ranking_topk", "sessionization"):
-        plan = physical_plan(QUERIES[name](spark, SF))
+        fn = QUERIES.get(name) or RETIRED_QUERIES[name]
+        plan = physical_plan(fn(spark, SF))
         n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
         assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles\n{plan}"
 
