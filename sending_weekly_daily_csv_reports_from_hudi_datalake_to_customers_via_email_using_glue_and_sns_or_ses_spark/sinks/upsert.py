@@ -678,6 +678,40 @@ class KeyedTable:
         )
         return (df, {"fallback": True}) if with_report else df
 
+    def read_keys(self, keys: list, with_report: bool = False):
+        """P7 point lookup: the live rows for the given record-key
+        values — semantically ``snapshot().where(key.isin(keys))``.
+        When the current state is a materialized snapshot carrying a
+        ``_bloom.json`` index (``compact_snapshot(..., bloom_key=
+        record_key)``), the scan opens ONLY files whose bloom may
+        contain a probe key — layout-independent, unlike min/max
+        skipping, so it works on z-ordered snapshots whose key the
+        curve scattered. MOR log windows and unindexed snapshots fall
+        back to the merged snapshot + exact filter (correctness
+        identical either way: the isin filter always applies)."""
+        from ..sources.bloomindex import read_keys_bloom
+
+        latest = self.latest_commit()
+        if latest is None:
+            return (None, {"fallback": True}) if with_report else None
+        base = self._base_commit()
+        if base == latest:
+            path = os.path.join(self.root, "snapshots", f"v={base}")
+            return read_keys_bloom(
+                self.spark,
+                path,
+                self.record_key,
+                keys,
+                with_report=with_report,
+            )
+        snap = self.snapshot()
+        df = (
+            None
+            if snap is None
+            else snap.where(F.col(self.record_key).isin(keys))
+        )
+        return (df, {"fallback": True}) if with_report else df
+
     def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
         """The one snapshot read path (``as_of`` = the latest commit
         for plain reads): newest surviving snapshot ≤ as_of ∪ log
@@ -1508,6 +1542,7 @@ def compact_snapshot(
     target_files: int = 1,
     zorder_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_key: str | None = None,
 ) -> str | None:
     """P5/P11 compaction: rewrite the live snapshot into ``target_files``
     files sorted by the record key (small-file compaction + clustering in
@@ -1536,7 +1571,14 @@ def compact_snapshot(
     columns of the snapshot just written (one column-pruned scan,
     write-time cost, amortized over every skipping read), and the
     manifest lands BEFORE the commit publishes — readers see
-    snapshot+index together or not at all."""
+    snapshot+index together or not at all.
+
+    ``bloom_key`` (usually the record key) writes the P7 per-file
+    Bloom index (``hoodie.index.type=BLOOM`` — sources/bloomindex.py)
+    the same way: min/max stats prune point lookups only where the
+    layout clusters the key, and a z-order over OTHER columns
+    scatters it — the bloom is the layout-independent complement
+    ``KeyedTable.read_keys`` probes."""
     with table._txn():
         snap = table.snapshot()
         if snap is None:
@@ -1554,14 +1596,15 @@ def compact_snapshot(
         else:
             compacted = snap.repartitionByRange(target_files, table.record_key)
         table._write_snapshot(compacted, commit, presorted=bool(zorder_cols))
+        snap_path = os.path.join(table.root, "snapshots", f"v={commit}")
         if stats_cols:
             from ..sources.colstats import write_colstats
 
-            write_colstats(
-                table.spark,
-                os.path.join(table.root, "snapshots", f"v={commit}"),
-                stats_cols,
-            )
+            write_colstats(table.spark, snap_path, stats_cols)
+        if bloom_key:
+            from ..sources.bloomindex import write_bloom
+
+            write_bloom(table.spark, snap_path, bloom_key)
         table._publish(commit)
         table._record_instant(commit, "replace")
         table._clean()
