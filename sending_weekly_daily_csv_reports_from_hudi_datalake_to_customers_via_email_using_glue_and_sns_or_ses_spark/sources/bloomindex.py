@@ -80,17 +80,37 @@ def _bit_exprs(key_col: str, m: int, k: int) -> list:
     ]
 
 
+#: auto-sizing bounds: never below 2 KiB/file (tiny files round up to a
+#: still-negligible bitmap), never above 2 MiB/file (a 10^5-file
+#: snapshot stays ≤ ~27 GB of index even at the rail — past it, split
+#: files or raise bits explicitly)
+_MIN_M_BITS = 1 << 14
+_MAX_M_BITS = 1 << 24
+
+
 def write_bloom(
     spark: SparkSession,
     path: str,
     key_col: str,
-    m_bits: int = 1 << 17,
+    m_bits: int | None = None,
     num_hashes: int = 7,
+    bits_per_key: int = 10,
 ) -> dict:
     """Build and persist the per-file Bloom index over ``key_col`` for
     every parquet file under ``path`` (immutable dirs only — same
-    contract as colstats). Returns the manifest."""
-    if m_bits < 8 or num_hashes < 1:
+    contract as colstats). Returns the manifest.
+
+    ``m_bits=None`` (default) auto-sizes the bitmap from the data: one
+    column-pruned count of rows per file, then m = the next power of
+    two ≥ ``bits_per_key`` × the LARGEST file's row count (one global
+    m keeps probe hashing uniform; sizing to the largest file keeps
+    the worst file at the target rate and only over-provisions the
+    rest). 10 bits/key with k = 7 sits at the classic ~1% false-
+    positive point — the fixed-default footgun this replaces kept
+    ~2/3 of files at 37k keys/file where the auto-size keeps the
+    true-hit count. Hudi exposes the same pair as
+    ``hoodie.index.bloom.num_entries`` / ``fpp``."""
+    if m_bits is not None and m_bits < 8 or num_hashes < 1:
         raise ValueError(
             f"bloom: need m_bits >= 8 and num_hashes >= 1, got "
             f"{m_bits}/{num_hashes}"
@@ -100,6 +120,16 @@ def write_bloom(
         raise ValueError(
             f"bloom: key column {key_col!r} not in schema {df.columns}"
         )
+    if m_bits is None:
+        if bits_per_key < 1:
+            raise ValueError(f"bloom: bits_per_key >= 1, got {bits_per_key}")
+        per_file = (
+            df.groupBy(F.input_file_name()).count().agg(F.max("count"))
+        ).first()[0]
+        need = max(int(per_file or 1) * bits_per_key, _MIN_M_BITS)
+        m_bits = _MIN_M_BITS
+        while m_bits < need and m_bits < _MAX_M_BITS:
+            m_bits <<= 1
     bits = (
         df.select(
             F.input_file_name().alias("__f"),

@@ -169,3 +169,27 @@ def test_keyed_table_read_keys(spark, tmp_path):
     got2, rep2 = t2.read_keys([1234], with_report=True)
     assert rep2 == {"fallback": True}
     assert _rows(got2.select("k", "a")) == [(1234, -1.0)]
+
+
+def test_auto_sized_m_tracks_largest_file(spark, tmp_path):
+    """m_bits=None sizes the bitmap from the data: next power of two
+    >= bits_per_key x the largest file's rows (floored at 2^14). At
+    12k keys in one file, 10 bits/key needs >= 120k bits -> 2^17; the
+    fixed old default would have been at ~37% fp for 37k keys, the
+    auto-size keeps absent-key probes near zero."""
+    path = str(tmp_path / "auto")
+    spark.range(12_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.parquet(path)
+    m = write_bloom(spark, path, "k")
+    assert m["m_bits"] == 1 << 17
+    kept, report = probe_bloom(spark, path, [10**9 + i for i in range(50)])
+    assert report["n_kept"] == 0  # 50 absent probes, fp ~1e-2 per file
+
+    # tiny file floors at _MIN_M_BITS
+    p2 = str(tmp_path / "tiny")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(p2)
+    assert write_bloom(spark, p2, "k")["m_bits"] == 1 << 14
+
+    with pytest.raises(ValueError, match="bits_per_key"):
+        write_bloom(spark, path, "k", bits_per_key=0)
