@@ -10,8 +10,13 @@ Gupta & Mumick, "Maintenance of Materialized Views: Problems,
 Techniques, and Applications", IEEE Data Eng. Bull. 1995) is that
 COUNT/SUM (and AVG = SUM/COUNT) are self-maintainable from insert/
 delete/update deltas alone; MIN/MAX are not (a retraction of the
-current extremum needs the base table) — this module implements the
-self-maintainable family.
+current extremum needs the base table). This module implements the
+self-maintainable family exactly, and MIN/MAX via the standard
+dirty-group protocol: maintain optimistically (inserts only ever
+improve an extremum), detect the windows where a retraction may have
+removed the current extremum, and recompute ONLY those groups against
+the base snapshot through a semi-join-pruned scan — O(changed rows +
+dirty-group rows) per window, never O(table).
 
 Contract: each CDC row contributes −(before state) and +(after state)
 to the groups those states belong to. Summed over any window the
@@ -48,6 +53,19 @@ from pyspark.sql import functions as F
 #: the maintained row-count column (also the group-liveness witness)
 COUNT_COL = "n_rows"
 
+#: transient per-group flag: some maintained extremum MAY be stale and
+#: needs a base-table recompute (never published)
+DIRTY_COL = "__dirty"
+
+
+def _value_counted_cols(
+    sum_cols: list[str], minmax_cols: list[str]
+) -> list[str]:
+    """Columns that carry an ``n_<c>`` non-null count: every sum column
+    plus every extremum-only column (the count doubles as the
+    all-NULL witness for MIN/MAX resolution)."""
+    return list(sum_cols) + [c for c in minmax_cols if c not in sum_cols]
+
 
 def _nulled_sums(df: DataFrame, sum_cols: list[str]) -> DataFrame:
     """Present each sum as NULL when its non-null count is zero — the
@@ -73,15 +91,39 @@ def cdc_agg_delta(
     cdc_df: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> DataFrame:
     """The window's aggregate delta: for each group (fields of the CDC
     payload structs), the net change to the row count, to each
     ``sum_cols`` total, and to each total's non-null count. Output
     schema: ``group_cols + [n_rows] + [sum_<c>, n_<c> per c]`` — the
     same shape the maintained aggregate uses, so
-    :func:`merge_agg_delta` is one union."""
+    :func:`merge_agg_delta` is one union.
+
+    ``minmax_cols`` adds, per column, the window's extremum evidence:
+    ``__ins_min/__ins_max`` (extremes over the AFTER images — values
+    entering the group) and ``__ret_min/__ret_max`` (extremes over the
+    BEFORE images — values leaving it). MIN/MAX are not
+    self-maintainable, so these don't resolve the new extremum by
+    themselves; :func:`merge_agg_delta` combines them with the stored
+    value and flags the groups that need a base recompute. Extremum
+    columns also get the ``n_<c>`` non-null count (the all-NULL
+    witness)."""
+    minmax_cols = list(minmax_cols or [])
+    ncols = _value_counted_cols(sum_cols, minmax_cols)
+
+    def _mm_type(c):
+        return cdc_df.schema["_after"].dataType[c].dataType
+
     sides = []
     for img, sign in (("_before", -1), ("_after", 1)):
+        entering = img == "_after"
+
+        def _evidence(c, want_entering):
+            if entering == want_entering:
+                return F.col(img)[c]
+            return F.lit(None).cast(_mm_type(c))
+
         sides.append(
             cdc_df.filter(F.col(img).isNotNull()).select(
                 *[F.col(img)[g].alias(g) for g in group_cols],
@@ -95,7 +137,15 @@ def cdc_agg_delta(
                     .otherwise(0)
                     .cast("long")
                     .alias(f"n_{c}")
-                    for c in sum_cols
+                    for c in ncols
+                ],
+                *[
+                    _evidence(c, True).alias(f"__ins_{c}")
+                    for c in minmax_cols
+                ],
+                *[
+                    _evidence(c, False).alias(f"__ret_{c}")
+                    for c in minmax_cols
                 ],
             )
         )
@@ -104,7 +154,17 @@ def cdc_agg_delta(
     return contrib.groupBy(*group_cols).agg(
         F.sum(COUNT_COL).alias(COUNT_COL),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
-        *[F.sum(f"n_{c}").alias(f"n_{c}") for c in sum_cols],
+        *[F.sum(f"n_{c}").alias(f"n_{c}") for c in ncols],
+        *[
+            agg
+            for c in minmax_cols
+            for agg in (
+                F.min(f"__ins_{c}").alias(f"__ins_min_{c}"),
+                F.max(f"__ins_{c}").alias(f"__ins_max_{c}"),
+                F.min(f"__ret_{c}").alias(f"__ret_min_{c}"),
+                F.max(f"__ret_{c}").alias(f"__ret_max_{c}"),
+            )
+        ],
     )
 
 
@@ -113,6 +173,7 @@ def merge_agg_delta(
     delta: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fold a delta into the maintained aggregate: union + re-aggregate
     (both sides share the delta schema), dropping groups whose row
@@ -121,19 +182,151 @@ def merge_agg_delta(
 
     The union+re-agg form beats a full-outer join at every scale: both
     inputs are |groups|-sized, the aggregation is partial-combined, and
-    there is exactly one shuffle on the group key."""
-    if current is None:
-        merged = delta  # genesis window: its net n_<c> IS the true count
-    else:
-        value_cols = [COUNT_COL] + [
-            name for c in sum_cols for name in (f"sum_{c}", f"n_{c}")
-        ]
-        merged = (
-            current.unionByName(delta)
-            .groupBy(*group_cols)
-            .agg(*[F.sum(c).alias(c) for c in value_cols])
+    there is exactly one shuffle on the group key.
+
+    With ``minmax_cols`` the output carries, per column, the resolved
+    ``min_<c>``/``max_<c>`` plus the transient ``__dirty`` flag. The
+    resolution rule (min side; max is symmetric): the candidate
+    extremum is ``least(stored min, window insert-min)`` — NULL-
+    skipping, so a fresh group resolves from its inserts alone. It is
+    TRUSTWORTHY unless some retracted value threatens it:
+    ``ret_min <= candidate`` means the retracted set may have
+    contained the very extremum (equality included: another equal row
+    may or may not survive), so the group is flagged dirty and the
+    caller must recompute it against the base table
+    (:func:`recompute_extremes`). ``ret_min > candidate`` proves every
+    retracted value sat strictly above the result, so the maintained
+    value is exact — the common insert-mostly case never touches the
+    base. A group whose non-null count hits zero resolves to NULL
+    without recompute (retracting the last value needs no base: the
+    answer is the empty-aggregate NULL)."""
+    minmax_cols = list(minmax_cols or [])
+    if not minmax_cols:
+        if current is None:
+            merged = delta  # genesis window: net n_<c> IS the true count
+        else:
+            value_cols = [COUNT_COL] + [
+                name for c in sum_cols for name in (f"sum_{c}", f"n_{c}")
+            ]
+            merged = (
+                current.unionByName(delta)
+                .groupBy(*group_cols)
+                .agg(*[F.sum(c).alias(c) for c in value_cols])
+            )
+        return _nulled_sums(merged, sum_cols).filter(F.col(COUNT_COL) != 0)
+
+    ncols = _value_counted_cols(sum_cols, minmax_cols)
+    value_cols = (
+        [COUNT_COL]
+        + [f"sum_{c}" for c in sum_cols]
+        + [f"n_{c}" for c in ncols]
+    )
+    unioned = delta
+    if current is not None:
+        # shape the stored aggregate like a delta row: its extremes are
+        # insert-side candidates (they are true values of the group),
+        # and it retracts nothing
+        def _null_like(c):
+            return F.lit(None).cast(delta.schema[f"__ret_min_{c}"].dataType)
+
+        stored = current.select(
+            *group_cols,
+            *value_cols,
+            *[
+                e
+                for c in minmax_cols
+                for e in (
+                    F.col(f"min_{c}").alias(f"__ins_min_{c}"),
+                    F.col(f"max_{c}").alias(f"__ins_max_{c}"),
+                    _null_like(c).alias(f"__ret_min_{c}"),
+                    _null_like(c).alias(f"__ret_max_{c}"),
+                )
+            ],
         )
-    return _nulled_sums(merged, sum_cols).filter(F.col(COUNT_COL) != 0)
+        unioned = stored.unionByName(delta)
+    merged = (
+        unioned.groupBy(*group_cols)
+        .agg(
+            *[F.sum(c).alias(c) for c in value_cols],
+            *[
+                agg
+                for c in minmax_cols
+                for agg in (
+                    F.min(f"__ins_min_{c}").alias(f"__eff_min_{c}"),
+                    F.max(f"__ins_max_{c}").alias(f"__eff_max_{c}"),
+                    F.min(f"__ret_min_{c}").alias(f"__ret_min_{c}"),
+                    F.max(f"__ret_max_{c}").alias(f"__ret_max_{c}"),
+                )
+            ],
+        )
+        .filter(F.col(COUNT_COL) != 0)
+    )
+    dirty = F.lit(False)
+    for c in minmax_cols:
+        n = F.col(f"n_{c}")
+        eff_min, eff_max = F.col(f"__eff_min_{c}"), F.col(f"__eff_max_{c}")
+        ret_min, ret_max = F.col(f"__ret_min_{c}"), F.col(f"__ret_max_{c}")
+        dirty = (
+            dirty
+            | (
+                ret_min.isNotNull()
+                & eff_min.isNotNull()
+                & (n > 0)
+                & (ret_min <= eff_min)
+            )
+            | (
+                ret_max.isNotNull()
+                & eff_max.isNotNull()
+                & (n > 0)
+                & (ret_max >= eff_max)
+            )
+        )
+    resolved = merged.select(
+        *group_cols,
+        *value_cols,
+        *[
+            e
+            for c in minmax_cols
+            for e in (
+                F.when(F.col(f"n_{c}") > 0, F.col(f"__eff_min_{c}"))
+                .alias(f"min_{c}"),
+                F.when(F.col(f"n_{c}") > 0, F.col(f"__eff_max_{c}"))
+                .alias(f"max_{c}"),
+            )
+        ],
+        dirty.alias(DIRTY_COL),
+    )
+    return _nulled_sums(resolved, sum_cols)
+
+
+def recompute_extremes(
+    base: DataFrame,
+    dirty_groups: DataFrame,
+    group_cols: list[str],
+    minmax_cols: list[str],
+) -> DataFrame:
+    """Exact MIN/MAX for exactly the dirty groups, from the base table
+    state AT THE WINDOW'S END (the snapshot the CDC window leads to —
+    an earlier state double-counts retracted rows, a later one leaks
+    future changes). One semi-join-pruned scan recomputes every
+    extremum column for the flagged groups; the scan composes with the
+    engine's skipping reads (a partitioned/bucketed/col-stats layout
+    turns it into a touched-files read, not a table scan), and with
+    few dirty groups Catalyst broadcasts the semi-join side."""
+    return (
+        base.join(dirty_groups.select(*group_cols), group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                agg
+                for c in minmax_cols
+                for agg in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ]
+        )
+    )
 
 
 class MaintainedAggregate:
@@ -171,11 +364,13 @@ class MaintainedAggregate:
         path: str,
         group_cols: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.group_cols = group_cols
         self.sum_cols = sum_cols
+        self.minmax_cols = list(minmax_cols or [])
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:
@@ -206,21 +401,78 @@ class MaintainedAggregate:
             os.path.join(self.path, f"v={meta['version']}")
         )
 
-    def apply(self, cdc_window: DataFrame, through: str | None = None) -> bool:
+    def apply(
+        self,
+        cdc_window: DataFrame,
+        through: str | None = None,
+        base: DataFrame | None = None,
+    ) -> bool:
         """Fold one CDC window into the aggregate and publish. Returns
         False (no-op) when ``through`` shows the window was already
-        applied — the redelivery guard."""
+        applied — the redelivery guard.
+
+        With ``minmax_cols``, ``base`` (the source snapshot AS OF the
+        window's end — e.g. ``table.snapshot()`` right after the
+        upsert that produced the window) backs the recompute for
+        groups whose extremum a retraction threatened. It is consulted
+        ONLY for those groups (a bounded, semi-join-pruned scan) and
+        never evaluated when the window leaves every extremum intact —
+        insert-only maintenance stays base-free. Dirty groups with
+        ``base=None`` raise rather than publish a possibly-stale
+        extremum."""
         if through is not None:
             seen = self.through()
             if seen is not None and through <= seen:
                 return False
-        delta = cdc_agg_delta(cdc_window, self.group_cols, self.sum_cols)
-        self._publish(
-            merge_agg_delta(
-                self.current(), delta, self.group_cols, self.sum_cols
-            ),
-            through,
+        delta = cdc_agg_delta(
+            cdc_window, self.group_cols, self.sum_cols, self.minmax_cols
         )
+        merged = merge_agg_delta(
+            self.current(),
+            delta,
+            self.group_cols,
+            self.sum_cols,
+            self.minmax_cols,
+        )
+        if not self.minmax_cols:
+            self._publish(merged, through)
+            return True
+        merged = merged.persist()
+        try:
+            is_dirty = F.col(DIRTY_COL)
+            has_dirty = merged.filter(is_dirty).limit(1).count() > 0
+            if not has_dirty:
+                final = merged.drop(DIRTY_COL)
+            elif base is None:
+                raise ValueError(
+                    "MaintainedAggregate.apply: a retraction threatens a "
+                    "maintained MIN/MAX (dirty groups exist) but no `base` "
+                    "snapshot was supplied — MIN/MAX are not "
+                    "self-maintainable under deletes; pass the source "
+                    "snapshot as of the window end"
+                )
+            else:
+                mm_out = [
+                    name
+                    for c in self.minmax_cols
+                    for name in (f"min_{c}", f"max_{c}")
+                ]
+                recomputed = recompute_extremes(
+                    base,
+                    merged.filter(is_dirty),
+                    self.group_cols,
+                    self.minmax_cols,
+                )
+                clean = merged.filter(~is_dirty).drop(DIRTY_COL)
+                dirty = (
+                    merged.filter(is_dirty)
+                    .drop(DIRTY_COL, *mm_out)
+                    .join(recomputed, self.group_cols, "left")
+                )
+                final = clean.unionByName(dirty.select(*clean.columns))
+            self._publish(final, through)
+        finally:
+            merged.unpersist()
         return True
 
     def rebuild(
@@ -234,7 +486,18 @@ class MaintainedAggregate:
         agg = source_snapshot.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias(COUNT_COL),
             *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
-            *[F.count(c).alias(f"n_{c}") for c in self.sum_cols],
+            *[
+                F.count(c).alias(f"n_{c}")
+                for c in _value_counted_cols(self.sum_cols, self.minmax_cols)
+            ],
+            *[
+                agg
+                for c in self.minmax_cols
+                for agg in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ],
         )
         self._publish(agg, through)
 

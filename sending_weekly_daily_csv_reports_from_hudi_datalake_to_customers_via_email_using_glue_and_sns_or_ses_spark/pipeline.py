@@ -136,7 +136,10 @@ class MaintainedReportConfig:
     transform per schedule, a CDC window maintains a grouped aggregate
     and the report is written from the |groups|-sized view — O(changed
     rows) per run. ``avg_cols=True`` adds ``avg_<c> = sum_<c>/n_<c>``
-    presentation columns (NULL-safe)."""
+    presentation columns (NULL-safe). ``minmax_cols`` maintains
+    ``min_<c>``/``max_<c>`` too — windows whose retractions threaten a
+    stored extremum recompute just those groups against the source
+    snapshot (supplied automatically by ``run_maintained_report``)."""
 
     source_path: str  # KeyedTable root
     table_name: str
@@ -149,6 +152,7 @@ class MaintainedReportConfig:
     file_expires_in: int = 86400
     subject: str = "Your scheduled report"
     avg_cols: bool = True
+    minmax_cols: list[str] = field(default_factory=list)
 
 
 def run_maintained_report(
@@ -182,6 +186,7 @@ def run_maintained_report(
         config.view_path,
         group_cols=config.group_cols,
         sum_cols=config.sum_cols,
+        minmax_cols=config.minmax_cols,
     )
     # the window starts at max(reader checkpoint, view.through()): a
     # crash between apply and commit followed by NEW upstream commits
@@ -193,7 +198,13 @@ def run_maintained_report(
             reader.commit()  # view already covers it: checkpoint catch-up
         return None  # quiescent source: no new report this run
     through = reader.staged_end()
-    view.apply(win, through=through)
+    # MIN/MAX maintenance may need the source state AS OF the window
+    # end for dirty-group recomputes; the time-travel read pins it even
+    # if a concurrent writer has already committed past `through`
+    base = (
+        reader.table.snapshot(as_of=through) if config.minmax_cols else None
+    )
+    view.apply(win, through=through, base=base)
     df = view.current()
     if config.avg_cols:
         from pyspark.sql import functions as F

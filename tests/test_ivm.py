@@ -262,3 +262,204 @@ def test_maintained_aggregate_extended_window_no_double_count(spark, tmp_path):
     assert win is None and reader.staged_end() == src_latest
     reader.commit()  # checkpoint catch-up without a fold
     assert reader.read(after=view.through()) is None
+
+
+# ---------------------------------------------------------------- MIN/MAX
+
+
+def _recompute_mm(t: KeyedTable):
+    snap = t.snapshot()
+    if snap is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"], r["min_amount"], r["max_amount"])
+        for r in snap.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").alias("sum_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        )
+        .collect()
+    )
+
+
+def _maintained_mm(df):
+    if df is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"], r["min_amount"], r["max_amount"])
+        for r in df.collect()
+    )
+
+
+def test_ivm_minmax_tracks_recompute_over_random_history(spark, tmp_path):
+    """Property: maintained MIN/MAX (dirty-group recompute protocol)
+    equals a full recompute after every window — random upserts,
+    updates, deletes, NULL measures, group churn."""
+    rng = random.Random(11)
+    src = KeyedTable(
+        spark, str(tmp_path / "srcmm"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcmm", src.root, checkpoint_root=str(tmp_path / "ckmm")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewmm"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+    )
+    for step in range(7):
+        if step in (2, 5):
+            live = src.snapshot()
+            keys = [r["k"] for r in live.select("k").collect()]
+            victims = rng.sample(keys, k=max(1, len(keys) // 3))
+            src.delete(
+                spark.createDataFrame([(k,) for k in victims], "k int")
+            )
+        else:
+            batch = [
+                (
+                    rng.randrange(10),
+                    step * 100 + i,  # increasing precombine: updates win
+                    rng.choice(["a", "b", "c"]),
+                    None if rng.random() < 0.25 else rng.randrange(-50, 500),
+                )
+                for i in range(rng.randrange(2, 8))
+            ]
+            src.upsert(_df(spark, batch))
+        win = reader.read()
+        assert win is not None
+        assert view.apply(win, base=src.snapshot())
+        reader.commit()
+        assert _maintained_mm(view.current()) == _recompute_mm(src)
+
+
+def test_ivm_minmax_insert_only_never_touches_base(spark, tmp_path):
+    """Inserts can only improve an extremum — apply(base=None) must
+    succeed across insert-only windows (the common append workload
+    stays base-free)."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcins"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcins", src.root, checkpoint_root=str(tmp_path / "ckins")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewins"),
+        group_cols=["grp"],
+        sum_cols=[],
+        minmax_cols=["amount"],
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "a", 30)]))
+    view.apply(reader.read(), base=None)
+    reader.commit()
+    src.upsert(_df(spark, [(3, 1, "a", 5), (4, 1, "b", None)]))
+    view.apply(reader.read(), base=None)
+    reader.commit()
+    got = _maintained_mm2(view.current())
+    assert got == [("a", 3, 5, 30), ("b", 1, None, None)]
+
+
+def _maintained_mm2(df):
+    return sorted(
+        (r["grp"], r["n_rows"], r["min_amount"], r["max_amount"])
+        for r in df.collect()
+    )
+
+
+def test_ivm_minmax_clean_retraction_stays_base_free(spark, tmp_path):
+    """Deleting a row strictly inside the (min, max) interval proves
+    the stored extremes intact — no base needed; deleting the extremum
+    without a base raises instead of publishing a stale value."""
+    import pytest
+
+    src = KeyedTable(
+        spark, str(tmp_path / "srccl"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srccl", src.root, checkpoint_root=str(tmp_path / "ckcl")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewcl"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+    )
+    src.upsert(
+        _df(spark, [(1, 1, "a", 10), (2, 1, "a", 20), (3, 1, "a", 30)])
+    )
+    view.apply(reader.read(), base=None)
+    reader.commit()
+
+    src.delete(spark.createDataFrame([(2,)], "k int"))  # mid value
+    view.apply(reader.read(), base=None)  # clean: 10 < 20 < 30
+    reader.commit()
+    assert _maintained_mm(view.current()) == [("a", 2, 40, 10, 30)]
+
+    src.delete(spark.createDataFrame([(1,)], "k int"))  # the min
+    win = reader.read()
+    with pytest.raises(ValueError, match="not.*self-maintainable"):
+        view.apply(win, base=None)
+    # same window with a base: recompute heals exactly the dirty group
+    assert view.apply(win, base=src.snapshot())
+    reader.commit()
+    assert _maintained_mm(view.current()) == [("a", 1, 30, 30, 30)]
+
+
+def test_ivm_minmax_null_exhaustion_is_base_free(spark, tmp_path):
+    """Retracting the LAST non-null value needs no base: the answer is
+    the empty-aggregate NULL, and the n_<c> witness proves it."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcnx"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcnx", src.root, checkpoint_root=str(tmp_path / "cknx")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewnx"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 42), (2, 1, "a", None)]))
+    view.apply(reader.read(), base=None)
+    reader.commit()
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    view.apply(reader.read(), base=None)  # n_amount -> 0: NULL, clean
+    reader.commit()
+    assert _maintained_mm(view.current()) == [("a", 1, None, None, None)]
+
+
+def test_ivm_minmax_group_migration_dirties_old_group(spark, tmp_path):
+    """An update moving the extremum row to another group retracts it
+    from the old group (dirty there) and inserts into the new (clean
+    there) — one window, both effects."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srcmg"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srcmg", src.root, checkpoint_root=str(tmp_path / "ckmg")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewmg"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+    )
+    src.upsert(_df(spark, [(1, 1, "a", 5), (2, 1, "a", 50), (3, 1, "b", 7)]))
+    view.apply(reader.read(), base=None)
+    reader.commit()
+    src.upsert(_df(spark, [(1, 2, "b", 5)]))  # min of a migrates to b
+    view.apply(reader.read(), base=src.snapshot())
+    reader.commit()
+    assert _maintained_mm(view.current()) == [
+        ("a", 1, 50, 50, 50),
+        ("b", 2, 12, 5, 7),
+    ]

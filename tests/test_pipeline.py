@@ -288,3 +288,49 @@ def test_maintained_report_loop(spark, tmp_path):
     # and the catch-up really advanced the checkpoint: next run is a
     # plain no-op, not another catch-up
     assert run_maintained_report(spark, cfg, sender=sender) is None
+
+
+def test_maintained_report_minmax(spark, tmp_path):
+    """Report loop with maintained MIN/MAX: the delete-the-extremum
+    window drives the dirty-group recompute through the pipeline's
+    as-of-window-end snapshot (no config beyond minmax_cols)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedReportConfig,
+        run_maintained_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    src = KeyedTable(
+        spark, str(tmp_path / "srcm"), record_key="k", precombine="pre"
+    )
+    cfg = MaintainedReportConfig(
+        source_path=src.root,
+        table_name="orders_srcm",
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+        view_path=str(tmp_path / "viewm"),
+        report_base=str(tmp_path / "reportsm"),
+        checkpoint_root=str(tmp_path / "ckm"),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["n_rows"], r["min_amount"], r["max_amount"])
+            for r in df.collect()
+        )
+
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10), (2, 1, "a", 99), (3, 1, "b", 6)],
+            "k int, pre int, grp string, amount long",
+        )
+    )
+    res = run_maintained_report(spark, cfg, sender=EmailSender())
+    assert rows(res.df) == [("a", 2, 10, 99), ("b", 1, 6, 6)]
+
+    src.delete(spark.createDataFrame([(2,)], "k int"))  # retract max(a)
+    res2 = run_maintained_report(spark, cfg, sender=EmailSender())
+    assert rows(res2.df) == [("a", 1, 10, 10), ("b", 1, 6, 6)]
