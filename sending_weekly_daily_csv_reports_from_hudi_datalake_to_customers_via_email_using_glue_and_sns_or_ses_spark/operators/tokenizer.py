@@ -1,0 +1,308 @@
+"""Byte-pair-encoding tokenizer trained and applied WITH Spark — the
+exact token counts the ML-prep operators currently approximate
+(text_profile's chars/4 estimate feeds pack_sequences and the mixture
+sampler; a trained tokenizer replaces the estimate with the number the
+training run will actually see).
+
+Spark-first shape (why this scales to 100 TB where the textbook loop
+does not):
+
+  * TRAIN never iterates over the corpus. One distributed scan builds
+    the WORD HISTOGRAM — (word, count), at most |vocabulary of the
+    corpus| rows regardless of corpus bytes — and the BPE merge loop
+    (Sennrich, Haddow & Birch, "Neural Machine Translation of Rare
+    Words with Subword Units", arXiv:1508.07909) runs on that bounded
+    histogram driver-side. This is the standard published training
+    shape (subword-nmt's ``learn_bpe`` consumes a word-frequency
+    dict); merging over the histogram is EXACT, not an approximation:
+    with word-boundary-bounded merges, every pair occurrence lives
+    inside some word, so corpus pair counts = Σ word_count ×
+    in-word pair count.
+  * The histogram is capped at ``max_words`` most frequent words
+    (ties broken by word for determinism) — Zipf makes the tail
+    mass tiny, and the cap is REPORTED (dropped word/occurrence
+    mass in the model's ``train_report``), never silent.
+  * APPLY is one Arrow-batched scan (mapInPandas-style pandas UDF):
+    merges broadcast to executors once; inside a batch, tokenization
+    is memoized PER DISTINCT WORD — Zipf again: a batch of documents
+    repeats a small working set of words, so the merge loop runs per
+    distinct word, not per token. No shuffle, no driver round-trip.
+
+Determinism: pair selection breaks count ties lexicographically, the
+histogram cap breaks count ties lexicographically, and apply is a pure
+function of (text, merges) — the same corpus trains the same model on
+any cluster size or partitioning.
+
+Lossless: tokens of a word concatenate back to the word (the
+end-of-word marker only terminates the final token), so token counts
+and round-trips are exact; characters never seen at train time remain
+single-character tokens at apply time (marked OOV in the vocab sense
+but never dropped).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: end-of-word marker, appended to a word's final symbol (the
+#: subword-nmt "</w>" convention) so merges cannot cross word breaks
+#: and a mid-word subword is distinct from the same string word-finally
+EOW = "</w>"
+
+
+def word_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int | None = 1 << 16,
+) -> tuple[list[tuple[str, int]], dict]:
+    """The corpus as a bounded (word, count) histogram: one scan,
+    whitespace-split on lowercased text (the engine's `_norm_text`
+    convention), exploded and counted. Returns (histogram, report)
+    where the report carries what the ``max_words`` cap dropped —
+    distinct words and occurrence mass — so a 100 TB operator can see
+    the trade (the no-silent-caps principle).
+
+    The driver collect is bounded by ``max_words`` (+1 aggregate row
+    for the dropped mass), not by corpus size."""
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    counted = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if max_words is None:
+        rows = counted.collect()  # opt-in: caller accepts unbounded
+        hist = sorted(
+            ((r["w"], r["c"]) for r in rows), key=lambda t: (-t[1], t[0])
+        )
+        return hist, {"n_words_total": len(hist), "n_words_kept": len(hist),
+                      "dropped_words": 0, "dropped_occurrences": 0}
+    counted = counted.persist()
+    try:
+        # TakeOrderedAndProject — per-partition top-K then a driver
+        # merge, never a single-partition global sort, so the cap path
+        # scales to any distinct-word count
+        kept_rows = (
+            counted.orderBy(F.desc("c"), F.asc("w")).limit(max_words)
+        ).collect()
+        totals = counted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("mass"),
+        ).first()
+    finally:
+        counted.unpersist()
+    hist = sorted(
+        ((r["w"], r["c"]) for r in kept_rows), key=lambda t: (-t[1], t[0])
+    )
+    kept_mass = sum(c for _, c in hist)
+    return hist, {
+        "n_words_total": int(totals["n"]),
+        "n_words_kept": len(hist),
+        "dropped_words": int(totals["n"]) - len(hist),
+        "dropped_occurrences": int(totals["mass"]) - kept_mass,
+    }
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    """A word's initial symbol sequence: characters, last one carrying
+    the end-of-word marker."""
+    if not word:
+        return ()
+    chars = list(word)
+    chars[-1] += EOW
+    return tuple(chars)
+
+
+def learn_bpe(
+    histogram: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """The BPE merge table from a word histogram: repeatedly merge the
+    most frequent adjacent symbol pair (count ties broken
+    lexicographically), at most ``num_merges`` times, stopping early
+    when no pair repeats. Driver-side over the bounded histogram —
+    incremental pair-count maintenance (only words containing the
+    merged pair are re-counted) keeps it O(merges × affected words).
+    """
+    words: list[tuple[str, ...]] = [_word_symbols(w) for w, _ in histogram]
+    counts = [c for _, c in histogram]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += counts[i]
+            pair_words.setdefault((a, b), set()).add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break  # nothing repeats: further merges memorize noise
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        for i in list(pair_words.get(best, ())):
+            syms = words[i]
+            # retract this word's pairs, apply the merge, re-add
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= counts[i]
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                s = pair_words.get((a, b))
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del pair_words[(a, b)]
+            out = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == best[0]
+                    and syms[j + 1] == best[1]
+                ):
+                    out.append(merged_sym)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = tuple(out)
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += counts[i]
+                pair_words.setdefault((a, b), set()).add(i)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply the merge table to one word: always the LOWEST-rank
+    (earliest-learned) applicable merge next — the canonical BPE
+    apply order, which reproduces exactly the symbols training
+    produced for in-histogram words."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_rank, best_j = None, None
+        for j, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_j is None:
+            break
+        syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+    return syms
+
+
+class BPEModel:
+    """A trained merge table + its provenance report. JSON-serializable
+    (``to_json``/``from_json``) so a model trained once rides along as
+    a tiny broadcast artifact — never retrained per query."""
+
+    def __init__(self, merges: list[tuple[str, str]], train_report: dict):
+        self.merges = [tuple(m) for m in merges]
+        self.train_report = dict(train_report)
+        self.ranks = {pair: i for i, pair in enumerate(self.merges)}
+
+    def encode_word(self, word: str) -> list[str]:
+        return _encode_word(word, self.ranks)
+
+    def vocab(self) -> set[str]:
+        """Every symbol the merge table can produce (merge outputs);
+        single characters are implicitly always in-vocab."""
+        return {a + b for a, b in self.merges}
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"merges": [list(m) for m in self.merges],
+             "train_report": self.train_report}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "BPEModel":
+        d = json.loads(s)
+        return cls(
+            [tuple(m) for m in d["merges"]], d.get("train_report", {})
+        )
+
+
+def train_bpe(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_words: int | None = 1 << 16,
+) -> BPEModel:
+    """Train a BPE model on a corpus: ONE distributed scan (the word
+    histogram), then the driver-side merge loop. ``vocab_size`` counts
+    merges (the learned vocabulary beyond single characters)."""
+    if vocab_size < 1:
+        raise ValueError(f"train_bpe: vocab_size >= 1, got {vocab_size}")
+    hist, report = word_histogram(docs, text_col, max_words)
+    merges = learn_bpe(hist, vocab_size)
+    report = dict(report)
+    report["n_merges"] = len(merges)
+    return BPEModel(merges, report)
+
+
+def tokenize_bpe(
+    docs: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Tokenize a corpus with a trained model: one Arrow-batched scan,
+    merges broadcast once, per-distinct-word memoization inside each
+    batch (Zipf: the merge loop runs per vocabulary word, not per
+    running token). Adds ``out_col`` (array<string> of subword tokens,
+    concatenating to the normalized words) and ``count_col`` (the
+    exact sequence length pack_sequences/mixture weighting want).
+    NULL text tokenizes to an empty array with count 0."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(model.merges)
+
+    fields = docs.schema.fields
+    out_schema = T.StructType(
+        list(fields)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType())),
+            T.StructField(count_col, T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        ranks = {tuple(p): i for i, p in enumerate(bc.value)}
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _encode_word(w, ranks)
+            return got
+
+        for pdf in batches:
+            toks, ns = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    toks.append([])
+                    ns.append(0)
+                    continue
+                out: list[str] = []
+                for w in str(t).lower().split():
+                    out.extend(word_tokens(w))
+                toks.append(out)
+                ns.append(len(out))
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf[count_col] = pd.Series(ns, index=pdf.index, dtype="int64")
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)
