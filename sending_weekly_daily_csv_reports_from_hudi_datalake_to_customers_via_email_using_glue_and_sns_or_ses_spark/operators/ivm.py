@@ -405,7 +405,7 @@ class MaintainedAggregate:
         self,
         cdc_window: DataFrame,
         through: str | None = None,
-        base: DataFrame | None = None,
+        base=None,  # DataFrame | () -> DataFrame | None
     ) -> bool:
         """Fold one CDC window into the aggregate and publish. Returns
         False (no-op) when ``through`` shows the window was already
@@ -413,13 +413,16 @@ class MaintainedAggregate:
 
         With ``minmax_cols``, ``base`` (the source snapshot AS OF the
         window's end — e.g. ``table.snapshot()`` right after the
-        upsert that produced the window) backs the recompute for
-        groups whose extremum a retraction threatened. It is consulted
-        ONLY for those groups (a bounded, semi-join-pruned scan) and
-        never evaluated when the window leaves every extremum intact —
-        insert-only maintenance stays base-free. Dirty groups with
-        ``base=None`` raise rather than publish a possibly-stale
-        extremum."""
+        upsert that produced the window, or a zero-arg callable
+        returning it) backs the recompute for groups whose extremum a
+        retraction threatened. It is consulted ONLY for those groups
+        (a bounded, semi-join-pruned scan) and never evaluated — nor,
+        for a callable, even constructed — when the window leaves
+        every extremum intact, so insert-only maintenance stays
+        base-free and a callable keeps base-construction failures
+        (e.g. a cleaned-away as-of snapshot) out of clean runs. Dirty
+        groups with ``base=None`` raise rather than publish a
+        possibly-stale extremum."""
         if through is not None:
             seen = self.through()
             if seen is not None and through <= seen:
@@ -458,7 +461,7 @@ class MaintainedAggregate:
                     for name in (f"min_{c}", f"max_{c}")
                 ]
                 recomputed = recompute_extremes(
-                    base,
+                    base() if callable(base) else base,
                     merged.filter(is_dirty),
                     self.group_cols,
                     self.minmax_cols,

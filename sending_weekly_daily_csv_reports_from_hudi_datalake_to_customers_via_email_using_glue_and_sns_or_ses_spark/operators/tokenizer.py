@@ -266,6 +266,17 @@ def tokenize_bpe(
     NULL text tokenizes to an empty array with count 0."""
     import pandas as pd
 
+    if text_col not in docs.columns:
+        raise ValueError(
+            f"tokenize_bpe: text column {text_col!r} not in schema "
+            f"{docs.columns}"
+        )
+    clash = {out_col, count_col} & set(docs.columns)
+    if clash or out_col == count_col:
+        raise ValueError(
+            f"tokenize_bpe: output column(s) {sorted(clash) or [out_col]} "
+            "already exist in the input — pass distinct out_col/count_col"
+        )
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(model.merges)
 
@@ -279,12 +290,24 @@ def tokenize_bpe(
     )
 
     def run(batches):
+        import re
+
+        # the SAME word boundary the histogram used: Java's \s+ is the
+        # ASCII whitespace class — Python's str.split() additionally
+        # splits on Unicode spaces (U+00A0 etc.) and would tokenize
+        # words training never saw split
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
         ranks = {tuple(p): i for i, p in enumerate(bc.value)}
+        # per-distinct-word memo; bounded so an unbounded-cardinality
+        # corpus (IDs, URLs) cannot grow it for the task's lifetime
         cache: dict[str, list[str]] = {}
+        cache_cap = 1 << 20
 
         def word_tokens(w: str) -> list[str]:
             got = cache.get(w)
             if got is None:
+                if len(cache) >= cache_cap:
+                    cache.clear()
                 got = cache[w] = _encode_word(w, ranks)
             return got
 
@@ -296,8 +319,12 @@ def tokenize_bpe(
                     ns.append(0)
                     continue
                 out: list[str] = []
-                for w in str(t).lower().split():
-                    out.extend(word_tokens(w))
+                # no .strip(): Python's strips Unicode whitespace the
+                # train side keeps glued; the empty-filter below
+                # handles leading/trailing ASCII whitespace instead
+                for w in split(str(t).lower()):
+                    if w:
+                        out.extend(word_tokens(w))
                 toks.append(out)
                 ns.append(len(out))
             pdf = pdf.copy()

@@ -200,11 +200,17 @@ def run_maintained_report(
     through = reader.staged_end()
     # MIN/MAX maintenance may need the source state AS OF the window
     # end for dirty-group recomputes; the time-travel read pins it even
-    # if a concurrent writer has already committed past `through`
-    base = (
-        reader.table.snapshot(as_of=through) if config.minmax_cols else None
+    # if a concurrent writer has already committed past `through`.
+    # Passed LAZILY so clean windows (insert-only, interior changes)
+    # never construct it — a lagging consumer whose as-of snapshot the
+    # cleaner removed still completes every run that doesn't need it
+    view.apply(
+        win,
+        through=through,
+        base=(lambda: reader.table.snapshot(as_of=through))
+        if config.minmax_cols
+        else None,
     )
-    view.apply(win, through=through, base=base)
     df = view.current()
     if config.avg_cols:
         from pyspark.sql import functions as F

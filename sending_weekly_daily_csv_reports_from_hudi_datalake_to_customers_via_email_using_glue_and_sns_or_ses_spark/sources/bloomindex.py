@@ -53,14 +53,17 @@ false-positive rate against the analytic bound.
 from __future__ import annotations
 
 import base64
-import json
-import os
-from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..fs import fs_for
+from .skipindex import (
+    file_ref,
+    load_manifest,
+    read_refs,
+    write_manifest,
+)
 
 #: manifest name, underscore-prefixed (ignored by parquet discovery)
 BLOOM_NAME = "_bloom.json"
@@ -141,67 +144,76 @@ def write_bloom(
         .agg(F.collect_set("__bit").alias("__bits"))
         .collect()
     )
-    base = os.path.abspath(path)
     files: dict[str, str] = {}
     for r in bits:
-        uri = urlparse(r["__f"])
-        fpath = unquote(uri.path)
-        rel = (
-            os.path.relpath(fpath, base)
-            if uri.scheme in ("", "file")
-            else fpath
-        )
         bitmap = bytearray((m_bits + 7) // 8)
         for b in r["__bits"]:
             bitmap[b >> 3] |= 1 << (b & 7)
-        files[rel] = base64.b64encode(bytes(bitmap)).decode("ascii")
+        files[file_ref(path, r["__f"])] = base64.b64encode(
+            bytes(bitmap)
+        ).decode("ascii")
     manifest = {
         "version": 1,
         "key_col": key_col,
+        # the key's Spark type (DDL string), so probe values hash
+        # through the SAME type-to-string cast the build used (Python
+        # str() disagrees with Spark's cast on doubles/booleans —
+        # '1e+20' vs '1.0E20')
+        "key_type": df.schema[key_col].dataType.simpleString(),
         "m_bits": m_bits,
         "num_hashes": num_hashes,
         "files": files,
     }
-    fs_for(spark).write_text_atomic(
-        os.path.join(path, BLOOM_NAME), json.dumps(manifest)
-    )
+    write_manifest(spark, path, BLOOM_NAME, manifest)
     return manifest
 
 
 def load_bloom(spark: SparkSession, path: str) -> dict | None:
-    fs = fs_for(spark)
-    mpath = os.path.join(path, BLOOM_NAME)
-    if not fs.exists(mpath):
-        return None
-    return json.loads(fs.read_text(mpath))
+    return load_manifest(spark, path, BLOOM_NAME)
 
 
 def _probe_positions(
-    spark: SparkSession, keys: list, m: int, k: int
+    spark: SparkSession, keys: list, manifest: dict
 ) -> dict:
-    """key -> its k bit positions, via ONE row-parallel Spark job over
-    the probe keys (hash parity with the build expressions; the job is
-    |keys| rows — point lookups are small by definition)."""
-    kdf = spark.createDataFrame([(str(x),) for x in keys], "__k string")
-    rows = kdf.select(
-        "__k", F.array(*_bit_exprs("__k", m, k)).alias("__pos")
-    ).collect()
-    return {r["__k"]: list(r["__pos"]) for r in rows}
-
-
-def probe_bloom(
-    spark: SparkSession, path: str, keys: list
-) -> tuple[list[str] | None, dict]:
-    """Files that MAY contain at least one of ``keys`` per the index,
-    plus a report. Returns (None, {"fallback": True}) when the dir
-    has no manifest (caller must full-scan)."""
-    if not keys:
-        raise ValueError("probe_bloom: need at least one key")
-    manifest = load_bloom(spark, path)
-    if manifest is None:
-        return None, {"fallback": True}
+    """key index -> its k bit positions, via ONE row-parallel Spark job
+    over the probe keys (|keys| rows — point lookups are small by
+    definition). Probe values are carried in the KEY'S OWN Spark type
+    (from the manifest) and cast to string by the same expressions the
+    build used — hash parity by construction for every key type, not
+    just the ones where Python's str() happens to agree."""
     m, k = manifest["m_bits"], manifest["num_hashes"]
-    positions = _probe_positions(spark, keys, m, k)
+    key_type = (
+        T._parse_datatype_string(manifest["key_type"])
+        if "key_type" in manifest
+        else T.StringType()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__i", T.IntegerType()),
+            T.StructField("__k", key_type),
+        ]
+    )
+    if "key_type" in manifest:
+        rows_in = list(enumerate(keys))
+    else:  # legacy manifest: original stringly behavior
+        rows_in = [(i, str(x)) for i, x in enumerate(keys)]
+    kdf = spark.createDataFrame(rows_in, schema)
+    rows = kdf.select(
+        "__i", F.array(*_bit_exprs("__k", m, k)).alias("__pos")
+    ).collect()
+    return {r["__i"]: list(r["__pos"]) for r in rows}
+
+
+def _probe_manifest(
+    spark: SparkSession, manifest: dict, keys: list
+) -> tuple[list[str], dict]:
+    """The membership math over an already-loaded manifest: files where
+    at least one probe key has all k bits set. Empty ``keys`` keep
+    nothing — the vacuous truth matching ``isin([]) = false``."""
+    report = {"n_files": len(manifest["files"]), "n_kept": 0}
+    if not keys:
+        return [], report
+    positions = _probe_positions(spark, keys, manifest)
     kept = []
     for rel, b64 in manifest["files"].items():
         bitmap = base64.b64decode(b64)
@@ -211,10 +223,21 @@ def probe_bloom(
         )
         if hit:
             kept.append(rel)
-    return sorted(kept), {
-        "n_files": len(manifest["files"]),
-        "n_kept": len(kept),
-    }
+    report["n_kept"] = len(kept)
+    return sorted(kept), report
+
+
+def probe_bloom(
+    spark: SparkSession, path: str, keys: list
+) -> tuple[list[str] | None, dict]:
+    """Files that MAY contain at least one of ``keys`` per the index,
+    plus a report. Returns (None, {"fallback": True}) when the dir
+    has no manifest (caller must full-scan); empty ``keys`` keep zero
+    files (``isin([])`` is false everywhere)."""
+    manifest = load_bloom(spark, path)
+    if manifest is None:
+        return None, {"fallback": True}
+    return _probe_manifest(spark, manifest, keys)
 
 
 def read_keys_bloom(
@@ -229,25 +252,11 @@ def read_keys_bloom(
     index only shrinks the file list (false positives add scanned
     files, never rows: the exact isin filter always applies). Falls
     back to the full-scan filter when the dir carries no index."""
-    kept, report = probe_bloom(spark, path, keys)
-    exact = F.col(key_col).isin(keys)
-    if kept is None:
+    exact = F.col(key_col).isin(keys) if keys else F.lit(False)
+    manifest = load_bloom(spark, path)
+    if manifest is None:
         df = spark.read.parquet(path).where(exact)
-    elif not kept:
-        manifest = load_bloom(spark, path)
-        any_rel = next(iter(manifest["files"]), None)
-        if any_rel is None:
-            df = spark.read.parquet(path).where(exact)
-        else:
-            df = (
-                spark.read.option("basePath", path)
-                .parquet(os.path.join(path, any_rel))
-                .where(F.lit(False))
-            )
-    else:
-        df = (
-            spark.read.option("basePath", path)
-            .parquet(*[os.path.join(path, rel) for rel in kept])
-            .where(exact)
-        )
+        return (df, {"fallback": True}) if with_report else df
+    kept, report = _probe_manifest(spark, manifest, keys)
+    df = read_refs(spark, path, kept, manifest["files"], exact)
     return (df, report) if with_report else df

@@ -45,16 +45,19 @@ from __future__ import annotations
 
 import datetime
 import decimal
-import json
 import math
-import os
-from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fs import fs_for
+from .skipindex import (
+    file_ref,
+    load_manifest,
+    local_size,
+    read_refs,
+    write_manifest,
+)
 
 #: manifest file name, underscore-prefixed so Spark's parquet file
 #: discovery treats it as metadata and never reads it as data
@@ -167,24 +170,11 @@ def collect_file_stats(
         .agg(*aggs)
         .collect()
     )
-    base = os.path.abspath(path)
     files: dict[str, dict] = {}
     for r in rows:
-        uri = urlparse(r["__f"])
-        fpath = unquote(uri.path)
-        rel = (
-            os.path.relpath(fpath, base)
-            if uri.scheme in ("", "file")
-            else fpath
-        )
-        try:  # best-effort (local fs only): lets the report count bytes
-            nbytes = (
-                os.path.getsize(fpath)
-                if uri.scheme in ("", "file")
-                else 0
-            )
-        except OSError:
-            nbytes = 0
+        rel = file_ref(path, r["__f"])
+        # best-effort (local fs only): lets the report count bytes
+        nbytes = local_size(r["__f"])
         files[rel] = {
             "rows": r["__rows"],
             "bytes": nbytes,
@@ -209,9 +199,7 @@ def write_colstats(
     dirs here are immutable once renamed into place, so the manifest
     can never go stale. Returns the manifest."""
     manifest = collect_file_stats(spark, path, cols)
-    fs_for(spark).write_text_atomic(
-        os.path.join(path, COLSTATS_NAME), json.dumps(manifest)
-    )
+    write_manifest(spark, path, COLSTATS_NAME, manifest)
     return manifest
 
 
@@ -219,11 +207,7 @@ def load_colstats(spark: SparkSession, path: str) -> dict | None:
     """The dir's manifest, or None when it was written without one
     (readers then fall back to a full scan — skipping is always an
     optimization, never a requirement)."""
-    fs = fs_for(spark)
-    mpath = os.path.join(path, COLSTATS_NAME)
-    if not fs.exists(mpath):
-        return None
-    return json.loads(fs.read_text(mpath))
+    return load_manifest(spark, path, COLSTATS_NAME)
 
 
 def _file_survives(entry: dict, predicates: dict) -> bool:
@@ -330,22 +314,7 @@ def read_skipping(
             return df, {"fallback": True}
         return df
     kept, report = prune_files(manifest, predicates)
-    reader = spark.read.option("basePath", path)
-    if not kept:
-        # zero survivors: an empty frame in the dir's schema — derive
-        # it from one manifest file (footer-only read) instead of
-        # listing the whole dir
-        any_rel = next(iter(manifest["files"]), None)
-        if any_rel is None:
-            df = spark.read.parquet(path).where(residual)
-        else:
-            df = reader.parquet(os.path.join(path, any_rel)).where(
-                F.lit(False)
-            )
-    else:
-        df = reader.parquet(
-            *[os.path.join(path, rel) for rel in kept]
-        ).where(residual)
+    df = read_refs(spark, path, kept, manifest["files"], residual)
     if with_report:
         return df, report
     return df

@@ -89,9 +89,7 @@ def test_false_positive_rate_tracks_bound(spark, scattered_dir):
         _probe_positions,
     )
 
-    pos = _probe_positions(
-        spark, [10**9 + i for i in range(400)], m["m_bits"], m["num_hashes"]
-    )
+    pos = _probe_positions(spark, [10**9 + i for i in range(400)], m)
     hits = 0
     for b64 in m["files"].values():
         bm = base64.b64decode(b64)
@@ -108,8 +106,6 @@ def test_fallback_and_validation(spark, tmp_path):
     assert report == {"fallback": True}
     assert got.count() == 1
 
-    with pytest.raises(ValueError, match="at least one key"):
-        probe_bloom(spark, path, [])
     with pytest.raises(ValueError, match="not in schema"):
         write_bloom(spark, path, "nope")
     with pytest.raises(ValueError, match="m_bits"):
@@ -193,3 +189,43 @@ def test_auto_sized_m_tracks_largest_file(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bits_per_key"):
         write_bloom(spark, path, "k", bits_per_key=0)
+
+
+def test_empty_keys_keep_nothing(spark, scattered_dir):
+    """isin([]) is false everywhere: empty probes keep zero files and
+    the read returns an empty frame in the dir's schema — never an
+    error (review finding: the old path raised on the fast path but
+    returned empty on the fallback path)."""
+    kept, report = probe_bloom(spark, scattered_dir, [])
+    assert kept == [] and report["n_kept"] == 0 < report["n_files"]
+    got = read_keys_bloom(spark, scattered_dir, "k", [])
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v", "payload"}
+
+
+def test_probe_hash_parity_for_nonstring_keys(spark, tmp_path):
+    """Doubles (and booleans) are where Python str() and Spark's
+    cast-to-string disagree ('1e+20' vs '1.0E20'): the typed probe
+    must still find every present key."""
+    path = str(tmp_path / "dbl")
+    spark.sql(
+        "SELECT id, cast(pow(10.0, id) as double) AS k FROM range(30)"
+    ).repartitionByRange(4, "id").write.parquet(path)
+    write_bloom(spark, path, "k", m_bits=1 << 13)
+    probes = [1e20, 1e5, 1.0]  # 1e20 is the str()-vs-cast poster child
+    got, report = read_keys_bloom(spark, path, "k", probes, with_report=True)
+    assert sorted(r["k"] for r in got.collect()) == sorted(probes)
+    assert 0 < report["n_kept"] < report["n_files"]
+
+
+def test_keyed_table_read_keys_empty_list(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "kte")
+    t = KeyedTable(spark, root, record_key="k", precombine="pre")
+    t.upsert(spark.createDataFrame([(1, 1)], "k long, pre long"))
+    compact_snapshot(t, bloom_key="k")
+    assert t.read_keys([]).count() == 0

@@ -463,3 +463,42 @@ def test_ivm_minmax_group_migration_dirties_old_group(spark, tmp_path):
         ("a", 1, 50, 50, 50),
         ("b", 2, 12, 5, 7),
     ]
+
+
+def test_ivm_minmax_callable_base_lazy(spark, tmp_path):
+    """A callable base is only invoked on dirty windows: clean windows
+    succeed even when constructing the base would RAISE (the lagging-
+    consumer-with-aggressive-cleaner scenario)."""
+    src = KeyedTable(
+        spark, str(tmp_path / "srclz"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "srclz", src.root, checkpoint_root=str(tmp_path / "cklz")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "viewlz"),
+        group_cols=["grp"],
+        sum_cols=[],
+        minmax_cols=["amount"],
+    )
+
+    def exploding_base():
+        raise AssertionError("base constructed on a clean window")
+
+    src.upsert(_df(spark, [(1, 1, "a", 10), (2, 1, "a", 30)]))
+    view.apply(reader.read(), base=exploding_base)  # insert-only: clean
+    reader.commit()
+
+    src.delete(spark.createDataFrame([(2,)], "k int"))  # retract max
+    win = reader.read()
+    calls = []
+
+    def counting_base():
+        calls.append(1)
+        return src.snapshot()
+
+    view.apply(win, base=counting_base)
+    reader.commit()
+    assert calls == [1]
+    assert _maintained_mm2(view.current()) == [("a", 1, 10, 10)]

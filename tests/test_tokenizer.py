@@ -160,3 +160,30 @@ def test_documents_table_end_to_end(spark, sf_dir):
     # the synthetic corpus has a tiny vocabulary: training stops when
     # no pair repeats (the early-stop rail), well under the budget
     assert 50 <= model.train_report["n_merges"] <= 300
+
+
+def test_output_column_collision_raises(spark):
+    model = BPEModel([], {})
+    docs = spark.createDataFrame([(0, "x", 5)], "doc_id long, text string, n_tokens long")
+    with pytest.raises(ValueError, match="already exist"):
+        tokenize_bpe(docs, model)
+
+
+def test_unicode_whitespace_matches_training_boundary(spark):
+    """U+00A0 is NOT a word boundary in Java's \\s (the histogram side)
+    — apply must keep it glued too, or learned merges go dead and
+    n_tokens diverges from the trained segmentation."""
+    texts = ["foo\u00a0bar foo\u00a0bar foo\u00a0bar baz baz"]
+    docs = _docs(spark, texts)
+    hist, _ = word_histogram(docs, max_words=None)
+    assert ("foo\u00a0bar", 3) in hist  # training sees ONE word
+    model = train_bpe(docs, vocab_size=50)
+    r = tokenize_bpe(docs, model).first()
+    assert "".join(r["tokens"]).split(EOW)[:-1] == [
+        "foo\u00a0bar", "foo\u00a0bar", "foo\u00a0bar", "baz", "baz"
+    ]
+
+
+def test_missing_text_col_raises(spark):
+    with pytest.raises(ValueError, match="text column"):
+        tokenize_bpe(_docs(spark), BPEModel([], {}), text_col="body")
