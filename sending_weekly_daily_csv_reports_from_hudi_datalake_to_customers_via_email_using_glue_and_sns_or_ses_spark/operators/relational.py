@@ -287,6 +287,81 @@ def cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivm_report",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 97 AS INT) AS k,
+             CAST(o_orderkey AS BIGINT) AS pre,
+             o_orderpriority AS val,
+             o_totalprice AS val_price,
+             o_orderkey % 3 AS b
+      FROM orders
+    ),
+    u12 AS (SELECT k, pre, val, val_price FROM src WHERE b IN (0, 1)),
+    final AS (
+      SELECT k, max(pre) AS pre, arg_max(val, pre) AS val,
+             arg_max(val_price, pre) AS val_price
+      FROM (SELECT k, pre, val, val_price FROM u12 WHERE k % 7 <> 0
+            UNION ALL
+            SELECT k, pre, val, val_price FROM src WHERE b = 2) u
+      GROUP BY k)
+    SELECT val AS grp,
+           count(*) AS n_rows,
+           CAST(round(sum(val_price), 2) AS DOUBLE) AS sum_price,
+           count(val_price) AS n_price,
+           CAST(min(val_price) AS DOUBLE) AS min_price,
+           CAST(max(val_price) AS DOUBLE) AS max_price
+    FROM final GROUP BY val
+    """,
+)
+def ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2d (incremental view maintenance, operators/ivm.py) end to end
+    under the driver oracle: maintain a (count, sum, MIN, MAX) grouped
+    view window-by-window over the shared 4-commit CDC fixture — never
+    recomputing from the table — and return the final view. The
+    history's delete commit retracts group extremes (the case MIN/MAX
+    are NOT self-maintainable for), driving the dirty-group protocol:
+    threatened groups heal through a semi-join-pruned recompute against
+    the as-of-window-end time-travel snapshot, supplied lazily so clean
+    windows never construct it. The DuckDB oracle aggregates the FINAL
+    table state directly (per-key arg_max set algebra), so every moving
+    part — CDC windows, delta folding, NULL-count witnesses, dirty
+    detection, extremum recompute, through-token sequencing — must
+    compose to the exact SQL answer. Group = o_orderpriority, which
+    updates REWRITE across commits (group-migration retractions
+    included). Sums are rounded to 2 decimals on both sides: the ±delta
+    telescoping reorders double additions (the documented IVM float
+    caveat; money columns should be decimal in production)."""
+    from ..sinks.upsert import KeyedTable
+    from .ivm import MaintainedAggregate
+
+    t = KeyedTable.open(spark, _cdc_fixture_table(spark, sf_dir))
+    view = MaintainedAggregate(
+        spark,
+        tempfile.mkdtemp(prefix="ivm_view_"),
+        group_cols=["val"],
+        sum_cols=["val_price"],
+        minmax_cols=["val_price"],
+    )
+    prev = None
+    for c in t.instants():
+        win = t.cdc(begin=prev, end=c)
+        if win is not None:
+            view.apply(
+                win, through=c, base=lambda c=c: t.snapshot(as_of=c)
+            )
+        prev = c
+    return view.current().select(
+        F.col("val").alias("grp"),
+        F.col("n_rows"),
+        F.round("sum_val_price", 2).cast("double").alias("sum_price"),
+        F.col("n_val_price").alias("n_price"),
+        F.col("min_val_price").cast("double").alias("min_price"),
+        F.col("max_val_price").cast("double").alias("max_price"),
+    )
+
+
 _FG_TABLES: dict[str, str] = {}
 
 

@@ -138,6 +138,10 @@ def sliding_json_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_align_pandas",
+    retired=True,  # r7: slot funded ivm_report — as-of semantics stay
+    # driver-checked via join_range_asof and the pandas-UDF surface via
+    # media_decode_pipeline; this entry keeps its full oracle contract
+    # in the retired registry (tests/test_retired_parity.py)
     oracle="""
     SELECT e.event_id, e.user_id, e.ts, p.purchase_ts
     FROM events e ASOF LEFT JOIN
