@@ -619,3 +619,31 @@ def test_filegroup_snapshot_zero_read_side_merge(spark):
     assert "Window" not in plan, plan
     assert "Aggregate" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_ivm_merge_and_recompute_plan_shapes(spark):
+    """The IVM scale contract (operators/ivm.py): merging a window
+    delta into the maintained aggregate is ONE shuffle on the group
+    key (union + re-agg of two |groups|-sized frames — never a join);
+    the dirty-group extremum recompute is a SEMI join with the tiny
+    dirty-group list BROADCAST, so the base scan never shuffles."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        recompute_extremes,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    base = spark.range(100_000).select(
+        (F.col("id") % 97).cast("int").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+    )
+    dirty = spark.range(5).select(F.col("id").cast("int").alias("grp"))
+    plan = formatted_plan(recompute_extremes(base, dirty, ["grp"], ["v"]))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the only real shuffle is the final group-by of the base side
+    n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert n_shuffles <= 1, f"{n_shuffles} shuffles\n{plan}"
