@@ -362,6 +362,83 @@ def ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: built bloom-lookup fixture tables: sf_dir → KeyedTable root
+_BLOOM_TABLES: dict[str, str] = {}
+
+
+def _bloom_fixture_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a KeyedTable over orders (unique
+    o_orderkey = record key), compacted into an 8-file snapshot
+    z-ordered over NON-key columns (cust, price) with the Bloom key
+    index — the layout whose key scatter defeats min/max skipping,
+    i.e. exactly the case the bloom exists for."""
+    cached = _BLOOM_TABLES.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..sinks.upsert import KeyedTable, compact_snapshot
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.lit(0).cast("long").alias("pre"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    root = tempfile.mkdtemp(prefix="bloom_fixture_")
+    t = KeyedTable(spark, root, record_key="k", precombine="pre")
+    t.upsert(src)
+    compact_snapshot(
+        t, target_files=8, zorder_cols=["cust", "price"], bloom_key="k"
+    )
+    _BLOOM_TABLES[sf_dir] = root
+    return root
+
+
+@query(
+    "bloom_point_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(o_custkey AS BIGINT) AS cust,
+           o_totalprice AS price,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 7
+      ORDER BY o_orderkey LIMIT 5)
+    """,
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 (sources/bloomindex.py) under the driver oracle: point
+    lookups through the per-file Bloom key index on a z-ordered
+    snapshot whose layout scatters the key (min/max stats keep every
+    file there), checked value-for-value against DuckDB's plain
+    ``WHERE key IN (...)`` over the same rows. The probe list is the
+    five smallest orderkeys ≡ 7 (mod 1000) — derived from the data so
+    every scale factor has hits — plus a guaranteed-absent key (-1)
+    exercising the miss path. The entry RAISES unless the index
+    actually skipped files (0 < kept < total), so a silently-degraded
+    index (the auto-sizing or probe-typing bug classes the r7 review
+    caught) fails loudly instead of passing as a full scan."""
+    from ..sinks.upsert import KeyedTable
+
+    t = KeyedTable.open(spark, _bloom_fixture_table(spark, sf_dir))
+    keys = [
+        r["k"]
+        for r in t.snapshot()
+        .filter(F.col("k") % 1000 == 7)
+        .orderBy("k")
+        .limit(5)
+        .select("k")
+        .collect()
+    ]
+    df, report = t.read_keys(keys + [-1], with_report=True)
+    if report.get("fallback") or not (
+        0 < report["n_kept"] < report["n_files"]
+    ):
+        raise RuntimeError(f"bloom lookup did not skip files: {report}")
+    return df.select("k", "cust", "price", "priority")
+
+
 _FG_TABLES: dict[str, str] = {}
 
 

@@ -300,6 +300,11 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_split_assign",
+    retired=True,  # r7: slot funded bloom_point_lookup — the portable-
+    # hash split/sample arithmetic stays value-checked here via the
+    # retired registry (tests/test_retired_parity.py) and the same
+    # md5-prefix hash convention is driver-checked inside
+    # dedup_minhash_lsh/knn_approx
     oracle="""
     WITH assigned AS (
       SELECT doc_id, lang,
