@@ -689,6 +689,19 @@ class KeyedTable:
         curve scattered. MOR log windows and unindexed snapshots fall
         back to the merged snapshot + exact filter (correctness
         identical either way: the isin filter always applies)."""
+        return self.read_where_in(self.record_key, keys, with_report)
+
+    def read_where_in(
+        self, col: str, values: list, with_report: bool = False
+    ):
+        """P7+ secondary-index lookup: the live rows whose ``col`` is
+        in ``values`` — semantically ``snapshot().where(col.isin(
+        values))``. When the current state is a materialized snapshot
+        whose ``_bloom.json`` covers ``col`` (``compact_snapshot(...,
+        bloom_key=[record_key, col, ...])`` — Hudi 1.0's secondary
+        index), only may-contain files are opened; any other state
+        (MOR log window, unindexed snapshot, un-indexed column) falls
+        back to the merged snapshot + exact filter."""
         from ..sources.bloomindex import read_keys_bloom
 
         latest = self.latest_commit()
@@ -700,16 +713,12 @@ class KeyedTable:
             return read_keys_bloom(
                 self.spark,
                 path,
-                self.record_key,
-                keys,
+                col,
+                values,
                 with_report=with_report,
             )
         snap = self.snapshot()
-        df = (
-            None
-            if snap is None
-            else snap.where(F.col(self.record_key).isin(keys))
-        )
+        df = None if snap is None else snap.where(F.col(col).isin(values))
         return (df, {"fallback": True}) if with_report else df
 
     def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
@@ -1542,7 +1551,7 @@ def compact_snapshot(
     target_files: int = 1,
     zorder_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
-    bloom_key: str | None = None,
+    bloom_key: str | list[str] | None = None,
 ) -> str | None:
     """P5/P11 compaction: rewrite the live snapshot into ``target_files``
     files sorted by the record key (small-file compaction + clustering in
@@ -1573,12 +1582,14 @@ def compact_snapshot(
     manifest lands BEFORE the commit publishes — readers see
     snapshot+index together or not at all.
 
-    ``bloom_key`` (usually the record key) writes the P7 per-file
-    Bloom index (``hoodie.index.type=BLOOM`` — sources/bloomindex.py)
-    the same way: min/max stats prune point lookups only where the
-    layout clusters the key, and a z-order over OTHER columns
-    scatters it — the bloom is the layout-independent complement
-    ``KeyedTable.read_keys`` probes."""
+    ``bloom_key`` (usually the record key; a LIST adds Hudi 1.0-style
+    secondary indexes over further equality-probed columns, all built
+    in the same single scan) writes the P7 per-file Bloom index
+    (``hoodie.index.type=BLOOM`` — sources/bloomindex.py) the same
+    way: min/max stats prune point lookups only where the layout
+    clusters the key, and a z-order over OTHER columns scatters it —
+    the bloom is the layout-independent complement
+    ``KeyedTable.read_keys`` / ``read_where_in`` probe."""
     with table._txn():
         snap = table.snapshot()
         if snap is None:

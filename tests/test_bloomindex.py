@@ -89,7 +89,7 @@ def test_false_positive_rate_tracks_bound(spark, scattered_dir):
         _probe_positions,
     )
 
-    pos = _probe_positions(spark, [10**9 + i for i in range(400)], m)
+    pos = _probe_positions(spark, [10**9 + i for i in range(400)], m, "k")
     hits = 0
     for b64 in m["files"].values():
         bm = base64.b64decode(b64)
@@ -229,3 +229,92 @@ def test_keyed_table_read_keys_empty_list(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, 1)], "k long, pre long"))
     compact_snapshot(t, bloom_key="k")
     assert t.read_keys([]).count() == 0
+
+
+def test_multi_column_index_v2(spark, tmp_path):
+    """One build scan indexes several columns (Hudi 1.0 secondary
+    indexes); each column probes independently with its own type, and
+    an un-indexed column falls back instead of erroring."""
+    path = str(tmp_path / "multi")
+    spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("double").alias("price"),
+        F.concat(F.lit("c"), (F.col("id") % 37).cast("string")).alias("cust"),
+        ((F.col("id") * 2654435761) % 100003).alias("v"),
+    ).repartitionByRange(8, "v").write.parquet(path)
+    m = write_bloom(spark, path, ["k", "cust"], m_bits=1 << 14)
+    assert m["version"] == 2
+    assert set(m["columns"]) == {"k", "cust"}
+
+    full = spark.read.parquet(path)
+    # primary column
+    got, rep = read_keys_bloom(spark, path, "k", [7, 3999], with_report=True)
+    assert _rows(got) == _rows(full.where(F.col("k").isin([7, 3999])))
+    assert rep["n_kept"] < rep["n_files"] == 8
+    # secondary string column: present in MANY files (37 values over
+    # 4000 rows) — equivalence still exact, pruning not expected
+    got2 = read_keys_bloom(spark, path, "cust", ["c5"])
+    assert _rows(got2) == _rows(full.where(F.col("cust") == "c5"))
+    # un-indexed column: clean fallback
+    got3, rep3 = read_keys_bloom(
+        spark, path, "price", [5.0], with_report=True
+    )
+    assert rep3 == {"fallback": True}
+    assert _rows(got3) == _rows(full.where(F.col("price") == 5.0))
+
+    # probe_bloom on a multi-column index requires naming the column
+    with pytest.raises(ValueError, match="name the column"):
+        probe_bloom(spark, path, [7])
+
+    with pytest.raises(ValueError, match="distinct columns"):
+        write_bloom(spark, path, ["k", "k"])
+
+
+def test_keyed_table_read_where_in_secondary(spark, tmp_path):
+    """Engine path: compact with bloom_key=[record key, secondary] →
+    read_where_in prunes on the secondary column where min/max cannot
+    (z-order scattered it), matches the exact filter, and a MOR log
+    append falls back merged."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "kts")
+    t = KeyedTable(spark, root, record_key="k", precombine="pre")
+    data = spark.range(4000).select(
+        F.col("id").alias("k"),
+        # ~800 distinct secondary values, each in ~1-2 of 8 files
+        F.concat(
+            F.lit("s"), ((F.col("id") * 48271) % 797).cast("string")
+        ).alias("sec"),
+        ((F.col("id") * 40503) % 99991).cast("double").alias("a"),
+        ((F.col("id") * 2654435761) % 100003).cast("double").alias("b"),
+        F.col("id").alias("pre"),
+    )
+    t.upsert(data)
+    compact_snapshot(
+        t, target_files=8, zorder_cols=["a", "b"], bloom_key=["k", "sec"]
+    )
+    want = t.snapshot().where(F.col("sec").isin(["s5", "s123"]))
+    got, rep = t.read_where_in("sec", ["s5", "s123"], with_report=True)
+    assert _rows(got) == _rows(want)
+    assert 0 < rep["n_kept"] < rep["n_files"] == 8
+    # read_keys still routes through the same index
+    got2, rep2 = t.read_keys([17], with_report=True)
+    assert _rows(got2.select("k")) == [(17,)]
+    assert rep2["n_kept"] < 8
+
+    t2 = KeyedTable(
+        spark, root, record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ",
+    )
+    t2.upsert(
+        spark.createDataFrame(
+            [(17, "s5", -1.0, -1.0, 10**9)],
+            "k long, sec string, a double, b double, pre long",
+        )
+    )
+    got3, rep3 = t2.read_where_in("sec", ["s5"], with_report=True)
+    assert rep3 == {"fallback": True}
+    assert (17, -1.0) in {(r["k"], r["a"]) for r in got3.collect()}
