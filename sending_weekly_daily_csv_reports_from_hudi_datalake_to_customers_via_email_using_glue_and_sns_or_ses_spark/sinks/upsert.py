@@ -734,10 +734,12 @@ class KeyedTable:
         lost_deletes = self._delete_instants_in(base_commit, as_of)
         if lost_deletes:
             raise ValueError(
-                f"state as of {as_of} needs the snapshot that delete "
-                f"commit {lost_deletes[0]} materialized, but the cleaner "
-                "removed it (keep_versions) — deletes write no log rows, "
-                "so replaying the log would resurrect the deleted keys; "
+                f"state as of {as_of} needs the snapshot that delete/"
+                f"overwrite commit {lost_deletes[0]} materialized, but "
+                "the cleaner removed it (keep_versions) — the log cannot "
+                "replay those ops (deletes write no log rows; overwrite "
+                "rows can lose the precombine merge against older log "
+                "rows), so replaying would resurrect removed state; "
                 "raise keep_versions or time-travel within retained "
                 "history"
             )
@@ -766,10 +768,14 @@ class KeyedTable:
         return self._combine(unioned)
 
     def _delete_instants_in(self, lo: str | None, hi: str) -> list[str]:
-        """Delete-op commit ids in (lo, hi], from the timeline markers.
-        Marker FILENAMES are the commit ids, so the window is selected
-        before any file is opened — a ten-thousand-commit table pays a
-        handful of json loads per read, not one per commit."""
+        """State-REPLACING commit ids (delete and overwrite ops) in
+        (lo, hi], from the timeline markers — the ops whose effect the
+        log cannot replay (deletes write no log rows; overwrite rows
+        can lose the P2 merge against pre-overwrite log rows), so the
+        reconstruction rail needs their materialized snapshots. Marker
+        FILENAMES are the commit ids, so the window is selected before
+        any file is opened — a ten-thousand-commit table pays a handful
+        of json loads per read, not one per commit."""
         tl = self._timeline_dir()
         if not os.path.isdir(tl):
             return []  # pre-timeline (r1) table: no rail possible
@@ -781,7 +787,7 @@ class KeyedTable:
             if c > hi or (lo is not None and c <= lo):
                 continue
             with open(os.path.join(tl, name)) as f:
-                if json.load(f).get("op") == "delete":
+                if json.load(f).get("op") in ("delete", "overwrite"):
                     out.append(c)
         return sorted(out)
 
@@ -856,6 +862,17 @@ class KeyedTable:
         end_eff = latest if end is None or end > latest else end
         insts = [c for c in self.instants() if c <= end_eff]
         window = [c for c in insts if begin is None or c > begin]
+        tl_ops = self._timeline_instants()
+        replaced = [c for c in window if tl_ops.get(c) == "overwrite"]
+        if replaced:
+            raise ValueError(
+                f"CDC window spans replace commit {replaced[0]} "
+                "(insert_overwrite_table): before-images across a "
+                "replace are not derivable from the log under the "
+                "precombine merge rule — re-seed the consumer from a "
+                "snapshot at or after it (MaintainedAggregate.rebuild / "
+                "a fresh replica seed), then resume CDC from there"
+            )
         log = self.log()
         if log is None:
             raise ValueError(
@@ -1125,6 +1142,74 @@ class KeyedTable:
             self._publish(commit)
             self._clean()
             return commit
+
+    def overwrite(self, incoming: DataFrame) -> str:
+        """Hudi ``insert_overwrite_table``: one REPLACE commit whose
+        batch becomes the ENTIRE live state — keys absent from the
+        batch vanish, keys present take the batch's row even when it
+        would LOSE the precombine merge (replace semantics beat P2 by
+        definition). The batch still precombine-dedups within itself.
+
+        Reconstruction safety: the commit materializes its snapshot
+        and registers on the same retained-history rail as deletes —
+        replaying pre-overwrite log rows would resurrect vanished keys
+        and out-precombine replaced ones, so any read needing state at
+        or after an overwrite whose snapshot the cleaner removed
+        RAISES instead of silently merging wrong.
+
+        Incremental consumers: the commit's rows land in the log like
+        any upsert (an incremental scan sees the new data), but a CDC
+        window SPANNING a replace commit raises — before-images across
+        a replace are not derivable from the log under the P2 rule,
+        the same reason Hudi's incremental/CDC queries tell consumers
+        to re-seed from a snapshot across replacecommits. The IVM/
+        replication escape hatch is exactly that re-seed
+        (``MaintainedAggregate.rebuild`` / a fresh replica seed)."""
+        incoming = self._with_key(incoming)
+        deduped = (
+            _merge_partial(incoming, self.record_key, [self.precombine])
+            if self.payload == "partial_update"
+            else _merge_latest(incoming, self.record_key, self.precombine)
+        )
+        with self._txn():
+            commit = self._new_commit_id()
+            self._update_schema(deduped, commit)
+            stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+            self._write_snapshot(stamped, commit)
+            self._write_log(stamped, commit)
+            self._record_instant(commit, "overwrite")
+            self._publish(commit)
+            self._clean()
+            return commit
+
+    def delete_where(self, condition) -> str | None:
+        """Predicate delete: drop every live row matching ``condition``
+        (a Column or SQL string). Sugar over :meth:`delete` — the key
+        set is the filtered snapshot, so a predicate on partition
+        columns prunes its scan to the affected partitions."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self.delete(snap.where(cond))
+
+    def delete_partition(self, values: dict) -> str | None:
+        """Hudi ``delete_partition``: drop entire partitions by their
+        column values (``{"ds": "2026-08-15"}``). Validates the columns
+        against the table's partition spec so a typo can't silently
+        delete by a non-partition predicate."""
+        if not self.partition_cols:
+            raise ValueError("delete_partition: table is not partitioned")
+        bad = set(values) - set(self.partition_cols)
+        if not values or bad:
+            raise ValueError(
+                f"delete_partition: columns {sorted(bad) or '(none)'} not in "
+                f"partition spec {self.partition_cols}"
+            )
+        cond = F.lit(True)
+        for c, v in values.items():
+            cond = cond & (F.col(c) == F.lit(v))
+        return self.delete_where(cond)
 
     def apply_cdc(self, cdc_df: DataFrame) -> list[str]:
         """Consume a CDC window (the :meth:`cdc` schema: key,

@@ -1367,3 +1367,124 @@ def test_hudi_options_composite_key_generator(spark):
     assert opts["hoodie.datasource.write.keygenerator.class"].endswith(
         "NonpartitionedKeyGenerator"
     )
+
+
+# ------------------------------------------------- overwrite / partition ops
+
+
+def _kv(spark, rows):
+    from pyspark.sql import SparkSession  # noqa: F401
+
+    return spark.createDataFrame(rows, "k int, pre int, v string")
+
+
+def test_overwrite_replaces_entire_state(spark, tmp_path):
+    """insert_overwrite_table: the batch IS the new state — vanished
+    keys gone, and a replaced key takes the batch row even with a
+    SMALLER precombine (replace semantics beat the P2 merge)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "ow"), record_key="k", precombine="pre"
+    )
+    t.upsert(_kv(spark, [(1, 10, "old1"), (2, 10, "old2"), (3, 10, "old3")]))
+    ow = t.overwrite(_kv(spark, [(2, 1, "new2-lowpre"), (4, 1, "new4")]))
+    got = sorted(
+        (r["k"], r["pre"], r["v"])
+        for r in t.snapshot().select("k", "pre", "v").collect()
+    )
+    assert got == [(2, 1, "new2-lowpre"), (4, 1, "new4")]
+    # a LATER upsert merges normally against the overwritten state
+    t.upsert(_kv(spark, [(2, 5, "after")]))
+    assert [
+        r["v"] for r in t.snapshot().filter("k = 2").collect()
+    ] == ["after"]
+    # time travel: state before the overwrite is intact, at it replaced
+    pre_ow = [c for c in t.instants() if c < ow][-1]
+    assert t.snapshot(as_of=pre_ow).count() == 3
+    assert t.snapshot(as_of=ow).count() == 2
+
+
+def test_overwrite_rail_when_cleaner_removes_snapshot(spark, tmp_path):
+    """Replaying the log across a cleaned overwrite would resurrect
+    vanished keys / out-precombine replaced rows — the retained-history
+    rail must RAISE instead."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "owr"),
+        record_key="k",
+        precombine="pre",
+        keep_versions=1,
+    )
+    t.upsert(_kv(spark, [(1, 99, "a"), (2, 99, "b")]))
+    ow = t.overwrite(_kv(spark, [(1, 1, "ow")]))
+    t.upsert(_kv(spark, [(3, 1, "c")]))  # keep_versions=1: ow snapshot gone
+    assert t.snapshot().count() == 2  # latest state fine (fresh base)
+    with pytest.raises(ValueError, match="delete/overwrite commit"):
+        t.snapshot(as_of=ow)
+
+
+def test_cdc_raises_across_overwrite_and_resumes_after(spark, tmp_path):
+    t = KeyedTable(
+        spark, str(tmp_path / "owc"), record_key="k", precombine="pre"
+    )
+    t.upsert(_kv(spark, [(1, 1, "a")]))
+    ow = t.overwrite(_kv(spark, [(1, 2, "b"), (2, 2, "c")]))
+    t.upsert(_kv(spark, [(2, 3, "d")]))
+    with pytest.raises(ValueError, match="replace commit"):
+        t.cdc()
+    # re-seeded consumers resume from the replace instant onward
+    rows = t.cdc(begin=ow).select("k", "_change_op").collect()
+    assert sorted((r["k"], r["_change_op"]) for r in rows) == [(2, "u")]
+
+
+def test_delete_where_and_delete_partition(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "dp"),
+        record_key="k",
+        precombine="pre",
+        partition_cols=["ds"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2026-01-01", 5.0),
+            (2, 1, "2026-01-01", 50.0),
+            (3, 1, "2026-01-02", 5.0),
+            (4, 1, "2026-01-03", 5.0),
+        ],
+        "k int, pre int, ds string, amt double",
+    )
+    t.upsert(df)
+    t.delete_where("amt > 10.0")
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 3, 4]
+    t.delete_partition({"ds": "2026-01-02"})
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 4]
+    with pytest.raises(ValueError, match="not in partition spec"):
+        t.delete_partition({"amt": 5.0})
+    with pytest.raises(ValueError, match="not in partition spec"):
+        t.delete_partition({})
+    t2 = KeyedTable(
+        spark, str(tmp_path / "dp2"), record_key="k", precombine="pre"
+    )
+    t2.upsert(_kv(spark, [(1, 1, "x")]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2.delete_partition({"ds": "2026-01-01"})
+
+
+def test_overwrite_on_mor_sets_new_base(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "owm"),
+        record_key="k",
+        precombine="pre",
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(_kv(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t.upsert(_kv(spark, [(1, 2, "a2")]))
+    t.overwrite(_kv(spark, [(9, 1, "z")]))
+    assert sorted(
+        (r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()
+    ) == [(9, "z")]
+    t.upsert(_kv(spark, [(9, 2, "z2"), (10, 1, "w")]))  # MOR log on new base
+    assert sorted(
+        (r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()
+    ) == [(9, "z2"), (10, "w")]
