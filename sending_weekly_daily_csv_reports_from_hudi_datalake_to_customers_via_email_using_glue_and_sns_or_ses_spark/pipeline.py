@@ -171,7 +171,10 @@ def run_maintained_report(
     the same key), and only the email is at-least-once — the
     reference's own delivery semantics (template.py:244-251 was
     at-MOST-once; losing a report was judged worse than re-sending
-    one)."""
+    one). A source ``overwrite`` (insert_overwrite_table) self-heals:
+    the loop re-seeds the view from the post-replace snapshot —
+    rebuild is idempotent, so every crash window stays safe — and
+    resumes incremental maintenance from the replace instant."""
     from .operators.ivm import MaintainedAggregate
     from .sources.incremental import CDCReader
 
@@ -192,25 +195,40 @@ def run_maintained_report(
     # crash between apply and commit followed by NEW upstream commits
     # must not hand the fold an extended window whose prefix the view
     # already contains (delta re-folds double-count)
-    win = reader.read(after=view.through())
-    if win is None:
-        if reader.staged_end() is not None:
-            reader.commit()  # view already covers it: checkpoint catch-up
-        return None  # quiescent source: no new report this run
-    through = reader.staged_end()
-    # MIN/MAX maintenance may need the source state AS OF the window
-    # end for dirty-group recomputes; the time-travel read pins it even
-    # if a concurrent writer has already committed past `through`.
-    # Passed LAZILY so clean windows (insert-only, interior changes)
-    # never construct it — a lagging consumer whose as-of snapshot the
-    # cleaner removed still completes every run that doesn't need it
-    view.apply(
-        win,
-        through=through,
-        base=(lambda: reader.table.snapshot(as_of=through))
-        if config.minmax_cols
-        else None,
-    )
+    try:
+        win = reader.read(after=view.through())
+    except ValueError as e:
+        if "replace commit" not in str(e):
+            raise
+        # the source was overwritten (insert_overwrite_table): CDC
+        # across a replace is underivable by contract, and the staged
+        # end is already the post-replace instant — re-seed the view
+        # from the snapshot AS OF it (O(table), but only on replace
+        # commits), then report as usual. The checkpoint advances at
+        # the tail commit like every other window (rebuild is
+        # idempotent, so a crash before it simply re-seeds)
+        through = reader.staged_end()
+        view.rebuild(reader.table.snapshot(as_of=through), through=through)
+    else:
+        if win is None:
+            if reader.staged_end() is not None:
+                reader.commit()  # view already covers it: catch-up
+            return None  # quiescent source: no new report this run
+        through = reader.staged_end()
+        # MIN/MAX maintenance may need the source state AS OF the
+        # window end for dirty-group recomputes; the time-travel read
+        # pins it even if a concurrent writer has already committed
+        # past `through`. Passed LAZILY so clean windows (insert-only,
+        # interior changes) never construct it — a lagging consumer
+        # whose as-of snapshot the cleaner removed still completes
+        # every run that doesn't need it
+        view.apply(
+            win,
+            through=through,
+            base=(lambda: reader.table.snapshot(as_of=through))
+            if config.minmax_cols
+            else None,
+        )
     df = view.current()
     if config.avg_cols:
         from pyspark.sql import functions as F

@@ -334,3 +334,58 @@ def test_maintained_report_minmax(spark, tmp_path):
     src.delete(spark.createDataFrame([(2,)], "k int"))  # retract max(a)
     res2 = run_maintained_report(spark, cfg, sender=EmailSender())
     assert rows(res2.df) == [("a", 1, 10, 10), ("b", 1, 6, 6)]
+
+
+def test_maintained_report_self_heals_across_overwrite(spark, tmp_path):
+    """insert_overwrite_table on the source breaks CDC derivability by
+    contract — the report loop must re-seed the view from the
+    post-replace snapshot, still deliver that run's report, and resume
+    incremental maintenance afterwards."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedReportConfig,
+        run_maintained_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    src = KeyedTable(
+        spark, str(tmp_path / "srco"), record_key="k", precombine="pre"
+    )
+    cfg = MaintainedReportConfig(
+        source_path=src.root,
+        table_name="orders_srco",
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        minmax_cols=["amount"],
+        view_path=str(tmp_path / "viewo"),
+        report_base=str(tmp_path / "reportso"),
+        checkpoint_root=str(tmp_path / "cko"),
+    )
+    sch = "k int, pre int, grp string, amount long"
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["n_rows"], r["sum_amount"], r["min_amount"])
+            for r in df.collect()
+        )
+
+    src.upsert(
+        spark.createDataFrame([(1, 1, "a", 10), (2, 1, "a", 20)], sch)
+    )
+    run_maintained_report(spark, cfg, sender=EmailSender())
+
+    # replace the table wholesale; the next run must re-seed, not crash
+    src.overwrite(
+        spark.createDataFrame([(5, 1, "b", 7), (6, 1, "b", 9)], sch)
+    )
+    res = run_maintained_report(spark, cfg, sender=EmailSender())
+    assert res is not None
+    assert rows(res.df) == [("b", 2, 16, 7)]
+
+    # incremental maintenance resumes after the re-seed
+    src.upsert(spark.createDataFrame([(7, 1, "b", 1)], sch))
+    res2 = run_maintained_report(spark, cfg, sender=EmailSender())
+    assert rows(res2.df) == [("b", 3, 17, 1)]
+    # quiescent afterwards
+    assert run_maintained_report(spark, cfg, sender=EmailSender()) is None
