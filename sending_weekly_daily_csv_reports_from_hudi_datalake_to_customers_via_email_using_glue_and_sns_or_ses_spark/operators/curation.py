@@ -667,6 +667,7 @@ def prepare_training_data(
     url_col: str | None = None,
     blocked_domains: list | DataFrame | None = None,
     max_docs_per_domain: int | None = None,
+    bpe_tokenizer=None,  # BPEModel | int (vocab size to train) | None
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
@@ -717,6 +718,14 @@ def prepare_training_data(
          so the packing budgets downstream see post-cut lengths;
       3. eval-set decontamination (the 10% pseudo-eval split held out
          AND its 5-gram phrasing anti-joined away);
+      3b. optional EXACT token accounting (``bpe_tokenizer``): a
+         :mod:`tokenizer` BPE model — passed trained, or an int vocab
+         size to train on the surviving corpus itself (one histogram
+         scan + bounded driver loop) — recounts every doc, and the
+         mixture weights, pack budgets, and shard token stats all
+         switch from the whitespace estimate to the counts the
+         training run will actually see. Runs after decontamination
+         so a trained-here model never sees dropped text;
       4. optional domain-mixture downsampling (``mixture`` weights);
       5. sequence packing to ``max_tokens`` (``mlprep.pack_sequences``);
       6. deterministic shard layout (``write_training_shards``) with
@@ -939,10 +948,27 @@ def prepare_training_data(
         train = decontaminate(deduped.filter(~is_eval), eval_docs)
         n_decontam = train.count()
 
+        token_col = "n_tokens_ws"
+        bpe_report = None
+        if bpe_tokenizer is not None:
+            from .tokenizer import BPEModel, tokenize_bpe, train_bpe
+
+            model = (
+                bpe_tokenizer
+                if isinstance(bpe_tokenizer, BPEModel)
+                else train_bpe(train, vocab_size=int(bpe_tokenizer))
+            )
+            bpe_report = dict(model.train_report)
+            # counts only: the token arrays would bloat every shard
+            train = tokenize_bpe(
+                train, model, out_col="__bpe_toks", count_col="n_tokens_bpe"
+            ).drop("__bpe_toks")
+            token_col = "n_tokens_bpe"
+
         plan = None
         if mixture:
             train, plan = mixture_sample(
-                train, mixture, token_col="n_tokens_ws"
+                train, mixture, token_col=token_col
             )
         train = train.cache()
         n_sampled = train.count()
@@ -953,12 +979,12 @@ def prepare_training_data(
         if substring_cache is not None:
             substring_cache.unpersist()  # ditto for the surgery output
 
-        packs = pack_sequences(train, max_tokens, token_col="n_tokens_ws")
+        packs = pack_sequences(train, max_tokens, token_col=token_col)
         final = train.join(
             packs.select("doc_id", "pack_id", "seq_offset"), "doc_id"
         )
         shard_stats = write_training_shards(
-            final, out_path, num_shards, token_col="n_tokens_ws"
+            final, out_path, num_shards, token_col=token_col
         )
         return {
             "n_after_url_dedup": n_url_dedup,
@@ -974,6 +1000,7 @@ def prepare_training_data(
             "n_after_decontam": n_decontam,
             "n_after_mixture": n_sampled,
             "mixture_plan": plan,
+            "bpe_report": bpe_report,
             "shards": [r.asDict() for r in shard_stats.collect()],
         }
     finally:

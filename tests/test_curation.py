@@ -1054,3 +1054,43 @@ def test_prepare_training_data_url_stage(spark, tmp_path):
         prepare_training_data(
             spark, SF, str(tmp_path / "y"), url_col="url"
         )
+
+
+def test_prepare_training_data_bpe_exact_tokens(spark, tmp_path):
+    """bpe_tokenizer=<vocab size> trains on the surviving corpus and
+    switches packing/shard accounting to EXACT counts: every written
+    doc carries n_tokens_bpe, pack budgets bind on it, and the shard
+    token stats sum the exact counts."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+
+    out = str(tmp_path / "train_bpe")
+    stats = prepare_training_data(
+        spark,
+        SF,
+        out,
+        max_tokens=512,
+        num_shards=2,
+        min_quality=0.0,
+        bpe_tokenizer=200,
+    )
+    assert stats["bpe_report"] is not None
+    assert stats["bpe_report"]["n_merges"] > 0
+    written = spark.read.parquet(out)
+    assert "n_tokens_bpe" in written.columns
+    # exact counts: at least one token per whitespace word, fewer than
+    # one per character
+    row = written.select(
+        F.sum("n_tokens_bpe").alias("bpe"),
+        F.sum("n_tokens_ws").alias("ws"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    assert row["ws"] <= row["bpe"] < row["chars"]
+    # pack budget binds on the EXACT count
+    per_pack = written.groupBy("pack_id").agg(
+        F.sum("n_tokens_bpe").alias("tot"), F.count("*").alias("n")
+    )
+    assert per_pack.filter((F.col("tot") > 512) & (F.col("n") > 1)).isEmpty()
+    # shard stats account the exact tokens
+    assert sum(s["n_tokens"] for s in stats["shards"]) == row["bpe"]
