@@ -39,6 +39,7 @@ def stream_upsert(
     table: KeyedTable,
     checkpoint_dir: str,
     query_name: str = "stream_upsert",
+    service_policy=None,  # sinks.services.ServicePolicy | None
 ) -> StreamingQuery:
     """Continuously upsert a stream into a KeyedTable.
 
@@ -48,7 +49,16 @@ def stream_upsert(
     crash window KeyedTable.upsert is idempotent for identical rows
     (precombine picks the same winners), so the snapshot converges.
     The streaming checkpoint_dir provides source-offset tracking.
-    """
+
+    ``service_policy`` runs inline table services after each applied
+    batch (the DeltaStreamer ``--enable-compaction``/clustering
+    pattern — sinks/services.py): MOR log windows fold back into a
+    base at the delta-commit threshold and clustering re-stamps the
+    layout + skipping indexes, so a long-running ingest keeps read
+    cost flat instead of accreting log to merge. Services derive
+    their triggers from durable table state, so a crashed run resumes
+    cleanly and a REPLAYED batch (skipped above) never re-triggers
+    them."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in applied_batch_ids(table, checkpoint_dir):
@@ -61,6 +71,10 @@ def stream_upsert(
                     "checkpoint": checkpoint_dir,
                 },
             )
+            if service_policy is not None:
+                from ..sinks.services import run_table_services
+
+                run_table_services(table, service_policy)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

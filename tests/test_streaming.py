@@ -855,3 +855,53 @@ def test_dedupe_stream_watermark_exactly_once(spark, tmp_path):
     emitted = out.collect()
     assert len(emitted) == n_unique
     assert len({r["event_id"] for r in emitted}) == n_unique
+
+
+def test_stream_upsert_inline_services(spark, tmp_path):
+    """service_policy on the streaming sink: a MOR table ingesting
+    micro-batches compacts at the delta-commit threshold (read cost
+    stays flat) and the result equals the no-services ingest."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (
+        fixtures,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.services import (
+        ServicePolicy,
+        delta_commits_above_base,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.ingest import (
+        stream_upsert,
+    )
+
+    src = str(tmp_path / "srcsvc")
+    for b in range(4):
+        fixtures.customers(spark, 15, batch=b).write.mode(
+            "append"
+        ).parquet(src)
+    table = KeyedTable(
+        spark,
+        str(tmp_path / "tblsvc"),
+        record_key="customer_id",
+        precombine="created_at",
+        table_type="MERGE_ON_READ",
+    )
+    stream = spark.readStream.schema(
+        fixtures.customers(spark, 1).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = stream_upsert(
+        stream,
+        table,
+        str(tmp_path / "cksvc"),
+        service_policy=ServicePolicy(compact_after_delta_commits=2),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # every ingested batch above the threshold got folded back
+    assert delta_commits_above_base(table) < 2
+    snap = {r["customer_id"]: r["created_at"]
+            for r in table.snapshot().collect()}
+    want = {r["customer_id"]: r["created_at"]
+            for r in fixtures.customers(spark, 15, batch=3).collect()}
+    assert snap == want
