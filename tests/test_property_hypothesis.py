@@ -385,6 +385,18 @@ _tt_ops = st.lists(
                 unique=True,
             ),
         ),
+        st.tuples(
+            st.just("ow"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=0, max_value=9),
+                ),
+                min_size=1,
+                max_size=6,
+            ).map(_unique_key_batch),
+        ),
     ),
     min_size=1,
     max_size=5,
@@ -403,12 +415,14 @@ _tt_ops = st.lists(
 def test_time_travel_replays_any_history(
     spark, ops, table_type, tmp_path_factory
 ):
-    """Time-travel law: for ANY sequence of upserts and deletes (no
-    cleaning — keep_versions large, so every instant is
+    """Time-travel law: for ANY sequence of upserts, deletes, and
+    overwrites (no cleaning — keep_versions large, so every instant is
     reconstructable), snapshot(as_of=c_i) equals the pure-Python model
     of the state right after commit i: upsert keeps the larger
     precombine, equal precombine in a LATER commit wins, delete drops
-    keys. The latest read must equal the final model too."""
+    keys, and overwrite REPLACES the whole state with its batch even
+    against larger stored precombines (insert_overwrite_table
+    semantics). The latest read must equal the final model too."""
     from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
         KeyedTable,
     )
@@ -429,6 +443,9 @@ def test_time_travel_replays_any_history(
             for k, p, pl in payload:
                 if k not in state or p >= state[k][0]:
                     state[k] = (p, pl)
+        elif op == "ow":
+            c = t.overwrite(_df(spark, payload))
+            state = {k: (p, pl) for k, p, pl in payload}
         else:
             if not state:
                 continue  # delete on an empty table is a no-op path
