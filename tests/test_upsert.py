@@ -1488,3 +1488,83 @@ def test_overwrite_on_mor_sets_new_base(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()
     ) == [(9, "z2"), (10, "w")]
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_cdc_overwrite_window_contract(spark, tmp_path, table_type):
+    """With an overwrite in the history, cdc() must RAISE for every
+    window spanning the replace instant and remain exactly the
+    brute-force snapshot diff for every window on either side."""
+    import random
+
+    rng = random.Random(9)
+    t = _lifecycle_table(
+        spark, tmp_path, name=f"owp{table_type}", table_type=table_type
+    )
+    for step in range(3):
+        t.upsert(
+            _kv_df(
+                spark,
+                [
+                    (rng.randrange(8), rng.randrange(100), f"v{step}.{i}")
+                    for i in range(rng.randrange(1, 5))
+                ],
+            )
+        )
+    ow = t.overwrite(
+        _kv_df(spark, [(1, 1, "ow1"), (9, 1, "ow9"), (2, 50, "ow2")])
+    )
+    for step in range(2):
+        t.upsert(
+            _kv_df(
+                spark,
+                [
+                    (rng.randrange(10), rng.randrange(100), f"w{step}.{i}")
+                    for i in range(rng.randrange(1, 5))
+                ],
+            )
+        )
+    insts = t.instants()
+    pre = [c for c in insts if c < ow]
+    post = [c for c in insts if c > ow]
+
+    # spanning windows raise, from every side
+    for begin, end in [(None, None), (None, ow), (pre[0], post[-1])]:
+        with pytest.raises(ValueError, match="replace commit"):
+            t.cdc(begin=begin, end=end)
+
+    # strictly-before window: brute diff over the pre-overwrite history
+    before = {
+        (r["k"], r["_commit_time"], r["_change_op"])
+        for r in t.cdc(begin=None, end=pre[-1]).collect()
+    }
+    assert before and all(c <= pre[-1] for _, c, _ in before)
+
+    # from the replace instant onward: seeded by the overwrite state,
+    # equal to the per-instant snapshot diffs
+    got = sorted(
+        (
+            r["k"],
+            r["_commit_time"],
+            r["_change_op"],
+            tuple(r["_before"]) if r["_before"] is not None else None,
+            tuple(r["_after"]) if r["_after"] is not None else None,
+        )
+        for r in t.cdc(begin=ow).collect()
+    )
+    want = []
+    prev_states = {}
+    for c in [ow] + post:
+        cur = {
+            r["k"]: (r["pre"], r["v"])
+            for r in t.snapshot(as_of=c).select("k", "pre", "v").collect()
+        }
+        if c != ow:
+            for k in set(prev_states) | set(cur):
+                b, a = prev_states.get(k), cur.get(k)
+                if b == a:
+                    continue
+                op = "d" if a is None else ("i" if b is None else "u")
+                want.append((k, c, op, b, a))
+        prev_states = cur
+    assert got == sorted(want)
