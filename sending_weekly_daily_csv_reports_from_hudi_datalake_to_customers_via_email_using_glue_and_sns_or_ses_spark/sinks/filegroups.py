@@ -398,6 +398,47 @@ class BucketedTable:
         self._clean()
         return commit
 
+    def overwrite(self, incoming: DataFrame) -> str:
+        """Hudi ``insert_overwrite_table``, the manifest-native way:
+        the new commit's manifest references ONLY the batch's slices,
+        so every pre-existing file group drops out by omission — no
+        tombstones, no reconstruction rail (time travel here is
+        manifest-pinned: older manifests keep referencing the old
+        slices until the cleaner retires them with their commits).
+        Replace semantics beat the P2 merge by construction: no
+        existing slice is read, so a lower-precombine batch row cannot
+        lose to the row it replaces."""
+        incoming = self._with_key(incoming)
+        deduped = (
+            _merge_partial(incoming, self.record_key, [self.precombine])
+            if self.payload == "partial_update"
+            else _merge_latest(incoming, self.record_key, self.precombine)
+        )
+        commit = self._new_commit_id()
+        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+        touched = self._touched_buckets(incoming)
+        new_slices = {
+            b: c
+            for b, c in self._write_touched(stamped, touched, commit).items()
+            if c is not None
+        }
+        self._write_log(stamped, commit)
+        self._write_manifest(
+            commit, "overwrite", new_slices, self._union_schema(stamped.schema)
+        )
+        self._publish(commit)
+        self._clean()
+        return commit
+
+    def delete_where(self, condition) -> str | None:
+        """Predicate delete (sugar over :meth:`delete`): drop every
+        live row matching ``condition`` (Column or SQL string)."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self.delete(snap.where(cond))
+
     def delete(self, keys: DataFrame) -> str | None:
         """Hudi delete: drop the given record keys — reads and rewrites
         only the buckets the keys route to."""

@@ -326,3 +326,50 @@ def test_log_feeds_incremental_reader(spark, btable):
         for r in log.groupBy("_commit_time").agg(F.count("*").alias("n")).collect()
     }
     assert {str(k): v for k, v in per_commit.items()} == {c0: 10, c1: 5}
+
+
+def test_overwrite_manifest_native_replace(spark, tmp_path):
+    """overwrite(): the commit's manifest references ONLY the batch's
+    slices — old groups vanish by omission, a lower-precombine batch
+    row wins by construction, time travel stays manifest-pinned on
+    both sides, and later upserts merge against the replaced state."""
+    from pyspark.sql import functions as F
+
+    t = BucketedTable(
+        spark,
+        str(tmp_path / "owb"),
+        record_key="k",
+        precombine="pre",
+        num_buckets=8,
+        keep_versions=10,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k int, pre int, v string")
+
+    t.upsert(df([(i, 10, f"old{i}") for i in range(20)]))
+    pre_ow = t.latest_commit()
+    ow = t.overwrite(df([(2, 1, "new2"), (99, 1, "new99")]))
+    got = sorted(
+        (r["k"], r["pre"], r["v"])
+        for r in t.snapshot().select("k", "pre", "v").collect()
+    )
+    assert got == [(2, 1, "new2"), (99, 1, "new99")]
+    # manifest holds only the touched buckets' slices
+    assert all(
+        c == ow for c in t._manifest(ow)["slices"].values()
+    ) and len(t._manifest(ow)["slices"]) <= 2
+    # time travel across the replace, both directions
+    assert t.snapshot(as_of=pre_ow).count() == 20
+    assert t.snapshot(as_of=ow).count() == 2
+    # later upsert merges normally onto the replaced state
+    t.upsert(df([(2, 5, "merged2"), (3, 5, "back3")]))
+    final = sorted(
+        (r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()
+    )
+    assert final == [(2, "merged2"), (3, "back3"), (99, "new99")]
+
+    # predicate delete sugar
+    t.delete_where(F.col("k") > 50)
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [2, 3]
+    assert t.delete_where("k > 1000") is None or t.snapshot().count() == 2
