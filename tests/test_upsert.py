@@ -1568,3 +1568,35 @@ def test_cdc_overwrite_window_contract(spark, tmp_path, table_type):
                 want.append((k, c, op, b, a))
         prev_states = cur
     assert got == sorted(want)
+
+
+def test_occ_overwrite_conflicts_with_inflight_writer(spark, tmp_path):
+    """An overwrite that lands mid-transaction is a whole-table commit:
+    the in-flight upsert must see CommitConflictError regardless of key
+    overlap (its base state no longer exists)."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.concurrency import (
+        CommitConflictError,
+        InProcessLockProvider,
+    )
+
+    lock = InProcessLockProvider()
+    root = str(tmp_path / "occow")
+    a = KeyedTable(
+        spark, root, record_key="customer_id", precombine="created_at",
+        lock_provider=lock,
+    )
+    a.upsert(fixtures.customers(spark, 10))
+    base = a.latest_commit()
+    b = KeyedTable.open(spark, root, lock_provider=lock)
+    b.overwrite(fixtures.customers(spark, 2, batch=5))
+    # DISJOINT keys (cust-900x vs the overwrite's cust-0/1): the
+    # conflict must fire on the whole-table nature of the replace, not
+    # on key overlap
+    incoming = fixtures.customers(spark, 2, batch=1).withColumn(
+        "customer_id", F.concat(F.lit("cust-900"), F.col("customer_id"))
+    )
+    with pytest.raises(CommitConflictError):
+        with a._txn():
+            a._check_conflict(base, incoming)
