@@ -102,7 +102,10 @@ def clear_intermediate_caches() -> None:
             pass
     dedup._POSTINGS_HANDLES.clear()
     # plain dicts (numpy matrices / layout paths) — nothing to unpersist
+    from . import pq
+
     similarity._CENT_CACHE.clear()
+    pq._PQ_CACHE.clear()
     import logging
     import shutil
 

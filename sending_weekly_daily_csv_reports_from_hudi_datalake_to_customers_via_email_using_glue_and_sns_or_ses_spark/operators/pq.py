@@ -1,0 +1,361 @@
+"""Product-quantized ANN — the compressed-corpus scale path.
+
+Implements PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 33(1)) over the ``embeddings``
+table: split each L2-normalized d-dim vector into ``m`` subvectors,
+k-means each subspace into ``ksub`` centroids, and store each vector as
+``m`` small codes. With d=64 float32 and m=8/ksub=16 the corpus
+shrinks 32× (256 B → 8 B per vector), which is the difference between
+"the index fits in cluster memory" and "every query is an IO scan" at
+100 TB: a 100 TB float32 corpus PQ-encodes to ~3 TB of codes.
+
+Search is ADC (asymmetric distance computation): the QUERY stays
+unquantized; per query one tiny lookup table T[m][ksub] of
+subvector·centroid dot products is built on the driver, and a corpus
+row's approximate cosine is ``Σ_j T[j][code_j]`` — m table lookups per
+row, no float multiply on the scan side, vectorized here as one numpy
+gather per Arrow batch. Ranking then re-ranks the top ``refine`` ADC
+candidates by EXACT cosine (the standard refine step), so recall
+degrades gracefully: ADC only has to get the true neighbors into the
+candidate pool, not order them.
+
+Composition with IVF (:mod:`.similarity`): `ivf_pq_topk` routes each
+query to its ``nprobe`` nearest coarse cells first (IVF-PQ, the FAISS
+``IVFx,PQy`` index shape) — partition pruning cuts the candidate set
+by nprobe/K and ADC cuts the bytes per candidate by ~32×; the two
+wins multiply.
+
+Scale shape: training is one bounded 256-row driver sample (the same
+deterministic xxhash64-ordered sample the IVF quantizer uses); encode
+is one Arrow-batched corpus pass with the (m·ksub·dsub ≈ 8 KB)
+codebook broadcast in the UDF closure; search scans only codes.
+Nothing driver-side ever touches the corpus.
+
+No reference-file citation: the reference (791-LoC Glue/Hudi report
+job) has no vector search; grounding is the public PQ paper and the
+brief's similarity-search extension mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import cosine_similarity
+from .similarity import (
+    _QUERY_IDS,
+    _probe_cells,
+    _query_matrix,
+    _train_ivf_centroids,
+    _ivf_cell_udf,
+)
+
+#: trained codebooks per (applicationId, corpus_id, m, ksub) — tiny
+#: numpy arrays (m·ksub·dsub floats), so a plain dict cache; evicted
+#: alongside the other similarity caches on app change.
+_PQ_CACHE: dict[tuple[str, str, int, int], np.ndarray] = {}
+
+
+def train_pq_codebooks(
+    e: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    *,
+    corpus_id: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the ``(m, ksub, d/m)`` PQ codebooks: per-subspace Lloyd's
+    k-means on a deterministic 256-row sample of L2-NORMALIZED vectors
+    (normalizing first makes ADC sums approximate cosine directly).
+    Deterministic: sample order is xxhash64(id), centroids seed from
+    the first ``ksub`` sample rows, no RNG anywhere — two trainings on
+    the same corpus are byte-identical, which is what lets tests pin
+    recall and lets a production run re-derive the codebooks instead
+    of versioning them.
+    """
+    from . import evict_dead_app_entries
+
+    key = (e.sparkSession.sparkContext.applicationId, corpus_id, m, ksub)
+    evict_dead_app_entries(_PQ_CACHE, key[0])
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sample = np.stack(
+        [
+            np.asarray(r[emb_col], dtype=np.float64)
+            for r in e.select(id_col, emb_col)
+            .orderBy(F.xxhash64(id_col))
+            .limit(256)
+            .collect()
+        ]
+    )
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subvectors")
+    if ksub > len(sample):
+        raise ValueError(
+            f"ksub={ksub} exceeds the {len(sample)}-row training sample"
+        )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            # squared-L2 assignment via the expanded form; argmin over
+            # ksub candidates per sample row
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent**2).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    _PQ_CACHE[key] = books
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """One Arrow-batched pass: append ``code_col`` = the vector's m
+    sub-codes (array<smallint>; values < ksub ≤ 2¹⁵ — parquet's RLE/
+    dictionary encoding stores them at ~byte cost). Vectors are
+    L2-normalized before coding (matching training); NULL embeddings
+    code to NULL."""
+    m, ksub, dsub = codebooks.shape
+    books = codebooks  # closure capture
+
+    @F.pandas_udf("array<smallint>")
+    def encode(emb: pd.Series) -> pd.Series:
+        out: list = []
+        mask = emb.notna()
+        if not mask.any():
+            return pd.Series([None] * len(emb))
+        X = np.stack(emb[mask].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(X), m), dtype=np.int16)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            cent = books[j]
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent**2).sum(axis=1)
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+        it = iter(codes)
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return df.withColumn(code_col, encode(F.col(emb_col)))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    code_col: str = "pq_code",
+    out_col: str = "pq_approx",
+) -> DataFrame:
+    """Reconstruct the quantized (normalized-space) vector from its
+    codes — the centroid concatenation. For tests and for downstream
+    consumers that want the compressed corpus back as (approximate)
+    vectors; reconstruction error IS the quantization error."""
+    books = codebooks
+
+    @F.pandas_udf("array<float>")
+    def decode(codes: pd.Series) -> pd.Series:
+        out: list = []
+        for c in codes:
+            if c is None:
+                out.append(None)
+                continue
+            c = np.asarray(c, dtype=np.int64)
+            out.append(
+                np.concatenate(
+                    [books[j][c[j]] for j in range(len(c))]
+                ).astype(np.float32)
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, decode(F.col(code_col)))
+
+
+def _adc_luts(Qn: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: L[q][j][c] = q_sub_j · codebook[j][c]
+    — (n_queries, m, ksub) doubles, a few KB; built once per search on
+    the driver and closure-broadcast."""
+    m, ksub, dsub = codebooks.shape
+    n = Qn.shape[0]
+    L = np.empty((n, m, ksub))
+    for j in range(m):
+        L[:, j, :] = Qn[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T
+    return L
+
+
+def _adc_score_udf(luts: np.ndarray, qid_index: dict[int, int], m: int):
+    """(query_id, pq_code) → approximate cosine: one numpy gather+sum
+    per Arrow batch — no float multiplies on the scan side."""
+    jj = np.arange(m)
+
+    @F.pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        n = len(qid)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        qs = qid.map(qid_index).to_numpy(dtype=np.int64)
+        out = np.empty(n)
+        for q in np.unique(qs):
+            sel = qs == q
+            out[sel] = luts[q][jj[None, :], C[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc
+
+
+def _rerank_exact(
+    cands: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC candidate pool → the
+    knn_bruteforce output shape (query_id, vec_id, cosine, rank)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("vec_id")
+    )
+    return (
+        cands.join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cosine_raw"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("cosine_raw", 4) + F.lit(0.0))
+            .cast("double")
+            .alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+) -> DataFrame:
+    """Top-k per fixed query via a full ADC scan of the PQ-encoded
+    corpus, refined by exact cosine on the top ``refine`` ADC
+    candidates. The 100 TB reading: the scan touches only the m-byte
+    codes (~32× fewer bytes than the raw vectors), and the exact
+    re-rank touches ``refine`` rows per query — recall is set by
+    whether ADC surfaces the true neighbors into a pool 5× the answer
+    size, a far weaker demand than ordering them."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
+    corpus = pq_encode(
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)), books
+    )
+    qids, Qn = _query_matrix(e)
+    luts = _adc_luts(Qn, books)
+    qframe = spark.createDataFrame(
+        [(int(i),) for i in qids], "query_id long"
+    )
+    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    cands = (
+        corpus.crossJoin(F.broadcast(qframe))
+        .select(
+            "query_id",
+            "vec_id",
+            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cands = cands.join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )
+    return _rerank_exact(cands, q, k)
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    K: int = 16,
+    nprobe: int = 8,
+    refine: int = 50,
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVF{K},PQ{m}`` shape): coarse cells prune the
+    candidate set to nprobe/K of the corpus, ADC over codes prunes the
+    bytes per candidate, exact cosine re-ranks the survivors. At scale
+    the corpus is written partitioned by cell with the CODE column
+    (ivf_write_partitioned + pq_encode) so a probe reads nprobe/K
+    directories of m-byte rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
+    books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
+    corpus = pq_encode(
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
+            "cell", _ivf_cell_udf(cent)("embedding")
+        ),
+        books,
+    )
+    qids, Qn = _query_matrix(e)
+    probes = spark.createDataFrame(
+        _probe_cells(qids, Qn, cent, nprobe), "query_id long, cell int"
+    )
+    luts = _adc_luts(Qn, books)
+    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cands = cands.join(e.select("vec_id", "embedding"), "vec_id")
+    return _rerank_exact(cands, q, k)

@@ -1,0 +1,139 @@
+"""Product-quantization ANN (operators/pq.py): codebook determinism,
+encode/decode laws, ADC recall vs the exact brute-force baseline, and
+the IVF-PQ composition. Thresholds are MEASURED on this synthetic
+near-unstructured corpus (recall ≈ candidate-pool fraction is the
+random-data floor; ADC clears it several times over)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+    load_table,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    QUERIES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    pq,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _recall(exact: pd.DataFrame, got: pd.DataFrame) -> float:
+    rs = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].vec_id)
+        g = set(got[got.query_id == q].vec_id)
+        rs.append(len(e & g) / len(e))
+    return sum(rs) / len(rs)
+
+
+def test_codebooks_deterministic_and_shaped(spark):
+    e = load_table(spark, SF, "embeddings")
+    b1 = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    pq._PQ_CACHE.clear()
+    b2 = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_train_rejects_bad_m(spark):
+    e = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_pq_codebooks(e, m=7, corpus_id=SF)
+    with pytest.raises(ValueError, match="training sample"):
+        pq.train_pq_codebooks(e, m=8, ksub=512, corpus_id=SF)
+
+
+def test_encode_codes_in_range_and_null_safe(spark):
+    e = load_table(spark, SF, "embeddings")
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    with_null = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    coded = pq.pq_encode(with_null, books).select("vec_id", "pq_code")
+    rows = {r["vec_id"]: r["pq_code"] for r in coded.collect()}
+    assert rows[7] is None
+    for vid, code in rows.items():
+        if vid == 7:
+            continue
+        assert len(code) == 8
+        assert all(0 <= c < 16 for c in code)
+
+
+def test_decode_roundtrips_centroids_exactly(spark):
+    """A vector that IS a codebook reconstruction encodes back to its
+    own codes and decodes bit-identically — the quantizer's fixed-point
+    law."""
+    e = load_table(spark, SF, "embeddings")
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    vec = np.concatenate([books[j][3] for j in range(8)]).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(1, vec.tolist())], "vec_id long, embedding array<float>"
+    )
+    out = pq.pq_decode(pq.pq_encode(df, books), books).collect()[0]
+    assert list(out["pq_code"]) == [3] * 8
+    assert np.allclose(out["pq_approx"], vec, atol=1e-6)
+
+
+def test_decode_reconstruction_beats_trivial_baseline(spark):
+    """Mean reconstruction error of the PQ-decoded corpus is well under
+    the norm of the normalized vectors (=1): quantization keeps most of
+    the signal. Guards against codebooks degenerating to a point."""
+    e = load_table(spark, SF, "embeddings")
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    out = pq.pq_decode(pq.pq_encode(e, books), books).select(
+        "embedding", "pq_approx"
+    )
+    errs = []
+    for r in out.limit(100).collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        x /= np.linalg.norm(x)
+        errs.append(np.linalg.norm(x - np.asarray(r["pq_approx"])))
+    assert np.mean(errs) < 0.8  # unit-norm vectors; 0-info would be ~sqrt(2)
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """ADC + exact refine recalls ≥ 50% of the true top-10 from a 10%
+    candidate pool (measured 0.60; random-pool floor is 0.10)."""
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    got = pq.pq_topk(spark, SF, refine=50).toPandas()
+    assert _recall(exact, got) >= 0.5
+    # output contract matches the brute-force entry
+    assert list(got.columns) == ["query_id", "vec_id", "cosine", "rank"]
+    assert (got.groupby("query_id").size() == 10).all()
+
+
+def test_pq_recall_grows_with_refine(spark):
+    """The refine knob is the recall/IO dial: a larger ADC pool can
+    only add true neighbors (the exact re-rank is monotone in pool)."""
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    small = pq.pq_topk(spark, SF, refine=20).toPandas()
+    big = pq.pq_topk(spark, SF, refine=200).toPandas()
+    assert _recall(exact, big) >= _recall(exact, small)
+    assert _recall(exact, big) >= 0.8  # measured 0.93 at a 40% pool
+
+
+def test_ivf_pq_recall(spark):
+    """The composed IVF-PQ index (probe half the cells, ADC within)
+    stays ≥ 40% recall — the IVF entry's own floor, so PQ compression
+    costs little on top of cell pruning (measured 0.53)."""
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    got = pq.ivf_pq_topk(spark, SF).toPandas()
+    assert _recall(exact, got) >= 0.4
+
+
+def test_pq_deterministic_end_to_end(spark):
+    a = pq.pq_topk(spark, SF).toPandas()
+    b = pq.pq_topk(spark, SF).toPandas()
+    pd.testing.assert_frame_equal(a, b)
