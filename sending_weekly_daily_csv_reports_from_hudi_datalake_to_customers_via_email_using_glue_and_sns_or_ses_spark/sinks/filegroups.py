@@ -432,16 +432,26 @@ class BucketedTable:
 
     def delete_where(self, condition) -> str | None:
         """Predicate delete (sugar over :meth:`delete`): drop every
-        live row matching ``condition`` (Column or SQL string)."""
+        live row matching ``condition`` (Column or SQL string). The
+        key set is unbounded (whatever the predicate matches), so the
+        anti-join is left UNHINTED — AQE broadcasts it only when its
+        runtime size allows."""
         snap = self.snapshot()
         if snap is None:
             return None
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self.delete(snap.where(cond))
+        return self.delete(snap.where(cond), broadcast_keys=False)
 
-    def delete(self, keys: DataFrame) -> str | None:
+    def delete(
+        self, keys: DataFrame, broadcast_keys: bool = True
+    ) -> str | None:
         """Hudi delete: drop the given record keys — reads and rewrites
-        only the buckets the keys route to."""
+        only the buckets the keys route to. ``broadcast_keys`` hints
+        the anti-join's key side; the default fits the point-delete
+        call shape (explicit small key lists), but pass False when the
+        key frame is derived and unbounded (``delete_where`` does) so
+        a predicate matching millions of keys can't force a driver-
+        sized broadcast."""
         keys = self._with_key(keys)
         keyed = keys.select(self.record_key).distinct()
         touched = self._touched_buckets(keyed)
@@ -451,8 +461,9 @@ class BucketedTable:
             return None  # none of the keys' groups hold data
         commit = self._new_commit_id()
         existing = self._read_slices(live)
+        anti = F.broadcast(keyed) if broadcast_keys else keyed
         remaining = existing.join(
-            F.broadcast(keyed), on=self.record_key, how="left_anti"
+            anti, on=self.record_key, how="left_anti"
         )
         new_slices = dict(slices)
         new_slices.update(
