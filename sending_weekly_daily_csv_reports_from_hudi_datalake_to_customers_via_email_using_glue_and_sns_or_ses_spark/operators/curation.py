@@ -959,11 +959,21 @@ def prepare_training_data(
                 else train_bpe(train, vocab_size=int(bpe_tokenizer))
             )
             bpe_report = dict(model.train_report)
-            # counts only: the token arrays would bloat every shard
+            # count-only mode: the token arrays would bloat every
+            # shard AND cost the Arrow transfer of the full subword
+            # list per doc — the funnel packs/weighs by count alone
             train = tokenize_bpe(
-                train, model, out_col="__bpe_toks", count_col="n_tokens_bpe"
-            ).drop("__bpe_toks")
+                train, model, out_col=None, count_col="n_tokens_bpe"
+            )
             token_col = "n_tokens_bpe"
+            # cache the tokenized frame BEFORE mixture_sample's eager
+            # per-source-mass collect: the BPE pass is the costliest
+            # stage in the funnel and would otherwise run twice (once
+            # for the masses, once when `train` materializes below)
+            train = train.cache()
+            bpe_cache = train
+        else:
+            bpe_cache = None
 
         plan = None
         if mixture:
@@ -972,6 +982,8 @@ def prepare_training_data(
             )
         train = train.cache()
         n_sampled = train.count()
+        if bpe_cache is not None and bpe_cache is not train:
+            bpe_cache.unpersist()  # survivors materialized in `train`
         if gate_cache is not None:
             gate_cache.unpersist()  # survivors materialized in `train`
         if line_cache is not None:

@@ -101,7 +101,12 @@ def train_pq_codebooks(
         raise ValueError(
             f"ksub={ksub} exceeds the {len(sample)}-row training sample"
         )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    # same zero-norm clamp as pq_encode: one all-zero vector in the
+    # sample must not NaN-poison every codebook (and the deterministic
+    # cache would then pin the poisoned books for the app's lifetime)
+    sample /= np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30
+    )
     dsub = d // m
     books = np.empty((m, ksub, dsub))
     for j in range(m):
@@ -288,7 +293,10 @@ def pq_topk(
         F.desc("adc"), F.asc("vec_id")
     )
     cands = (
-        corpus.crossJoin(F.broadcast(qframe))
+        # NULL embeddings code to NULL and can never be neighbors —
+        # drop them before the scorer (np.stack can't mix None rows)
+        corpus.filter(F.col("pq_code").isNotNull())
+        .crossJoin(F.broadcast(qframe))
         .select(
             "query_id",
             "vec_id",
@@ -343,7 +351,8 @@ def ivf_pq_topk(
         F.desc("adc"), F.asc("vec_id")
     )
     cands = (
-        corpus.join(F.broadcast(probes), "cell")
+        corpus.filter(F.col("pq_code").isNotNull())
+        .join(F.broadcast(probes), "cell")
         .select(
             "query_id",
             "vec_id",

@@ -254,7 +254,7 @@ def tokenize_bpe(
     docs: DataFrame,
     model: BPEModel,
     text_col: str = "text",
-    out_col: str = "tokens",
+    out_col: str | None = "tokens",
     count_col: str = "n_tokens",
 ) -> DataFrame:
     """Tokenize a corpus with a trained model: one Arrow-batched scan,
@@ -263,7 +263,14 @@ def tokenize_bpe(
     running token). Adds ``out_col`` (array<string> of subword tokens,
     concatenating to the normalized words) and ``count_col`` (the
     exact sequence length pack_sequences/mixture weighting want).
-    NULL text tokenizes to an empty array with count 0."""
+    NULL text tokenizes to an empty array with count 0.
+
+    ``out_col=None`` is the COUNT-ONLY mode: only ``count_col`` is
+    added — no per-doc token array is built in Python or shipped
+    through Arrow. Token-accounting consumers (the training funnel
+    weighs/packs by count and immediately dropped the array) should
+    use it: the array is the dominant cost of the pass on the largest
+    frame in the job."""
     import pandas as pd
 
     if text_col not in docs.columns:
@@ -271,7 +278,8 @@ def tokenize_bpe(
             f"tokenize_bpe: text column {text_col!r} not in schema "
             f"{docs.columns}"
         )
-    clash = {out_col, count_col} & set(docs.columns)
+    outs = {count_col} if out_col is None else {out_col, count_col}
+    clash = outs & set(docs.columns)
     if clash or out_col == count_col:
         raise ValueError(
             f"tokenize_bpe: output column(s) {sorted(clash) or [out_col]} "
@@ -281,13 +289,12 @@ def tokenize_bpe(
     bc = spark.sparkContext.broadcast(model.merges)
 
     fields = docs.schema.fields
-    out_schema = T.StructType(
-        list(fields)
-        + [
-            T.StructField(out_col, T.ArrayType(T.StringType())),
-            T.StructField(count_col, T.LongType()),
-        ]
-    )
+    new_fields = (
+        []
+        if out_col is None
+        else [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    ) + [T.StructField(count_col, T.LongType())]
+    out_schema = T.StructType(list(fields) + new_fields)
 
     def run(batches):
         import re
@@ -318,6 +325,16 @@ def tokenize_bpe(
                     toks.append([])
                     ns.append(0)
                     continue
+                if out_col is None:
+                    # count-only: no array built, just summed lengths
+                    ns.append(
+                        sum(
+                            len(word_tokens(w))
+                            for w in split(str(t).lower())
+                            if w
+                        )
+                    )
+                    continue
                 out: list[str] = []
                 # no .strip(): Python's strips Unicode whitespace the
                 # train side keeps glued; the empty-filter below
@@ -328,7 +345,8 @@ def tokenize_bpe(
                 toks.append(out)
                 ns.append(len(out))
             pdf = pdf.copy()
-            pdf[out_col] = toks
+            if out_col is not None:
+                pdf[out_col] = toks
             pdf[count_col] = pd.Series(ns, index=pdf.index, dtype="int64")
             yield pdf
 

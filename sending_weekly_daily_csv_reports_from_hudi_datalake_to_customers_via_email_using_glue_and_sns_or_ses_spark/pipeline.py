@@ -176,6 +176,7 @@ def run_maintained_report(
     rebuild is idempotent, so every crash window stays safe — and
     resumes incremental maintenance from the replace instant."""
     from .operators.ivm import MaintainedAggregate
+    from .sinks.upsert import ReplaceCommitError
     from .sources.incremental import CDCReader
 
     reader = CDCReader(
@@ -197,9 +198,7 @@ def run_maintained_report(
     # already contains (delta re-folds double-count)
     try:
         win = reader.read(after=view.through())
-    except ValueError as e:
-        if "replace commit" not in str(e):
-            raise
+    except ReplaceCommitError:
         # the source was overwritten (insert_overwrite_table): CDC
         # across a replace is underivable by contract, and the staged
         # end is already the post-replace instant — re-seed the view

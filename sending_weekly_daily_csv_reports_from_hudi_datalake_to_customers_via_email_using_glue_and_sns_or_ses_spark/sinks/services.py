@@ -41,9 +41,14 @@ class ServicePolicy:
     zorder_cols: list[str] | None = None
     stats_cols: list[str] | None = None
     bloom_key: str | list[str] | None = None
-    #: service bookkeeping column — instants at or below this marker
-    #: don't re-trigger clustering
-    _last_cluster: str | None = field(default=None, repr=False)
+    #: service bookkeeping PER TABLE ROOT — instants at or below a
+    #: table's marker don't re-trigger clustering. Keyed by root so one
+    #: policy object can be shared across tables (natural for shared
+    #: config) without table A's clustering marker suppressing — or
+    #: prematurely firing — table B's.
+    _last_cluster: dict[str, str | None] = field(
+        default_factory=dict, repr=False
+    )
 
 
 def delta_commits_above_base(table: KeyedTable) -> int:
@@ -71,7 +76,7 @@ def run_table_services(
 
     m = policy.cluster_after_commits
     if m is not None:
-        since = policy._last_cluster
+        since = policy._last_cluster.get(table.root)
         if since is None:
             # adopt the newest REPLACE instant as the starting marker so
             # a fresh policy object doesn't re-cluster an already-
@@ -91,7 +96,7 @@ def run_table_services(
                 bloom_key=policy.bloom_key,
             )
             report["clustered"] = commit
-            policy._last_cluster = commit
+            policy._last_cluster[table.root] = commit
         else:
-            policy._last_cluster = since
+            policy._last_cluster[table.root] = since
     return report

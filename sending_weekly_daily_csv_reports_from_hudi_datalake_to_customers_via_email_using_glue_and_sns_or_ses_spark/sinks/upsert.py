@@ -56,6 +56,16 @@ from .concurrency import CommitConflictError, LockAcquireTimeout
 COMPOSITE_KEY_COL = "_record_key"
 
 
+class ReplaceCommitError(ValueError):
+    """A CDC window spans an ``insert_overwrite_table`` (replace)
+    commit: before-images across a replace are not derivable from the
+    log under the precombine merge rule — the consumer must re-seed
+    from a snapshot at or after the replace instant and resume CDC from
+    there. Subclasses ValueError so pre-existing ``except ValueError``
+    handling keeps working; self-heal paths (pipeline.run_maintained_
+    report) catch THIS type instead of string-matching the message."""
+
+
 def with_composite_key(df: DataFrame, key_fields: list[str]) -> DataFrame:
     """Materialize the derived ``_record_key`` meta column for a
     composite key (no-op when the frame already carries it). Shared by
@@ -865,7 +875,7 @@ class KeyedTable:
         tl_ops = self._timeline_instants()
         replaced = [c for c in window if tl_ops.get(c) == "overwrite"]
         if replaced:
-            raise ValueError(
+            raise ReplaceCommitError(
                 f"CDC window spans replace commit {replaced[0]} "
                 "(insert_overwrite_table): before-images across a "
                 "replace are not derivable from the log under the "
@@ -1105,43 +1115,49 @@ class KeyedTable:
         it never conflicts; concurrent upserters see it as a
         whole-table commit and retry)."""
         with self._txn():
-            existing = self.snapshot()
-            if existing is None:
-                return None
-            keys = self._with_key(keys)
-            commit = self._new_commit_id()
-            remaining = existing.join(
-                keys.select(self.record_key), self.record_key, "left_anti"
-            )
-            self._write_snapshot(remaining, commit)
-            # tombstone log: the keys this delete actually dropped, as a
-            # key-only parquet dir (late r7). CDC reads deleted keys
-            # from here directly — O(dropped keys), no neighbouring-
-            # snapshot diff — which also decouples CDC windows from the
-            # cleaner: a lagging consumer can fabricate delete rows for
-            # a commit whose snapshot dirs are long gone. Written
-            # before the pointer flip like the marker (same crash
-            # rail: beyond-pointer tombstones are orphans).
-            dropped = existing.join(
-                keys.select(self.record_key), self.record_key, "left_semi"
-            ).select(self.record_key)
-            self._staged_write(
-                lambda p: dropped.write.mode("overwrite").parquet(p),
-                os.path.join(self.root, "tombstones", f"c={commit}"),
-            )
-            # marker BEFORE the pointer flip — deletes are the one op
-            # with no log rows, so the time-travel delete rail depends
-            # on the marker existing for every PUBLISHED delete: with
-            # the old after-publish order, a crash between the two left
-            # a committed delete invisible to the rail, and once the
-            # cleaner removed its snapshot a time-travel read would
-            # silently resurrect the deleted keys. A crash between
-            # marker and publish instead leaves a beyond-pointer marker
-            # that _rollback_failed removes with the orphan dirs.
-            self._record_instant(commit, "delete")
-            self._publish(commit)
-            self._clean()
-            return commit
+            return self._delete_locked(keys)
+
+    def _delete_locked(self, keys: DataFrame) -> str | None:
+        """Body of :meth:`delete`; assumes the caller holds ``_txn``
+        (so both the snapshot read and any lazy frame the caller
+        derived FROM that read resolve against locked state)."""
+        existing = self.snapshot()
+        if existing is None:
+            return None
+        keys = self._with_key(keys)
+        commit = self._new_commit_id()
+        remaining = existing.join(
+            keys.select(self.record_key), self.record_key, "left_anti"
+        )
+        self._write_snapshot(remaining, commit)
+        # tombstone log: the keys this delete actually dropped, as a
+        # key-only parquet dir (late r7). CDC reads deleted keys
+        # from here directly — O(dropped keys), no neighbouring-
+        # snapshot diff — which also decouples CDC windows from the
+        # cleaner: a lagging consumer can fabricate delete rows for
+        # a commit whose snapshot dirs are long gone. Written
+        # before the pointer flip like the marker (same crash
+        # rail: beyond-pointer tombstones are orphans).
+        dropped = existing.join(
+            keys.select(self.record_key), self.record_key, "left_semi"
+        ).select(self.record_key)
+        self._staged_write(
+            lambda p: dropped.write.mode("overwrite").parquet(p),
+            os.path.join(self.root, "tombstones", f"c={commit}"),
+        )
+        # marker BEFORE the pointer flip — deletes are the one op
+        # with no log rows, so the time-travel delete rail depends
+        # on the marker existing for every PUBLISHED delete: with
+        # the old after-publish order, a crash between the two left
+        # a committed delete invisible to the rail, and once the
+        # cleaner removed its snapshot a time-travel read would
+        # silently resurrect the deleted keys. A crash between
+        # marker and publish instead leaves a beyond-pointer marker
+        # that _rollback_failed removes with the orphan dirs.
+        self._record_instant(commit, "delete")
+        self._publish(commit)
+        self._clean()
+        return commit
 
     def overwrite(self, incoming: DataFrame) -> str:
         """Hudi ``insert_overwrite_table``: one REPLACE commit whose
@@ -1186,12 +1202,17 @@ class KeyedTable:
         """Predicate delete: drop every live row matching ``condition``
         (a Column or SQL string). Sugar over :meth:`delete` — the key
         set is the filtered snapshot, so a predicate on partition
-        columns prunes its scan to the affected partitions."""
-        snap = self.snapshot()
-        if snap is None:
-            return None
+        columns prunes its scan to the affected partitions. The
+        snapshot the predicate evaluates against is read INSIDE the
+        table lock: planning it outside would let a concurrent commit
+        change which rows match (or clean the planned snapshot's
+        files) between the filter and the anti-join."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self.delete(snap.where(cond))
+        with self._txn():
+            snap = self.snapshot()
+            if snap is None:
+                return None
+            return self._delete_locked(snap.where(cond))
 
     def delete_partition(self, values: dict) -> str | None:
         """Hudi ``delete_partition``: drop entire partitions by their

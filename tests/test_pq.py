@@ -133,6 +133,57 @@ def test_ivf_pq_recall(spark):
     assert _recall(exact, got) >= 0.4
 
 
+def test_zero_vector_in_sample_does_not_poison_codebooks(spark):
+    """An all-zero embedding in the training sample must not NaN the
+    codebooks (the clamp pq_encode uses applies to training too)."""
+    e = load_table(spark, SF, "embeddings").withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 5,
+            F.array(*[F.lit(0.0).cast("float")] * 64),
+        ).otherwise(F.col("embedding")),
+    )
+    pq._PQ_CACHE.clear()
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF + "#z")
+    pq._PQ_CACHE.clear()
+    assert np.isfinite(books).all()
+
+
+def test_null_embeddings_are_skipped_by_adc_scan(spark):
+    """A corpus row with NULL embedding codes to NULL and is dropped
+    before the ADC scorer — the scan must not crash on mixed batches."""
+    e = load_table(spark, SF, "embeddings")
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    with_null = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 9, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    coded = pq.pq_encode(with_null, books).filter(
+        F.col("pq_code").isNotNull()
+    )
+    qids, Qn = pq._query_matrix(e)
+    luts = pq._adc_luts(Qn, books)
+    adc = pq._adc_score_udf(
+        luts, {int(v): i for i, v in enumerate(qids)}, 8
+    )
+    scored = (
+        coded.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(i),) for i in qids], "query_id long"
+                )
+            )
+        )
+        .select(adc(F.col("query_id"), F.col("pq_code")).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()[0]
+    )
+    # 500 rows - 1 NULL, × 3 queries
+    assert scored["n"] == (500 - 1) * 3
+
+
 def test_pq_deterministic_end_to_end(spark):
     a = pq.pq_topk(spark, SF).toPandas()
     b = pq.pq_topk(spark, SF).toPandas()

@@ -123,3 +123,31 @@ def test_fresh_policy_adopts_prior_clustering(spark, tmp_path):
         compact_after_delta_commits=None, cluster_after_commits=2
     )
     assert run_table_services(t, fresh)["clustered"] is None
+
+
+def test_one_policy_shared_across_tables(spark, tmp_path):
+    """A single ServicePolicy object drives two tables independently:
+    table A's clustering marker must not suppress (or prematurely
+    fire) table B's trigger — the marker is keyed by table root."""
+    a = KeyedTable(
+        spark, str(tmp_path / "a"), record_key="k", precombine="pre"
+    )
+    b = KeyedTable(
+        spark, str(tmp_path / "b"), record_key="k", precombine="pre"
+    )
+    pol = ServicePolicy(
+        compact_after_delta_commits=None, cluster_after_commits=2
+    )
+    clustered = {"a": 0, "b": 0}
+    for i in range(4):
+        a.upsert(_batch(spark, i * 10))
+        if run_table_services(a, pol)["clustered"]:
+            clustered["a"] += 1
+        b.upsert(_batch(spark, i * 10))
+        if run_table_services(b, pol)["clustered"]:
+            clustered["b"] += 1
+    # 4 commits each at threshold 2 → 2 clusterings each; a shared
+    # scalar marker would let A's first clustering (a LATER wall-clock
+    # instant than B's earlier commits) swallow B's count
+    assert clustered == {"a": 2, "b": 2}
+    assert a.snapshot().count() == 40 and b.snapshot().count() == 40

@@ -187,3 +187,20 @@ def test_unicode_whitespace_matches_training_boundary(spark):
 def test_missing_text_col_raises(spark):
     with pytest.raises(ValueError, match="text column"):
         tokenize_bpe(_docs(spark), BPEModel([], {}), text_col="body")
+
+
+def test_count_only_mode_matches_array_mode(spark):
+    """out_col=None (the funnel's accounting mode) produces the same
+    counts as the array mode without adding a token column."""
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    model = train_bpe(_docs(spark), vocab_size=30)
+    full = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tokenize_bpe(docs, model).collect()
+    }
+    lean = tokenize_bpe(docs, model, out_col=None)
+    assert "tokens" not in lean.columns
+    got = {r["doc_id"]: r["n_tokens"] for r in lean.collect()}
+    assert got == full
