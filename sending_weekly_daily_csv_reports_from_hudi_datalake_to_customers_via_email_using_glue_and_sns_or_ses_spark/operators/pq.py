@@ -316,6 +316,138 @@ def pq_topk(
     return _rerank_exact(cands, q, k)
 
 
+def save_pq_codebooks(codebooks: np.ndarray, path: str) -> None:
+    """Persist trained codebooks as JSON next to the encoded corpus —
+    the production contract: codes are meaningless without their books,
+    so they version together. (JSON, not pickle: tiny, portable,
+    inspectable — m·ksub·dsub floats.)"""
+    import json
+    import os
+
+    doc = {
+        "m": int(codebooks.shape[0]),
+        "ksub": int(codebooks.shape[1]),
+        "dsub": int(codebooks.shape[2]),
+        "books": codebooks.tolist(),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def load_pq_codebooks(path: str) -> np.ndarray:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    books = np.asarray(doc["books"], dtype=np.float64)
+    if books.shape != (doc["m"], doc["ksub"], doc["dsub"]):
+        raise ValueError(
+            f"codebook file {path} shape {books.shape} disagrees with "
+            f"its own header ({doc['m']}, {doc['ksub']}, {doc['dsub']})"
+        )
+    return books
+
+
+def ivf_pq_write_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    K: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The IVF-PQ production layout: the corpus written as
+    ``cell=<k>/`` hive partitions whose rows are ONLY (vec_id,
+    pq_code) — the compressed index table. At 100 TB this is the whole
+    design: a probe lists nprobe/K directories (partition pruning) and
+    scans m-byte codes (~32× fewer bytes than raw vectors); the raw
+    embeddings stay in the primary table and are touched only by the
+    final top-``refine`` exact re-rank, a key-join of a few hundred
+    rows per query. Codebooks and centroids persist beside the data
+    (``_pq_books.json``), versioned with the codes they decode.
+
+    Returns ``(centroids, codebooks)``."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
+    books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
+    corpus = pq_encode(
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
+            "cell", _ivf_cell_udf(cent)("embedding")
+        ),
+        books,
+    ).select("vec_id", "cell", "pq_code")
+    # one task per cell writes its whole directory (the
+    # ivf_write_partitioned rationale: K× fewer files, parallel commits)
+    corpus.repartition(K, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(out_path)
+    save_pq_codebooks(books, os.path.join(out_path, "_pq_books.json"))
+    return cent, books
+
+
+def ivf_pq_probe_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    cent: np.ndarray,
+    books: np.ndarray | None = None,
+    k: int = 10,
+    nprobe: int = 8,
+    refine: int = 50,
+) -> DataFrame:
+    """Probe the partitioned IVF-PQ layout: the ``cell IN (...)``
+    predicate prunes at the file-listing level (PartitionFilters,
+    plan-pinned in tests), ADC scores only the probed cells' codes,
+    and the exact re-rank joins raw vectors back from the primary
+    embeddings table by key. ``books=None`` loads the codebooks
+    persisted beside the data."""
+    import os
+
+    if books is None:
+        books = load_pq_codebooks(
+            os.path.join(table_path, "_pq_books.json")
+        )
+    m = books.shape[0]
+    e = load_table(spark, sf_dir, "embeddings")
+    qids, Qn = _query_matrix(e)
+    probe_rows = _probe_cells(qids, Qn, cent, nprobe)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int"
+    )
+    luts = _adc_luts(Qn, books)
+    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
+    probed_cells = sorted({c for _, c in probe_rows})
+    corpus = (
+        spark.read.parquet(table_path)
+        .filter(F.col("cell").isin(probed_cells))
+        .filter(F.col("pq_code").isNotNull())
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cands = cands.join(e.select("vec_id", "embedding"), "vec_id")
+    return _rerank_exact(cands, q, k)
+
+
 def ivf_pq_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -188,3 +188,43 @@ def test_pq_deterministic_end_to_end(spark):
     a = pq.pq_topk(spark, SF).toPandas()
     b = pq.pq_topk(spark, SF).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_pq_partitioned_layout_prunes_and_recalls(spark, tmp_path):
+    """IVF-PQ production story: codes written partitionBy(cell), probe
+    prunes at the file-listing level (PartitionFilters), codebooks load
+    back from the layout, and recall holds through the round trip."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        physical_plan,
+    )
+
+    out = str(tmp_path / "ivfpq")
+    cent, books = pq.ivf_pq_write_partitioned(spark, SF, out)
+    # books=None exercises the persisted-codebook load path
+    df = pq.ivf_pq_probe_partitioned(spark, SF, out, cent, books=None)
+    plan = physical_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, plan
+    assert "cell" in scan_lines[0] and "IN" in scan_lines[0]
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    got = df.toPandas()
+    assert _recall(exact, got) >= 0.4
+    # the layout stores ONLY the compressed index (no raw vectors)
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"vec_id", "pq_code", "cell"}
+
+
+def test_codebook_roundtrip_and_header_check(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    p = str(tmp_path / "books.json")
+    pq.save_pq_codebooks(books, p)
+    back = pq.load_pq_codebooks(p)
+    assert np.array_equal(books, back)
+    import json
+
+    doc = json.load(open(p))
+    doc["ksub"] = 99  # corrupt the header
+    json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="disagrees"):
+        pq.load_pq_codebooks(p)
