@@ -1,0 +1,89 @@
+"""Structured-Streaming incremental source over a KeyedTable commit
+log — S2 (template.py:207-217, ``hoodie.datasource.query.type =
+incremental``) in its readStream form, the mapping SURVEY.md §2.1
+names as the Spark-first alternative to driver-side begin-instant
+arithmetic: each published commit appends an immutable ``log/c=<id>/``
+directory, so Spark's file streaming source — whose checkpoint
+already tracks exactly which files it has delivered — IS the
+incremental-consumption bookkeeping. No ``last_processed_commit``
+JSON, no distinct+orderBy+collect (template.py:197-224): the
+checkpointLocation the caller passes to ``writeStream`` replaces the
+reference's whole metadata/{table}.json protocol.
+
+Delivery contract (vs. the batch readers in sources/incremental.py):
+
+* rows of every PUBLISHED commit are delivered exactly once per
+  checkpoint (file-source tracking; restarts resume, never re-read);
+* UPSERT rows only — deletes write no log rows (their keys go to the
+  tombstone dir; a streaming consumer that must see deletes consumes
+  :class:`~..sources.incremental.CDCReader` windows in batch instead);
+* a writer that crashed between its log write and its pointer flip
+  leaves orphan log files until its next transaction reaps them; a
+  streaming microbatch that fires inside that window can deliver the
+  orphan rows (phantoms). The batch readers bound reads by the
+  ``_latest`` pointer per call and are immune; a STREAMING plan cannot
+  re-evaluate the pointer per batch (the filter would freeze at its
+  planning-time value — exactly the bug bounding here would invite).
+  Where phantoms are unacceptable, run the single-writer pattern the
+  engine's sinks already follow (writer process == service process:
+  `_rollback_failed` runs before each commit, closing the window) or
+  consume in batch.
+
+Scale: the source lists only NEW files per trigger (the checkpoint
+prunes seen ones); ``maxFilesPerTrigger`` bounds microbatch size under
+backlog. At 100 TB this is the continuous-ingestion read path — the
+write side is `streaming/ingest.py`'s foreachBatch upsert sink, and
+the two compose into a log-shipping replica chain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources.incremental import COMMIT_COL, read_commit_log
+
+
+def stream_incremental(
+    spark: SparkSession,
+    root: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a KeyedTable root's commit log as a STREAMING DataFrame:
+    the table's data columns plus ``_commit_time`` (string, the commit
+    id, restored from the ``c=`` partition dir). Attach any
+    writeStream sink with a ``checkpointLocation``; the checkpoint is
+    the incremental cursor. See the module docstring for the delivery
+    contract."""
+    log_dir = os.path.join(root, "log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(
+            f"{root} has no commit log — not a KeyedTable root (or no "
+            "commit has been published yet; create the table and write "
+            "one batch before opening the stream)"
+        )
+    # streaming file sources require an explicit schema. Reuse the
+    # batch reader's schema resolution (committed-schema log when the
+    # table records one, else the parquet footers of published dirs):
+    # batch schema = data fields + COMMIT_COL(string); the stream reads
+    # the raw layout, so it wants data fields + c(long) pre-rename.
+    batch = read_commit_log(spark, root)
+    if batch is None:  # log dir exists but read couldn't resolve it
+        raise ValueError(f"{root}/log exists but has no readable commits")
+    data_fields = [f for f in batch.schema.fields if f.name != COMMIT_COL]
+    reader = (
+        spark.readStream.schema(
+            StructType(data_fields + [StructField("c", LongType())])
+        )
+        .option("basePath", log_dir)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(os.path.join(log_dir, "c=*"))
+        .withColumnRenamed("c", COMMIT_COL)
+        .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
+    )

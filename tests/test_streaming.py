@@ -905,3 +905,115 @@ def test_stream_upsert_inline_services(spark, tmp_path):
     want = {r["customer_id"]: r["created_at"]
             for r in fixtures.customers(spark, 15, batch=3).collect()}
     assert snap == want
+
+
+def test_stream_incremental_delivers_each_commit_once(spark, tmp_path):
+    """streaming/source.py: the file-source checkpoint is the
+    incremental cursor — two commits stream in full, a third arrives
+    as a delta, and a restart on the same checkpoint re-delivers
+    nothing (foreachBatch sink: the one that supports recovery)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "src"), record_key="k", precombine="pre"
+    )
+    c1 = t.upsert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, pre long, v string")
+    )
+    c2 = t.upsert(
+        spark.createDataFrame([(3, 1, "c")], "k long, pre long, v string")
+    )
+    ck = str(tmp_path / "ck")
+    seen: list = []
+
+    def sink(batch, _bid):
+        seen.extend(
+            (r["k"], r["_commit_time"])
+            for r in batch.select("k", "_commit_time").collect()
+        )
+
+    stream = stream_incremental(spark, t.root)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    assert set(seen) == {(1, c1), (2, c1), (3, c2)}
+    # a NEW commit arrives as a delta into the running stream
+    c3 = t.upsert(
+        spark.createDataFrame([(4, 1, "d")], "k long, pre long, v string")
+    )
+    q.processAllAvailable()
+    assert len(seen) == 4 and (4, c3) in set(seen)
+    q.stop()
+    # restart on the SAME checkpoint: nothing re-delivered; only the
+    # post-restart commit arrives
+    seen2: list = []
+
+    def sink2(batch, _bid):
+        seen2.extend((r["k"],) for r in batch.select("k").collect())
+
+    q2 = (
+        stream_incremental(spark, t.root)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q2.processAllAvailable()
+    assert seen2 == []
+    t.upsert(
+        spark.createDataFrame([(5, 1, "e")], "k long, pre long, v string")
+    )
+    q2.processAllAvailable()
+    assert seen2 == [(5,)]
+    q2.stop()
+
+
+def test_stream_incremental_validates_root(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    with pytest.raises(ValueError, match="no commit log"):
+        stream_incremental(spark, str(tmp_path / "nope"))
+
+
+def test_stream_incremental_sees_evolved_schema(spark, tmp_path):
+    """A widening upsert evolves the committed schema; a stream opened
+    AFTER it reads old commits with the new column NULL-filled (the
+    explicit-schema contract read_commit_log pins)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "ev"), record_key="k", precombine="pre"
+    )
+    t.upsert(spark.createDataFrame([(1, 1)], "k long, pre long"))
+    t.upsert(
+        spark.createDataFrame([(2, 1, "x")], "k long, pre long, extra string")
+    )
+    q = (
+        stream_incremental(spark, t.root)
+        .writeStream.format("memory")
+        .queryName("ev_stream")
+        .option("checkpointLocation", str(tmp_path / "ev_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {
+        r["k"]: r["extra"]
+        for r in spark.sql("select * from ev_stream").collect()
+    }
+    assert rows == {1: None, 2: "x"}
+    q.stop()
