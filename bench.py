@@ -70,6 +70,7 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_fuzzy",
     "quality_quantile_gate",
+    "dq_report",
     "url_canonical_dedup",
     "lm_perplexity",
     "text_profile",

@@ -136,6 +136,7 @@ def _load_all() -> None:
         similarity,
         multimodal,
         joins,
+        quality,
         dedup,
         aggregates,
         relational,

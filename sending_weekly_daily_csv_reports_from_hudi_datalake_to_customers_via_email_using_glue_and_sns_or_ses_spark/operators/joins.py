@@ -273,6 +273,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q12_shipmode_priority",
+    retired=True,  # late r7: slot funded dq_report; the conditional-
+    # count fact⋈fact primitives stay driver-green via
+    # q1_pricing_summary (conditional decimal aggs) and
+    # join_multiway_revenue (fact join), and this exact (query, oracle)
+    # contract is value-checked every CI pass by test_retired_parity.py
     oracle="""
     SELECT l.l_linestatus,
            CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)

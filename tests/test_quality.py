@@ -1,0 +1,174 @@
+"""Data-quality verification (operators/quality.py): metric math on
+crafted frames (nulls, dups, out-of-range, broken FKs), vacuous truth
+on empty input, the expect() circuit breaker, validation, and the
+single-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+    QUERIES,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+    DataQualityError,
+    completeness,
+    expect,
+    in_range,
+    in_set,
+    matches,
+    min_rows,
+    referential,
+    run_checks,
+    uniqueness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(spark):
+    # 10 rows: 2 NULL vals, key 5 duplicated, v=99 out of [0,10],
+    # s='x' outside {a,b}
+    rows = [
+        (1, 1.0, "a"),
+        (2, 2.0, "a"),
+        (3, None, "b"),
+        (4, 4.0, "b"),
+        (5, 5.0, "a"),
+        (5, 6.0, "a"),
+        (7, 99.0, "b"),
+        (8, 8.0, "x"),
+        (9, None, "a"),
+        (10, 10.0, "b"),
+    ]
+    return spark.createDataFrame(rows, "k long, v double, s string")
+
+
+def _report(spark, rules, **kw):
+    return {
+        (r["rule"], r["column"]): (r["metric"], r["passed"])
+        for r in run_checks(_frame(spark), rules, **kw).collect()
+    }
+
+
+def test_metric_math_on_crafted_frame(spark):
+    got = _report(
+        spark,
+        [
+            completeness("v"),
+            uniqueness("k"),
+            in_range("v", 0, 10),
+            in_set("s", ["a", "b"]),
+            matches("s", "^[ab]$"),
+            min_rows(11),
+        ],
+    )
+    assert got[("completeness", "v")] == (0.8, False)
+    # 9 distinct of 10 non-null keys
+    assert got[("uniqueness", "k")] == (0.9, False)
+    # 8 non-null v, 1 out of range
+    assert got[("in_range", "v")] == (7 / 8, False)
+    # 10 non-null s, 1 outside the set
+    assert got[("in_set", "s")] == (0.9, False)
+    assert got[("matches", "s")] == (0.9, False)
+    m, p = got[("min_rows", None)]
+    assert (m, p) == (10.0, False)
+
+
+def test_thresholds_make_rules_pass(spark):
+    got = _report(
+        spark,
+        [
+            completeness("v", threshold=0.7),
+            in_range("v", 0, 10, threshold=0.8),
+        ],
+    )
+    assert all(p for _, p in got.values())
+
+
+def test_referential_integrity(spark):
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,)], "fk long"
+    )
+    rep = run_checks(df, [referential("fk", dim, "id")]).collect()[0]
+    # NULL fk is completeness's business: 3 of 4 non-null match
+    assert rep["metric"] == 0.75 and not rep["passed"]
+
+
+def test_vacuous_truth_on_empty_input(spark):
+    empty = spark.createDataFrame([], "k long, v double, s string")
+    rep = {
+        (r["rule"], r["column"]): (r["metric"], r["passed"])
+        for r in run_checks(
+            empty,
+            [
+                completeness("v"),
+                uniqueness("k"),
+                in_range("v", 0, 1),
+                min_rows(1),
+            ],
+        ).collect()
+    }
+    assert rep[("completeness", "v")] == (1.0, True)
+    assert rep[("uniqueness", "k")] == (1.0, True)
+    assert rep[("in_range", "v")] == (1.0, True)
+    assert rep[("min_rows", None)] == (0.0, False)  # the emptiness rule
+
+
+def test_expect_raises_listing_failures(spark):
+    with pytest.raises(DataQualityError, match="uniqueness"):
+        expect(_frame(spark), [uniqueness("k")])
+    # and is silent when everything passes
+    expect(_frame(spark), [in_set("s", ["a", "b", "x"])])
+
+
+def test_validation_errors(spark):
+    with pytest.raises(ValueError, match="empty rule list"):
+        run_checks(_frame(spark), [])
+    with pytest.raises(ValueError, match="not in schema"):
+        run_checks(_frame(spark), [completeness("nope")])
+
+
+def test_approx_uniqueness_mode(spark):
+    rep = run_checks(
+        _frame(spark), [uniqueness("k", threshold=0.85)],
+        exact_uniqueness=False,
+    ).collect()[0]
+    # HLL on 10 values is exact in practice; the contract is ±2% s.e.
+    assert abs(rep["metric"] - 0.9) < 0.05
+
+
+def test_single_scan_plan_shape(spark):
+    """All scan rules fold into ONE aggregate over one relation scan —
+    the Deequ property that makes 50 rules cost one pass at 100 TB."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        physical_plan,
+    )
+
+    rep = run_checks(
+        _frame(spark),
+        [
+            completeness("v"),
+            in_range("v", 0, 10),
+            in_set("s", ["a", "b"]),
+            matches("s", "^[ab]$"),
+            min_rows(1),
+        ],
+    )
+    plan = physical_plan(rep)
+    # one scan of the in-memory relation (no per-rule re-scans)
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_driver_entry_rows_and_failing_rule(spark):
+    rep = QUERIES["dq_report"](spark, SF).toPandas()
+    assert len(rep) == 6
+    byrule = {(r.rule, r.column): r for r in rep.itertuples()}
+    # FK integrity and key uniqueness hold on the generated data
+    assert byrule[("uniqueness", "o_orderkey")].passed
+    assert byrule[("referential", "o_custkey")].passed
+    # the deliberately binding range rule actually bites (metric < 1)
+    tight = byrule[("in_range", "o_totalprice")]
+    assert rep[(rep.rule == "in_range")].metric.min() < 1.0
