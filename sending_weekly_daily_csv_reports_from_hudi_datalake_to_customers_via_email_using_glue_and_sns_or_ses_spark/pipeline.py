@@ -42,6 +42,14 @@ class PipelineConfig:
     report_id: str | None = None
     single_file: bool = True
     subject: str = "Your scheduled report"
+    #: optional data-quality gate (operators/quality.py rules) run on
+    #: the transform RESULT before anything is written or emailed: a
+    #: failing rule aborts the run with DataQualityError — no partial
+    #: report lands, no checkpoint advances (the next run retries the
+    #: same window). The circuit breaker the reference lacked: its
+    #: main() emails whatever the transform returns, including an
+    #: empty frame from a mis-checkpointed incremental window.
+    quality_rules: list = field(default_factory=list)
 
 
 @dataclass
@@ -64,6 +72,11 @@ def run_pipeline(
         catalog.register(spec)
 
     result = catalog.sql(config.query)
+    if config.quality_rules:
+        from .operators.quality import expect
+
+        # raises DataQualityError BEFORE any write/delivery/checkpoint
+        expect(result, config.quality_rules)
     report_path = write_csv_report(
         result,
         config.report_base,

@@ -389,3 +389,51 @@ def test_maintained_report_self_heals_across_overwrite(spark, tmp_path):
     assert rows(res2.df) == [("b", 3, 17, 1)]
     # quiescent afterwards
     assert run_maintained_report(spark, cfg, sender=EmailSender()) is None
+
+
+def test_pipeline_quality_gate_blocks_bad_reports(spark, tmp_path):
+    """quality_rules on PipelineConfig: a failing rule aborts BEFORE
+    any write or email; a passing rule set changes nothing."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        DataQualityError,
+        completeness,
+        min_rows,
+    )
+
+    cust_path = str(tmp_path / "src" / "customers")
+    ord_path = str(tmp_path / "src" / "orders")
+    fixtures.customers(spark, 10).write.parquet(cust_path)
+    fixtures.orders(spark, 50, n_customers=10).write.parquet(ord_path)
+    sender = EmailSender()
+
+    def cfg(rules, rid):
+        return PipelineConfig(
+            sources=[
+                SourceSpec("customers", cust_path),
+                SourceSpec("orders", ord_path),
+            ],
+            query=REPORT_QUERY,
+            report_base=str(tmp_path / "reports"),
+            recipients=["a@example.com"],
+            report_id=rid,
+            quality_rules=rules,
+        )
+
+    # the URGENT filter keeps a strict subset: min_rows(10**6) fails
+    with pytest.raises(DataQualityError, match="min_rows"):
+        run_pipeline(spark, cfg([min_rows(10**6)], "gated"), sender=sender)
+    assert sender.outbox == []  # nothing delivered
+    assert not glob.glob(
+        os.path.join(str(tmp_path / "reports"), "**", "gated", "*.csv"),
+        recursive=True,
+    )  # nothing written
+
+    res = run_pipeline(
+        spark,
+        cfg([min_rows(1), completeness("customer_email")], "ok"),
+        sender=sender,
+    )
+    assert len(sender.outbox) == 1
+    assert glob.glob(os.path.join(res.report_path, "*.csv"))
