@@ -278,6 +278,119 @@ def expect(
         raise DataQualityError(f"data-quality checks failed: {lines}")
 
 
+class MetricHistory:
+    """Deequ's metric-repository half: append each run's report under a
+    run tag, and judge the CURRENT run against the history — the
+    anomaly checks that catch what absolute thresholds can't (a feed
+    whose completeness is always 0.98 suddenly reading 0.72 passes a
+    0.7 threshold but is clearly broken).
+
+    Storage is an append-only parquet dir of (run_id, rule, column,
+    metric) rows — tiny (rules × runs), readable by anything. Appends
+    are atomic per run (one staged dir rename); re-appending the same
+    run_id overwrites idempotently, matching the report-key semantics
+    of the pipeline that calls it."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, report: DataFrame, run_id: str) -> None:
+        import os
+        import shutil
+        import uuid
+
+        out = os.path.join(self.path, f"run={run_id}")
+        staging = os.path.join(
+            self.path, f"_staging-{uuid.uuid4().hex}"
+        )
+        report.select(
+            "rule", "column", "metric", "threshold", "passed"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(self.path, exist_ok=True)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(staging, out)
+
+    def load(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.path):
+            return None
+        runs = [n for n in os.listdir(self.path) if n.startswith("run=")]
+        if not runs:
+            return None
+        return self.spark.read.option("basePath", self.path).parquet(
+            os.path.join(self.path, "run=*")
+        )
+
+    def check_drift(
+        self,
+        report: DataFrame,
+        run_id: str,
+        max_rel_change: float = 0.1,
+        window: int = 5,
+    ) -> DataFrame:
+        """Compare the current report's metrics against the mean of the
+        last ``window`` runs (excluding ``run_id`` itself): returns the
+        report plus (baseline, rel_change, drifted). First run (no
+        history) → baseline NULL, drifted false — drift is undefined
+        without a past, not failed. The comparison is a driver-side
+        join of rules×runs rows: validation data, never table data."""
+        hist = self.load()
+        if hist is not None:
+            recent = sorted(
+                {
+                    r["run"]
+                    for r in hist.select("run").distinct().collect()
+                    if str(r["run"]) != run_id
+                }
+            )[-window:]
+            hist = (
+                hist.filter(F.col("run").isin(recent))
+                if recent
+                else None
+            )
+        if hist is None:
+            return report.select(
+                "*",
+                F.lit(None).cast("double").alias("baseline"),
+                F.lit(None).cast("double").alias("rel_change"),
+                F.lit(False).alias("drifted"),
+            )
+        base = hist.groupBy("rule", "column").agg(
+            F.avg("metric").alias("baseline")
+        )
+        rel = F.when(
+            F.col("baseline") == 0.0,
+            F.when(F.col("metric") == 0.0, 0.0).otherwise(
+                float("inf")
+            ),
+        ).otherwise(
+            F.abs(F.col("metric") - F.col("baseline"))
+            / F.abs(F.col("baseline"))
+        )
+        return (
+            report.join(
+                base,
+                [
+                    report["rule"] == base["rule"],
+                    # NULL-safe: min_rows rules carry column=NULL
+                    report["column"].eqNullSafe(base["column"]),
+                ],
+                "left",
+            )
+            .drop(base["rule"])
+            .drop(base["column"])
+            .withColumn("rel_change", rel)
+            .withColumn(
+                "drifted",
+                F.coalesce(
+                    F.col("rel_change") > max_rel_change, F.lit(False)
+                ),
+            )
+        )
+
+
 @query(
     "dq_report",
     oracle="""

@@ -166,6 +166,11 @@ class MaintainedReportConfig:
     subject: str = "Your scheduled report"
     avg_cols: bool = True
     minmax_cols: list[str] = field(default_factory=list)
+    #: optional data-quality gate on the maintained view before the
+    #: report is written (PipelineConfig.quality_rules semantics: a
+    #: failure aborts before write/delivery/checkpoint; the CDC
+    #: window is NOT consumed, so the next run retries it)
+    quality_rules: list = field(default_factory=list)
 
 
 def run_maintained_report(
@@ -252,6 +257,13 @@ def run_maintained_report(
                     F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
                 ),
             )
+    if config.quality_rules:
+        from .operators.quality import expect
+
+        # before write/delivery/checkpoint; view.apply is idempotent
+        # under the staged_end token, so the retried window re-folds
+        # safely after the data problem is fixed
+        expect(df, config.quality_rules)
     report_path = write_csv_report(
         df, config.report_base, report_id=f"cdc_{through}", single_file=True
     )

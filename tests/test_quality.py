@@ -172,3 +172,53 @@ def test_driver_entry_rows_and_failing_rule(spark):
     # the deliberately binding range rule actually bites (metric < 1)
     tight = byrule[("in_range", "o_totalprice")]
     assert rep[(rep.rule == "in_range")].metric.min() < 1.0
+
+
+def test_metric_history_drift(spark, tmp_path):
+    """MetricHistory: stable metrics don't drift, a sudden drop does,
+    the first run has no baseline, and re-appending a run_id is
+    idempotent."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        MetricHistory,
+    )
+
+    hist = MetricHistory(spark, str(tmp_path / "dqhist"))
+
+    def report(metric):
+        return spark.createDataFrame(
+            [("completeness", "v", metric, 1.0, metric >= 1.0),
+             ("min_rows", None, 100.0, 1.0, True)],
+            "rule string, column string, metric double, "
+            "threshold double, passed boolean",
+        )
+
+    # first run: drift undefined, not failed
+    first = hist.check_drift(report(0.98), "r1").collect()
+    assert all(not r["drifted"] and r["baseline"] is None for r in first)
+    hist.append(report(0.98), "r1")
+    hist.append(report(0.97), "r2")
+    hist.append(report(0.99), "r3")
+    # stable metric: no drift at 10%
+    ok = {
+        (r["rule"]): r["drifted"]
+        for r in hist.check_drift(report(0.98), "r4").collect()
+    }
+    assert ok == {"completeness": False, "min_rows": False}
+    # sudden drop: completeness drifts, the NULL-column rule joins
+    # NULL-safely and stays quiet
+    bad = {
+        r["rule"]: (r["drifted"], r["rel_change"])
+        for r in hist.check_drift(report(0.70), "r4").collect()
+    }
+    assert bad["completeness"][0] and bad["completeness"][1] > 0.1
+    assert not bad["min_rows"][0]
+    # idempotent re-append: r2 rewritten, history still 3 runs
+    hist.append(report(0.97), "r2")
+    assert hist.load().select("run").distinct().count() == 3
+    # the current run is excluded from its own baseline
+    hist.append(report(0.50), "r4")
+    again = {
+        r["rule"]: r["baseline"]
+        for r in hist.check_drift(report(0.50), "r4").collect()
+    }
+    assert abs(again["completeness"] - 0.98) < 0.02
