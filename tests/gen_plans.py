@@ -224,6 +224,7 @@ PICK = {
     "url_canonical_dedup": "driver entry since r7: URL fabrication + canonicalization fuse into the scan as pure codegen (no Python, no join); ONE Exchange on the canonical URL feeding a partial/final count-min aggregate; text column never read (pinned).",
     "url_dedup": "library keep-one-per-canonical-URL: same scan-fused canonicalization; the ordered row_number and unordered count window specs share ONE canon_url Exchange (pinned).",
     "cdc_scan": "driver entry since late r7: the whole CDC window family (epoch count, running struct-max state, lag before-images) shares ONE record-key Exchange; delete fabrication is a bare key-only tombstone scan (no join of any kind, cleaner-proof); the log scan is partition-pruned on its commit dir column (pinned).",
+    "dq_report": "driver entry since late r7 (Deequ shape): ALL five scan rules fold into ONE partial/final aggregate over ONE orders scan (the count_distinct Expand is that aggregate's only widening); the FK rule is a second small aggregate over a BroadcastHashJoin against DISTINCT customer keys; the per-rule rows come from exploding a literal struct array over the single agg row — free. 50 rules cost the same one pass.",
     "filegroup_snapshot": "driver entry since end-r7: the bucket-index engine's snapshot (latest AND manifest time travel) is a pure union of write-time-merged file slices — zero Exchange, zero Window, zero Aggregate in the read plan (pinned). Write amplification is bounded at commit time instead: only touched file groups rewrite (BASELINE r7: 16x bytes/commit reduction at 64 buckets / 4 touched).",
 }
 
