@@ -278,6 +278,38 @@ def expect(
         raise DataQualityError(f"data-quality checks failed: {lines}")
 
 
+def expect_schema(
+    df: DataFrame,
+    expected: dict[str, str],
+    allow_extra: bool = True,
+) -> None:
+    """Schema-drift circuit breaker: every expected column must exist
+    with the expected Spark simpleString type (``{"o_orderkey":
+    "bigint", ...}``); ``allow_extra=False`` additionally rejects
+    unexpected columns (the strict contract for sinks that write
+    positional formats). Raises :class:`DataQualityError` listing every
+    violation. Pure metadata — no job runs."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for name, typ in expected.items():
+        if name not in actual:
+            problems.append(f"missing column {name} ({typ})")
+        elif actual[name] != typ:
+            problems.append(
+                f"column {name} is {actual[name]}, expected {typ}"
+            )
+    if not allow_extra:
+        problems.extend(
+            f"unexpected column {n} ({t})"
+            for n, t in actual.items()
+            if n not in expected
+        )
+    if problems:
+        raise DataQualityError(
+            "schema drift: " + "; ".join(problems)
+        )
+
+
 class MetricHistory:
     """Deequ's metric-repository half: append each run's report under a
     run tag, and judge the CURRENT run against the history — the
@@ -295,7 +327,13 @@ class MetricHistory:
         self.spark = spark
         self.path = path
 
-    def append(self, report: DataFrame, run_id: str) -> None:
+    def append(
+        self, report: DataFrame, run_id: str, ok: bool = True
+    ) -> None:
+        """``ok=False`` records a run that FAILED its gate: kept on
+        file for debugging, but excluded from every future drift
+        baseline — otherwise one bad run poisons the mean and the
+        fixed retry 'drifts' right back into failure."""
         import os
         import shutil
         import uuid
@@ -306,7 +344,9 @@ class MetricHistory:
         )
         report.select(
             "rule", "column", "metric", "threshold", "passed"
-        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        ).withColumn("ok", F.lit(ok)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
         os.makedirs(self.path, exist_ok=True)
         shutil.rmtree(out, ignore_errors=True)
         os.replace(staging, out)
@@ -338,6 +378,7 @@ class MetricHistory:
         join of rules×runs rows: validation data, never table data."""
         hist = self.load()
         if hist is not None:
+            hist = hist.filter(F.col("ok"))  # gate-failed runs: no vote
             recent = sorted(
                 {
                     r["run"]

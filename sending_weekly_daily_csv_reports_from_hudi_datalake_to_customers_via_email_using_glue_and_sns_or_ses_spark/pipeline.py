@@ -171,6 +171,14 @@ class MaintainedReportConfig:
     #: failure aborts before write/delivery/checkpoint; the CDC
     #: window is NOT consumed, so the next run retries it)
     quality_rules: list = field(default_factory=list)
+    #: optional metric-history dir: each gated run's quality report is
+    #: appended under its CDC instant, and the run additionally fails
+    #: on DRIFT — any metric moving more than ``max_rel_change``
+    #: relative to the last-5-runs mean (the Deequ anomaly check; a
+    #: completeness slide from 0.98 to 0.72 fails here even when its
+    #: absolute threshold still passes). Requires quality_rules.
+    metric_history_path: str | None = None
+    max_rel_change: float = 0.1
 
 
 def run_maintained_report(
@@ -258,12 +266,47 @@ def run_maintained_report(
                 ),
             )
     if config.quality_rules:
-        from .operators.quality import expect
+        from .operators.quality import (
+            DataQualityError,
+            MetricHistory,
+            run_checks,
+        )
 
         # before write/delivery/checkpoint; view.apply is idempotent
         # under the staged_end token, so the retried window re-folds
         # safely after the data problem is fixed
-        expect(df, config.quality_rules)
+        report = run_checks(df, config.quality_rules)
+        if config.metric_history_path is not None:
+            hist = MetricHistory(spark, config.metric_history_path)
+            judged = hist.check_drift(
+                report, f"cdc_{through}", config.max_rel_change
+            ).collect()
+            bad = [
+                r
+                for r in judged
+                if not r["passed"] or r["drifted"]
+            ]
+            # history records the run EVEN when it fails the gate
+            # (operators debugging a red morning want the bad metrics
+            # on file) but flags it ok=False so it never votes in a
+            # future baseline — one bad run must not make the fixed
+            # retry 'drift' right back into failure
+            hist.append(report, f"cdc_{through}", ok=not bad)
+        else:
+            bad = [r for r in report.collect() if not r["passed"]]
+        if bad:
+            lines = ", ".join(
+                f"{r['rule']}({r['column']}) metric={r['metric']:.6f}"
+                + (
+                    f" drifted from {r['baseline']:.6f}"
+                    if "drifted" in r.__fields__ and r["drifted"]
+                    else f" < {r['threshold']}"
+                )
+                for r in bad
+            )
+            raise DataQualityError(
+                f"maintained report gate failed: {lines}"
+            )
     report_path = write_csv_report(
         df, config.report_base, report_id=f"cdc_{through}", single_file=True
     )

@@ -437,3 +437,78 @@ def test_pipeline_quality_gate_blocks_bad_reports(spark, tmp_path):
     )
     assert len(sender.outbox) == 1
     assert glob.glob(os.path.join(res.report_path, "*.csv"))
+
+
+def test_maintained_report_drift_gate(spark, tmp_path):
+    """quality_rules + metric_history_path on the maintained loop: each
+    run's metrics land in the history, a drifting metric fails the run
+    BEFORE delivery, and the unconsumed window retries after the data
+    is fixed."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        DataQualityError,
+        completeness,
+        min_rows,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedReportConfig,
+        run_maintained_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    src = KeyedTable(
+        spark, str(tmp_path / "src"), record_key="k", precombine="pre"
+    )
+    cfg = MaintainedReportConfig(
+        source_path=src.root,
+        table_name="orders_src",
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "view"),
+        report_base=str(tmp_path / "reports"),
+        checkpoint_root=str(tmp_path / "ck"),
+        recipients=["a@example.com"],
+        quality_rules=[min_rows(1), completeness("sum_amount", 0.5)],
+        metric_history_path=str(tmp_path / "dqhist"),
+        max_rel_change=0.4,
+    )
+    sender = EmailSender()
+    # three clean runs build the baseline: completeness(sum_amount)=1.0
+    for i in range(3):
+        src.upsert(
+            spark.createDataFrame(
+                [(i * 2, 1, "a", 10), (i * 2 + 1, 1, "b", 5)],
+                "k int, pre int, grp string, amount long",
+            )
+        )
+        assert run_maintained_report(spark, cfg, sender=sender) is not None
+    assert len(sender.outbox) == 3
+    # a batch of NULL amounts craters completeness on half the groups:
+    # passes the absolute 0.5 threshold but DRIFTS >40% vs the 1.0
+    # baseline... completeness of sum over groups: make most sums NULL
+    src.upsert(
+        spark.createDataFrame(
+            [(100 + i, 1, f"g{i}", None) for i in range(18)],
+            "k int, pre int, grp string, amount long",
+        )
+    )
+    with pytest.raises(DataQualityError, match="drifted"):
+        run_maintained_report(spark, cfg, sender=sender)
+    assert len(sender.outbox) == 3  # nothing delivered
+    # the failed run's metrics are ON FILE for debugging
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        MetricHistory,
+    )
+
+    hist = MetricHistory(spark, cfg.metric_history_path)
+    assert hist.load().select("run").distinct().count() == 4
+    # fix the data (delete the NULL-amount keys); the UNCONSUMED window
+    # plus the fix folds in one retried run and delivery resumes
+    src.delete(
+        spark.createDataFrame([(100 + i,) for i in range(18)], "k int")
+    )
+    res = run_maintained_report(spark, cfg, sender=sender)
+    assert res is not None and len(sender.outbox) == 4

@@ -222,3 +222,20 @@ def test_metric_history_drift(spark, tmp_path):
         for r in hist.check_drift(report(0.50), "r4").collect()
     }
     assert abs(again["completeness"] - 0.98) < 0.02
+
+
+def test_expect_schema(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        expect_schema,
+    )
+
+    df = _frame(spark)  # k long, v double, s string
+    expect_schema(df, {"k": "bigint", "v": "double"})  # extras OK
+    with pytest.raises(DataQualityError, match="missing column nope"):
+        expect_schema(df, {"nope": "string"})
+    with pytest.raises(DataQualityError, match="k is bigint, expected int"):
+        expect_schema(df, {"k": "int"})
+    with pytest.raises(DataQualityError, match="unexpected column s"):
+        expect_schema(
+            df, {"k": "bigint", "v": "double"}, allow_extra=False
+        )
