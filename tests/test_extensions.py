@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
     load_table,
@@ -1768,3 +1769,94 @@ def test_exact_substring_pairs_vs_bruteforce_reference(spark):
             for r in exact_substring_pairs(df, k=k).collect()
         }
         assert got == expect, f"k={k}"
+
+
+def test_resize_stub_raises_without_fake():
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image_batch(pd.Series([b"abc"]), 8, 8)
+
+
+def test_media_resize_pipeline(spark):
+    """media_resize: Arrow-batched resize stage appends (resized,
+    out_width, out_height); output bytes bounded by the target area;
+    deterministic."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+        media_from_documents,
+        media_resize,
+    )
+
+    m = media_from_documents(spark, SF).limit(50)
+    out = media_resize(m, width=16, height=16, fake=True)
+    pdf = out.select(
+        "media_id", "n_bytes", "out_width", "out_height",
+        F.length("resized").alias("n_out"),
+    ).toPandas()
+    assert (pdf.out_width == 16).all() and (pdf.out_height == 16).all()
+    cap = 16 * 16 // 64
+    assert (pdf.n_out <= pdf.n_bytes.clip(upper=cap)).all()
+    again = media_resize(m, width=16, height=16, fake=True)
+    pd.testing.assert_frame_equal(
+        pdf,
+        again.select(
+            "media_id", "n_bytes", "out_width", "out_height",
+            F.length("resized").alias("n_out"),
+        ).toPandas(),
+    )
+
+
+def test_embed_media_bridges_into_ann_stack(spark):
+    """embed_media produces the array<float> the similarity/PQ stack
+    consumes: unit-norm embeddings, NULL for empty blobs, and the
+    whole media → embed → PQ-encode → ADC-score chain runs."""
+    import numpy as np
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        pq,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+        embed_media,
+        media_from_documents,
+    )
+
+    m = media_from_documents(spark, SF)
+    e = embed_media(m, dim=64)
+    rows = e.limit(20).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert v.shape == (64,) and abs(np.linalg.norm(v) - 1.0) < 1e-6
+    # identical bytes → identical embedding (deterministic featurizer)
+    again = {r["media_id"]: r["embedding"] for r in e.limit(20).collect()}
+    assert all(
+        np.array_equal(again[r["media_id"]], r["embedding"]) for r in rows
+    )
+    # the bridge: PQ codebooks train on it and encode it — media rows
+    # are now first-class citizens of the ANN stack
+    pq._PQ_CACHE.clear()
+    books = pq.train_pq_codebooks(
+        e.withColumnRenamed("media_id", "vec_id"), m=8, ksub=16,
+        corpus_id="media#bridge",
+    )
+    pq._PQ_CACHE.clear()
+    coded = pq.pq_encode(e, books)
+    got = coded.filter(F.col("pq_code").isNotNull()).limit(5).collect()
+    assert all(len(r["pq_code"]) == 8 for r in got)
+    # NULL/empty blobs embed to NULL
+    empty = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"xyz")],
+        "media_id long, blob binary",
+    )
+    got = {r["media_id"]: r["embedding"] for r in embed_media(empty).collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_embed_media_validates_dim():
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
+        embed_media,
+    )
+
+    with pytest.raises(ValueError, match="divide 256"):
+        embed_media(None, dim=60)
