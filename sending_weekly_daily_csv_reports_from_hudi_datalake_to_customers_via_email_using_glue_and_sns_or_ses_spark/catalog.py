@@ -127,6 +127,25 @@ class Catalog:
             if schema is not None:
                 self._validate_declared_schema(df, schema, spec)
             return df
+        if spec.fmt == "bucketed":
+            # the bucket-index engine (sinks/filegroups.py) behind the
+            # same config surface: snapshot = manifest-pinned slice
+            # union, optionally as of options["as.of.instant"] (the
+            # Hudi time-travel knob, same name the KeyedTable lane
+            # honors)
+            from .sinks.filegroups import BucketedTable
+
+            as_of = opts.pop("as.of.instant", None)
+            snap = BucketedTable.open(self.spark, spec.path).snapshot(
+                as_of=as_of
+            )
+            if snap is None:
+                raise FileNotFoundError(
+                    f"empty bucketed table at {spec.path}"
+                )
+            if schema is not None:
+                self._validate_declared_schema(snap, schema, spec)
+            return snap
         reader = self.spark.read.format(spec.fmt).options(**opts)
         if schema is not None:
             reader = reader.schema(schema)

@@ -373,3 +373,74 @@ def test_overwrite_manifest_native_replace(spark, tmp_path):
     t.delete_where(F.col("k") > 50)
     assert sorted(r["k"] for r in t.snapshot().collect()) == [2, 3]
     assert t.delete_where("k > 1000") is None or t.snapshot().count() == 2
+
+
+def test_catalog_registers_bucketed_source(spark, tmp_path):
+    """fmt='bucketed' in a SourceSpec serves the manifest-pinned
+    snapshot through the same config surface as every other source,
+    including the as.of.instant time-travel option."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        Catalog,
+        SourceSpec,
+    )
+
+    t = BucketedTable(
+        spark, str(tmp_path / "bt"), record_key="k", precombine="pre",
+        num_buckets=4,
+    )
+    c1 = t.upsert(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 1, 20.0)], "k long, pre long, v double"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame([(3, 1, 30.0)], "k long, pre long, v double")
+    )
+    cat = Catalog(spark)
+    cat.register(SourceSpec("bt", t.root, fmt="bucketed"))
+    assert spark.sql("select sum(v) as s from bt").first()["s"] == 60.0
+    cat.register(
+        SourceSpec(
+            "bt_old", t.root, fmt="bucketed",
+            options={"as.of.instant": c1},
+        )
+    )
+    assert spark.sql("select sum(v) as s from bt_old").first()["s"] == 30.0
+
+
+def test_stream_incremental_reads_bucketed_log(spark, tmp_path):
+    """The streaming incremental source works over a BucketedTable root
+    too — the two engines share the log/c=<commit>/ layout contract."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    t = BucketedTable(
+        spark, str(tmp_path / "bts"), record_key="k", precombine="pre",
+        num_buckets=4,
+    )
+    c1 = t.upsert(
+        spark.createDataFrame([(1, 1, "a")], "k long, pre long, v string")
+    )
+    seen = []
+
+    def sink(batch, _bid):
+        seen.extend(
+            (r["k"], r["_commit_time"])
+            for r in batch.select("k", "_commit_time").collect()
+        )
+
+    q = (
+        stream_incremental(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert seen == [(1, c1)]
+    c2 = t.upsert(
+        spark.createDataFrame([(2, 1, "b")], "k long, pre long, v string")
+    )
+    q.processAllAvailable()
+    assert sorted(seen) == [(1, c1), (2, c2)]
+    q.stop()
