@@ -136,10 +136,26 @@ class Catalog:
             from .sinks.filegroups import BucketedTable
 
             as_of = opts.pop("as.of.instant", None)
-            snap = BucketedTable.open(self.spark, spec.path).snapshot(
-                as_of=as_of
-            )
+            if opts:
+                # the other lanes forward options to a Spark reader;
+                # there is no reader here, so silence would be a lie
+                raise ValueError(
+                    f"source {spec.table_name!r}: fmt='bucketed' "
+                    f"supports options 'schema' and 'as.of.instant' "
+                    f"only; got unsupported {sorted(opts)}"
+                )
+            table = BucketedTable.open(self.spark, spec.path)
+            snap = table.snapshot(as_of=as_of)
             if snap is None:
+                # distinguish a too-early time travel from a truly
+                # empty table — the wrong diagnosis sends the user
+                # debugging table creation instead of their option
+                if as_of is not None and table.commits():
+                    raise ValueError(
+                        f"source {spec.table_name!r}: as.of.instant="
+                        f"{as_of} predates the first commit "
+                        f"({table.commits()[0]}) of {spec.path}"
+                    )
                 raise FileNotFoundError(
                     f"empty bucketed table at {spec.path}"
                 )

@@ -278,6 +278,9 @@ def embed_media(
     if 256 % dim != 0:
         raise ValueError(f"dim must divide 256, got {dim}")
     fold = 256 // dim
+    # the id column keeps ITS OWN type — hardcoding long would fail
+    # Arrow conversion for string/int keys the parameter invites
+    id_type = media.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -299,7 +302,7 @@ def embed_media(
             yield out
 
     return media.mapInPandas(
-        run, schema=f"{id_col} long, {out_col} array<float>"
+        run, schema=f"{id_col} {id_type}, {out_col} array<float>"
     )
 
 

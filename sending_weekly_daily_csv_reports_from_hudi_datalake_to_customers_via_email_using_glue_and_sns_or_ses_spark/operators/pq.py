@@ -263,6 +263,60 @@ def _rerank_exact(
     )
 
 
+def _adc_rerank(
+    e: DataFrame,
+    cand_pairs: DataFrame,
+    books: np.ndarray,
+    k: int,
+    refine: int,
+    qids,
+    Qn: np.ndarray,
+) -> DataFrame:
+    """The shared ADC search tail (every entry point funnels here, so
+    scoring/tie-break/refine fixes land once): score (query_id,
+    vec_id, pq_code) candidate pairs, keep the top ``refine`` per
+    query by ADC, re-rank exactly. NULL codes (NULL embeddings) can
+    never be neighbors and are dropped before the scorer (np.stack
+    can't mix None rows)."""
+    luts = _adc_luts(Qn, books)
+    adc = _adc_score_udf(
+        luts, {int(v): i for i, v in enumerate(qids)}, books.shape[0]
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    cands = (
+        cand_pairs.filter(F.col("pq_code").isNotNull())
+        .select(
+            "query_id",
+            "vec_id",
+            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine)
+        .select("query_id", "vec_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return _rerank_exact(cands, q, k)
+
+
+def _encoded_cells(
+    e: DataFrame, cent: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """Non-query corpus rows with their coarse cell and PQ codes —
+    shared by the in-session IVF-PQ search and the partitioned write."""
+    return pq_encode(
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
+            "cell", _ivf_cell_udf(cent)("embedding")
+        ),
+        books,
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -284,36 +338,18 @@ def pq_topk(
         e.filter(~F.col("vec_id").isin(*_QUERY_IDS)), books
     )
     qids, Qn = _query_matrix(e)
-    luts = _adc_luts(Qn, books)
     qframe = spark.createDataFrame(
         [(int(i),) for i in qids], "query_id long"
     )
-    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
-    aw = Window.partitionBy("query_id").orderBy(
-        F.desc("adc"), F.asc("vec_id")
+    return _adc_rerank(
+        e,
+        corpus.crossJoin(F.broadcast(qframe)),
+        books,
+        k,
+        refine,
+        qids,
+        Qn,
     )
-    cands = (
-        # NULL embeddings code to NULL and can never be neighbors —
-        # drop them before the scorer (np.stack can't mix None rows)
-        corpus.filter(F.col("pq_code").isNotNull())
-        .crossJoin(F.broadcast(qframe))
-        .select(
-            "query_id",
-            "vec_id",
-            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
-        )
-        .withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") <= refine)
-        .select("query_id", "vec_id")
-    )
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    cands = cands.join(
-        e.select("vec_id", "embedding"), "vec_id"
-    )
-    return _rerank_exact(cands, q, k)
 
 
 def save_pq_codebooks(codebooks: np.ndarray, path: str) -> None:
@@ -374,12 +410,9 @@ def ivf_pq_write_partitioned(
     e = load_table(spark, sf_dir, "embeddings")
     cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
-    corpus = pq_encode(
-        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
-            "cell", _ivf_cell_udf(cent)("embedding")
-        ),
-        books,
-    ).select("vec_id", "cell", "pq_code")
+    corpus = _encoded_cells(e, cent, books).select(
+        "vec_id", "cell", "pq_code"
+    )
     # one task per cell writes its whole directory (the
     # ivf_write_partitioned rationale: K× fewer files, parallel commits)
     corpus.repartition(K, "cell").write.mode("overwrite").partitionBy(
@@ -411,41 +444,26 @@ def ivf_pq_probe_partitioned(
         books = load_pq_codebooks(
             os.path.join(table_path, "_pq_books.json")
         )
-    m = books.shape[0]
     e = load_table(spark, sf_dir, "embeddings")
     qids, Qn = _query_matrix(e)
     probe_rows = _probe_cells(qids, Qn, cent, nprobe)
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int"
     )
-    luts = _adc_luts(Qn, books)
-    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
     probed_cells = sorted({c for _, c in probe_rows})
-    corpus = (
-        spark.read.parquet(table_path)
-        .filter(F.col("cell").isin(probed_cells))
-        .filter(F.col("pq_code").isNotNull())
+    # the isin filter becomes PartitionFilters on the layout scan
+    corpus = spark.read.parquet(table_path).filter(
+        F.col("cell").isin(probed_cells)
     )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.desc("adc"), F.asc("vec_id")
+    return _adc_rerank(
+        e,
+        corpus.join(F.broadcast(probes), "cell"),
+        books,
+        k,
+        refine,
+        qids,
+        Qn,
     )
-    cands = (
-        corpus.join(F.broadcast(probes), "cell")
-        .select(
-            "query_id",
-            "vec_id",
-            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
-        )
-        .withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") <= refine)
-        .select("query_id", "vec_id")
-    )
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    cands = cands.join(e.select("vec_id", "embedding"), "vec_id")
-    return _rerank_exact(cands, q, k)
 
 
 def ivf_pq_topk(
@@ -467,36 +485,17 @@ def ivf_pq_topk(
     e = load_table(spark, sf_dir, "embeddings")
     cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
-    corpus = pq_encode(
-        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
-            "cell", _ivf_cell_udf(cent)("embedding")
-        ),
-        books,
-    )
+    corpus = _encoded_cells(e, cent, books)
     qids, Qn = _query_matrix(e)
     probes = spark.createDataFrame(
         _probe_cells(qids, Qn, cent, nprobe), "query_id long, cell int"
     )
-    luts = _adc_luts(Qn, books)
-    adc = _adc_score_udf(luts, {int(v): i for i, v in enumerate(qids)}, m)
-    aw = Window.partitionBy("query_id").orderBy(
-        F.desc("adc"), F.asc("vec_id")
+    return _adc_rerank(
+        e,
+        corpus.join(F.broadcast(probes), "cell"),
+        books,
+        k,
+        refine,
+        qids,
+        Qn,
     )
-    cands = (
-        corpus.filter(F.col("pq_code").isNotNull())
-        .join(F.broadcast(probes), "cell")
-        .select(
-            "query_id",
-            "vec_id",
-            adc(F.col("query_id"), F.col("pq_code")).alias("adc"),
-        )
-        .withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") <= refine)
-        .select("query_id", "vec_id")
-    )
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    cands = cands.join(e.select("vec_id", "embedding"), "vec_id")
-    return _rerank_exact(cands, q, k)

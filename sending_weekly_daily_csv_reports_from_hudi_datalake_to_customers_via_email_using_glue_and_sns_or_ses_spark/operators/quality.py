@@ -178,10 +178,12 @@ def run_checks(
     rules: list[DQRule],
     exact_uniqueness: bool = True,
 ) -> DataFrame:
-    """Evaluate all rules; returns (rule, column, metric, threshold,
-    passed) — one row per rule, deterministic order = input order via
-    a rule index the caller may drop. All scan rules run in ONE
-    aggregate job; each referential rule adds one join-aggregate."""
+    """Evaluate all rules; returns (rule_seq, rule, column, metric,
+    threshold, passed) — one row per rule in input order; ``rule_seq``
+    is the rule's position in the caller's list, the stable identity
+    drift baselines key on (keep the rule list append-only if you keep
+    history). All scan rules run in ONE aggregate job; each
+    referential rule adds one join-aggregate."""
     if not rules:
         raise ValueError("run_checks: empty rule list")
     known = {c for r in rules if r.column is not None for c in [r.column]}
@@ -253,7 +255,12 @@ def run_checks(
             "passed", F.col("metric") >= F.col("threshold")
         )
         .orderBy("idx")
-        .drop("idx")
+        # rule_seq is the rule's POSITION in the caller's list — the
+        # stable metric identity MetricHistory keys baselines on. Two
+        # rules of the same kind on the same column (two in_range
+        # bands, say) would otherwise blend into one baseline and
+        # flag false drift on perfectly stable runs.
+        .withColumnRenamed("idx", "rule_seq")
     )
 
 
@@ -310,6 +317,11 @@ def expect_schema(
         )
 
 
+#: rule kinds whose metric is an absolute VOLUME (not a fraction) —
+#: exempt from relative-drift checks because growth is legitimate
+_DRIFT_EXEMPT = {"min_rows"}
+
+
 class MetricHistory:
     """Deequ's metric-repository half: append each run's report under a
     run tag, and judge the CURRENT run against the history — the
@@ -330,10 +342,13 @@ class MetricHistory:
     def append(
         self, report: DataFrame, run_id: str, ok: bool = True
     ) -> None:
-        """``ok=False`` records a run that FAILED its gate: kept on
-        file for debugging, but excluded from every future drift
-        baseline — otherwise one bad run poisons the mean and the
-        fixed retry 'drifts' right back into failure."""
+        """``ok=False`` records a run that FAILED an ABSOLUTE
+        threshold: kept on file for debugging, but excluded from every
+        future drift baseline — bad data must not vote. Runs that
+        failed only on DRIFT should append ok=True: their data is
+        real (it passed every absolute rule), and letting it vote is
+        what lets a legitimate level shift become the new baseline
+        within a window instead of wedging the loop forever."""
         import os
         import shutil
         import uuid
@@ -343,7 +358,7 @@ class MetricHistory:
             self.path, f"_staging-{uuid.uuid4().hex}"
         )
         report.select(
-            "rule", "column", "metric", "threshold", "passed"
+            "rule_seq", "rule", "column", "metric", "threshold", "passed"
         ).withColumn("ok", F.lit(ok)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(staging)
@@ -374,11 +389,20 @@ class MetricHistory:
         last ``window`` runs (excluding ``run_id`` itself): returns the
         report plus (baseline, rel_change, drifted). First run (no
         history) → baseline NULL, drifted false — drift is undefined
-        without a past, not failed. The comparison is a driver-side
+        without a past, not failed. Baselines key on ``rule_seq`` (the
+        rule's position in the list), so two same-kind rules on one
+        column never blend into one false baseline. VOLUME metrics
+        (``min_rows`` — absolute row counts) are exempt from drift:
+        tables legitimately grow, and a relative bound on a count
+        would fail every healthy growing source; its absolute
+        threshold remains in force. The comparison is a driver-side
         join of rules×runs rows: validation data, never table data."""
         hist = self.load()
         if hist is not None:
-            hist = hist.filter(F.col("ok"))  # gate-failed runs: no vote
+            # absolute-failure runs: no vote (bad data must not shape
+            # the norm); drift-only failures were appended ok=True and
+            # DO vote — see append()
+            hist = hist.filter(F.col("ok"))
             recent = sorted(
                 {
                     r["run"]
@@ -398,7 +422,7 @@ class MetricHistory:
                 F.lit(None).cast("double").alias("rel_change"),
                 F.lit(False).alias("drifted"),
             )
-        base = hist.groupBy("rule", "column").agg(
+        base = hist.groupBy("rule_seq").agg(
             F.avg("metric").alias("baseline")
         )
         rel = F.when(
@@ -411,22 +435,18 @@ class MetricHistory:
             / F.abs(F.col("baseline"))
         )
         return (
-            report.join(
-                base,
-                [
-                    report["rule"] == base["rule"],
-                    # NULL-safe: min_rows rules carry column=NULL
-                    report["column"].eqNullSafe(base["column"]),
-                ],
-                "left",
-            )
-            .drop(base["rule"])
-            .drop(base["column"])
+            report.join(base, "rule_seq", "left")
             .withColumn("rel_change", rel)
             .withColumn(
                 "drifted",
-                F.coalesce(
-                    F.col("rel_change") > max_rel_change, F.lit(False)
+                F.when(
+                    F.col("rule").isin(*sorted(_DRIFT_EXEMPT)),
+                    F.lit(False),
+                ).otherwise(
+                    F.coalesce(
+                        F.col("rel_change") > max_rel_change,
+                        F.lit(False),
+                    )
                 ),
             )
         )

@@ -75,6 +75,10 @@ def run_pipeline(
     if config.quality_rules:
         from .operators.quality import expect
 
+        # persist across gate + CSV write: the gate's aggregate is an
+        # action, and without the persist the full transform (every
+        # source join) would execute twice per run
+        result = result.persist()
         # raises DataQualityError BEFORE any write/delivery/checkpoint
         expect(result, config.quality_rules)
     report_path = write_csv_report(
@@ -83,6 +87,8 @@ def run_pipeline(
         report_id=config.report_id,
         single_file=config.single_file,
     )
+    if config.quality_rules:
+        result.unpersist()  # both consumers (gate, CSV) are done
     email = deliver_report(
         report_path,
         config.recipients,
@@ -274,26 +280,42 @@ def run_maintained_report(
 
         # before write/delivery/checkpoint; view.apply is idempotent
         # under the staged_end token, so the retried window re-folds
-        # safely after the data problem is fixed
-        report = run_checks(df, config.quality_rules)
-        if config.metric_history_path is not None:
-            hist = MetricHistory(spark, config.metric_history_path)
-            judged = hist.check_drift(
-                report, f"cdc_{through}", config.max_rel_change
-            ).collect()
-            bad = [
-                r
-                for r in judged
-                if not r["passed"] or r["drifted"]
-            ]
-            # history records the run EVEN when it fails the gate
-            # (operators debugging a red morning want the bad metrics
-            # on file) but flags it ok=False so it never votes in a
-            # future baseline — one bad run must not make the fixed
-            # retry 'drift' right back into failure
-            hist.append(report, f"cdc_{through}", ok=not bad)
-        else:
-            bad = [r for r in report.collect() if not r["passed"]]
+        # safely after the data problem is fixed. Persisted: the
+        # drift judgement and the history append both consume the
+        # report, and without the persist the run_checks aggregate
+        # over the view would execute twice.
+        report = run_checks(df, config.quality_rules).persist()
+        try:
+            if config.metric_history_path is not None:
+                hist = MetricHistory(spark, config.metric_history_path)
+                judged = hist.check_drift(
+                    report, f"cdc_{through}", config.max_rel_change
+                ).collect()
+                bad = [
+                    r
+                    for r in judged
+                    if not r["passed"] or r["drifted"]
+                ]
+                # history records the run EVEN when it fails the gate
+                # (operators debugging a red morning want the bad
+                # metrics on file). ok=False ONLY for absolute-
+                # threshold failures — definitionally bad data, no
+                # baseline vote. Drift-ONLY failures append ok=True:
+                # that data passed every absolute rule, and letting
+                # it vote is what lets a legitimate level shift age
+                # into the new baseline within a window instead of
+                # wedging the loop against a frozen norm forever.
+                hist.append(
+                    report,
+                    f"cdc_{through}",
+                    ok=all(r["passed"] for r in judged),
+                )
+            else:
+                bad = [
+                    r for r in report.collect() if not r["passed"]
+                ]
+        finally:
+            report.unpersist()
         if bad:
             lines = ", ".join(
                 f"{r['rule']}({r['column']}) metric={r['metric']:.6f}"

@@ -59,11 +59,18 @@ def stream_incremental(
     the incremental cursor. See the module docstring for the delivery
     contract."""
     log_dir = os.path.join(root, "log")
-    if not os.path.isdir(log_dir):
+    # both guards raise the same actionable message: a missing log dir
+    # (not a table root / nothing ever written) and an EMPTY log dir
+    # (a crashed writer's orphan commit was reaped) would otherwise
+    # surface as an opaque AnalysisException from the glob below
+    has_commits = os.path.isdir(log_dir) and any(
+        n.startswith("c=") for n in os.listdir(log_dir)
+    )
+    if not has_commits:
         raise ValueError(
-            f"{root} has no commit log — not a KeyedTable root (or no "
+            f"{root} has no commit log — not a keyed-table root, or no "
             "commit has been published yet; create the table and write "
-            "one batch before opening the stream)"
+            "one batch before opening the stream"
         )
     # streaming file sources require an explicit schema. Reuse the
     # batch reader's schema resolution (committed-schema log when the
@@ -71,8 +78,6 @@ def stream_incremental(
     # batch schema = data fields + COMMIT_COL(string); the stream reads
     # the raw layout, so it wants data fields + c(long) pre-rename.
     batch = read_commit_log(spark, root)
-    if batch is None:  # log dir exists but read couldn't resolve it
-        raise ValueError(f"{root}/log exists but has no readable commits")
     data_fields = [f for f in batch.schema.fields if f.name != COMMIT_COL]
     reader = (
         spark.readStream.schema(

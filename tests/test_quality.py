@@ -186,9 +186,9 @@ def test_metric_history_drift(spark, tmp_path):
 
     def report(metric):
         return spark.createDataFrame(
-            [("completeness", "v", metric, 1.0, metric >= 1.0),
-             ("min_rows", None, 100.0, 1.0, True)],
-            "rule string, column string, metric double, "
+            [(0, "completeness", "v", metric, 1.0, metric >= 1.0),
+             (1, "uniqueness", None, 100.0, 1.0, True)],
+            "rule_seq int, rule string, column string, metric double, "
             "threshold double, passed boolean",
         )
 
@@ -203,7 +203,7 @@ def test_metric_history_drift(spark, tmp_path):
         (r["rule"]): r["drifted"]
         for r in hist.check_drift(report(0.98), "r4").collect()
     }
-    assert ok == {"completeness": False, "min_rows": False}
+    assert ok == {"completeness": False, "uniqueness": False}
     # sudden drop: completeness drifts, the NULL-column rule joins
     # NULL-safely and stays quiet
     bad = {
@@ -211,7 +211,7 @@ def test_metric_history_drift(spark, tmp_path):
         for r in hist.check_drift(report(0.70), "r4").collect()
     }
     assert bad["completeness"][0] and bad["completeness"][1] > 0.1
-    assert not bad["min_rows"][0]
+    assert not bad["uniqueness"][0]
     # idempotent re-append: r2 rewritten, history still 3 runs
     hist.append(report(0.97), "r2")
     assert hist.load().select("run").distinct().count() == 3
@@ -239,3 +239,51 @@ def test_expect_schema(spark):
         expect_schema(
             df, {"k": "bigint", "v": "double"}, allow_extra=False
         )
+
+
+def test_duplicate_rules_keep_separate_baselines(spark, tmp_path):
+    """Two same-kind rules on one column (two in_range bands, the
+    dq_report pattern) must NOT blend into one baseline: stable runs
+    stay drift-free because baselines key on rule_seq."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        MetricHistory,
+    )
+
+    hist = MetricHistory(spark, str(tmp_path / "dup"))
+
+    def report():
+        return spark.createDataFrame(
+            [(0, "in_range", "v", 1.0, 1.0, True),
+             (1, "in_range", "v", 0.6, 0.5, True)],
+            "rule_seq int, rule string, column string, metric double, "
+            "threshold double, passed boolean",
+        )
+
+    hist.append(report(), "r1")
+    hist.append(report(), "r2")
+    judged = hist.check_drift(report(), "r3").collect()
+    assert all(not r["drifted"] for r in judged)
+    by_seq = {r["rule_seq"]: r["baseline"] for r in judged}
+    assert by_seq == {0: 1.0, 1: 0.6}  # separate, unblended baselines
+
+
+def test_min_rows_growth_is_not_drift(spark, tmp_path):
+    """min_rows is a VOLUME metric — a growing table must not trip the
+    relative-drift gate (its absolute threshold still applies)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        MetricHistory,
+    )
+
+    hist = MetricHistory(spark, str(tmp_path / "growth"))
+
+    def report(n):
+        return spark.createDataFrame(
+            [(0, "min_rows", None, float(n), 1.0, True)],
+            "rule_seq int, rule string, column string, metric double, "
+            "threshold double, passed boolean",
+        )
+
+    hist.append(report(100), "r1")
+    hist.append(report(100), "r2")
+    judged = hist.check_drift(report(150), "r3").collect()[0]
+    assert not judged["drifted"]  # +50% growth, exempt kind
