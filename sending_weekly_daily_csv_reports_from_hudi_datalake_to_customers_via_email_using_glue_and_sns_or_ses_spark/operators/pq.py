@@ -352,11 +352,17 @@ def pq_topk(
     )
 
 
-def save_pq_codebooks(codebooks: np.ndarray, path: str) -> None:
-    """Persist trained codebooks as JSON next to the encoded corpus —
-    the production contract: codes are meaningless without their books,
-    so they version together. (JSON, not pickle: tiny, portable,
-    inspectable — m·ksub·dsub floats.)"""
+def save_pq_codebooks(
+    codebooks: np.ndarray,
+    path: str,
+    centroids: np.ndarray | None = None,
+) -> None:
+    """Persist trained codebooks — and, for an IVF-PQ layout, the
+    coarse centroids — as JSON next to the encoded corpus: codes are
+    meaningless without their books and cells without their
+    quantizer, so all three version together and a FRESH process can
+    probe the layout without retraining anything. (JSON, not pickle:
+    tiny, portable, inspectable.)"""
     import json
     import os
 
@@ -366,13 +372,17 @@ def save_pq_codebooks(codebooks: np.ndarray, path: str) -> None:
         "dsub": int(codebooks.shape[2]),
         "books": codebooks.tolist(),
     }
+    if centroids is not None:
+        doc["centroids"] = centroids.tolist()
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(doc, f)
     os.replace(tmp, path)
 
 
-def load_pq_codebooks(path: str) -> np.ndarray:
+def load_pq_codebooks(
+    path: str, with_centroids: bool = False
+) -> np.ndarray | tuple[np.ndarray, np.ndarray | None]:
     import json
 
     with open(path) as f:
@@ -383,7 +393,10 @@ def load_pq_codebooks(path: str) -> np.ndarray:
             f"codebook file {path} shape {books.shape} disagrees with "
             f"its own header ({doc['m']}, {doc['ksub']}, {doc['dsub']})"
         )
-    return books
+    if not with_centroids:
+        return books
+    cent = doc.get("centroids")
+    return books, (None if cent is None else np.asarray(cent, dtype=np.float64))
 
 
 def ivf_pq_write_partitioned(
@@ -418,7 +431,9 @@ def ivf_pq_write_partitioned(
     corpus.repartition(K, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(out_path)
-    save_pq_codebooks(books, os.path.join(out_path, "_pq_books.json"))
+    save_pq_codebooks(
+        books, os.path.join(out_path, "_pq_books.json"), centroids=cent
+    )
     return cent, books
 
 
@@ -426,7 +441,7 @@ def ivf_pq_probe_partitioned(
     spark: SparkSession,
     sf_dir: str,
     table_path: str,
-    cent: np.ndarray,
+    cent: np.ndarray | None = None,
     books: np.ndarray | None = None,
     k: int = 10,
     nprobe: int = 8,
@@ -436,14 +451,24 @@ def ivf_pq_probe_partitioned(
     predicate prunes at the file-listing level (PartitionFilters,
     plan-pinned in tests), ADC scores only the probed cells' codes,
     and the exact re-rank joins raw vectors back from the primary
-    embeddings table by key. ``books=None`` loads the codebooks
-    persisted beside the data."""
+    embeddings table by key. ``books=None`` / ``cent=None`` load the
+    codebooks/centroids persisted beside the data — a fresh process
+    probes the layout with zero retraining."""
     import os
 
-    if books is None:
-        books = load_pq_codebooks(
-            os.path.join(table_path, "_pq_books.json")
+    if books is None or cent is None:
+        loaded_books, loaded_cent = load_pq_codebooks(
+            os.path.join(table_path, "_pq_books.json"),
+            with_centroids=True,
         )
+        books = loaded_books if books is None else books
+        if cent is None:
+            if loaded_cent is None:
+                raise ValueError(
+                    f"{table_path}/_pq_books.json carries no centroids "
+                    "(pre-centroid layout) — pass cent= explicitly"
+                )
+            cent = loaded_cent
     e = load_table(spark, sf_dir, "embeddings")
     qids, Qn = _query_matrix(e)
     probe_rows = _probe_cells(qids, Qn, cent, nprobe)

@@ -200,8 +200,9 @@ def test_ivf_pq_partitioned_layout_prunes_and_recalls(spark, tmp_path):
 
     out = str(tmp_path / "ivfpq")
     cent, books = pq.ivf_pq_write_partitioned(spark, SF, out)
-    # books=None exercises the persisted-codebook load path
-    df = pq.ivf_pq_probe_partitioned(spark, SF, out, cent, books=None)
+    # cent=None AND books=None: a fresh process probes the layout from
+    # its persisted quantizers alone, zero retraining
+    df = pq.ivf_pq_probe_partitioned(spark, SF, out)
     plan = physical_plan(df)
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_lines, plan
