@@ -437,6 +437,45 @@ def ivf_pq_write_partitioned(
     return cent, books
 
 
+def ivf_pq_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    table_path: str,
+) -> int:
+    """Incremental index maintenance: encode NEW vectors with the
+    layout's PERSISTED quantizers (never retrained — retraining would
+    re-route existing cells and invalidate every stored code) and
+    append them into their cell partitions. Returns the appended row
+    count. The append-vs-rebuild contract: a probe over (build(A) then
+    append(B)) returns exactly what a probe over build(A ∪ B) with the
+    SAME quantizers returns — pinned by test. Quantizer drift is the
+    operator's compaction decision: when the corpus distribution has
+    moved far from the training sample, rebuild the layout (a rewrite,
+    like any clustering pass), don't retrain in place."""
+    import os
+
+    books, cent = load_pq_codebooks(
+        os.path.join(table_path, "_pq_books.json"), with_centroids=True
+    )
+    if cent is None:
+        raise ValueError(
+            f"{table_path}/_pq_books.json carries no centroids — "
+            "append requires the layout's own coarse quantizer"
+        )
+    coded = pq_encode(
+        new_vectors.withColumn(
+            "cell", _ivf_cell_udf(cent)("embedding")
+        ),
+        books,
+    ).select("vec_id", "cell", "pq_code")
+    n = coded.count()
+    K = cent.shape[0]
+    coded.repartition(min(K, max(1, n)), "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(table_path)
+    return n
+
+
 def ivf_pq_probe_partitioned(
     spark: SparkSession,
     sf_dir: str,

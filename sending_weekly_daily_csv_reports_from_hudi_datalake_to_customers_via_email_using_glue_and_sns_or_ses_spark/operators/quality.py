@@ -70,6 +70,10 @@ class DQRule:
     threshold: float = 1.0
     ref: DataFrame | None = None
     ref_col: str | None = None
+    #: config form of ``ref``: a TABLE NAME resolved against the
+    #: session catalog at check time (after the pipeline registered
+    #: its sources) — what a JSON rule spec can express
+    ref_table: str | None = None
 
     @property
     def name(self) -> str:
@@ -105,12 +109,74 @@ def min_rows(n: int) -> DQRule:
 
 
 def referential(
-    col: str, ref: DataFrame, ref_col: str, threshold: float = 1.0
+    col: str,
+    ref: DataFrame | None = None,
+    ref_col: str | None = None,
+    threshold: float = 1.0,
+    ref_table: str | None = None,
 ) -> DQRule:
+    """FK-integrity rule. ``ref`` is a DataFrame; from config, pass
+    ``ref_table`` (a registered view name) instead — it resolves
+    against the session catalog at check time."""
+    if (ref is None) == (ref_table is None):
+        raise ValueError(
+            "referential: pass exactly one of ref / ref_table"
+        )
     return DQRule(
         "referential", column=col, ref=ref, ref_col=ref_col,
-        threshold=threshold,
+        threshold=threshold, ref_table=ref_table,
     )
+
+
+#: JSON-spec kind → factory for :func:`rules_from_config`
+_RULE_FACTORIES = {
+    "completeness": lambda s: completeness(
+        s["column"], s.get("threshold", 1.0)
+    ),
+    "uniqueness": lambda s: uniqueness(
+        s["column"], s.get("threshold", 1.0)
+    ),
+    "in_range": lambda s: in_range(
+        s["column"], s["lo"], s["hi"], s.get("threshold", 1.0)
+    ),
+    "in_set": lambda s: in_set(
+        s["column"], s["allowed"], s.get("threshold", 1.0)
+    ),
+    "matches": lambda s: matches(
+        s["column"], s["regex"], s.get("threshold", 1.0)
+    ),
+    "min_rows": lambda s: min_rows(s["n"]),
+    "referential": lambda s: referential(
+        s["column"],
+        ref_table=s["ref_table"],
+        ref_col=s["ref_column"],
+        threshold=s.get("threshold", 1.0),
+    ),
+}
+
+
+def rules_from_config(specs: list[dict]) -> list[DQRule]:
+    """Build a rule list from JSON-shaped specs — the form a
+    ``loaders``-style config file carries (``"quality": [{"kind":
+    "completeness", "column": "email"}, ...]``). Unknown kinds and
+    missing fields raise at CONFIG time, not at the first nightly
+    run."""
+    rules = []
+    for i, s in enumerate(specs):
+        kind = s.get("kind")
+        factory = _RULE_FACTORIES.get(kind)
+        if factory is None:
+            raise ValueError(
+                f"quality rule #{i}: unknown kind {kind!r} (expected "
+                f"one of {sorted(_RULE_FACTORIES)})"
+            )
+        try:
+            rules.append(factory(s))
+        except KeyError as e:
+            raise ValueError(
+                f"quality rule #{i} ({kind}): missing field {e}"
+            ) from None
+    return rules
 
 
 def _frac(cond) -> F.Column:
@@ -227,9 +293,14 @@ def run_checks(
             ).select("r.*")
         )
     for i, r in ref_rules:
-        if r.ref is None or r.ref_col is None:
+        ref = r.ref
+        if ref is None and r.ref_table is not None:
+            # config form: resolve the registered view lazily, at
+            # check time, against the session that runs the check
+            ref = spark.table(r.ref_table)
+        if ref is None or r.ref_col is None:
             raise ValueError("referential rule needs ref and ref_col")
-        keys = r.ref.select(
+        keys = ref.select(
             F.col(r.ref_col).alias("__dq_ref")
         ).distinct()
         probe = (

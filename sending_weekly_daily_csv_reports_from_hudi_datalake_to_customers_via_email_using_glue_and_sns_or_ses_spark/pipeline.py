@@ -138,6 +138,11 @@ def config_from_loaders(
         )
     email = loaders.get("email", {})
     base = report_base or email.get("report_bucket", "reports")
+    quality = loaders.get("quality", [])
+    if quality:
+        from .operators.quality import rules_from_config
+
+        quality = rules_from_config(quality)
     return PipelineConfig(
         sources=sources,
         query=loaders["transform"]["query"],
@@ -145,6 +150,7 @@ def config_from_loaders(
         recipients=parse_recipients(email.get("recipient_email", [])),
         file_expires_in=int(email.get("file_expires_in", 86400)),
         subject=email.get("subject", "Your scheduled report"),
+        quality_rules=quality,
     )
 
 

@@ -229,3 +229,60 @@ def test_codebook_roundtrip_and_header_check(spark, tmp_path):
     json.dump(doc, open(p, "w"))
     with pytest.raises(ValueError, match="disagrees"):
         pq.load_pq_codebooks(p)
+
+
+def test_ivf_pq_append_equals_rebuild(spark, tmp_path):
+    """Appending a batch into the layout with its persisted quantizers
+    returns EXACTLY what a same-quantizer rebuild over the union
+    returns — incremental maintenance never changes probe results."""
+    e = load_table(spark, SF, "embeddings")
+    half = e.filter((F.col("vec_id") % 2 == 0) | F.col("vec_id").isin(0, 1, 2))
+    rest = e.filter((F.col("vec_id") % 2 == 1) & ~F.col("vec_id").isin(0, 1, 2))
+
+    # build over half the corpus (quantizers train on the FULL table's
+    # deterministic sample either way — sf_dir is the corpus id)
+    grown = str(tmp_path / "grown")
+    pq.ivf_pq_write_partitioned(spark, SF, grown)
+    # rewrite the layout's data to only `half`, keeping its quantizers
+    books, cent = pq.load_pq_codebooks(
+        grown + "/_pq_books.json", with_centroids=True
+    )
+    import shutil
+
+    for n in list(__import__("os").listdir(grown)):
+        if n.startswith("cell="):
+            shutil.rmtree(f"{grown}/{n}")
+    pq.pq_encode(
+        half.filter(~F.col("vec_id").isin(0, 1, 2)).withColumn(
+            "cell", pq._ivf_cell_udf(cent)("embedding")
+        ),
+        books,
+    ).select("vec_id", "cell", "pq_code").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(grown)
+
+    n = pq.ivf_pq_append(spark, rest, grown)
+    assert n == rest.count()
+
+    full = str(tmp_path / "full")
+    pq.ivf_pq_write_partitioned(spark, SF, full)
+
+    a = pq.ivf_pq_probe_partitioned(spark, SF, grown).toPandas()
+    b = pq.ivf_pq_probe_partitioned(spark, SF, full).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_ivf_pq_append_requires_centroids(spark, tmp_path):
+    import json
+    import os
+
+    e = load_table(spark, SF, "embeddings")
+    out = str(tmp_path / "nocent")
+    os.makedirs(out)
+    books = pq.train_pq_codebooks(e, m=8, ksub=16, corpus_id=SF)
+    pq.save_pq_codebooks(books, os.path.join(out, "_pq_books.json"))
+    with pytest.raises(ValueError, match="no centroids"):
+        pq.ivf_pq_append(spark, e.limit(1), out)

@@ -287,3 +287,43 @@ def test_min_rows_growth_is_not_drift(spark, tmp_path):
     hist.append(report(100), "r2")
     judged = hist.check_drift(report(150), "r3").collect()[0]
     assert not judged["drifted"]  # +50% growth, exempt kind
+
+
+def test_rules_from_config(spark):
+    """JSON-shaped rule specs (the loaders-config form) build the same
+    rules the Python API does; errors surface at CONFIG time; the
+    referential form resolves its ref TABLE at check time."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        rules_from_config,
+    )
+
+    rules = rules_from_config(
+        [
+            {"kind": "completeness", "column": "v", "threshold": 0.7},
+            {"kind": "in_range", "column": "v", "lo": 0, "hi": 10,
+             "threshold": 0.8},
+            {"kind": "min_rows", "n": 5},
+            {"kind": "referential", "column": "k",
+             "ref_table": "dq_dim", "ref_column": "id"},
+        ]
+    )
+    spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "id long"
+    ).createOrReplaceTempView("dq_dim")
+    rep = {
+        r["rule"]: r["passed"]
+        for r in run_checks(_frame(spark), rules).collect()
+    }
+    assert rep == {
+        "completeness": True, "in_range": True, "min_rows": True,
+        "referential": True,
+    }
+    with pytest.raises(ValueError, match="unknown kind"):
+        rules_from_config([{"kind": "nope"}])
+    with pytest.raises(ValueError, match="missing field"):
+        rules_from_config([{"kind": "in_range", "column": "v"}])
+    with pytest.raises(ValueError, match="exactly one"):
+        rules_from_config(
+            [{"kind": "referential", "column": "k",
+              "ref_table": None, "ref_column": "id"}]
+        )
