@@ -647,3 +647,15 @@ def test_ivm_merge_and_recompute_plan_shapes(spark):
     # the only real shuffle is the final group-by of the base side
     n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert n_shuffles <= 1, f"{n_shuffles} shuffles\n{plan}"
+
+
+def test_dq_report_plan_shape(spark):
+    """The Deequ property, pinned on the DRIVER entry: all five scan
+    rules fold into ONE aggregate over ONE orders scan, the FK rule
+    adds exactly one more scan feeding a broadcast join aggregate —
+    rule count never multiplies passes."""
+    plan = physical_plan(QUERIES["dq_report"](spark, SF))
+    assert plan.count("orders.parquet") == 2  # scan-rules agg + FK probe
+    assert plan.count("BroadcastHashJoin") == 1  # distinct customer keys
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan  # partial/final shape
