@@ -93,3 +93,53 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
     if span_ids:
         return len(span_ids)
     return plan.count("WholeStageCodegen")
+
+
+def plan_health(df: DataFrame, execute: bool = True) -> dict:
+    """One-call plan triage — the counters a 100 TB deployment reviews
+    before shipping a query, as data instead of eyeballed explain():
+
+      * ``shuffles``: data-moving Exchange nodes (broadcasts excluded);
+        every one is a full network pass over its input;
+      * ``broadcast_joins`` / ``sortmerge_joins`` /
+        ``nested_loop_joins`` / ``cartesian_products``: join strategy
+        mix — an unexpected SMJ where a dimension should broadcast, or
+        ANY cartesian product, is the first thing to fix;
+      * ``python_stages``: Arrow/Pandas eval nodes (the deliberate
+        Python hot-path surface — should match the operator's design,
+        zero for pure-SQL queries);
+      * ``codegen_stages``: distinct whole-stage-codegen spans;
+      * ``scans`` / ``scans_with_pushdown``: file scans and how many
+        carry a non-empty PushedFilters — a scan reading everything
+        for a filtered query means the predicate didn't push.
+
+    Executes the frame by default (AQE: only the FINAL plan tells the
+    truth about joins and codegen)."""
+    if execute:
+        df.collect()
+    plan = physical_plan(df)
+    scans = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    return {
+        "shuffles": plan.count("Exchange")
+        - plan.count("BroadcastExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "python_stages": sum(
+            plan.count(n)
+            for n in (
+                "ArrowEvalPython",
+                "BatchEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+        ),
+        "codegen_stages": codegen_stage_count(df, execute=False),
+        "scans": plan.count("ReadSchema"),
+        "scans_with_pushdown": sum(
+            1 for line in scans if "PushedFilters: []" not in line
+        ),
+    }

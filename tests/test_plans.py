@@ -659,3 +659,23 @@ def test_dq_report_plan_shape(spark):
     assert plan.count("BroadcastHashJoin") == 1  # distinct customer keys
     assert "SortMergeJoin" not in plan
     assert "HashAggregate" in plan  # partial/final shape
+
+
+def test_plan_health_triage(spark):
+    """plan_health turns the explain-and-eyeball discipline into data:
+    a pure-SQL star join reads as broadcast-joined zero-Python, a
+    Pandas-UDF pipeline shows its deliberate Python stages, and the
+    counters expose any cartesian product."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.plans.explain import (
+        plan_health,
+    )
+
+    h = plan_health(QUERIES["flagship_report"](spark, SF))
+    assert h["broadcast_joins"] >= 1
+    assert h["cartesian_products"] == 0
+    assert h["python_stages"] == 0
+    assert h["scans"] >= 2 and h["scans_with_pushdown"] >= 1
+    assert h["codegen_stages"] >= 1
+
+    m = plan_health(QUERIES["media_decode_pipeline"](spark, SF))
+    assert m["python_stages"] >= 1  # the deliberate Arrow decode stage
