@@ -462,13 +462,22 @@ def ivf_pq_append(
             f"{table_path}/_pq_books.json carries no centroids — "
             "append requires the layout's own coarse quantizer"
         )
+    # same exclusion the BUILD path applies (_encoded_cells): the fixed
+    # query vectors must never enter the layout, or a re-ingested query
+    # id would return itself at rank 1 and break append≡rebuild
+    new_vectors = new_vectors.filter(
+        ~F.col("vec_id").isin(*_QUERY_IDS)
+    )
     coded = pq_encode(
         new_vectors.withColumn(
             "cell", _ivf_cell_udf(cent)("embedding")
         ),
         books,
     ).select("vec_id", "cell", "pq_code")
-    n = coded.count()
+    # count the INPUT (no UDFs in its plan): encode preserves rows, and
+    # counting `coded` would run the cell+encode pandas UDFs twice —
+    # once for the count, once for the write
+    n = new_vectors.count()
     K = cent.shape[0]
     coded.repartition(min(K, max(1, n)), "cell").write.mode(
         "append"

@@ -155,12 +155,29 @@ _RULE_FACTORIES = {
 }
 
 
+#: exact field set each kind accepts — a typo'd or inapplicable field
+#: must fail at config time, not silently weaken the gate (min_rows
+#: with an ignored "threshold", completeness with "treshold", …)
+_RULE_FIELDS = {
+    "completeness": {"kind", "column", "threshold"},
+    "uniqueness": {"kind", "column", "threshold"},
+    "in_range": {"kind", "column", "lo", "hi", "threshold"},
+    "in_set": {"kind", "column", "allowed", "threshold"},
+    "matches": {"kind", "column", "regex", "threshold"},
+    "min_rows": {"kind", "n"},
+    "referential": {
+        "kind", "column", "ref_table", "ref_column", "threshold",
+    },
+}
+
+
 def rules_from_config(specs: list[dict]) -> list[DQRule]:
     """Build a rule list from JSON-shaped specs — the form a
     ``loaders``-style config file carries (``"quality": [{"kind":
-    "completeness", "column": "email"}, ...]``). Unknown kinds and
-    missing fields raise at CONFIG time, not at the first nightly
-    run."""
+    "completeness", "column": "email"}, ...]``). Unknown kinds,
+    missing fields, AND unexpected fields raise at CONFIG time, not at
+    the first nightly run — an ignored field is a silently weaker gate
+    (``min_rows`` with a "threshold" the factory never reads)."""
     rules = []
     for i, s in enumerate(specs):
         kind = s.get("kind")
@@ -169,6 +186,13 @@ def rules_from_config(specs: list[dict]) -> list[DQRule]:
             raise ValueError(
                 f"quality rule #{i}: unknown kind {kind!r} (expected "
                 f"one of {sorted(_RULE_FACTORIES)})"
+            )
+        extra = set(s) - _RULE_FIELDS[kind]
+        if extra:
+            raise ValueError(
+                f"quality rule #{i} ({kind}): unexpected field(s) "
+                f"{sorted(extra)} (accepted: "
+                f"{sorted(_RULE_FIELDS[kind])})"
             )
         try:
             rules.append(factory(s))

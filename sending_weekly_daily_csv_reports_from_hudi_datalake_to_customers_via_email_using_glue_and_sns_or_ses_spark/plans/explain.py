@@ -114,32 +114,45 @@ def plan_health(df: DataFrame, execute: bool = True) -> dict:
         for a filtered query means the predicate didn't push.
 
     Executes the frame by default (AQE: only the FINAL plan tells the
-    truth about joins and codegen)."""
+    truth about joins and codegen) via ``toLocalIterator`` — the plan
+    runs fully but the driver holds ONE partition of results at a
+    time, so triaging a large-result query streams instead of
+    buffering the whole result set (the ``collect`` trap)."""
     if execute:
-        df.collect()
-    plan = physical_plan(df)
-    scans = [
-        line for line in plan.splitlines() if "PushedFilters" in line
-    ]
+        for _ in df.toLocalIterator():
+            pass
+    lines = physical_plan(df).splitlines()
+
+    def _count(pred) -> int:
+        return sum(1 for line in lines if pred(line))
+
     return {
-        "shuffles": plan.count("Exchange")
-        - plan.count("BroadcastExchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "sortmerge_joins": plan.count("SortMergeJoin"),
-        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
-        "cartesian_products": plan.count("CartesianProduct"),
-        "python_stages": sum(
-            plan.count(n)
-            for n in (
-                "ArrowEvalPython",
-                "BatchEvalPython",
-                "MapInPandas",
-                "FlatMapGroupsInPandas",
-            )
+        # per-LINE so a ReusedExchange (whose line also prints the
+        # exchange it reuses) is never double-counted as new work, and
+        # a broadcast exchange is never counted as a shuffle
+        "shuffles": _count(
+            lambda s: "Exchange" in s
+            and "BroadcastExchange" not in s
+            and "ReusedExchange" not in s
+        ),
+        "broadcast_joins": _count(lambda s: "BroadcastHashJoin" in s),
+        "sortmerge_joins": _count(lambda s: "SortMergeJoin" in s),
+        "nested_loop_joins": _count(
+            lambda s: "BroadcastNestedLoopJoin" in s
+        ),
+        "cartesian_products": _count(lambda s: "CartesianProduct" in s),
+        # every Python execution node family: *EvalPython (scalar
+        # UDFs), *InPandas (mapInPandas / applyInPandas / cogroup /
+        # window / aggregate), *InArrow (mapInArrow)
+        "python_stages": _count(
+            lambda s: "EvalPython" in s
+            or "InPandas" in s
+            or "InArrow" in s
         ),
         "codegen_stages": codegen_stage_count(df, execute=False),
-        "scans": plan.count("ReadSchema"),
-        "scans_with_pushdown": sum(
-            1 for line in scans if "PushedFilters: []" not in line
+        "scans": _count(lambda s: "ReadSchema" in s),
+        "scans_with_pushdown": _count(
+            lambda s: "PushedFilters" in s
+            and "PushedFilters: []" not in s
         ),
     }

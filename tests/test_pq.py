@@ -286,3 +286,18 @@ def test_ivf_pq_append_requires_centroids(spark, tmp_path):
     pq.save_pq_codebooks(books, os.path.join(out, "_pq_books.json"))
     with pytest.raises(ValueError, match="no centroids"):
         pq.ivf_pq_append(spark, e.limit(1), out)
+
+
+def test_ivf_pq_append_excludes_query_vectors(spark, tmp_path):
+    """Re-ingesting a QUERY vector via append must not put it in the
+    layout (the build path excludes it) — else query 0 returns itself
+    at rank 1 and append≡rebuild breaks."""
+    e = load_table(spark, SF, "embeddings")
+    out = str(tmp_path / "qex")
+    pq.ivf_pq_write_partitioned(spark, SF, out)
+    before = spark.read.parquet(out).count()
+    n = pq.ivf_pq_append(spark, e.filter(F.col("vec_id").isin(0, 1, 2)), out)
+    assert n == 0
+    assert spark.read.parquet(out).count() == before
+    got = pq.ivf_pq_probe_partitioned(spark, SF, out).toPandas()
+    assert not set(got.vec_id) & {0, 1, 2}

@@ -327,3 +327,17 @@ def test_rules_from_config(spark):
             [{"kind": "referential", "column": "k",
               "ref_table": None, "ref_column": "id"}]
         )
+
+
+def test_rules_from_config_rejects_unexpected_fields(spark):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        rules_from_config,
+    )
+
+    # a field the factory never reads is a silently weaker gate
+    with pytest.raises(ValueError, match="unexpected field"):
+        rules_from_config([{"kind": "min_rows", "n": 5, "threshold": 100}])
+    with pytest.raises(ValueError, match="unexpected field"):
+        rules_from_config(
+            [{"kind": "completeness", "column": "v", "treshold": 0.9}]
+        )
