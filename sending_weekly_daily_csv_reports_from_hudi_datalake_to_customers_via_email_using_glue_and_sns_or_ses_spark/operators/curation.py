@@ -668,6 +668,7 @@ def prepare_training_data(
     blocked_domains: list | DataFrame | None = None,
     max_docs_per_domain: int | None = None,
     bpe_tokenizer=None,  # BPEModel | int (vocab size to train) | None
+    input_quality_rules: list | None = None,
 ) -> dict:
     """End-to-end training-data preparation over ``documents`` — the
     composition the individual operators exist for:
@@ -767,6 +768,14 @@ def prepare_training_data(
             )
 
     d = load_table(spark, sf_dir, "documents")
+    if input_quality_rules:
+        from .quality import expect
+
+        # DQ circuit breaker on the INPUT table before any funnel
+        # stage spends compute: a half-loaded or schema-drifted
+        # documents table fails here in one cheap aggregate, not three
+        # stages deep (and never as silently-garbage training shards)
+        expect(d, input_quality_rules)
     # the decontamination eval split must come from the FULL table —
     # a URL-deduped/blocked/capped eval doc still must have its
     # phrasing anti-joined out of training (stage 3's contract)

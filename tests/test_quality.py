@@ -341,3 +341,28 @@ def test_rules_from_config_rejects_unexpected_fields(spark):
         rules_from_config(
             [{"kind": "completeness", "column": "v", "treshold": 0.9}]
         )
+
+
+def test_funnel_input_quality_gate(spark, tmp_path):
+    """prepare_training_data(input_quality_rules=…): a failing rule on
+    the documents table aborts before any funnel stage; passing rules
+    leave the funnel unchanged."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        completeness,
+        min_rows,
+    )
+
+    with pytest.raises(DataQualityError, match="min_rows"):
+        prepare_training_data(
+            spark, SF, str(tmp_path / "t1"),
+            input_quality_rules=[min_rows(10**9)],
+        )
+    assert not (tmp_path / "t1").exists()  # nothing written
+    stats = prepare_training_data(
+        spark, SF, str(tmp_path / "t2"),
+        input_quality_rules=[min_rows(1), completeness("text", 0.9)],
+    )
+    assert stats["n_input"] > 0
