@@ -359,6 +359,70 @@ def run_checks(
     )
 
 
+def run_checks_by(
+    df: DataFrame,
+    rules: list[DQRule],
+    by: str | list[str],
+    exact_uniqueness: bool = True,
+) -> DataFrame:
+    """Grouped verification — Deequ's grouped-metrics half: every SCAN
+    rule evaluated PER GROUP of the ``by`` column(s) in one groupBy
+    aggregate (still a single pass; rule count adds expressions, group
+    count adds rows). The per-source view absolute whole-table checks
+    can't give: a corpus whose overall completeness is 0.99 can hide
+    one source at 0.4 — per-source rows surface it. Referential rules
+    are whole-table by nature (FK integrity doesn't partition) and are
+    rejected here — run them through :func:`run_checks`.
+
+    Returns one row per (group × rule): the ``by`` columns +
+    (rule_seq, rule, column, metric, threshold, passed)."""
+    if not rules:
+        raise ValueError("run_checks_by: empty rule list")
+    bad = [r.kind for r in rules if r.kind == "referential"]
+    if bad:
+        raise ValueError(
+            "run_checks_by: referential rules are whole-table — use "
+            "run_checks"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in by_cols if c not in df.columns]
+    needed = {r.column for r in rules if r.column is not None}
+    missing += sorted(needed - set(df.columns))
+    if missing:
+        raise ValueError(
+            f"run_checks_by: columns {missing} not in schema "
+            f"{df.columns}"
+        )
+    agg_rows = df.groupBy(*by_cols).agg(
+        *[
+            _scan_metric(r, exact_uniqueness).alias(f"m{i}")
+            for i, r in enumerate(rules)
+        ]
+    )
+    return (
+        agg_rows.select(
+            *by_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("rule_seq"),
+                            F.lit(r.kind).alias("rule"),
+                            F.lit(r.column).alias("column"),
+                            F.col(f"m{i}").alias("metric"),
+                            F.lit(r.threshold).alias("threshold"),
+                        )
+                        for i, r in enumerate(rules)
+                    ]
+                )
+            ).alias("r"),
+        )
+        .select(*by_cols, "r.*")
+        .withColumn("passed", F.col("metric") >= F.col("threshold"))
+        .orderBy(*by_cols, "rule_seq")
+    )
+
+
 def expect(
     df: DataFrame,
     rules: list[DQRule],

@@ -366,3 +366,38 @@ def test_funnel_input_quality_gate(spark, tmp_path):
         input_quality_rules=[min_rows(1), completeness("text", 0.9)],
     )
     assert stats["n_input"] > 0
+
+
+def test_grouped_checks_surface_the_bad_group(spark):
+    """run_checks_by: a corpus healthy overall can hide one broken
+    group — the per-group rows surface it; referential rules and bad
+    columns are rejected."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        referential,
+        run_checks_by,
+    )
+
+    rows = [("web", float(i), "ok") for i in range(8)] + [
+        ("scan", None, "ok"),
+        ("scan", 1.0, None),
+        ("scan", None, "ok"),
+        ("scan", 2.0, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "source string, v double, s string")
+    rep = {
+        (r["source"], r["column"]): (round(r["metric"], 3), r["passed"])
+        for r in run_checks_by(
+            df, [completeness("v", 0.7), completeness("s", 0.7)], "source"
+        ).collect()
+    }
+    # whole-table v-completeness would be 10/12 = 0.83 (passes 0.7);
+    # the per-group view shows scan at 0.5 — the hidden break
+    assert rep[("web", "v")] == (1.0, True)
+    assert rep[("scan", "v")] == (0.5, False)
+    assert rep[("scan", "s")] == (0.75, True)
+    with pytest.raises(ValueError, match="whole-table"):
+        run_checks_by(
+            df, [referential("v", df, "v")], "source"
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        run_checks_by(df, [completeness("nope")], "source")
