@@ -768,7 +768,10 @@ def prepare_training_data(
             )
 
     d = load_table(spark, sf_dir, "documents")
-    if input_quality_rules:
+    # `is not None`, not truthiness: an EMPTY list (a mis-keyed config
+    # section) must raise run_checks's "empty rule list", not silently
+    # skip the gate the operator believes is in force
+    if input_quality_rules is not None:
         from .quality import expect
 
         # DQ circuit breaker on the INPUT table before any funnel

@@ -263,6 +263,29 @@ def _scan_metric(rule: DQRule, exact_uniqueness: bool) -> F.Column:
     raise ValueError(f"unknown rule kind: {rule.kind!r}")
 
 
+#: the report struct's field set — assembled in ONE place so the two
+#: report producers (whole-table and grouped) can never silently
+#: diverge; MetricHistory.append's select depends on these names
+def _report_explode(indexed_rules) -> F.Column:
+    """explode(array(struct(...))) turning one metric-aliased agg row
+    into per-rule report rows: (rule_seq, rule, column, metric,
+    threshold) from the ``m{i}`` metric columns."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rule_seq"),
+                    F.lit(r.kind).alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    F.col(f"m{i}").alias("metric"),
+                    F.lit(r.threshold).alias("threshold"),
+                )
+                for i, r in indexed_rules
+            ]
+        )
+    )
+
+
 def run_checks(
     df: DataFrame,
     rules: list[DQRule],
@@ -300,20 +323,7 @@ def run_checks(
         )
         parts.append(
             agg_row.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("idx"),
-                                F.lit(r.kind).alias("rule"),
-                                F.lit(r.column).alias("column"),
-                                F.col(f"m{i}").alias("metric"),
-                                F.lit(r.threshold).alias("threshold"),
-                            )
-                            for i, r in scan_rules
-                        ]
-                    )
-                ).alias("r")
+                _report_explode(scan_rules).alias("r")
             ).select("r.*")
         )
     for i, r in ref_rules:
@@ -335,7 +345,13 @@ def run_checks(
         )
         parts.append(
             probe.select(
-                F.lit(i).alias("idx"),
+                # rule_seq is the rule's POSITION in the caller's
+                # list — the stable metric identity MetricHistory keys
+                # baselines on. Two rules of the same kind on the same
+                # column (two in_range bands, say) would otherwise
+                # blend into one baseline and flag false drift on
+                # perfectly stable runs.
+                F.lit(i).alias("rule_seq"),
                 F.lit(r.kind).alias("rule"),
                 F.lit(r.column).alias("column"),
                 F.col("metric"),
@@ -345,18 +361,9 @@ def run_checks(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return (
-        out.withColumn(
-            "passed", F.col("metric") >= F.col("threshold")
-        )
-        .orderBy("idx")
-        # rule_seq is the rule's POSITION in the caller's list — the
-        # stable metric identity MetricHistory keys baselines on. Two
-        # rules of the same kind on the same column (two in_range
-        # bands, say) would otherwise blend into one baseline and
-        # flag false drift on perfectly stable runs.
-        .withColumnRenamed("idx", "rule_seq")
-    )
+    return out.withColumn(
+        "passed", F.col("metric") >= F.col("threshold")
+    ).orderBy("rule_seq")
 
 
 def run_checks_by(
@@ -375,7 +382,15 @@ def run_checks_by(
     rejected here — run them through :func:`run_checks`.
 
     Returns one row per (group × rule): the ``by`` columns +
-    (rule_seq, rule, column, metric, threshold, passed)."""
+    (rule_seq, rule, column, metric, threshold, passed).
+
+    EMPTY INPUT RAISES: groupBy over zero rows yields zero groups, so
+    an empty report would silently BLESS exactly the half-loaded/empty
+    table this module exists to catch (a per-group ``min_rows`` can
+    never fire for a group that produced no rows). Gate emptiness —
+    and absent-group expectations — with :func:`run_checks` /
+    :func:`expect` at the whole-table level first; this function then
+    grades the groups that exist."""
     if not rules:
         raise ValueError("run_checks_by: empty rule list")
     bad = [r.kind for r in rules if r.kind == "referential"]
@@ -393,6 +408,21 @@ def run_checks_by(
             f"run_checks_by: columns {missing} not in schema "
             f"{df.columns}"
         )
+    reserved = {
+        "rule_seq", "rule", "column", "metric", "threshold", "passed",
+    } | {f"m{i}" for i in range(len(rules))}
+    clash = sorted(set(by_cols) & reserved)
+    if clash:
+        raise ValueError(
+            f"run_checks_by: by-column(s) {clash} collide with report "
+            "columns — alias them before grouping"
+        )
+    if df.isEmpty():
+        raise ValueError(
+            "run_checks_by: input has no rows — zero groups would "
+            "produce an EMPTY report that silently passes every gate; "
+            "check emptiness with run_checks([min_rows(...)]) first"
+        )
     agg_rows = df.groupBy(*by_cols).agg(
         *[
             _scan_metric(r, exact_uniqueness).alias(f"m{i}")
@@ -401,21 +431,7 @@ def run_checks_by(
     )
     return (
         agg_rows.select(
-            *by_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("rule_seq"),
-                            F.lit(r.kind).alias("rule"),
-                            F.lit(r.column).alias("column"),
-                            F.col(f"m{i}").alias("metric"),
-                            F.lit(r.threshold).alias("threshold"),
-                        )
-                        for i, r in enumerate(rules)
-                    ]
-                )
-            ).alias("r"),
+            *by_cols, _report_explode(list(enumerate(rules))).alias("r")
         )
         .select(*by_cols, "r.*")
         .withColumn("passed", F.col("metric") >= F.col("threshold"))

@@ -401,3 +401,27 @@ def test_grouped_checks_surface_the_bad_group(spark):
         )
     with pytest.raises(ValueError, match="not in schema"):
         run_checks_by(df, [completeness("nope")], "source")
+
+
+def test_grouped_checks_guard_rails(spark):
+    """run_checks_by raises on empty input (an empty report silently
+    blesses the empty table) and on by-columns colliding with report
+    columns; an empty funnel rule LIST raises instead of silently
+    skipping the gate."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.curation import (
+        prepare_training_data,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        run_checks_by,
+    )
+
+    empty = spark.createDataFrame([], "source string, v double")
+    with pytest.raises(ValueError, match="no rows"):
+        run_checks_by(empty, [completeness("v")], "source")
+    clashing = spark.createDataFrame([(1.0, 2.0)], "metric double, v double")
+    with pytest.raises(ValueError, match="collide"):
+        run_checks_by(clashing, [completeness("v")], "metric")
+    with pytest.raises(ValueError, match="empty rule list"):
+        prepare_training_data(
+            spark, SF, "/tmp/never-written", input_quality_rules=[]
+        )
