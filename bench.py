@@ -123,6 +123,22 @@ def main() -> None:
             }
         )
     )
+    # compact totals-only line LAST: the driver captures only the tail
+    # of the output, and the full per-query line above has outgrown it
+    # (BENCH_r07.json lost the suite total to truncation — VERDICT r7
+    # #5). The headline numbers must survive any tail capture.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "first_eval_total": round(sum(first_eval.values()), 3),
+                "sf": sf_dir,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

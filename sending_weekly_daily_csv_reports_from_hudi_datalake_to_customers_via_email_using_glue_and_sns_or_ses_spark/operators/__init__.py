@@ -135,6 +135,7 @@ def _load_all() -> None:
         streaming_entries,
         similarity,
         multimodal,
+        tokenizer,
         joins,
         quality,
         dedup,

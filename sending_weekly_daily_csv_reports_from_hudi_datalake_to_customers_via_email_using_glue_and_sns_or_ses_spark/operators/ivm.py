@@ -87,71 +87,62 @@ def _nulled_sums(df: DataFrame, sum_cols: list[str]) -> DataFrame:
     return out
 
 
-def cdc_agg_delta(
-    cdc_df: DataFrame,
+#: the contribution-row sign column used by :func:`signed_agg_delta`
+SIGN_COL = "__sign"
+
+
+def signed_agg_delta(
+    contrib: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The window's aggregate delta: for each group (fields of the CDC
-    payload structs), the net change to the row count, to each
-    ``sum_cols`` total, and to each total's non-null count. Output
-    schema: ``group_cols + [n_rows] + [sum_<c>, n_<c> per c]`` — the
-    same shape the maintained aggregate uses, so
-    :func:`merge_agg_delta` is one union.
+    """Aggregate SIGNED CONTRIBUTION ROWS — plain rows carrying the
+    group/measure columns plus ``__sign`` (+1 for a row entering the
+    view, −1 for one leaving it) — into the window's aggregate delta:
+    per group, the net change to the row count, each ``sum_cols``
+    total, and each total's non-null count. Output schema:
+    ``group_cols + [n_rows] + [sum_<c>, n_<c> per c]`` — the shape
+    :func:`merge_agg_delta` folds in one union.
+
+    This is the shared kernel of both delta producers: single-table
+    CDC (:func:`cdc_agg_delta` — before-images are −, after-images +)
+    and the delta-join terms of :class:`MaintainedJoinAggregate`
+    (joined rows signed by whichever side's change produced them).
 
     ``minmax_cols`` adds, per column, the window's extremum evidence:
-    ``__ins_min/__ins_max`` (extremes over the AFTER images — values
+    ``__ins_min/__ins_max`` (extremes over the +1 rows — values
     entering the group) and ``__ret_min/__ret_max`` (extremes over the
-    BEFORE images — values leaving it). MIN/MAX are not
-    self-maintainable, so these don't resolve the new extremum by
-    themselves; :func:`merge_agg_delta` combines them with the stored
-    value and flags the groups that need a base recompute. Extremum
-    columns also get the ``n_<c>`` non-null count (the all-NULL
-    witness)."""
+    −1 rows — values leaving it). MIN/MAX are not self-maintainable,
+    so these don't resolve the new extremum by themselves;
+    :func:`merge_agg_delta` combines them with the stored value and
+    flags the groups that need a base recompute. Extremum columns also
+    get the ``n_<c>`` non-null count (the all-NULL witness)."""
     minmax_cols = list(minmax_cols or [])
     ncols = _value_counted_cols(sum_cols, minmax_cols)
-
-    def _mm_type(c):
-        return cdc_df.schema["_after"].dataType[c].dataType
-
-    sides = []
-    for img, sign in (("_before", -1), ("_after", 1)):
-        entering = img == "_after"
-
-        def _evidence(c, want_entering):
-            if entering == want_entering:
-                return F.col(img)[c]
-            return F.lit(None).cast(_mm_type(c))
-
-        sides.append(
-            cdc_df.filter(F.col(img).isNotNull()).select(
-                *[F.col(img)[g].alias(g) for g in group_cols],
-                F.lit(sign).cast("long").alias(COUNT_COL),
-                *[
-                    (F.col(img)[c] * sign).alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-                *[
-                    F.when(F.col(img)[c].isNotNull(), sign)
-                    .otherwise(0)
-                    .cast("long")
-                    .alias(f"n_{c}")
-                    for c in ncols
-                ],
-                *[
-                    _evidence(c, True).alias(f"__ins_{c}")
-                    for c in minmax_cols
-                ],
-                *[
-                    _evidence(c, False).alias(f"__ret_{c}")
-                    for c in minmax_cols
-                ],
-            )
-        )
-    contrib = sides[0].unionByName(sides[1])
+    sign = F.col(SIGN_COL)
+    staged = contrib.select(
+        *group_cols,
+        sign.cast("long").alias(COUNT_COL),
+        *[(F.col(c) * sign).alias(f"sum_{c}") for c in sum_cols],
+        *[
+            F.when(F.col(c).isNotNull(), sign)
+            .otherwise(0)
+            .cast("long")
+            .alias(f"n_{c}")
+            for c in ncols
+        ],
+        *[
+            F.when(sign > 0, F.col(c)).alias(f"__ins_{c}")
+            for c in minmax_cols
+        ],
+        *[
+            F.when(sign < 0, F.col(c)).alias(f"__ret_{c}")
+            for c in minmax_cols
+        ],
+    )
     # raw sums, deliberately NOT null-adjusted — see _nulled_sums
-    return contrib.groupBy(*group_cols).agg(
+    return staged.groupBy(*group_cols).agg(
         F.sum(COUNT_COL).alias(COUNT_COL),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         *[F.sum(f"n_{c}").alias(f"n_{c}") for c in ncols],
@@ -165,6 +156,34 @@ def cdc_agg_delta(
                 F.max(f"__ret_{c}").alias(f"__ret_max_{c}"),
             )
         ],
+    )
+
+
+def cdc_agg_delta(
+    cdc_df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
+) -> DataFrame:
+    """The window's aggregate delta for a SINGLE-TABLE grouped view:
+    each CDC row contributes its −before and +after images (fields of
+    the payload structs) as signed rows, aggregated by
+    :func:`signed_agg_delta` — see its docstring for the output
+    contract."""
+    minmax_cols = list(minmax_cols or [])
+    needed = list(
+        dict.fromkeys(list(group_cols) + list(sum_cols) + minmax_cols)
+    )
+    sides = []
+    for img, sign in (("_before", -1), ("_after", 1)):
+        sides.append(
+            cdc_df.filter(F.col(img).isNotNull()).select(
+                *[F.col(img)[c].alias(c) for c in needed],
+                F.lit(sign).alias(SIGN_COL),
+            )
+        )
+    return signed_agg_delta(
+        sides[0].unionByName(sides[1]), group_cols, sum_cols, minmax_cols
     )
 
 

@@ -44,6 +44,7 @@ form for pipelines.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -452,8 +453,10 @@ def expect(
         if not r["passed"]
     ]
     if failed:
+        # DQRule.name, not f"{rule}({column})": column-less rules
+        # (min_rows) print their n, not a confusing "min_rows(None)"
         lines = ", ".join(
-            f"{r['rule']}({r['column']}) metric={r['metric']:.6f} "
+            f"{rules[r['rule_seq']].name} metric={r['metric']:.6f} "
             f"< {r['threshold']}"
             for r in failed
         )
@@ -508,7 +511,11 @@ class MetricHistory:
     metric) rows — tiny (rules × runs), readable by anything. Appends
     are atomic per run (one staged dir rename); re-appending the same
     run_id overwrites idempotently, matching the report-key semantics
-    of the pipeline that calls it."""
+    of the pipeline that calls it. All directory manipulation goes
+    through the engine's Hadoop-FS abstraction (fs.py), so the history
+    path may live on any scheme the cluster can write (file://,
+    hdfs://, s3a:// — ADVICE r7: the os-module version wedged on
+    non-local paths even though the Spark write itself succeeded)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -523,35 +530,55 @@ class MetricHistory:
         failed only on DRIFT should append ok=True: their data is
         real (it passed every absolute rule), and letting it vote is
         what lets a legitimate level shift become the new baseline
-        within a window instead of wedging the loop forever."""
-        import os
-        import shutil
+        within a window instead of wedging the loop forever.
+
+        Each append stamps ``appended_at`` (driver wall-clock, ns):
+        the chronological order drift baselines window on — run ids
+        stay free-form (``run_9`` vs ``run_10`` no longer picks the
+        wrong window, ADVICE r7)."""
+        import time
         import uuid
 
+        from ..fs import fs_for
+
+        fs = fs_for(self.spark)
         out = os.path.join(self.path, f"run={run_id}")
         staging = os.path.join(
             self.path, f"_staging-{uuid.uuid4().hex}"
         )
         report.select(
             "rule_seq", "rule", "column", "metric", "threshold", "passed"
-        ).withColumn("ok", F.lit(ok)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        os.makedirs(self.path, exist_ok=True)
-        shutil.rmtree(out, ignore_errors=True)
-        os.replace(staging, out)
+        ).withColumn("ok", F.lit(ok)).withColumn(
+            "appended_at", F.lit(time.time_ns())
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        fs.mkdirs(self.path)
+        fs.delete_recursive(out)
+        if not fs.rename(staging, out):
+            fs.delete_recursive(staging)
+            raise OSError(
+                f"MetricHistory.append: could not publish run={run_id} "
+                f"(rename {staging} -> {out} failed — concurrent "
+                "appender for the same run id?)"
+            )
 
     def load(self) -> DataFrame | None:
-        import os
+        from ..fs import fs_for
 
-        if not os.path.isdir(self.path):
-            return None
-        runs = [n for n in os.listdir(self.path) if n.startswith("run=")]
+        runs = [
+            n
+            for n in fs_for(self.spark).list_names(self.path)
+            if n.startswith("run=")
+        ]
         if not runs:
             return None
-        return self.spark.read.option("basePath", self.path).parquet(
+        hist = self.spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "run=*")
         )
+        if "appended_at" not in hist.columns:
+            # pre-r8 history rows: fall back to run-id order (the old
+            # documented contract: ids sort chronologically)
+            hist = hist.withColumn("appended_at", F.lit(None).cast("long"))
+        return hist
 
     def check_drift(
         self,
@@ -571,20 +598,36 @@ class MetricHistory:
         tables legitimately grow, and a relative bound on a count
         would fail every healthy growing source; its absolute
         threshold remains in force. The comparison is a driver-side
-        join of rules×runs rows: validation data, never table data."""
+        join of rules×runs rows: validation data, never table data.
+
+        The "last runs" window is CHRONOLOGICAL — ordered by each
+        run's ``appended_at`` stamp, not by run-id string (ADVICE r7:
+        lexicographic order put ``run_9`` after ``run_10``). Pre-stamp
+        history rows (no ``appended_at``) order by run id among
+        themselves and before every stamped run — they are, by
+        construction, older."""
         hist = self.load()
         if hist is not None:
             # absolute-failure runs: no vote (bad data must not shape
             # the norm); drift-only failures were appended ok=True and
             # DO vote — see append()
             hist = hist.filter(F.col("ok"))
-            recent = sorted(
-                {
-                    r["run"]
-                    for r in hist.select("run").distinct().collect()
-                    if str(r["run"]) != run_id
-                }
-            )[-window:]
+            run_rows = (
+                hist.groupBy("run")
+                .agg(F.max("appended_at").alias("at"))
+                .collect()
+            )
+            recent = [
+                r["run"]
+                for r in sorted(
+                    (r for r in run_rows if str(r["run"]) != run_id),
+                    key=lambda r: (
+                        (1, r["at"])
+                        if r["at"] is not None
+                        else (0, str(r["run"]))
+                    ),
+                )
+            ][-window:]
             hist = (
                 hist.filter(F.col("run").isin(recent))
                 if recent
@@ -631,24 +674,25 @@ class MetricHistory:
     "dq_report",
     oracle="""
     WITH o AS (SELECT * FROM orders), c AS (SELECT * FROM customer)
-    SELECT rule, "column", metric, threshold,
+    SELECT scope, rule, "column", metric, threshold,
            metric >= threshold AS passed
     FROM (
-      SELECT 'completeness' AS rule, 'o_orderpriority' AS "column",
+      SELECT 'table' AS scope,
+             'completeness' AS rule, 'o_orderpriority' AS "column",
              CAST(round(coalesce(avg(CASE WHEN o_orderpriority IS NOT NULL
                                      THEN 1.0 ELSE 0.0 END), 1.0), 6)
                   AS DOUBLE) AS metric,
              CAST(1.0 AS DOUBLE) AS threshold
       FROM o
       UNION ALL
-      SELECT 'uniqueness', 'o_orderkey',
+      SELECT 'table', 'uniqueness', 'o_orderkey',
              CAST(round(coalesce(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
                                  / CAST(count(o_orderkey) AS DOUBLE), 1.0), 6)
                   AS DOUBLE),
              CAST(1.0 AS DOUBLE)
       FROM o
       UNION ALL
-      SELECT 'in_range', 'o_totalprice',
+      SELECT 'table', 'in_range', 'o_totalprice',
              CAST(round(coalesce(avg(CASE WHEN o_totalprice IS NULL THEN NULL
                                      WHEN o_totalprice BETWEEN 0 AND 600000
                                      THEN 1.0 ELSE 0.0 END), 1.0), 6)
@@ -656,7 +700,7 @@ class MetricHistory:
              CAST(1.0 AS DOUBLE)
       FROM o
       UNION ALL
-      SELECT 'in_range', 'o_totalprice',
+      SELECT 'table', 'in_range', 'o_totalprice',
              CAST(round(coalesce(avg(CASE WHEN o_totalprice IS NULL THEN NULL
                                      WHEN o_totalprice BETWEEN 0 AND 100000
                                      THEN 1.0 ELSE 0.0 END), 1.0), 6)
@@ -664,7 +708,7 @@ class MetricHistory:
              CAST(0.9 AS DOUBLE)
       FROM o
       UNION ALL
-      SELECT 'in_set', 'o_orderstatus',
+      SELECT 'table', 'in_set', 'o_orderstatus',
              CAST(round(coalesce(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
                                      WHEN o_orderstatus IN ('F','O','P')
                                      THEN 1.0 ELSE 0.0 END), 1.0), 6)
@@ -672,7 +716,7 @@ class MetricHistory:
              CAST(1.0 AS DOUBLE)
       FROM o
       UNION ALL
-      SELECT 'referential', 'o_custkey',
+      SELECT 'table', 'referential', 'o_custkey',
              CAST(round(coalesce(avg(CASE WHEN ref.c_custkey IS NOT NULL
                                      THEN 1.0 ELSE 0.0 END), 1.0), 6)
                   AS DOUBLE),
@@ -680,16 +724,38 @@ class MetricHistory:
       FROM (SELECT o_custkey FROM o WHERE o_custkey IS NOT NULL) fk
       LEFT JOIN (SELECT DISTINCT c_custkey FROM c) ref
         ON fk.o_custkey = ref.c_custkey
+      UNION ALL
+      SELECT 'status=' || o_orderstatus, 'completeness',
+             'o_orderpriority',
+             CAST(round(coalesce(avg(CASE WHEN o_orderpriority IS NOT NULL
+                                     THEN 1.0 ELSE 0.0 END), 1.0), 6)
+                  AS DOUBLE),
+             CAST(1.0 AS DOUBLE)
+      FROM o GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'status=' || o_orderstatus, 'in_range', 'o_totalprice',
+             CAST(round(coalesce(avg(CASE WHEN o_totalprice IS NULL THEN NULL
+                                     WHEN o_totalprice BETWEEN 0 AND 100000
+                                     THEN 1.0 ELSE 0.0 END), 1.0), 6)
+                  AS DOUBLE),
+             CAST(0.9 AS DOUBLE)
+      FROM o GROUP BY o_orderstatus
     ) t
     """,
 )
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: a 6-rule verification of the ``orders`` table —
+    """Driver entry: a 6-rule whole-table verification of ``orders`` —
     completeness, key uniqueness, two range rules (one passing, one
     deliberately binding at threshold 0.9 so `passed` is non-vacuous
     on real data), a domain rule, and FK integrity against
-    ``customer``. One scan + one FK join-aggregate regardless of rule
-    count — the Deequ shape."""
+    ``customer`` — PLUS the grouped half (r8, VERDICT r7 #4): the
+    completeness and binding-range rules re-run PER o_orderstatus
+    through :func:`run_checks_by` (one extra groupBy aggregate), so
+    per-source metric rows the whole-table scan can't express are
+    hash-checked too. ``scope`` distinguishes the lanes: ``table``
+    for whole-table rows, ``status=<s>`` for grouped ones. Still one
+    scan per lane + one FK join-aggregate regardless of rule count —
+    the Deequ shape."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     rules = [
@@ -700,11 +766,27 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_set("o_orderstatus", ["F", "O", "P"]),
         referential("o_custkey", c, "c_custkey"),
     ]
-    rep = run_checks(o, rules)
-    return rep.select(
+    rep = run_checks(o, rules).select(
+        F.lit("table").alias("scope"),
         "rule",
         "column",
         F.round("metric", 6).alias("metric"),
         "threshold",
         "passed",
     )
+    grouped = run_checks_by(
+        o,
+        [
+            completeness("o_orderpriority"),
+            in_range("o_totalprice", 0, 100000, threshold=0.9),
+        ],
+        by="o_orderstatus",
+    ).select(
+        F.concat(F.lit("status="), F.col("o_orderstatus")).alias("scope"),
+        "rule",
+        "column",
+        F.round("metric", 6).alias("metric"),
+        "threshold",
+        "passed",
+    )
+    return rep.unionByName(grouped)

@@ -45,9 +45,12 @@ from __future__ import annotations
 import json
 from collections import Counter
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..catalog import load_table
+from . import query
 
 #: end-of-word marker, appended to a word's final symbol (the
 #: subword-nmt "</w>" convention) so merges cannot cross word breaks
@@ -351,3 +354,116 @@ def tokenize_bpe(
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+#: fixed 16-merge table for the driver entry: the list `train_bpe`
+#: learns on the sf0.001 documents corpus, FROZEN as a literal so the
+#: Spark query and the DuckDB oracle apply the identical model at any
+#: scale factor (the entry checks APPLY, the distributed hot path;
+#: training is covered by tests/test_tokenizer.py's merge-for-merge
+#: parity against a naive reference). The chain an</w> → can</w> →
+#: scan</w> and co+lu (both sides themselves merge products) exercise
+#: the rank-ordered apply semantics, not just single-step merges.
+_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
+    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
+    ("a", "s"), ("t", "o"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
+
+
+@query(
+    "tokenize_bpe",
+    # The oracle replays BPE apply in pure SQL: each distinct word is a
+    # '|'-separated symbol string ('the' → '|t|h|e</w>|'; the corpus is
+    # ASCII with no '|', checked before freezing the representation),
+    # and each merge (a,b) is the string rewrite '|a|b|' → '|ab|'
+    # applied TO FIXPOINT in rank order via a recursive CTE. That
+    # sequential schedule equals the canonical lowest-rank-first apply:
+    # a merge's constituent symbols are producible only by EARLIER
+    # merges, so once rank k is at fixpoint no later merge can ever
+    # re-enable it; within one rank, leftmost-first pairing is exactly
+    # what left-to-right non-overlapping replace does (see
+    # test_tokenizer.py::test_sequential_fixpoint_equals_canonical).
+    # Token count = separators − 1; token string = separators → spaces.
+    oracle="""
+    WITH RECURSIVE
+    merges(rank, pat, rep) AS (VALUES
+      (0, '|e|r</w>|', '|er</w>|'),
+      (1, '|o|w</w>|', '|ow</w>|'),
+      (2, '|o|r|', '|or|'),
+      (3, '|l|u|', '|lu|'),
+      (4, '|i|n|', '|in|'),
+      (5, '|a|r|', '|ar|'),
+      (6, '|p|ar|', '|par|'),
+      (7, '|e|r|', '|er|'),
+      (8, '|a|s|', '|as|'),
+      (9, '|t|o|', '|to|'),
+      (10, '|a|t|', '|at|'),
+      (11, '|a|n</w>|', '|an</w>|'),
+      (12, '|c|an</w>|', '|can</w>|'),
+      (13, '|s|can</w>|', '|scan</w>|'),
+      (14, '|c|o|', '|co|'),
+      (15, '|co|lu|', '|colu|')
+    ),
+    dw AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               string_split_regex(lower(coalesce(text, '')),
+                                  '[ \\t\\n\\x0b\\f\\r]+') AS arr
+        FROM documents) t
+    ),
+    dwf AS (SELECT doc_id, pos, w FROM dw WHERE w <> ''),
+    uw AS (SELECT DISTINCT w FROM dwf),
+    init AS (
+      SELECT w,
+             '|' || array_to_string(string_split(w, ''), '|')
+                 || '</w>|' AS s,
+             0 AS i
+      FROM uw),
+    steps AS (
+      SELECT w, s, i FROM init
+      UNION ALL
+      SELECT st.w,
+             CASE WHEN replace(st.s, m.pat, m.rep) <> st.s
+                  THEN replace(st.s, m.pat, m.rep) ELSE st.s END,
+             CASE WHEN replace(st.s, m.pat, m.rep) <> st.s
+                  THEN st.i ELSE st.i + 1 END
+      FROM steps st JOIN merges m ON m.rank = st.i
+      WHERE st.i < 16),
+    tok AS (
+      SELECT w,
+             length(s) - length(replace(s, '|', '')) - 1 AS n_toks,
+             replace(trim(s, '|'), '|', ' ') AS tok_str
+      FROM steps WHERE i = 16),
+    agg AS (
+      SELECT d.doc_id,
+             sum(t.n_toks) AS n_tokens,
+             string_agg(t.tok_str, ' ' ORDER BY d.pos) AS token_str
+      FROM dwf d JOIN tok t ON d.w = t.w
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.token_str, '') AS token_str
+    FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+    """,
+)
+def tokenize_bpe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 under the driver oracle (VERDICT r7 #6): apply the frozen
+    16-merge BPE model to every document through the REAL distributed
+    apply path — broadcast merge table, Arrow-batched mapInPandas,
+    per-distinct-word memoization — and emit each doc's exact token
+    count plus the full space-joined token string, so the value hash
+    pins every subword boundary of every document, not just the
+    counts. The DuckDB twin replays the merge table as rank-ordered
+    fixpoint string rewrites over the same '|'-separated symbol
+    representation (equivalence argument in the oracle comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = BPEModel(_FIXED_MERGES, {"frozen_driver_model": True})
+    out = tokenize_bpe(docs.select("doc_id", "text"), model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("token_str"),
+    )

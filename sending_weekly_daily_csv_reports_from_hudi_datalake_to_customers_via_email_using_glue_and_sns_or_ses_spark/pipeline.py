@@ -77,18 +77,29 @@ def run_pipeline(
 
         # persist across gate + CSV write: the gate's aggregate is an
         # action, and without the persist the full transform (every
-        # source join) would execute twice per run
+        # source join) would execute twice per run. The unpersist is in
+        # a finally: DataQualityError is the DESIGNED exit path here,
+        # and without it the persisted frame would leak for the
+        # application lifetime on every gated failure (ADVICE r7)
         result = result.persist()
-        # raises DataQualityError BEFORE any write/delivery/checkpoint
-        expect(result, config.quality_rules)
-    report_path = write_csv_report(
-        result,
-        config.report_base,
-        report_id=config.report_id,
-        single_file=config.single_file,
-    )
-    if config.quality_rules:
-        result.unpersist()  # both consumers (gate, CSV) are done
+        try:
+            # raises DataQualityError BEFORE any write/delivery/checkpoint
+            expect(result, config.quality_rules)
+            report_path = write_csv_report(
+                result,
+                config.report_base,
+                report_id=config.report_id,
+                single_file=config.single_file,
+            )
+        finally:
+            result.unpersist()  # gate + CSV consumed it (or one raised)
+    else:
+        report_path = write_csv_report(
+            result,
+            config.report_base,
+            report_id=config.report_id,
+            single_file=config.single_file,
+        )
     email = deliver_report(
         report_path,
         config.recipients,
@@ -323,8 +334,11 @@ def run_maintained_report(
         finally:
             report.unpersist()
         if bad:
+            # DQRule.name (not rule(column)): min_rows has no column
+            # and would print "min_rows(None)" in the abort message
             lines = ", ".join(
-                f"{r['rule']}({r['column']}) metric={r['metric']:.6f}"
+                f"{config.quality_rules[r['rule_seq']].name} "
+                f"metric={r['metric']:.6f}"
                 + (
                     f" drifted from {r['baseline']:.6f}"
                     if "drifted" in r.__fields__ and r["drifted"]

@@ -102,6 +102,17 @@ def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
     if data_schema is not None:
         from pyspark.sql.types import LongType, StructField, StructType
 
+        if "c" in data_schema.fieldNames():
+            # the log layout reserves `c` for its commit partition dir
+            # (log/c=<id>/); a data column of the same name would make
+            # the schema duplicate-field and the rename below ambiguous
+            # (ADVICE r7) — refuse loudly instead
+            raise ValueError(
+                f"{root}: table data schema contains a column named 'c', "
+                "which collides with the commit-log partition column "
+                "(log/c=<commit>/) — rename the data column before "
+                "writing this table"
+            )
         # the partition-dir column is appended by the source, typed as
         # it parses (int64 for the numeric commit ids)
         reader = reader.schema(

@@ -79,6 +79,17 @@ def stream_incremental(
     # the raw layout, so it wants data fields + c(long) pre-rename.
     batch = read_commit_log(spark, root)
     data_fields = [f for f in batch.schema.fields if f.name != COMMIT_COL]
+    if "c" in (f.name for f in data_fields):
+        # read_commit_log catches this for schema-recorded tables; this
+        # guard covers inferred-schema vintages too (ADVICE r7: a data
+        # column named 'c' collides with the log's partition dir and
+        # makes the rename below ambiguous)
+        raise ValueError(
+            f"{root}: table data schema contains a column named 'c', "
+            "which collides with the commit-log partition column "
+            "(log/c=<commit>/) — rename the data column before "
+            "streaming this table"
+        )
     reader = (
         spark.readStream.schema(
             StructType(data_fields + [StructField("c", LongType())])

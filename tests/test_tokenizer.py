@@ -204,3 +204,52 @@ def test_count_only_mode_matches_array_mode(spark):
     assert "tokens" not in lean.columns
     got = {r["doc_id"]: r["n_tokens"] for r in lean.collect()}
     assert got == full
+
+
+def _sequential_fixpoint(word, merges):
+    """The DuckDB oracle's schedule, replicated: each merge in rank
+    order, applied as a left-to-right non-overlapping string rewrite
+    over the '|'-separated symbol representation, REPEATED to fixpoint
+    before the next rank."""
+    s = "|" + "|".join(word) + EOW + "|"
+    for a, b in merges:
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        while True:
+            nxt = s.replace(pat, rep)
+            if nxt == s:
+                break
+            s = nxt
+    return s.strip("|").split("|")
+
+
+def test_sequential_fixpoint_equals_canonical():
+    """The tokenize_bpe driver oracle applies merges sequentially (rank
+    order, fixpoint per rank); the engine applies lowest-rank-first.
+    They coincide because a merge's constituents are producible only by
+    EARLIER merges — pinned here over the frozen driver merge table on
+    every corpus word plus adversarial shapes (overlap runs, the
+    an</w>→can</w>→scan</w> chain, co+lu whose BOTH sides are merge
+    products)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.tokenizer import (
+        _FIXED_MERGES,
+    )
+
+    words = [
+        "scan", "scans", "colu", "column", "columns", "parquet",
+        "order", "window", "aaa", "aaaa", "ererer", "tototo",
+        "ow", "owow", "w", "x", "inin", "partition", "scancan",
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT string_split(lower(text), ' ') FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "LIMIT 100"
+    ).fetchall()
+    corpus_words = sorted({w for (ws,) in docs for w in ws if w})
+    model = BPEModel(_FIXED_MERGES, {})
+    for w in words + corpus_words:
+        assert _sequential_fixpoint(w, _FIXED_MERGES) == model.encode_word(
+            w
+        ), w
