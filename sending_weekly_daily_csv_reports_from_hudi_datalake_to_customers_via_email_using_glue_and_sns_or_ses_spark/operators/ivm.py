@@ -442,13 +442,28 @@ class MaintainedAggregate:
         (e.g. a cleaned-away as-of snapshot) out of clean runs. Dirty
         groups with ``base=None`` raise rather than publish a
         possibly-stale extremum."""
-        if through is not None:
-            seen = self.through()
-            if seen is not None and through <= seen:
-                return False
+        if not self._fresh(through):
+            return False
         delta = cdc_agg_delta(
             cdc_window, self.group_cols, self.sum_cols, self.minmax_cols
         )
+        self._fold(delta, through, base)
+        return True
+
+    def _fresh(self, through) -> bool:
+        """True when ``through`` advances past the published token —
+        i.e. the window has NOT been applied yet (the redelivery
+        guard); tokenless applies are always fresh."""
+        if through is None:
+            return True
+        seen = self.through()
+        return seen is None or through > seen
+
+    def _fold(self, delta: DataFrame, through, base) -> None:
+        """Merge one aggregate delta into the stored view and publish —
+        including the MIN/MAX dirty-group protocol (see
+        :func:`merge_agg_delta`). Shared by the single-table and
+        delta-join apply paths."""
         merged = merge_agg_delta(
             self.current(),
             delta,
@@ -458,7 +473,7 @@ class MaintainedAggregate:
         )
         if not self.minmax_cols:
             self._publish(merged, through)
-            return True
+            return
         merged = merged.persist()
         try:
             is_dirty = F.col(DIRTY_COL)
@@ -467,11 +482,11 @@ class MaintainedAggregate:
                 final = merged.drop(DIRTY_COL)
             elif base is None:
                 raise ValueError(
-                    "MaintainedAggregate.apply: a retraction threatens a "
-                    "maintained MIN/MAX (dirty groups exist) but no `base` "
-                    "snapshot was supplied — MIN/MAX are not "
-                    "self-maintainable under deletes; pass the source "
-                    "snapshot as of the window end"
+                    f"{type(self).__name__}.apply: a retraction threatens "
+                    "a maintained MIN/MAX (dirty groups exist) but no "
+                    "`base` snapshot was supplied — MIN/MAX are not "
+                    "self-maintainable under deletes; pass the view's "
+                    "source state as of the window end"
                 )
             else:
                 mm_out = [
@@ -495,7 +510,6 @@ class MaintainedAggregate:
             self._publish(final, through)
         finally:
             merged.unpersist()
-        return True
 
     def rebuild(
         self, source_snapshot: DataFrame, through: str | None = None
@@ -541,3 +555,326 @@ class MaintainedAggregate:
                     shutil.rmtree(
                         os.path.join(self.path, name), ignore_errors=True
                     )
+
+
+#: CDC-frame meta columns (everything else at top level is the record key)
+_CDC_META = ("_commit_time", "_change_op", "_before", "_after")
+
+
+def _cdc_key_col(win: DataFrame) -> str:
+    """The record-key column of a KeyedTable.cdc() frame — the one
+    top-level column that isn't CDC metadata."""
+    keys = [c for c in win.columns if c not in _CDC_META]
+    if len(keys) != 1:
+        raise ValueError(
+            f"not a KeyedTable CDC frame (key columns: {keys}; expected "
+            f"exactly one beside {_CDC_META})"
+        )
+    return keys[0]
+
+
+def signed_cdc_rows(win: DataFrame, needed: list[str]) -> DataFrame:
+    """A CDC window as SIGNED CONTRIBUTION ROWS: each change row
+    contributes its −before and +after images with the ``needed``
+    columns surfaced (payload-struct fields, or the top-level record
+    key — a delete's after image is NULL, so its key is only reachable
+    there), plus :data:`SIGN_COL`. The plain-row currency both
+    delta-join terms trade in."""
+    key = _cdc_key_col(win)
+    struct_fields = set(win.schema["_after"].dataType.fieldNames())
+    missing = [c for c in needed if c != key and c not in struct_fields]
+    if missing:
+        raise ValueError(
+            f"signed_cdc_rows: columns {missing} neither the record key "
+            f"({key!r}) nor payload fields ({sorted(struct_fields)})"
+        )
+    sides = []
+    for img, sign in (("_before", -1), ("_after", 1)):
+        sides.append(
+            win.filter(F.col(img).isNotNull()).select(
+                *[
+                    (F.col(key) if c == key else F.col(img)[c]).alias(c)
+                    for c in needed
+                ],
+                F.lit(sign).alias(SIGN_COL),
+            )
+        )
+    return sides[0].unionByName(sides[1])
+
+
+class MaintainedJoinAggregate(MaintainedAggregate):
+    """A maintained grouped aggregate over an N:1 EQUI-JOIN of two
+    KeyedTables — the reference's actual report query (orders ⋈
+    customers, template.py:485-490) kept in sync by CDC windows from
+    BOTH sides, never re-running the join over the fact table.
+
+    Delta-join maintenance (the Gupta-Mumick recipe completed for
+    joins; signed multiset algebra): with F₁ = F₀ + ΔF and
+    D₁ = D₀ + ΔD,
+
+        F₁⋈D₁ − F₀⋈D₀ = ΔF⋈D₁ + F₀⋈ΔD
+
+    exactly (expand (F₀+ΔF)⋈(D₀+ΔD) and substitute D₁ = D₀+ΔD in the
+    ΔF term). Each term materializes as signed contribution rows:
+
+    * **fact term** ΔF⋈D₁: the fact window's ±images joined to the
+      dimension state at the NEW dim instant — O(changed fact rows),
+      with the small signed side broadcast under AQE;
+    * **dim term** F₀⋈ΔD: the fact snapshot at the OLD fact instant
+      joined to the dim window's ±images — O(fact rows matching
+      changed dim keys): the join against the tiny ±key set broadcasts
+      and prunes, and on a join-key-partitioned/bucketed fact layout
+      it's a touched-files read, never a table scan. Skipped entirely
+      when the dim window is empty — the common
+      dims-change-rarely schedule never reads the fact table.
+
+    Both feed the same :func:`signed_agg_delta` →
+    :func:`merge_agg_delta` fold as the single-table view, including
+    the MIN/MAX dirty-group protocol (recompute ``base`` = the JOINED
+    state as of the new instants, semi-join-pruned to dirty groups).
+
+    Requirements: the dimension's record key IS the join key (N:1 —
+    at most one dim row per key, the star-schema shape), and the
+    needed column names are disjoint across sides (TPC-H style o_*/c_*
+    prefixes; ambiguous names raise). Inner-join semantics: fact rows
+    without a dim match contribute nothing until the dim key appears —
+    at which point the dim term adds them, keyed through F₀⋈ΔD.
+
+    Exactly-once: the ``through`` token is the PAIR
+    ``{"fact": instant, "dim": instant}``; a window is a redelivery
+    only when BOTH components are at or below the published pair.
+    One side redelivered while the other advances is a protocol
+    violation (the fold would double-count) and raises — the
+    coordinated-reader pattern in ``run_maintained_join_report``
+    (pipeline.py) can't produce it.
+
+    Reference parity: template.py:485-490 recomputes this join per
+    nightly run over the full tables; at 100 TB this class makes the
+    same report O(changed rows) per run."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        on: str | tuple[str, str],
+        group_cols: list[str],
+        sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+    ):
+        super().__init__(spark, path, group_cols, sum_cols, minmax_cols)
+        self.fact_on, self.dim_on = (
+            (on, on) if isinstance(on, str) else (on[0], on[1])
+        )
+
+    # -- token pair -----------------------------------------------------
+    @staticmethod
+    def _covered(new, old) -> bool:
+        return new is None or (old is not None and new <= old)
+
+    def _check_pair(self, through, fact_win, dim_win) -> bool:
+        """The pair-token redelivery guard. False = the WHOLE pair is
+        already applied (no-op). A side whose token is covered may be
+        CARRIED FORWARD (its window is None — the quiescent-side case),
+        but folding an actual window for a covered side double-counts
+        it, and advancing a side's token with NO window to fold would
+        mark commits applied that never were — both raise."""
+        if through is None:
+            return True
+        seen = self.through()
+        if seen is None:
+            return True
+        f_cov = self._covered(through.get("fact"), seen.get("fact"))
+        d_cov = self._covered(through.get("dim"), seen.get("dim"))
+        if f_cov and d_cov:
+            return False
+        for cov, win, side in (
+            (f_cov, fact_win, "fact"),
+            (d_cov, dim_win, "dim"),
+        ):
+            if cov and win is not None:
+                raise ValueError(
+                    "MaintainedJoinAggregate.apply: the view already "
+                    f"covers the {side} side of the pair (seen={seen}, "
+                    f"new={through}) but a {side} window was supplied — "
+                    "folding it would double-count; realign the reader "
+                    f"(read with after=view.through()['{side}'])"
+                )
+            if not cov and win is None:
+                raise ValueError(
+                    "MaintainedJoinAggregate.apply: the through pair "
+                    f"advances the {side} side (seen={seen}, "
+                    f"new={through}) with NO {side} window to fold — "
+                    "publishing the token would mark commits applied "
+                    "that never were"
+                )
+        return True
+
+    # -- the delta-join fold ----------------------------------------------
+    def apply(
+        self,
+        fact_win: DataFrame | None,
+        dim_win: DataFrame | None,
+        *,
+        dim_state=None,  # DataFrame | () -> DataFrame; as of NEW dim instant
+        fact_base=None,  # DataFrame | () -> DataFrame; as of OLD fact instant
+        through: dict | None = None,
+        base=None,  # joined state as of the new pair (MIN/MAX recompute)
+    ) -> bool:
+        """Fold one coordinated window pair into the aggregate and
+        publish. Either window may be None (that side had no new
+        commits). Returns False (no-op) when ``through`` shows the
+        pair was already applied.
+
+        ``dim_state`` (required with a fact window): the dimension
+        snapshot AS OF the pair's dim instant — the D₁ the fact term
+        joins. ``fact_base`` (required with a dim window, unless the
+        fact side is at genesis): the fact snapshot AS OF the pair's
+        PREVIOUS fact instant — the F₀ the dim term joins. Both accept
+        zero-arg callables evaluated only if their term runs, so e.g.
+        a fact-only window never constructs the fact time-travel
+        read."""
+        if not self._check_pair(through, fact_win, dim_win):
+            return False
+        if fact_win is None and dim_win is None:
+            return False
+        needed = list(
+            dict.fromkeys(
+                list(self.group_cols)
+                + list(self.sum_cols)
+                + list(self.minmax_cols)
+            )
+        )
+        seen = self.through() or {}
+        terms: list[DataFrame] = []
+
+        if fact_win is not None:
+            ds = dim_state() if callable(dim_state) else dim_state
+            if ds is None:
+                raise ValueError(
+                    "apply with a fact window needs dim_state — the "
+                    "dimension snapshot as of the pair's dim instant"
+                )
+            fact_fields = set(
+                fact_win.schema["_after"].dataType.fieldNames()
+            ) | {_cdc_key_col(fact_win)}
+            dim_fields = set(ds.columns)
+            f_needed = self._side_cols(needed, fact_fields, dim_fields)
+            d_needed = [c for c in needed if c not in f_needed]
+            signed_f = signed_cdc_rows(
+                fact_win, list(dict.fromkeys(f_needed + [self.fact_on]))
+            )
+            dsel = ds.select(
+                F.col(self.dim_on).alias("__jk"), *d_needed
+            )
+            terms.append(
+                signed_f.join(
+                    dsel, F.col(self.fact_on) == F.col("__jk"), "inner"
+                ).select(*needed, SIGN_COL)
+            )
+
+        if dim_win is not None:
+            fb = fact_base() if callable(fact_base) else fact_base
+            if fb is None:
+                if seen.get("fact") is not None:
+                    raise ValueError(
+                        "apply with a dim window needs fact_base — the "
+                        "fact snapshot as of the pair's PREVIOUS fact "
+                        f"instant ({seen.get('fact')}); only a fact side "
+                        "at genesis (no commits consumed yet) may omit it"
+                    )
+                # genesis: F₀ is empty, the dim term contributes nothing
+            else:
+                dim_fields = set(
+                    dim_win.schema["_after"].dataType.fieldNames()
+                ) | {_cdc_key_col(dim_win)}
+                fact_fields = set(fb.columns)
+                f_needed = self._side_cols(
+                    needed, fact_fields, dim_fields
+                )
+                d_needed = [c for c in needed if c not in f_needed]
+                signed_d = signed_cdc_rows(
+                    dim_win, list(dict.fromkeys([self.dim_on] + d_needed))
+                ).select(
+                    F.col(self.dim_on).alias("__jk"),
+                    *d_needed,
+                    SIGN_COL,
+                )
+                fbsel = fb.select(
+                    *dict.fromkeys([self.fact_on] + f_needed)
+                )
+                terms.append(
+                    fbsel.join(
+                        signed_d,
+                        F.col(self.fact_on) == F.col("__jk"),
+                        "inner",
+                    ).select(*needed, SIGN_COL)
+                )
+
+        if not terms:
+            # dim-window-at-fact-genesis only: F₀ is empty so the state
+            # is unchanged. Advance the token when there is a view to
+            # stamp it on; with no view yet, NOT advancing is safe —
+            # a re-offered pair re-folds the same nothing (vacuously
+            # idempotent), and the first fact window will seed state.
+            cur = self.current()
+            if cur is not None:
+                self._publish(cur, through)
+            return True
+
+        contrib = terms[0]
+        for t in terms[1:]:
+            contrib = contrib.unionByName(t)
+        delta = signed_agg_delta(
+            contrib, self.group_cols, self.sum_cols, self.minmax_cols
+        )
+        self._fold(delta, through, base)
+        return True
+
+    def joined(self, fact_snap: DataFrame, dim_snap: DataFrame) -> DataFrame:
+        """The view's source join over two SNAPSHOTS, projected to the
+        maintained columns — the frame :meth:`rebuild` seeds from and
+        the MIN/MAX recompute ``base`` is built from (both callers pass
+        time-travel-pinned snapshots so the state is the pair's, not
+        'latest')."""
+        needed = list(
+            dict.fromkeys(
+                list(self.group_cols)
+                + list(self.sum_cols)
+                + list(self.minmax_cols)
+            )
+        )
+        f_needed = self._side_cols(
+            needed, set(fact_snap.columns), set(dim_snap.columns)
+        )
+        return fact_snap.join(
+            dim_snap,
+            fact_snap[self.fact_on] == dim_snap[self.dim_on],
+            "inner",
+        ).select(
+            *[
+                (fact_snap[c] if c in f_needed else dim_snap[c]).alias(c)
+                for c in needed
+            ]
+        )
+
+    def _side_cols(self, needed, fact_fields, dim_fields) -> list[str]:
+        """Classify each needed column to exactly one join side (the
+        fact-side subset is returned; the rest is dim-side)."""
+        fact_side = []
+        for c in needed:
+            in_f, in_d = c in fact_fields, c in dim_fields
+            if in_f and in_d:
+                raise ValueError(
+                    f"column {c!r} exists on BOTH join sides — rename "
+                    "one (the maintained columns must be unambiguous)"
+                )
+            if not in_f and not in_d:
+                raise ValueError(
+                    f"column {c!r} found on NEITHER join side "
+                    f"(fact: {sorted(fact_fields)}, "
+                    f"dim: {sorted(dim_fields)})"
+                )
+            if in_f:
+                fact_side.append(c)
+        return fact_side
+

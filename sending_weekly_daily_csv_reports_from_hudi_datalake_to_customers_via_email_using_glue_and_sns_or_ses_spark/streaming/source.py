@@ -103,3 +103,92 @@ def stream_incremental(
         .withColumnRenamed("c", COMMIT_COL)
         .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
     )
+
+
+def stream_cdc(
+    spark: SparkSession,
+    root: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CDC-mode streaming source over a KeyedTable root (r8, VERDICT r7
+    #2): ``stream_incremental`` delivers upsert rows only — deletes
+    were invisible to streaming consumers (the documented contract
+    above). But the tombstone dir is itself an append-only file stream
+    (every delete commit writes its dropped keys under
+    ``tombstones/c=<id>/``), so the op stream is two file sources
+    unioned:
+
+    * **upsert lane**: the commit log, each row tagged
+      ``_change_op = 'u'`` — the log row's payload (the incoming
+      merged batch), NOT the key's post-merge state: a streamed 'u'
+      whose row loses the precombine merge downstream is a no-op
+      there, exactly as it was here;
+    * **delete lane**: the tombstone log, each dropped key tagged
+      ``_change_op = 'd'`` with every non-key data column NULL.
+
+    Output schema: the table's data columns + ``_commit_time`` +
+    ``_change_op``. Consumers sequence by ``_commit_time`` within each
+    microbatch (commit ids are totally ordered) and apply upserts via
+    the precombine merge, deletes by key — the log-shipping replica
+    recipe; ``tests/test_streaming.py`` pins replica-state parity and
+    op-set parity against batch ``KeyedTable.cdc`` windows.
+
+    Same phantom caveat as ``stream_incremental`` (tombstones are
+    written before the pointer flip, so a crashed delete's orphan keys
+    can stream until the next transaction reaps them), same
+    exactly-once file tracking via the caller's checkpointLocation,
+    and the same ``maxFilesPerTrigger`` backlog bound per lane.
+
+    Vintage: tables whose deletes predate the tombstone log (early-r7)
+    stream those deletes as nothing — consume batch ``CDCReader``
+    windows for them instead (its snapshot-diff fallback covers the
+    old vintage)."""
+    from ..sinks.upsert import KeyedTable  # late: avoids cycle
+
+    table = KeyedTable.open(spark, root)
+    key = table.record_key
+    up = stream_incremental(spark, root, max_files_per_trigger).withColumn(
+        "_change_op", F.lit("u")
+    )
+    data_fields = [
+        f
+        for f in up.schema.fields
+        if f.name not in (COMMIT_COL, "_change_op")
+    ]
+    if key not in (f.name for f in data_fields):
+        raise ValueError(
+            f"{root}: record key {key!r} not in the log schema "
+            f"({[f.name for f in data_fields]}) — not a KeyedTable log"
+        )
+    ts_dir = os.path.join(root, "tombstones")
+    # the glob below must resolve from stream start even on a table
+    # that has never deleted (the dir appears with the first delete,
+    # but a STREAMING plan cannot add a source later) — materializing
+    # the empty layout dir is metadata-only and changes no table state
+    os.makedirs(ts_dir, exist_ok=True)
+    treader = spark.readStream.schema(
+        StructType(
+            [f for f in data_fields if f.name == key]
+            + [StructField("c", LongType())]
+        )
+    ).option("basePath", ts_dir)
+    if max_files_per_trigger is not None:
+        treader = treader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deletes = (
+        treader.parquet(os.path.join(ts_dir, "c=*"))
+        .withColumnRenamed("c", COMMIT_COL)
+        .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
+        .select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name == key
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in data_fields
+            ],
+            F.col(COMMIT_COL),
+            F.lit("d").alias("_change_op"),
+        )
+    )
+    return up.unionByName(deletes)

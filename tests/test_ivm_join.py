@@ -1,0 +1,350 @@
+"""Delta-join view maintenance (operators/ivm.py,
+MaintainedJoinAggregate): a grouped aggregate over fact ⋈ dim kept in
+sync from BOTH tables' CDC windows must equal a direct recompute of the
+join after every coordinated window pair — fact churn, dimension
+attribute churn (group migration through the dim side), deletes on
+either side, NULL measures, and unmatched fact keys included.
+
+The maintained query is the reference's actual report shape: orders ⋈
+customers with customer attributes projected in (template.py:485-490).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+    MaintainedJoinAggregate,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+    KeyedTable,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+    CDCReader,
+)
+
+FACT_SCHEMA = "fk int, fpre int, jk int, famount long"
+DIM_SCHEMA = "jk int, dpre int, grp string"
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, FACT_SCHEMA)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def _joined(fact_t: KeyedTable, dim_t: KeyedTable, f_asof=None, d_asof=None):
+    fs, ds = fact_t.snapshot(as_of=f_asof), dim_t.snapshot(as_of=d_asof)
+    if fs is None or ds is None:
+        return None
+    return fs.join(ds, fs["jk"] == ds["jk"], "inner").select(
+        ds["grp"], fs["famount"]
+    )
+
+
+def _recompute(fact_t, dim_t):
+    j = _joined(fact_t, dim_t)
+    if j is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_famount"], r["min_famount"],
+         r["max_famount"])
+        for r in j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("famount").alias("sum_famount"),
+            F.min("famount").alias("min_famount"),
+            F.max("famount").alias("max_famount"),
+        )
+        .collect()
+    )
+
+
+def _maintained(df):
+    if df is None:
+        return []
+    return sorted(
+        (r["grp"], r["n_rows"], r["sum_famount"], r["min_famount"],
+         r["max_famount"])
+        for r in df.collect()
+    )
+
+
+def _make(spark, tmp_path, tag):
+    fact_t = KeyedTable(
+        spark, str(tmp_path / f"fact{tag}"), record_key="fk",
+        precombine="fpre", keep_versions=25,
+    )
+    dim_t = KeyedTable(
+        spark, str(tmp_path / f"dim{tag}"), record_key="jk",
+        precombine="dpre", keep_versions=25,
+    )
+    f_reader = CDCReader(
+        spark, f"fact{tag}", fact_t.root,
+        checkpoint_root=str(tmp_path / f"ckf{tag}"),
+    )
+    d_reader = CDCReader(
+        spark, f"dim{tag}", dim_t.root,
+        checkpoint_root=str(tmp_path / f"ckd{tag}"),
+    )
+    view = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / f"view{tag}"),
+        on=("jk", "jk"),
+        group_cols=["grp"],
+        sum_cols=["famount"],
+        minmax_cols=["famount"],
+    )
+    return fact_t, dim_t, f_reader, d_reader, view
+
+
+def _run_pair(view, fact_t, dim_t, f_reader, d_reader):
+    """One coordinated maintenance run — the run_maintained_join_report
+    protocol in miniature: windows start at max(checkpoint, view
+    through), through is the instant PAIR, snapshots are time-travel
+    pinned to the pair (never 'latest')."""
+    seen = view.through() or {}
+    f_win = f_reader.read(after=seen.get("fact"))
+    d_win = d_reader.read(after=seen.get("dim"))
+    f_end = f_reader.staged_end() or seen.get("fact")
+    d_end = d_reader.staged_end() or seen.get("dim")
+    if f_win is None and d_win is None:
+        f_reader.commit()
+        d_reader.commit()
+        return False
+    f_prev = seen.get("fact")
+    view.apply(
+        f_win,
+        d_win,
+        dim_state=lambda: dim_t.snapshot(as_of=d_end),
+        fact_base=(
+            (lambda: fact_t.snapshot(as_of=f_prev)) if f_prev else None
+        ),
+        through={"fact": f_end, "dim": d_end},
+        base=lambda: _joined(fact_t, dim_t, f_asof=f_end, d_asof=d_end),
+    )
+    f_reader.commit()
+    d_reader.commit()
+    return True
+
+
+def test_join_ivm_tracks_recompute_over_random_history(spark, tmp_path):
+    """Property: after every coordinated window pair the maintained
+    join aggregate equals a full fact⋈dim recompute — random interleaved
+    fact/dim upserts and deletes, dim attribute churn (group migration
+    via the DIM side), NULL measures, unmatched fact keys (jk beyond the
+    dim domain), heavy precombine collisions."""
+    rng = random.Random(13)
+    fact_t, dim_t, f_reader, d_reader, view = _make(spark, tmp_path, "r")
+    # seed the dimension (genesis pair: dim-only window at fact genesis)
+    dim_t.upsert(_dim(spark, [(j, 0, rng.choice("xyz")) for j in range(6)]))
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    assert _maintained(view.current()) == _recompute(fact_t, dim_t) == []
+
+    for step in range(8):
+        roll = rng.random()
+        if roll < 0.45:  # fact churn (inserts + updates)
+            fact_t.upsert(
+                _fact(
+                    spark,
+                    [
+                        (
+                            rng.randrange(12),
+                            step * 100 + i,
+                            rng.randrange(8),  # jk 6,7 unmatched
+                            None
+                            if rng.random() < 0.2
+                            else rng.randrange(-50, 500),
+                        )
+                        for i in range(rng.randrange(2, 6))
+                    ],
+                )
+            )
+        elif roll < 0.65:  # dim attribute churn → group migrations
+            dim_t.upsert(
+                _dim(
+                    spark,
+                    [
+                        (rng.randrange(6), step * 100 + i, rng.choice("xyz"))
+                        for i in range(rng.randrange(1, 4))
+                    ],
+                )
+            )
+        elif roll < 0.8 and fact_t.latest_commit():  # fact deletes
+            keys = [r["fk"] for r in fact_t.snapshot().select("fk").collect()]
+            if keys:
+                fact_t.delete(
+                    spark.createDataFrame(
+                        [(k,) for k in rng.sample(keys, max(1, len(keys) // 3))],
+                        "fk int",
+                    )
+                )
+        else:  # dim deletes: every matched fact row leaves the view
+            keys = [r["jk"] for r in dim_t.snapshot().select("jk").collect()]
+            if keys:
+                dim_t.delete(
+                    spark.createDataFrame(
+                        [(k,) for k in rng.sample(keys, 1)], "jk int"
+                    )
+                )
+        _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+        assert _maintained(view.current()) == _recompute(fact_t, dim_t), (
+            f"diverged at step {step}"
+        )
+
+
+def test_join_ivm_dim_term_group_migration(spark, tmp_path):
+    """The F₀⋈ΔD path in isolation: a dimension attribute update must
+    migrate every matching fact row between groups without any fact
+    window — the case the r7 single-table view could only rebuild()
+    for."""
+    fact_t, dim_t, f_reader, d_reader, view = _make(spark, tmp_path, "m")
+    dim_t.upsert(_dim(spark, [(1, 0, "x"), (2, 0, "y")]))
+    fact_t.upsert(
+        _fact(spark, [(10, 0, 1, 100), (11, 0, 1, 7), (12, 0, 2, 50)])
+    )
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    assert _maintained(view.current()) == [
+        ("x", 2, 107, 7, 100),
+        ("y", 1, 50, 50, 50),
+    ]
+    # dim-only window: jk=1 migrates x → y (both its fact rows move)
+    dim_t.upsert(_dim(spark, [(1, 1, "y")]))
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    assert (
+        _maintained(view.current())
+        == _recompute(fact_t, dim_t)
+        == [("y", 3, 157, 7, 100)]
+    )
+
+
+def test_join_ivm_dim_delete_and_reappear(spark, tmp_path):
+    """Deleting a dim key retracts all its fact matches (inner-join
+    semantics); re-inserting it brings them back — both through the
+    dim term, no fact window involved."""
+    fact_t, dim_t, f_reader, d_reader, view = _make(spark, tmp_path, "d")
+    dim_t.upsert(_dim(spark, [(1, 0, "x"), (2, 0, "x")]))
+    fact_t.upsert(_fact(spark, [(10, 0, 1, 5), (11, 0, 2, 9)]))
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    dim_t.delete(spark.createDataFrame([(1,)], "jk int"))
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    assert (
+        _maintained(view.current())
+        == _recompute(fact_t, dim_t)
+        == [("x", 1, 9, 9, 9)]
+    )
+    dim_t.upsert(_dim(spark, [(1, 1, "z")]))  # reappears in a new group
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+    assert (
+        _maintained(view.current())
+        == _recompute(fact_t, dim_t)
+        == [("x", 1, 9, 9, 9), ("z", 1, 5, 5, 5)]
+    )
+
+
+def test_join_ivm_exactly_once_pair_token(spark, tmp_path):
+    """Redelivering the SAME pair is a guarded no-op; a pair with one
+    side covered and the other advancing raises (partial redelivery
+    would double-count the covered side)."""
+    fact_t, dim_t, f_reader, d_reader, view = _make(spark, tmp_path, "t")
+    dim_t.upsert(_dim(spark, [(1, 0, "x")]))
+    fact_t.upsert(_fact(spark, [(10, 0, 1, 5)]))
+    f_win = f_reader.read()
+    d_win = d_reader.read()
+    pair = {"fact": f_reader.staged_end(), "dim": d_reader.staged_end()}
+    assert view.apply(
+        f_win, d_win, dim_state=dim_t.snapshot(), through=pair
+    )
+    # crash before the readers commit: same pair redelivered → no-op
+    f_win2, d_win2 = f_reader.read(), d_reader.read()
+    assert (
+        view.apply(f_win2, d_win2, dim_state=dim_t.snapshot(), through=pair)
+        is False
+    )
+    f_reader.commit()
+    d_reader.commit()
+    assert _maintained(view.current()) == [("x", 1, 5, 5, 5)]
+    # partial redelivery: fact side already covered, dim advances
+    dim_t.upsert(_dim(spark, [(1, 1, "y")]))
+    d_win3 = d_reader.read()
+    bad = {"fact": pair["fact"], "dim": d_reader.staged_end()}
+    with pytest.raises(ValueError, match="double-count"):
+        view.apply(
+            f_win2,  # a fact window whose instants the view already folded
+            d_win3,
+            dim_state=dim_t.snapshot(),
+            fact_base=fact_t.snapshot(as_of=pair["fact"]),
+            through=bad,
+        )
+
+
+def test_join_ivm_lazy_snapshots(spark, tmp_path):
+    """dim_state is not constructed on a dim-only window; fact_base is
+    not constructed on a fact-only window (each term's time-travel read
+    happens only when that term runs)."""
+    fact_t, dim_t, f_reader, d_reader, view = _make(spark, tmp_path, "l")
+    dim_t.upsert(_dim(spark, [(1, 0, "x")]))
+    fact_t.upsert(_fact(spark, [(10, 0, 1, 5)]))
+    _run_pair(view, fact_t, dim_t, f_reader, d_reader)
+
+    def explode():
+        raise AssertionError("lazily-guarded snapshot was constructed")
+
+    # fact-only window: fact_base must not be touched
+    fact_t.upsert(_fact(spark, [(11, 1, 1, 6)]))
+    f_win = f_reader.read(after=(view.through() or {}).get("fact"))
+    seen = view.through()
+    view.apply(
+        f_win,
+        None,
+        dim_state=lambda: dim_t.snapshot(as_of=seen["dim"]),
+        fact_base=explode,
+        through={"fact": f_reader.staged_end(), "dim": seen["dim"]},
+    )
+    f_reader.commit()
+    # dim-only window: dim_state must not be touched
+    dim_t.upsert(_dim(spark, [(1, 1, "y")]))
+    d_win = d_reader.read(after=(view.through() or {}).get("dim"))
+    seen = view.through()
+    view.apply(
+        None,
+        d_win,
+        dim_state=explode,
+        fact_base=lambda: fact_t.snapshot(as_of=seen["fact"]),
+        through={"fact": seen["fact"], "dim": d_reader.staged_end()},
+    )
+    d_reader.commit()
+    assert _maintained(view.current()) == _recompute(fact_t, dim_t)
+
+
+def test_join_ivm_ambiguous_and_unknown_columns_raise(spark, tmp_path):
+    """Side resolution fails loudly: a maintained column found on both
+    sides, or on neither, raises at apply time."""
+    fact_t, dim_t, f_reader, d_reader, _ = _make(spark, tmp_path, "a")
+    dim_t.upsert(_dim(spark, [(1, 0, "x")]))
+    fact_t.upsert(_fact(spark, [(10, 0, 1, 5)]))
+    f_win = f_reader.read()
+    bad = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / "viewbad"),
+        on=("jk", "jk"),
+        group_cols=["nope"],
+        sum_cols=["famount"],
+    )
+    with pytest.raises(ValueError, match="NEITHER"):
+        bad.apply(f_win, None, dim_state=dim_t.snapshot())
+    # 'jk' exists on both sides (fact data col AND dim record key)
+    ambiguous = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / "viewamb"),
+        on=("jk", "jk"),
+        group_cols=["jk"],
+        sum_cols=["famount"],
+    )
+    with pytest.raises(ValueError, match="BOTH"):
+        ambiguous.apply(f_win, None, dim_state=dim_t.snapshot())

@@ -512,3 +512,196 @@ def test_maintained_report_drift_gate(spark, tmp_path):
     )
     res = run_maintained_report(spark, cfg, sender=sender)
     assert res is not None and len(sender.outbox) == 4
+
+
+def test_maintained_join_report_loop(spark, tmp_path):
+    """The reference's ACTUAL report (orders ⋈ customers,
+    template.py:485-490) maintained incrementally from both CDC streams
+    (r8): seed pair, quiescent no-op, fact-only delta, dim-only
+    attribute migration (the F₀⋈ΔD path), crash-redelivery catch-up —
+    the maintained view must equal a direct join recompute at every
+    step."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "jfact"), record_key="okey", precombine="opre"
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "jdim"), record_key="ckey", precombine="cpre"
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_j",
+        dim_path=dim.root,
+        dim_name="customers_j",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "jview"),
+        report_base=str(tmp_path / "jreports"),
+        checkpoint_root=str(tmp_path / "jck"),
+        recipients=["a@example.com"],
+    )
+    sender = EmailSender()
+
+    def recompute():
+        fs, ds = fact.snapshot(), dim.snapshot()
+        if fs is None or ds is None:
+            return []
+        return sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in fs.join(ds, fs["cust"] == ds["ckey"])
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect()
+        )
+
+    def rows(df):
+        return sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in df.collect()
+        )
+
+    FACT_S = "okey int, opre int, cust int, amount long"
+    DIM_S = "ckey int, cpre int, segment string"
+    dim.upsert(spark.createDataFrame([(1, 0, "RETAIL"), (2, 0, "AUTO")], DIM_S))
+    fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 100), (11, 0, 1, 50), (12, 0, 2, 7), (13, 0, 9, 1)],
+            FACT_S,  # okey 13 joins nothing (cust 9 unknown)
+        )
+    )
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res.df) == recompute() == [("AUTO", 1, 7), ("RETAIL", 2, 150)]
+    assert len(sender.outbox) == 1 and os.path.isdir(res.report_path)
+
+    # quiescent → no report, no email
+    assert run_maintained_join_report(spark, cfg, sender=sender) is None
+    assert len(sender.outbox) == 1
+
+    # fact-only window
+    fact.delete(spark.createDataFrame([(11,)], "okey int"))
+    fact.upsert(spark.createDataFrame([(14, 0, 2, 3)], FACT_S))
+    res2 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res2.df) == recompute() == [("AUTO", 2, 10), ("RETAIL", 1, 100)]
+
+    # dim-only window: customer 1 migrates RETAIL → AUTO; every joined
+    # fact row moves with it (the delta-join term, no fact change)
+    dim.upsert(spark.createDataFrame([(1, 1, "AUTO")], DIM_S))
+    res3 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res3.df) == recompute() == [("AUTO", 3, 110)]
+
+    # the unknown customer arrives: okey 13 enters the view via F₀⋈ΔD
+    dim.upsert(spark.createDataFrame([(9, 0, "GOV")], DIM_S))
+    res4 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res4.df) == recompute() == [("AUTO", 3, 110), ("GOV", 1, 1)]
+
+    # crash redelivery: roll the FACT checkpoint back; the pair token
+    # already covers it → pure catch-up, no re-fold, no email
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        CheckpointStore,
+    )
+
+    fact.upsert(spark.createDataFrame([(15, 0, 9, 30)], FACT_S))
+    res5 = run_maintained_join_report(spark, cfg, sender=sender)
+    want = rows(res5.df)
+    store = CheckpointStore(cfg.checkpoint_root, spark=spark)
+    store.advance(cfg.fact_name, fact.root, fact.instants()[-2])
+    n_sent = len(sender.outbox)
+    assert run_maintained_join_report(spark, cfg, sender=sender) is None
+    assert len(sender.outbox) == n_sent
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedJoinAggregate,
+    )
+
+    view = MaintainedJoinAggregate(
+        spark, cfg.view_path, on=("cust", "ckey"),
+        group_cols=["segment"], sum_cols=["amount"],
+    )
+    assert (
+        sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in view.current().collect()
+        )
+        == [(g, n, s) for g, n, s in want]
+        == recompute()
+    )
+    # and the catch-up really advanced both checkpoints
+    assert run_maintained_join_report(spark, cfg, sender=sender) is None
+
+
+def test_maintained_join_report_heals_across_overwrite(spark, tmp_path):
+    """insert_overwrite_table on the DIM side: CDC across the replace is
+    underivable, so the loop re-seeds the view from the post-replace
+    joined snapshot and resumes incremental maintenance."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "ofact"), record_key="okey", precombine="opre"
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "odim"), record_key="ckey", precombine="cpre"
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_o",
+        dim_path=dim.root,
+        dim_name="customers_o",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "oview"),
+        report_base=str(tmp_path / "oreports"),
+        checkpoint_root=str(tmp_path / "ock"),
+    )
+    FACT_S = "okey int, opre int, cust int, amount long"
+    DIM_S = "ckey int, cpre int, segment string"
+    dim.upsert(spark.createDataFrame([(1, 0, "A"), (2, 0, "B")], DIM_S))
+    fact.upsert(
+        spark.createDataFrame([(10, 0, 1, 5), (11, 0, 2, 9)], FACT_S)
+    )
+    run_maintained_join_report(spark, cfg, sender=EmailSender())
+
+    # replace the whole dimension (new segmentation scheme)
+    dim.overwrite(
+        spark.createDataFrame([(1, 0, "Z"), (2, 0, "Z")], DIM_S)
+    )
+    res = run_maintained_join_report(spark, cfg, sender=EmailSender())
+    assert sorted(
+        (r["segment"], r["n_rows"], r["sum_amount"]) for r in res.df.collect()
+    ) == [("Z", 2, 14)]
+
+    # incremental maintenance resumes cleanly after the heal
+    fact.upsert(spark.createDataFrame([(12, 0, 1, 100)], FACT_S))
+    res2 = run_maintained_join_report(spark, cfg, sender=EmailSender())
+    assert sorted(
+        (r["segment"], r["n_rows"], r["sum_amount"])
+        for r in res2.df.collect()
+    ) == [("Z", 3, 114)]
+    fs, ds = fact.snapshot(), dim.snapshot()
+    assert sorted(
+        (r["segment"], r["n_rows"], r["sum_amount"])
+        for r in fs.join(ds, fs["cust"] == ds["ckey"])
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("amount").alias("sum_amount"))
+        .collect()
+    ) == [("Z", 3, 114)]

@@ -1017,3 +1017,156 @@ def test_stream_incremental_sees_evolved_schema(spark, tmp_path):
     }
     assert rows == {1: None, 2: "x"}
     q.stop()
+
+
+def test_stream_cdc_op_parity_with_batch_cdc(spark, tmp_path):
+    """stream_cdc (r8): the streamed op set — upsert rows from the log,
+    delete keys from the tombstone log — must equal batch
+    KeyedTable.cdc's (op, key, commit) set over a delete-heavy history
+    (suppress_unchanged=False: the stream's 'u' lane is the file-level
+    notion; batch 'i'/'u' both map to streamed 'u'), and a replica
+    maintained by applying the streamed ops in commit order must equal
+    the source snapshot."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_cdc,
+    )
+
+    sch = "k long, pre long, v string"
+    t = KeyedTable(
+        spark, str(tmp_path / "cdc_src"), record_key="k", precombine="pre"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], sch
+        )
+    )
+    t.delete(spark.createDataFrame([(2,), (3,)], "k long"))
+    t.upsert(  # re-insert a deleted key + a merge-losing row for k=1
+        spark.createDataFrame([(3, 2, "c2"), (1, 0, "stale")], sch)
+    )
+    t.delete(spark.createDataFrame([(1,)], "k long"))
+    t.upsert(spark.createDataFrame([(4, 1, "d")], sch))
+
+    rows: list = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        stream_cdc(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed_ops = {
+        (r["_change_op"], r["k"], r["_commit_time"]) for r in rows
+    }
+    batch_ops = {
+        ("u" if r["_change_op"] in ("i", "u") else "d", r["k"],
+         r["_commit_time"])
+        for r in t.cdc(suppress_unchanged=False).collect()
+    }
+    assert streamed_ops == batch_ops
+    # delete rows carry the key and NULL payload; upsert rows carry the
+    # raw log payload (the merge-LOSING row streams as written)
+    assert all(
+        r["v"] is None and r["pre"] is None
+        for r in rows
+        if r["_change_op"] == "d"
+    )
+    assert ("stale", 0) in {
+        (r["v"], r["pre"]) for r in rows if r["_change_op"] == "u"
+    }
+
+    # replica parity: apply streamed ops commit-by-commit
+    replica = KeyedTable(
+        spark, str(tmp_path / "cdc_replica"), record_key="k",
+        precombine="pre",
+    )
+    for commit in sorted({r["_commit_time"] for r in rows}):
+        batch_rows = [r for r in rows if r["_commit_time"] == commit]
+        ups = [r for r in batch_rows if r["_change_op"] == "u"]
+        dels = [r for r in batch_rows if r["_change_op"] == "d"]
+        if ups:
+            replica.upsert(
+                spark.createDataFrame(
+                    [(r["k"], r["pre"], r["v"]) for r in ups], sch
+                )
+            )
+        if dels:
+            replica.delete(
+                spark.createDataFrame([(r["k"],) for r in dels], "k long")
+            )
+    src_state = sorted(
+        (r["k"], r["pre"], r["v"]) for r in t.snapshot().collect()
+    )
+    rep_state = sorted(
+        (r["k"], r["pre"], r["v"]) for r in replica.snapshot().collect()
+    )
+    assert rep_state == src_state == [(3, 2, "c2"), (4, 1, "d")]
+
+
+def test_stream_cdc_live_deletes_and_checkpoint(spark, tmp_path):
+    """Deletes landing AFTER the stream started are delivered (the
+    tombstone glob discovers new commit dirs), a no-delete table
+    streams cleanly (the lane exists before the first delete), and a
+    restart on the same checkpoint re-delivers nothing from either
+    lane."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_cdc,
+    )
+
+    sch = "k long, pre long, v string"
+    t = KeyedTable(
+        spark, str(tmp_path / "live_src"), record_key="k", precombine="pre"
+    )
+    c1 = t.upsert(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], sch))
+    ck = str(tmp_path / "live_ck")
+    seen: list = []
+
+    def sink(batch, _bid):
+        seen.extend(
+            (r["_change_op"], r["k"], r["_commit_time"])
+            for r in batch.collect()
+        )
+
+    q = (
+        stream_cdc(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    assert set(seen) == {("u", 1, c1), ("u", 2, c1)}  # no-delete table
+    # a delete lands on the RUNNING stream
+    c2 = t.delete(spark.createDataFrame([(2,)], "k long"))
+    q.processAllAvailable()
+    assert ("d", 2, c2) in set(seen) and len(seen) == 3
+    q.stop()
+    # restart: nothing re-delivered; only post-restart ops arrive
+    seen2: list = []
+
+    def sink2(batch, _bid):
+        seen2.extend((r["_change_op"], r["k"]) for r in batch.collect())
+
+    q2 = (
+        stream_cdc(spark, t.root)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q2.processAllAvailable()
+    assert seen2 == []
+    t.delete(spark.createDataFrame([(1,)], "k long"))
+    q2.processAllAvailable()
+    assert seen2 == [("d", 1)]
+    q2.stop()
