@@ -44,6 +44,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 HEADLINE = [
     "flagship_report",
     "cdc_scan",
+    "ivm_join_report",
     "q1_pricing_summary",
     "join_multiway_revenue",
     "join_semi_anti",
@@ -73,6 +74,7 @@ HEADLINE = [
     "dq_report",
     "url_canonical_dedup",
     "lm_perplexity",
+    "tokenize_bpe",
     "text_profile",
     "tf_idf",
     "doc_winnowing_fingerprints",

@@ -775,7 +775,12 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         if dim_win is not None:
             fb = fact_base() if callable(fact_base) else fact_base
             if fb is None:
-                if seen.get("fact") is not None:
+                if seen.get("fact") is not None or (
+                    self.current() is not None
+                ):
+                    # the second clause covers untokenized use: a view
+                    # with published state implies folded fact commits
+                    # even when no through pair recorded them
                     raise ValueError(
                         "apply with a dim window needs fact_base — the "
                         "fact snapshot as of the pair's PREVIOUS fact "

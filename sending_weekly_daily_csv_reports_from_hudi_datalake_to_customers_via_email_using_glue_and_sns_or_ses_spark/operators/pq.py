@@ -554,7 +554,15 @@ def ivf_pq_topk(
     bytes per candidate, exact cosine re-ranks the survivors. At scale
     the corpus is written partitioned by cell with the CODE column
     (ivf_write_partitioned + pq_encode) so a probe reads nprobe/K
-    directories of m-byte rows."""
+    directories of m-byte rows.
+
+    Recall dial (measured at organic 10×, BASELINE.md r8): recall
+    tracks the candidate-POOL FRACTION, so scale ``refine`` with
+    corpus size (hold refine/corpus constant — e.g. 2.5% gave 0.37 at
+    2k vectors and 0.70 at 20k), never as an absolute: a fixed
+    ``refine`` silently decays as the index grows (0.23 at 20k with
+    the 2k-tuned 50). The cost of the larger pool stays bounded by the
+    m-byte ADC scan."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)

@@ -434,6 +434,16 @@ def run_maintained_join_report(
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
     )
+    if d_reader.table.record_key != view.dim_on:
+        # the delta math requires N:1 — at most one dim row per join
+        # key, which the KeyedTable guarantees only for its record key;
+        # a non-key join column would silently multiply fact rows
+        raise ValueError(
+            f"run_maintained_join_report: dim join column "
+            f"{view.dim_on!r} must be the dimension table's record key "
+            f"({d_reader.table.record_key!r}) — the maintained join is "
+            "N:1 by contract"
+        )
     seen = view.through() or {}
     rebuild = False
     try:
@@ -444,15 +454,42 @@ def run_maintained_join_report(
         d_win = d_reader.read(after=seen.get("dim"))
     except ReplaceCommitError:
         d_win, rebuild = None, True
-    f_end = f_reader.staged_end() or seen.get("fact")
-    d_end = d_reader.staged_end() or seen.get("dim")
+
+    def _checkpoint(reader):
+        return (
+            reader.store.read(reader.table_name).last_processed_commit
+            if reader.store.exists(reader.table_name)
+            else None
+        )
+
+    # each side's covered instant: staged window end, else the view's
+    # token, else the reader checkpoint (a window consumed by a run
+    # that folded nothing — the dim-first seed — leaves only the
+    # checkpoint). EVERY snapshot below pins to these instants: 'read
+    # current state' would race a commit landing mid-run, making the
+    # fact term see dim changes the next dim window then re-applies.
+    f_end = f_reader.staged_end() or seen.get("fact") or _checkpoint(f_reader)
+    d_end = d_reader.staged_end() or seen.get("dim") or _checkpoint(d_reader)
     pair = {"fact": f_end, "dim": d_end}
+    if f_win is not None and d_end is None and not rebuild:
+        # fact rows exist but the dim side has never been consumed (and
+        # staged nothing — a commit racing in after the read doesn't
+        # count): the inner join is empty, so there is nothing to
+        # report; leave BOTH windows unconsumed and fold the pair once
+        # the dim side is readable
+        return None
     if rebuild:
         # CDC across a replace is underivable by contract: re-seed from
         # the joined snapshot AS OF the staged pair — O(join of the two
         # snapshots), but only on replace commits
         fs = f_reader.table.snapshot(as_of=f_end)
         ds = d_reader.table.snapshot(as_of=d_end)
+        if fs is None or ds is None:
+            # one side has no state at the pair (e.g. a replace landed
+            # before the other table's first commit): the join is
+            # empty and there is nothing to report yet; the readers
+            # stay unconsumed so the pair retries once both sides exist
+            return None
         view.rebuild(view.joined(fs, ds), through=pair)
     elif f_win is None and d_win is None:
         if f_reader.staged_end() is not None or (
@@ -487,6 +524,13 @@ def run_maintained_join_report(
             else None,
         )
     df = view.current()
+    if df is None:
+        # dim-only windows at fact genesis fold to nothing (F₀ empty):
+        # consume them — their effect enters later fact terms through
+        # the dim snapshot — and report once fact rows exist
+        f_reader.commit()
+        d_reader.commit()
+        return None
     if config.avg_cols:
         from pyspark.sql import functions as F
 

@@ -705,3 +705,65 @@ def test_maintained_join_report_heals_across_overwrite(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("amount").alias("sum_amount"))
         .collect()
     ) == [("Z", 3, 114)]
+
+
+def test_maintained_join_report_dim_first_seed(spark, tmp_path):
+    """A dim-only window at fact genesis folds to nothing (F₀ empty):
+    the run returns None, consumes the window, and the first fact
+    window later produces the correct joined report — plus the N:1
+    contract check rejects a non-record-key dim join column."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "sfact"), record_key="okey", precombine="opre"
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "sdim"), record_key="ckey", precombine="cpre"
+    )
+
+    def cfg(on):
+        return MaintainedJoinReportConfig(
+            fact_path=fact.root,
+            fact_name="orders_s",
+            dim_path=dim.root,
+            dim_name="customers_s",
+            on=on,
+            group_cols=["segment"],
+            sum_cols=["amount"],
+            view_path=str(tmp_path / "sview"),
+            report_base=str(tmp_path / "sreports"),
+            checkpoint_root=str(tmp_path / "sck"),
+        )
+
+    DIM_S = "ckey int, cpre int, segment string"
+    dim.upsert(spark.createDataFrame([(1, 0, "X")], DIM_S))
+    with pytest.raises(ValueError, match="record key"):
+        run_maintained_join_report(
+            spark, cfg(("cust", "segment")), sender=EmailSender()
+        )
+    # dim seeded, fact empty: no report, window consumed
+    assert (
+        run_maintained_join_report(
+            spark, cfg(("cust", "ckey")), sender=EmailSender()
+        )
+        is None
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 5)], "okey int, opre int, cust int, amount long"
+        )
+    )
+    res = run_maintained_join_report(
+        spark, cfg(("cust", "ckey")), sender=EmailSender()
+    )
+    assert sorted(
+        (r["segment"], r["n_rows"], r["sum_amount"]) for r in res.df.collect()
+    ) == [("X", 1, 5)]

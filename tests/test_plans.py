@@ -652,10 +652,13 @@ def test_ivm_merge_and_recompute_plan_shapes(spark):
 def test_dq_report_plan_shape(spark):
     """The Deequ property, pinned on the DRIVER entry: all five scan
     rules fold into ONE aggregate over ONE orders scan, the FK rule
-    adds exactly one more scan feeding a broadcast join aggregate —
-    rule count never multiplies passes."""
+    adds exactly one more scan feeding a broadcast join aggregate, and
+    (r8) the grouped lane adds exactly one more scan feeding the
+    per-status groupBy aggregate — rule count never multiplies passes;
+    LANE count is what adds scans."""
     plan = physical_plan(QUERIES["dq_report"](spark, SF))
-    assert plan.count("orders.parquet") == 2  # scan-rules agg + FK probe
+    # scan-rules agg + FK probe + grouped-lane agg
+    assert plan.count("orders.parquet") == 3
     assert plan.count("BroadcastHashJoin") == 1  # distinct customer keys
     assert "SortMergeJoin" not in plan
     assert "HashAggregate" in plan  # partial/final shape

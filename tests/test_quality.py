@@ -164,14 +164,21 @@ def test_single_scan_plan_shape(spark):
 
 def test_driver_entry_rows_and_failing_rule(spark):
     rep = QUERIES["dq_report"](spark, SF).toPandas()
-    assert len(rep) == 6
-    byrule = {(r.rule, r.column): r for r in rep.itertuples()}
+    table = rep[rep.scope == "table"]
+    grouped = rep[rep.scope != "table"]
+    assert len(table) == 6
+    # grouped lane (r8): 2 rules × one row per o_orderstatus group
+    assert len(grouped) % 2 == 0 and len(grouped) >= 4
+    assert set(grouped.scope.str.startswith("status=")) == {True}
+    byrule = {(r.rule, r.column): r for r in table.itertuples()}
     # FK integrity and key uniqueness hold on the generated data
     assert byrule[("uniqueness", "o_orderkey")].passed
     assert byrule[("referential", "o_custkey")].passed
     # the deliberately binding range rule actually bites (metric < 1)
-    tight = byrule[("in_range", "o_totalprice")]
-    assert rep[(rep.rule == "in_range")].metric.min() < 1.0
+    assert table[(table.rule == "in_range")].metric.min() < 1.0
+    # per-group metrics are real fractions and the binding rule varies
+    # by group (the reason the grouped lane exists)
+    assert grouped.metric.between(0, 1).all()
 
 
 def test_metric_history_drift(spark, tmp_path):

@@ -1,0 +1,109 @@
+"""PQ recall + slope at organic 10× (r8, VERDICT r7 #8): the IVF-PQ
+family gets the same organic-scale treatment every other r7 family
+already has — time `ivf_pq_topk` and the partitioned
+write-once/probe-many path at sf0.1 vs the organically-grown 10×
+embeddings (tools/gen_organic_sf.py corpus: fresh seeded draws, not
+replicas), and measure RECALL vs the exact brute-force top-10 at both
+scales. Codebook/centroid caches are cleared between runs so every
+timing includes training from its own corpus (first-evaluation cost,
+the honest slope).
+
+Bench-only tooling. Usage:
+
+    python tools/pq_scale_bench.py [N]      (default N=10)
+
+Prints one JSON line: per-path {base_sec, x10_sec, slope, base_recall,
+x10_recall}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark import (  # noqa: E402
+    get_spark,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
+    QUERIES,
+    clear_intermediate_caches,
+)
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
+    pq,
+)
+from tools.gen_organic_sf import BASE_SF, build_organic  # noqa: E402
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("query_id", "vec_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(exact: dict[int, set[int]], got: dict[int, set[int]]) -> float:
+    rs = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(rs) / len(rs)
+
+
+def _measure(spark, sf_dir: str) -> dict:
+    clear_intermediate_caches()
+    exact = _topk_sets(QUERIES["knn_bruteforce"](spark, sf_dir))
+
+    t0 = time.time()
+    got = _topk_sets(pq.ivf_pq_topk(spark, sf_dir))
+    t_topk = time.time() - t0
+    r_topk = _recall(exact, got)
+
+    layout = tempfile.mkdtemp(prefix="pq_layout_")
+    t0 = time.time()
+    pq.ivf_pq_write_partitioned(spark, sf_dir, layout)
+    t_write = time.time() - t0
+    t0 = time.time()
+    got_p = _topk_sets(
+        pq.ivf_pq_probe_partitioned(spark, sf_dir, layout)
+    )
+    t_probe = time.time() - t0
+    r_probe = _recall(exact, got_p)
+    return {
+        "ivf_pq_topk_sec": round(t_topk, 2),
+        "ivf_pq_topk_recall": round(r_topk, 3),
+        "layout_write_sec": round(t_write, 2),
+        "layout_probe_sec": round(t_probe, 2),
+        "layout_probe_recall": round(r_probe, 3),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="pq_scale_bench")
+    organic_dir = build_organic(spark, n)
+    base = _measure(spark, BASE_SF)
+    big = _measure(spark, organic_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "pq_organic_slope",
+                "n": n,
+                "unit": "sec",
+                "base": base,
+                "x10": big,
+                "slopes": {
+                    k: round(big[k] / base[k], 2)
+                    for k in base
+                    if k.endswith("_sec") and base[k] > 0
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
