@@ -459,6 +459,13 @@ class MaintainedAggregate:
         seen = self.through()
         return seen is None or through > seen
 
+    @staticmethod
+    def _covered(new, old) -> bool:
+        """Token comparison for the multi-side subclasses: a side's
+        new instant is covered when absent or at/below the published
+        one."""
+        return new is None or (old is not None and new <= old)
+
     def _fold(self, delta: DataFrame, through, base) -> None:
         """Merge one aggregate delta into the stored view and publish —
         including the MIN/MAX dirty-group protocol (see
@@ -667,10 +674,6 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         )
 
     # -- token pair -----------------------------------------------------
-    @staticmethod
-    def _covered(new, old) -> bool:
-        return new is None or (old is not None and new <= old)
-
     def _check_pair(self, through, fact_win, dim_win) -> bool:
         """The pair-token redelivery guard. False = the WHOLE pair is
         already applied (no-op). A side whose token is covered may be
@@ -883,3 +886,297 @@ class MaintainedJoinAggregate(MaintainedAggregate):
                 fact_side.append(c)
         return fact_side
 
+
+
+class MaintainedStarAggregate(MaintainedAggregate):
+    """The k-dimension generalization of
+    :class:`MaintainedJoinAggregate`: a grouped aggregate over a STAR
+    join — fact ⋈ D1 ⋈ … ⋈ Dk, each dim N:1 on its own fact column —
+    maintained from all k+1 CDC streams.
+
+    Algebra: telescope the k+1 sides in a FIXED order (dims in
+    declaration order, fact last); each step changes ONE side with the
+    others pinned, so the window delta is the sum of one-changing-side
+    terms::
+
+        Δ(F⋈D1⋈…⋈Dk) =  F₀ ⋈ ΔD1 ⋈ D2₁ ⋈ … ⋈ Dk₁
+                      + F₀ ⋈ D1₀ ⋈ ΔD2 ⋈ D3₁ ⋈ … ⋈ Dk₁
+                      + …
+                      + F₀ ⋈ D1₀ ⋈ … ⋈ D(k−1)₀ ⋈ ΔDk
+                      + ΔF ⋈ D1₁ ⋈ … ⋈ Dk₁
+
+    where Dj₀/Dj₁ are dim j's snapshots at the pair's OLD/NEW instants
+    (equal when dim j is quiescent) and exactly one participant of each
+    term carries the ± sign. Every dim term is skipped when its window
+    is empty — the dims-change-rarely schedule folds only the fact term
+    and never reads the fact table. All terms feed the shared
+    :func:`signed_agg_delta` → :func:`merge_agg_delta` fold; MIN/MAX
+    via the dirty-group recompute against the caller-supplied joined
+    base, exactly as in the 2-table class.
+
+    Token: ``{"fact": instant, "<dim name>": instant, ...}`` with the
+    same window-aware guards (covered side carried forward = legal;
+    covered side with a window, or token advance without one = raise).
+
+    API shape (k-ary, so sides are named): ``dims`` at construction is
+    ``[(name, fact_on, dim_on), ...]``; ``apply`` takes per-dim windows
+    and LAZY state factories ``dim_states[name](instant) ->
+    DataFrame`` (usually ``lambda t, d=dim_table: d.snapshot(as_of=t)``)
+    — the class requests exactly the (old/new) instants its live terms
+    need, so quiescent dims cost at most one pinned snapshot read and
+    a fact-only window costs k."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        dims: list[tuple[str, str, str]],
+        group_cols: list[str],
+        sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+    ):
+        super().__init__(spark, path, group_cols, sum_cols, minmax_cols)
+        if not dims:
+            raise ValueError("MaintainedStarAggregate: need >= 1 dim")
+        names = [n for n, _, _ in dims]
+        if len(set(names)) != len(names) or "fact" in names:
+            raise ValueError(
+                f"dim names must be unique and not 'fact': {names}"
+            )
+        self.dims = [tuple(d) for d in dims]
+
+    def _needed(self) -> list[str]:
+        return list(
+            dict.fromkeys(
+                list(self.group_cols)
+                + list(self.sum_cols)
+                + list(self.minmax_cols)
+            )
+        )
+
+    def _check_star(self, through, wins: dict) -> bool:
+        """Pair-token guard over all sides (see _check_pair)."""
+        if through is None:
+            return True
+        seen = self.through()
+        if seen is None:
+            return True
+        sides = ["fact"] + [n for n, _, _ in self.dims]
+        cov = {
+            s: self._covered(through.get(s), seen.get(s)) for s in sides
+        }
+        if all(cov.values()):
+            return False
+        for s in sides:
+            if cov[s] and wins.get(s) is not None:
+                raise ValueError(
+                    f"MaintainedStarAggregate.apply: the view already "
+                    f"covers the {s} side (seen={seen}, new={through}) "
+                    f"but a {s} window was supplied — folding it would "
+                    "double-count; realign the reader"
+                )
+            if not cov[s] and wins.get(s) is None:
+                raise ValueError(
+                    f"MaintainedStarAggregate.apply: the through token "
+                    f"advances the {s} side (seen={seen}, new={through}) "
+                    f"with NO {s} window to fold — publishing would mark "
+                    "commits applied that never were"
+                )
+        return True
+
+    def apply(
+        self,
+        fact_win: DataFrame | None,
+        dim_wins: dict[str, DataFrame | None],
+        *,
+        dim_states: dict,  # name -> (instant) -> DataFrame
+        fact_base=None,  # DataFrame | () -> DataFrame; as of OLD fact
+        through: dict | None = None,
+        base=None,
+    ) -> bool:
+        """Fold one coordinated window set. ``through`` carries every
+        side's NEW instant; each side's OLD instant is the published
+        token's (genesis = no rows). ``dim_states[name]`` is called
+        with the instants the live terms need — memoized per instant,
+        so a dim consulted by several terms at the same instant is
+        read once."""
+        if through is None:
+            raise ValueError(
+                "MaintainedStarAggregate.apply requires a through token "
+                "({side: instant}): the k-ary telescoping pins every "
+                "term's side states to the token pair, so untokenized "
+                "applies cannot be evaluated consistently"
+            )
+        wins = dict(dim_wins)
+        wins["fact"] = fact_win
+        if not self._check_star(through, wins):
+            return False
+        if fact_win is None and all(w is None for w in dim_wins.values()):
+            return False
+        seen = self.through() or {}
+        needed = self._needed()
+        thr = through
+
+        state_memo: dict[tuple[str, str | None], DataFrame] = {}
+
+        def _state(name: str, instant: str | None) -> DataFrame | None:
+            # instant None = the side's GENESIS state (no commits
+            # covered): EMPTY by definition — never 'current', which
+            # would leak rows other terms (or future windows) own
+            if instant is None:
+                return None
+            key = (name, instant)
+            if key not in state_memo:
+                state_memo[key] = dim_states[name](instant)
+            return state_memo[key]
+
+        def _dim_plain(i: int, instant: str | None, d_needed):
+            """Dim i's pinned state as a join side keyed by __jk{i}."""
+            name, _, dim_on = self.dims[i]
+            ds = _state(name, instant)
+            if ds is None:
+                return None  # dim empty at this instant: term is empty
+            return ds.select(
+                F.col(dim_on).alias(f"__jk{i}"), *d_needed
+            )
+
+        def _split(fact_fields, dim_fields_by_i):
+            """needed → (fact-side list, per-dim lists)."""
+            owners: dict[str, list[str]] = {"fact": []}
+            for i in range(len(self.dims)):
+                owners[f"d{i}"] = []
+            for c in needed:
+                hits = [
+                    s
+                    for s, fields in [("fact", fact_fields)]
+                    + [
+                        (f"d{i}", dim_fields_by_i[i])
+                        for i in range(len(self.dims))
+                    ]
+                    if c in fields
+                ]
+                if len(hits) > 1:
+                    raise ValueError(
+                        f"column {c!r} exists on sides {hits} — rename "
+                        "(maintained columns must be unambiguous)"
+                    )
+                if not hits:
+                    raise ValueError(
+                        f"column {c!r} found on NO join side"
+                    )
+                owners[hits[0]].append(c)
+            return owners
+
+        terms: list[DataFrame] = []
+
+        def _assemble(fact_rows, fact_fields, dim_sides_spec):
+            """Join a term: fact_rows ⋈ every dim side per spec, where
+            spec[i] is either a plain pinned state instant or a signed
+            window marker ('delta')."""
+            dim_fields_by_i = {}
+            for i, spec in enumerate(dim_sides_spec):
+                name, _, dim_on = self.dims[i]
+                if spec == "delta":
+                    w = dim_wins[name]
+                    dim_fields_by_i[i] = set(
+                        w.schema["_after"].dataType.fieldNames()
+                    ) | {_cdc_key_col(w)}
+                else:
+                    ds = _state(name, spec)
+                    if ds is None:
+                        return None  # empty pinned dim: inner join = ∅
+                    dim_fields_by_i[i] = set(ds.columns)
+            owners = _split(fact_fields, dim_fields_by_i)
+            out = fact_rows
+            for i, spec in enumerate(dim_sides_spec):
+                name, fact_on, dim_on = self.dims[i]
+                d_needed = owners[f"d{i}"]
+                if spec == "delta":
+                    frame = signed_cdc_rows(
+                        dim_wins[name],
+                        list(dict.fromkeys([dim_on] + d_needed)),
+                    ).select(
+                        F.col(dim_on).alias(f"__jk{i}"),
+                        *d_needed,
+                        SIGN_COL,
+                    )
+                else:
+                    frame = _dim_plain(i, spec, d_needed)
+                    if frame is None:
+                        return None
+                out = out.join(
+                    frame, F.col(fact_on) == F.col(f"__jk{i}"), "inner"
+                )
+            return out.select(*needed, SIGN_COL)
+
+        fact_on_cols = [fo for _, fo, _ in self.dims]
+
+        # fact term: ΔF ⋈ every dim at its NEW instant
+        if fact_win is not None:
+            fact_fields = set(
+                fact_win.schema["_after"].dataType.fieldNames()
+            ) | {_cdc_key_col(fact_win)}
+            f_needed = [c for c in needed if c in fact_fields]
+            signed_f = signed_cdc_rows(
+                fact_win, list(dict.fromkeys(f_needed + fact_on_cols))
+            )
+            t = _assemble(
+                signed_f,
+                fact_fields,
+                [thr.get(n) for n, _, _ in self.dims],
+            )
+            if t is not None:
+                terms.append(t)
+
+        # dim terms: F₀ ⋈ D<i old ⋈ ΔDi ⋈ D>i new
+        changed = [
+            i
+            for i, (n, _, _) in enumerate(self.dims)
+            if dim_wins.get(n) is not None
+        ]
+        if changed:
+            fb = fact_base() if callable(fact_base) else fact_base
+            if fb is None:
+                if seen.get("fact") is not None or (
+                    self.current() is not None
+                ):
+                    raise ValueError(
+                        "apply with a dim window needs fact_base — the "
+                        "fact snapshot as of the pair's PREVIOUS fact "
+                        f"instant ({seen.get('fact')})"
+                    )
+                # fact genesis: F₀ empty, every dim term vanishes
+            else:
+                fb_fields = set(fb.columns)
+                fb_sel = fb.select(
+                    *dict.fromkeys(
+                        fact_on_cols
+                        + [c for c in needed if c in fb_fields]
+                    )
+                )
+                for i in changed:
+                    # dims before the Δ side pin OLD (the seen token);
+                    # dims after it pin NEW (the through token) — the
+                    # telescoping order, with the Δ side owning the sign
+                    spec = [
+                        seen.get(n) if j < i else thr.get(n)
+                        for j, (n, _, _) in enumerate(self.dims)
+                    ]
+                    spec[i] = "delta"
+                    t = _assemble(fb_sel, fb_fields, spec)
+                    if t is not None:
+                        terms.append(t)
+
+        if not terms:
+            cur = self.current()
+            if cur is not None:
+                self._publish(cur, through)
+            return True
+        contrib = terms[0]
+        for t in terms[1:]:
+            contrib = contrib.unionByName(t)
+        delta = signed_agg_delta(
+            contrib, self.group_cols, self.sum_cols, self.minmax_cols
+        )
+        self._fold(delta, through, base)
+        return True
