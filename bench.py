@@ -59,7 +59,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "ivm_star_report",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "exact_substring_pairs",

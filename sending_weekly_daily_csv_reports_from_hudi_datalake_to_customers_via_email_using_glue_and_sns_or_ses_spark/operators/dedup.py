@@ -609,7 +609,7 @@ def _simhash_oracle() -> str:
 _SIMHASH_CHUNK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-@query("dedup_simhash", oracle=_simhash_oracle())
+@query("dedup_simhash", oracle=_simhash_oracle(), retired=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signature = sign-sum of token hash bits
     (token hash = md5 prefix -- portable, so the DuckDB oracle rebuilds

@@ -14,6 +14,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
     QUERIES,
+    RETIRED_QUERIES,
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.relational import (  # noqa: E402
     distinct_sort_limit,
@@ -242,7 +243,9 @@ def main() -> None:
         # EXTRA first (mirrors tools/gen_organic_sf.py): where a name
         # exists in both — exact_substring_pairs since its r6 registry
         # promotion — the reviewed plan is the library shape (k=10)
-        df = (EXTRA.get(name) or QUERIES[name])(spark, SF)
+        df = (EXTRA.get(name) or QUERIES.get(name) or RETIRED_QUERIES[name])(
+            spark, SF
+        )
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"## {name}\n\n{note}\n\n```\n{plan[:3000]}\n```\n\n")

@@ -76,7 +76,7 @@ def test_simhash_identical_docs_distance_zero(spark):
     """Exact duplicate docs → identical simhash (hamming 0 pairs appear)."""
     dup_clusters = QUERIES["dedup_exact"](spark, SF).toPandas()
     n_dups = (dup_clusters.n_copies > 1).sum()
-    sim = QUERIES["dedup_simhash"](spark, SF).toPandas()
+    sim = RETIRED_QUERIES["dedup_simhash"](spark, SF).toPandas()
     if n_dups:
         assert (sim.hamming == 0).any()
 

@@ -233,7 +233,7 @@ def test_simhash_banding_is_single_join(spark):
     """The simhash pigeonhole banding must stay ONE exploded-struct
     self-join (the minhash pattern) — a refactor back to four per-chunk
     join branches would multiply the shuffle count by the chunk count."""
-    plan = physical_plan(QUERIES["dedup_simhash"](spark, SF))
+    plan = physical_plan(RETIRED_QUERIES["dedup_simhash"](spark, SF))
     joins = sum(
         plan.count(k)
         for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")

@@ -36,6 +36,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
     QUERIES,
+    RETIRED_QUERIES,
 )
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -154,7 +155,8 @@ def run_once(spark, sf_dir: str, name: str) -> float:
     # cache would masquerade as a flat scaling curve
     clear_intermediate_caches()
     t0 = time.time()
-    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    fn = QUERIES.get(name) or RETIRED_QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
