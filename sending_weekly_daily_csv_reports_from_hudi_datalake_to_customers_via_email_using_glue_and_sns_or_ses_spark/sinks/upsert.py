@@ -141,6 +141,101 @@ def _merge_partial(
     )
 
 
+#: promotion ranks of the integral types (parquet reads any lower rank
+#: under a higher-rank declared schema)
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+#: decimal integer digits needed to hold each integral type losslessly —
+#: the bound Spark's parquet reader itself enforces (a LongType file
+#: needs p−s ≥ 20: dec(19,0) is rejected, dec(20,0) accepted)
+_INT_DECIMAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _widened(old, new):
+    """The wider of two column types under the engine's supported
+    schema promotions, or None when the pair is not promotable. The
+    whitelist is the intersection of Hudi's Avro-style promotions and
+    what Spark 4's parquet readers natively widen AT SCAN TIME
+    (verified empirically; see tests/test_schema_evolution.py) —
+    promotions outside that set would poison MOR reads, where files of
+    both vintages coexist under one declared schema:
+
+      * integral upward: byte → short → int → long;
+      * float → double;
+      * byte/short/int → double (exact: int32 ⊂ double's 53-bit
+        mantissa; long → double is LOSSY and excluded);
+      * integral → decimal with room for every value
+        (:data:`_INT_DECIMAL_DIGITS`, the reader's own bound);
+      * decimal(p,s) → decimal(p′,s′) when the target COVERS the
+        source: p′−s′ ≥ p−s and s′ ≥ s.
+
+    Symmetric: returns whichever side covers the other (equal types
+    return ``old``), so a NARROWER incoming batch is legal and leaves
+    the recorded schema unchanged. A pair where NEITHER side covers the
+    other (e.g. decimal(10,2) vs decimal(9,4)) is rejected, like
+    Hudi — the caller raises rather than inventing a third envelope
+    type no data file actually carries a reader-tested path to."""
+    if _covers(old, new):
+        return old
+    if _covers(new, old):
+        return new
+    return None
+
+
+def _covers(a, b) -> bool:
+    """True when declaring schema type ``a`` over parquet files whose
+    columns were WRITTEN as type ``b`` is lossless and supported by
+    Spark's parquet readers (the scan-time widening contract
+    :func:`_widened` builds on)."""
+    from pyspark.sql.types import DecimalType
+
+    if a == b:
+        return True
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_RANK and bn in _INT_RANK:
+        return _INT_RANK[an] >= _INT_RANK[bn]
+    if an == "double" and bn == "float":
+        return True
+    if an == "double" and bn in _INT_RANK and _INT_RANK[bn] <= 3:
+        return True
+    if isinstance(a, DecimalType) and bn in _INT_RANK:
+        return a.precision - a.scale >= _INT_DECIMAL_DIGITS[bn]
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        return (
+            a.precision - a.scale >= b.precision - b.scale
+            and a.scale >= b.scale
+        )
+    return False
+
+
+def _conform_types(df: DataFrame, schema) -> DataFrame:
+    """Cast ``df``'s columns to the recorded table schema's types where
+    they differ (each such cast is a widening `_widened` already
+    vetted, so it is lossless). Keeps the incoming batch's files
+    physically AT the recorded types — the COW union then coerces the
+    narrower existing state upward to exactly the recorded schema (no
+    drift), and a MOR log file never carries a type WIDER than the
+    declared read schema. Columns outside the recorded schema (e.g.
+    the commit stamp, added later) pass through untouched."""
+    types = {f.name: f.dataType for f in schema.fields}
+    changed = any(
+        f.name in types and f.dataType != types[f.name]
+        for f in df.schema.fields
+    )
+    if not changed:
+        return df
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(types[f.name]).alias(f.name)
+                if f.name in types and f.dataType != types[f.name]
+                else F.col(f.name)
+            )
+            for f in df.schema.fields
+        ]
+    )
+
+
 class KeyedTable:
     def __init__(
         self,
@@ -337,9 +432,23 @@ class KeyedTable:
         ``_rollback_failed`` reaps (no phantom columns, and a retry
         with a different type is not spuriously rejected).
 
-        Adding nullable columns is the supported evolution; a same-name
-        TYPE change raises here, loudly, before any file is written —
-        the union would otherwise fail (COW) or poison reads (MOR)."""
+        Supported evolution: ADDING nullable columns, and WIDENING a
+        column's type along the :func:`_widened` promotion lattice
+        (int chain upward, float→double, small-int→double,
+        int→roomy decimal, covering decimal→decimal — Hudi's
+        promotions intersected with what Spark's parquet readers widen
+        at scan time). The recorded schema takes the wider type; data
+        files keep their written (possibly narrower) types and every
+        explicit-schema read widens at the scan — no rewrite of old
+        files, ever. A narrower INCOMING batch leaves the schema
+        unchanged (the batch is cast up before writing, see
+        :func:`_conform_types`). A non-promotable change (string↔int,
+        long→int as the table type, non-covering decimals) raises
+        here, loudly, before any file is written — the union would
+        otherwise fail (COW) or poison reads (MOR).
+
+        Returns the schema in force for THIS commit (the staged one
+        when it changed) — the writer conforms the batch to it."""
         from pyspark.sql.types import StructField, StructType
 
         new_fields = [
@@ -349,30 +458,40 @@ class KeyedTable:
         current_fields: list[StructField] = (
             list(current.fields) if current is not None else []
         )
-        by_name = {f.name: f for f in current_fields}
+        by_name = {f.name: i for i, f in enumerate(current_fields)}
         changed = False
         for f in new_fields:
-            seen = by_name.get(f.name)
-            if seen is None:
+            at = by_name.get(f.name)
+            if at is None:
+                by_name[f.name] = len(current_fields)
                 current_fields.append(StructField(f.name, f.dataType, True))
                 changed = True
-            elif seen.dataType != f.dataType:
+                continue
+            seen = current_fields[at]
+            if seen.dataType == f.dataType:
+                continue
+            wide = _widened(seen.dataType, f.dataType)
+            if wide is None:
                 raise ValueError(
-                    f"schema evolution supports ADDING nullable columns, "
-                    f"not type changes: column {f.name!r} is "
+                    f"schema evolution supports adding nullable columns "
+                    f"and WIDENING type promotions, not this change: "
+                    f"column {f.name!r} is "
                     f"{seen.dataType.simpleString()} in the table but "
                     f"{f.dataType.simpleString()} in the incoming batch"
                 )
+            if wide != seen.dataType:
+                current_fields[at] = StructField(f.name, wide, True)
+                changed = True
+        staged = StructType(current_fields)
         if changed or current is None:
             os.makedirs(self._schema_dir(), exist_ok=True)
             tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
             with open(tmp, "w") as f:
-                json.dump(
-                    json.loads(StructType(current_fields).json()), f
-                )
+                json.dump(json.loads(staged.json()), f)
             os.replace(
                 tmp, os.path.join(self._schema_dir(), f"{commit}.json")
             )
+        return staged
 
     def table_schema(self):
         """The table's current COMMITTED data schema: the newest
@@ -942,13 +1061,16 @@ class KeyedTable:
             base = self._snapshot_as_of(begin)
             if base is not None:
                 # schema-evolution tolerance: a pre-evolution base lacks
-                # later columns — NULL-fill them so the payload struct
-                # matches the log's (post-evolution) shape
+                # later columns — NULL-fill them — and may carry
+                # pre-widening NARROWER types — cast them up — so the
+                # payload struct matches the log's (post-evolution)
+                # shape exactly (the casts are vetted widenings: no-ops
+                # on unevolved tables)
                 log_types = {f.name: f.dataType for f in log.schema.fields}
                 base_payload = F.struct(
                     *[
                         (
-                            F.col(c)
+                            F.col(c).cast(log_types[c])
                             if c in base.columns
                             else F.lit(None).cast(log_types[c])
                         ).alias(c)
@@ -1060,8 +1182,12 @@ class KeyedTable:
             commit = self._new_commit_id()
             # widening recorded under THIS commit id — visible to
             # readers only after the pointer flip, reaped with the
-            # other orphans if this write never publishes
-            self._update_schema(deduped, commit)
+            # other orphans if this write never publishes; the batch is
+            # cast up to the commit's schema so no file is ever WIDER
+            # than the declared read schema
+            deduped = _conform_types(
+                deduped, self._update_schema(deduped, commit)
+            )
             stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
 
             if self.table_type == "MERGE_ON_READ":
@@ -1189,7 +1315,9 @@ class KeyedTable:
         )
         with self._txn():
             commit = self._new_commit_id()
-            self._update_schema(deduped, commit)
+            deduped = _conform_types(
+                deduped, self._update_schema(deduped, commit)
+            )
             stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
             self._write_snapshot(stamped, commit)
             self._write_log(stamped, commit)

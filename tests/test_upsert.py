@@ -1055,9 +1055,166 @@ def test_schema_evolution_cdc_and_replication(spark, tmp_path):
 def test_schema_type_change_raises(spark, tmp_path):
     t = _lifecycle_table(spark, tmp_path, name="evotype")
     t.upsert(_kv_df(spark, [(1, 1, "a")]))
-    with pytest.raises(ValueError, match="type changes"):
+    with pytest.raises(ValueError, match="not this change"):
         t.upsert(
             spark.createDataFrame([(2, 1, 99)], "k int, pre int, v int")
+        )
+
+
+# -- type-widening schema evolution (r8) ---------------------------------
+
+
+def test_schema_type_widening_cow(spark, tmp_path):
+    """Widening promotions on a COW table: a LONG batch widens an INT
+    column (schema records long, old rows intact), a later NARROWER
+    int batch is cast up (schema unchanged), and decimal precision
+    growth rides the same lattice."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, LongType
+
+    t = KeyedTable(
+        spark, str(tmp_path / "wide"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, 10, Decimal("1.50"))],
+            "k int, pre int, n int, amt decimal(10,2)",
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, 4_000_000_000, Decimal("2.50"))],
+            "k int, pre int, n long, amt decimal(14,2)",
+        )
+    )
+    sch = {f.name: f.dataType for f in t.table_schema().fields}
+    assert sch["n"] == LongType() and sch["amt"] == DecimalType(14, 2)
+    snap = {r["k"]: (r["n"], str(r["amt"])) for r in t.snapshot().collect()}
+    assert snap == {1: (10, "1.50"), 2: (4_000_000_000, "2.50")}
+    # narrower follow-up batch: cast up on write, schema unchanged
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 9, 7, Decimal("3.25"))],
+            "k int, pre int, n int, amt decimal(10,2)",
+        )
+    )
+    assert {
+        f.name: f.dataType for f in t.table_schema().fields
+    }["n"] == LongType()
+    snap = {r["k"]: (r["n"], str(r["amt"])) for r in t.snapshot().collect()}
+    assert snap == {1: (7, "3.25"), 2: (4_000_000_000, "2.50")}
+    # the snapshot frame itself carries the widened types
+    live = {f.name: f.dataType for f in t.snapshot().schema.fields}
+    assert live["n"] == LongType() and live["amt"] == DecimalType(14, 2)
+
+
+def test_schema_type_widening_mor_mixed_vintage_files(spark, tmp_path):
+    """MOR: the log keeps pre-widening int32 files and post-widening
+    int64 files side by side; the explicit-schema read widens the old
+    files at scan time (no rewrite), through compaction and reopen."""
+    from pyspark.sql.types import LongType
+
+    t = KeyedTable(
+        spark, str(tmp_path / "widemor"), record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ", keep_versions=10,
+    )
+    t.upsert(spark.createDataFrame([(1, 1, 10)], "k int, pre int, n int"))
+    t.compact()  # narrow base snapshot
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, 4_000_000_000), (1, 5, 11)], "k int, pre int, n long"
+        )
+    )
+    snap = {r["k"]: r["n"] for r in t.snapshot().collect()}
+    assert snap == {1: 11, 2: 4_000_000_000}
+    t.compact()
+    reopened = KeyedTable.open(spark, t.root)
+    assert {
+        f.name: f.dataType for f in reopened.table_schema().fields
+    }["n"] == LongType()
+    assert {r["k"]: r["n"] for r in reopened.snapshot().collect()} == {
+        1: 11,
+        2: 4_000_000_000,
+    }
+
+
+def test_schema_widening_cdc_and_replication(spark, tmp_path):
+    """CDC across a widening boundary: the as-of-begin seed state is a
+    pre-widening (narrow) snapshot — its before-images are cast up so
+    the struct matches the evolved log shape, and apply_cdc carries a
+    replica through the widening."""
+    src = _lifecycle_table(spark, tmp_path, name="widesrc")
+    dst = _lifecycle_table(spark, tmp_path, name="widedst")
+    c1 = src.upsert(
+        spark.createDataFrame([(1, 1, 10)], "k int, pre int, n int")
+    )
+    dst.apply_cdc(src.cdc())
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 5, 4_000_000_000), (2, 1, 7)], "k int, pre int, n long"
+        )
+    )
+    win = src.cdc(begin=c1)
+    rows = {r["k"]: r for r in win.collect()}
+    assert rows[1]["_change_op"] == "u"
+    assert rows[1]["_before"]["n"] == 10
+    assert rows[1]["_after"]["n"] == 4_000_000_000
+    dst.apply_cdc(win)
+    assert sorted(
+        (r["k"], r["n"]) for r in dst.snapshot().collect()
+    ) == [(1, 4_000_000_000), (2, 7)]
+
+
+def test_schema_widening_rejects_non_covering_pairs(spark, tmp_path):
+    """Promotions outside the reader-tested lattice raise before any
+    file is written: non-covering decimal pairs and long→double (lossy
+    above 2^53) are rejected; float→double and int→double pass."""
+    t = KeyedTable(
+        spark, str(tmp_path / "nocov"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    from decimal import Decimal
+
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, Decimal("1.25"), 2.5)],
+            "k int, pre int, d decimal(10,2), f float",
+        )
+    )
+    with pytest.raises(ValueError, match="not this change"):
+        t.upsert(
+            spark.createDataFrame(
+                [(2, 1, Decimal("1.2345"), 2.5)],
+                "k int, pre int, d decimal(9,4), f float",
+            )
+        )
+    # float→double widens fine
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, Decimal("3.75"), 4.5)],
+            "k int, pre int, d decimal(10,2), f double",
+        )
+    )
+    from pyspark.sql.types import DoubleType
+
+    assert {
+        f.name: f.dataType for f in t.table_schema().fields
+    }["f"] == DoubleType()
+    # long measure into a double column: lossy, rejected
+    t2 = KeyedTable(
+        spark, str(tmp_path / "lossy"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    t2.upsert(
+        spark.createDataFrame([(1, 1, 1.5)], "k int, pre int, x double")
+    )
+    with pytest.raises(ValueError, match="not this change"):
+        t2.upsert(
+            spark.createDataFrame(
+                [(2, 1, 4_000_000_000)], "k int, pre int, x long"
+            )
         )
 
 
