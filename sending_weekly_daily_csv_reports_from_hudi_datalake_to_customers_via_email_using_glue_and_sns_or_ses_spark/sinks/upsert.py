@@ -145,10 +145,14 @@ def _merge_partial(
 #: under a higher-rank declared schema)
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 
-#: decimal integer digits needed to hold each integral type losslessly —
-#: the bound Spark's parquet reader itself enforces (a LongType file
-#: needs p−s ≥ 20: dec(19,0) is rejected, dec(20,0) accepted)
-_INT_DECIMAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+#: decimal integer digits the parquet reader requires to widen each
+#: integral type — a PHYSICAL-STORAGE bound, not a value-range one:
+#: byte/short/int are all stored as parquet INT32, and Spark's reader
+#: demands room for any INT32 (p−s ≥ 10) regardless of the declared
+#: logical width (dec(5,0) over a short-typed file is REJECTED at scan
+#: time); LongType (INT64) needs p−s ≥ 20 (dec(19,0) rejected,
+#: dec(20,0) accepted). Verified empirically on Spark 4.1.2.
+_INT_DECIMAL_DIGITS = {"byte": 10, "short": 10, "integer": 10, "long": 20}
 
 
 def _widened(old, new):
@@ -156,7 +160,8 @@ def _widened(old, new):
     schema promotions, or None when the pair is not promotable. The
     whitelist is the intersection of Hudi's Avro-style promotions and
     what Spark 4's parquet readers natively widen AT SCAN TIME
-    (verified empirically; see tests/test_schema_evolution.py) —
+    (verified empirically; tests/test_upsert.py
+    ``test_schema_type_widening_*`` / ``test_schema_widening_*``) —
     promotions outside that set would poison MOR reads, where files of
     both vintages coexist under one declared schema:
 
@@ -415,7 +420,7 @@ class KeyedTable:
     def _schema_dir(self) -> str:
         return os.path.join(self.root, "schema")
 
-    def _update_schema(self, incoming: DataFrame, commit: str) -> None:
+    def _update_schema(self, incoming: DataFrame, commit: str):
         """Record the table's data schema AS OF ``commit`` (the Hudi
         commit-metadata schema analogue): the union of every committed
         upsert's columns, in first-seen order, all nullable. The
@@ -455,6 +460,15 @@ class KeyedTable:
             f for f in incoming.schema.fields if f.name != COMMIT_COL
         ]
         current = self.table_schema()
+        had_recorded = current is not None
+        if current is None:
+            # legacy root (pre-schema-recording) with data already on
+            # disk: seed the widening check from the FILES' inferred
+            # schema, or the first recorded schema could be NARROWER
+            # than existing files — which explicit-schema reads cannot
+            # widen. One inference read, only until a schema is
+            # recorded; empty tables skip it.
+            current = self._inferred_file_schema()
         current_fields: list[StructField] = (
             list(current.fields) if current is not None else []
         )
@@ -483,7 +497,7 @@ class KeyedTable:
                 current_fields[at] = StructField(f.name, wide, True)
                 changed = True
         staged = StructType(current_fields)
-        if changed or current is None:
+        if changed or not had_recorded:
             os.makedirs(self._schema_dir(), exist_ok=True)
             tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
             with open(tmp, "w") as f:
@@ -507,6 +521,26 @@ class KeyedTable:
         from ..sources.incremental import _committed_schema
 
         return _committed_schema(self.root)
+
+    def _inferred_file_schema(self):
+        """The data schema INFERRED from the commit-log files — the
+        legacy-root fallback :meth:`_update_schema` seeds its widening
+        check from when no schema was ever recorded. Every write path
+        appends to the log (upsert, overwrite — deletes change no
+        schema), and legacy logs are schema-UNIFORM (schema recording
+        landed together with evolution, so an unrecorded root never
+        evolved — one footer inference covers it); None for an empty
+        table."""
+        from pyspark.sql.types import StructType
+
+        from ..sources.incremental import read_commit_log
+
+        log = read_commit_log(self.spark, self.root)
+        if log is None:
+            return None
+        return StructType(
+            [f for f in log.schema.fields if f.name != COMMIT_COL]
+        )
 
     # -- P9: transactions / conflict detection --------------------------
     @contextmanager

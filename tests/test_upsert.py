@@ -1218,6 +1218,74 @@ def test_schema_widening_rejects_non_covering_pairs(spark, tmp_path):
         )
 
 
+def test_schema_widening_small_int_to_decimal_needs_int32_room(
+    spark, tmp_path
+):
+    """byte/short/int are all parquet INT32: the reader demands
+    p−s ≥ 10 to widen them to decimal REGARDLESS of the declared
+    logical width — decimal(5,0) over a short-typed file fails at scan
+    time, so the lattice must reject it at write time (it did not,
+    pre-fix: an accepted 'widening' poisoned every subsequent read)."""
+    from decimal import Decimal
+
+    t = KeyedTable(
+        spark, str(tmp_path / "smallint"), record_key="k",
+        precombine="pre", table_type="MERGE_ON_READ", keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 1, 7)], "k int, pre int, n short")
+    )
+    with pytest.raises(ValueError, match="not this change"):
+        t.upsert(
+            spark.createDataFrame(
+                [(2, 1, Decimal("12345"))],
+                "k int, pre int, n decimal(5,0)",
+            )
+        )
+    # with INT32 room the widening commits and every read stays green
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, Decimal("12345"))], "k int, pre int, n decimal(10,0)"
+        )
+    )
+    assert {r["k"]: str(r["n"]) for r in t.snapshot().collect()} == {
+        1: "7",
+        2: "12345",
+    }
+
+
+def test_legacy_root_first_recorded_schema_covers_files(spark, tmp_path):
+    """A pre-schema-recording root (no schema/<commit>.json) whose
+    files are WIDER than the first post-upgrade batch: the widening
+    check seeds from the files' inferred schema, so the first recorded
+    schema keeps the wider file type instead of stamping one the
+    reader cannot widen old files to."""
+    import shutil as _shutil
+
+    from pyspark.sql.types import LongType
+
+    t = KeyedTable(
+        spark, str(tmp_path / "legacy"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, 4_000_000_000)], "k int, pre int, n long"
+        )
+    )
+    _shutil.rmtree(str(tmp_path / "legacy" / "schema"))  # simulate legacy
+    t2 = KeyedTable.open(spark, str(tmp_path / "legacy"))
+    assert t2.table_schema() is None
+    t2.upsert(spark.createDataFrame([(2, 9, 5)], "k int, pre int, n int"))
+    assert {
+        f.name: f.dataType for f in t2.table_schema().fields
+    }["n"] == LongType()
+    assert {r["k"]: r["n"] for r in t2.snapshot().collect()} == {
+        1: 4_000_000_000,
+        2: 5,
+    }
+
+
 # -- partial-update payload (late r7) -----------------------------------
 
 
