@@ -241,8 +241,22 @@ class HadoopFS:
         """FileSystem.rename: False when the destination exists (HDFS
         contract — no overwrite), True on success. Atomic on HDFS and
         local; copy+delete on S3A (callers stage so a torn state is
-        detectable, see compact_window_index's heal)."""
-        return bool(self._fs(src).rename(self._path(src), self._path(dst)))
+        detectable, see compact_window_index's heal).
+
+        The exists-probe below is REQUIRED, not belt-and-braces:
+        Hadoop's FileSystem.rename with an existing DIRECTORY
+        destination moves src INTO it and returns true (posix-mv
+        semantics), which would silently break every caller that uses
+        the False return as its concurrent-publisher detection
+        (MetricHistory.append, the dedup index compaction swaps). A
+        racing creator between the probe and the rename can still slip
+        through on schemes without atomic rename — the same TOCTOU
+        every staged-dir protocol on S3A accepts and heals."""
+        fs = self._fs(src)
+        d = self._path(dst)
+        if fs.exists(d):
+            return False
+        return bool(fs.rename(self._path(src), d))
 
     def delete_recursive(self, path: str) -> None:
         self._fs(path).delete(self._path(path), True)

@@ -425,6 +425,7 @@ class MaintainedAggregate:
         cdc_window: DataFrame,
         through: str | None = None,
         base=None,  # DataFrame | () -> DataFrame | None
+        validate=None,  # (staged DataFrame) -> None; raise = abort publish
     ) -> bool:
         """Fold one CDC window into the aggregate and publish. Returns
         False (no-op) when ``through`` shows the window was already
@@ -447,7 +448,7 @@ class MaintainedAggregate:
         delta = cdc_agg_delta(
             cdc_window, self.group_cols, self.sum_cols, self.minmax_cols
         )
-        self._fold(delta, through, base)
+        self._fold(delta, through, base, validate)
         return True
 
     def _fresh(self, through) -> bool:
@@ -466,7 +467,7 @@ class MaintainedAggregate:
         one."""
         return new is None or (old is not None and new <= old)
 
-    def _fold(self, delta: DataFrame, through, base) -> None:
+    def _fold(self, delta: DataFrame, through, base, validate=None) -> None:
         """Merge one aggregate delta into the stored view and publish —
         including the MIN/MAX dirty-group protocol (see
         :func:`merge_agg_delta`). Shared by the single-table and
@@ -479,7 +480,7 @@ class MaintainedAggregate:
             self.minmax_cols,
         )
         if not self.minmax_cols:
-            self._publish(merged, through)
+            self._publish(merged, through, validate)
             return
         merged = merged.persist()
         try:
@@ -514,12 +515,15 @@ class MaintainedAggregate:
                     .join(recomputed, self.group_cols, "left")
                 )
                 final = clean.unionByName(dirty.select(*clean.columns))
-            self._publish(final, through)
+            self._publish(final, through, validate)
         finally:
             merged.unpersist()
 
     def rebuild(
-        self, source_snapshot: DataFrame, through: str | None = None
+        self,
+        source_snapshot: DataFrame,
+        through: str | None = None,
+        validate=None,
     ) -> None:
         """O(table) recompute from a source snapshot — initial seeding,
         or healing after an untokenized crash. Record the snapshot's
@@ -542,13 +546,28 @@ class MaintainedAggregate:
                 )
             ],
         )
-        self._publish(agg, through)
+        self._publish(agg, through, validate)
 
-    def _publish(self, df: DataFrame, through: str | None) -> None:
+    def _publish(
+        self, df: DataFrame, through: str | None, validate=None
+    ) -> None:
+        """Write the new version dir, optionally gate it, then flip the
+        pointer. ``validate`` (a callable taking the STAGED frame —
+        read back from the just-written files) runs BETWEEN the write
+        and the pointer flip: a raise aborts the publish with the
+        previous version still live and the ``through`` token
+        unchanged, so the window genuinely retries — gating after the
+        flip would let a failed run's data stand published and its
+        token mark the window consumed (the r8 review finding). The
+        orphan version dir a failed gate leaves is harmless: the next
+        publish computes the same v from the live pointer and
+        overwrites it."""
         meta = self._meta()
         v = (meta["version"] if meta else 0) + 1
         out = os.path.join(self.path, f"v={v}")
         df.write.mode("overwrite").parquet(out)
+        if validate is not None:
+            validate(self.spark.read.parquet(out))
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": v, "through": through}, f)
@@ -722,6 +741,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         fact_base=None,  # DataFrame | () -> DataFrame; as of OLD fact instant
         through: dict | None = None,
         base=None,  # joined state as of the new pair (MIN/MAX recompute)
+        validate=None,  # (staged DataFrame) -> None; raise = abort publish
     ) -> bool:
         """Fold one coordinated window pair into the aggregate and
         publish. Either window may be None (that side had no new
@@ -824,6 +844,8 @@ class MaintainedJoinAggregate(MaintainedAggregate):
             # stamp it on; with no view yet, NOT advancing is safe —
             # a re-offered pair re-folds the same nothing (vacuously
             # idempotent), and the first fact window will seed state.
+            # `validate` is deliberately not run here: the data is
+            # byte-identical to the already-gated published state.
             cur = self.current()
             if cur is not None:
                 self._publish(cur, through)
@@ -835,7 +857,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         delta = signed_agg_delta(
             contrib, self.group_cols, self.sum_cols, self.minmax_cols
         )
-        self._fold(delta, through, base)
+        self._fold(delta, through, base, validate)
         return True
 
     def joined(self, fact_snap: DataFrame, dim_snap: DataFrame) -> DataFrame:
@@ -993,6 +1015,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
         fact_base=None,  # DataFrame | () -> DataFrame; as of OLD fact
         through: dict | None = None,
         base=None,
+        validate=None,  # (staged DataFrame) -> None; raise = abort
     ) -> bool:
         """Fold one coordinated window set. ``through`` carries every
         side's NEW instant; each side's OLD instant is the published
@@ -1009,6 +1032,21 @@ class MaintainedStarAggregate(MaintainedAggregate):
             )
         wins = dict(dim_wins)
         wins["fact"] = fact_win
+        seen0 = self.through() or {}
+        for s in ["fact"] + [n for n, _, _ in self.dims]:
+            if through.get(s) is None and (
+                seen0.get(s) is not None or wins.get(s) is not None
+            ):
+                # a side the view has covered (or that has a window to
+                # fold) MUST appear in the token: a None instant means
+                # 'genesis-empty' to the pinned-state terms, so an
+                # omitted side would silently drop every term that
+                # joins it AND regress the published token
+                raise ValueError(
+                    f"MaintainedStarAggregate.apply: the through token "
+                    f"omits side {s!r} (seen={seen0}) — every side's "
+                    "covered instant must be carried forward explicitly"
+                )
         if not self._check_star(through, wins):
             return False
         if fact_win is None and all(w is None for w in dim_wins.values()):
@@ -1168,6 +1206,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
                         terms.append(t)
 
         if not terms:
+            # state unchanged (see the 2-table branch): no validate
             cur = self.current()
             if cur is not None:
                 self._publish(cur, through)
@@ -1178,5 +1217,5 @@ class MaintainedStarAggregate(MaintainedAggregate):
         delta = signed_agg_delta(
             contrib, self.group_cols, self.sum_cols, self.minmax_cols
         )
-        self._fold(delta, through, base)
+        self._fold(delta, through, base, validate)
         return True

@@ -571,8 +571,15 @@ class MetricHistory:
         ]
         if not runs:
             return None
-        hist = self.spark.read.option("basePath", self.path).parquet(
-            os.path.join(self.path, "run=*")
+        # mergeSchema: a mixed pre-r8/r8 history has runs with and
+        # without `appended_at`; a single sampled footer could drop the
+        # column for ALL rows and silently revert drift windows to
+        # run-id order (the ADVICE r7 bug). The history is rules×runs
+        # rows — the footer sweep is trivial here.
+        hist = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(os.path.join(self.path, "run=*"))
         )
         if "appended_at" not in hist.columns:
             # pre-r8 history rows: fall back to run-id order (the old

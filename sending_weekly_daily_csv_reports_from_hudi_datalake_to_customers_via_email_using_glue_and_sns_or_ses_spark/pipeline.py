@@ -245,6 +245,90 @@ def run_maintained_report(
     # crash between apply and commit followed by NEW upstream commits
     # must not hand the fold an extended window whose prefix the view
     # already contains (delta re-folds double-count)
+    def _enrich(frame):
+        if not config.avg_cols:
+            return frame
+        from pyspark.sql import functions as F
+
+        for c in config.sum_cols:
+            frame = frame.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+        return frame
+
+    gate = None
+    if config.quality_rules:
+
+        def gate(staged):
+            """The quality/drift gate, run by ivm._publish BETWEEN the
+            version write and the pointer flip (r8 review): a failure
+            aborts with the previous view version still live and the
+            token unchanged, so nothing gated-out is ever published or
+            marked consumed — the window genuinely retries (the old
+            post-publish gate left the bad aggregate live and, in the
+            join loop, silently marked the window done). Persisted:
+            the drift judgement and the history append both consume
+            the report."""
+            from .operators.quality import (
+                DataQualityError,
+                MetricHistory,
+                run_checks,
+            )
+
+            report = run_checks(
+                _enrich(staged), config.quality_rules
+            ).persist()
+            try:
+                if config.metric_history_path is not None:
+                    hist = MetricHistory(spark, config.metric_history_path)
+                    judged = hist.check_drift(
+                        report, f"cdc_{through}", config.max_rel_change
+                    ).collect()
+                    bad = [
+                        r
+                        for r in judged
+                        if not r["passed"] or r["drifted"]
+                    ]
+                    # history records the run EVEN when it fails the
+                    # gate (operators debugging a red morning want the
+                    # bad metrics on file). ok=False ONLY for absolute-
+                    # threshold failures — definitionally bad data, no
+                    # baseline vote. Drift-ONLY failures append
+                    # ok=True: that data passed every absolute rule,
+                    # and letting it vote is what lets a legitimate
+                    # level shift age into the new baseline within a
+                    # window instead of wedging the loop forever.
+                    hist.append(
+                        report,
+                        f"cdc_{through}",
+                        ok=all(r["passed"] for r in judged),
+                    )
+                else:
+                    bad = [
+                        r for r in report.collect() if not r["passed"]
+                    ]
+            finally:
+                report.unpersist()
+            if bad:
+                # DQRule.name (not rule(column)): min_rows has no
+                # column and would print "min_rows(None)"
+                lines = ", ".join(
+                    f"{config.quality_rules[r['rule_seq']].name} "
+                    f"metric={r['metric']:.6f}"
+                    + (
+                        f" drifted from {r['baseline']:.6f}"
+                        if "drifted" in r.__fields__ and r["drifted"]
+                        else f" < {r['threshold']}"
+                    )
+                    for r in bad
+                )
+                raise DataQualityError(
+                    f"maintained report gate failed: {lines}"
+                )
+
     try:
         win = reader.read(after=view.through())
     except ReplaceCommitError:
@@ -256,7 +340,11 @@ def run_maintained_report(
         # the tail commit like every other window (rebuild is
         # idempotent, so a crash before it simply re-seeds)
         through = reader.staged_end()
-        view.rebuild(reader.table.snapshot(as_of=through), through=through)
+        view.rebuild(
+            reader.table.snapshot(as_of=through),
+            through=through,
+            validate=gate,
+        )
     else:
         if win is None:
             if reader.staged_end() is not None:
@@ -276,79 +364,9 @@ def run_maintained_report(
             base=(lambda: reader.table.snapshot(as_of=through))
             if config.minmax_cols
             else None,
+            validate=gate,
         )
-    df = view.current()
-    if config.avg_cols:
-        from pyspark.sql import functions as F
-
-        for c in config.sum_cols:
-            df = df.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
-                ),
-            )
-    if config.quality_rules:
-        from .operators.quality import (
-            DataQualityError,
-            MetricHistory,
-            run_checks,
-        )
-
-        # before write/delivery/checkpoint; view.apply is idempotent
-        # under the staged_end token, so the retried window re-folds
-        # safely after the data problem is fixed. Persisted: the
-        # drift judgement and the history append both consume the
-        # report, and without the persist the run_checks aggregate
-        # over the view would execute twice.
-        report = run_checks(df, config.quality_rules).persist()
-        try:
-            if config.metric_history_path is not None:
-                hist = MetricHistory(spark, config.metric_history_path)
-                judged = hist.check_drift(
-                    report, f"cdc_{through}", config.max_rel_change
-                ).collect()
-                bad = [
-                    r
-                    for r in judged
-                    if not r["passed"] or r["drifted"]
-                ]
-                # history records the run EVEN when it fails the gate
-                # (operators debugging a red morning want the bad
-                # metrics on file). ok=False ONLY for absolute-
-                # threshold failures — definitionally bad data, no
-                # baseline vote. Drift-ONLY failures append ok=True:
-                # that data passed every absolute rule, and letting
-                # it vote is what lets a legitimate level shift age
-                # into the new baseline within a window instead of
-                # wedging the loop against a frozen norm forever.
-                hist.append(
-                    report,
-                    f"cdc_{through}",
-                    ok=all(r["passed"] for r in judged),
-                )
-            else:
-                bad = [
-                    r for r in report.collect() if not r["passed"]
-                ]
-        finally:
-            report.unpersist()
-        if bad:
-            # DQRule.name (not rule(column)): min_rows has no column
-            # and would print "min_rows(None)" in the abort message
-            lines = ", ".join(
-                f"{config.quality_rules[r['rule_seq']].name} "
-                f"metric={r['metric']:.6f}"
-                + (
-                    f" drifted from {r['baseline']:.6f}"
-                    if "drifted" in r.__fields__ and r["drifted"]
-                    else f" < {r['threshold']}"
-                )
-                for r in bad
-            )
-            raise DataQualityError(
-                f"maintained report gate failed: {lines}"
-            )
+    df = _enrich(view.current())
     report_path = write_csv_report(
         df, config.report_base, report_id=f"cdc_{through}", single_file=True
     )
@@ -478,6 +496,34 @@ def run_maintained_join_report(
         # report; leave BOTH windows unconsumed and fold the pair once
         # the dim side is readable
         return None
+    def _enrich(frame):
+        if not config.avg_cols:
+            return frame
+        from pyspark.sql import functions as F
+
+        for c in config.sum_cols:
+            frame = frame.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+        return frame
+
+    gate = None
+    if config.quality_rules:
+
+        def gate(staged):
+            # pre-pointer-flip (ivm._publish): a failure leaves the
+            # previous view version live and the pair token unchanged,
+            # so both readers stay unconsumed and the pair genuinely
+            # retries — the old post-publish gate left the bad
+            # aggregate live AND the next run's quiescent branch
+            # marked the window consumed without ever re-gating
+            from .operators.quality import expect
+
+            expect(_enrich(staged), config.quality_rules)
+
     if rebuild:
         # CDC across a replace is underivable by contract: re-seed from
         # the joined snapshot AS OF the staged pair — O(join of the two
@@ -490,7 +536,7 @@ def run_maintained_join_report(
             # empty and there is nothing to report yet; the readers
             # stay unconsumed so the pair retries once both sides exist
             return None
-        view.rebuild(view.joined(fs, ds), through=pair)
+        view.rebuild(view.joined(fs, ds), through=pair, validate=gate)
     elif f_win is None and d_win is None:
         if f_reader.staged_end() is not None or (
             d_reader.staged_end() is not None
@@ -522,6 +568,7 @@ def run_maintained_join_report(
             )
             if config.minmax_cols
             else None,
+            validate=gate,
         )
     df = view.current()
     if df is None:
@@ -531,33 +578,7 @@ def run_maintained_join_report(
         f_reader.commit()
         d_reader.commit()
         return None
-    if config.avg_cols:
-        from pyspark.sql import functions as F
-
-        for c in config.sum_cols:
-            df = df.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
-                ),
-            )
-    if config.quality_rules:
-        from .operators.quality import DataQualityError, run_checks
-
-        bad = [
-            r
-            for r in run_checks(df, config.quality_rules).collect()
-            if not r["passed"]
-        ]
-        if bad:
-            lines = ", ".join(
-                f"{config.quality_rules[r['rule_seq']].name} "
-                f"metric={r['metric']:.6f} < {r['threshold']}"
-                for r in bad
-            )
-            raise DataQualityError(
-                f"maintained join report gate failed: {lines}"
-            )
+    df = _enrich(df)
     report_path = write_csv_report(
         df,
         config.report_base,

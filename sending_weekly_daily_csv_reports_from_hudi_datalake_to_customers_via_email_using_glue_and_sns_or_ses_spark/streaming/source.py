@@ -42,7 +42,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..sources.incremental import COMMIT_COL, read_commit_log
 
@@ -115,8 +120,8 @@ def stream_cdc(
     were invisible to streaming consumers (the documented contract
     above). But the tombstone dir is itself an append-only file stream
     (every delete commit writes its dropped keys under
-    ``tombstones/c=<id>/``), so the op stream is two file sources
-    unioned:
+    ``tombstones/c=<id>/``), and so is the per-commit timeline marker
+    dir — the op stream is three file sources unioned:
 
     * **upsert lane**: the commit log, each row tagged
       ``_change_op = 'u'`` — the log row's payload (the incoming
@@ -124,7 +129,15 @@ def stream_cdc(
       whose row loses the precombine merge downstream is a no-op
       there, exactly as it was here;
     * **delete lane**: the tombstone log, each dropped key tagged
-      ``_change_op = 'd'`` with every non-key data column NULL.
+      ``_change_op = 'd'`` with every non-key data column NULL;
+    * **replace lane**: each insert_overwrite_table commit's timeline
+      marker as an ``_change_op = 'r'`` row (ALL data columns NULL) —
+      the signal to CLEAR replica state before applying the same
+      commit's 'u' rows, which are exactly the replacement batch.
+      Within a commit the op order is 'r' first; without this lane a
+      replace would stream as plain upserts and silently diverge any
+      replica (batch ``CDCReader`` raises ReplaceCommitError for the
+      same window).
 
     Output schema: the table's data columns + ``_commit_time`` +
     ``_change_op``. Consumers sequence by ``_commit_time`` within each
@@ -191,4 +204,40 @@ def stream_cdc(
             F.lit("d").alias("_change_op"),
         )
     )
-    return up.unionByName(deletes)
+    # replace lane (r8 review): an insert_overwrite_table commit ships
+    # its batch as ordinary 'u' log rows, which ALONE would silently
+    # diverge a replica — the old state is never merged away
+    # downstream (stale keys survive; replacement rows that lose the
+    # precombine merge lose again), the exact divergence the batch
+    # CDCReader raises ReplaceCommitError for. The per-commit timeline
+    # markers are themselves an append-only file stream, so replaces
+    # stream as explicit 'r' rows (every data column NULL): a consumer
+    # CLEARS replica state at the 'r', then applies the SAME commit's
+    # 'u' rows — which ARE the replacement batch — restoring full
+    # log-shipping parity across replaces (the op-sequencing rule:
+    # within a commit, 'r' applies first). Same phantom caveat as the
+    # other lanes (markers precede the pointer flip).
+    tl_dir = os.path.join(root, "timeline")
+    os.makedirs(tl_dir, exist_ok=True)  # metadata-only, like tombstones
+    mreader = spark.readStream.schema(
+        StructType([StructField("op", StringType())])
+    )
+    if max_files_per_trigger is not None:
+        mreader = mreader.option("maxFilesPerTrigger", max_files_per_trigger)
+    replaces = (
+        mreader.json(os.path.join(tl_dir, "*.json"))
+        .filter(F.col("op") == "overwrite")
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ],
+            F.regexp_replace(
+                F.col("_metadata").getField("file_name"),
+                r"\.json$",
+                "",
+            ).alias(COMMIT_COL),
+            F.lit("r").alias("_change_op"),
+        )
+    )
+    return up.unionByName(deletes).unionByName(replaces)

@@ -767,3 +767,159 @@ def test_maintained_join_report_dim_first_seed(spark, tmp_path):
     assert sorted(
         (r["segment"], r["n_rows"], r["sum_amount"]) for r in res.df.collect()
     ) == [("X", 1, 5)]
+
+
+def test_maintained_join_report_gate_fails_before_publish(spark, tmp_path):
+    """The join loop's quality gate runs PRE-pointer-flip (r8 review):
+    a red window leaves the previous view version live, the pair token
+    unchanged, and BOTH readers unconsumed — so the next run genuinely
+    retries the window instead of the old behavior (bad aggregate
+    published + token advanced, then the quiescent branch silently
+    marked the window consumed and the report stopped forever)."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedJoinAggregate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        DataQualityError,
+        min_rows,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "gfact"), record_key="okey", precombine="opre"
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "gdim"), record_key="ckey", precombine="cpre"
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_g",
+        dim_path=dim.root,
+        dim_name="customers_g",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "gview"),
+        report_base=str(tmp_path / "greports"),
+        checkpoint_root=str(tmp_path / "gck"),
+        recipients=["a@example.com"],
+        quality_rules=[min_rows(2)],  # needs >= 2 groups
+    )
+    sender = EmailSender()
+    FACT_S = "okey int, opre int, cust int, amount long"
+    DIM_S = "ckey int, cpre int, segment string"
+    dim.upsert(
+        spark.createDataFrame([(1, 0, "RETAIL"), (2, 0, "AUTO")], DIM_S)
+    )
+    # first window joins only segment RETAIL -> 1 group -> gate fails
+    fact.upsert(spark.createDataFrame([(10, 0, 1, 100)], FACT_S))
+    with pytest.raises(DataQualityError, match="min_rows"):
+        run_maintained_join_report(spark, cfg, sender=sender)
+    assert sender.outbox == []
+    view = MaintainedJoinAggregate(
+        spark, cfg.view_path, on=("cust", "ckey"),
+        group_cols=["segment"], sum_cols=["amount"],
+    )
+    # nothing published: no live version, no token
+    assert view.current() is None and view.through() is None
+    # new commits repair the data; the retried run folds the ORIGINAL
+    # window plus the fix (both readers stayed unconsumed) and delivers
+    fact.upsert(spark.createDataFrame([(11, 0, 2, 7)], FACT_S))
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    assert res is not None and len(sender.outbox) == 1
+    assert sorted(
+        (r["segment"], r["n_rows"], r["sum_amount"])
+        for r in res.df.collect()
+    ) == [("AUTO", 1, 7), ("RETAIL", 1, 100)]
+
+
+def test_star_apply_rejects_token_missing_a_side(spark, tmp_path):
+    """MaintainedStarAggregate.apply must raise when the through token
+    omits a side the view has covered (r8 review): a None instant
+    means genesis-empty to the pinned-state terms, so an omitted side
+    would silently drop the fact term AND regress the published
+    token."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedStarAggregate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "sfact"), record_key="fk", precombine="fpre",
+        keep_versions=10,
+    )
+    cust = KeyedTable(
+        spark, str(tmp_path / "scust"), record_key="ck", precombine="cpre",
+        keep_versions=10,
+    )
+    part = KeyedTable(
+        spark, str(tmp_path / "spart"), record_key="pk", precombine="ppre",
+        keep_versions=10,
+    )
+    view = MaintainedStarAggregate(
+        spark,
+        str(tmp_path / "sview"),
+        dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
+        group_cols=["seg", "cat"],
+        sum_cols=["amount"],
+    )
+    c1 = cust.upsert(
+        spark.createDataFrame([(1, 0, "x")], "ck int, cpre int, seg string")
+    )
+    p1 = part.upsert(
+        spark.createDataFrame([(1, 0, "m")], "pk int, ppre int, cat string")
+    )
+    f1 = fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 1, 7)], "fk int, fpre int, ck int, pk int, amount long"
+        )
+    )
+    states = {
+        "cust": lambda t: cust.snapshot(as_of=t),
+        "part": lambda t: part.snapshot(as_of=t),
+    }
+    view.apply(
+        fact.cdc(end=f1),
+        {"cust": cust.cdc(end=c1), "part": part.cdc(end=p1)},
+        dim_states=states,
+        through={"fact": f1, "cust": c1, "part": p1},
+    )
+    f2 = fact.upsert(
+        spark.createDataFrame(
+            [(11, 0, 1, 1, 5)], "fk int, fpre int, ck int, pk int, amount long"
+        )
+    )
+    # 'part' omitted from the token — must raise, not silently fold
+    # the fact window against an empty part dimension
+    with pytest.raises(ValueError, match="omits side 'part'"):
+        view.apply(
+            fact.cdc(begin=f1, end=f2),
+            {"cust": None, "part": None},
+            dim_states=states,
+            fact_base=lambda: fact.snapshot(as_of=f1),
+            through={"fact": f2, "cust": c1},
+        )
+    # the correctly carried-forward token folds fine
+    view.apply(
+        fact.cdc(begin=f1, end=f2),
+        {"cust": None, "part": None},
+        dim_states=states,
+        fact_base=lambda: fact.snapshot(as_of=f1),
+        through={"fact": f2, "cust": c1, "part": p1},
+    )
+    assert [
+        (r["seg"], r["cat"], r["n_rows"], r["sum_amount"])
+        for r in view.current().collect()
+    ] == [("x", "m", 2, 12)]

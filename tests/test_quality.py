@@ -432,3 +432,44 @@ def test_grouped_checks_guard_rails(spark):
         prepare_training_data(
             spark, SF, "/tmp/never-written", input_quality_rules=[]
         )
+
+
+def test_metric_history_mixed_vintage_keeps_appended_at(spark, tmp_path):
+    """A history mixing pre-r8 runs (no appended_at column) with
+    stamped runs must still order drift windows chronologically: the
+    load merges footers (r8 review — a single sampled pre-r8 footer
+    would drop the column for ALL rows and silently revert the window
+    to lexicographic run-id order, the exact bug the stamp fixed)."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        MetricHistory,
+    )
+
+    path = str(tmp_path / "mixhist")
+    hist = MetricHistory(spark, path)
+
+    def report(metric):
+        return spark.createDataFrame(
+            [(0, "completeness", "v", metric, 1.0, True)],
+            "rule_seq int, rule string, column string, metric double, "
+            "threshold double, passed boolean",
+        )
+
+    # legacy vintage: a run dir WITHOUT appended_at, written directly
+    report(0.9).withColumn("ok", F.lit(True)).coalesce(1).write.parquet(
+        f"{path}/run=legacy_1"
+    )
+    # modern appends stamp appended_at
+    hist.append(report(0.95), "run_9")
+    hist.append(report(0.97), "run_10")
+    loaded = hist.load()
+    assert "appended_at" in loaded.columns
+    rows = {r["run"]: r["appended_at"] for r in loaded.collect()}
+    assert rows["legacy_1"] is None
+    assert rows["run_9"] is not None and rows["run_10"] is not None
+    # chronological order survives the lexicographic trap
+    assert rows["run_10"] > rows["run_9"]
+    # drift against the mixed history still works end-to-end
+    judged = hist.check_drift(report(0.96), "run_11").collect()
+    assert judged and judged[0]["baseline"] is not None

@@ -368,3 +368,34 @@ def test_incremental_hard_pin_upper_bound(spark, tmp_path):
     nxt = reader.read()
     assert nxt.count() == 10  # the new commit arrives exactly once
     reader.commit()
+
+
+def test_hadoopfs_rename_refuses_existing_directory_dest(spark, tmp_path):
+    """HadoopFS.rename must return False when the destination exists
+    (r8 review): Hadoop's FileSystem.rename with an existing DIRECTORY
+    destination moves src INTO it and returns true (posix-mv), which
+    would defeat every caller using the False return as concurrent-
+    publisher detection — the src would silently vanish into an
+    invisible subdir instead of raising."""
+    import os
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.fs import (
+        fs_for,
+    )
+
+    fs = fs_for(spark)
+    src = str(tmp_path / "staging")
+    dst = str(tmp_path / "published")
+    os.makedirs(src)
+    open(os.path.join(src, "part-0"), "w").write("x")
+    os.makedirs(dst)
+    open(os.path.join(dst, "part-0"), "w").write("y")
+    assert fs.rename(src, dst) is False
+    # src intact (NOT swallowed into dst), dst untouched
+    assert os.path.isfile(os.path.join(src, "part-0"))
+    assert open(os.path.join(dst, "part-0")).read() == "y"
+    assert not os.path.isdir(os.path.join(dst, "staging"))
+    # and a fresh destination still renames
+    dst2 = str(tmp_path / "published2")
+    assert fs.rename(src, dst2) is True
+    assert os.path.isfile(os.path.join(dst2, "part-0"))

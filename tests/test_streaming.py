@@ -1170,3 +1170,70 @@ def test_stream_cdc_live_deletes_and_checkpoint(spark, tmp_path):
     q2.processAllAvailable()
     assert seen2 == [("d", 1)]
     q2.stop()
+
+
+def test_stream_cdc_replace_commits_stream_as_r_rows(spark, tmp_path):
+    """stream_cdc replace lane (r8 review): an insert_overwrite_table
+    commit must surface as an explicit 'r' row — its batch ALSO
+    streams as 'u' rows, and applying those alone silently diverges a
+    replica (stale keys survive the replace; replacement rows that
+    lose the precombine merge lose again). The log-shipping recipe —
+    per commit: clear state on 'r', then apply that commit's 'u'
+    rows — must reach exact source parity across the replace."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_cdc,
+    )
+
+    sch = "k long, pre long, v string"
+    t = KeyedTable(
+        spark, str(tmp_path / "rep_src"), record_key="k", precombine="pre"
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 5, "a"), (2, 5, "b")], sch)
+    )
+    # the replace: key 2 vanishes, key 1's replacement row has a LOWER
+    # precombine (would lose an upsert merge — the divergence trap)
+    rep_commit = t.overwrite(
+        spark.createDataFrame([(1, 0, "z"), (9, 1, "new")], sch)
+    )
+    t.upsert(spark.createDataFrame([(4, 1, "d")], sch))
+
+    rows: list = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        stream_cdc(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rep_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    r_rows = [r for r in rows if r["_change_op"] == "r"]
+    assert [r["_commit_time"] for r in r_rows] == [rep_commit]
+    assert all(r["k"] is None and r["v"] is None for r in r_rows)
+
+    # replica recipe: per commit, 'r' clears state, then 'u' applies
+    state: dict = {}
+    for commit in sorted({r["_commit_time"] for r in rows}):
+        batch_rows = [r for r in rows if r["_commit_time"] == commit]
+        if any(r["_change_op"] == "r" for r in batch_rows):
+            state.clear()
+        for r in batch_rows:
+            if r["_change_op"] == "u":
+                cur = state.get(r["k"])
+                if cur is None or r["pre"] >= cur[0]:
+                    state[r["k"]] = (r["pre"], r["v"])
+            elif r["_change_op"] == "d":
+                state.pop(r["k"], None)
+    src = sorted(
+        (r["k"], r["pre"], r["v"]) for r in t.snapshot().collect()
+    )
+    rep = sorted((k, p, v) for k, (p, v) in state.items())
+    assert rep == src == [(1, 0, "z"), (4, 1, "d"), (9, 1, "new")]
