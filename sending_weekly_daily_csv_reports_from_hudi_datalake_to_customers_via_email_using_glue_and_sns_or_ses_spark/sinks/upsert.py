@@ -535,6 +535,14 @@ class KeyedTable:
 
         from ..sources.incremental import read_commit_log
 
+        log_dir = os.path.join(self.root, "log")
+        # an EMPTIED log dir (rollback-to-empty leaves log/ itself) has
+        # no files for the c=* glob — treat it like a missing log
+        # rather than letting the read raise PATH_NOT_FOUND
+        if not os.path.isdir(log_dir) or not any(
+            n.startswith("c=") for n in os.listdir(log_dir)
+        ):
+            return None
         log = read_commit_log(self.spark, self.root)
         if log is None:
             return None

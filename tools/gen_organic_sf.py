@@ -46,6 +46,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (  # noqa: E402
     QUERIES,
+    RETIRED_QUERIES,
 )
 from tools.scaling_bench import SCALE_QUERIES  # noqa: E402
 
@@ -558,7 +559,7 @@ def _run_once(spark, sf_dir: str, name: str) -> float:
     # exact_substring_pairs since their r6 registry promotion), the
     # EXTRA variant is the production-sized shape whose slope matters
     # (e.g. 2^14 vocab vs the oracle entry's OOV-exercising 50)
-    fn = EXTRA_SCALE.get(name) or QUERIES[name]
+    fn = EXTRA_SCALE.get(name) or QUERIES.get(name) or RETIRED_QUERIES[name]
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
