@@ -976,6 +976,38 @@ class MaintainedStarAggregate(MaintainedAggregate):
             )
         )
 
+    def joined(
+        self, fact_snap: DataFrame, dim_snaps: dict[str, DataFrame]
+    ) -> DataFrame:
+        """The view's source STAR join over snapshots (``dim_snaps``
+        keyed by dim name), projected to the maintained columns — the
+        frame :meth:`rebuild` seeds from and the MIN/MAX recompute
+        ``base`` is built from; callers pass time-travel-pinned
+        snapshots so the state is the token's, not 'latest'."""
+        needed = self._needed()
+        sides = [("fact", set(fact_snap.columns))] + [
+            (n, set(dim_snaps[n].columns)) for n, _, _ in self.dims
+        ]
+        owner: dict[str, str] = {}
+        for c in needed:
+            hits = [s for s, cols in sides if c in cols]
+            if len(hits) != 1:
+                raise ValueError(
+                    f"column {c!r} found on sides {hits} — maintained "
+                    "columns must exist on exactly one join side"
+                )
+            owner[c] = hits[0]
+        out = fact_snap
+        for i, (n, fact_on, dim_on) in enumerate(self.dims):
+            ds = dim_snaps[n].select(
+                F.col(dim_on).alias(f"__jk{i}"),
+                *[c for c in needed if owner[c] == n],
+            )
+            out = out.join(
+                ds, F.col(fact_on) == F.col(f"__jk{i}"), "inner"
+            )
+        return out.select(*needed)
+
     def _check_star(self, through, wins: dict) -> bool:
         """Pair-token guard over all sides (see _check_pair)."""
         if through is None:

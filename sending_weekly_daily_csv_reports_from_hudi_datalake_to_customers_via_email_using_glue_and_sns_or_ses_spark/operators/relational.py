@@ -962,14 +962,14 @@ def ivm_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _star_base(f: str, c: str, p: str):
         """The joined state as of a (fact, cust, part) instant triple —
-        rebuild seed and MIN/MAX recompute base."""
-        fs = fact.snapshot(as_of=f)
-        cs = cust.snapshot(as_of=c)
-        ps = part.snapshot(as_of=p)
-        return (
-            fs.join(cs, fs["ck"] == cs["ck"], "inner")
-            .join(ps, fs["pk"] == ps["pk"], "inner")
-            .select(cs["seg"], ps["cat"], fs["price"])
+        rebuild seed and MIN/MAX recompute base (the view's own
+        star-join helper, so the driver exercises it too)."""
+        return view.joined(
+            fact.snapshot(as_of=f),
+            {
+                "cust": cust.snapshot(as_of=c),
+                "part": part.snapshot(as_of=p),
+            },
         )
 
     # (fact, cust, part) window ends per run; None = side quiescent

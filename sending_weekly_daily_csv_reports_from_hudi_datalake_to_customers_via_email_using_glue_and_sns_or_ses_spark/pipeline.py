@@ -596,3 +596,206 @@ def run_maintained_join_report(
     f_reader.commit()
     d_reader.commit()
     return PipelineResult(df=df, report_path=report_path, email=email)
+
+
+@dataclass
+class MaintainedStarReportConfig:
+    """The scheduled STAR report: a grouped aggregate over
+    fact ⋈ D1 ⋈ … ⋈ Dk maintained incrementally from all k+1 CDC
+    streams (operators/ivm.py MaintainedStarAggregate) — the k-dim
+    generalization of MaintainedJoinReportConfig. ``dims`` entries are
+    ``(name, table_path, fact_on, dim_on)``; each dim's record key must
+    BE its join column (N:1 per dimension, the star-schema shape)."""
+
+    fact_path: str
+    fact_name: str
+    dims: list[tuple[str, str, str, str]]
+    group_cols: list[str]
+    sum_cols: list[str]
+    view_path: str
+    report_base: str
+    checkpoint_root: str
+    recipients: list[str] = field(default_factory=list)
+    file_expires_in: int = 86400
+    subject: str = "Your scheduled report"
+    avg_cols: bool = True
+    minmax_cols: list[str] = field(default_factory=list)
+    #: optional quality gate — runs as the view publish's pre-pointer-
+    #: flip validate hook: a red window leaves the previous version
+    #: live, the token unchanged, and every reader unconsumed
+    quality_rules: list = field(default_factory=list)
+
+
+def run_maintained_star_report(
+    spark: SparkSession,
+    config: MaintainedStarReportConfig,
+    presigner: Presigner | None = None,
+    sender: EmailSender | None = None,
+) -> PipelineResult | None:
+    """One scheduled run of the maintained STAR report: read all k+1
+    CDC windows (each starting at max(checkpoint, view-through)), fold
+    the telescoped delta terms, write the CSV, deliver, then checkpoint
+    every reader. Returns None when no source has new commits.
+
+    The join loop's contract generalized: exactly-once via the full
+    {side: instant} token; the CSV key embeds every instant; a replace
+    commit on ANY side re-seeds the view from the post-replace star
+    snapshot and resumes from the token; the quality gate runs
+    pre-pointer-flip so red windows genuinely retry."""
+    from .operators.ivm import MaintainedStarAggregate
+    from .sinks.upsert import ReplaceCommitError
+    from .sources.incremental import CDCReader
+
+    f_reader = CDCReader(
+        spark, config.fact_name, config.fact_path,
+        checkpoint_root=config.checkpoint_root,
+    )
+    d_readers = {
+        name: CDCReader(
+            spark, f"{config.fact_name}__{name}", path,
+            checkpoint_root=config.checkpoint_root,
+        )
+        for name, path, _, _ in config.dims
+    }
+    view = MaintainedStarAggregate(
+        spark,
+        config.view_path,
+        dims=[(n, fo, do) for n, _, fo, do in config.dims],
+        group_cols=config.group_cols,
+        sum_cols=config.sum_cols,
+        minmax_cols=config.minmax_cols,
+    )
+    for (name, _, _, dim_on) in config.dims:
+        rk = d_readers[name].table.record_key
+        if rk != dim_on:
+            raise ValueError(
+                f"run_maintained_star_report: dim {name!r} join column "
+                f"{dim_on!r} must be its table's record key ({rk!r}) — "
+                "each star dimension is N:1 by contract"
+            )
+
+    def _enrich(frame):
+        if not config.avg_cols:
+            return frame
+        from pyspark.sql import functions as F
+
+        for c in config.sum_cols:
+            frame = frame.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+        return frame
+
+    gate = None
+    if config.quality_rules:
+
+        def gate(staged):
+            from .operators.quality import expect
+
+            expect(_enrich(staged), config.quality_rules)
+
+    seen = view.through() or {}
+    rebuild = False
+    wins: dict = {}
+    readers = {"fact": f_reader, **d_readers}
+    for side, reader in readers.items():
+        try:
+            wins[side] = reader.read(after=seen.get(side))
+        except ReplaceCommitError:
+            wins[side], rebuild = None, True
+
+    def _checkpoint(reader):
+        return (
+            reader.store.read(reader.table_name).last_processed_commit
+            if reader.store.exists(reader.table_name)
+            else None
+        )
+
+    # each side's covered instant: staged window end, else the view's
+    # token, else the reader checkpoint — every snapshot below pins to
+    # these (never 'current': a commit racing in mid-run would leak)
+    ends = {
+        side: reader.staged_end() or seen.get(side) or _checkpoint(reader)
+        for side, reader in readers.items()
+    }
+    token = dict(ends)
+    if wins["fact"] is not None and not rebuild and any(
+        ends[n] is None for n, _, _, _ in config.dims
+    ):
+        # fact rows exist but some dimension has never been consumed:
+        # the inner join is empty — leave every window unconsumed and
+        # fold once all sides are readable
+        return None
+
+    def _snaps(instants):
+        fs = f_reader.table.snapshot(as_of=instants["fact"])
+        ds = {
+            n: d_readers[n].table.snapshot(as_of=instants[n])
+            for n, _, _, _ in config.dims
+        }
+        return fs, ds
+
+    if rebuild:
+        fs, ds = _snaps(ends)
+        if fs is None or any(v is None for v in ds.values()):
+            return None  # some side has no state yet: nothing to report
+        view.rebuild(view.joined(fs, ds), through=token, validate=gate)
+    elif all(w is None for w in wins.values()):
+        if any(r.staged_end() is not None for r in readers.values()):
+            for r in readers.values():
+                r.commit()  # view already covers it: catch-up
+        return None
+    else:
+        f_prev = seen.get("fact")
+        view.apply(
+            wins["fact"],
+            {n: wins[n] for n, _, _, _ in config.dims},
+            dim_states={
+                n: (
+                    lambda t, tab=d_readers[n].table: tab.snapshot(as_of=t)
+                )
+                for n, _, _, _ in config.dims
+            },
+            fact_base=(
+                (lambda: f_reader.table.snapshot(as_of=f_prev))
+                if f_prev is not None
+                else None
+            ),
+            through=token,
+            base=(
+                (lambda: view.joined(*_snaps(ends)))
+                if config.minmax_cols
+                else None
+            ),
+            validate=gate,
+        )
+    df = view.current()
+    if df is None:
+        # dim windows at fact genesis fold to nothing: consume them —
+        # their effect enters later fact terms through the dim
+        # snapshots — and report once fact rows exist
+        for r in readers.values():
+            r.commit()
+        return None
+    df = _enrich(df)
+    report_path = write_csv_report(
+        df,
+        config.report_base,
+        report_id="cdc_" + "_".join(
+            str(ends[s]) for s in ["fact"] + [n for n, _, _, _ in config.dims]
+        ),
+        single_file=True,
+    )
+    email = deliver_report(
+        report_path,
+        config.recipients,
+        presigner=presigner,
+        sender=sender,
+        expires_in=config.file_expires_in,
+        subject=config.subject,
+    )
+    for r in readers.values():
+        r.commit()
+    return PipelineResult(df=df, report_path=report_path, email=email)

@@ -923,3 +923,124 @@ def test_star_apply_rejects_token_missing_a_side(spark, tmp_path):
         (r["seg"], r["cat"], r["n_rows"], r["sum_amount"])
         for r in view.current().collect()
     ] == [("x", "m", 2, 12)]
+
+
+def test_maintained_star_report_loop(spark, tmp_path):
+    """run_maintained_star_report (r8): the k-dim scheduled loop —
+    three-way seed, quiescent no-op, fact-only delta, one-dim
+    migration, BOTH dims in one run, dim replace self-heal — the
+    maintained view must equal a direct star recompute at every
+    step."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedStarReportConfig,
+        run_maintained_star_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "stfact"), record_key="okey",
+        precombine="opre", keep_versions=10,
+    )
+    cust = KeyedTable(
+        spark, str(tmp_path / "stcust"), record_key="ck",
+        precombine="cpre", keep_versions=10,
+    )
+    part = KeyedTable(
+        spark, str(tmp_path / "stpart"), record_key="pk",
+        precombine="ppre", keep_versions=10,
+    )
+    cfg = MaintainedStarReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_st",
+        dims=[
+            ("cust", cust.root, "cust", "ck"),
+            ("part", part.root, "prt", "pk"),
+        ],
+        group_cols=["segment", "cat"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "stview"),
+        report_base=str(tmp_path / "streports"),
+        checkpoint_root=str(tmp_path / "stck"),
+        recipients=["a@example.com"],
+    )
+    sender = EmailSender()
+
+    def recompute():
+        fs, cs, ps = fact.snapshot(), cust.snapshot(), part.snapshot()
+        if fs is None or cs is None or ps is None:
+            return []
+        return sorted(
+            (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+            for r in fs.join(cs, fs["cust"] == cs["ck"])
+            .join(ps, fs["prt"] == ps["pk"])
+            .groupBy("segment", "cat")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect()
+        )
+
+    def rows(df):
+        return sorted(
+            (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+            for r in df.collect()
+        )
+
+    FACT_S = "okey int, opre int, cust int, prt int, amount long"
+    CUST_S = "ck int, cpre int, segment string"
+    PART_S = "pk int, ppre int, cat string"
+    cust.upsert(
+        spark.createDataFrame([(1, 0, "RETAIL"), (2, 0, "AUTO")], CUST_S)
+    )
+    part.upsert(spark.createDataFrame([(1, 0, "A"), (2, 0, "B")], PART_S))
+    fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 1, 100), (11, 0, 1, 2, 50), (12, 0, 2, 1, 7)],
+            FACT_S,
+        )
+    )
+    res = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res.df) == recompute() == [
+        ("AUTO", "A", 1, 7), ("RETAIL", "A", 1, 100), ("RETAIL", "B", 1, 50)
+    ]
+    assert len(sender.outbox) == 1
+
+    # quiescent → no report
+    assert run_maintained_star_report(spark, cfg, sender=sender) is None
+    assert len(sender.outbox) == 1
+
+    # fact-only window
+    fact.delete(spark.createDataFrame([(11,)], "okey int"))
+    res2 = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res2.df) == recompute()
+
+    # one-dim migration (cust 1 RETAIL -> AUTO)
+    cust.upsert(spark.createDataFrame([(1, 1, "AUTO")], CUST_S))
+    res3 = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res3.df) == recompute() == [("AUTO", "A", 2, 107)]
+
+    # BOTH dims change in one run (the telescoped pinning path)
+    cust.upsert(spark.createDataFrame([(2, 1, "GOV")], CUST_S))
+    part.upsert(spark.createDataFrame([(1, 1, "C")], PART_S))
+    res4 = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res4.df) == recompute() == [
+        ("AUTO", "C", 1, 100), ("GOV", "C", 1, 7)
+    ]
+
+    # replace on a dim: self-heal by rebuild from the star snapshot,
+    # then incremental maintenance resumes
+    part.overwrite(spark.createDataFrame([(1, 5, "Z")], PART_S))
+    res5 = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res5.df) == recompute() == [
+        ("AUTO", "Z", 1, 100), ("GOV", "Z", 1, 7)
+    ]
+    fact.upsert(spark.createDataFrame([(13, 0, 1, 1, 3)], FACT_S))
+    res6 = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res6.df) == recompute() == [
+        ("AUTO", "Z", 2, 103), ("GOV", "Z", 1, 7)
+    ]
