@@ -456,10 +456,15 @@ class KeyedTable:
         when it changed) — the writer conforms the batch to it."""
         from pyspark.sql.types import StructField, StructType
 
+        from ..sources.incremental import _committed_schema
+
         new_fields = [
             f for f in incoming.schema.fields if f.name != COMMIT_COL
         ]
-        current = self.table_schema()
+        # the RAW record (tombstoned drops included): a re-added name
+        # must be checked against the residual data old files still
+        # hold under it, which the active view deliberately hides
+        current = _committed_schema(self.root, include_dropped=True)
         had_recorded = current is not None
         if current is None:
             # legacy root (pre-schema-recording) with data already on
@@ -482,6 +487,21 @@ class KeyedTable:
                 changed = True
                 continue
             seen = current_fields[at]
+            if seen.metadata.get("dropped"):
+                # reads are NAME-based: a re-added column would
+                # resurface the residual values old files still hold
+                # under that name for pre-drop rows — silently wrong
+                # for a user expecting a fresh column (Hudi avoids
+                # this with column IDs; this engine refuses loudly —
+                # the log dirs keep pre-drop files forever, so no
+                # rewrite can safely free the name)
+                raise ValueError(
+                    f"column {f.name!r} was dropped from this table "
+                    "(alter_drop_column) and its name cannot be "
+                    "re-added: old data files still hold the previous "
+                    "values, which name-based reads would resurface "
+                    "in pre-drop rows — use a new column name"
+                )
             if seen.dataType == f.dataType:
                 continue
             wide = _widened(seen.dataType, f.dataType)
@@ -838,9 +858,16 @@ class KeyedTable:
         base_commit = surviving[-1] if surviving else None
         if base_commit == effective:
             path = os.path.join(self.root, "snapshots", f"v={base_commit}")
-            return read_skipping(
+            got = read_skipping(
                 self.spark, path, predicates, with_report=with_report
             )
+            dropped = self._dropped_names(as_of=effective)
+            if dropped:
+                if with_report:
+                    got = (got[0].drop(*dropped), got[1])
+                else:
+                    got = got.drop(*dropped)
+            return got
         snap = self._snapshot_as_of(effective)
         df = (
             None
@@ -881,25 +908,146 @@ class KeyedTable:
         base = self._base_commit()
         if base == latest:
             path = os.path.join(self.root, "snapshots", f"v={base}")
-            return read_keys_bloom(
+            got = read_keys_bloom(
                 self.spark,
                 path,
                 col,
                 values,
                 with_report=with_report,
             )
+            dropped = self._dropped_names()
+            if dropped:
+                if with_report:
+                    got = (got[0].drop(*dropped), got[1])
+                else:
+                    got = got.drop(*dropped)
+            return got
         snap = self.snapshot()
         df = None if snap is None else snap.where(F.col(col).isin(values))
         return (df, {"fallback": True}) if with_report else df
 
     def _snapshot_as_of(self, as_of: str) -> DataFrame | None:
-        """The one snapshot read path (``as_of`` = the latest commit
-        for plain reads): newest surviving snapshot ≤ as_of ∪ log
-        window (base, as_of], with the cleaned-delete rail. Bounding
-        the log at ``as_of`` also keeps a crashed writer's orphan log
-        dirs (> the published pointer, not yet lazily rolled back) out
-        of every read — the pointer flip is the commit point, so
-        uncommitted rows must never surface."""
+        """State as of ``as_of``, presented under the schema AS OF that
+        instant: the raw reconstruction (:meth:`_snapshot_raw`)
+        projected to the vintage's ACTIVE recorded schema — dropped
+        columns disappear from reads the moment the drop commits (old
+        files are never rewritten; they are simply not projected), a
+        time-travel read BEFORE the drop still shows the column, and
+        types normalize to the vintage's recorded (possibly widened)
+        form regardless of which mix of file vintages served the
+        read."""
+        df = self._snapshot_raw(as_of)
+        if df is None:
+            return None
+        return self._project_active(df, as_of)
+
+    def _project_active(self, df: DataFrame, as_of: str) -> DataFrame:
+        from ..sources.incremental import _committed_schema
+
+        sch = _committed_schema(self.root, as_of=as_of)
+        if sch is None:
+            return df  # legacy root: infer-from-files behavior
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in sch.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif have[f.name] != f.dataType:
+                # widened vintage over narrower files, or (time travel
+                # before a widening) narrower vintage over a log read
+                # that used the current wide schema — every value in
+                # a ≤ as_of row fits the as-of type by construction
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        if COMMIT_COL in have:
+            cols.append(F.col(COMMIT_COL))
+        return df.select(*cols)
+
+    def _dropped_names(self, as_of: str | None = None) -> list[str]:
+        from ..sources.incremental import _committed_schema
+
+        raw = _committed_schema(
+            self.root, include_dropped=True, as_of=as_of
+        )
+        if raw is None:
+            return []
+        return [f.name for f in raw.fields if f.metadata.get("dropped")]
+
+    def alter_drop_column(self, col: str) -> str:
+        """ALTER TABLE DROP COLUMN as a metadata-only commit (Hudi's
+        comprehensive-schema-evolution drop): the recorded schema
+        tombstones the field — data files are NEVER rewritten; reads
+        simply stop projecting the column (it leaves physically at the
+        next COW rewrite / compaction of each file), time-travel reads
+        before the drop still show it, and the name cannot be re-added
+        (name-based reads would resurface pre-drop residual values —
+        see _update_schema). Key, precombine, and partition columns
+        cannot be dropped."""
+        from pyspark.sql.types import StructField, StructType
+
+        from ..sources.incremental import _committed_schema
+
+        protected = {self.record_key, self.precombine, COMMIT_COL}
+        protected.update(self.partition_cols)
+        if self.record_key == COMPOSITE_KEY_COL:
+            protected.update(self.key_fields)
+        if col in protected:
+            raise ValueError(
+                f"alter_drop_column: {col!r} is a key/precombine/"
+                "partition column — structural columns cannot be "
+                "dropped"
+            )
+        with self._txn():
+            raw = _committed_schema(self.root, include_dropped=True)
+            if raw is None:
+                raw = self._inferred_file_schema()
+            if raw is None:
+                raise ValueError(
+                    "alter_drop_column on an empty table — nothing to "
+                    "drop"
+                )
+            by_name = {f.name: f for f in raw.fields}
+            target = by_name.get(col)
+            if target is None or target.metadata.get("dropped"):
+                raise ValueError(
+                    f"alter_drop_column: no active column {col!r} "
+                    f"(active: "
+                    f"{[f.name for f in raw.fields if not f.metadata.get('dropped')]})"
+                )
+            commit = self._new_commit_id()
+            staged = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {**f.metadata, "dropped": True}
+                        if f.name == col
+                        else f.metadata,
+                    )
+                    for f in raw.fields
+                ]
+            )
+            os.makedirs(self._schema_dir(), exist_ok=True)
+            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(json.loads(staged.json()), f)
+            os.replace(
+                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            )
+            self._record_instant(commit, "alter")
+            self._publish(commit)
+            return commit
+
+    def _snapshot_raw(self, as_of: str) -> DataFrame | None:
+        """The one snapshot reconstruction path (``as_of`` = the latest
+        commit for plain reads): newest surviving snapshot ≤ as_of ∪
+        log window (base, as_of], with the cleaned-delete rail.
+        Bounding the log at ``as_of`` also keeps a crashed writer's
+        orphan log dirs (> the published pointer, not yet lazily
+        rolled back) out of every read — the pointer flip is the
+        commit point, so uncommitted rows must never surface."""
         surviving = [c for c in self.commits() if c <= as_of]
         base_commit = surviving[-1] if surviving else None
         lost_deletes = self._delete_instants_in(base_commit, as_of)
@@ -921,7 +1069,10 @@ class KeyedTable:
             )
         if base_commit == as_of:
             return base  # COW / delete instant / MOR right after compaction
-        log = self.log()
+        # RAW schema read: a time-travel instant BEFORE a drop must
+        # still see the dropped column's values; _project_active
+        # decides visibility per vintage
+        log = read_commit_log(self.spark, self.root, include_dropped=True)
         delta = None
         if log is not None:
             delta = log.filter(F.col(COMMIT_COL) <= F.lit(as_of))

@@ -43,10 +43,19 @@ COMMIT_COL = "_commit_time"
 HUDI_COMMIT_COL = "_hoodie_commit_time"
 
 
-def _committed_schema(root: str):
+def _committed_schema(
+    root: str, include_dropped: bool = False, as_of: str | None = None
+):
     """The table's committed data schema: newest schema/<commit>.json
-    at or below the ``_latest`` pointer, the legacy _schema.json as a
-    fallback, else None (infer from files)."""
+    at or below the ``_latest`` pointer (and, with ``as_of``, at or
+    below that instant too — the time-travel vintage), the legacy
+    _schema.json as a fallback, else None (infer from files).
+
+    Dropped columns (``alter_drop_column``) stay in the recorded file
+    as TOMBSTONED fields — metadata ``{"dropped": true}`` — so a later
+    re-add of the same name can be checked against the residual data
+    old files still hold; readers get the ACTIVE fields only unless
+    ``include_dropped`` asks for the raw record."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -56,6 +65,9 @@ def _committed_schema(root: str):
             latest = f.read().strip() or None
     except FileNotFoundError:
         latest = None
+    if latest is not None and as_of is not None and as_of < latest:
+        latest = as_of
+    schema = None
     sd = os.path.join(root, "schema")
     if latest is not None and os.path.isdir(sd):
         eligible = sorted(
@@ -67,18 +79,31 @@ def _committed_schema(root: str):
         )
         if eligible:
             with open(os.path.join(sd, f"{eligible[-1]}.json")) as f:
-                return StructType.fromJson(_json.load(f))
-    legacy = os.path.join(root, "_schema.json")
-    if os.path.isfile(legacy):
-        with open(legacy) as f:
-            return StructType.fromJson(_json.load(f))
-    return None
+                schema = StructType.fromJson(_json.load(f))
+    if schema is None:
+        legacy = os.path.join(root, "_schema.json")
+        if os.path.isfile(legacy):
+            with open(legacy) as f:
+                schema = StructType.fromJson(_json.load(f))
+    if schema is None or include_dropped:
+        return schema
+    return StructType(
+        [f for f in schema.fields if not f.metadata.get("dropped")]
+    )
 
 
-def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
+def read_commit_log(
+    spark: SparkSession, root: str, include_dropped: bool = False
+) -> DataFrame | None:
     """Read a KeyedTable commit log (root/log/c=<commit>/) as the change
     stream, commit ids restored into ``_commit_time``. Returns None when
     ``root`` has no log — i.e. it isn't a KeyedTable root.
+
+    ``include_dropped`` reads under the RAW recorded schema (tombstoned
+    dropped columns included) — the internal time-travel
+    reconstruction needs the dropped columns' VALUES so a read pinned
+    before the drop can still show them; the public change stream
+    stays at the active schema.
 
     Only PUBLISHED commits are visible: when the root carries a
     ``_latest`` pointer, log dirs beyond it (a crashed writer's
@@ -98,7 +123,7 @@ def read_commit_log(spark: SparkSession, root: str) -> DataFrame | None:
     # lacks with NULL, and no per-file footer sweep (mergeSchema) is
     # ever needed. Only files at or below the published pointer count
     # (crash consistency — same bound the row filter below applies).
-    data_schema = _committed_schema(root)
+    data_schema = _committed_schema(root, include_dropped=include_dropped)
     if data_schema is not None:
         from pyspark.sql.types import LongType, StructField, StructType
 

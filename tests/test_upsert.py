@@ -1825,3 +1825,86 @@ def test_occ_overwrite_conflicts_with_inflight_writer(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         with a._txn():
             a._check_conflict(base, incoming)
+
+
+# -- drop-column schema evolution (r8) -----------------------------------
+
+
+def test_alter_drop_column_cow(spark, tmp_path):
+    """Metadata-only column drop: reads stop projecting the column
+    immediately (no file rewrite), time travel BEFORE the drop still
+    shows its values, later upserts proceed, and the name cannot be
+    re-added (residual values in old files would resurface)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "dropcow"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    c1 = t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 7), (2, 1, "b", 8)],
+            "k int, pre int, v string, w int",
+        )
+    )
+    t.alter_drop_column("w")
+    assert "w" not in t.snapshot().columns
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {
+        1: "a", 2: "b"
+    }
+    assert [f.name for f in t.table_schema().fields] == ["k", "pre", "v"]
+    # time travel BEFORE the drop: the column and its VALUES are back
+    old = t.snapshot(as_of=c1)
+    assert {r["k"]: r["w"] for r in old.collect()} == {1: 7, 2: 8}
+    # maintenance continues; the drop survives reopen
+    t.upsert(spark.createDataFrame([(3, 1, "c")], "k int, pre int, v string"))
+    reopened = KeyedTable.open(spark, t.root)
+    assert "w" not in reopened.snapshot().columns
+    assert reopened.snapshot().count() == 3
+    # the name is tombstoned: re-adding raises
+    with pytest.raises(ValueError, match="cannot be\\s+re-added"):
+        reopened.upsert(
+            spark.createDataFrame(
+                [(4, 1, "d", 9)], "k int, pre int, v string, w int"
+            )
+        )
+
+
+def test_alter_drop_column_mor_and_incremental(spark, tmp_path):
+    """MOR: the drop hides the column from the log-merged snapshot and
+    from the incremental change stream without touching any log file;
+    compaction makes it physical."""
+    t = KeyedTable(
+        spark, str(tmp_path / "dropmor"), record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ", keep_versions=10,
+    )
+    c1 = t.upsert(
+        spark.createDataFrame([(1, 1, "a", 7)], "k int, pre int, v string, w int")
+    )
+    t.alter_drop_column("w")
+    t.upsert(spark.createDataFrame([(2, 1, "b")], "k int, pre int, v string"))
+    snap = t.snapshot()
+    assert "w" not in snap.columns
+    assert {r["k"]: r["v"] for r in snap.collect()} == {1: "a", 2: "b"}
+    # the change stream reads under the active schema
+    assert "w" not in t.log().columns
+    # time travel before the drop serves the value from the LOG file
+    assert t.snapshot(as_of=c1).collect()[0]["w"] == 7
+    # compaction materializes the post-drop shape
+    t.compact()
+    assert "w" not in KeyedTable.open(spark, t.root).snapshot().columns
+
+
+def test_alter_drop_column_guards(spark, tmp_path):
+    t = KeyedTable(
+        spark, str(tmp_path / "dropg"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    t.upsert(spark.createDataFrame([(1, 1, "a")], "k int, pre int, v string"))
+    with pytest.raises(ValueError, match="structural columns"):
+        t.alter_drop_column("k")
+    with pytest.raises(ValueError, match="structural columns"):
+        t.alter_drop_column("pre")
+    with pytest.raises(ValueError, match="no active column"):
+        t.alter_drop_column("nope")
+    t.alter_drop_column("v")
+    with pytest.raises(ValueError, match="no active column"):
+        t.alter_drop_column("v")  # double drop
