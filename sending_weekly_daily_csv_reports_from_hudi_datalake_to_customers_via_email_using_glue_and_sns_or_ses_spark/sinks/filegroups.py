@@ -78,7 +78,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..sources.incremental import COMMIT_COL
 from .upsert import (
@@ -267,11 +267,18 @@ class BucketedTable:
     def _slice_path(self, bucket: int, commit: str) -> str:
         return os.path.join(self.root, "slices", f"b={bucket}", f"v={commit}")
 
-    def _read_slices(self, pairs: list[tuple[int, str]]) -> DataFrame | None:
+    def _read_slices(
+        self, pairs: list[tuple[int, str]], schema: StructType | None = None
+    ) -> DataFrame | None:
         """One multi-path parquet scan over the given (bucket, slice
-        commit) set. mergeSchema unions per-slice schemas — schema
-        evolution only rewrites the slices a widening batch touches, so
-        a snapshot legitimately spans schema versions."""
+        commit) set, declared under the manifest's committed ``schema``
+        when given: schema evolution only rewrites the slices a batch
+        touches, so a snapshot legitimately spans schema versions —
+        the explicit schema NULL-fills columns a pre-evolution slice
+        lacks and WIDENS its narrower types at scan time (parquet
+        mergeSchema cannot: it refuses int32 vs int64), with no
+        footer sweep. ``schema=None`` falls back to mergeSchema (the
+        pre-widening vintage behavior, safe on add-only histories)."""
         if not pairs:
             return None
         paths = []
@@ -284,6 +291,8 @@ class BucketedTable:
                     "retained history"
                 )
             paths.append(p)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- merge payload --------------------------------------------------
@@ -375,13 +384,21 @@ class BucketedTable:
         )
         commit = self._new_commit_id()
         stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+        # the committed schema for THIS commit, computed (and its
+        # widening lattice VALIDATED — non-promotable changes raise
+        # here) BEFORE any slice is read or written; the existing
+        # slices are then read directly under it, so pre-evolution
+        # groups NULL-fill added columns and widen narrow types at
+        # scan time
+        schema_now = self._union_schema(stamped.schema)
         # routing depends only on the key SET, identical pre- and
         # post-dedupe — compute it off the raw batch (narrow key-only
         # lineage, no merge window behind it)
         touched = self._touched_buckets(incoming)
         slices = self._current_slices()
         existing = self._read_slices(
-            [(b, slices[b]) for b in touched if slices.get(b) is not None]
+            [(b, slices[b]) for b in touched if slices.get(b) is not None],
+            schema_now,
         )
         merged = (
             stamped
@@ -393,7 +410,7 @@ class BucketedTable:
         new_slices = dict(slices)
         new_slices.update(self._write_touched(merged, touched, commit))
         self._write_log(stamped, commit)
-        self._write_manifest(commit, "upsert", new_slices, self._union_schema(stamped.schema))
+        self._write_manifest(commit, "upsert", new_slices, schema_now)
         self._publish(commit)
         self._clean()
         return commit
@@ -460,7 +477,7 @@ class BucketedTable:
         if not live:
             return None  # none of the keys' groups hold data
         commit = self._new_commit_id()
-        existing = self._read_slices(live)
+        existing = self._read_slices(live, self._union_schema(None))
         anti = F.broadcast(keyed) if broadcast_keys else keyed
         remaining = existing.join(
             anti, on=self.record_key, how="left_anti"
@@ -478,8 +495,17 @@ class BucketedTable:
 
     def _union_schema(self, incoming: StructType | None) -> StructType:
         """Committed data schema: previous manifest's schema widened by
-        the incoming batch (order-preserving name union; an evolved
-        column keeps its first-seen position)."""
+        the incoming batch — order-preserving name union (an evolved
+        column keeps its first-seen position) PLUS type promotion
+        along the same reader-verified lattice as KeyedTable
+        (upsert.py `_widened`): a same-name type change either widens
+        the recorded type or raises BEFORE any slice is written. The
+        recorded (wide) schema is what `_read_slices` declares, so
+        narrow untouched slices widen at scan time — a silent
+        narrow-vs-wide mix would otherwise break the read (parquet
+        mergeSchema refuses int32 vs int64)."""
+        from .upsert import _widened
+
         latest = self.latest_commit()
         prev = None
         if latest is not None:
@@ -488,10 +514,28 @@ class BucketedTable:
             return prev if prev is not None else StructType([])
         if prev is None:
             return incoming
-        names = {f.name for f in prev.fields}
-        merged = list(prev.fields) + [
-            f for f in incoming.fields if f.name not in names
-        ]
+        merged = list(prev.fields)
+        by_name = {f.name: i for i, f in enumerate(merged)}
+        for f in incoming.fields:
+            at = by_name.get(f.name)
+            if at is None:
+                by_name[f.name] = len(merged)
+                merged.append(StructField(f.name, f.dataType, True))
+                continue
+            seen = merged[at]
+            if seen.dataType == f.dataType:
+                continue
+            wide = _widened(seen.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"schema evolution supports adding nullable columns "
+                    f"and WIDENING type promotions, not this change: "
+                    f"column {f.name!r} is "
+                    f"{seen.dataType.simpleString()} in the table but "
+                    f"{f.dataType.simpleString()} in the incoming batch"
+                )
+            if wide != seen.dataType:
+                merged[at] = StructField(f.name, wide, True)
         return StructType(merged)
 
     def _write_log(self, df: DataFrame, commit: str) -> None:
@@ -526,7 +570,9 @@ class BucketedTable:
             for b, c in manifest["slices"].items()
             if c is not None
         ]
-        df = self._read_slices(pairs)
+        df = self._read_slices(
+            pairs, StructType.fromJson(manifest["schema"])
+        )
         if df is None:
             # every group empty (e.g. all rows deleted): an EMPTY frame
             # in the committed schema, not None — the table exists
@@ -544,7 +590,7 @@ class BucketedTable:
         touched = self._touched_buckets(keyed)
         slices = self._current_slices()
         live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
-        df = self._read_slices(live)
+        df = self._read_slices(live, self._union_schema(None))
         if df is None:
             schema = self._union_schema(None)
             return self.spark.createDataFrame([], schema)

@@ -444,3 +444,55 @@ def test_stream_incremental_reads_bucketed_log(spark, tmp_path):
     q.processAllAvailable()
     assert sorted(seen) == [(1, c1), (2, c2)]
     q.stop()
+
+
+def test_bucketed_type_widening_across_slices(spark, tmp_path):
+    """Type widening on the bucketed engine (r8): a LONG batch widens
+    an INT measure; untouched groups keep their narrow slices on disk
+    and the explicit-schema read widens them at scan time — parquet
+    mergeSchema cannot span int32/int64, so the committed manifest
+    schema is what every slice read declares. Non-promotable changes
+    raise before any slice is written."""
+    import pytest
+    from pyspark.sql.types import LongType
+
+    t = BucketedTable(
+        spark,
+        str(tmp_path / "wb"),
+        record_key="k",
+        precombine="pre",
+        num_buckets=4,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 1, i * 10) for i in range(12)], "k int, pre int, n int"
+        )
+    )
+    # touches a subset of groups with a WIDER type
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, 4_000_000_000)], "k int, pre int, n long"
+        )
+    )
+    snap = t.snapshot()
+    assert snap.schema["n"].dataType == LongType()
+    got = {r["k"]: r["n"] for r in snap.collect()}
+    assert got[0] == 4_000_000_000 and got[5] == 50 and len(got) == 12
+    # point lookups read mixed-vintage slices under the same schema
+    probe = spark.createDataFrame([(0,), (5,)], "k int")
+    assert {
+        r["k"]: r["n"] for r in t.read_keys(probe).collect()
+    } == {0: 4_000_000_000, 5: 50}
+    # narrower follow-up batch: schema unchanged, value lands
+    t.upsert(spark.createDataFrame([(5, 3, 7)], "k int, pre int, n int"))
+    assert t.snapshot().schema["n"].dataType == LongType()
+    assert {
+        r["k"]: r["n"] for r in t.snapshot().collect()
+    }[5] == 7
+    # non-promotable change raises before any write
+    with pytest.raises(ValueError, match="not this change"):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 4, "oops")], "k int, pre int, n string"
+            )
+        )
