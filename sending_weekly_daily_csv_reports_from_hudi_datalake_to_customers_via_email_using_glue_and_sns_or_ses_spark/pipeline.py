@@ -473,21 +473,14 @@ def run_maintained_join_report(
     except ReplaceCommitError:
         d_win, rebuild = None, True
 
-    def _checkpoint(reader):
-        return (
-            reader.store.read(reader.table_name).last_processed_commit
-            if reader.store.exists(reader.table_name)
-            else None
-        )
-
     # each side's covered instant: staged window end, else the view's
     # token, else the reader checkpoint (a window consumed by a run
     # that folded nothing — the dim-first seed — leaves only the
     # checkpoint). EVERY snapshot below pins to these instants: 'read
     # current state' would race a commit landing mid-run, making the
     # fact term see dim changes the next dim window then re-applies.
-    f_end = f_reader.staged_end() or seen.get("fact") or _checkpoint(f_reader)
-    d_end = d_reader.staged_end() or seen.get("dim") or _checkpoint(d_reader)
+    f_end = f_reader.staged_end() or seen.get("fact") or f_reader.checkpoint()
+    d_end = d_reader.staged_end() or seen.get("dim") or d_reader.checkpoint()
     pair = {"fact": f_end, "dim": d_end}
     if f_win is not None and d_end is None and not rebuild:
         # fact rows exist but the dim side has never been consumed (and
@@ -706,18 +699,11 @@ def run_maintained_star_report(
         except ReplaceCommitError:
             wins[side], rebuild = None, True
 
-    def _checkpoint(reader):
-        return (
-            reader.store.read(reader.table_name).last_processed_commit
-            if reader.store.exists(reader.table_name)
-            else None
-        )
-
     # each side's covered instant: staged window end, else the view's
     # token, else the reader checkpoint — every snapshot below pins to
     # these (never 'current': a commit racing in mid-run would leak)
     ends = {
-        side: reader.staged_end() or seen.get(side) or _checkpoint(reader)
+        side: reader.staged_end() or seen.get(side) or reader.checkpoint()
         for side, reader in readers.items()
     }
     token = dict(ends)

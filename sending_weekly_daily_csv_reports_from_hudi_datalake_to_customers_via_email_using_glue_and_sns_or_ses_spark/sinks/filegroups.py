@@ -477,7 +477,8 @@ class BucketedTable:
         if not live:
             return None  # none of the keys' groups hold data
         commit = self._new_commit_id()
-        existing = self._read_slices(live, self._union_schema(None))
+        schema = self._union_schema(None)  # one manifest read, both uses
+        existing = self._read_slices(live, schema)
         anti = F.broadcast(keyed) if broadcast_keys else keyed
         remaining = existing.join(
             anti, on=self.record_key, how="left_anti"
@@ -486,9 +487,7 @@ class BucketedTable:
         new_slices.update(
             self._write_touched(remaining, [b for b, _ in live], commit)
         )
-        self._write_manifest(
-            commit, "delete", new_slices, self._union_schema(None)
-        )
+        self._write_manifest(commit, "delete", new_slices, schema)
         self._publish(commit)
         self._clean()
         return commit
@@ -504,7 +503,7 @@ class BucketedTable:
         narrow untouched slices widen at scan time — a silent
         narrow-vs-wide mix would otherwise break the read (parquet
         mergeSchema refuses int32 vs int64)."""
-        from .upsert import _widened
+        from .upsert import merge_widened_fields
 
         latest = self.latest_commit()
         prev = None
@@ -514,28 +513,7 @@ class BucketedTable:
             return prev if prev is not None else StructType([])
         if prev is None:
             return incoming
-        merged = list(prev.fields)
-        by_name = {f.name: i for i, f in enumerate(merged)}
-        for f in incoming.fields:
-            at = by_name.get(f.name)
-            if at is None:
-                by_name[f.name] = len(merged)
-                merged.append(StructField(f.name, f.dataType, True))
-                continue
-            seen = merged[at]
-            if seen.dataType == f.dataType:
-                continue
-            wide = _widened(seen.dataType, f.dataType)
-            if wide is None:
-                raise ValueError(
-                    f"schema evolution supports adding nullable columns "
-                    f"and WIDENING type promotions, not this change: "
-                    f"column {f.name!r} is "
-                    f"{seen.dataType.simpleString()} in the table but "
-                    f"{f.dataType.simpleString()} in the incoming batch"
-                )
-            if wide != seen.dataType:
-                merged[at] = StructField(f.name, wide, True)
+        merged, _ = merge_widened_fields(prev.fields, incoming.fields)
         return StructType(merged)
 
     def _write_log(self, df: DataFrame, commit: str) -> None:
@@ -590,9 +568,9 @@ class BucketedTable:
         touched = self._touched_buckets(keyed)
         slices = self._current_slices()
         live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
-        df = self._read_slices(live, self._union_schema(None))
+        schema = self._union_schema(None)  # one manifest read, both uses
+        df = self._read_slices(live, schema)
         if df is None:
-            schema = self._union_schema(None)
             return self.spark.createDataFrame([], schema)
         return df.join(F.broadcast(keyed), on=self.record_key, how="left_semi")
 

@@ -213,6 +213,43 @@ def _covers(a, b) -> bool:
     return False
 
 
+def merge_widened_fields(prev_fields, incoming_fields):
+    """Order-preserving name union + type promotion — the ONE schema-
+    evolution merge rule both table engines apply (KeyedTable's
+    `_update_schema`, BucketedTable's `_union_schema`): a new name
+    appends as a nullable field, a same-name type change widens along
+    :func:`_widened`'s reader-verified lattice or raises. Returns
+    ``(merged_fields, changed)``."""
+    from pyspark.sql.types import StructField
+
+    merged = list(prev_fields)
+    by_name = {f.name: i for i, f in enumerate(merged)}
+    changed = False
+    for f in incoming_fields:
+        at = by_name.get(f.name)
+        if at is None:
+            by_name[f.name] = len(merged)
+            merged.append(StructField(f.name, f.dataType, True))
+            changed = True
+            continue
+        seen = merged[at]
+        if seen.dataType == f.dataType:
+            continue
+        wide = _widened(seen.dataType, f.dataType)
+        if wide is None:
+            raise ValueError(
+                f"schema evolution supports adding nullable columns "
+                f"and WIDENING type promotions, not this change: "
+                f"column {f.name!r} is "
+                f"{seen.dataType.simpleString()} in the table but "
+                f"{f.dataType.simpleString()} in the incoming batch"
+            )
+        if wide != seen.dataType:
+            merged[at] = StructField(f.name, wide, True)
+            changed = True
+    return merged, changed
+
+
 def _conform_types(df: DataFrame, schema) -> DataFrame:
     """Cast ``df``'s columns to the recorded table schema's types where
     they differ (each such cast is a widening `_widened` already
@@ -477,17 +514,11 @@ class KeyedTable:
         current_fields: list[StructField] = (
             list(current.fields) if current is not None else []
         )
-        by_name = {f.name: i for i, f in enumerate(current_fields)}
-        changed = False
+        tombstoned = {
+            f.name for f in current_fields if f.metadata.get("dropped")
+        }
         for f in new_fields:
-            at = by_name.get(f.name)
-            if at is None:
-                by_name[f.name] = len(current_fields)
-                current_fields.append(StructField(f.name, f.dataType, True))
-                changed = True
-                continue
-            seen = current_fields[at]
-            if seen.metadata.get("dropped"):
+            if f.name in tombstoned:
                 # reads are NAME-based: a re-added column would
                 # resurface the residual values old files still hold
                 # under that name for pre-drop rows — silently wrong
@@ -502,20 +533,9 @@ class KeyedTable:
                     "values, which name-based reads would resurface "
                     "in pre-drop rows — use a new column name"
                 )
-            if seen.dataType == f.dataType:
-                continue
-            wide = _widened(seen.dataType, f.dataType)
-            if wide is None:
-                raise ValueError(
-                    f"schema evolution supports adding nullable columns "
-                    f"and WIDENING type promotions, not this change: "
-                    f"column {f.name!r} is "
-                    f"{seen.dataType.simpleString()} in the table but "
-                    f"{f.dataType.simpleString()} in the incoming batch"
-                )
-            if wide != seen.dataType:
-                current_fields[at] = StructField(f.name, wide, True)
-                changed = True
+        current_fields, changed = merge_widened_fields(
+            current_fields, new_fields
+        )
         staged = StructType(current_fields)
         if changed or not had_recorded:
             os.makedirs(self._schema_dir(), exist_ok=True)
@@ -555,14 +575,9 @@ class KeyedTable:
 
         from ..sources.incremental import read_commit_log
 
-        log_dir = os.path.join(self.root, "log")
-        # an EMPTIED log dir (rollback-to-empty leaves log/ itself) has
-        # no files for the c=* glob — treat it like a missing log
-        # rather than letting the read raise PATH_NOT_FOUND
-        if not os.path.isdir(log_dir) or not any(
-            n.startswith("c=") for n in os.listdir(log_dir)
-        ):
-            return None
+        # read_commit_log returns None for missing AND emptied logs
+        # (rollback-to-empty leaves log/ itself) — the guard lives
+        # there so every caller is protected
         log = read_commit_log(self.spark, self.root)
         if log is None:
             return None

@@ -115,6 +115,12 @@ def read_commit_log(
     log_dir = os.path.join(root, "log")
     if not os.path.isdir(log_dir):
         return None
+    if not any(n.startswith("c=") for n in os.listdir(log_dir)):
+        # an EMPTIED log (rollback-to-empty removes every c= child but
+        # leaves log/ itself) must read as "no log" for EVERY caller —
+        # the c=* glob below would otherwise raise PATH_NOT_FOUND (r8
+        # review: the guard first landed at one call site only)
+        return None
     reader = spark.read.option("basePath", log_dir)
     # schema evolution (late r7): when the table records its committed
     # schema (schema/<commit>.json, stamped by every widening upsert;
@@ -347,6 +353,15 @@ class CDCReader:
         self.table = KeyedTable.open(spark, path)
         self.store = CheckpointStore(checkpoint_root, spark=spark)
         self._pending_commit: str | None = None
+
+    def checkpoint(self) -> str | None:
+        """The COMMITTED checkpoint (last instant a finished run
+        processed), or None before the first commit — the accessor the
+        report loops use for 'covered instant' bookkeeping, so the
+        store layout stays this class's private concern."""
+        if not self.store.exists(self.table_name):
+            return None
+        return self.store.read(self.table_name).last_processed_commit
 
     def read(self, after: str | None = None) -> DataFrame | None:
         """The not-yet-processed CDC window, or None when the upstream

@@ -107,18 +107,12 @@ def _run(view, fact, cust, part, readers):
     run that folded nothing — e.g. dim seeding at fact genesis —
     leaves only the checkpoint)."""
     seen = view.through() or {}
-
-    def _ck(reader):
-        return (
-            reader.store.read(reader.table_name).last_processed_commit
-            if reader.store.exists(reader.table_name)
-            else None
-        )
-
     wins, ends = {}, {}
     for side, reader in readers.items():
         wins[side] = reader.read(after=seen.get(side))
-        ends[side] = reader.staged_end() or seen.get(side) or _ck(reader)
+        ends[side] = (
+            reader.staged_end() or seen.get(side) or reader.checkpoint()
+        )
     if all(w is None for w in wins.values()):
         for r in readers.values():
             r.commit()

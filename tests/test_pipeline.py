@@ -1044,3 +1044,93 @@ def test_maintained_star_report_loop(spark, tmp_path):
     assert rows(res6.df) == recompute() == [
         ("AUTO", "Z", 2, 103), ("GOV", "Z", 1, 7)
     ]
+
+
+def test_maintained_star_report_gate_fails_before_publish(spark, tmp_path):
+    """The star loop's quality gate runs pre-pointer-flip, same as the
+    join loop's (r8 review): a red window set publishes nothing,
+    leaves the token unset, and keeps every reader unconsumed — the
+    retried run folds the original windows plus the fix and
+    delivers."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedStarAggregate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        DataQualityError,
+        min_rows,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedStarReportConfig,
+        run_maintained_star_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "sgfact"), record_key="okey",
+        precombine="opre", keep_versions=10,
+    )
+    cust = KeyedTable(
+        spark, str(tmp_path / "sgcust"), record_key="ck",
+        precombine="cpre", keep_versions=10,
+    )
+    part = KeyedTable(
+        spark, str(tmp_path / "sgpart"), record_key="pk",
+        precombine="ppre", keep_versions=10,
+    )
+    cfg = MaintainedStarReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_sg",
+        dims=[
+            ("cust", cust.root, "cust", "ck"),
+            ("part", part.root, "prt", "pk"),
+        ],
+        group_cols=["segment", "cat"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "sgview"),
+        report_base=str(tmp_path / "sgreports"),
+        checkpoint_root=str(tmp_path / "sgck"),
+        recipients=["a@example.com"],
+        quality_rules=[min_rows(2)],
+    )
+    sender = EmailSender()
+    cust.upsert(
+        spark.createDataFrame(
+            [(1, 0, "RETAIL"), (2, 0, "AUTO")],
+            "ck int, cpre int, segment string",
+        )
+    )
+    part.upsert(
+        spark.createDataFrame([(1, 0, "A")], "pk int, ppre int, cat string")
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 1, 100)],
+            "okey int, opre int, cust int, prt int, amount long",
+        )
+    )
+    with pytest.raises(DataQualityError, match="min_rows"):
+        run_maintained_star_report(spark, cfg, sender=sender)
+    assert sender.outbox == []
+    view = MaintainedStarAggregate(
+        spark, cfg.view_path,
+        dims=[("cust", "cust", "ck"), ("part", "prt", "pk")],
+        group_cols=["segment", "cat"], sum_cols=["amount"],
+    )
+    assert view.current() is None and view.through() is None
+    # the fix arrives; the retried run folds everything and delivers
+    fact.upsert(
+        spark.createDataFrame(
+            [(11, 0, 2, 1, 7)],
+            "okey int, opre int, cust int, prt int, amount long",
+        )
+    )
+    res = run_maintained_star_report(spark, cfg, sender=sender)
+    assert res is not None and len(sender.outbox) == 1
+    assert sorted(
+        (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+        for r in res.df.collect()
+    ) == [("AUTO", "A", 1, 7), ("RETAIL", "A", 1, 100)]
