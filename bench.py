@@ -112,19 +112,23 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "first_eval_total": round(sum(first_eval.values()), 3),
-                "queries_first_eval": first_eval,
-                "sf": sf_dir,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "first_eval_total": round(sum(first_eval.values()), 3),
+        "queries_first_eval": first_eval,
+        "sf": sf_dir,
+    }
+    print(json.dumps(full))
+    # capture-proof forensics (VERDICT r8 #8): the driver keeps only the
+    # TAIL of stdout, which truncates the per-query dict above — write
+    # the complete record to a committed file so per-query history stops
+    # depending on capture length.
+    with open(Path(__file__).resolve().parent / "bench_last.json", "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
     # compact totals-only line LAST: the driver captures only the tail
     # of the output, and the full per-query line above has outgrown it
     # (BENCH_r07.json lost the suite total to truncation — VERDICT r7

@@ -615,62 +615,8 @@ def colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k", "ship_ts", "price", "qty", "rf")
 
 
-#: built join-CDC fixture table pairs: sf_dir → (fact_root, dim_root)
-_JOIN_CDC_TABLES: dict[str, tuple[str, str]] = {}
-
 #: maintained join views already replayed this process: sf_dir → path
 _JOIN_IVM_VIEWS: dict[str, str] = {}
-
-
-def _join_cdc_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Build (once per sf_dir) the two-table CDC fixture the delta-join
-    view replays: a FACT KeyedTable from orders (unique key fk =
-    o_orderkey; join col jk = o_custkey % 23; measure price) with four
-    commits — three insert slices by o_orderkey % 3 plus a delete of
-    every 11th live key — and a DIM KeyedTable from customer (record
-    key jk = c_custkey % 23, heavy collisions; precombine c_custkey;
-    attr seg = c_mktsegment) with three commits — two upsert halves by
-    c_custkey % 2 (the second half REWRITES many keys' winning segment:
-    dim-driven group migration) plus a delete of every 7th key."""
-    cached = _JOIN_CDC_TABLES.get(sf_dir)
-    if cached is not None and all(os.path.isdir(p) for p in cached):
-        return cached
-    from ..sinks.upsert import KeyedTable
-
-    f_src = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long").alias("fk"),
-        F.col("o_orderkey").cast("long").alias("fpre"),
-        (F.col("o_custkey") % 23).cast("int").alias("jk"),
-        F.col("o_totalprice").alias("price"),
-        (F.col("o_orderkey") % 3).alias("b"),
-    )
-    d_src = load_table(spark, sf_dir, "customer").select(
-        (F.col("c_custkey") % 23).cast("int").alias("jk"),
-        F.col("c_custkey").cast("long").alias("dpre"),
-        F.col("c_mktsegment").alias("seg"),
-        (F.col("c_custkey") % 2).alias("h"),
-    )
-    f_root = tempfile.mkdtemp(prefix="jivm_fact_")
-    d_root = tempfile.mkdtemp(prefix="jivm_dim_")
-    fact = KeyedTable(
-        spark, f_root, record_key="fk", precombine="fpre", keep_versions=10
-    )
-    dim = KeyedTable(
-        spark, d_root, record_key="jk", precombine="dpre", keep_versions=10
-    )
-    fact.upsert(f_src.filter(F.col("b") == 0).drop("b"))  # F1
-    dim.upsert(d_src.filter(F.col("h") == 0).drop("h"))  # D1
-    fact.upsert(f_src.filter(F.col("b") == 1).drop("b"))  # F2
-    dim.upsert(d_src.filter(F.col("h") == 1).drop("h"))  # D2
-    fact.delete(  # F3: delete every 11th LIVE key
-        fact.snapshot().select("fk").filter(F.col("fk") % 11 == 0)
-    )
-    dim.delete(  # D3: delete every 7th key (inner join loses matches)
-        dim.snapshot().select("jk").filter(F.col("jk") % 7 == 0)
-    )
-    fact.upsert(f_src.filter(F.col("b") == 2).drop("b"))  # F4
-    _JOIN_CDC_TABLES[sf_dir] = (f_root, d_root)
-    return f_root, d_root
 
 
 @query(
@@ -713,23 +659,27 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEW r8, VERDICT r7 #1) under the driver oracle: maintain the
     reference's report shape — a grouped (count, sum, MIN, MAX)
     aggregate over fact ⋈ dim (template.py:485-490) — window-pair by
-    window-pair over the two-table CDC fixture, never re-running the
-    join over the fact table, and return the final view. The replay
-    interleaves every maintenance mode: a coordinated genesis pair,
-    a fact-only window, a dim-only window whose merge-winning segment
-    rewrites drive F₀⋈ΔD group migrations through a time-travel fact
-    base, a double-delete pair (retractions on both sides → the
-    MIN/MAX dirty-group recompute against the joined as-of base), and
-    a trailing fact window. The DuckDB oracle aggregates the FINAL
-    joined state directly (per-key arg_max set algebra on each side),
-    so the whole delta-join pipeline — signed contribution terms,
-    pair-token sequencing, dirty extremum healing — must compose to
-    the exact SQL answer. Sums rounded to 2 decimals on both sides
-    (the documented IVM float caveat)."""
+    window-pair over a two-table CDC history, never re-running the
+    join over the fact table, and return the final view. The fixture
+    is the STAR fixture's (fact, cust) pair (VERDICT r8 #4: the two
+    entries previously replayed overlapping multi-commit fixtures —
+    ~48 s of redundant first-eval build; the join history is exactly
+    the star history restricted to one dimension, so one shared build
+    now serves both). The replay interleaves every maintenance mode:
+    a coordinated genesis pair, a fact-only window, a dim-only window
+    whose merge-winning segment rewrites drive F₀⋈ΔD group migrations
+    through a time-travel fact base, a double-delete pair (retractions
+    on both sides → the MIN/MAX dirty-group recompute against the
+    joined as-of base), and a trailing fact window. The DuckDB oracle
+    aggregates the FINAL joined state directly (per-key arg_max set
+    algebra on each side), so the whole delta-join pipeline — signed
+    contribution terms, pair-token sequencing, dirty extremum healing
+    — must compose to the exact SQL answer. Sums rounded to 2 decimals
+    on both sides (the documented IVM float caveat)."""
     from ..sinks.upsert import KeyedTable
     from .ivm import MaintainedJoinAggregate
 
-    f_root, d_root = _join_cdc_fixture(spark, sf_dir)
+    f_root, d_root, _ = _star_cdc_fixture(spark, sf_dir)
     fact = KeyedTable.open(spark, f_root)
     dim = KeyedTable.open(spark, d_root)
     f1, f2, f3, f4 = fact.instants()
@@ -743,7 +693,7 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _JOIN_IVM_VIEWS.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
         view = MaintainedJoinAggregate(
-            spark, cached, on=("jk", "jk"),
+            spark, cached, on=("ck", "ck"),
             group_cols=["seg"], sum_cols=["price"],
             minmax_cols=["price"],
         )
@@ -752,7 +702,7 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = MaintainedJoinAggregate(
         spark,
         view_path,
-        on=("jk", "jk"),
+        on=("ck", "ck"),
         group_cols=["seg"],
         sum_cols=["price"],
         minmax_cols=["price"],

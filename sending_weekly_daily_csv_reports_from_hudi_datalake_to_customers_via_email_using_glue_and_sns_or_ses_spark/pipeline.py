@@ -165,6 +165,100 @@ def config_from_loaders(
     )
 
 
+def _avg_enricher(sum_cols: list[str], enabled: bool):
+    """The shared presentation enricher of the maintained-report loops
+    (ADVICE r8: previously duplicated verbatim across all three):
+    ``avg_<c> = sum_<c>/n_<c>`` per sum column, NULL-safe (an all-NULL
+    group divides nothing), or identity when ``avg_cols`` is off."""
+    if not enabled:
+        return lambda frame: frame
+
+    def enrich(frame):
+        from pyspark.sql import functions as F
+
+        for c in sum_cols:
+            frame = frame.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+        return frame
+
+    return enrich
+
+
+def _quality_gate(
+    spark,
+    quality_rules: list,
+    enrich,
+    run_key,
+    metric_history_path: str | None = None,
+    max_rel_change: float = 0.1,
+):
+    """The shared pre-publish quality/drift gate of the maintained-
+    report loops (ADVICE r8: the closure was triplicated and only the
+    single-table copy supported drift). Returns the ``validate``
+    callable ``ivm._publish`` runs BETWEEN the version write and the
+    pointer flip — a raise aborts with the previous version live and
+    the token unchanged, so nothing gated-out is ever published or
+    marked consumed and the window genuinely retries. ``run_key`` is a
+    zero-arg callable returning the run's history key (the CDC instant
+    /instant-set — known only after the readers stage their windows,
+    hence lazy). With ``metric_history_path`` the gate also fails on
+    DRIFT — any metric moving more than ``max_rel_change`` relative to
+    the last-5-runs mean (the Deequ anomaly check); history records
+    the run even when it fails, with ok=False only for absolute-
+    threshold failures (drift-only runs keep voting so a legitimate
+    level shift can age into the baseline instead of wedging the
+    loop). Returns None when there are no rules."""
+    if not quality_rules:
+        return None
+
+    def gate(staged):
+        from .operators.quality import (
+            DataQualityError,
+            MetricHistory,
+            run_checks,
+        )
+
+        report = run_checks(enrich(staged), quality_rules).persist()
+        try:
+            if metric_history_path is not None:
+                hist = MetricHistory(spark, metric_history_path)
+                judged = hist.check_drift(
+                    report, run_key(), max_rel_change
+                ).collect()
+                bad = [
+                    r for r in judged if not r["passed"] or r["drifted"]
+                ]
+                hist.append(
+                    report,
+                    run_key(),
+                    ok=all(r["passed"] for r in judged),
+                )
+            else:
+                bad = [r for r in report.collect() if not r["passed"]]
+        finally:
+            report.unpersist()
+        if bad:
+            # DQRule.name (not rule(column)): min_rows has no column
+            # and would print "min_rows(None)"
+            lines = ", ".join(
+                f"{quality_rules[r['rule_seq']].name} "
+                f"metric={r['metric']:.6f}"
+                + (
+                    f" drifted from {r['baseline']:.6f}"
+                    if "drifted" in r.__fields__ and r["drifted"]
+                    else f" < {r['threshold']}"
+                )
+                for r in bad
+            )
+            raise DataQualityError(f"maintained report gate failed: {lines}")
+
+    return gate
+
+
 @dataclass
 class MaintainedReportConfig:
     """The scheduled-report loop the reference runs nightly, done
@@ -245,90 +339,17 @@ def run_maintained_report(
     # crash between apply and commit followed by NEW upstream commits
     # must not hand the fold an extended window whose prefix the view
     # already contains (delta re-folds double-count)
-    def _enrich(frame):
-        if not config.avg_cols:
-            return frame
-        from pyspark.sql import functions as F
-
-        for c in config.sum_cols:
-            frame = frame.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
-                ),
-            )
-        return frame
-
-    gate = None
-    if config.quality_rules:
-
-        def gate(staged):
-            """The quality/drift gate, run by ivm._publish BETWEEN the
-            version write and the pointer flip (r8 review): a failure
-            aborts with the previous view version still live and the
-            token unchanged, so nothing gated-out is ever published or
-            marked consumed — the window genuinely retries (the old
-            post-publish gate left the bad aggregate live and, in the
-            join loop, silently marked the window done). Persisted:
-            the drift judgement and the history append both consume
-            the report."""
-            from .operators.quality import (
-                DataQualityError,
-                MetricHistory,
-                run_checks,
-            )
-
-            report = run_checks(
-                _enrich(staged), config.quality_rules
-            ).persist()
-            try:
-                if config.metric_history_path is not None:
-                    hist = MetricHistory(spark, config.metric_history_path)
-                    judged = hist.check_drift(
-                        report, f"cdc_{through}", config.max_rel_change
-                    ).collect()
-                    bad = [
-                        r
-                        for r in judged
-                        if not r["passed"] or r["drifted"]
-                    ]
-                    # history records the run EVEN when it fails the
-                    # gate (operators debugging a red morning want the
-                    # bad metrics on file). ok=False ONLY for absolute-
-                    # threshold failures — definitionally bad data, no
-                    # baseline vote. Drift-ONLY failures append
-                    # ok=True: that data passed every absolute rule,
-                    # and letting it vote is what lets a legitimate
-                    # level shift age into the new baseline within a
-                    # window instead of wedging the loop forever.
-                    hist.append(
-                        report,
-                        f"cdc_{through}",
-                        ok=all(r["passed"] for r in judged),
-                    )
-                else:
-                    bad = [
-                        r for r in report.collect() if not r["passed"]
-                    ]
-            finally:
-                report.unpersist()
-            if bad:
-                # DQRule.name (not rule(column)): min_rows has no
-                # column and would print "min_rows(None)"
-                lines = ", ".join(
-                    f"{config.quality_rules[r['rule_seq']].name} "
-                    f"metric={r['metric']:.6f}"
-                    + (
-                        f" drifted from {r['baseline']:.6f}"
-                        if "drifted" in r.__fields__ and r["drifted"]
-                        else f" < {r['threshold']}"
-                    )
-                    for r in bad
-                )
-                raise DataQualityError(
-                    f"maintained report gate failed: {lines}"
-                )
-
+    _enrich = _avg_enricher(config.sum_cols, config.avg_cols)
+    # run_key is lazy: `through` is assigned only after the reader
+    # stages its window, and the gate runs inside apply/rebuild
+    gate = _quality_gate(
+        spark,
+        config.quality_rules,
+        _enrich,
+        run_key=lambda: f"cdc_{through}",
+        metric_history_path=config.metric_history_path,
+        max_rel_change=config.max_rel_change,
+    )
     try:
         win = reader.read(after=view.through())
     except ReplaceCommitError:
@@ -411,6 +432,11 @@ class MaintainedJoinReportConfig:
     #: a failure aborts before write/delivery/checkpoint, so the window
     #: pair is retried after the data problem is fixed
     quality_rules: list = field(default_factory=list)
+    #: optional metric-history dir + drift bound (ADVICE r8: previously
+    #: single-table only) — MaintainedReportConfig semantics, keyed by
+    #: the run's instant pair
+    metric_history_path: str | None = None
+    max_rel_change: float = 0.1
 
 
 def run_maintained_join_report(
@@ -489,34 +515,15 @@ def run_maintained_join_report(
         # report; leave BOTH windows unconsumed and fold the pair once
         # the dim side is readable
         return None
-    def _enrich(frame):
-        if not config.avg_cols:
-            return frame
-        from pyspark.sql import functions as F
-
-        for c in config.sum_cols:
-            frame = frame.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
-                ),
-            )
-        return frame
-
-    gate = None
-    if config.quality_rules:
-
-        def gate(staged):
-            # pre-pointer-flip (ivm._publish): a failure leaves the
-            # previous view version live and the pair token unchanged,
-            # so both readers stay unconsumed and the pair genuinely
-            # retries — the old post-publish gate left the bad
-            # aggregate live AND the next run's quiescent branch
-            # marked the window consumed without ever re-gating
-            from .operators.quality import expect
-
-            expect(_enrich(staged), config.quality_rules)
-
+    _enrich = _avg_enricher(config.sum_cols, config.avg_cols)
+    gate = _quality_gate(
+        spark,
+        config.quality_rules,
+        _enrich,
+        run_key=lambda: f"cdc_{f_end}_{d_end}",
+        metric_history_path=config.metric_history_path,
+        max_rel_change=config.max_rel_change,
+    )
     if rebuild:
         # CDC across a replace is underivable by contract: re-seed from
         # the joined snapshot AS OF the staged pair — O(join of the two
@@ -617,6 +624,11 @@ class MaintainedStarReportConfig:
     #: flip validate hook: a red window leaves the previous version
     #: live, the token unchanged, and every reader unconsumed
     quality_rules: list = field(default_factory=list)
+    #: optional metric-history dir + drift bound (ADVICE r8: previously
+    #: single-table only) — MaintainedReportConfig semantics, keyed by
+    #: the run's instant set
+    metric_history_path: str | None = None
+    max_rel_change: float = 0.1
 
 
 def run_maintained_star_report(
@@ -667,28 +679,20 @@ def run_maintained_star_report(
                 "each star dimension is N:1 by contract"
             )
 
-    def _enrich(frame):
-        if not config.avg_cols:
-            return frame
-        from pyspark.sql import functions as F
-
-        for c in config.sum_cols:
-            frame = frame.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
-                ),
-            )
-        return frame
-
-    gate = None
-    if config.quality_rules:
-
-        def gate(staged):
-            from .operators.quality import expect
-
-            expect(_enrich(staged), config.quality_rules)
-
+    _enrich = _avg_enricher(config.sum_cols, config.avg_cols)
+    gate = _quality_gate(
+        spark,
+        config.quality_rules,
+        _enrich,
+        # `ends` is assigned after the readers stage their windows —
+        # the gate only runs inside apply/rebuild, past that point
+        run_key=lambda: "cdc_" + "_".join(
+            str(ends[s])
+            for s in ["fact"] + [n for n, _, _, _ in config.dims]
+        ),
+        metric_history_path=config.metric_history_path,
+        max_rel_change=config.max_rel_change,
+    )
     seen = view.through() or {}
     rebuild = False
     wins: dict = {}

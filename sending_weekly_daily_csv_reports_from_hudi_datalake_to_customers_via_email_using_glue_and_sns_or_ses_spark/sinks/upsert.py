@@ -245,7 +245,10 @@ def merge_widened_fields(prev_fields, incoming_fields):
                 f"{f.dataType.simpleString()} in the incoming batch"
             )
         if wide != seen.dataType:
-            merged[at] = StructField(f.name, wide, True)
+            # carry the prior field's metadata through the widening
+            # (ADVICE r8: dropping it here would silently erase e.g. a
+            # rename mapping or drop tombstone on a widening commit)
+            merged[at] = StructField(f.name, wide, True, seen.metadata)
             changed = True
     return merged, changed
 

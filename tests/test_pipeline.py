@@ -1134,3 +1134,92 @@ def test_maintained_star_report_gate_fails_before_publish(spark, tmp_path):
         (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
         for r in res.df.collect()
     ) == [("AUTO", "A", 1, 7), ("RETAIL", "A", 1, 100)]
+
+
+def test_maintained_join_report_drift_gate(spark, tmp_path):
+    """metric_history_path on the JOIN loop (ADVICE r8: drift gating
+    was single-table only): clean runs build the baseline, a drifting
+    window fails pre-delivery with the pair unconsumed, the failed
+    run's metrics land in the history, and the retried run recovers."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.quality import (
+        DataQualityError,
+        MetricHistory,
+        completeness,
+        min_rows,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "dfact"), record_key="okey", precombine="opre"
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "ddim"), record_key="ckey", precombine="cpre"
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_dj",
+        dim_path=dim.root,
+        dim_name="customers_dj",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "djview"),
+        report_base=str(tmp_path / "djreports"),
+        checkpoint_root=str(tmp_path / "djck"),
+        recipients=["a@example.com"],
+        quality_rules=[min_rows(1), completeness("sum_amount", 0.4)],
+        metric_history_path=str(tmp_path / "djhist"),
+        max_rel_change=0.4,
+    )
+    sender = EmailSender()
+    FACT_S = "okey int, opre int, cust int, amount long"
+    dim.upsert(
+        spark.createDataFrame(
+            [(1, 0, "RETAIL"), (2, 0, "AUTO")],
+            "ckey int, cpre int, segment string",
+        )
+    )
+    # three clean runs: completeness(sum_amount) = 1.0 baseline
+    for i in range(3):
+        fact.upsert(
+            spark.createDataFrame(
+                [(i * 2, 0, 1, 100), (i * 2 + 1, 0, 2, 5)], FACT_S
+            )
+        )
+        assert (
+            run_maintained_join_report(spark, cfg, sender=sender)
+            is not None
+        )
+    assert len(sender.outbox) == 3
+    # NULL-amount rows across many fresh dim keys crater completeness:
+    # above the 0.4 absolute floor but >40% below the 1.0 baseline
+    dim.upsert(
+        spark.createDataFrame(
+            [(10 + i, 0, f"g{i}") for i in range(6)],
+            "ckey int, cpre int, segment string",
+        )
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(100 + i, 0, 10 + i, None) for i in range(6)], FACT_S
+        )
+    )
+    with pytest.raises(DataQualityError, match="drifted"):
+        run_maintained_join_report(spark, cfg, sender=sender)
+    assert len(sender.outbox) == 3  # nothing delivered
+    hist = MetricHistory(spark, cfg.metric_history_path)
+    assert hist.load().select("run").distinct().count() == 4
+    # fix the data; the UNCONSUMED pair plus the fix retries green
+    fact.delete(
+        spark.createDataFrame([(100 + i,) for i in range(6)], "okey int")
+    )
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    assert res is not None and len(sender.outbox) == 4

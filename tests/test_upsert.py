@@ -1140,6 +1140,77 @@ def test_schema_type_widening_mor_mixed_vintage_files(spark, tmp_path):
     }
 
 
+def test_schema_widening_decimal_rescale_and_int_to_decimal_mor(
+    spark, tmp_path
+):
+    """The two _covers promotion paths the r8 suite never exercised
+    (ADVICE r8): a decimal SCALE increase — (10,2)→(12,4) keeps
+    p′−s′ ≥ p−s and s′ ≥ s, a distinct parquet-reader RESCALE path —
+    and int→decimal(10,0)+ (the reader's INT32 physical bound), both
+    over MOR mixed-vintage log files so the scan-time widening
+    contract stays empirically pinned."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    t = KeyedTable(
+        spark, str(tmp_path / "rescale"), record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ", keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, Decimal("1.25"), 10)],
+            "k int, pre int, amt decimal(10,2), n int",
+        )
+    )
+    t.compact()  # narrow-vintage base file
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, Decimal("2.3456"), Decimal("12345678901")), (1, 5, Decimal("9.8765"), Decimal("7"))],
+            "k int, pre int, amt decimal(12,4), n decimal(11,0)",
+        )
+    )
+    sch = {f.name: f.dataType for f in t.table_schema().fields}
+    assert sch["amt"] == DecimalType(12, 4)
+    assert sch["n"] == DecimalType(11, 0)
+    snap = {
+        r["k"]: (str(r["amt"]), str(r["n"]))
+        for r in t.snapshot().collect()
+    }
+    # key 1's old int/decimal(10,2) file rescales at scan time; key 1's
+    # live row comes from the NEW vintage (precombine 5 wins)
+    assert snap == {
+        1: ("9.8765", "7"),
+        2: ("2.3456", "12345678901"),
+    }
+    # time travel BEFORE the widening presents the narrow vintage types
+    first = t.instants()[0]
+    old = t.snapshot(as_of=first)
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    assert old_types["amt"] == DecimalType(10, 2)
+    assert {r["k"]: str(r["amt"]) for r in old.collect()} == {1: "1.25"}
+    # compaction + reopen keep the widened read green
+    t.compact()
+    reopened = KeyedTable.open(spark, t.root)
+    assert {
+        r["k"]: (str(r["amt"]), str(r["n"]))
+        for r in reopened.snapshot().collect()
+    } == snap
+    # int→decimal without INT32 room (p−s < 10) is refused: the reader
+    # cannot declare decimal(9,0) over an INT32-typed file
+    t2 = KeyedTable(
+        spark, str(tmp_path / "noroom"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    t2.upsert(spark.createDataFrame([(1, 1, 10)], "k int, pre int, n int"))
+    with pytest.raises(ValueError, match="not this change"):
+        t2.upsert(
+            spark.createDataFrame(
+                [(2, 1, Decimal("5"))], "k int, pre int, n decimal(9,0)"
+            )
+        )
+
+
 def test_schema_widening_cdc_and_replication(spark, tmp_path):
     """CDC across a widening boundary: the as-of-begin seed state is a
     pre-widening (narrow) snapshot — its before-images are cast up so
