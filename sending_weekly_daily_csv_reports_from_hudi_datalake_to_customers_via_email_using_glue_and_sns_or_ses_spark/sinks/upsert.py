@@ -671,6 +671,23 @@ class KeyedTable:
                         os.remove(os.path.join(tl, name))
                     except OSError:
                         pass  # already gone: rollback is idempotent
+        # replace markers beyond the pointer (a restore/rollback moved
+        # the pointer back below a published overwrite) are reaped; and
+        # published overwrites missing theirs (crash between the flip
+        # and the marker write) are backfilled — see
+        # _record_replace_published
+        rd = self._replace_marker_dir()
+        if os.path.isdir(rd):
+            for name in os.listdir(rd):
+                if not name.endswith(".json") or name.startswith("."):
+                    continue
+                c = name[: -len(".json")]
+                if latest is None or c > latest:
+                    try:
+                        os.remove(os.path.join(rd, name))
+                    except OSError:
+                        pass  # already gone: rollback is idempotent
+        self._backfill_replace_markers()
         # savepoints of beyond-pointer instants: dangling after a
         # restore/rollback removed the commit they pin
         sp = self._savepoint_dir()
@@ -697,6 +714,51 @@ class KeyedTable:
 
     def _timeline_dir(self) -> str:
         return os.path.join(self.root, "timeline")
+
+    def _replace_marker_dir(self) -> str:
+        return os.path.join(self.root, "replaces")
+
+    def _record_replace_published(self, commit: str) -> None:
+        """POST-publish replace marker (ADVICE r8 medium): the
+        streaming CDC source's 'r' lane reads THIS dir, not the
+        timeline — timeline markers are written BEFORE the pointer
+        flip (the time-travel rail needs that order), so a crashed,
+        never-published overwrite would otherwise stream a phantom 'r'
+        that makes replicas WIPE their state and apply the aborted
+        batch. A marker here exists only for overwrites at or below
+        the published pointer; the crash window between the flip and
+        this write is closed by :meth:`_backfill_replace_markers`
+        (every transaction start, and every stream open)."""
+        os.makedirs(self._replace_marker_dir(), exist_ok=True)
+        tmp = os.path.join(self._replace_marker_dir(), f".{commit}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"op": "overwrite"}, f)
+        os.replace(
+            tmp, os.path.join(self._replace_marker_dir(), f"{commit}.json")
+        )
+
+    def _backfill_replace_markers(self) -> None:
+        """Repair the flip→marker crash window (and upgrade pre-r9
+        tables): every PUBLISHED overwrite in the timeline gets its
+        post-publish replace marker if missing. Idempotent,
+        metadata-only; a marker backfilled late can reach a running
+        stream AFTER the commit's 'u' rows — consumers that cannot
+        tolerate a late 'r' (see stream_cdc) treat any 'r' as a
+        re-seed-from-snapshot signal, which is order-insensitive."""
+        latest = self.latest_commit()
+        if latest is None:
+            return
+        have = set()
+        rd = self._replace_marker_dir()
+        if os.path.isdir(rd):
+            have = {
+                n[: -len(".json")]
+                for n in os.listdir(rd)
+                if n.endswith(".json") and not n.startswith(".")
+            }
+        for c, op in self._timeline_instants().items():
+            if op == "overwrite" and c <= latest and c not in have:
+                self._record_replace_published(c)
 
     def _record_instant(
         self, commit: str, op: str, meta: dict | None = None
@@ -1534,6 +1596,11 @@ class KeyedTable:
             self._write_log(stamped, commit)
             self._record_instant(commit, "overwrite")
             self._publish(commit)
+            # post-publish 'r' marker for the STREAMING lane (ADVICE
+            # r8): written after the flip so an aborted overwrite never
+            # streams a state-wiping phantom 'r'; a crash right here is
+            # healed by _backfill_replace_markers
+            self._record_replace_published(commit)
             self._clean()
             return commit
 

@@ -1,0 +1,331 @@
+"""Streaming-driven maintained views (r9, VERDICT r8 #1): fuse the
+CDC streaming source (`streaming/source.py`) with the incremental
+view-maintenance classes (`operators/ivm.py`) through a foreachBatch
+driver, so the reference's SCHEDULED report (template.py:470-519 runs
+its transform nightly per cron) becomes a CONTINUOUSLY maintained one —
+the view is O(changed rows) behind the table at every trigger, instead
+of O(table) once per schedule.
+
+Design — the stream is the WAKE-UP, the table is the SOURCE OF TRUTH:
+
+    stream_cdc(root) ──new files──▶ foreachBatch ──▶ table.cdc(seen,
+                                                     published_end)
+                                                     ──▶ view.apply
+
+Each micro-batch's CONTENT is deliberately not folded. Folding raw
+stream rows would have to reconcile three stream-side artifacts the
+batch machinery already solves: phantom rows (a crashed writer's
+orphan files can stream before the next transaction reaps them),
+commits split across micro-batches by maxFilesPerTrigger, and 'u'
+rows that are log payloads rather than merged state. Instead the
+driver reads only the batch's per-side max commit id as a signal,
+clamps it to the table's PUBLISHED pointer, and folds the real CDC
+window ``table.cdc(begin=view.through(), end=published_end)`` — the
+same pointer-bounded, precombine-merged read every batch consumer
+uses. Consequences:
+
+* **phantom-proof**: an orphan file's rows wake the driver but are
+  never folded (the pointer bound excludes them); if the writer's
+  retry publishes them they fold then, exactly once;
+* **exactly-once across restarts**: Spark's checkpoint redelivers a
+  micro-batch after a crash, but the view's ``through`` token already
+  covers the window — the re-fold is a no-op (the same at-least-once
+  delivery / exactly-once effect contract as the batch loops in
+  pipeline.py);
+* **replace self-heal**: a CDC window spanning an
+  insert_overwrite_table commit raises ReplaceCommitError by contract
+  (before-images across a replace are underivable); the driver
+  catches it and REBUILDS the view from the post-replace snapshot —
+  order-insensitive, so the publish-gated (and possibly backfilled-
+  late) 'r' marker needs no cross-batch sequencing;
+* **the lost-wakeup race** (files visible before the pointer flip is
+  the only ordering the writer guarantees): if the batch's max commit
+  is ahead of the pointer, the driver waits up to ``publish_wait_s``
+  for the flip; a commit whose writer died pre-flip is skipped (it is
+  not published state) and its retry triggers a fresh wake-up.
+
+Scale: each trigger costs the batch loop's price — one CDC-window
+scan folded into a |groups|-row aggregate (operators/ivm.py), with
+the dim terms of the join form pruned to changed keys. The stream
+lists only new files per trigger, so a quiescent table costs nothing.
+The maintained READ stays 1 scan / 0 shuffles (PLANS.md).
+
+Reference parity: template.py:470-519 (the scheduled main()) and
+:485-490 (the report join recomputed per run) — this module is that
+report kept continuously current.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ivm import MaintainedAggregate, MaintainedJoinAggregate
+from ..sinks.upsert import KeyedTable, ReplaceCommitError
+from .source import stream_cdc
+
+
+def _published_end(
+    table: KeyedTable, batch_max: str | None, publish_wait_s: float
+) -> str | None:
+    """The fold window's end: the table's PUBLISHED pointer, after
+    waiting up to ``publish_wait_s`` for it to reach the batch's max
+    commit id. Files land before the pointer flips, so a micro-batch
+    can wake the driver moments before its commit is publishable — a
+    bounded wait turns that race into a fold instead of a lost wakeup
+    (an orphan commit that never publishes times out and is skipped;
+    its retry is a fresh wake-up)."""
+    latest = table.latest_commit()
+    if batch_max is None:
+        return latest
+    deadline = time.monotonic() + publish_wait_s
+    while (latest is None or latest < batch_max) and (
+        time.monotonic() < deadline
+    ):
+        time.sleep(0.05)
+        latest = table.latest_commit()
+    return latest
+
+
+def _signal(spark: SparkSession, root: str, side: str, mft):
+    """One side's wake-up stream: commit ids only (the fold re-reads
+    real windows from the table, see module docstring)."""
+    return stream_cdc(spark, root, max_files_per_trigger=mft).select(
+        F.lit(side).alias("side"), F.col("_commit_time")
+    )
+
+
+def _batch_max_by_side(batch_df) -> dict[str, str]:
+    """Per-side max commit id in a micro-batch — the only thing the
+    driver reads from batch content. Tiny aggregate (one row/side)."""
+    return {
+        r["side"]: r["m"]
+        for r in batch_df.groupBy("side")
+        .agg(F.max("_commit_time").alias("m"))
+        .collect()
+        if r["m"] is not None
+    }
+
+
+def stream_maintained_view(
+    spark: SparkSession,
+    source_root: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_location: str,
+    minmax_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    publish_wait_s: float = 10.0,
+    on_update=None,  # (view, through: str) -> None, after each publish
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Continuously maintain a SINGLE-TABLE grouped aggregate
+    (:class:`~..operators.ivm.MaintainedAggregate`) from a KeyedTable's
+    CDC stream. Returns the started StreamingQuery; the caller owns
+    its lifecycle (``processAllAvailable``/``awaitTermination``/
+    ``stop``). ``available_now=True`` drains the backlog and stops —
+    the scheduled-report shape with streaming bookkeeping.
+
+    The view seeds itself: the first fold REBUILDS from the snapshot
+    as of the window end (cheaper and replace-proof versus replaying
+    the full history as CDC), then maintains incrementally. A replace
+    commit re-seeds the same way (see module docstring).
+
+    ``on_update`` runs after each successful publish with the live
+    view and its new ``through`` token — e.g. write the CSV report
+    with ``report_id=f"cdc_{through}"`` for idempotent redelivery
+    (pipeline.write_csv_report semantics)."""
+    table = KeyedTable.open(spark, source_root)
+    view = MaintainedAggregate(
+        spark,
+        view_path,
+        group_cols=group_cols,
+        sum_cols=sum_cols,
+        minmax_cols=minmax_cols,
+    )
+
+    def fold(batch_df, _batch_id):
+        batch_max = _batch_max_by_side(
+            batch_df.select(F.lit("t").alias("side"), "_commit_time")
+        ).get("t")
+        end = _published_end(table, batch_max, publish_wait_s)
+        seen = view.through()
+        if end is None or (seen is not None and end <= seen):
+            return  # covered (restart redelivery) or nothing published
+        if seen is None:
+            # genesis seed: snapshot beats replaying history as CDC
+            view.rebuild(table.snapshot(as_of=end), through=end)
+        else:
+            try:
+                win = table.cdc(begin=seen, end=end)
+            except ReplaceCommitError:
+                # re-seed from the post-replace snapshot (idempotent,
+                # order-insensitive — the 'r' self-heal)
+                view.rebuild(table.snapshot(as_of=end), through=end)
+            else:
+                view.apply(
+                    win,
+                    through=end,
+                    base=(
+                        (lambda: table.snapshot(as_of=end))
+                        if minmax_cols
+                        else None
+                    ),
+                )
+        if on_update is not None:
+            on_update(view, end)
+
+    writer = (
+        stream_cdc(spark, source_root, max_files_per_trigger)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_maintained_join_view(
+    spark: SparkSession,
+    fact_root: str,
+    dim_root: str,
+    view_path: str,
+    on: str | tuple[str, str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_location: str,
+    minmax_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    publish_wait_s: float = 10.0,
+    on_update=None,  # (view, through: dict) -> None, after each publish
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Continuously maintain the 2-table JOIN aggregate
+    (:class:`~..operators.ivm.MaintainedJoinAggregate`) — the
+    reference's actual report query (template.py:485-490) — from BOTH
+    tables' CDC streams, unioned into one wake-up stream so a single
+    foreachBatch driver folds coordinated window PAIRS under the
+    {fact, dim} token (the same exactly-once pair contract as the
+    batch loop ``pipeline.run_maintained_join_report``).
+
+    Pair coordination: every trigger folds everything PUBLISHED on
+    both sides up to their current pointers, regardless of which
+    side's files woke the driver — so a dim commit arriving after a
+    backlog of fact commits folds the whole coordinated pair at once,
+    and a fact-only wake with a quiescent dim folds a fact-only window
+    (the dim term skipped, the quiescent instant carried forward). A
+    replace on EITHER side re-seeds from the joined post-replace
+    snapshots. A fact-ahead-of-dim genesis (fact rows exist, dim never
+    readable) defers — the inner join is empty — until the dim's first
+    commit wakes the driver. Both tables must have published at least
+    one commit before the stream opens (the ``stream_cdc`` contract:
+    a streaming plan cannot add sources later)."""
+    table_f = KeyedTable.open(spark, fact_root)
+    table_d = KeyedTable.open(spark, dim_root)
+    view = MaintainedJoinAggregate(
+        spark,
+        view_path,
+        on=on,
+        group_cols=group_cols,
+        sum_cols=sum_cols,
+        minmax_cols=minmax_cols,
+    )
+    if table_d.record_key != view.dim_on:
+        raise ValueError(
+            f"stream_maintained_join_view: dim join column "
+            f"{view.dim_on!r} must be the dimension table's record key "
+            f"({table_d.record_key!r}) — the maintained join is N:1 by "
+            "contract"
+        )
+
+    def fold(batch_df, _batch_id):
+        maxes = _batch_max_by_side(batch_df)
+        seen = view.through() or {}
+        f_end = _published_end(table_f, maxes.get("fact"), publish_wait_s)
+        d_end = _published_end(table_d, maxes.get("dim"), publish_wait_s)
+        f_seen, d_seen = seen.get("fact"), seen.get("dim")
+        f_adv = f_end is not None and (f_seen is None or f_end > f_seen)
+        d_adv = d_end is not None and (d_seen is None or d_end > d_seen)
+        if not f_adv and not d_adv:
+            return  # covered (restart redelivery) or nothing published
+        if f_end is not None and d_end is None:
+            # fact rows exist but the dim side has never published:
+            # the inner join is empty — defer the WHOLE pair (the batch
+            # loop's rule); the dim's first commit wakes the driver and
+            # folds everything
+            return
+        pair = {
+            "fact": f_end if f_adv else f_seen,
+            "dim": d_end if d_adv else d_seen,
+        }
+
+        def reseed():
+            fs = table_f.snapshot(as_of=pair["fact"])
+            ds = table_d.snapshot(as_of=pair["dim"])
+            if fs is None or ds is None:
+                return False  # one side has no state yet: nothing to do
+            view.rebuild(view.joined(fs, ds), through=pair)
+            return True
+
+        genesis = f_seen is None and view.current() is None
+        if genesis:
+            # seed from the joined snapshots (cheaper and replace-proof
+            # versus replaying both histories as CDC)
+            if not reseed():
+                return
+        else:
+            try:
+                f_win = (
+                    table_f.cdc(begin=f_seen, end=pair["fact"])
+                    if f_adv
+                    else None
+                )
+                d_win = (
+                    table_d.cdc(begin=d_seen, end=pair["dim"])
+                    if d_adv
+                    else None
+                )
+            except ReplaceCommitError:
+                if not reseed():
+                    return
+            else:
+                view.apply(
+                    f_win,
+                    d_win,
+                    dim_state=lambda: table_d.snapshot(as_of=pair["dim"]),
+                    fact_base=(
+                        (lambda: table_f.snapshot(as_of=f_seen))
+                        if f_seen is not None
+                        else None
+                    ),
+                    through=pair,
+                    base=(
+                        lambda: view.joined(
+                            table_f.snapshot(as_of=pair["fact"]),
+                            table_d.snapshot(as_of=pair["dim"]),
+                        )
+                    )
+                    if minmax_cols
+                    else None,
+                )
+        if on_update is not None:
+            on_update(view, pair)
+
+    src = _signal(spark, fact_root, "fact", max_files_per_trigger).unionByName(
+        _signal(spark, dim_root, "dim", max_files_per_trigger)
+    )
+    writer = src.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -130,14 +130,17 @@ def stream_cdc(
       there, exactly as it was here;
     * **delete lane**: the tombstone log, each dropped key tagged
       ``_change_op = 'd'`` with every non-key data column NULL;
-    * **replace lane**: each insert_overwrite_table commit's timeline
-      marker as an ``_change_op = 'r'`` row (ALL data columns NULL) —
-      the signal to CLEAR replica state before applying the same
-      commit's 'u' rows, which are exactly the replacement batch.
-      Within a commit the op order is 'r' first; without this lane a
-      replace would stream as plain upserts and silently diverge any
-      replica (batch ``CDCReader`` raises ReplaceCommitError for the
-      same window).
+    * **replace lane**: each PUBLISHED insert_overwrite_table commit's
+      post-publish replace marker (``replaces/<commit>.json``) as an
+      ``_change_op = 'r'`` row (ALL data columns NULL) — the signal to
+      CLEAR replica state before applying the same commit's 'u' rows,
+      which are exactly the replacement batch. Within a commit the op
+      order is 'r' first; without this lane a replace would stream as
+      plain upserts and silently diverge any replica (batch
+      ``CDCReader`` raises ReplaceCommitError for the same window).
+      Publish-gated (ADVICE r8): an ABORTED overwrite never emits the
+      'r' — a phantom state wipe is qualitatively heavier than the
+      phantom upserts the other lanes can deliver.
 
     Output schema: the table's data columns + ``_commit_time`` +
     ``_change_op``. Consumers sequence by ``_commit_time`` within each
@@ -146,11 +149,14 @@ def stream_cdc(
     recipe; ``tests/test_streaming.py`` pins replica-state parity and
     op-set parity against batch ``KeyedTable.cdc`` windows.
 
-    Same phantom caveat as ``stream_incremental`` (tombstones are
-    written before the pointer flip, so a crashed delete's orphan keys
-    can stream until the next transaction reaps them), same
-    exactly-once file tracking via the caller's checkpointLocation,
-    and the same ``maxFilesPerTrigger`` backlog bound per lane.
+    Same phantom caveat as ``stream_incremental`` for the 'u'/'d'
+    lanes (log rows and tombstones are written before the pointer
+    flip, so a crashed writer's orphans can stream until the next
+    transaction reaps them) — but NOT for the 'r' lane, which is
+    gated on published commits (see the replace-lane comment below).
+    Same exactly-once file tracking via the caller's
+    checkpointLocation, and the same ``maxFilesPerTrigger`` backlog
+    bound per lane.
 
     Vintage: tables whose deletes predate the tombstone log (early-r7)
     stream those deletes as nothing — consume batch ``CDCReader``
@@ -209,23 +215,39 @@ def stream_cdc(
     # diverge a replica — the old state is never merged away
     # downstream (stale keys survive; replacement rows that lose the
     # precombine merge lose again), the exact divergence the batch
-    # CDCReader raises ReplaceCommitError for. The per-commit timeline
-    # markers are themselves an append-only file stream, so replaces
-    # stream as explicit 'r' rows (every data column NULL): a consumer
-    # CLEARS replica state at the 'r', then applies the SAME commit's
-    # 'u' rows — which ARE the replacement batch — restoring full
+    # CDCReader raises ReplaceCommitError for. Replaces stream as
+    # explicit 'r' rows (every data column NULL): a consumer CLEARS
+    # replica state at the 'r', then applies the SAME commit's 'u'
+    # rows — which ARE the replacement batch — restoring full
     # log-shipping parity across replaces (the op-sequencing rule:
-    # within a commit, 'r' applies first). Same phantom caveat as the
-    # other lanes (markers precede the pointer flip).
-    tl_dir = os.path.join(root, "timeline")
-    os.makedirs(tl_dir, exist_ok=True)  # metadata-only, like tombstones
+    # within a commit, 'r' applies first).
+    #
+    # The lane reads the POST-publish replace markers (root/replaces/,
+    # ADVICE r8 medium), NOT the timeline: timeline markers precede
+    # the pointer flip (the time-travel rail needs that order), so a
+    # crashed, never-published overwrite would stream a phantom 'r'
+    # whose state WIPE is qualitatively heavier than the phantom
+    # upsert rows the other lanes can deliver — the replica would
+    # apply the aborted (rolled-back) replacement batch. With the
+    # published-marker gate an aborted overwrite degrades to the same
+    # documented phantom-'u' caveat as every lane, and a PUBLISHED
+    # overwrite always has its marker: it is written right after the
+    # flip, and the crash window between the two is backfilled at
+    # every writer transaction and at this stream's open. A marker
+    # backfilled late can reach a running stream AFTER the commit's
+    # 'u' rows — consumers that cannot tolerate a late 'r' should
+    # treat any 'r' as a re-seed-from-snapshot signal (order-
+    # insensitive; streaming/maintained.py does exactly that).
+    table._backfill_replace_markers()
+    rm_dir = table._replace_marker_dir()
+    os.makedirs(rm_dir, exist_ok=True)  # metadata-only, like tombstones
     mreader = spark.readStream.schema(
         StructType([StructField("op", StringType())])
     )
     if max_files_per_trigger is not None:
         mreader = mreader.option("maxFilesPerTrigger", max_files_per_trigger)
     replaces = (
-        mreader.json(os.path.join(tl_dir, "*.json"))
+        mreader.json(os.path.join(rm_dir, "*.json"))
         .filter(F.col("op") == "overwrite")
         .select(
             *[

@@ -1237,3 +1237,76 @@ def test_stream_cdc_replace_commits_stream_as_r_rows(spark, tmp_path):
     )
     rep = sorted((k, p, v) for k, (p, v) in state.items())
     assert rep == src == [(1, 0, "z"), (4, 1, "d"), (9, 1, "new")]
+
+
+def test_stream_cdc_replace_lane_is_publish_gated(spark, tmp_path):
+    """ADVICE r8 (medium): an ABORTED overwrite — log rows, snapshot
+    and timeline marker written, pointer never flipped — must NOT
+    stream an 'r' row: the phantom would make replicas WIPE state and
+    apply the rolled-back batch. The retried (published) overwrite
+    streams exactly one 'r'; and a marker lost in the flip→marker
+    crash window is backfilled at stream open."""
+    import os
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_cdc,
+    )
+
+    sch = "k long, pre long, v string"
+    t = KeyedTable(
+        spark, str(tmp_path / "gate_src"), record_key="k", precombine="pre"
+    )
+    t.upsert(spark.createDataFrame([(1, 5, "a"), (2, 5, "b")], sch))
+
+    # simulate a CRASHED overwrite: every pre-flip artifact exists
+    # (snapshot, log rows, timeline marker) but the pointer never moved
+    from pyspark.sql import functions as F
+
+    orphan = t._new_commit_id()
+    batch = spark.createDataFrame([(9, 0, "aborted")], sch).withColumn(
+        "_commit_time", F.lit(orphan)
+    )
+    t._write_snapshot(batch, orphan)
+    t._write_log(batch, orphan)
+    t._record_instant(orphan, "overwrite")
+
+    rows: list = []
+
+    def sink(b, _bid):
+        rows.extend(b.collect())
+
+    def run_stream():
+        q = (
+            stream_cdc(spark, t.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "gate_ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream()
+    # the aborted batch's 'u' rows may stream (the documented phantom
+    # caveat) but no 'r' row exists for the unpublished commit
+    assert [r for r in rows if r["_change_op"] == "r"] == []
+
+    # the retry: a real transaction reaps the orphan and publishes a
+    # fresh replace commit — exactly one 'r', the published commit's
+    rep = t.overwrite(spark.createDataFrame([(1, 0, "z")], sch))
+    rows.clear()
+    run_stream()
+    r_rows = [r for r in rows if r["_change_op"] == "r"]
+    assert [r["_commit_time"] for r in r_rows] == [rep]
+
+    # flip→marker crash window: lose the marker, a fresh overwrite's
+    # marker plus stream-open backfill must restore BOTH
+    rep2 = t.overwrite(spark.createDataFrame([(3, 0, "w")], sch))
+    os.remove(os.path.join(t._replace_marker_dir(), f"{rep2}.json"))
+    rows.clear()
+    run_stream()
+    assert sorted(
+        r["_commit_time"] for r in rows if r["_change_op"] == "r"
+    ) == [rep2]

@@ -1,0 +1,296 @@
+"""Streaming-driven maintained views (r9, VERDICT r8 #1): the streamed
+foreachBatch driver must reach the EXACT state the batch maintenance
+loop reaches over the same history — deletes, replaces, restarts and
+all — because both fold the same pointer-bounded CDC windows under the
+same tokens."""
+
+from __future__ import annotations
+
+ENGINE = (
+    "sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_"
+    "email_using_glue_and_sns_or_ses_spark"
+)
+
+
+def _kt(spark, path, key, pre):
+    from importlib import import_module
+
+    KeyedTable = import_module(f"{ENGINE}.sinks.upsert").KeyedTable
+    return KeyedTable(spark, str(path), record_key=key, precombine=pre)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def _view_rows(view, cols):
+    cur = view.current()
+    if cur is None:
+        return None
+    return sorted(tuple(r[c] for c in cols) for r in cur.collect())
+
+
+def test_stream_maintained_view_parity_and_restart(spark, tmp_path):
+    """Single-table: stream over an upsert/delete/replace-heavy
+    history in two sessions (mid-stream restart with the same
+    checkpoint), comparing after each drain against (a) a direct
+    recompute of the grouped aggregate from the snapshot and (b) the
+    batch MaintainedAggregate loop over the same commits."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+
+    sch = "k int, pre int, grp string, amount long"
+    src = _kt(spark, tmp_path / "src", "k", "pre")
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10), (2, 1, "b", 5), (3, 1, "a", 7)], sch
+        )
+    )
+    src.upsert(spark.createDataFrame([(1, 2, "b", 20), (4, 1, "c", 1)], sch))
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+
+    view = ivm.MaintainedAggregate(
+        spark, str(tmp_path / "view"),
+        group_cols=["grp"], sum_cols=["amount"], minmax_cols=["amount"],
+    )
+
+    def recompute():
+        snap = src.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (r["grp"], r["n_rows"], r["sum_amount"], r["min_amount"])
+            for r in snap.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+                F.min("amount").alias("min_amount"),
+            )
+            .collect()
+        )
+
+    def start():
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view.path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            minmax_cols=["amount"],
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+        )
+
+    _drain(start())
+    cols = ("grp", "n_rows", "sum_amount", "min_amount")
+    assert _view_rows(view, cols) == recompute()
+    assert view.through() == src.latest_commit()
+
+    # mid-stream restart: new history after the stop — a delete that
+    # retracts a group's MIN (the dirty-extremum path), a REPLACE, and
+    # a post-replace upsert; the restarted stream (same checkpoint)
+    # must self-heal across the replace and land exactly
+    src.delete(spark.createDataFrame([(4,)], "k int"))
+    src.overwrite(
+        spark.createDataFrame([(7, 1, "z", 100), (8, 1, "a", 2)], sch)
+    )
+    src.upsert(spark.createDataFrame([(9, 1, "z", 50)], sch))
+    _drain(start())
+    assert _view_rows(view, cols) == recompute()
+    assert view.through() == src.latest_commit()
+
+    # redelivered wake with nothing new: the token makes it a no-op
+    before = _view_rows(view, cols)
+    _drain(start())
+    assert _view_rows(view, cols) == before
+
+
+def test_stream_maintained_join_view_parity_vs_batch_loop(spark, tmp_path):
+    """Join form: the streamed view must equal the batch
+    run_maintained_join_report loop's view over the SAME delete+replace
+    history — run step by step so every maintenance mode (pair seed,
+    fact-only, dim-only migration, double delete, replace re-seed,
+    restart) is compared, not just the end state."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    pipeline = import_module(f"{ENGINE}.pipeline")
+
+    FACT_S = "okey int, opre int, cust int, amount long"
+    DIM_S = "ckey int, cpre int, segment string"
+
+    # two identical source histories: the stream consumes one, the
+    # batch loop the other (a shared source would entangle their
+    # checkpoints)
+    def build_step(fact, dim, step):
+        if step == 0:  # pair genesis
+            dim.upsert(
+                spark.createDataFrame(
+                    [(1, 0, "RETAIL"), (2, 0, "AUTO")], DIM_S
+                )
+            )
+            fact.upsert(
+                spark.createDataFrame(
+                    [(10, 0, 1, 100), (11, 0, 1, 50), (12, 0, 2, 7)], FACT_S
+                )
+            )
+        elif step == 1:  # fact-only: delete + insert
+            fact.delete(spark.createDataFrame([(11,)], "okey int"))
+            fact.upsert(spark.createDataFrame([(13, 0, 2, 3)], FACT_S))
+        elif step == 2:  # dim-only migration (F0 ⋈ ΔD)
+            dim.upsert(spark.createDataFrame([(1, 1, "AUTO")], DIM_S))
+        elif step == 3:  # deletes on BOTH sides (dirty MIN/MAX)
+            fact.delete(spark.createDataFrame([(10,)], "okey int"))
+            dim.delete(spark.createDataFrame([(2,)], "ckey int"))
+        elif step == 4:  # REPLACE the dim (re-seed), then a fact row
+            dim.overwrite(
+                spark.createDataFrame([(1, 0, "GOV"), (3, 0, "EDU")], DIM_S)
+            )
+            fact.upsert(spark.createDataFrame([(14, 0, 3, 9)], FACT_S))
+
+    sf = _kt(spark, tmp_path / "sfact", "okey", "opre")
+    sd = _kt(spark, tmp_path / "sdim", "ckey", "cpre")
+    bf = _kt(spark, tmp_path / "bfact", "okey", "opre")
+    bd = _kt(spark, tmp_path / "bdim", "ckey", "cpre")
+
+    sview = ivm.MaintainedJoinAggregate(
+        spark, str(tmp_path / "sview"), on=("cust", "ckey"),
+        group_cols=["segment"], sum_cols=["amount"],
+        minmax_cols=["amount"],
+    )
+    bcfg = pipeline.MaintainedJoinReportConfig(
+        fact_path=bf.root,
+        fact_name="bfact",
+        dim_path=bd.root,
+        dim_name="bdim",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "bview"),
+        report_base=str(tmp_path / "breports"),
+        checkpoint_root=str(tmp_path / "bck"),
+        avg_cols=False,
+        minmax_cols=["amount"],
+    )
+
+    def start_stream():
+        return maintained.stream_maintained_join_view(
+            spark,
+            sf.root,
+            sd.root,
+            sview.path,
+            on=("cust", "ckey"),
+            group_cols=["segment"],
+            sum_cols=["amount"],
+            minmax_cols=["amount"],
+            checkpoint_location=str(tmp_path / "sck"),
+            available_now=True,
+        )
+
+    def recompute(fact, dim):
+        fs, ds = fact.snapshot(), dim.snapshot()
+        if fs is None or ds is None:
+            return []
+        return sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"], r["min_amount"],
+             r["max_amount"])
+            for r in fs.join(ds, fs["cust"] == ds["ckey"])
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+                F.min("amount").alias("min_amount"),
+                F.max("amount").alias("max_amount"),
+            )
+            .collect()
+        )
+
+    cols = ("segment", "n_rows", "sum_amount", "min_amount", "max_amount")
+    from importlib import import_module as _im
+
+    EmailSender = _im(f"{ENGINE}.delivery").EmailSender
+    for step in range(5):
+        build_step(sf, sd, step)
+        build_step(bf, bd, step)
+        # the stream restarts per step (same checkpoint) — a harsher
+        # schedule than one long-lived query, exercising restart
+        # recovery at every boundary
+        _drain(start_stream())
+        pipeline.run_maintained_join_report(
+            spark, bcfg, sender=EmailSender()
+        )
+        bview = ivm.MaintainedJoinAggregate(
+            spark, bcfg.view_path, on=("cust", "ckey"),
+            group_cols=["segment"], sum_cols=["amount"],
+            minmax_cols=["amount"],
+        )
+        want = recompute(sf, sd)
+        assert _view_rows(sview, cols) == want, f"stream step {step}"
+        assert _view_rows(bview, cols) == want, f"batch step {step}"
+        assert sview.through() == {
+            "fact": sf.latest_commit(),
+            "dim": sd.latest_commit(),
+        }
+
+
+def test_stream_maintained_view_ignores_orphan_commits(spark, tmp_path):
+    """Phantom-proofing: a crashed writer's orphan log files wake the
+    driver but must never fold — the pointer bound excludes them; the
+    retried (published) commit folds exactly once."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+
+    sch = "k int, pre int, grp string, amount long"
+    src = _kt(spark, tmp_path / "osrc", "k", "pre")
+    src.upsert(spark.createDataFrame([(1, 1, "a", 10)], sch))
+
+    view = ivm.MaintainedAggregate(
+        spark, str(tmp_path / "oview"),
+        group_cols=["grp"], sum_cols=["amount"],
+    )
+
+    def start():
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view.path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "ock"),
+            publish_wait_s=0.5,  # the orphan never publishes: don't wait
+            available_now=True,
+        )
+
+    _drain(start())
+    assert _view_rows(view, ("grp", "n_rows", "sum_amount")) == [("a", 1, 10)]
+
+    # orphan: log rows beyond the pointer, never published
+    orphan = src._new_commit_id()
+    batch = spark.createDataFrame([(2, 1, "a", 999)], sch).withColumn(
+        "_commit_time", F.lit(orphan)
+    )
+    src._write_log(batch, orphan)
+    _drain(start())
+    assert _view_rows(view, ("grp", "n_rows", "sum_amount")) == [("a", 1, 10)]
+
+    # the retry publishes (the transaction reaps the orphan first):
+    # the row folds exactly once
+    src.upsert(spark.createDataFrame([(2, 1, "a", 999)], sch))
+    _drain(start())
+    assert _view_rows(view, ("grp", "n_rows", "sum_amount")) == [
+        ("a", 2, 1009)
+    ]
+    # the orphan commit id never became a published instant
+    assert orphan not in src.instants()
