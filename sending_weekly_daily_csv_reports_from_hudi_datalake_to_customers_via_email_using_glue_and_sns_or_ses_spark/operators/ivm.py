@@ -384,16 +384,122 @@ class MaintainedAggregate:
         group_cols: list[str],
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.group_cols = group_cols
         self.sum_cols = sum_cols
         self.minmax_cols = list(minmax_cols or [])
+        self.distinct_cols = list(distinct_cols or [])
+        if self.distinct_cols and not group_cols:
+            raise ValueError(
+                "distinct_cols maintenance requires group_cols — the "
+                "auxiliary per-(group, value) state is keyed by them"
+            )
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_latest")
+
+    # -- COUNT(DISTINCT) auxiliary state (r9, VERDICT r8 #7) -------------
+    # distinct-count is NOT self-maintainable from the aggregate alone
+    # (retracting a value can't tell whether another equal row survives)
+    # — the classic fix is auxiliary per-(group, value) multiplicity
+    # state (Gupta-Mumick "counting algorithm"): itself a maintained
+    # COUNT view keyed by group+value, folded from the SAME signed
+    # contribution rows, versioned and pointer-flipped WITH the main
+    # aggregate so the pair is always consistent. distinct_<c> is then
+    # the aux's per-group live-row count — exact under inserts AND
+    # deletes, O(distinct values per group) storage.
+
+    def _aux_dir(self, col: str) -> str:
+        return os.path.join(self.path, "aux", col)
+
+    def aux_current(self, col: str) -> DataFrame | None:
+        """The distinct-state frame for ``col`` at the published
+        version: ``group_cols + [col, n_rows]`` (one row per live
+        (group, value), n_rows = its multiplicity)."""
+        meta = self._meta()
+        if meta is None:
+            return None
+        vdir = os.path.join(self._aux_dir(col), f"v={meta['version']}")
+        if not os.path.isdir(vdir):
+            return None
+        return self.spark.read.parquet(vdir)
+
+    def _aux_deltas(self, contrib: DataFrame) -> dict[str, DataFrame]:
+        """Per distinct column, the window's multiplicity delta from
+        the signed contribution rows — NULL values excluded (SQL
+        COUNT(DISTINCT) ignores them)."""
+        return {
+            c: signed_agg_delta(
+                contrib.filter(F.col(c).isNotNull()),
+                self.group_cols + [c],
+                [],
+            )
+            for c in self.distinct_cols
+        }
+
+    def _merged_aux(
+        self, aux_deltas: dict[str, DataFrame] | None
+    ) -> dict[str, DataFrame] | None:
+        """Fold the aux deltas into the stored aux frames (None when
+        the view maintains no distinct columns). A view with published
+        MAIN state but no aux for a column predates its distinct_cols
+        — raise rather than fold a delta into a hole (the aux would
+        silently contain only post-upgrade values)."""
+        if not self.distinct_cols:
+            return None
+        out = {}
+        has_main = self._meta() is not None
+        for c in self.distinct_cols:
+            cur = self.aux_current(c)
+            if cur is None and has_main:
+                raise ValueError(
+                    f"view at {self.path} has published state but no "
+                    f"distinct-state for {c!r} — it predates this "
+                    "distinct_cols configuration; rebuild() from a "
+                    "source snapshot to seed the auxiliary state"
+                )
+            out[c] = merge_agg_delta(
+                cur, aux_deltas[c], self.group_cols + [c], []
+            )
+        return out
+
+    def read(self) -> DataFrame | None:
+        """The view with PRESENTATION columns (r9, VERDICT r8 #7):
+        the maintained frame plus ``avg_<c> = sum_<c>/n_<c>`` per sum
+        column (NULL over all-NULL groups — SQL AVG) and
+        ``distinct_<c>`` per distinct column (exact, from the
+        auxiliary multiplicity state; 0 for a live group whose values
+        are all NULL). The joins are |groups|-sized on both sides —
+        the read stays O(|groups|)."""
+        df = self.current()
+        if df is None:
+            return None
+        for c in self.sum_cols:
+            df = df.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
+                ),
+            )
+        for c in self.distinct_cols:
+            aux = self.aux_current(c)
+            if aux is None:
+                raise ValueError(
+                    f"view at {self.path} has no distinct-state for "
+                    f"{c!r} — rebuild() to seed it"
+                )
+            counts = aux.groupBy(*self.group_cols).agg(
+                F.count(F.lit(1)).alias(f"distinct_{c}")
+            )
+            df = df.join(counts, self.group_cols, "left").withColumn(
+                f"distinct_{c}",
+                F.coalesce(F.col(f"distinct_{c}"), F.lit(0)),
+            )
+        return df
 
     def _meta(self) -> dict | None:
         try:
@@ -445,10 +551,19 @@ class MaintainedAggregate:
         possibly-stale extremum."""
         if not self._fresh(through):
             return False
-        delta = cdc_agg_delta(
-            cdc_window, self.group_cols, self.sum_cols, self.minmax_cols
+        needed = list(
+            dict.fromkeys(
+                list(self.group_cols)
+                + list(self.sum_cols)
+                + self.minmax_cols
+                + self.distinct_cols
+            )
         )
-        self._fold(delta, through, base, validate)
+        contrib = signed_cdc_rows(cdc_window, needed)
+        delta = signed_agg_delta(
+            contrib, self.group_cols, self.sum_cols, self.minmax_cols
+        )
+        self._fold(delta, through, base, validate, self._aux_deltas(contrib))
         return True
 
     def _fresh(self, through) -> bool:
@@ -467,11 +582,14 @@ class MaintainedAggregate:
         one."""
         return new is None or (old is not None and new <= old)
 
-    def _fold(self, delta: DataFrame, through, base, validate=None) -> None:
+    def _fold(
+        self, delta: DataFrame, through, base, validate=None, aux_deltas=None
+    ) -> None:
         """Merge one aggregate delta into the stored view and publish —
         including the MIN/MAX dirty-group protocol (see
-        :func:`merge_agg_delta`). Shared by the single-table and
-        delta-join apply paths."""
+        :func:`merge_agg_delta`) and the distinct-state fold. Shared by
+        the single-table and delta-join apply paths."""
+        aux = self._merged_aux(aux_deltas)
         merged = merge_agg_delta(
             self.current(),
             delta,
@@ -480,7 +598,7 @@ class MaintainedAggregate:
             self.minmax_cols,
         )
         if not self.minmax_cols:
-            self._publish(merged, through, validate)
+            self._publish(merged, through, validate, aux)
             return
         merged = merged.persist()
         try:
@@ -515,7 +633,7 @@ class MaintainedAggregate:
                     .join(recomputed, self.group_cols, "left")
                 )
                 final = clean.unionByName(dirty.select(*clean.columns))
-            self._publish(final, through, validate)
+            self._publish(final, through, validate, aux)
         finally:
             merged.unpersist()
 
@@ -546,10 +664,16 @@ class MaintainedAggregate:
                 )
             ],
         )
-        self._publish(agg, through, validate)
+        aux = {
+            c: source_snapshot.filter(F.col(c).isNotNull())
+            .groupBy(*self.group_cols, c)
+            .agg(F.count(F.lit(1)).alias(COUNT_COL))
+            for c in self.distinct_cols
+        } or None
+        self._publish(agg, through, validate, aux)
 
     def _publish(
-        self, df: DataFrame, through: str | None, validate=None
+        self, df: DataFrame, through: str | None, validate=None, aux=None
     ) -> None:
         """Write the new version dir, optionally gate it, then flip the
         pointer. ``validate`` (a callable taking the STAGED frame —
@@ -561,11 +685,24 @@ class MaintainedAggregate:
         token mark the window consumed (the r8 review finding). The
         orphan version dir a failed gate leaves is harmless: the next
         publish computes the same v from the live pointer and
-        overwrites it."""
+        overwrites it.
+
+        ``aux`` carries the distinct-state frames to version alongside
+        the main one (same v, same pointer flip — the pair is atomic);
+        None with configured distinct_cols CARRIES the current aux
+        forward unchanged (the quiescent-side republish)."""
         meta = self._meta()
         v = (meta["version"] if meta else 0) + 1
         out = os.path.join(self.path, f"v={v}")
         df.write.mode("overwrite").parquet(out)
+        if aux is None and self.distinct_cols:
+            aux = {c: self.aux_current(c) for c in self.distinct_cols}
+        for c, frame in (aux or {}).items():
+            if frame is None:
+                continue  # pre-distinct view carried forward: no state
+            frame.write.mode("overwrite").parquet(
+                os.path.join(self._aux_dir(c), f"v={v}")
+            )
         if validate is not None:
             validate(self.spark.read.parquet(out))
         tmp = self._pointer() + ".tmp"
@@ -575,12 +712,18 @@ class MaintainedAggregate:
         # keep last two versions (readers of v-1 may be in flight);
         # ignore non-numeric v= entries (backups etc.) rather than
         # wedging every later publish on them
-        for name in os.listdir(self.path):
-            if name.startswith("v=") and name[2:].isdigit():
-                if int(name[2:]) < v - 1:
-                    shutil.rmtree(
-                        os.path.join(self.path, name), ignore_errors=True
-                    )
+        roots = [self.path] + [
+            self._aux_dir(c) for c in (aux or {}) if aux
+        ]
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name.startswith("v=") and name[2:].isdigit():
+                    if int(name[2:]) < v - 1:
+                        shutil.rmtree(
+                            os.path.join(root, name), ignore_errors=True
+                        )
 
 
 #: CDC-frame meta columns (everything else at top level is the record key)
@@ -686,8 +829,11 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         group_cols: list[str],
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ):
-        super().__init__(spark, path, group_cols, sum_cols, minmax_cols)
+        super().__init__(
+            spark, path, group_cols, sum_cols, minmax_cols, distinct_cols
+        )
         self.fact_on, self.dim_on = (
             (on, on) if isinstance(on, str) else (on[0], on[1])
         )
@@ -765,6 +911,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
                 list(self.group_cols)
                 + list(self.sum_cols)
                 + list(self.minmax_cols)
+                + list(self.distinct_cols)
             )
         )
         seen = self.through() or {}
@@ -857,7 +1004,9 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         delta = signed_agg_delta(
             contrib, self.group_cols, self.sum_cols, self.minmax_cols
         )
-        self._fold(delta, through, base, validate)
+        self._fold(
+            delta, through, base, validate, self._aux_deltas(contrib)
+        )
         return True
 
     def joined(self, fact_snap: DataFrame, dim_snap: DataFrame) -> DataFrame:
@@ -871,6 +1020,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
                 list(self.group_cols)
                 + list(self.sum_cols)
                 + list(self.minmax_cols)
+                + list(self.distinct_cols)
             )
         )
         f_needed = self._side_cols(
@@ -889,11 +1039,19 @@ class MaintainedJoinAggregate(MaintainedAggregate):
 
     def _side_cols(self, needed, fact_fields, dim_fields) -> list[str]:
         """Classify each needed column to exactly one join side (the
-        fact-side subset is returned; the rest is dim-side)."""
+        fact-side subset is returned; the rest is dim-side). The one
+        name allowed on BOTH sides is a same-named equi-join key
+        (fact_on == dim_on): the join equality makes the two copies
+        identical on every joined row, so serving it from the fact
+        side is semantics-free — e.g. distinct-counting the join key
+        itself."""
         fact_side = []
         for c in needed:
             in_f, in_d = c in fact_fields, c in dim_fields
             if in_f and in_d:
+                if c == self.fact_on and c == self.dim_on:
+                    fact_side.append(c)
+                    continue
                 raise ValueError(
                     f"column {c!r} exists on BOTH join sides — rename "
                     "one (the maintained columns must be unambiguous)"
@@ -956,8 +1114,11 @@ class MaintainedStarAggregate(MaintainedAggregate):
         group_cols: list[str],
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ):
-        super().__init__(spark, path, group_cols, sum_cols, minmax_cols)
+        super().__init__(
+            spark, path, group_cols, sum_cols, minmax_cols, distinct_cols
+        )
         if not dims:
             raise ValueError("MaintainedStarAggregate: need >= 1 dim")
         names = [n for n, _, _ in dims]
@@ -973,6 +1134,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
                 list(self.group_cols)
                 + list(self.sum_cols)
                 + list(self.minmax_cols)
+                + list(self.distinct_cols)
             )
         )
 
@@ -988,10 +1150,16 @@ class MaintainedStarAggregate(MaintainedAggregate):
         sides = [("fact", set(fact_snap.columns))] + [
             (n, set(dim_snaps[n].columns)) for n, _, _ in self.dims
         ]
+        jk_names = {
+            fo for _, fo, do in self.dims if fo == do
+        }  # same-named equi-join keys: either side serves them
         owner: dict[str, str] = {}
         for c in needed:
             hits = [s for s, cols in sides if c in cols]
             if len(hits) != 1:
+                if c in jk_names and "fact" in hits:
+                    owner[c] = "fact"
+                    continue
                 raise ValueError(
                     f"column {c!r} found on sides {hits} — maintained "
                     "columns must exist on exactly one join side"
@@ -1115,6 +1283,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
             owners: dict[str, list[str]] = {"fact": []}
             for i in range(len(self.dims)):
                 owners[f"d{i}"] = []
+            jk_names = {fo for _, fo, do in self.dims if fo == do}
             for c in needed:
                 hits = [
                     s
@@ -1126,6 +1295,11 @@ class MaintainedStarAggregate(MaintainedAggregate):
                     if c in fields
                 ]
                 if len(hits) > 1:
+                    if c in jk_names and "fact" in hits:
+                        # same-named equi-join key: the join equality
+                        # makes the copies identical — fact serves it
+                        owners["fact"].append(c)
+                        continue
                     raise ValueError(
                         f"column {c!r} exists on sides {hits} — rename "
                         "(maintained columns must be unambiguous)"
@@ -1249,5 +1423,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
         delta = signed_agg_delta(
             contrib, self.group_cols, self.sum_cols, self.minmax_cols
         )
-        self._fold(delta, through, base, validate)
+        self._fold(
+            delta, through, base, validate, self._aux_deltas(contrib)
+        )
         return True

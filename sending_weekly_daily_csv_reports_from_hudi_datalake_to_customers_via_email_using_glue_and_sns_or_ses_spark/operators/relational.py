@@ -649,7 +649,10 @@ _JOIN_IVM_VIEWS: dict[str, str] = {}
            CAST(round(sum(f.price), 2) AS DOUBLE) AS sum_price,
            count(f.price) AS n_price,
            CAST(min(f.price) AS DOUBLE) AS min_price,
-           CAST(max(f.price) AS DOUBLE) AS max_price
+           CAST(max(f.price) AS DOUBLE) AS max_price,
+           CAST(round(sum(f.price) / count(f.price), 2) AS DOUBLE)
+             AS avg_price,
+           count(DISTINCT f.jk) AS distinct_ck
     FROM fact_final f JOIN dim_final d ON f.jk = d.jk
     GROUP BY d.seg
     """,
@@ -695,7 +698,7 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = MaintainedJoinAggregate(
             spark, cached, on=("ck", "ck"),
             group_cols=["seg"], sum_cols=["price"],
-            minmax_cols=["price"],
+            minmax_cols=["price"], distinct_cols=["ck"],
         )
         return _ivm_join_select(view)
     view_path = tempfile.mkdtemp(prefix="jivm_view_")
@@ -706,6 +709,7 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["seg"],
         sum_cols=["price"],
         minmax_cols=["price"],
+        distinct_cols=["ck"],
     )
     # (fact window end, dim window end) per run; None = side quiescent
     schedule = [(f1, d1), (f2, None), (None, d2), (f3, d3), (f4, None)]
@@ -735,13 +739,19 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivm_join_select(view) -> DataFrame:
-    return view.current().select(
+    # read() exposes the maintained AVG (sum/n) and the exact
+    # COUNT(DISTINCT ck) from the auxiliary multiplicity state (r9,
+    # VERDICT r8 #7) — both value-checked against the oracle's direct
+    # avg()/count(DISTINCT) over the final joined state
+    return view.read().select(
         F.col("seg").alias("grp"),
         F.col("n_rows"),
         F.round("sum_price", 2).cast("double").alias("sum_price"),
         F.col("n_price").alias("n_price"),
         F.col("min_price").cast("double").alias("min_price"),
         F.col("max_price").cast("double").alias("max_price"),
+        F.round("avg_price", 2).cast("double").alias("avg_price"),
+        F.col("distinct_ck"),
     )
 
 

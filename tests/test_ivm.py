@@ -502,3 +502,154 @@ def test_ivm_minmax_callable_base_lazy(spark, tmp_path):
     reader.commit()
     assert calls == [1]
     assert _maintained_mm2(view.current()) == [("a", 1, 10, 10)]
+
+
+def test_ivm_distinct_count_tracks_recompute(spark, tmp_path):
+    """COUNT(DISTINCT) maintenance (r9, VERDICT r8 #7): the auxiliary
+    per-(group, value) multiplicity state must keep distinct_<c> exact
+    through inserts, updates that change the value, NULLs, and —
+    critically — deletes that UN-DISTINCT a value (retracting one of
+    two equal rows must NOT drop the value; retracting the last one
+    must). read() also exposes avg_<c>."""
+    rng = random.Random(13)
+    src = KeyedTable(
+        spark, str(tmp_path / "dsrc"), record_key="k", precombine="pre"
+    )
+    reader = CDCReader(
+        spark, "dsrc", src.root, checkpoint_root=str(tmp_path / "dck")
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "dview"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        distinct_cols=["amount"],
+    )
+
+    def recompute():
+        snap = src.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (
+                r["grp"],
+                r["n_rows"],
+                r["sum_amount"],
+                r["avg_amount"],
+                r["distinct_amount"],
+            )
+            for r in snap.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+                F.avg("amount").alias("avg_amount"),
+                F.countDistinct("amount").alias("distinct_amount"),
+            )
+            .collect()
+        )
+
+    def maintained():
+        df = view.read()
+        if df is None:
+            return []
+        return sorted(
+            (
+                r["grp"],
+                r["n_rows"],
+                r["sum_amount"],
+                r["avg_amount"],
+                r["distinct_amount"],
+            )
+            for r in df.collect()
+        )
+
+    # amounts drawn from a TINY domain so equal values collide within
+    # groups constantly — the un-distinct cases happen organically —
+    # plus NULLs (excluded from both distinct and avg)
+    for step in range(7):
+        if step in (2, 5):
+            live = src.snapshot()
+            keys = [r["k"] for r in live.select("k").collect()]
+            victims = rng.sample(keys, k=max(1, len(keys) // 3))
+            src.delete(
+                spark.createDataFrame([(k,) for k in victims], "k int")
+            )
+        else:
+            batch = [
+                (
+                    rng.randrange(12),
+                    rng.randrange(100),
+                    rng.choice(["a", "b"]),
+                    rng.choice([10, 20, 30, None]),
+                )
+                for _ in range(8)
+            ]
+            src.upsert(_df(spark, batch))
+        win = reader.read()
+        if win is not None:
+            view.apply(win, through=reader.staged_end())
+            reader.commit()
+        assert maintained() == recompute(), f"step {step}"
+
+
+def test_ivm_distinct_targeted_un_distinct_delete(spark, tmp_path):
+    """The surgical case: group g holds amounts [5, 5, 9]. Deleting one
+    5 keeps distinct=2 (a twin survives); deleting the second 5 drops
+    it to 1. A view with main state but missing aux raises loudly."""
+    import pytest
+
+    src = KeyedTable(
+        spark, str(tmp_path / "tsrc"), record_key="k", precombine="pre"
+    )
+    view = MaintainedAggregate(
+        spark,
+        str(tmp_path / "tview"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        distinct_cols=["amount"],
+    )
+    src.upsert(
+        _df(spark, [(1, 1, "g", 5), (2, 1, "g", 5), (3, 1, "g", 9)])
+    )
+    c1 = src.latest_commit()
+    view.apply(src.cdc(end=c1), through=c1)
+
+    def distinct():
+        return view.read().collect()[0]["distinct_amount"]
+
+    assert distinct() == 2
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    c2 = src.latest_commit()
+    view.apply(src.cdc(begin=c1, end=c2), through=c2)
+    assert distinct() == 2  # the twin 5 survives
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    c3 = src.latest_commit()
+    view.apply(src.cdc(begin=c2, end=c3), through=c3)
+    assert distinct() == 1  # the value 5 is gone
+
+    # upgrade rail: a view with published state but no aux for a NEWLY
+    # configured distinct col refuses the fold (rebuild to seed)
+    legacy = MaintainedAggregate(
+        spark,
+        str(tmp_path / "tview"),
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        distinct_cols=["amount", "pre"],
+    )
+    src.upsert(_df(spark, [(4, 1, "g", 7)]))
+    c4 = src.latest_commit()
+    with pytest.raises(ValueError, match="distinct-state"):
+        legacy.apply(src.cdc(begin=c3, end=c4), through=c4)
+    # rebuild seeds BOTH aux cols; maintenance then resumes
+    legacy.rebuild(src.snapshot(as_of=c4), through=c4)
+    row = legacy.read().collect()[0]
+    # live rows: (3, pre 1, g, 9), (4, pre 1, g, 7)
+    assert row["distinct_amount"] == 2 and row["distinct_pre"] == 1
+    src.delete(spark.createDataFrame([(3,)], "k int"))
+    c5 = src.latest_commit()
+    legacy.apply(src.cdc(begin=c4, end=c5), through=c5)
+    row = legacy.read().collect()[0]
+    # live rows: (4, pre 1, g, 7) — the delete retracted one of the two
+    # pre=1 twins (multiplicity 2→1, value survives) and the only 9
+    assert row["distinct_amount"] == 1 and row["distinct_pre"] == 1
+    assert row["avg_amount"] == 7.0

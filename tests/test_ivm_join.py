@@ -338,13 +338,29 @@ def test_join_ivm_ambiguous_and_unknown_columns_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NEITHER"):
         bad.apply(f_win, None, dim_state=dim_t.snapshot())
-    # 'jk' exists on both sides (fact data col AND dim record key)
+    # 'jk' exists on both sides (fact data col AND dim record key) and
+    # is NOT the equi-join pair here (fact joins on 'fk') — ambiguous
     ambiguous = MaintainedJoinAggregate(
         spark,
         str(tmp_path / "viewamb"),
-        on=("jk", "jk"),
+        on=("fk", "jk"),
         group_cols=["jk"],
         sum_cols=["famount"],
     )
     with pytest.raises(ValueError, match="BOTH"):
         ambiguous.apply(f_win, None, dim_state=dim_t.snapshot())
+    # but the SAME-NAMED equi-join key is legal (r9): the join equality
+    # makes the two copies identical, the fact side serves it — e.g.
+    # grouping or distinct-counting by the join key itself
+    by_key = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / "viewkey"),
+        on=("jk", "jk"),
+        group_cols=["jk"],
+        sum_cols=["famount"],
+    )
+    by_key.apply(f_win, None, dim_state=dim_t.snapshot())
+    assert sorted(
+        (r["jk"], r["n_rows"], r["sum_famount"])
+        for r in by_key.current().collect()
+    ) == [(1, 1, 5)]
