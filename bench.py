@@ -64,7 +64,7 @@ HEADLINE = [
     "dedup_clusters",
     "exact_substring_pairs",
     "dedup_lines",
-    "shared_substring_runs",
+    "ivm_outer_join_report",
     "remove_shared_substrings",
     "substring_incremental",
     "semantic_dedup",

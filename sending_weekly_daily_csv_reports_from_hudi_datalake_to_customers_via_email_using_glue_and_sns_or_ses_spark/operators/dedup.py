@@ -2076,6 +2076,12 @@ def exact_substring_pairs_documents(
 
 @query(
     "shared_substring_runs",
+    retired=True,  # r9: slot funded ivm_outer_join_report — the run-
+    # detection primitive stays driver-green through its consumers
+    # (exact_substring_pairs shares the k-window postings machinery;
+    # remove_shared_substrings CONSUMES these runs end to end), and the
+    # entry stays value-hash-checked every CI pass by
+    # test_retired_parity.
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,

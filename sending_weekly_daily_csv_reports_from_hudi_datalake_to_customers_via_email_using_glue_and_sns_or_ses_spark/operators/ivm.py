@@ -318,6 +318,18 @@ def merge_agg_delta(
     return _nulled_sums(resolved, sum_cols)
 
 
+def _null_safe_group_cond(left: DataFrame, right: DataFrame, cols):
+    """Equi-join condition over group columns with NULL-SAFE equality:
+    a NULL group key is a real group (SQL GROUP BY treats NULLs as one
+    group — and the left-outer maintained join PUTS unmatched rows in
+    the NULL dim-attribute group), so the dirty-group plumbing must
+    match it; plain `=` would silently drop it from every recompute."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
+
+
 def recompute_extremes(
     base: DataFrame,
     dirty_groups: DataFrame,
@@ -331,9 +343,14 @@ def recompute_extremes(
     extremum column for the flagged groups; the scan composes with the
     engine's skipping reads (a partitioned/bucketed/col-stats layout
     turns it into a touched-files read, not a table scan), and with
-    few dirty groups Catalyst broadcasts the semi-join side."""
+    few dirty groups Catalyst broadcasts the semi-join side. The semi
+    join is NULL-SAFE on the group keys — the NULL group (outer-join
+    unmatched rows, or a nullable group column) recomputes like any
+    other."""
+    keys = dirty_groups.select(*group_cols)
     return (
-        base.join(dirty_groups.select(*group_cols), group_cols, "left_semi")
+        base.join(keys, _null_safe_group_cond(base, keys, group_cols),
+                  "left_semi")
         .groupBy(*group_cols)
         .agg(
             *[
@@ -495,9 +512,18 @@ class MaintainedAggregate:
             counts = aux.groupBy(*self.group_cols).agg(
                 F.count(F.lit(1)).alias(f"distinct_{c}")
             )
-            df = df.join(counts, self.group_cols, "left").withColumn(
-                f"distinct_{c}",
-                F.coalesce(F.col(f"distinct_{c}"), F.lit(0)),
+            # NULL-SAFE on the group keys: the NULL group (outer-join
+            # unmatched rows / nullable group column) is a real group
+            joined = df.join(
+                counts,
+                _null_safe_group_cond(df, counts, self.group_cols),
+                "left",
+            )
+            df = joined.select(
+                *[df[col] for col in df.columns],
+                F.coalesce(
+                    counts[f"distinct_{c}"], F.lit(0)
+                ).alias(f"distinct_{c}"),
             )
         return df
 
@@ -627,10 +653,22 @@ class MaintainedAggregate:
                     self.minmax_cols,
                 )
                 clean = merged.filter(~is_dirty).drop(DIRTY_COL)
-                dirty = (
-                    merged.filter(is_dirty)
-                    .drop(DIRTY_COL, *mm_out)
-                    .join(recomputed, self.group_cols, "left")
+                dirty_side = merged.filter(is_dirty).drop(
+                    DIRTY_COL, *mm_out
+                )
+                # NULL-SAFE group join (the NULL group is real — see
+                # _null_safe_group_cond); explicit side references keep
+                # the duplicated group names unambiguous
+                joined = dirty_side.join(
+                    recomputed,
+                    _null_safe_group_cond(
+                        dirty_side, recomputed, self.group_cols
+                    ),
+                    "left",
+                )
+                dirty = joined.select(
+                    *[dirty_side[c] for c in dirty_side.columns],
+                    *[recomputed[c] for c in mm_out],
                 )
                 final = clean.unionByName(dirty.select(*clean.columns))
             self._publish(final, through, validate, aux)
@@ -830,6 +868,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
         distinct_cols: list[str] | None = None,
+        how: str = "inner",
     ):
         super().__init__(
             spark, path, group_cols, sum_cols, minmax_cols, distinct_cols
@@ -837,6 +876,13 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         self.fact_on, self.dim_on = (
             (on, on) if isinstance(on, str) else (on[0], on[1])
         )
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"how={how!r}: the maintained join supports 'inner' "
+                "and 'left' (left-outer — unmatched fact rows live in "
+                "the NULL dim-attribute group)"
+            )
+        self.how = how
 
     # -- token pair -----------------------------------------------------
     def _check_pair(self, through, fact_win, dim_win) -> bool:
@@ -938,7 +984,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
             )
             terms.append(
                 signed_f.join(
-                    dsel, F.col(self.fact_on) == F.col("__jk"), "inner"
+                    dsel, F.col(self.fact_on) == F.col("__jk"), self.how
                 ).select(*needed, SIGN_COL)
             )
 
@@ -984,6 +1030,50 @@ class MaintainedJoinAggregate(MaintainedAggregate):
                         "inner",
                     ).select(*needed, SIGN_COL)
                 )
+                if self.how == "left":
+                    # NULL-group migration term (r9, VERDICT r8 #6):
+                    # outer semantics put unmatched F₀ rows in the NULL
+                    # dim-attribute group, so a dim key APPEARING moves
+                    # its fact rows OUT of that group and a key
+                    # VANISHING moves them back in. Per changed key the
+                    # net existence change e = Σ sign over its ΔD rows
+                    # (N:1 ⇒ e ∈ {−1, 0, +1}; an update nets 0 and
+                    # contributes nothing here — its attribute movement
+                    # is fully carried by the inner term above). The
+                    # term is F₀ rows of keys with e ≠ 0, dim attrs
+                    # NULL, signed −e: the exact counterweight of the
+                    # inner term's ±F₀⋈d rows.
+                    dim_types = {
+                        f.name: f.dataType
+                        for f in dim_win.schema["_after"].dataType.fields
+                    }
+                    exist = (
+                        signed_cdc_rows(dim_win, [self.dim_on])
+                        .groupBy(self.dim_on)
+                        .agg(F.sum(SIGN_COL).alias("__e"))
+                        .filter(F.col("__e") != 0)
+                        .select(
+                            F.col(self.dim_on).alias("__jk"),
+                            F.col("__e"),
+                        )
+                    )
+                    null_side = {
+                        c: F.lit(None).cast(dim_types[c]).alias(c)
+                        for c in d_needed
+                    }
+                    terms.append(
+                        fbsel.join(
+                            exist,
+                            F.col(self.fact_on) == F.col("__jk"),
+                            "inner",
+                        ).select(
+                            *[
+                                null_side[c] if c in null_side else F.col(c)
+                                for c in needed
+                            ],
+                            (-F.col("__e")).cast("int").alias(SIGN_COL),
+                        )
+                    )
 
         if not terms:
             # dim-window-at-fact-genesis only: F₀ is empty so the state
@@ -1029,7 +1119,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         return fact_snap.join(
             dim_snap,
             fact_snap[self.fact_on] == dim_snap[self.dim_on],
-            "inner",
+            self.how,
         ).select(
             *[
                 (fact_snap[c] if c in f_needed else dim_snap[c]).alias(c)

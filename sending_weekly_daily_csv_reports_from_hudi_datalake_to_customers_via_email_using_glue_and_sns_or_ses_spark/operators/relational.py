@@ -755,6 +755,110 @@ def _ivm_join_select(view) -> DataFrame:
     )
 
 
+#: maintained OUTER join views already replayed: sf_dir → path
+_OUTER_IVM_VIEWS: dict[str, str] = {}
+
+
+@query(
+    "ivm_outer_join_report",
+    oracle="""
+    WITH f_src AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS fk,
+             CAST(o_custkey % 23 AS INT) AS jk,
+             o_totalprice AS price,
+             o_orderkey % 3 AS b
+      FROM orders
+    ),
+    fact_final AS (
+      SELECT fk, jk, price FROM f_src
+      WHERE (b IN (0, 1) AND fk % 11 <> 0) OR b = 2
+    ),
+    d_src AS (
+      SELECT CAST(c_custkey % 23 AS INT) AS jk,
+             CAST(c_custkey AS BIGINT) AS dpre,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    dim_final AS (
+      SELECT jk, seg FROM (
+        SELECT jk, arg_max(seg, dpre) AS seg FROM d_src GROUP BY jk
+      ) t WHERE jk % 7 <> 0
+    )
+    SELECT d.seg AS grp,
+           count(*) AS n_rows,
+           CAST(round(sum(f.price), 2) AS DOUBLE) AS sum_price,
+           count(f.price) AS n_price,
+           CAST(min(f.price) AS DOUBLE) AS min_price,
+           CAST(max(f.price) AS DOUBLE) AS max_price,
+           CAST(round(sum(f.price) / count(f.price), 2) AS DOUBLE)
+             AS avg_price,
+           count(DISTINCT f.jk) AS distinct_ck
+    FROM fact_final f LEFT JOIN dim_final d ON f.jk = d.jk
+    GROUP BY d.seg
+    """,
+)
+def ivm_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER delta-join IVM (r9, VERDICT r8 #6) under the driver
+    oracle: the same maintained report as ``ivm_join_report`` but with
+    outer semantics — fact rows without a dim match live in the NULL
+    dim-attribute group ('UNKNOWN' in report terms) instead of
+    vanishing until the dim key appears. Same shared star fixture and
+    5-pair replay, so every outer-specific mode runs: the genesis pair
+    seeds the NULL group (cust covers only half the ck domain at C1),
+    C2's arrivals migrate rows OUT of it via the existence-delta term,
+    D3's deletes migrate them back IN, and the double-delete pair
+    dirties the NULL group's MIN/MAX (healed through the null-safe
+    recompute). The DuckDB oracle is the direct LEFT JOIN aggregate
+    over the final state, NULL group included, plus avg and
+    COUNT(DISTINCT jk) from the auxiliary distinct state."""
+    from ..sinks.upsert import KeyedTable
+    from .ivm import MaintainedJoinAggregate
+
+    f_root, d_root, _ = _star_cdc_fixture(spark, sf_dir)
+    fact = KeyedTable.open(spark, f_root)
+    dim = KeyedTable.open(spark, d_root)
+    f1, f2, f3, f4 = fact.instants()
+    d1, d2, d3 = dim.instants()
+
+    def _open(path: str) -> MaintainedJoinAggregate:
+        return MaintainedJoinAggregate(
+            spark, path, on=("ck", "ck"),
+            group_cols=["seg"], sum_cols=["price"],
+            minmax_cols=["price"], distinct_cols=["ck"],
+            how="left",
+        )
+
+    cached = _OUTER_IVM_VIEWS.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return _ivm_join_select(_open(cached))
+    view_path = tempfile.mkdtemp(prefix="oivm_view_")
+    view = _open(view_path)
+    schedule = [(f1, d1), (f2, None), (None, d2), (f3, d3), (f4, None)]
+    f_prev = d_prev = None
+    for f_end, d_end in schedule:
+        f_cov = f_end or f_prev
+        d_cov = d_end or d_prev
+        f_win = fact.cdc(begin=f_prev, end=f_end) if f_end else None
+        d_win = dim.cdc(begin=d_prev, end=d_end) if d_end else None
+        view.apply(
+            f_win,
+            d_win,
+            dim_state=lambda d=d_cov: dim.snapshot(as_of=d),
+            fact_base=(
+                (lambda f=f_prev: fact.snapshot(as_of=f))
+                if f_prev is not None
+                else None
+            ),
+            through={"fact": f_cov, "dim": d_cov},
+            base=lambda f=f_cov, d=d_cov: view.joined(
+                fact.snapshot(as_of=f), dim.snapshot(as_of=d)
+            ),
+        )
+        f_prev, d_prev = f_cov, d_cov
+    _OUTER_IVM_VIEWS[sf_dir] = view_path
+    return _ivm_join_select(view)
+
+
 #: built star-CDC fixture roots: sf_dir → (fact, cust, part) roots
 _STAR_CDC_TABLES: dict[str, tuple[str, str, str]] = {}
 

@@ -65,13 +65,21 @@ def _recompute(fact_t, dim_t):
     )
 
 
+def _nskey(t):
+    """None-safe tuple sort key (the outer view's NULL group)."""
+    return tuple((v is None, v) for v in t)
+
+
 def _maintained(df):
     if df is None:
         return []
     return sorted(
-        (r["grp"], r["n_rows"], r["sum_famount"], r["min_famount"],
-         r["max_famount"])
-        for r in df.collect()
+        (
+            (r["grp"], r["n_rows"], r["sum_famount"], r["min_famount"],
+             r["max_famount"])
+            for r in df.collect()
+        ),
+        key=_nskey,
     )
 
 
@@ -364,3 +372,188 @@ def test_join_ivm_ambiguous_and_unknown_columns_raise(spark, tmp_path):
         (r["jk"], r["n_rows"], r["sum_famount"])
         for r in by_key.current().collect()
     ) == [(1, 1, 5)]
+
+
+def _joined_outer(fact_t, dim_t, f_asof=None, d_asof=None):
+    fs, ds = fact_t.snapshot(as_of=f_asof), dim_t.snapshot(as_of=d_asof)
+    if fs is None:
+        return None
+    if ds is None:
+        # outer semantics with an empty dim: every fact row is
+        # unmatched (the all-NULL group)
+        return fs.select(
+            F.lit(None).cast("string").alias("grp"), fs["famount"]
+        )
+    return fs.join(ds, fs["jk"] == ds["jk"], "left").select(
+        ds["grp"], fs["famount"]
+    )
+
+
+def _recompute_outer(fact_t, dim_t):
+    j = _joined_outer(fact_t, dim_t)
+    if j is None:
+        return []
+    return sorted(
+        (
+            (
+                r["grp"],
+                r["n_rows"],
+                r["sum_famount"],
+                r["min_famount"],
+                r["max_famount"],
+            )
+            for r in j.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("famount").alias("sum_famount"),
+                F.min("famount").alias("min_famount"),
+                F.max("famount").alias("max_famount"),
+            )
+            .collect()
+        ),
+        key=_nskey,
+    )
+
+
+def test_outer_join_ivm_tracks_recompute_over_random_history(
+    spark, tmp_path
+):
+    """how='left' (r9, VERDICT r8 #6): after every coordinated pair the
+    maintained LEFT-OUTER join aggregate equals a full fact⟕dim
+    recompute — unmatched fact keys live in the NULL dim-attribute
+    group, a dim key appearing migrates its rows OUT of it, a dim
+    delete migrates them back IN, dim attribute updates move rows
+    between real groups without touching the NULL group, and the NULL
+    group's MIN/MAX heal through the (null-safe) dirty recompute."""
+    rng = random.Random(29)
+    fact_t = KeyedTable(
+        spark, str(tmp_path / "ofact"), record_key="fk",
+        precombine="fpre", keep_versions=25,
+    )
+    dim_t = KeyedTable(
+        spark, str(tmp_path / "odim"), record_key="jk",
+        precombine="dpre", keep_versions=25,
+    )
+    f_reader = CDCReader(
+        spark, "ofact", fact_t.root,
+        checkpoint_root=str(tmp_path / "ockf"),
+    )
+    d_reader = CDCReader(
+        spark, "odim", dim_t.root,
+        checkpoint_root=str(tmp_path / "ockd"),
+    )
+    view = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / "oview"),
+        on=("jk", "jk"),
+        group_cols=["grp"],
+        sum_cols=["famount"],
+        minmax_cols=["famount"],
+        how="left",
+    )
+
+    def run_pair():
+        seen = view.through() or {}
+        f_win = f_reader.read(after=seen.get("fact"))
+        d_win = d_reader.read(after=seen.get("dim"))
+        f_end = f_reader.staged_end() or seen.get("fact")
+        d_end = d_reader.staged_end() or seen.get("dim")
+        if f_win is None and d_win is None:
+            f_reader.commit()
+            d_reader.commit()
+            return
+        f_prev = seen.get("fact")
+        view.apply(
+            f_win,
+            d_win,
+            dim_state=lambda: dim_t.snapshot(as_of=d_end),
+            fact_base=(
+                (lambda: fact_t.snapshot(as_of=f_prev)) if f_prev else None
+            ),
+            through={"fact": f_end, "dim": d_end},
+            base=lambda: view.joined(
+                fact_t.snapshot(as_of=f_end), dim_t.snapshot(as_of=d_end)
+            ),
+        )
+        f_reader.commit()
+        d_reader.commit()
+
+    # genesis with a dim that matches NOTHING: with OUTER semantics the
+    # view is non-empty from the start — every fact row in the NULL
+    # group (an inner view would be empty here)
+    dim_t.upsert(_dim(spark, [(99, 0, "zz")]))
+    fact_t.upsert(
+        _fact(spark, [(1, 0, 6, 40), (2, 0, 0, 10), (3, 0, 1, None)])
+    )
+    run_pair()
+    assert _maintained(view.current()) == _recompute_outer(fact_t, dim_t)
+    assert (
+        view.current().filter(F.col("grp").isNull()).collect()[0]["n_rows"]
+        == 3
+    )
+
+    dim_t.upsert(_dim(spark, [(j, 0, rng.choice("xyz")) for j in range(6)]))
+    run_pair()
+    assert _maintained(view.current()) == _recompute_outer(fact_t, dim_t)
+
+    for step in range(8):
+        roll = rng.random()
+        if roll < 0.45:  # fact churn; jk 6,7 stay PERSISTENTLY unmatched
+            fact_t.upsert(
+                _fact(
+                    spark,
+                    [
+                        (
+                            rng.randrange(12),
+                            step * 100 + i,
+                            rng.randrange(8),
+                            None
+                            if rng.random() < 0.2
+                            else rng.randrange(-50, 500),
+                        )
+                        for i in range(rng.randrange(2, 6))
+                    ],
+                )
+            )
+        elif roll < 0.6:  # dim attribute churn → real-group migrations
+            dim_t.upsert(
+                _dim(
+                    spark,
+                    [
+                        (rng.randrange(6), step * 100 + i, rng.choice("xyz"))
+                        for i in range(rng.randrange(1, 4))
+                    ],
+                )
+            )
+        elif roll < 0.7:  # dim key APPEARS: rows leave the NULL group
+            dim_t.upsert(
+                _dim(spark, [(rng.choice([6, 7]), step * 100, "new")])
+            )
+        elif roll < 0.85 and fact_t.latest_commit():  # fact deletes
+            keys = [
+                r["fk"] for r in fact_t.snapshot().select("fk").collect()
+            ]
+            if keys:
+                fact_t.delete(
+                    spark.createDataFrame(
+                        [
+                            (k,)
+                            for k in rng.sample(keys, max(1, len(keys) // 3))
+                        ],
+                        "fk int",
+                    )
+                )
+        else:  # dim deletes: matched rows fall back INTO the NULL group
+            keys = [
+                r["jk"] for r in dim_t.snapshot().select("jk").collect()
+            ]
+            if keys:
+                dim_t.delete(
+                    spark.createDataFrame(
+                        [(k,) for k in rng.sample(keys, 1)], "jk int"
+                    )
+                )
+        run_pair()
+        assert _maintained(view.current()) == _recompute_outer(
+            fact_t, dim_t
+        ), f"diverged at step {step}"
