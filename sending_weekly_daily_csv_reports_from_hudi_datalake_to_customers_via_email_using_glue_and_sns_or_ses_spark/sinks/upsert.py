@@ -520,21 +520,33 @@ class KeyedTable:
         tombstoned = {
             f.name for f in current_fields if f.metadata.get("dropped")
         }
+        renamed_away = {
+            p
+            for f in current_fields
+            for p in f.metadata.get("renamed_from", ())
+        }
         for f in new_fields:
-            if f.name in tombstoned:
+            if f.name in tombstoned or f.name in renamed_away:
                 # reads are NAME-based: a re-added column would
                 # resurface the residual values old files still hold
                 # under that name for pre-drop rows — silently wrong
                 # for a user expecting a fresh column (Hudi avoids
                 # this with column IDs; this engine refuses loudly —
                 # the log dirs keep pre-drop files forever, so no
-                # rewrite can safely free the name)
+                # rewrite can safely free the name). A renamed-away
+                # name is the same hazard: old files still serve it
+                # into its successor via the rename mapping.
+                how = (
+                    "renamed (alter_rename_column)"
+                    if f.name in renamed_away
+                    else "dropped (alter_drop_column)"
+                )
                 raise ValueError(
-                    f"column {f.name!r} was dropped from this table "
-                    "(alter_drop_column) and its name cannot be "
-                    "re-added: old data files still hold the previous "
-                    "values, which name-based reads would resurface "
-                    "in pre-drop rows — use a new column name"
+                    f"column {f.name!r} was {how} on this table and "
+                    "its name cannot be re-added: old data files still "
+                    "hold the previous values, which name-based reads "
+                    "would resurface in pre-change rows — use a new "
+                    "column name"
                 )
         current_fields, changed = merge_widened_fields(
             current_fields, new_fields
@@ -1028,10 +1040,26 @@ class KeyedTable:
         if sch is None:
             return df  # legacy root: infer-from-files behavior
         have = {f.name: f.dataType for f in df.schema.fields}
+        # vintage-name resolution: a time-travel read pinned BEFORE a
+        # rename wants the OLD name, but the raw reconstruction above
+        # carries CURRENT names (read_commit_log/_resolve_renames fold
+        # priors forward) — map each wanted prior back to its live
+        # successor column
+        successor = {
+            p: cur
+            for cur, olds in self._rename_priors_map().items()
+            for p in olds
+        }
         cols = []
         for f in sch.fields:
             if f.name not in have:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                src = successor.get(f.name)
+                if src is not None and src in have:
+                    cols.append(
+                        F.col(src).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             elif have[f.name] != f.dataType:
                 # widened vintage over narrower files, or (time travel
                 # before a widening) narrower vintage over a log read
@@ -1120,6 +1148,133 @@ class KeyedTable:
             self._publish(commit)
             return commit
 
+    def alter_rename_column(self, old: str, new: str) -> str:
+        """ALTER TABLE RENAME COLUMN as a metadata-only commit (r9,
+        VERDICT r8 #2 — the Iceberg-style name-mapping without column
+        IDs): the recorded schema's field keeps its position and type
+        but takes the new name, with the old name appended to its
+        ``renamed_from`` metadata chain. Data files are NEVER
+        rewritten — every explicit-schema read declares the prior
+        names as extra same-typed fields and coalesces them into the
+        logical column (sources/incremental.physical_read_schema);
+        materialized snapshots resolve via :meth:`_resolve_renames`.
+        Time-travel reads BEFORE the rename still show the old name
+        (the vintage's recorded schema governs presentation), the old
+        name can never be re-added (old files still serve it into the
+        successor), and the new name must be globally fresh — not an
+        active field, not a drop tombstone, not anyone's prior name.
+        Key, precombine, and partition columns cannot be renamed (they
+        are structural: the table config, layout dirs, and log
+        machinery address them by name). The new name physicalizes at
+        the next COW rewrite / compaction of each file."""
+        from pyspark.sql.types import StructField, StructType
+
+        from ..sources.incremental import _committed_schema
+
+        protected = {self.record_key, self.precombine, COMMIT_COL}
+        protected.update(self.partition_cols)
+        if self.record_key == COMPOSITE_KEY_COL:
+            protected.update(self.key_fields)
+        if old in protected:
+            raise ValueError(
+                f"alter_rename_column: {old!r} is a key/precombine/"
+                "partition column — structural columns cannot be "
+                "renamed"
+            )
+        if new in protected or new == "c":
+            raise ValueError(
+                f"alter_rename_column: target name {new!r} collides "
+                "with a structural column (key/precombine/partition/"
+                "commit-stamp or the reserved log partition name 'c')"
+            )
+        with self._txn():
+            raw = _committed_schema(self.root, include_dropped=True)
+            if raw is None:
+                raw = self._inferred_file_schema()
+            if raw is None:
+                raise ValueError(
+                    "alter_rename_column on an empty table — nothing "
+                    "to rename"
+                )
+            by_name = {f.name: f for f in raw.fields}
+            target = by_name.get(old)
+            if target is None or target.metadata.get("dropped"):
+                raise ValueError(
+                    f"alter_rename_column: no active column {old!r} "
+                    f"(active: "
+                    f"{[f.name for f in raw.fields if not f.metadata.get('dropped')]})"
+                )
+            taken = set(by_name)  # active + tombstoned names
+            taken.update(
+                p
+                for f in raw.fields
+                for p in f.metadata.get("renamed_from", ())
+            )
+            if new in taken:
+                raise ValueError(
+                    f"alter_rename_column: target name {new!r} is "
+                    "already in use — as an active column, a dropped "
+                    "column's tombstone, or a previous name of a "
+                    "renamed column (old files still hold data under "
+                    "it; name-based reads would conflate them)"
+                )
+            commit = self._new_commit_id()
+            staged = StructType(
+                [
+                    StructField(
+                        new,
+                        f.dataType,
+                        True,
+                        {
+                            **f.metadata,
+                            "renamed_from": [old]
+                            + list(f.metadata.get("renamed_from", ())),
+                        },
+                    )
+                    if f.name == old
+                    else f
+                    for f in raw.fields
+                ]
+            )
+            os.makedirs(self._schema_dir(), exist_ok=True)
+            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(json.loads(staged.json()), f)
+            os.replace(
+                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            )
+            self._record_instant(commit, "alter")
+            self._publish(commit)
+            return commit
+
+    def _rename_priors_map(self) -> dict[str, list[str]]:
+        """current logical name → prior physical names (newest first),
+        from the raw committed schema; {} for never-renamed tables."""
+        from ..sources.incremental import _committed_schema, rename_priors
+
+        raw = _committed_schema(self.root, include_dropped=True)
+        return rename_priors(raw) if raw is not None else {}
+
+    def _resolve_renames(self, df: DataFrame) -> DataFrame:
+        """Present a MATERIALIZED snapshot dir's frame (inferred
+        schema — written names) under the CURRENT logical names: a
+        pre-rename snapshot carries exactly one of each rename chain's
+        names; rename it forward. No-op on never-renamed tables."""
+        priors = self._rename_priors_map()
+        if not priors:
+            return df
+        cols = set(df.columns)
+        for cur, olds in priors.items():
+            if cur in cols:
+                continue
+            for p in olds:
+                if p in cols:
+                    df = df.withColumnRenamed(p, cur)
+                    cols.discard(p)
+                    cols.add(cur)
+                    break
+        return df
+
     def _snapshot_raw(self, as_of: str) -> DataFrame | None:
         """The one snapshot reconstruction path (``as_of`` = the latest
         commit for plain reads): newest surviving snapshot ≤ as_of ∪
@@ -1144,8 +1299,14 @@ class KeyedTable:
             )
         base = None
         if base_commit is not None:
-            base = self.spark.read.parquet(
-                os.path.join(self.root, "snapshots", f"v={base_commit}")
+            # a pre-rename materialized snapshot carries the OLD
+            # physical names — fold them forward so the union below
+            # (and _project_active's vintage projection) sees one
+            # consistent set of current names
+            base = self._resolve_renames(
+                self.spark.read.parquet(
+                    os.path.join(self.root, "snapshots", f"v={base_commit}")
+                )
             )
         if base_commit == as_of:
             return base  # COW / delete instant / MOR right after compaction
@@ -1338,15 +1499,24 @@ class KeyedTable:
                 # pre-widening NARROWER types — cast them up — so the
                 # payload struct matches the log's (post-evolution)
                 # shape exactly (the casts are vetted widenings: no-ops
-                # on unevolved tables)
+                # on unevolved tables). A base pinned BEFORE a rename
+                # presents the vintage's OLD name — the rename mapping
+                # serves it into the current column, so before-images
+                # across a rename boundary keep their values.
                 log_types = {f.name: f.dataType for f in log.schema.fields}
+                priors = self._rename_priors_map()
+
+                def _base_src(c):
+                    if c in base.columns:
+                        return F.col(c)
+                    for p in priors.get(c, ()):
+                        if p in base.columns:
+                            return F.col(p)
+                    return F.lit(None)
+
                 base_payload = F.struct(
                     *[
-                        (
-                            F.col(c).cast(log_types[c])
-                            if c in base.columns
-                            else F.lit(None).cast(log_types[c])
-                        ).alias(c)
+                        _base_src(c).cast(log_types[c]).alias(c)
                         for c in data_cols
                     ]
                 )

@@ -92,6 +92,57 @@ def _committed_schema(
     )
 
 
+def rename_priors(schema) -> dict[str, list[str]]:
+    """Per field, its PRIOR physical names (most recent first) from the
+    ``renamed_from`` metadata an ``alter_rename_column`` commit records
+    — empty for never-renamed fields. Rename is metadata-only: old
+    files keep their written column names forever, so every
+    explicit-schema read must know which physical names can serve a
+    logical field."""
+    return {
+        f.name: list(f.metadata["renamed_from"])
+        for f in schema.fields
+        if f.metadata.get("renamed_from")
+    }
+
+
+def physical_read_schema(data_schema):
+    """The schema to DECLARE over mixed-vintage parquet files of a
+    renamed table: every logical field plus, per rename, its prior
+    names as same-typed extra fields (a file carries exactly one of
+    the names; the others read NULL). Pair with
+    :func:`coalesce_renamed` to fold them into the logical columns —
+    one scan, no per-vintage slicing, composing with the scan-time
+    type widening (priors are declared at the CURRENT, widest type).
+    Returns ``(physical StructType, priors map)``."""
+    from pyspark.sql.types import StructField, StructType
+
+    priors = rename_priors(data_schema)
+    fields = list(data_schema.fields)
+    have = {f.name for f in fields}
+    for f in data_schema.fields:
+        for p in priors.get(f.name, ()):
+            if p not in have:
+                fields.append(StructField(p, f.dataType, True))
+                have.add(p)
+    return StructType(fields), priors
+
+
+def coalesce_renamed(df: DataFrame, priors: dict[str, list[str]]) -> DataFrame:
+    """Fold each renamed field's prior-name columns into its logical
+    column (``coalesce(new, *priors)`` — sound because no file ever
+    carries two of the names: a rename tombstones the old name for
+    reuse) and drop the priors."""
+    for cur, olds in priors.items():
+        present = [p for p in olds if p in df.columns]
+        if not present:
+            continue
+        df = df.withColumn(
+            cur, F.coalesce(F.col(cur), *[F.col(p) for p in present])
+        ).drop(*present)
+    return df
+
+
 def read_commit_log(
     spark: SparkSession, root: str, include_dropped: bool = False
 ) -> DataFrame | None:
@@ -130,9 +181,13 @@ def read_commit_log(
     # ever needed. Only files at or below the published pointer count
     # (crash consistency — same bound the row filter below applies).
     data_schema = _committed_schema(root, include_dropped=include_dropped)
+    priors: dict[str, list[str]] = {}
     if data_schema is not None:
         from pyspark.sql.types import LongType, StructField, StructType
 
+        # renamed fields read through their prior physical names
+        # (metadata-only rename: old files are never rewritten)
+        data_schema, priors = physical_read_schema(data_schema)
         if "c" in data_schema.fieldNames():
             # the log layout reserves `c` for its commit partition dir
             # (log/c=<id>/); a data column of the same name would make
@@ -156,6 +211,8 @@ def read_commit_log(
         .withColumnRenamed("c", COMMIT_COL)
         .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
     )
+    if priors:
+        df = coalesce_renamed(df, priors)
     try:
         with open(os.path.join(root, "_latest")) as f:
             latest = f.read().strip() or None

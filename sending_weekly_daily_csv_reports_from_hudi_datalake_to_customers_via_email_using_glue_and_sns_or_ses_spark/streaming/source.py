@@ -84,6 +84,21 @@ def stream_incremental(
     # the raw layout, so it wants data fields + c(long) pre-rename.
     batch = read_commit_log(spark, root)
     data_fields = [f for f in batch.schema.fields if f.name != COMMIT_COL]
+    # renamed tables: declare prior physical names too and fold them
+    # into the logical columns after the read (the batch reader's
+    # rename mapping, applied to the streaming scan)
+    from ..sources.incremental import (
+        _committed_schema,
+        coalesce_renamed,
+        physical_read_schema,
+    )
+
+    recorded = _committed_schema(root)
+    priors: dict[str, list[str]] = {}
+    if recorded is not None:
+        phys, priors = physical_read_schema(recorded)
+        if priors:
+            data_fields = list(phys.fields)
     if "c" in (f.name for f in data_fields):
         # read_commit_log catches this for schema-recorded tables; this
         # guard covers inferred-schema vintages too (ADVICE r7: a data
@@ -103,11 +118,14 @@ def stream_incremental(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
+    out = (
         reader.parquet(os.path.join(log_dir, "c=*"))
         .withColumnRenamed("c", COMMIT_COL)
         .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
     )
+    if priors:
+        out = coalesce_renamed(out, priors)
+    return out
 
 
 def stream_cdc(

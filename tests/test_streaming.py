@@ -1310,3 +1310,41 @@ def test_stream_cdc_replace_lane_is_publish_gated(spark, tmp_path):
     assert sorted(
         r["_commit_time"] for r in rows if r["_change_op"] == "r"
     ) == [rep2]
+
+
+def test_stream_incremental_serves_renamed_columns(spark, tmp_path):
+    """A renamed table's commit log holds old-name files and new-name
+    files side by side; the streaming source must serve BOTH vintages
+    under the current logical name (the batch reader's rename mapping,
+    applied to the streaming scan)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "rnstream"), record_key="k", precombine="pre"
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 1, "old-vintage")], "k int, pre int, v string")
+    )
+    t.alter_rename_column("v", "label")
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, "new-vintage")], "k int, pre int, label string"
+        )
+    )
+    rows: list = []
+    q = (
+        stream_incremental(spark, t.root)
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "rnck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["k"], r["label"]) for r in rows)
+    assert got == [(1, "old-vintage"), (2, "new-vintage")]
+    assert all("v" not in r.asDict() for r in rows)

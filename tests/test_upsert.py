@@ -1979,3 +1979,147 @@ def test_alter_drop_column_guards(spark, tmp_path):
     t.alter_drop_column("v")
     with pytest.raises(ValueError, match="no active column"):
         t.alter_drop_column("v")  # double drop
+
+
+# -- column RENAME evolution (r9, VERDICT r8 #2) --------------------------
+
+
+def test_schema_rename_cow_and_mor_mixed_vintage(spark, tmp_path):
+    """alter_rename_column is metadata-only: old files keep the old
+    physical name and every read serves them through the rename
+    mapping — COW and MOR, across compaction and reopen; time travel
+    BEFORE the rename still shows the old name; the old name cannot
+    be re-added; a second rename chains."""
+    for ttype in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = KeyedTable(
+            spark, str(tmp_path / f"rn_{ttype}"), record_key="k",
+            precombine="pre", table_type=ttype, keep_versions=10,
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 1, "a", 10), (2, 1, "b", 20)],
+                "k int, pre int, v string, amt int",
+            )
+        )
+        t.compact()  # old-name base file (no-op on COW)
+        pre_rename = t.latest_commit()
+        t.alter_rename_column("v", "label")
+        # reads serve old files under the new name immediately
+        snap = {r["k"]: (r["label"], r["amt"]) for r in t.snapshot().collect()}
+        assert snap == {1: ("a", 10), 2: ("b", 20)}
+        assert "v" not in t.snapshot().columns
+        # new-name writes merge with old-name files
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 5, "a2", 11), (3, 1, "c", 30)],
+                "k int, pre int, label string, amt int",
+            )
+        )
+        snap = {r["k"]: (r["label"], r["amt"]) for r in t.snapshot().collect()}
+        assert snap == {1: ("a2", 11), 2: ("b", 20), 3: ("c", 30)}
+        # time travel BEFORE the rename: the vintage name, same values
+        old = t.snapshot(as_of=pre_rename)
+        assert "label" not in old.columns and "v" in old.columns
+        assert {r["k"]: r["v"] for r in old.collect()} == {1: "a", 2: "b"}
+        # the old name cannot be re-added
+        with pytest.raises(ValueError, match="renamed"):
+            t.upsert(
+                spark.createDataFrame(
+                    [(4, 1, "x", 40)], "k int, pre int, v string, amt int"
+                )
+            )
+        # compaction physicalizes the new name; reopened reads stay green
+        t.compact()
+        reopened = KeyedTable.open(spark, t.root)
+        assert {
+            r["k"]: (r["label"], r["amt"])
+            for r in reopened.snapshot().collect()
+        } == snap
+        # chained rename: label -> tag serves ALL vintages
+        reopened.alter_rename_column("label", "tag")
+        assert {
+            r["k"]: r["tag"] for r in reopened.snapshot().collect()
+        } == {1: "a2", 2: "b", 3: "c"}
+        # neither prior name is reusable
+        with pytest.raises(ValueError, match="already in use"):
+            reopened.alter_rename_column("amt", "v")
+        with pytest.raises(ValueError, match="already in use"):
+            reopened.alter_rename_column("amt", "label")
+
+
+def test_schema_rename_refuses_structural_columns(spark, tmp_path):
+    t = KeyedTable(
+        spark, str(tmp_path / "rnguard"), record_key="k",
+        precombine="pre", partition_cols=["ds"], keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "d1", 5)], "k int, pre int, ds string, x int"
+        )
+    )
+    for col in ("k", "pre", "ds"):
+        with pytest.raises(ValueError, match="structural"):
+            t.alter_rename_column(col, "zz")
+    for new in ("k", "pre", "ds", "c"):
+        with pytest.raises(ValueError, match="structural|collides"):
+            t.alter_rename_column("x", new)
+    with pytest.raises(ValueError, match="no active column"):
+        t.alter_rename_column("nope", "yes")
+
+
+def test_schema_rename_cdc_and_replication(spark, tmp_path):
+    """CDC across a rename boundary: before-images seeded from the
+    pre-rename vintage keep their VALUES under the new name, and a
+    replica stays in sync when the rename DDL is replayed on it
+    between the pre- and post-rename windows (rename is not inferable
+    from row data — the standard schema-change-event contract)."""
+    src = _lifecycle_table(spark, tmp_path, name="rnsrc")
+    dst = _lifecycle_table(spark, tmp_path, name="rndst")
+    c1 = src.upsert(_kv_df(spark, [(1, 1, "a"), (2, 1, "b")]))
+    dst.apply_cdc(src.cdc())
+    src.alter_rename_column("v", "label")
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 5, "a2"), (3, 1, "c")], "k int, pre int, label string"
+        )
+    )
+    win = src.cdc(begin=c1)
+    rows = {r["k"]: r for r in win.collect()}
+    # the before-image's value crossed the rename (served from the
+    # old-name vintage into the new-name struct field)
+    assert rows[1]["_change_op"] == "u"
+    assert rows[1]["_before"]["label"] == "a"
+    assert rows[1]["_after"]["label"] == "a2"
+    # replicate: DDL first, then the post-rename window
+    dst.alter_rename_column("v", "label")
+    dst.apply_cdc(win)
+    assert sorted(
+        (r["k"], r["label"]) for r in dst.snapshot().collect()
+    ) == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_schema_rename_then_widen_keeps_mapping(spark, tmp_path):
+    """A widening commit AFTER a rename must preserve the rename
+    mapping (the r9 metadata-preservation fix): old-name files still
+    serve the widened, renamed column."""
+    from pyspark.sql.types import LongType
+
+    t = KeyedTable(
+        spark, str(tmp_path / "rnwide"), record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ", keep_versions=10,
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 1, 10)], "k int, pre int, n int")
+    )
+    t.alter_rename_column("n", "qty")
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, 4_000_000_000)], "k int, pre int, qty long"
+        )
+    )
+    sch = {f.name: f.dataType for f in t.table_schema().fields}
+    assert sch["qty"] == LongType()
+    assert {r["k"]: r["qty"] for r in t.snapshot().collect()} == {
+        1: 10,
+        2: 4_000_000_000,
+    }
