@@ -233,6 +233,34 @@ def _adc_score_udf(luts: np.ndarray, qid_index: dict[int, int], m: int):
     return adc
 
 
+#: the candidate-pool fraction ``refine="auto"`` holds constant —
+#: the value the r8 organic-x10 measurement validated: recall tracks
+#: pool FRACTION, not absolute pool size (2.5% gave 0.37 at 2k vectors
+#: and 0.70 at 20k; the 2k-tuned absolute 50 decayed to 0.23 at 20k)
+AUTO_REFINE_FRACTION = 0.025
+
+
+def resolve_refine(refine, corpus_count: int, k: int) -> int:
+    """Materialize the ``refine`` dial (r9, VERDICT r8 #3): an int
+    passes through; ``"auto"`` derives the pool from the INDEXED
+    corpus count at search time — ``max(50, 5k, 2.5% of corpus)`` —
+    so recall no longer silently decays as the index grows (the
+    measured failure mode of a fixed absolute pool). The floor keeps
+    tiny corpora from starving the exact re-rank below the answer
+    size."""
+    if refine == "auto":
+        import math
+
+        return max(
+            50, 5 * k, math.ceil(AUTO_REFINE_FRACTION * corpus_count)
+        )
+    if not isinstance(refine, int):
+        raise ValueError(
+            f"refine={refine!r}: pass an int pool size or 'auto'"
+        )
+    return refine
+
+
 def _rerank_exact(
     cands: DataFrame, q: DataFrame, k: int
 ) -> DataFrame:
@@ -323,7 +351,7 @@ def pq_topk(
     k: int = 10,
     m: int = 8,
     ksub: int = 16,
-    refine: int = 50,
+    refine: int | str = "auto",
 ) -> DataFrame:
     """Top-k per fixed query via a full ADC scan of the PQ-encoded
     corpus, refined by exact cosine on the top ``refine`` ADC
@@ -334,9 +362,9 @@ def pq_topk(
     size, a far weaker demand than ordering them."""
     e = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
-    corpus = pq_encode(
-        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)), books
-    )
+    corpus_rows = e.filter(~F.col("vec_id").isin(*_QUERY_IDS))
+    refine = resolve_refine(refine, corpus_rows.count(), k)
+    corpus = pq_encode(corpus_rows, books)
     qids, Qn = _query_matrix(e)
     qframe = spark.createDataFrame(
         [(int(i),) for i in qids], "query_id long"
@@ -493,7 +521,7 @@ def ivf_pq_probe_partitioned(
     books: np.ndarray | None = None,
     k: int = 10,
     nprobe: int = 8,
-    refine: int = 50,
+    refine: int | str = "auto",
 ) -> DataFrame:
     """Probe the partitioned IVF-PQ layout: the ``cell IN (...)``
     predicate prunes at the file-listing level (PartitionFilters,
@@ -525,9 +553,12 @@ def ivf_pq_probe_partitioned(
     )
     probed_cells = sorted({c for _, c in probe_rows})
     # the isin filter becomes PartitionFilters on the layout scan
-    corpus = spark.read.parquet(table_path).filter(
-        F.col("cell").isin(probed_cells)
-    )
+    layout = spark.read.parquet(table_path)
+    # auto refine derives from the INDEXED corpus count — a parquet
+    # metadata count over the code table (appends included), so the
+    # pool fraction holds as the layout grows without retuning
+    refine = resolve_refine(refine, layout.count(), k)
+    corpus = layout.filter(F.col("cell").isin(probed_cells))
     return _adc_rerank(
         e,
         corpus.join(F.broadcast(probes), "cell"),
@@ -547,7 +578,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     K: int = 16,
     nprobe: int = 8,
-    refine: int = 50,
+    refine: int | str = "auto",
 ) -> DataFrame:
     """IVF-PQ (the FAISS ``IVF{K},PQ{m}`` shape): coarse cells prune the
     candidate set to nprobe/K of the corpus, ADC over codes prunes the
@@ -566,6 +597,11 @@ def ivf_pq_topk(
     e = load_table(spark, sf_dir, "embeddings")
     cent = _train_ivf_centroids(e, K=K, corpus_id=sf_dir)
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
+    refine = resolve_refine(
+        refine,
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).count(),
+        k,
+    )
     corpus = _encoded_cells(e, cent, books)
     qids, Qn = _query_matrix(e)
     probes = spark.createDataFrame(

@@ -57,8 +57,13 @@ def _measure(spark, sf_dir: str) -> dict:
     clear_intermediate_caches()
     exact = _topk_sets(QUERIES["knn_bruteforce"](spark, sf_dir))
 
+    # fixed absolute pool (the r7-era default): decays with corpus size
+    r_fixed = _recall(
+        exact, _topk_sets(pq.ivf_pq_topk(spark, sf_dir, refine=50))
+    )
     t0 = time.time()
-    got = _topk_sets(pq.ivf_pq_topk(spark, sf_dir))
+    # refine='auto' (r9): iso-fraction pool, the production default
+    got = _topk_sets(pq.ivf_pq_topk(spark, sf_dir, refine="auto"))
     t_topk = time.time() - t0
     r_topk = _recall(exact, got)
 
@@ -75,6 +80,7 @@ def _measure(spark, sf_dir: str) -> dict:
     return {
         "ivf_pq_topk_sec": round(t_topk, 2),
         "ivf_pq_topk_recall": round(r_topk, 3),
+        "ivf_pq_topk_recall_fixed50": round(r_fixed, 3),
         "layout_write_sec": round(t_write, 2),
         "layout_probe_sec": round(t_probe, 2),
         "layout_probe_recall": round(r_probe, 3),
