@@ -66,6 +66,7 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (  # noqa: E402
     MaintainedJoinAggregate,
+    MaintainedStarAggregate,
 )
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (  # noqa: E402
     KeyedTable,
@@ -244,36 +245,234 @@ def run_scale(spark: SparkSession, sf_dir: str, tag: str) -> dict:
     return out
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = get_spark(app_name="ivm-scale")
-    organic = build_organic(spark, n)
-    base = run_scale(spark, BASE_SF, "base")
-    spark.catalog.clearCache()
-    big = run_scale(spark, organic, f"x{n}")
-    slopes = {
-        k: round(big[k] / base[k], 2)
-        for k in (
-            "apply_fact_window_sec",
-            "apply_dim_window_fullscan_sec",
-            "apply_dim_window_pruned_sec",
-            "recompute_sec",
-            "recompute2_sec",
+
+
+# ---- star class (r9, VERDICT r8 #5): the 2-dim telescoped fold ------
+N_PART_KEYS = 127
+PART_WINDOW = 10
+
+
+def _star_sources(spark: SparkSession, sf_dir: str):
+    fact_src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("fk"),
+        F.lit(0).cast("long").alias("fpre"),
+        (F.col("o_custkey") % N_DIM_KEYS).cast("int").alias("ck"),
+        (F.col("o_orderkey") % N_PART_KEYS).cast("int").alias("pk"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust_src = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % N_DIM_KEYS).cast("int").alias("ck"),
+        F.col("c_custkey").cast("long").alias("cpre"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    part_src = load_table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % N_PART_KEYS).cast("int").alias("pk"),
+        F.col("p_partkey").cast("long").alias("ppre"),
+        F.col("p_brand").alias("cat"),
+    )
+    return fact_src, cust_src, part_src
+
+
+def _star_assert_parity(view, fact, cust, part) -> None:
+    got = sorted(
+        (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
+        for r in view.current()
+        .select("seg", "cat", "n_rows", "sum_price")
+        .collect()
+    )
+    want = sorted(
+        (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
+        for r in view.joined(
+            fact.snapshot(),
+            {"cust": cust.snapshot(), "part": part.snapshot()},
         )
-        if base[k] > 0
+        .groupBy("seg", "cat")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").alias("sum_price"),
+        )
+        .collect()
+    )
+    assert got == want, f"star view diverged: {got[:3]} vs {want[:3]}"
+
+
+def run_scale_star(spark: SparkSession, sf_dir: str, tag: str) -> dict:
+    """The star (fact ⋈ cust ⋈ part) class at one scale: seed, a FIXED
+    fact-only window, a FIXED both-dims window-set (the telescoped
+    old/new pinning with TWO changed sides in one fold), parity after
+    every window, and the full-recompute baseline."""
+    work = tempfile.mkdtemp(prefix=f"ivmstar_{tag}_")
+    fact_src, cust_src, part_src = _star_sources(spark, sf_dir)
+    fact = KeyedTable(
+        spark, f"{work}/fact", record_key="fk", precombine="fpre",
+        keep_versions=10,
+    )
+    cust = KeyedTable(
+        spark, f"{work}/cust", record_key="ck", precombine="cpre",
+        keep_versions=10,
+    )
+    part = KeyedTable(
+        spark, f"{work}/part", record_key="pk", precombine="ppre",
+        keep_versions=10,
+    )
+    out: dict = {"n_fact_rows": fact_src.count()}
+    t0 = time.time()
+    f1 = fact.upsert(fact_src)
+    c1 = cust.upsert(cust_src)
+    p1 = part.upsert(part_src)
+    out["seed_tables_sec"] = round(time.time() - t0, 2)
+
+    view = MaintainedStarAggregate(
+        spark,
+        f"{work}/view",
+        dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
+        group_cols=["seg", "cat"],
+        sum_cols=["price"],
+    )
+    t0 = time.time()
+    view.rebuild(
+        view.joined(
+            fact.snapshot(),
+            {"cust": cust.snapshot(), "part": part.snapshot()},
+        ),
+        through={"fact": f1, "cust": c1, "part": p1},
+    )
+    out["seed_view_sec"] = round(time.time() - t0, 2)
+
+    dim_states = {
+        "cust": lambda t: cust.snapshot(as_of=t),
+        "part": lambda t: part.snapshot(as_of=t),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "ivm_join_scale",
-                "n": n,
-                "unit": "sec",
-                "base": base,
-                f"x{n}": big,
-                "slopes": slopes,
-            }
+
+    # ---- fact-only window: FIXED 2k price updates -------------------
+    upd = (
+        fact.snapshot()
+        .orderBy("fk")
+        .limit(FACT_WINDOW)
+        .select(
+            "fk",
+            F.lit(1).cast("long").alias("fpre"),
+            "ck",
+            "pk",
+            (F.col("price") + F.lit(7.50).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
         )
     )
+    f2 = fact.upsert(upd)
+    t0 = time.time()
+    view.apply(
+        fact.cdc(begin=f1, end=f2),
+        {"cust": None, "part": None},
+        dim_states=dim_states,
+        through={"fact": f2, "cust": c1, "part": p1},
+    )
+    out["apply_fact_window_sec"] = round(time.time() - t0, 2)
+    _star_assert_parity(view, fact, cust, part)
+
+    # ---- BOTH-dims window-set: FIXED rewrites on each dimension -----
+    c2 = cust.upsert(
+        spark.createDataFrame(
+            [(k, 10**12 + k, "REWRITTEN") for k in range(1, 1 + DIM_WINDOW)],
+            "ck int, cpre long, seg string",
+        )
+    )
+    p2 = part.upsert(
+        spark.createDataFrame(
+            [(k, 10**12 + k, "RW") for k in range(1, 1 + PART_WINDOW)],
+            "pk int, ppre long, cat string",
+        )
+    )
+    t0 = time.time()
+    view.apply(
+        None,
+        {
+            "cust": cust.cdc(begin=c1, end=c2),
+            "part": part.cdc(begin=p1, end=p2),
+        },
+        dim_states=dim_states,
+        fact_base=lambda: fact.snapshot(as_of=f2),
+        through={"fact": f2, "cust": c2, "part": p2},
+    )
+    out["apply_both_dims_sec"] = round(time.time() - t0, 2)
+    _star_assert_parity(view, fact, cust, part)
+
+    t0 = time.time()
+    view.joined(
+        fact.snapshot(),
+        {"cust": cust.snapshot(), "part": part.snapshot()},
+    ).groupBy("seg", "cat").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").alias("sum_price"),
+    ).write.mode("overwrite").parquet(f"{work}/recompute")
+    out["recompute_sec"] = round(time.time() - t0, 2)
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2] if len(sys.argv) > 2 else "both"
+    spark = get_spark(app_name="ivm-scale")
+    organic = build_organic(spark, n)
+    if only in ("both", "join"):
+        base = run_scale(spark, BASE_SF, "base")
+        spark.catalog.clearCache()
+        big = run_scale(spark, organic, f"x{n}")
+        slopes = {
+            k: round(big[k] / base[k], 2)
+            for k in (
+                "apply_fact_window_sec",
+                "apply_dim_window_fullscan_sec",
+                "apply_dim_window_pruned_sec",
+                "recompute_sec",
+                "recompute2_sec",
+            )
+            if base[k] > 0
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "ivm_join_scale",
+                    "n": n,
+                    "unit": "sec",
+                    "base": base,
+                    f"x{n}": big,
+                    "slopes": slopes,
+                }
+            )
+        )
+    if only in ("both", "star"):
+        if only == "star":
+            # star-only runs lack the join pass's implicit JVM warmup;
+            # without one the BASE measurement absorbs all codegen/
+            # executor warmup and the slopes read nonsensically <1
+            run_scale_star(spark, BASE_SF, "warmup")
+        sbase = run_scale_star(spark, BASE_SF, "base")
+        spark.catalog.clearCache()
+        sbig = run_scale_star(spark, organic, f"x{n}")
+        sslopes = {
+            k: round(sbig[k] / sbase[k], 2)
+            for k in (
+                "apply_fact_window_sec",
+                "apply_both_dims_sec",
+                "recompute_sec",
+            )
+            if sbase[k] > 0
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "ivm_star_scale",
+                    "n": n,
+                    "unit": "sec",
+                    "base": sbase,
+                    f"x{n}": sbig,
+                    "slopes": sslopes,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
