@@ -329,3 +329,165 @@ def stream_maintained_join_view(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_maintained_star_view(
+    spark: SparkSession,
+    fact_root: str,
+    dims: list[tuple[str, str, str, str]],
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_location: str,
+    minmax_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    publish_wait_s: float = 10.0,
+    on_update=None,  # (view, through: dict) -> None, after each publish
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """The k-dimension generalization of
+    :func:`stream_maintained_join_view`: maintain a STAR aggregate
+    (:class:`~..operators.ivm.MaintainedStarAggregate`) from all k+1
+    CDC streams unioned into one wake-up stream. ``dims`` entries are
+    ``(name, table_root, fact_on, dim_on)`` — the
+    ``pipeline.MaintainedStarReportConfig`` shape. Same contract as
+    the join driver: every trigger folds everything PUBLISHED on every
+    side up to its pointer, token-guarded exactly-once across
+    restarts, replace on ANY side re-seeds from the star snapshots,
+    genesis defers until every dimension has published at least one
+    commit (the inner star join is empty before that), and every
+    table must have one commit before the stream opens."""
+    from ..operators.ivm import MaintainedStarAggregate
+
+    table_f = KeyedTable.open(spark, fact_root)
+    dim_tables = {
+        name: KeyedTable.open(spark, root) for name, root, _, _ in dims
+    }
+    view = MaintainedStarAggregate(
+        spark,
+        view_path,
+        dims=[(n, fo, do) for n, _, fo, do in dims],
+        group_cols=group_cols,
+        sum_cols=sum_cols,
+        minmax_cols=minmax_cols,
+        distinct_cols=distinct_cols,
+    )
+    for name, _, _, dim_on in dims:
+        rk = dim_tables[name].record_key
+        if rk != dim_on:
+            raise ValueError(
+                f"stream_maintained_star_view: dim {name!r} join column "
+                f"{dim_on!r} must be its table's record key ({rk!r}) — "
+                "each star dimension is N:1 by contract"
+            )
+    tables = {"fact": table_f, **dim_tables}
+    dim_names = [n for n, _, _, _ in dims]
+
+    def fold(batch_df, _batch_id):
+        maxes = _batch_max_by_side(batch_df)
+        seen = view.through() or {}
+        ends, adv = {}, {}
+        for side, table in tables.items():
+            ends[side] = _published_end(
+                table, maxes.get(side), publish_wait_s
+            )
+            adv[side] = ends[side] is not None and (
+                seen.get(side) is None or ends[side] > seen[side]
+            )
+        if not any(adv.values()):
+            return  # covered (restart redelivery) or nothing published
+        if ends["fact"] is not None and any(
+            ends[n] is None for n in dim_names
+        ):
+            # some dimension has never published: the star join is
+            # empty — defer the whole set until its first commit wakes
+            # the driver
+            return
+        token = {
+            s: ends[s] if adv[s] else seen.get(s) for s in tables
+        }
+
+        def reseed():
+            fs = table_f.snapshot(as_of=token["fact"])
+            ds = {
+                n: dim_tables[n].snapshot(as_of=token[n])
+                for n in dim_names
+            }
+            if fs is None or any(v is None for v in ds.values()):
+                return False  # a side has no state yet: nothing to do
+            view.rebuild(view.joined(fs, ds), through=token)
+            return True
+
+        genesis = seen.get("fact") is None and view.current() is None
+        if genesis:
+            if not reseed():
+                return
+        else:
+            try:
+                wins = {
+                    s: (
+                        tables[s].cdc(begin=seen.get(s), end=token[s])
+                        if adv[s]
+                        else None
+                    )
+                    for s in tables
+                }
+            except ReplaceCommitError:
+                if not reseed():
+                    return
+            else:
+                view.apply(
+                    wins["fact"],
+                    {n: wins[n] for n in dim_names},
+                    dim_states={
+                        n: (
+                            lambda t, tab=dim_tables[n]: tab.snapshot(
+                                as_of=t
+                            )
+                        )
+                        for n in dim_names
+                    },
+                    fact_base=(
+                        (
+                            lambda: table_f.snapshot(
+                                as_of=seen.get("fact")
+                            )
+                        )
+                        if seen.get("fact") is not None
+                        else None
+                    ),
+                    through=token,
+                    base=(
+                        (
+                            lambda: view.joined(
+                                table_f.snapshot(as_of=token["fact"]),
+                                {
+                                    n: dim_tables[n].snapshot(
+                                        as_of=token[n]
+                                    )
+                                    for n in dim_names
+                                },
+                            )
+                        )
+                        if minmax_cols
+                        else None
+                    ),
+                )
+        if on_update is not None:
+            on_update(view, token)
+
+    src = _signal(spark, fact_root, "fact", max_files_per_trigger)
+    for name, root, _, _ in dims:
+        src = src.unionByName(
+            _signal(spark, root, name, max_files_per_trigger)
+        )
+    writer = src.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -294,3 +294,109 @@ def test_stream_maintained_view_ignores_orphan_commits(spark, tmp_path):
     ]
     # the orphan commit id never became a published instant
     assert orphan not in src.instants()
+
+
+def test_stream_maintained_star_view_parity(spark, tmp_path):
+    """Star form: the streamed k-dim view must track a direct star-join
+    recompute across fact churn, per-dim windows, a dim replace
+    (re-seed), and a restart at every phase boundary."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+
+    FACT_S = "okey int, opre int, cust int, prt int, amount long"
+    fact = _kt(spark, tmp_path / "stf", "okey", "opre")
+    custd = _kt(spark, tmp_path / "stc", "ckey", "cpre")
+    partd = _kt(spark, tmp_path / "stp", "pkey", "ppre")
+
+    view = ivm.MaintainedStarAggregate(
+        spark, str(tmp_path / "stview"),
+        dims=[("cust", "cust", "ckey"), ("part", "prt", "pkey")],
+        group_cols=["segment", "cat"], sum_cols=["amount"],
+    )
+
+    def start():
+        return maintained.stream_maintained_star_view(
+            spark,
+            fact.root,
+            [
+                ("cust", custd.root, "cust", "ckey"),
+                ("part", partd.root, "prt", "pkey"),
+            ],
+            view.path,
+            group_cols=["segment", "cat"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "stck"),
+            available_now=True,
+        )
+
+    def recompute():
+        fs, cs, ps = fact.snapshot(), custd.snapshot(), partd.snapshot()
+        if fs is None or cs is None or ps is None:
+            return []
+        return sorted(
+            (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+            for r in fs.join(cs, fs["cust"] == cs["ckey"])
+            .join(ps, fs["prt"] == ps["pkey"])
+            .groupBy("segment", "cat")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect()
+        )
+
+    cols = ("segment", "cat", "n_rows", "sum_amount")
+    # phase 0: genesis (all three sides)
+    custd.upsert(
+        spark.createDataFrame(
+            [(1, 0, "RETAIL"), (2, 0, "AUTO")],
+            "ckey int, cpre int, segment string",
+        )
+    )
+    partd.upsert(
+        spark.createDataFrame(
+            [(1, 0, "A"), (2, 0, "B")], "pkey int, ppre int, cat string"
+        )
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(10, 0, 1, 1, 100), (11, 0, 2, 2, 5), (12, 0, 1, 2, 7)],
+            FACT_S,
+        )
+    )
+    _drain(start())
+    assert _view_rows(view, cols) == recompute()
+
+    # phase 1 (restart): fact delete + both-dims windows in one set
+    fact.delete(spark.createDataFrame([(11,)], "okey int"))
+    custd.upsert(
+        spark.createDataFrame(
+            [(1, 1, "GOV")], "ckey int, cpre int, segment string"
+        )
+    )
+    partd.upsert(
+        spark.createDataFrame(
+            [(2, 1, "C")], "pkey int, ppre int, cat string"
+        )
+    )
+    _drain(start())
+    assert _view_rows(view, cols) == recompute()
+
+    # phase 2 (restart): REPLACE one dimension → re-seed, plus fact rows
+    partd.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "Z"), (3, 0, "W")], "pkey int, ppre int, cat string"
+        )
+    )
+    fact.upsert(spark.createDataFrame([(13, 0, 2, 3, 9)], FACT_S))
+    _drain(start())
+    assert _view_rows(view, cols) == recompute()
+    assert view.through() == {
+        "fact": fact.latest_commit(),
+        "cust": custd.latest_commit(),
+        "part": partd.latest_commit(),
+    }
