@@ -79,9 +79,10 @@ def clear_intermediate_caches() -> None:
     (tools/scaling_bench.py, tools/gen_organic_sf.py) must time first
     evaluations, or a cache hit would masquerade as a flat scaling
     curve."""
-    from . import aggregates, dedup, similarity, textual
+    from . import aggregates, dedup, relational, similarity, textual
 
     for registry in (
+        relational._FIXTURE_FRAME_CACHE,
         dedup._PAIRS_CACHE,
         dedup._PAIRS_SHINGLE_HANDLE,
         dedup._MINHASH_SIG_CACHE,

@@ -615,6 +615,49 @@ def colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k", "ship_ts", "price", "qty", "rf")
 
 
+#: persisted fixture frames shared ACROSS the three IVM replays
+#: (VERDICT r8 #4): the join, outer-join, and star entries replay the
+#: SAME star fixture, so their CDC windows and pinned snapshots are
+#: identical frames — computing each once per (applicationId, sf) and
+#: persisting it cuts the suite's first-eval replay cost by the reuse
+#: factor (the windows are the expensive part: log window functions
+#: over the 150k-row fact history, ×5 windows ×3 replays without the
+#: cache). Keys carry the table ROOT + instant token; values are
+#: persisted DataFrames (unpersisted by clear_intermediate_caches).
+_FIXTURE_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fixture_frame(spark, sf_dir, kind, root, token, build):
+    from . import evict_dead_app_entries
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, kind, root, token,
+    )
+    evict_dead_app_entries(_FIXTURE_FRAME_CACHE, key[0])
+    hit = _FIXTURE_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    frame = build()
+    if frame is not None:
+        frame = frame.persist()
+        _FIXTURE_FRAME_CACHE[key] = frame
+    return frame
+
+
+def _fixture_cdc(spark, sf_dir, table, begin, end):
+    return _fixture_frame(
+        spark, sf_dir, "cdc", table.root, (begin, end),
+        lambda: table.cdc(begin=begin, end=end),
+    )
+
+
+def _fixture_snap(spark, sf_dir, table, as_of):
+    return _fixture_frame(
+        spark, sf_dir, "snap", table.root, as_of,
+        lambda: table.snapshot(as_of=as_of),
+    )
+
+
 #: maintained join views already replayed this process: sf_dir → path
 _JOIN_IVM_VIEWS: dict[str, str] = {}
 
@@ -711,26 +754,39 @@ def ivm_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax_cols=["price"],
         distinct_cols=["ck"],
     )
-    # (fact window end, dim window end) per run; None = side quiescent
+    # (fact window end, dim window end) per run; None = side quiescent.
+    # Windows and pinned snapshots come from the shared persisted
+    # fixture-frame cache — identical frames across the three replays.
     schedule = [(f1, d1), (f2, None), (None, d2), (f3, d3), (f4, None)]
     f_prev = d_prev = None
     for f_end, d_end in schedule:
         f_cov = f_end or f_prev  # the pair the view lands on
         d_cov = d_end or d_prev
-        f_win = fact.cdc(begin=f_prev, end=f_end) if f_end else None
-        d_win = dim.cdc(begin=d_prev, end=d_end) if d_end else None
+        f_win = (
+            _fixture_cdc(spark, sf_dir, fact, f_prev, f_end)
+            if f_end
+            else None
+        )
+        d_win = (
+            _fixture_cdc(spark, sf_dir, dim, d_prev, d_end)
+            if d_end
+            else None
+        )
         view.apply(
             f_win,
             d_win,
-            dim_state=lambda d=d_cov: dim.snapshot(as_of=d),
+            dim_state=lambda d=d_cov: _fixture_snap(
+                spark, sf_dir, dim, d
+            ),
             fact_base=(
-                (lambda f=f_prev: fact.snapshot(as_of=f))
+                (lambda f=f_prev: _fixture_snap(spark, sf_dir, fact, f))
                 if f_prev is not None
                 else None
             ),
             through={"fact": f_cov, "dim": d_cov},
             base=lambda f=f_cov, d=d_cov: view.joined(
-                fact.snapshot(as_of=f), dim.snapshot(as_of=d)
+                _fixture_snap(spark, sf_dir, fact, f),
+                _fixture_snap(spark, sf_dir, dim, d),
             ),
         )
         f_prev, d_prev = f_cov, d_cov
@@ -838,20 +894,31 @@ def ivm_outer_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_end, d_end in schedule:
         f_cov = f_end or f_prev
         d_cov = d_end or d_prev
-        f_win = fact.cdc(begin=f_prev, end=f_end) if f_end else None
-        d_win = dim.cdc(begin=d_prev, end=d_end) if d_end else None
+        f_win = (
+            _fixture_cdc(spark, sf_dir, fact, f_prev, f_end)
+            if f_end
+            else None
+        )
+        d_win = (
+            _fixture_cdc(spark, sf_dir, dim, d_prev, d_end)
+            if d_end
+            else None
+        )
         view.apply(
             f_win,
             d_win,
-            dim_state=lambda d=d_cov: dim.snapshot(as_of=d),
+            dim_state=lambda d=d_cov: _fixture_snap(
+                spark, sf_dir, dim, d
+            ),
             fact_base=(
-                (lambda f=f_prev: fact.snapshot(as_of=f))
+                (lambda f=f_prev: _fixture_snap(spark, sf_dir, fact, f))
                 if f_prev is not None
                 else None
             ),
             through={"fact": f_cov, "dim": d_cov},
             base=lambda f=f_cov, d=d_cov: view.joined(
-                fact.snapshot(as_of=f), dim.snapshot(as_of=d)
+                _fixture_snap(spark, sf_dir, fact, f),
+                _fixture_snap(spark, sf_dir, dim, d),
             ),
         )
         f_prev, d_prev = f_cov, d_cov
@@ -907,14 +974,21 @@ def _star_cdc_fixture(
     f_root = tempfile.mkdtemp(prefix="sivm_fact_")
     c_root = tempfile.mkdtemp(prefix="sivm_cust_")
     p_root = tempfile.mkdtemp(prefix="sivm_part_")
+    # MERGE_ON_READ (r9): upsert commits append to the log instead of
+    # rewriting full snapshots — the fixture build drops from 7 COW
+    # table rewrites to log appends (deletes still materialize), and
+    # the replays then exercise the MOR log-merge read path end to end
     fact = KeyedTable(
-        spark, f_root, record_key="fk", precombine="fpre", keep_versions=10
+        spark, f_root, record_key="fk", precombine="fpre",
+        keep_versions=10, table_type="MERGE_ON_READ",
     )
     cust = KeyedTable(
-        spark, c_root, record_key="ck", precombine="cpre", keep_versions=10
+        spark, c_root, record_key="ck", precombine="cpre",
+        keep_versions=10, table_type="MERGE_ON_READ",
     )
     part = KeyedTable(
-        spark, p_root, record_key="pk", precombine="ppre", keep_versions=10
+        spark, p_root, record_key="pk", precombine="ppre",
+        keep_versions=10, table_type="MERGE_ON_READ",
     )
     fact.upsert(f_src.filter(F.col("b") == 0).drop("b"))  # F1
     cust.upsert(c_src.filter(F.col("h") == 0).drop("h"))  # C1
@@ -1029,10 +1103,10 @@ def ivm_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rebuild seed and MIN/MAX recompute base (the view's own
         star-join helper, so the driver exercises it too)."""
         return view.joined(
-            fact.snapshot(as_of=f),
+            _fixture_snap(spark, sf_dir, fact, f),
             {
-                "cust": cust.snapshot(as_of=c),
-                "part": part.snapshot(as_of=p),
+                "cust": _fixture_snap(spark, sf_dir, cust, c),
+                "part": _fixture_snap(spark, sf_dir, part, p),
             },
         )
 
@@ -1050,17 +1124,23 @@ def ivm_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_cov = c_end or c_prev
         p_cov = p_end or p_prev
         view.apply(
-            fact.cdc(begin=f_prev, end=f_end) if f_end else None,
+            _fixture_cdc(spark, sf_dir, fact, f_prev, f_end)
+            if f_end
+            else None,
             {
-                "cust": cust.cdc(begin=c_prev, end=c_end) if c_end else None,
-                "part": part.cdc(begin=p_prev, end=p_end) if p_end else None,
+                "cust": _fixture_cdc(spark, sf_dir, cust, c_prev, c_end)
+                if c_end
+                else None,
+                "part": _fixture_cdc(spark, sf_dir, part, p_prev, p_end)
+                if p_end
+                else None,
             },
             dim_states={
-                "cust": lambda t: cust.snapshot(as_of=t),
-                "part": lambda t: part.snapshot(as_of=t),
+                "cust": lambda t: _fixture_snap(spark, sf_dir, cust, t),
+                "part": lambda t: _fixture_snap(spark, sf_dir, part, t),
             },
             fact_base=(
-                (lambda f=f_prev: fact.snapshot(as_of=f))
+                (lambda f=f_prev: _fixture_snap(spark, sf_dir, fact, f))
                 if f_prev is not None
                 else None
             ),
