@@ -400,3 +400,69 @@ def test_stream_maintained_star_view_parity(spark, tmp_path):
         "cust": custd.latest_commit(),
         "part": partd.latest_commit(),
     }
+
+
+def test_stream_maintained_view_continuous_report(spark, tmp_path):
+    """The reference's whole purpose, made continuous: every published
+    fold writes an idempotent CSV report keyed by the through token
+    (the on_update hook + sinks/report.py) — one report per NEW state,
+    none on redelivered wakes, each matching the view at its token."""
+    import glob
+    import os
+    from importlib import import_module
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    report = import_module(f"{ENGINE}.sinks.report")
+
+    sch = "k int, pre int, grp string, amount long"
+    src = _kt(spark, tmp_path / "rsrc", "k", "pre")
+    view = ivm.MaintainedAggregate(
+        spark, str(tmp_path / "rview"),
+        group_cols=["grp"], sum_cols=["amount"],
+    )
+    report_base = str(tmp_path / "reports")
+    written: list = []
+
+    def on_update(v, through):
+        path = report.write_csv_report(
+            v.read(),
+            report_base,
+            report_id=f"cdc_{through}",
+            single_file=True,
+        )
+        written.append((through, path))
+
+    def start():
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view.path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "rck"),
+            on_update=on_update,
+            available_now=True,
+        )
+
+    src.upsert(spark.createDataFrame([(1, 1, "a", 10)], sch))
+    _drain(start())
+    src.upsert(spark.createDataFrame([(2, 1, "a", 5), (3, 1, "b", 2)], sch))
+    _drain(start())
+    # two folds → two reports, keyed by their tokens
+    assert [t for t, _ in written] == src.instants()
+    for _, path in written:
+        assert glob.glob(os.path.join(path, "*.csv"))
+    # redelivered wake: no new report
+    _drain(start())
+    assert len(written) == 2
+    # the final report's content IS the final view (avg included)
+    import csv
+
+    last_csv = glob.glob(os.path.join(written[-1][1], "*.csv"))[0]
+    with open(last_csv) as f:
+        rows = sorted(
+            (r["grp"], int(r["n_rows"]), int(r["sum_amount"]))
+            for r in csv.DictReader(f)
+        )
+    assert rows == [("a", 2, 15), ("b", 1, 2)]
