@@ -414,6 +414,14 @@ class MaintainedAggregate:
                 "distinct_cols maintenance requires group_cols — the "
                 "auxiliary per-(group, value) state is keyed by them"
             )
+        overlap = set(self.distinct_cols) & set(group_cols)
+        if overlap:
+            raise ValueError(
+                f"distinct_cols {sorted(overlap)} are group columns — "
+                "COUNT(DISTINCT group_col) is 1 per group by "
+                "definition, and the auxiliary state's group+value "
+                "keying would duplicate the column"
+            )
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:

@@ -653,3 +653,22 @@ def test_ivm_distinct_targeted_un_distinct_delete(spark, tmp_path):
     # pre=1 twins (multiplicity 2→1, value survives) and the only 9
     assert row["distinct_amount"] == 1 and row["distinct_pre"] == 1
     assert row["avg_amount"] == 7.0
+
+
+def test_ivm_distinct_config_guards(spark, tmp_path):
+    """distinct_cols config rails: no group cols (the aux needs a key),
+    and a distinct col that IS a group col (trivially 1, and the aux's
+    group+value keying would duplicate the column) both refuse at
+    construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="requires group_cols"):
+        MaintainedAggregate(
+            spark, str(tmp_path / "g1"), group_cols=[],
+            sum_cols=["amount"], distinct_cols=["amount"],
+        )
+    with pytest.raises(ValueError, match="are group columns"):
+        MaintainedAggregate(
+            spark, str(tmp_path / "g2"), group_cols=["grp"],
+            sum_cols=["amount"], distinct_cols=["grp"],
+        )
