@@ -594,10 +594,21 @@ class MaintainedAggregate:
             )
         )
         contrib = signed_cdc_rows(cdc_window, needed)
-        delta = signed_agg_delta(
-            contrib, self.group_cols, self.sum_cols, self.minmax_cols
-        )
-        self._fold(delta, through, base, validate, self._aux_deltas(contrib))
+        if self.distinct_cols:
+            # the contrib plan feeds the main delta AND one aux delta
+            # per distinct column — persist it or each publish re-runs
+            # the whole CDC-window scan k+1 times
+            contrib = contrib.persist()
+        try:
+            delta = signed_agg_delta(
+                contrib, self.group_cols, self.sum_cols, self.minmax_cols
+            )
+            self._fold(
+                delta, through, base, validate, self._aux_deltas(contrib)
+            )
+        finally:
+            if self.distinct_cols:
+                contrib.unpersist()
         return True
 
     def _fresh(self, through) -> bool:
@@ -1055,6 +1066,11 @@ class MaintainedJoinAggregate(MaintainedAggregate):
                         f.name: f.dataType
                         for f in dim_win.schema["_after"].dataType.fields
                     }
+                    # the dim RECORD KEY is not a payload-struct field
+                    # (cdc() excludes it) but is a legal maintained
+                    # column — NULL-typed from its top-level column
+                    dkey = _cdc_key_col(dim_win)
+                    dim_types[dkey] = dim_win.schema[dkey].dataType
                     exist = (
                         signed_cdc_rows(dim_win, [self.dim_on])
                         .groupBy(self.dim_on)
@@ -1099,12 +1115,20 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         contrib = terms[0]
         for t in terms[1:]:
             contrib = contrib.unionByName(t)
-        delta = signed_agg_delta(
-            contrib, self.group_cols, self.sum_cols, self.minmax_cols
-        )
-        self._fold(
-            delta, through, base, validate, self._aux_deltas(contrib)
-        )
+        if self.distinct_cols:
+            # see the single-table apply: the contrib term union feeds
+            # k+1 consumers under distinct maintenance
+            contrib = contrib.persist()
+        try:
+            delta = signed_agg_delta(
+                contrib, self.group_cols, self.sum_cols, self.minmax_cols
+            )
+            self._fold(
+                delta, through, base, validate, self._aux_deltas(contrib)
+            )
+        finally:
+            if self.distinct_cols:
+                contrib.unpersist()
         return True
 
     def joined(self, fact_snap: DataFrame, dim_snap: DataFrame) -> DataFrame:
@@ -1248,14 +1272,21 @@ class MaintainedStarAggregate(MaintainedAggregate):
         sides = [("fact", set(fact_snap.columns))] + [
             (n, set(dim_snaps[n].columns)) for n, _, _ in self.dims
         ]
-        jk_names = {
-            fo for _, fo, do in self.dims if fo == do
-        }  # same-named equi-join keys: either side serves them
+        # same-named equi-join keys: the fact side serves them, but
+        # ONLY when every non-fact hit is a dim whose join key the name
+        # IS — a third side carrying the name as an ordinary column is
+        # genuinely ambiguous (join equality doesn't cover it)
+        key_dims = {
+            fo: {n for n, fo2, do in self.dims if fo2 == do == fo}
+            for _, fo, do in self.dims
+            if fo == do
+        }
         owner: dict[str, str] = {}
         for c in needed:
             hits = [s for s, cols in sides if c in cols]
             if len(hits) != 1:
-                if c in jk_names and "fact" in hits:
+                legal = key_dims.get(c, set()) | {"fact"}
+                if "fact" in hits and set(hits) <= legal:
                     owner[c] = "fact"
                     continue
                 raise ValueError(
@@ -1381,7 +1412,15 @@ class MaintainedStarAggregate(MaintainedAggregate):
             owners: dict[str, list[str]] = {"fact": []}
             for i in range(len(self.dims)):
                 owners[f"d{i}"] = []
-            jk_names = {fo for _, fo, do in self.dims if fo == do}
+            key_dims = {
+                fo: {
+                    f"d{i}"
+                    for i, (_, fo2, do) in enumerate(self.dims)
+                    if fo2 == do == fo
+                }
+                for _, fo, do in self.dims
+                if fo == do
+            }
             for c in needed:
                 hits = [
                     s
@@ -1393,9 +1432,12 @@ class MaintainedStarAggregate(MaintainedAggregate):
                     if c in fields
                 ]
                 if len(hits) > 1:
-                    if c in jk_names and "fact" in hits:
-                        # same-named equi-join key: the join equality
-                        # makes the copies identical — fact serves it
+                    legal = key_dims.get(c, set()) | {"fact"}
+                    if "fact" in hits and set(hits) <= legal:
+                        # same-named equi-join key and every non-fact
+                        # hit is a dim whose key the name IS: the join
+                        # equality makes the copies identical — fact
+                        # serves it
                         owners["fact"].append(c)
                         continue
                     raise ValueError(
@@ -1518,10 +1560,18 @@ class MaintainedStarAggregate(MaintainedAggregate):
         contrib = terms[0]
         for t in terms[1:]:
             contrib = contrib.unionByName(t)
-        delta = signed_agg_delta(
-            contrib, self.group_cols, self.sum_cols, self.minmax_cols
-        )
-        self._fold(
-            delta, through, base, validate, self._aux_deltas(contrib)
-        )
+        if self.distinct_cols:
+            # see the single-table apply: the contrib term union feeds
+            # k+1 consumers under distinct maintenance
+            contrib = contrib.persist()
+        try:
+            delta = signed_agg_delta(
+                contrib, self.group_cols, self.sum_cols, self.minmax_cols
+            )
+            self._fold(
+                delta, through, base, validate, self._aux_deltas(contrib)
+            )
+        finally:
+            if self.distinct_cols:
+                contrib.unpersist()
         return True

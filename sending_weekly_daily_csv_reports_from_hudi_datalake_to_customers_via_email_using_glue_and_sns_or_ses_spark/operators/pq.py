@@ -240,20 +240,21 @@ def _adc_score_udf(luts: np.ndarray, qid_index: dict[int, int], m: int):
 AUTO_REFINE_FRACTION = 0.025
 
 
-def resolve_refine(refine, corpus_count: int, k: int) -> int:
+def resolve_refine(refine, corpus_count, k: int) -> int:
     """Materialize the ``refine`` dial (r9, VERDICT r8 #3): an int
     passes through; ``"auto"`` derives the pool from the INDEXED
     corpus count at search time — ``max(50, 5k, 2.5% of corpus)`` —
     so recall no longer silently decays as the index grows (the
     measured failure mode of a fixed absolute pool). The floor keeps
     tiny corpora from starving the exact re-rank below the answer
-    size."""
+    size. ``corpus_count`` may be a zero-arg callable — evaluated ONLY
+    on the auto branch, so an explicit int ``refine`` never pays the
+    count job."""
     if refine == "auto":
         import math
 
-        return max(
-            50, 5 * k, math.ceil(AUTO_REFINE_FRACTION * corpus_count)
-        )
+        n = corpus_count() if callable(corpus_count) else corpus_count
+        return max(50, 5 * k, math.ceil(AUTO_REFINE_FRACTION * n))
     if not isinstance(refine, int):
         raise ValueError(
             f"refine={refine!r}: pass an int pool size or 'auto'"
@@ -363,7 +364,7 @@ def pq_topk(
     e = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
     corpus_rows = e.filter(~F.col("vec_id").isin(*_QUERY_IDS))
-    refine = resolve_refine(refine, corpus_rows.count(), k)
+    refine = resolve_refine(refine, corpus_rows.count, k)
     corpus = pq_encode(corpus_rows, books)
     qids, Qn = _query_matrix(e)
     qframe = spark.createDataFrame(
@@ -556,8 +557,9 @@ def ivf_pq_probe_partitioned(
     layout = spark.read.parquet(table_path)
     # auto refine derives from the INDEXED corpus count — a parquet
     # metadata count over the code table (appends included), so the
-    # pool fraction holds as the layout grows without retuning
-    refine = resolve_refine(refine, layout.count(), k)
+    # pool fraction holds as the layout grows without retuning; lazy,
+    # so an explicit int refine never pays it
+    refine = resolve_refine(refine, layout.count, k)
     corpus = layout.filter(F.col("cell").isin(probed_cells))
     return _adc_rerank(
         e,
@@ -599,7 +601,7 @@ def ivf_pq_topk(
     books = train_pq_codebooks(e, m=m, ksub=ksub, corpus_id=sf_dir)
     refine = resolve_refine(
         refine,
-        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).count(),
+        e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).count,
         k,
     )
     corpus = _encoded_cells(e, cent, books)

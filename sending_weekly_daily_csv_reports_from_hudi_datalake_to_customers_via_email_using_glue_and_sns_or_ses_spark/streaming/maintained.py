@@ -67,16 +67,40 @@ from ..sinks.upsert import KeyedTable, ReplaceCommitError
 from .source import stream_cdc
 
 
+class PublishWaitTimeout(RuntimeError):
+    """A micro-batch saw commit files whose pointer flip did not land
+    within ``publish_wait_s`` and the driver runs strict — raised so
+    the streaming query FAILS instead of silently consuming the files:
+    the checkpoint does not commit a failed batch, so a restart
+    REPLAYS it and folds the by-then-published commit (at-least-once
+    redelivery, token-guarded exactly-once effect)."""
+
+
 def _published_end(
-    table: KeyedTable, batch_max: str | None, publish_wait_s: float
+    table: KeyedTable,
+    batch_max: str | None,
+    publish_wait_s: float,
+    strict: bool = False,
 ) -> str | None:
     """The fold window's end: the table's PUBLISHED pointer, after
     waiting up to ``publish_wait_s`` for it to reach the batch's max
     commit id. Files land before the pointer flips, so a micro-batch
     can wake the driver moments before its commit is publishable — a
-    bounded wait turns that race into a fold instead of a lost wakeup
-    (an orphan commit that never publishes times out and is skipped;
-    its retry is a fresh wake-up)."""
+    bounded wait turns that race into a fold instead of a lost wakeup.
+
+    The timeout trade (``strict``): a commit whose writer DIED
+    pre-flip never publishes — the default skips it (its files are
+    consumed; the writer's retry is a fresh wake-up). But a writer
+    that merely STALLED longer than the wait publishes after the
+    timeout with its files already checkpoint-consumed: no future
+    trigger fires on a then-quiescent table, and the view stays
+    stale until an unrelated commit. ``strict=True`` closes that
+    hole by raising :class:`PublishWaitTimeout` — the failed batch is
+    replayed on restart and folds the now-published commit — at the
+    cost of a crash-looping stream while a genuinely dead writer's
+    orphans await their reaping transaction. Pick strict when writers
+    can stall longer than the wait; either way the fold itself stays
+    pointer-bounded and token-guarded."""
     latest = table.latest_commit()
     if batch_max is None:
         return latest
@@ -86,6 +110,12 @@ def _published_end(
     ):
         time.sleep(0.05)
         latest = table.latest_commit()
+    if strict and (latest is None or latest < batch_max):
+        raise PublishWaitTimeout(
+            f"{table.root}: commit {batch_max} has files on disk but "
+            f"no pointer flip within {publish_wait_s}s — failing the "
+            "batch so a restart replays it (strict_publish_wait)"
+        )
     return latest
 
 
@@ -117,8 +147,10 @@ def stream_maintained_view(
     sum_cols: list[str],
     checkpoint_location: str,
     minmax_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     publish_wait_s: float = 10.0,
+    strict_publish_wait: bool = False,
     on_update=None,  # (view, through: str) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
@@ -146,13 +178,16 @@ def stream_maintained_view(
         group_cols=group_cols,
         sum_cols=sum_cols,
         minmax_cols=minmax_cols,
+        distinct_cols=distinct_cols,
     )
 
     def fold(batch_df, _batch_id):
         batch_max = _batch_max_by_side(
             batch_df.select(F.lit("t").alias("side"), "_commit_time")
         ).get("t")
-        end = _published_end(table, batch_max, publish_wait_s)
+        end = _published_end(
+            table, batch_max, publish_wait_s, strict_publish_wait
+        )
         seen = view.through()
         if end is None or (seen is not None and end <= seen):
             return  # covered (restart redelivery) or nothing published
@@ -201,8 +236,11 @@ def stream_maintained_join_view(
     sum_cols: list[str],
     checkpoint_location: str,
     minmax_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    how: str = "inner",
     max_files_per_trigger: int | None = None,
     publish_wait_s: float = 10.0,
+    strict_publish_wait: bool = False,
     on_update=None,  # (view, through: dict) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
@@ -236,6 +274,8 @@ def stream_maintained_join_view(
         group_cols=group_cols,
         sum_cols=sum_cols,
         minmax_cols=minmax_cols,
+        distinct_cols=distinct_cols,
+        how=how,
     )
     if table_d.record_key != view.dim_on:
         raise ValueError(
@@ -248,8 +288,14 @@ def stream_maintained_join_view(
     def fold(batch_df, _batch_id):
         maxes = _batch_max_by_side(batch_df)
         seen = view.through() or {}
-        f_end = _published_end(table_f, maxes.get("fact"), publish_wait_s)
-        d_end = _published_end(table_d, maxes.get("dim"), publish_wait_s)
+        f_end = _published_end(
+            table_f, maxes.get("fact"), publish_wait_s,
+            strict_publish_wait,
+        )
+        d_end = _published_end(
+            table_d, maxes.get("dim"), publish_wait_s,
+            strict_publish_wait,
+        )
         f_seen, d_seen = seen.get("fact"), seen.get("dim")
         f_adv = f_end is not None and (f_seen is None or f_end > f_seen)
         d_adv = d_end is not None and (d_seen is None or d_end > d_seen)
@@ -343,6 +389,7 @@ def stream_maintained_star_view(
     distinct_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     publish_wait_s: float = 10.0,
+    strict_publish_wait: bool = False,
     on_update=None,  # (view, through: dict) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
@@ -391,7 +438,8 @@ def stream_maintained_star_view(
         ends, adv = {}, {}
         for side, table in tables.items():
             ends[side] = _published_end(
-                table, maxes.get(side), publish_wait_s
+                table, maxes.get(side), publish_wait_s,
+                strict_publish_wait,
             )
             adv[side] = ends[side] is not None and (
                 seen.get(side) is None or ends[side] > seen[side]

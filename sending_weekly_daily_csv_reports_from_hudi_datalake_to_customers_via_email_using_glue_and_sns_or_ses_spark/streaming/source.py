@@ -176,6 +176,15 @@ def stream_cdc(
     checkpointLocation, and the same ``maxFilesPerTrigger`` backlog
     bound per lane.
 
+    Checkpoint-vintage caveat: the 'r' lane moved from the timeline
+    dir to ``replaces/`` in r9 — a PRE-r9 stream checkpoint restarted
+    over an upgraded engine will see every historical overwrite's
+    backfilled marker as a NEW file and replay it as a late 'r' with
+    no accompanying 'u' redelivery; wipe-then-apply replicas must
+    RE-SEED (fresh checkpoint from a snapshot) across that upgrade.
+    The maintained-view drivers (streaming/maintained.py) are immune:
+    they treat any 'r' as a pointer-bounded rebuild signal.
+
     Vintage: tables whose deletes predate the tombstone log (early-r7)
     stream those deletes as nothing — consume batch ``CDCReader``
     windows for them instead (its snapshot-diff fallback covers the

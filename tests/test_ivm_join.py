@@ -557,3 +557,60 @@ def test_outer_join_ivm_tracks_recompute_over_random_history(
         assert _maintained(view.current()) == _recompute_outer(
             fact_t, dim_t
         ), f"diverged at step {step}"
+
+
+def test_outer_join_ivm_dim_key_as_maintained_column(spark, tmp_path):
+    """r9 review fix: a maintained column that IS the dim record key
+    (different name from the fact join column) must flow through the
+    outer NULL-group term — its type comes from the window's top-level
+    key column, not the payload struct (which excludes the key)."""
+    fact_t = KeyedTable(
+        spark, str(tmp_path / "kfact"), record_key="fk",
+        precombine="fpre", keep_versions=25,
+    )
+    dim_t = KeyedTable(
+        spark, str(tmp_path / "kdim"), record_key="dkey",
+        precombine="dpre", keep_versions=25,
+    )
+    view = MaintainedJoinAggregate(
+        spark,
+        str(tmp_path / "kview"),
+        on=("jk", "dkey"),
+        group_cols=["dkey"],  # group by the DIM KEY itself
+        sum_cols=["famount"],
+        how="left",
+    )
+    dim_t.upsert(
+        spark.createDataFrame([(1, 0, "x")], "dkey int, dpre int, grp string")
+    )
+    f1 = fact_t.upsert(
+        _fact(spark, [(10, 0, 1, 5), (11, 0, 2, 7)])
+    )
+    d1 = dim_t.latest_commit()
+    view.apply(
+        fact_t.cdc(end=f1),
+        None,
+        dim_state=lambda: dim_t.snapshot(as_of=d1),
+        through={"fact": f1, "dim": d1},
+    )
+    got = sorted(
+        ((r["dkey"], r["n_rows"], r["sum_famount"]) for r in view.current().collect()),
+        key=_nskey,
+    )
+    assert got == [(1, 1, 5), (None, 1, 7)]
+    # the dim key APPEARS: the F0 ⋈ ΔD existence term must move key 2's
+    # row out of the NULL group — exercising dim_types[record_key]
+    d2 = dim_t.upsert(
+        spark.createDataFrame([(2, 0, "y")], "dkey int, dpre int, grp string")
+    )
+    view.apply(
+        None,
+        dim_t.cdc(begin=d1, end=d2),
+        fact_base=lambda: fact_t.snapshot(as_of=f1),
+        through={"fact": f1, "dim": d2},
+    )
+    got = sorted(
+        ((r["dkey"], r["n_rows"], r["sum_famount"]) for r in view.current().collect()),
+        key=_nskey,
+    )
+    assert got == [(1, 1, 5), (2, 1, 7)]

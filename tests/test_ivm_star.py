@@ -250,3 +250,67 @@ def test_star_ivm_dim_only_migration_with_other_dim_quiescent(
             ("z", "m", 1, 5, 5, 5),
             ("z", "n", 1, 9, 9, 9)]
     )
+
+
+def test_star_join_key_third_side_collision_still_raises(spark, tmp_path):
+    """r9 review fix: the same-named-equi-join-key allowance must NOT
+    mask a THIRD side carrying the name as an ordinary column — join
+    equality covers only the owning dim, so that shape stays
+    ambiguous."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        MaintainedStarAggregate,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "xf"), record_key="fk", precombine="fp"
+    )
+    cust = KeyedTable(
+        spark, str(tmp_path / "xc"), record_key="ck", precombine="cp"
+    )
+    part = KeyedTable(
+        spark, str(tmp_path / "xp"), record_key="pk", precombine="pp"
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(1, 0, 1, 1, 10)], "fk int, fp int, ck int, pk int, amt long"
+        )
+    )
+    cust.upsert(
+        spark.createDataFrame([(1, 0, "s")], "ck int, cp int, seg string")
+    )
+    # the PART table also carries a non-key column named 'ck'!
+    part.upsert(
+        spark.createDataFrame(
+            [(1, 0, "c", 99)], "pk int, pp int, cat string, ck int"
+        )
+    )
+    view = MaintainedStarAggregate(
+        spark,
+        str(tmp_path / "xview"),
+        dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
+        group_cols=["ck"],  # the shared name, present on THREE sides
+        sum_cols=["amt"],
+    )
+    with pytest.raises(ValueError, match="exists on sides|found on sides"):
+        view.joined(
+            fact.snapshot(),
+            {"cust": cust.snapshot(), "part": part.snapshot()},
+        )
+    # grouping by a clean column still works on the same tables (the
+    # 2-side key case stays legal)
+    ok = MaintainedStarAggregate(
+        spark,
+        str(tmp_path / "xview2"),
+        dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
+        group_cols=["seg"],
+        sum_cols=["amt"],
+    )
+    assert ok.joined(
+        fact.snapshot(),
+        {"cust": cust.snapshot(), "part": part.snapshot()},
+    ).count() == 1

@@ -466,3 +466,61 @@ def test_stream_maintained_view_continuous_report(spark, tmp_path):
             for r in csv.DictReader(f)
         )
     assert rows == [("a", 2, 15), ("b", 1, 2)]
+
+
+def test_stream_maintained_view_strict_publish_wait(spark, tmp_path):
+    """strict_publish_wait (r9 review): files-without-a-flip inside the
+    wait window FAILS the batch instead of silently consuming the
+    files — the replayed batch then folds the commit once it
+    publishes. Default (lenient) mode skips the orphan instead."""
+    import pytest
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+
+    sch = "k int, pre int, grp string, amount long"
+    src = _kt(spark, tmp_path / "ssrc", "k", "pre")
+    src.upsert(spark.createDataFrame([(1, 1, "a", 10)], sch))
+    view = ivm.MaintainedAggregate(
+        spark, str(tmp_path / "sview2"),
+        group_cols=["grp"], sum_cols=["amount"],
+    )
+
+    def start(strict):
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view.path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "sck2"),
+            publish_wait_s=0.3,
+            strict_publish_wait=strict,
+            available_now=True,
+        )
+
+    _drain(start(strict=True))  # clean fold works under strict
+    assert view.through() == src.latest_commit()
+
+    # orphan: log files with no pointer flip → strict batch FAILS
+    orphan = src._new_commit_id()
+    batch = spark.createDataFrame([(2, 1, "a", 99)], sch).withColumn(
+        "_commit_time", F.lit(orphan)
+    )
+    src._write_log(batch, orphan)
+    q = start(strict=True)
+    with pytest.raises(StreamingQueryException, match="no pointer flip"):
+        q.processAllAvailable()
+    q.stop()
+    # the failed batch was NOT checkpoint-committed: once the commit
+    # publishes (the retry reaps the orphan and writes for real), the
+    # restarted stream replays the batch and folds it
+    src.upsert(spark.createDataFrame([(2, 1, "a", 99)], sch))
+    _drain(start(strict=True))
+    assert _view_rows(view, ("grp", "n_rows", "sum_amount")) == [
+        ("a", 2, 109)
+    ]
