@@ -492,25 +492,26 @@ class MaintainedAggregate:
             )
         return out
 
-    def read(self) -> DataFrame | None:
+    def read(self, avg: bool = True, distinct: bool = True) -> DataFrame | None:
         """The view with PRESENTATION columns (r9, VERDICT r8 #7):
         the maintained frame plus ``avg_<c> = sum_<c>/n_<c>`` per sum
         column (NULL over all-NULL groups — SQL AVG) and
         ``distinct_<c>`` per distinct column (exact, from the
         auxiliary multiplicity state; 0 for a live group whose values
         are all NULL). The joins are |groups|-sized on both sides —
-        the read stays O(|groups|)."""
+        the read stays O(|groups|). ``avg``/``distinct`` toggle each
+        column family (the report loops map them to their config)."""
         df = self.current()
         if df is None:
             return None
-        for c in self.sum_cols:
+        for c in self.sum_cols if avg else []:
             df = df.withColumn(
                 f"avg_{c}",
                 F.when(
                     F.col(f"n_{c}") != 0, F.col(f"sum_{c}") / F.col(f"n_{c}")
                 ),
             )
-        for c in self.distinct_cols:
+        for c in self.distinct_cols if distinct else []:
             aux = self.aux_current(c)
             if aux is None:
                 raise ValueError(

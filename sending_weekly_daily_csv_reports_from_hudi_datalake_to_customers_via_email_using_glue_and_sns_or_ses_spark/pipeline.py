@@ -283,6 +283,9 @@ class MaintainedReportConfig:
     subject: str = "Your scheduled report"
     avg_cols: bool = True
     minmax_cols: list[str] = field(default_factory=list)
+    #: exact COUNT(DISTINCT) columns maintained via auxiliary state
+    #: (operators/ivm.py r9); reports gain ``distinct_<c>`` columns
+    distinct_cols: list[str] = field(default_factory=list)
     #: optional data-quality gate on the maintained view before the
     #: report is written (PipelineConfig.quality_rules semantics: a
     #: failure aborts before write/delivery/checkpoint; the CDC
@@ -334,6 +337,7 @@ def run_maintained_report(
         group_cols=config.group_cols,
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
+        distinct_cols=config.distinct_cols,
     )
     # the window starts at max(reader checkpoint, view.through()): a
     # crash between apply and commit followed by NEW upstream commits
@@ -387,7 +391,9 @@ def run_maintained_report(
             else None,
             validate=gate,
         )
-    df = _enrich(view.current())
+    df = view.read(
+        avg=config.avg_cols, distinct=bool(config.distinct_cols)
+    )
     report_path = write_csv_report(
         df, config.report_base, report_id=f"cdc_{through}", single_file=True
     )
@@ -428,6 +434,8 @@ class MaintainedJoinReportConfig:
     subject: str = "Your scheduled report"
     avg_cols: bool = True
     minmax_cols: list[str] = field(default_factory=list)
+    #: exact COUNT(DISTINCT) columns (distinct_<c> report columns)
+    distinct_cols: list[str] = field(default_factory=list)
     #: optional quality gate on the maintained view (run_checks rules);
     #: a failure aborts before write/delivery/checkpoint, so the window
     #: pair is retried after the data problem is fixed
@@ -477,6 +485,7 @@ def run_maintained_join_report(
         group_cols=config.group_cols,
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
+        distinct_cols=config.distinct_cols,
     )
     if d_reader.table.record_key != view.dim_on:
         # the delta math requires N:1 — at most one dim row per join
@@ -570,7 +579,9 @@ def run_maintained_join_report(
             else None,
             validate=gate,
         )
-    df = view.current()
+    df = view.read(
+        avg=config.avg_cols, distinct=bool(config.distinct_cols)
+    )
     if df is None:
         # dim-only windows at fact genesis fold to nothing (F₀ empty):
         # consume them — their effect enters later fact terms through
@@ -578,7 +589,6 @@ def run_maintained_join_report(
         f_reader.commit()
         d_reader.commit()
         return None
-    df = _enrich(df)
     report_path = write_csv_report(
         df,
         config.report_base,
@@ -620,6 +630,8 @@ class MaintainedStarReportConfig:
     subject: str = "Your scheduled report"
     avg_cols: bool = True
     minmax_cols: list[str] = field(default_factory=list)
+    #: exact COUNT(DISTINCT) columns (distinct_<c> report columns)
+    distinct_cols: list[str] = field(default_factory=list)
     #: optional quality gate — runs as the view publish's pre-pointer-
     #: flip validate hook: a red window leaves the previous version
     #: live, the token unchanged, and every reader unconsumed
@@ -669,6 +681,7 @@ def run_maintained_star_report(
         group_cols=config.group_cols,
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
+        distinct_cols=config.distinct_cols,
     )
     for (name, _, _, dim_on) in config.dims:
         rk = d_readers[name].table.record_key
@@ -761,7 +774,9 @@ def run_maintained_star_report(
             ),
             validate=gate,
         )
-    df = view.current()
+    df = view.read(
+        avg=config.avg_cols, distinct=bool(config.distinct_cols)
+    )
     if df is None:
         # dim windows at fact genesis fold to nothing: consume them —
         # their effect enters later fact terms through the dim
@@ -769,7 +784,6 @@ def run_maintained_star_report(
         for r in readers.values():
             r.commit()
         return None
-    df = _enrich(df)
     report_path = write_csv_report(
         df,
         config.report_base,

@@ -1223,3 +1223,59 @@ def test_maintained_join_report_drift_gate(spark, tmp_path):
     )
     res = run_maintained_join_report(spark, cfg, sender=sender)
     assert res is not None and len(sender.outbox) == 4
+
+
+def test_maintained_report_distinct_columns(spark, tmp_path):
+    """distinct_cols on the scheduled loop (r9): reports carry exact
+    distinct_<c> columns maintained through deletes that un-distinct a
+    value, and a source replace re-seeds the auxiliary state with the
+    view."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedReportConfig,
+        run_maintained_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    src = KeyedTable(
+        spark, str(tmp_path / "dsrc2"), record_key="k", precombine="pre"
+    )
+    cfg = MaintainedReportConfig(
+        source_path=src.root,
+        table_name="dsrc2",
+        group_cols=["grp"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "dview2"),
+        report_base=str(tmp_path / "dreports2"),
+        checkpoint_root=str(tmp_path / "dck2"),
+        recipients=["a@example.com"],
+        distinct_cols=["amount"],
+    )
+    sender = EmailSender()
+    sch = "k int, pre int, grp string, amount long"
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10), (2, 1, "a", 10), (3, 1, "a", 20)], sch
+        )
+    )
+    res = run_maintained_report(spark, cfg, sender=sender)
+    row = {r["grp"]: r for r in res.df.collect()}["a"]
+    assert row["distinct_amount"] == 2 and row["avg_amount"] > 0
+    # delete ONE of the twin 10s: distinct stays 2
+    src.delete(spark.createDataFrame([(1,)], "k int"))
+    res = run_maintained_report(spark, cfg, sender=sender)
+    assert res.df.collect()[0]["distinct_amount"] == 2
+    # delete the second 10: the value drops out
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    res = run_maintained_report(spark, cfg, sender=sender)
+    assert res.df.collect()[0]["distinct_amount"] == 1
+    # replace re-seeds view AND aux together
+    src.overwrite(
+        spark.createDataFrame(
+            [(7, 1, "b", 5), (8, 1, "b", 5), (9, 1, "b", 6)], sch
+        )
+    )
+    res = run_maintained_report(spark, cfg, sender=sender)
+    row = {r["grp"]: r for r in res.df.collect()}["b"]
+    assert row["n_rows"] == 3 and row["distinct_amount"] == 2
