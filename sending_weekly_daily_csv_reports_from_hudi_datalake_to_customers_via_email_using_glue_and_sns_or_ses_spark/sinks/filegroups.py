@@ -292,7 +292,20 @@ class BucketedTable:
                 )
             paths.append(p)
         if schema is not None:
-            return self.spark.read.schema(schema).parquet(*paths)
+            from ..sources.incremental import (
+                coalesce_renamed,
+                physical_read_schema,
+            )
+
+            # renamed columns (r9): pre-rename slices keep the old
+            # physical names — declare them as extra same-typed fields
+            # and fold into the logical columns, one scan (the
+            # KeyedTable read contract, applied to slice reads)
+            phys, priors = physical_read_schema(schema)
+            df = self.spark.read.schema(phys).parquet(*paths)
+            if priors:
+                df = coalesce_renamed(df, priors)
+            return df
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- merge payload --------------------------------------------------
@@ -513,6 +526,20 @@ class BucketedTable:
             return prev if prev is not None else StructType([])
         if prev is None:
             return incoming
+        renamed_away = {
+            p
+            for f in prev.fields
+            for p in f.metadata.get("renamed_from", ())
+        }
+        bad = [f.name for f in incoming.fields if f.name in renamed_away]
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} were renamed on this table "
+                "(alter_rename_column) and their old names cannot be "
+                "re-added: old slices still hold the previous values, "
+                "which name-based reads would conflate — use the new "
+                "name (or a fresh one)"
+            )
         merged, _ = merge_widened_fields(prev.fields, incoming.fields)
         return StructType(merged)
 
@@ -573,6 +600,81 @@ class BucketedTable:
         if df is None:
             return self.spark.createDataFrame([], schema)
         return df.join(F.broadcast(keyed), on=self.record_key, how="left_semi")
+
+    def alter_rename_column(self, old: str, new: str) -> str:
+        """ALTER TABLE RENAME COLUMN, bucketed form (r9): a metadata-
+        only commit whose manifest re-references the SAME slices under
+        the renamed schema (the field keeps position/type and records
+        the old name in its ``renamed_from`` chain). No slice is
+        rewritten — `_read_slices` serves old slices through the
+        prior-name mapping; time travel before the rename reads the
+        old manifest's schema and shows the vintage name for free
+        (manifests pin both slices AND schema). Old names are
+        permanently reserved; structural columns refuse."""
+        from pyspark.sql.types import StructField
+
+        protected = {self.record_key, self.precombine, COMMIT_COL}
+        if self.record_key == COMPOSITE_KEY_COL:
+            protected.update(self.key_fields)
+        if old in protected:
+            raise ValueError(
+                f"alter_rename_column: {old!r} is a key/precombine "
+                "column — structural columns cannot be renamed"
+            )
+        if new in protected or new == "c":
+            raise ValueError(
+                f"alter_rename_column: target name {new!r} collides "
+                "with a structural column (or the reserved log "
+                "partition name 'c')"
+            )
+        latest = self.latest_commit()
+        if latest is None:
+            raise ValueError(
+                "alter_rename_column on an empty table — nothing to "
+                "rename"
+            )
+        manifest = self._manifest(latest)
+        prev = StructType.fromJson(manifest["schema"])
+        by_name = {f.name: f for f in prev.fields}
+        if old not in by_name:
+            raise ValueError(
+                f"alter_rename_column: no column {old!r} "
+                f"(have: {[f.name for f in prev.fields]})"
+            )
+        taken = set(by_name)
+        taken.update(
+            pr
+            for f in prev.fields
+            for pr in f.metadata.get("renamed_from", ())
+        )
+        if new in taken:
+            raise ValueError(
+                f"alter_rename_column: target name {new!r} is already "
+                "in use — as a column or a previous name of a renamed "
+                "one (old slices still hold data under it)"
+            )
+        staged = StructType(
+            [
+                StructField(
+                    new,
+                    f.dataType,
+                    True,
+                    {
+                        **f.metadata,
+                        "renamed_from": [old]
+                        + list(f.metadata.get("renamed_from", ())),
+                    },
+                )
+                if f.name == old
+                else f
+                for f in prev.fields
+            ]
+        )
+        commit = self._new_commit_id()
+        slices = {int(b): c for b, c in manifest["slices"].items()}
+        self._write_manifest(commit, "alter", slices, staged)
+        self._publish(commit)
+        return commit
 
     # -- maintenance ----------------------------------------------------
     def _clean(self) -> None:

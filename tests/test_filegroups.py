@@ -496,3 +496,67 @@ def test_bucketed_type_widening_across_slices(spark, tmp_path):
                 [(1, 4, "oops")], "k int, pre int, n string"
             )
         )
+
+
+def test_bucketed_rename_column(spark, tmp_path):
+    """alter_rename_column on the bucketed engine (r9): metadata-only —
+    the manifest re-references the same slices under the renamed
+    schema; old slices serve the new name through the prior-name
+    mapping, time travel before the rename shows the vintage name,
+    the old name is reserved, and structural columns refuse."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.filegroups import (
+        BucketedTable,
+    )
+
+    t = BucketedTable(
+        spark, str(tmp_path / "rn"), record_key="k", precombine="pre",
+        num_buckets=4,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10), (2, 1, "b", 20)],
+            "k int, pre int, v string, amt int",
+        )
+    )
+    pre_rename = t.latest_commit()
+    t.alter_rename_column("v", "label")
+    snap = {r["k"]: (r["label"], r["amt"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", 10), 2: ("b", 20)}
+    assert "v" not in t.snapshot().columns
+    # new-name writes touch only their buckets; untouched old slices
+    # keep serving through the mapping
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 5, "a2", 11), (3, 1, "c", 30)],
+            "k int, pre int, label string, amt int",
+        )
+    )
+    assert {
+        r["k"]: r["label"] for r in t.snapshot().collect()
+    } == {1: "a2", 2: "b", 3: "c"}
+    # time travel before the rename: the manifest pins the old schema
+    old = t.snapshot(as_of=pre_rename)
+    assert "v" in old.columns and "label" not in old.columns
+    assert {r["k"]: r["v"] for r in old.collect()} == {1: "a", 2: "b"}
+    # the old name cannot come back
+    with pytest.raises(ValueError, match="renamed"):
+        t.upsert(
+            spark.createDataFrame(
+                [(4, 1, "x", 40)], "k int, pre int, v string, amt int"
+            )
+        )
+    with pytest.raises(ValueError, match="already in use"):
+        t.alter_rename_column("amt", "v")
+    for col in ("k", "pre"):
+        with pytest.raises(ValueError, match="structural"):
+            t.alter_rename_column(col, "zz")
+    # point lookups route through the mapping too
+    got = t.read_keys(spark.createDataFrame([(2,)], "k int")).collect()
+    assert [(r["k"], r["label"]) for r in got] == [(2, "b")]
+    # reopen survives
+    reopened = BucketedTable.open(spark, t.root)
+    assert {
+        r["k"]: r["label"] for r in reopened.snapshot().collect()
+    } == {1: "a2", 2: "b", 3: "c"}
