@@ -2123,3 +2123,114 @@ def test_schema_rename_then_widen_keeps_mapping(spark, tmp_path):
         1: 10,
         2: 4_000_000_000,
     }
+
+
+def test_schema_evolution_random_lifecycle_property(spark, tmp_path):
+    """Seeded random interleave of the FULL evolution surface — upserts
+    (sometimes narrow-typed, sometimes with a fresh column), widenings,
+    RENAMEs, DROPs, and deletes — checked against a pure-Python model
+    after every commit: the snapshot must always equal the model under
+    the current logical names, and a time-travel read pinned at each
+    commit must show that vintage's column set."""
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rng = random.Random(99)
+    t = KeyedTable(
+        spark, str(tmp_path / "life"), record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ", keep_versions=50,
+    )
+    # model: key -> {logical_col: value}; cols: logical name -> None
+    model: dict[int, dict] = {}
+    cols = ["a"]  # data columns beside k/pre (long-typed in the model)
+    renamed_away: set[str] = set()
+    dropped: set[str] = set()
+    next_col = 0
+    vintages: list[tuple[str, list[str]]] = []  # (commit, cols at commit)
+
+    def upsert(with_new_col=False):
+        nonlocal next_col
+        cs = list(cols)
+        if with_new_col:
+            next_col += 1
+            new = f"c{next_col}"
+            cs.append(new)
+            cols.append(new)
+        rows, fields = [], [
+            StructField("k", LongType()),
+            StructField("pre", LongType()),
+            *[StructField(c, LongType()) for c in cs],
+        ]
+        for _ in range(rng.randrange(1, 4)):
+            k = rng.randrange(8)
+            pre = rng.randrange(1000)
+            vals = {
+                c: (None if rng.random() < 0.2 else rng.randrange(100))
+                for c in cs
+            }
+            rows.append((k, pre, *[vals[c] for c in cs]))
+            cur = model.get(k)
+            if cur is None or pre >= cur["pre"]:
+                model[k] = {"pre": pre, **{c: vals[c] for c in cs},
+                            **{c: None for c in cols if c not in cs}}
+        return t.upsert(
+            spark.createDataFrame(rows, StructType(fields))
+        )
+
+    c = upsert()
+    vintages.append((c, list(cols)))
+    for step in range(14):
+        roll = rng.random()
+        if roll < 0.45:
+            c = upsert(with_new_col=rng.random() < 0.3)
+        elif roll < 0.6 and cols:
+            old = rng.choice(cols)
+            new = f"r{step}"
+            c = t.alter_rename_column(old, new)
+            cols[cols.index(old)] = new
+            renamed_away.add(old)
+            for v in model.values():
+                v[new] = v.pop(old, None)
+        elif roll < 0.72 and len(cols) > 1:
+            victim = rng.choice(cols)
+            c = t.alter_drop_column(victim)
+            cols.remove(victim)
+            dropped.add(victim)
+            for v in model.values():
+                v.pop(victim, None)
+        elif roll < 0.85 and model:
+            ks = rng.sample(sorted(model), max(1, len(model) // 3))
+            c = t.delete(spark.createDataFrame([(k,) for k in ks], "k long"))
+            for k in ks:
+                model.pop(k)
+        else:
+            c = upsert()
+        vintages.append((c, list(cols)))
+        # snapshot ≡ model under the live logical names
+        snap = t.snapshot()
+        got = {
+            r["k"]: tuple(r[col] for col in cols)
+            for r in (snap.collect() if snap is not None else [])
+        }
+        want = {
+            k: tuple(v.get(col) for col in cols) for k, v in model.items()
+        }
+        assert got == want, f"step {step}: {got} != {want}"
+        # every historical name stays reserved
+        for name in renamed_away | dropped:
+            with pytest.raises(ValueError, match="cannot be re-added"):
+                t.upsert(
+                    spark.createDataFrame(
+                        [(999, 1, 1)], f"k long, pre long, {name} long"
+                    )
+                )
+    # time travel: each vintage shows exactly its column set
+    for commit, vcols in vintages[:: max(1, len(vintages) // 5)]:
+        old = t.snapshot(as_of=commit)
+        have = [
+            x
+            for x in old.columns
+            if x not in ("k", "pre", "_commit_time")
+        ]
+        assert sorted(have) == sorted(vcols), (commit, have, vcols)
