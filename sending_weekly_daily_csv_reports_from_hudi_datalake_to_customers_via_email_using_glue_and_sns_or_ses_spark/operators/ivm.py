@@ -232,7 +232,13 @@ def merge_agg_delta(
                 .groupBy(*group_cols)
                 .agg(*[F.sum(c).alias(c) for c in value_cols])
             )
-        return _nulled_sums(merged, sum_cols).filter(F.col(COUNT_COL) != 0)
+        merged = _nulled_sums(merged, sum_cols)
+        if not group_cols:
+            # GLOBAL aggregate (no GROUP BY): SQL always yields exactly
+            # one row, even over an empty table — dropping it at n=0
+            # would diverge from any recompute (r9 review)
+            return merged
+        return merged.filter(F.col(COUNT_COL) != 0)
 
     ncols = _value_counted_cols(sum_cols, minmax_cols)
     value_cols = (
@@ -278,8 +284,9 @@ def merge_agg_delta(
                 )
             ],
         )
-        .filter(F.col(COUNT_COL) != 0)
     )
+    if group_cols:
+        merged = merged.filter(F.col(COUNT_COL) != 0)
     dirty = F.lit(False)
     for c in minmax_cols:
         n = F.col(f"n_{c}")
@@ -441,14 +448,21 @@ class MaintainedAggregate:
     def _aux_dir(self, col: str) -> str:
         return os.path.join(self.path, "aux", col)
 
-    def aux_current(self, col: str) -> DataFrame | None:
+    def aux_current(
+        self, col: str, version: int | None = None
+    ) -> DataFrame | None:
         """The distinct-state frame for ``col`` at the published
         version: ``group_cols + [col, n_rows]`` (one row per live
-        (group, value), n_rows = its multiplicity)."""
-        meta = self._meta()
-        if meta is None:
-            return None
-        vdir = os.path.join(self._aux_dir(col), f"v={meta['version']}")
+        (group, value), n_rows = its multiplicity). ``version`` pins a
+        specific published version — read() passes the one it bound
+        the MAIN frame to, so a publish racing between the two reads
+        cannot mix versions in one report row."""
+        if version is None:
+            meta = self._meta()
+            if meta is None:
+                return None
+            version = meta["version"]
+        vdir = os.path.join(self._aux_dir(col), f"v={version}")
         if not os.path.isdir(vdir):
             return None
         return self.spark.read.parquet(vdir)
@@ -501,9 +515,17 @@ class MaintainedAggregate:
         are all NULL). The joins are |groups|-sized on both sides —
         the read stays O(|groups|). ``avg``/``distinct`` toggle each
         column family (the report loops map them to their config)."""
-        df = self.current()
-        if df is None:
+        meta = self._meta()
+        if meta is None:
             return None
+        # pin EVERY read of this call to one published version — a
+        # concurrent publish between the main and aux reads must not
+        # mix versions within a report row (two versions are retained
+        # exactly so in-flight readers stay consistent)
+        version = meta["version"]
+        df = self.spark.read.parquet(
+            os.path.join(self.path, f"v={version}")
+        )
         for c in self.sum_cols if avg else []:
             df = df.withColumn(
                 f"avg_{c}",
@@ -512,7 +534,7 @@ class MaintainedAggregate:
                 ),
             )
         for c in self.distinct_cols if distinct else []:
-            aux = self.aux_current(c)
+            aux = self.aux_current(c, version=version)
             if aux is None:
                 raise ValueError(
                     f"view at {self.path} has no distinct-state for "
@@ -594,11 +616,49 @@ class MaintainedAggregate:
                 + self.distinct_cols
             )
         )
-        contrib = signed_cdc_rows(cdc_window, needed)
+        self._fold_contrib(
+            signed_cdc_rows(cdc_window, needed), through, base, validate
+        )
+        return True
+
+    def _fresh(self, through) -> bool:
+        """True when ``through`` advances past the published token —
+        i.e. the window has NOT been applied yet (the redelivery
+        guard). Tokenless applies are fresh on a TOKENLESS view
+        (caller owns dedup end to end); on a token-carrying view they
+        RAISE — publishing would erase the recorded token, silently
+        unguarding every previously covered window against redelivery
+        (r9 review). rebuild() remains the documented way to realign a
+        tokened view (pass its snapshot's instant as ``through``)."""
+        seen = self.through()
+        if through is None:
+            if seen is not None:
+                raise ValueError(
+                    f"{type(self).__name__}.apply without a through "
+                    f"token on a view maintained through {seen!r} — "
+                    "publishing would erase the token and unguard "
+                    "redelivery; pass the window's end instant (or "
+                    "rebuild() with an explicit through to re-seed)"
+                )
+            return True
+        return seen is None or through > seen
+
+    @staticmethod
+    def _covered(new, old) -> bool:
+        """Token comparison for the multi-side subclasses: a side's
+        new instant is covered when absent or at/below the published
+        one."""
+        return new is None or (old is not None and new <= old)
+
+    def _fold_contrib(
+        self, contrib: DataFrame, through, base, validate=None
+    ) -> None:
+        """The shared apply epilogue: signed contribution rows →
+        window delta (+ per-distinct-column aux deltas) → fold. One
+        place for the persist-when-distinct rule (the contrib plan
+        feeds k+1 consumers under distinct maintenance) instead of
+        three copies (r9 review)."""
         if self.distinct_cols:
-            # the contrib plan feeds the main delta AND one aux delta
-            # per distinct column — persist it or each publish re-runs
-            # the whole CDC-window scan k+1 times
             contrib = contrib.persist()
         try:
             delta = signed_agg_delta(
@@ -610,23 +670,6 @@ class MaintainedAggregate:
         finally:
             if self.distinct_cols:
                 contrib.unpersist()
-        return True
-
-    def _fresh(self, through) -> bool:
-        """True when ``through`` advances past the published token —
-        i.e. the window has NOT been applied yet (the redelivery
-        guard); tokenless applies are always fresh."""
-        if through is None:
-            return True
-        seen = self.through()
-        return seen is None or through > seen
-
-    @staticmethod
-    def _covered(new, old) -> bool:
-        """Token comparison for the multi-side subclasses: a side's
-        new instant is covered when absent or at/below the published
-        one."""
-        return new is None or (old is not None and new <= old)
 
     def _fold(
         self, delta: DataFrame, through, base, validate=None, aux_deltas=None
@@ -912,9 +955,17 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         but folding an actual window for a covered side double-counts
         it, and advancing a side's token with NO window to fold would
         mark commits applied that never were — both raise."""
-        if through is None:
-            return True
         seen = self.through()
+        if through is None:
+            if seen is not None:
+                raise ValueError(
+                    f"{type(self).__name__}.apply without a through "
+                    f"pair on a view maintained through {seen!r} — "
+                    "publishing would erase the token and unguard "
+                    "redelivery; pass the pair (or rebuild() with an "
+                    "explicit through to re-seed)"
+                )
+            return True
         if seen is None:
             return True
         f_cov = self._covered(through.get("fact"), seen.get("fact"))
@@ -1116,20 +1167,7 @@ class MaintainedJoinAggregate(MaintainedAggregate):
         contrib = terms[0]
         for t in terms[1:]:
             contrib = contrib.unionByName(t)
-        if self.distinct_cols:
-            # see the single-table apply: the contrib term union feeds
-            # k+1 consumers under distinct maintenance
-            contrib = contrib.persist()
-        try:
-            delta = signed_agg_delta(
-                contrib, self.group_cols, self.sum_cols, self.minmax_cols
-            )
-            self._fold(
-                delta, through, base, validate, self._aux_deltas(contrib)
-            )
-        finally:
-            if self.distinct_cols:
-                contrib.unpersist()
+        self._fold_contrib(contrib, through, base, validate)
         return True
 
     def joined(self, fact_snap: DataFrame, dim_snap: DataFrame) -> DataFrame:
@@ -1561,18 +1599,5 @@ class MaintainedStarAggregate(MaintainedAggregate):
         contrib = terms[0]
         for t in terms[1:]:
             contrib = contrib.unionByName(t)
-        if self.distinct_cols:
-            # see the single-table apply: the contrib term union feeds
-            # k+1 consumers under distinct maintenance
-            contrib = contrib.persist()
-        try:
-            delta = signed_agg_delta(
-                contrib, self.group_cols, self.sum_cols, self.minmax_cols
-            )
-            self._fold(
-                delta, through, base, validate, self._aux_deltas(contrib)
-            )
-        finally:
-            if self.distinct_cols:
-                contrib.unpersist()
+        self._fold_contrib(contrib, through, base, validate)
         return True

@@ -127,6 +127,20 @@ def _signal(spark: SparkSession, root: str, side: str, mft):
     )
 
 
+def _start_writer(
+    src, fold, checkpoint_location, available_now, processing_time
+):
+    """Shared foreachBatch writer boilerplate of the three drivers."""
+    writer = src.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def _batch_max_by_side(batch_df) -> dict[str, str]:
     """Per-side max commit id in a micro-batch — the only thing the
     driver reads from batch content. Tiny aggregate (one row/side)."""
@@ -182,9 +196,7 @@ def stream_maintained_view(
     )
 
     def fold(batch_df, _batch_id):
-        batch_max = _batch_max_by_side(
-            batch_df.select(F.lit("t").alias("side"), "_commit_time")
-        ).get("t")
+        batch_max = _batch_max_by_side(batch_df).get("t")
         end = _published_end(
             table, batch_max, publish_wait_s, strict_publish_wait
         )
@@ -214,16 +226,13 @@ def stream_maintained_view(
         if on_update is not None:
             on_update(view, end)
 
-    writer = (
-        stream_cdc(spark, source_root, max_files_per_trigger)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_location)
+    return _start_writer(
+        _signal(spark, source_root, "t", max_files_per_trigger),
+        fold,
+        checkpoint_location,
+        available_now,
+        processing_time,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def stream_maintained_join_view(
@@ -312,16 +321,30 @@ def stream_maintained_join_view(
             "dim": d_end if d_adv else d_seen,
         }
 
+        # fold-local snapshot memo: dim_state, fact_base, and the
+        # minmax base pin the SAME (table, instant) snapshots — build
+        # each time-travel plan once per fold (r9 review)
+        snaps: dict = {}
+
+        def _snap(table, inst):
+            key = (table.root, inst)
+            if key not in snaps:
+                snaps[key] = table.snapshot(as_of=inst)
+            return snaps[key]
+
         def reseed():
-            fs = table_f.snapshot(as_of=pair["fact"])
-            ds = table_d.snapshot(as_of=pair["dim"])
+            fs = _snap(table_f, pair["fact"])
+            ds = _snap(table_d, pair["dim"])
             if fs is None or ds is None:
                 return False  # one side has no state yet: nothing to do
             view.rebuild(view.joined(fs, ds), through=pair)
             return True
 
-        genesis = f_seen is None and view.current() is None
-        if genesis:
+        # genesis = the TOKEN is absent — also heals a view seeded
+        # without a through token (r9 review: the old current()-is-None
+        # clause crash-looped that state with a misleading fact_base
+        # error; rebuild is idempotent, so re-seeding is always safe)
+        if f_seen is None:
             # seed from the joined snapshots (cheaper and replace-proof
             # versus replaying both histories as CDC)
             if not reseed():
@@ -345,17 +368,17 @@ def stream_maintained_join_view(
                 view.apply(
                     f_win,
                     d_win,
-                    dim_state=lambda: table_d.snapshot(as_of=pair["dim"]),
+                    dim_state=lambda: _snap(table_d, pair["dim"]),
                     fact_base=(
-                        (lambda: table_f.snapshot(as_of=f_seen))
+                        (lambda: _snap(table_f, f_seen))
                         if f_seen is not None
                         else None
                     ),
                     through=pair,
                     base=(
                         lambda: view.joined(
-                            table_f.snapshot(as_of=pair["fact"]),
-                            table_d.snapshot(as_of=pair["dim"]),
+                            _snap(table_f, pair["fact"]),
+                            _snap(table_d, pair["dim"]),
                         )
                     )
                     if minmax_cols
@@ -367,14 +390,9 @@ def stream_maintained_join_view(
     src = _signal(spark, fact_root, "fact", max_files_per_trigger).unionByName(
         _signal(spark, dim_root, "dim", max_files_per_trigger)
     )
-    writer = src.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint_location
+    return _start_writer(
+        src, fold, checkpoint_location, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def stream_maintained_star_view(
@@ -457,19 +475,25 @@ def stream_maintained_star_view(
             s: ends[s] if adv[s] else seen.get(s) for s in tables
         }
 
+        snaps: dict = {}
+
+        def _snap(table, inst):
+            key = (table.root, inst)
+            if key not in snaps:
+                snaps[key] = table.snapshot(as_of=inst)
+            return snaps[key]
+
         def reseed():
-            fs = table_f.snapshot(as_of=token["fact"])
-            ds = {
-                n: dim_tables[n].snapshot(as_of=token[n])
-                for n in dim_names
-            }
+            fs = _snap(table_f, token["fact"])
+            ds = {n: _snap(dim_tables[n], token[n]) for n in dim_names}
             if fs is None or any(v is None for v in ds.values()):
                 return False  # a side has no state yet: nothing to do
             view.rebuild(view.joined(fs, ds), through=token)
             return True
 
-        genesis = seen.get("fact") is None and view.current() is None
-        if genesis:
+        # token-absent = genesis (heals token-less seeded views too —
+        # see the join driver)
+        if seen.get("fact") is None:
             if not reseed():
                 return
         else:
@@ -490,19 +514,11 @@ def stream_maintained_star_view(
                     wins["fact"],
                     {n: wins[n] for n in dim_names},
                     dim_states={
-                        n: (
-                            lambda t, tab=dim_tables[n]: tab.snapshot(
-                                as_of=t
-                            )
-                        )
+                        n: (lambda t, tab=dim_tables[n]: _snap(tab, t))
                         for n in dim_names
                     },
                     fact_base=(
-                        (
-                            lambda: table_f.snapshot(
-                                as_of=seen.get("fact")
-                            )
-                        )
+                        (lambda: _snap(table_f, seen.get("fact")))
                         if seen.get("fact") is not None
                         else None
                     ),
@@ -510,11 +526,9 @@ def stream_maintained_star_view(
                     base=(
                         (
                             lambda: view.joined(
-                                table_f.snapshot(as_of=token["fact"]),
+                                _snap(table_f, token["fact"]),
                                 {
-                                    n: dim_tables[n].snapshot(
-                                        as_of=token[n]
-                                    )
+                                    n: _snap(dim_tables[n], token[n])
                                     for n in dim_names
                                 },
                             )
@@ -531,11 +545,6 @@ def stream_maintained_star_view(
         src = src.unionByName(
             _signal(spark, root, name, max_files_per_trigger)
         )
-    writer = src.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint_location
+    return _start_writer(
+        src, fold, checkpoint_location, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()

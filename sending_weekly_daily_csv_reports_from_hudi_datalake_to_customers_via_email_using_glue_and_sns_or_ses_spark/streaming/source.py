@@ -34,6 +34,16 @@ prunes seen ones); ``maxFilesPerTrigger`` bounds microbatch size under
 backlog. At 100 TB this is the continuous-ingestion read path — the
 write side is `streaming/ingest.py`'s foreachBatch upsert sink, and
 the two compose into a log-shipping replica chain.
+
+Schema evolution mid-stream: a running streaming plan's schema is
+FROZEN at open (a Spark file-source property) — commits that ADD,
+WIDEN, or RENAME columns after the stream started deliver those
+columns as NULL/narrow/missing until the stream RESTARTS (same
+checkpoint: file tracking persists, the schema re-resolves at plan
+time). Restart streams on schema-change commits — the same operator
+contract as rename replication in batch. The maintained-view drivers
+(streaming/maintained.py) are immune: they re-read real windows from
+the table per batch, never the frozen stream schema.
 """
 
 from __future__ import annotations

@@ -672,3 +672,50 @@ def test_ivm_distinct_config_guards(spark, tmp_path):
             spark, str(tmp_path / "g2"), group_cols=["grp"],
             sum_cols=["amount"], distinct_cols=["grp"],
         )
+
+
+def test_ivm_tokenless_apply_on_tokened_view_raises(spark, tmp_path):
+    """r9 review fix: a tokenless apply on a token-carrying view would
+    publish through=None, erasing the redelivery guard for every
+    previously covered window — refuse loudly instead."""
+    import pytest
+
+    src = KeyedTable(
+        spark, str(tmp_path / "tok"), record_key="k", precombine="pre"
+    )
+    view = MaintainedAggregate(
+        spark, str(tmp_path / "tokview"),
+        group_cols=["grp"], sum_cols=["amount"],
+    )
+    c1 = src.upsert(_df(spark, [(1, 1, "a", 5)]))
+    view.apply(src.cdc(end=c1), through=c1)
+    c2 = src.upsert(_df(spark, [(2, 1, "a", 7)]))
+    with pytest.raises(ValueError, match="erase the token"):
+        view.apply(src.cdc(begin=c1, end=c2))
+    # the token survived; the tokened retry folds normally
+    assert view.through() == c1
+    view.apply(src.cdc(begin=c1, end=c2), through=c2)
+    assert view.through() == c2
+    assert _maintained(view.current()) == [("a", 2, 12)]
+
+
+def test_ivm_global_aggregate_keeps_row_when_table_empties(spark, tmp_path):
+    """r9 review fix: group_cols=[] is a GLOBAL aggregate — SQL yields
+    exactly one row even over an empty table, so emptying the source
+    must leave (n_rows=0, sum NULL), not zero rows."""
+    src = KeyedTable(
+        spark, str(tmp_path / "glob"), record_key="k", precombine="pre"
+    )
+    view = MaintainedAggregate(
+        spark, str(tmp_path / "globview"), group_cols=[], sum_cols=["amount"]
+    )
+    c1 = src.upsert(_df(spark, [(1, 1, "a", 5), (2, 1, "b", 7)]))
+    view.apply(src.cdc(end=c1), through=c1)
+    row = view.current().collect()[0]
+    assert (row["n_rows"], row["sum_amount"]) == (2, 12)
+    src.delete(spark.createDataFrame([(1,), (2,)], "k int"))
+    c2 = src.latest_commit()
+    view.apply(src.cdc(begin=c1, end=c2), through=c2)
+    rows = view.current().collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_rows"], rows[0]["sum_amount"]) == (0, None)
