@@ -281,6 +281,38 @@ def _conform_types(df: DataFrame, schema) -> DataFrame:
     )
 
 
+def _write_json_atomic(path: str, doc: dict) -> None:
+    """The engine's one crash-consistent small-file write idiom (r9
+    review: previously copy-pasted at every marker/schema/meta site):
+    dump to a dot-tmp sibling, then os.replace — readers see the old
+    doc or the new one, never a torn write."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def _reap_beyond_pointer(dirpath: str, latest: str | None) -> None:
+    """Remove every ``<commit>.json`` marker in ``dirpath`` whose
+    commit id is beyond the published pointer — a crashed writer's
+    orphan (the pointer flip is the commit point). Shared by the four
+    marker families _rollback_failed cleans (r9 review)."""
+    if not os.path.isdir(dirpath):
+        return
+    for name in os.listdir(dirpath):
+        if not name.endswith(".json") or name.startswith("."):
+            continue
+        c = name[: -len(".json")]
+        if latest is None or c > latest:
+            try:
+                os.remove(os.path.join(dirpath, name))
+            except OSError:
+                pass  # already gone: rollback is idempotent
+
+
 class KeyedTable:
     def __init__(
         self,
@@ -299,6 +331,13 @@ class KeyedTable:
             raise ValueError(f"unknown table_type: {table_type!r}")
         if payload not in ("overwrite", "partial_update"):
             raise ValueError(f"unknown payload: {payload!r}")
+        if keep_versions < 1:
+            # commits[:-0] is commits[:0] == [] — keep_versions=0 would
+            # silently DISABLE the cleaner (r9 review), not minimize it
+            raise ValueError(
+                f"keep_versions={keep_versions}: must be >= 1 (the "
+                "live version always survives)"
+            )
         self.spark = spark
         self.root = root
         # composite record keys (Hudi ComplexKeyGenerator, late r7): a
@@ -357,6 +396,41 @@ class KeyedTable:
 
     def _write_meta(self) -> None:
         if os.path.exists(self._meta_path()):
+            # identity guard (r9 review): constructing over an existing
+            # root with a DIFFERENT key/merge config would split-brain
+            # the table — this writer merging by one key while open()
+            # readers (CDC, replication, conflict detection) key by the
+            # persisted one. Operational knobs may differ: keep_versions
+            # and locks per writer, and table_type too — it only picks
+            # each commit's WRITE amplification (snapshot rewrite vs log
+            # append); every read merges base ∪ log regardless, so a
+            # COW root legitimately takes MOR-mode appends (the
+            # compaction-backlog shape the index tests use).
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            mine = {
+                "record_key": (
+                    self.key_fields
+                    if self.record_key == COMPOSITE_KEY_COL
+                    else self.record_key
+                ),
+                "precombine": self.precombine,
+                "partition_cols": self.partition_cols,
+                "payload": self.payload,
+            }
+            diffs = {
+                k: (meta.get(k), mine[k])
+                for k in mine
+                if meta.get(k) != mine[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"KeyedTable at {self.root} already exists with a "
+                    f"different identity config: {diffs} (persisted vs "
+                    "requested) — use KeyedTable.open() or match the "
+                    "persisted record_key/precombine/partition_cols/"
+                    "payload"
+                )
             return
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -501,6 +575,16 @@ class KeyedTable:
         new_fields = [
             f for f in incoming.schema.fields if f.name != COMMIT_COL
         ]
+        if any(f.name == "c" for f in new_fields):
+            # the commit-log layout reserves `c` for its partition dir
+            # (log/c=<id>/); accepting the write would brick every
+            # later log read (r9 review: the guard lived only in
+            # read_commit_log, AFTER files were written)
+            raise ValueError(
+                "data column named 'c' collides with the commit-log "
+                "partition column (log/c=<commit>/) — rename it before "
+                "writing"
+            )
         # the RAW record (tombstoned drops included): a re-added name
         # must be checked against the residual data old files still
         # hold under it, which the active view deliberately hides
@@ -553,12 +637,9 @@ class KeyedTable:
         )
         staged = StructType(current_fields)
         if changed or not had_recorded:
-            os.makedirs(self._schema_dir(), exist_ok=True)
-            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(json.loads(staged.json()), f)
-            os.replace(
-                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            _write_json_atomic(
+                os.path.join(self._schema_dir(), f"{commit}.json"),
+                json.loads(staged.json()),
             )
         return staged
 
@@ -657,62 +738,22 @@ class KeyedTable:
                     shutil.rmtree(
                         os.path.join(ts_dir, d), ignore_errors=True
                     )
-        # beyond-pointer schema files: a crashed widening upsert's
-        # record — left in place it would re-reject a retried batch
-        # whose column type legitimately differs (no data ever
-        # committed under the orphan schema)
-        sd = self._schema_dir()
-        if os.path.isdir(sd):
-            for name in os.listdir(sd):
-                if not name.endswith(".json") or name.startswith("."):
-                    continue
-                c = name[: -len(".json")]
-                if latest is None or c > latest:
-                    try:
-                        os.remove(os.path.join(sd, name))
-                    except OSError:
-                        pass  # already gone: rollback is idempotent
-        tl = self._timeline_dir()
-        if os.path.isdir(tl):
-            for name in os.listdir(tl):
-                if not name.endswith(".json") or name.startswith("."):
-                    continue
-                c = name[: -len(".json")]
-                if latest is None or c > latest:
-                    try:
-                        os.remove(os.path.join(tl, name))
-                    except OSError:
-                        pass  # already gone: rollback is idempotent
-        # replace markers beyond the pointer (a restore/rollback moved
-        # the pointer back below a published overwrite) are reaped; and
-        # published overwrites missing theirs (crash between the flip
-        # and the marker write) are backfilled — see
-        # _record_replace_published
-        rd = self._replace_marker_dir()
-        if os.path.isdir(rd):
-            for name in os.listdir(rd):
-                if not name.endswith(".json") or name.startswith("."):
-                    continue
-                c = name[: -len(".json")]
-                if latest is None or c > latest:
-                    try:
-                        os.remove(os.path.join(rd, name))
-                    except OSError:
-                        pass  # already gone: rollback is idempotent
+        # beyond-pointer marker families, one reap rule each: schema
+        # files (a crashed widening upsert's record would re-reject a
+        # legitimately retyped retry), timeline markers, replace
+        # markers (a restore moved the pointer back below a published
+        # overwrite), and savepoints (dangling after a restore removed
+        # the commit they pin). Published overwrites missing their
+        # replace marker (crash between the flip and the marker write)
+        # are then backfilled — see _record_replace_published.
+        for d in (
+            self._schema_dir(),
+            self._timeline_dir(),
+            self._replace_marker_dir(),
+            self._savepoint_dir(),
+        ):
+            _reap_beyond_pointer(d, latest)
         self._backfill_replace_markers()
-        # savepoints of beyond-pointer instants: dangling after a
-        # restore/rollback removed the commit they pin
-        sp = self._savepoint_dir()
-        if os.path.isdir(sp):
-            for name in os.listdir(sp):
-                if not name.endswith(".json") or name.startswith("."):
-                    continue
-                c = name[: -len(".json")]
-                if latest is None or c > latest:
-                    try:
-                        os.remove(os.path.join(sp, name))
-                    except OSError:
-                        pass  # already gone: rollback is idempotent
         # abandoned staging dirs (crash mid-parquet-write)
         staging = os.path.join(self.root, "_staging")
         if os.path.isdir(staging):
@@ -741,15 +782,12 @@ class KeyedTable:
         the published pointer; the crash window between the flip and
         this write is closed by :meth:`_backfill_replace_markers`
         (every transaction start, and every stream open)."""
-        os.makedirs(self._replace_marker_dir(), exist_ok=True)
-        tmp = os.path.join(self._replace_marker_dir(), f".{commit}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"op": "overwrite"}, f)
-        os.replace(
-            tmp, os.path.join(self._replace_marker_dir(), f"{commit}.json")
+        _write_json_atomic(
+            os.path.join(self._replace_marker_dir(), f"{commit}.json"),
+            {"op": "overwrite"},
         )
 
-    def _backfill_replace_markers(self) -> None:
+    def _backfill_replace_markers(self, timeline=None) -> None:
         """Repair the flip→marker crash window (and upgrade pre-r9
         tables): every PUBLISHED overwrite in the timeline gets its
         post-publish replace marker if missing. Idempotent,
@@ -768,7 +806,11 @@ class KeyedTable:
                 for n in os.listdir(rd)
                 if n.endswith(".json") and not n.startswith(".")
             }
-        for c, op in self._timeline_instants().items():
+        for c, op in (
+            timeline
+            if timeline is not None
+            else self._timeline_instants()
+        ).items():
             if op == "overwrite" and c <= latest and c not in have:
                 self._record_replace_published(c)
 
@@ -785,23 +827,35 @@ class KeyedTable:
         caller-supplied commit metadata (e.g. the streaming-ingest
         batch id, the Hudi DeltaStreamer checkpoint-in-commit
         pattern)."""
-        os.makedirs(self._timeline_dir(), exist_ok=True)
-        tmp = os.path.join(self._timeline_dir(), f".{commit}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"op": op, **(meta or {})}, f)
-        os.replace(tmp, os.path.join(self._timeline_dir(), f"{commit}.json"))
+        _write_json_atomic(
+            os.path.join(self._timeline_dir(), f"{commit}.json"),
+            {"op": op, **(meta or {})},
+        )
 
     def _timeline_meta(self) -> dict[str, dict]:
-        """commit id → full marker doc (op + caller metadata)."""
+        """commit id → full marker doc (op + caller metadata). Memoized
+        on the dir's (mtime, entry count): each transaction consults
+        the timeline several times (rollback backfill, conflict
+        detection, CDC rails) and a 10⁴-commit table would otherwise
+        pay 10⁴ json loads per consult (r9 review); marker writes
+        touch the dir, invalidating the key."""
         tl = self._timeline_dir()
         if not os.path.isdir(tl):
             return {}
+        names = [
+            n
+            for n in os.listdir(tl)
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+        key = (os.stat(tl).st_mtime_ns, len(names))
+        cached = getattr(self, "_tl_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         out: dict[str, dict] = {}
-        for name in os.listdir(tl):
-            if not name.endswith(".json") or name.startswith("."):
-                continue
+        for name in names:
             with open(os.path.join(tl, name)) as f:
                 out[name[: -len(".json")]] = json.load(f)
+        self._tl_cache = (key, out)
         return out
 
     def _timeline_instants(self) -> dict[str, str]:
@@ -1137,12 +1191,9 @@ class KeyedTable:
                     for f in raw.fields
                 ]
             )
-            os.makedirs(self._schema_dir(), exist_ok=True)
-            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(json.loads(staged.json()), f)
-            os.replace(
-                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            _write_json_atomic(
+                os.path.join(self._schema_dir(), f"{commit}.json"),
+                json.loads(staged.json()),
             )
             self._record_instant(commit, "alter")
             self._publish(commit)
@@ -1236,12 +1287,9 @@ class KeyedTable:
                     for f in raw.fields
                 ]
             )
-            os.makedirs(self._schema_dir(), exist_ok=True)
-            tmp = os.path.join(self._schema_dir(), f".{commit}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(json.loads(staged.json()), f)
-            os.replace(
-                tmp, os.path.join(self._schema_dir(), f"{commit}.json")
+            _write_json_atomic(
+                os.path.join(self._schema_dir(), f"{commit}.json"),
+                json.loads(staged.json()),
             )
             self._record_instant(commit, "alter")
             self._publish(commit)
@@ -1635,8 +1683,14 @@ class KeyedTable:
 
             if self.table_type == "MERGE_ON_READ":
                 self._write_log(stamped, commit)
-                self._publish(commit)
+                # marker BEFORE the pointer flip (r9 review — the
+                # delete/overwrite ordering, applied everywhere): a
+                # crash between flip and marker would otherwise leave a
+                # published commit permanently unmarked (instant_meta —
+                # e.g. the streaming batch id — lost; nothing backfills
+                # upsert markers). Beyond-pointer markers are reaped.
                 self._record_instant(commit, "upsert", meta=instant_meta)
+                self._publish(commit)
                 return commit
 
             # COW: merge with existing snapshot — larger precombine
@@ -1656,8 +1710,8 @@ class KeyedTable:
 
             self._write_snapshot(merged, commit)
             self._write_log(stamped, commit)
-            self._publish(commit)
             self._record_instant(commit, "upsert", meta=instant_meta)
+            self._publish(commit)
             self._clean()
             return commit
 
@@ -1922,10 +1976,26 @@ class KeyedTable:
                         .select(key)
                     )
                 force = d_present.unionByName(risky)
-                if not force.isEmpty():
-                    c = self.delete(force)
-                    if c is not None:
-                        commits.append(c)
+                # materialize upserts BEFORE the force delete: its plan
+                # anti-joins the PRE-delete snapshot, whose files the
+                # delete's cleaner can remove at small keep_versions —
+                # evaluating it afterwards would re-read deleted files
+                # (r9 review). count() fills the cache fully (isEmpty
+                # materializes one partition only).
+                from pyspark import StorageLevel
+
+                upserts = upserts.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    has_upserts = upserts.count() > 0
+                    if not force.isEmpty():
+                        c = self.delete(force)
+                        if c is not None:
+                            commits.append(c)
+                    if has_upserts:
+                        commits.append(self.upsert(upserts))
+                finally:
+                    upserts.unpersist()
+                return commits
             if not upserts.isEmpty():
                 commits.append(self.upsert(upserts))
             return commits
@@ -2298,7 +2368,11 @@ def compact_snapshot(
             from ..sources.bloomindex import write_bloom
 
             write_bloom(table.spark, snap_path, bloom_key)
-        table._publish(commit)
+        # marker BEFORE the pointer flip (r9 review — the engine-wide
+        # ordering): a crash between flip and marker would leave a
+        # published replace invisible to the conflict/instants rails
+        # forever; a beyond-pointer marker is reaped instead
         table._record_instant(commit, "replace")
+        table._publish(commit)
         table._clean()
         return commit

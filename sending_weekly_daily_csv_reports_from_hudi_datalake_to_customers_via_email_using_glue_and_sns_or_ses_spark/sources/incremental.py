@@ -294,6 +294,29 @@ class IncrementalReader:
         log = read_commit_log(self.spark, self.path)
         if log is not None:
             return log
+        if os.path.isfile(os.path.join(self.path, "_meta.json")):
+            # a KeyedTable root with NO published commits (pre-first-
+            # commit, or rolled back to empty): the raw-parquet
+            # fallback below would raise an opaque schema-inference
+            # error (r9 review). With a recorded schema the increment
+            # is a typed EMPTY frame; without one there is genuinely
+            # nothing to serve yet — say so.
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            sch = _committed_schema(self.path)
+            if sch is not None:
+                return self.spark.createDataFrame(
+                    [],
+                    StructType(
+                        list(sch.fields)
+                        + [StructField(COMMIT_COL, StringType())]
+                    ),
+                )
+            raise ValueError(
+                f"{self.path} is a KeyedTable root with no published "
+                "commits and no recorded schema — write one batch "
+                "before registering it as an incremental source"
+            )
         return self.spark.read.parquet(self.path)
 
     def _read_after(self, begin: str) -> DataFrame:
@@ -307,7 +330,15 @@ class IncrementalReader:
                 .option("hoodie.datasource.read.begin.instanttime", begin)
                 .load(self.path)
             )
-        return self._snapshot().filter(F.col(self.commit_col) > F.lit(begin))
+        snap = self._snapshot()
+        # literal typed to the COLUMN (r9 review): comparing a string
+        # literal against a bigint commit column coerces BOTH sides to
+        # double, whose 53-bit mantissa cannot hold 17-digit commit
+        # ids — boundary commits would silently drop or duplicate. The
+        # cast is exact for string (no-op), integral, and timestamp
+        # commit columns.
+        lit = F.lit(begin).cast(snap.schema[self.commit_col].dataType)
+        return snap.filter(F.col(self.commit_col) > lit)
 
     # -- the incremental read (template.py:226-273) ---------------------
     def read(self) -> DataFrame:
@@ -343,11 +374,22 @@ class IncrementalReader:
         inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
         self._materialized = inc
         last = inc.agg(F.max(self.commit_col).alias("c")).first()["c"]
-        self._pending_commit = last  # None when increment is empty
+        self._pending_commit = (
+            str(last) if last is not None else None
+        )
         if last is not None:
             # hard pin: an upper bound makes a cache-loss recompute
-            # return exactly the staged row set, not a wider one
-            inc = inc.filter(F.col(self.commit_col) <= F.lit(str(last)))
+            # return exactly the staged row set, not a wider one. The
+            # literal keeps the aggregate's NATIVE type (r9 review:
+            # str() against a bigint column coerced both sides to
+            # double, losing 17-digit precision).
+            inc = inc.filter(F.col(self.commit_col) <= F.lit(last))
+        else:
+            # the EMPTY increment is pinned too: without it, a caller
+            # evaluating the returned frame AFTER new upstream commits
+            # land would deliver those rows now — and redeliver them
+            # next run, since commit() was a no-op (r9 review)
+            inc = inc.filter(F.lit(False))
         view_name = f"{self.table_name}_incremental"
         inc.createOrReplaceTempView(view_name)
         return inc

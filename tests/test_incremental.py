@@ -357,3 +357,77 @@ def test_apply_cdc_partial_replica_reborn_key_converges(spark, tmp_path):
         (r_["k"], r_["v"], r_["n"]) for r_ in dst.snapshot().collect()
     )
     assert got == want == [(1, None, 7)]
+
+
+def test_incremental_bigint_commit_column_precision(spark, tmp_path):
+    """r9 review fix: commit filters must compare in the COLUMN's type.
+    A bigint commit column holding 17-digit ids exceeds double's
+    mantissa (ulp=4 up there) — a string literal coerced both sides to
+    double, collapsing commits 1-2 apart and silently dropping or
+    duplicating boundary rows."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        IncrementalReader,
+    )
+
+    base = 20260816120000000  # > 2^53: double ulp is 4 here
+    path = str(tmp_path / "bigsrc")
+    spark.createDataFrame(
+        [(1, base), (2, base + 1), (3, base + 2)],
+        "id int, commit_ts long",
+    ).write.parquet(path)
+    r = IncrementalReader(
+        spark, "bigsrc", path,
+        checkpoint_root=str(tmp_path / "ck"), commit_col="commit_ts",
+    )
+    first = r.read()
+    assert first.count() == 3
+    r.commit()
+    # new rows ONE id apart from the checkpoint — indistinguishable
+    # from it as doubles
+    spark.createDataFrame(
+        [(4, base + 3), (5, base + 4)], "id int, commit_ts long"
+    ).write.mode("append").parquet(path)
+    second = r.read()
+    got = sorted(x["id"] for x in second.collect())
+    assert got == [4, 5], got
+    r.commit()
+    assert r.read().count() == 0
+
+
+def test_incremental_empty_keyed_root_and_empty_increment_pin(
+    spark, tmp_path
+):
+    """r9 review fixes: an INC source over a KeyedTable root with no
+    published commits gets an actionable error (or a typed empty frame
+    once a schema exists), and an EMPTY increment's returned frame is
+    pinned — rows committed upstream AFTER the read must not leak into
+    a late evaluation of it."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        IncrementalReader,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "esrc"), record_key="k", precombine="pre"
+    )
+    r = IncrementalReader(
+        spark, "esrc", t.root, checkpoint_root=str(tmp_path / "eck")
+    )
+    with pytest.raises(ValueError, match="no published commits"):
+        r.read()
+    t.upsert(spark.createDataFrame([(1, 1, "a")], "k int, pre int, v string"))
+    assert r.read().count() == 1
+    r.commit()
+    # empty increment, held lazily
+    empty = r.read()
+    # upstream commits AFTER the read; the held frame must stay empty
+    t.upsert(spark.createDataFrame([(2, 1, "b")], "k int, pre int, v string"))
+    assert empty.count() == 0
+    r.commit()  # no-op (nothing staged)
+    assert sorted(
+        x["k"] for x in r.read().collect()
+    ) == [2]  # the late commit arrives in ITS OWN window, exactly once

@@ -2234,3 +2234,39 @@ def test_schema_evolution_random_lifecycle_property(spark, tmp_path):
             if x not in ("k", "pre", "_commit_time")
         ]
         assert sorted(have) == sorted(vcols), (commit, have, vcols)
+
+
+def test_keyed_table_write_time_guards(spark, tmp_path):
+    """r9 review fixes: a data column named 'c' is refused at WRITE
+    time (not first discovered by a bricked read), keep_versions=0 is
+    refused (it silently disabled the cleaner), and re-constructing an
+    existing root with a different identity config raises instead of
+    split-braining the table (table_type stays a per-writer mode)."""
+    t = KeyedTable(
+        spark, str(tmp_path / "g"), record_key="k", precombine="pre"
+    )
+    with pytest.raises(ValueError, match="collides with the commit-log"):
+        t.upsert(
+            spark.createDataFrame([(1, 1, 5)], "k int, pre int, c int")
+        )
+    with pytest.raises(ValueError, match="keep_versions"):
+        KeyedTable(
+            spark, str(tmp_path / "kv"), record_key="k",
+            precombine="pre", keep_versions=0,
+        )
+    t.upsert(spark.createDataFrame([(1, 1, 5)], "k int, pre int, v int"))
+    with pytest.raises(ValueError, match="identity config"):
+        KeyedTable(
+            spark, t.root, record_key="other", precombine="pre"
+        )
+    with pytest.raises(ValueError, match="identity config"):
+        KeyedTable(
+            spark, t.root, record_key="k", precombine="v"
+        )
+    # operational modes may differ: MOR-mode appends on a COW root
+    t2 = KeyedTable(
+        spark, t.root, record_key="k", precombine="pre",
+        table_type="MERGE_ON_READ",
+    )
+    t2.upsert(spark.createDataFrame([(2, 1, 7)], "k int, pre int, v int"))
+    assert {r["k"]: r["v"] for r in t2.snapshot().collect()} == {1: 5, 2: 7}
