@@ -133,6 +133,10 @@ _JACCARD_CTES = r"""
     SELECT doc_a, doc_b, CAST(round(jac, 6) AS DOUBLE) AS jaccard
     FROM jaccard_pairs
     """,
+    retired=True,  # r10: slot funded stream_ivm_report (VERDICT r9 #1);
+    # the shingle pipeline stays driver-green via dedup_minhash_lsh and
+    # dedup_clusters (which consumes this very pair graph), and this
+    # entry keeps its full oracle under test_retired_parity
 )
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, strategy: str = "index"

@@ -1259,6 +1259,25 @@ class MaintainedStarAggregate(MaintainedAggregate):
     same window-aware guards (covered side carried forward = legal;
     covered side with a window, or token advance without one = raise).
 
+    ``how="left"`` (r10, VERDICT r9 #3) maintains the LEFT-OUTER star:
+    fact rows unmatched in dim j live in dim j's NULL attribute group
+    (each dim is an independent N:1 lookup, so left joins compose and
+    the row count stays |F|). Three deltas generalize from the 2-table
+    form: the fact term left-joins every pinned dim (an unmatched ΔF
+    row carries its sign into the NULL groups); each dim term's join
+    to ΔDᵢ stays INNER (only matching fact rows change) but its OTHER
+    pinned dims join left; and per changed dim an EXISTENCE
+    COUNTERWEIGHT term moves fact rows between dim i's NULL group and
+    its real groups — per key the net existence change
+    e = Σ sign ∈ {−1, 0, +1} (N:1), and the term is F₀ rows of keys
+    with e ≠ 0, dim-i attributes NULL, other dims pinned per the same
+    telescoping spec, signed −e. The NULL group participates in the
+    dirty MIN/MAX recompute through the NULL-safe group plumbing the
+    2-table form already uses. Left maintenance requires every dim to
+    carry a published instant in the token (seed with rebuild() after
+    each dim's first commit — the streaming driver's deferral rule):
+    a genesis-empty dim has no schema to type its NULL columns from.
+
     API shape (k-ary, so sides are named): ``dims`` at construction is
     ``[(name, fact_on, dim_on), ...]``; ``apply`` takes per-dim windows
     and LAZY state factories ``dim_states[name](instant) ->
@@ -1276,6 +1295,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
         distinct_cols: list[str] | None = None,
+        how: str = "inner",
     ):
         super().__init__(
             spark, path, group_cols, sum_cols, minmax_cols, distinct_cols
@@ -1287,7 +1307,14 @@ class MaintainedStarAggregate(MaintainedAggregate):
             raise ValueError(
                 f"dim names must be unique and not 'fact': {names}"
             )
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"how={how!r}: the maintained star supports 'inner' and "
+                "'left' (left-outer — unmatched fact rows live in each "
+                "dim's NULL attribute group)"
+            )
         self.dims = [tuple(d) for d in dims]
+        self.how = how
 
     def _needed(self) -> list[str]:
         return list(
@@ -1340,7 +1367,7 @@ class MaintainedStarAggregate(MaintainedAggregate):
                 *[c for c in needed if owner[c] == n],
             )
             out = out.join(
-                ds, F.col(fact_on) == F.col(f"__jk{i}"), "inner"
+                ds, F.col(fact_on) == F.col(f"__jk{i}"), self.how
             )
         return out.select(*needed)
 
@@ -1495,7 +1522,10 @@ class MaintainedStarAggregate(MaintainedAggregate):
         def _assemble(fact_rows, fact_fields, dim_sides_spec):
             """Join a term: fact_rows ⋈ every dim side per spec, where
             spec[i] is either a plain pinned state instant or a signed
-            window marker ('delta')."""
+            window marker ('delta'). Pinned sides join with ``self.how``
+            (left keeps unmatched fact rows, attrs NULL); the Δ side
+            always joins INNER — only fact rows matching a changed key
+            contribute to a dim term."""
             dim_fields_by_i = {}
             for i, spec in enumerate(dim_sides_spec):
                 name, _, dim_on = self.dims[i]
@@ -1507,7 +1537,14 @@ class MaintainedStarAggregate(MaintainedAggregate):
                 else:
                     ds = _state(name, spec)
                     if ds is None:
-                        return None  # empty pinned dim: inner join = ∅
+                        if self.how == "inner":
+                            return None  # empty pinned dim: term = ∅
+                        raise ValueError(
+                            f"left star maintenance: dim {name!r} has "
+                            "no published instant in the token — seed "
+                            "the view with rebuild() after every dim's "
+                            "first commit"
+                        )
                     dim_fields_by_i[i] = set(ds.columns)
             owners = _split(fact_fields, dim_fields_by_i)
             out = fact_rows
@@ -1523,12 +1560,14 @@ class MaintainedStarAggregate(MaintainedAggregate):
                         *d_needed,
                         SIGN_COL,
                     )
+                    join_how = "inner"
                 else:
                     frame = _dim_plain(i, spec, d_needed)
                     if frame is None:
                         return None
+                    join_how = self.how
                 out = out.join(
-                    frame, F.col(fact_on) == F.col(f"__jk{i}"), "inner"
+                    frame, F.col(fact_on) == F.col(f"__jk{i}"), join_how
                 )
             return out.select(*needed, SIGN_COL)
 
@@ -1589,6 +1628,81 @@ class MaintainedStarAggregate(MaintainedAggregate):
                     t = _assemble(fb_sel, fb_fields, spec)
                     if t is not None:
                         terms.append(t)
+                    if self.how != "left":
+                        continue
+                    # NULL-group counterweight (r10, VERDICT r9 #3; the
+                    # 2-table existence delta generalized): a dim-i key
+                    # APPEARING moves its F₀ rows OUT of dim i's NULL
+                    # attribute group, a key VANISHING moves them back
+                    # in. Per changed key the net existence change
+                    # e = Σ sign ∈ {−1, 0, +1} (N:1; an update nets 0 —
+                    # its movement is fully carried by the inner term
+                    # above). Term = F₀ rows of keys with e ≠ 0, dim-i
+                    # attrs NULL, OTHER dims pinned per the same
+                    # telescoping spec (left, like every pinned side),
+                    # signed −e.
+                    name_i, fact_on_i, dim_on_i = self.dims[i]
+                    w = dim_wins[name_i]
+                    dim_types = {
+                        f.name: f.dataType
+                        for f in w.schema["_after"].dataType.fields
+                    }
+                    dkey = _cdc_key_col(w)
+                    dim_types[dkey] = w.schema[dkey].dataType
+                    exist = (
+                        signed_cdc_rows(w, [dim_on_i])
+                        .groupBy(dim_on_i)
+                        .agg(F.sum(SIGN_COL).alias("__e"))
+                        .filter(F.col("__e") != 0)
+                        .select(
+                            F.col(dim_on_i).alias(f"__jk{i}"),
+                            F.col("__e"),
+                        )
+                    )
+                    # owner split: dim i per the window fields, other
+                    # dims per their pinned states (all non-None here —
+                    # the inner term's _assemble raised otherwise)
+                    owners_cw = _split(
+                        fb_fields,
+                        {
+                            j: (
+                                set(dim_types)
+                                if j == i
+                                else set(
+                                    _state(
+                                        self.dims[j][0], spec[j]
+                                    ).columns
+                                )
+                            )
+                            for j in range(len(self.dims))
+                        },
+                    )
+                    out = fb_sel.join(
+                        exist,
+                        F.col(fact_on_i) == F.col(f"__jk{i}"),
+                        "inner",
+                    )
+                    for j, (n_j, fact_on_j, _) in enumerate(self.dims):
+                        if j == i:
+                            continue
+                        frame = _dim_plain(j, spec[j], owners_cw[f"d{j}"])
+                        out = out.join(
+                            frame,
+                            F.col(fact_on_j) == F.col(f"__jk{j}"),
+                            "left",
+                        )
+                    null_i = set(owners_cw[f"d{i}"])
+                    terms.append(
+                        out.select(
+                            *[
+                                F.lit(None).cast(dim_types[c]).alias(c)
+                                if c in null_i
+                                else F.col(c)
+                                for c in needed
+                            ],
+                            (-F.col("__e")).cast("int").alias(SIGN_COL),
+                        )
+                    )
 
         if not terms:
             # state unchanged (see the 2-table branch): no validate

@@ -153,6 +153,42 @@ def _batch_max_by_side(batch_df) -> dict[str, str]:
     }
 
 
+def _stream_gate(
+    spark,
+    quality_rules,
+    sum_cols,
+    avg_cols,
+    metric_history_path,
+    max_rel_change,
+    run_key_cell: dict,
+):
+    """The batch loops' pre-publish quality/drift gate wired into the
+    streaming fold (r10, VERDICT r9 #2): the SAME ``validate`` hook
+    ``ivm._publish`` runs between the version write and the pointer
+    flip — a violated rule (or a drifted metric, with
+    ``metric_history_path``) raises BEFORE the flip, so the prior view
+    version stays live, the ``through`` token is unchanged, the
+    foreachBatch raises, and the STREAM FAILS with the micro-batch
+    uncommitted: Spark's checkpoint replays the window on restart and
+    the retry converges once the data (or the rules) are fixed — a red
+    window can never flow into the continuously maintained view or its
+    ``on_update`` report. ``run_key_cell['key']`` is set by the fold
+    before apply/rebuild (the gate's history key is the fold's token,
+    known only then). Returns None when there are no rules."""
+    if not quality_rules:
+        return None
+    from ..pipeline import _avg_enricher, _quality_gate
+
+    return _quality_gate(
+        spark,
+        quality_rules,
+        _avg_enricher(sum_cols, avg_cols),
+        run_key=lambda: run_key_cell["key"],
+        metric_history_path=metric_history_path,
+        max_rel_change=max_rel_change,
+    )
+
+
 def stream_maintained_view(
     spark: SparkSession,
     source_root: str,
@@ -168,6 +204,10 @@ def stream_maintained_view(
     on_update=None,  # (view, through: str) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
+    quality_rules: list | None = None,
+    metric_history_path: str | None = None,
+    max_rel_change: float = 0.1,
+    avg_cols: bool = True,
 ):
     """Continuously maintain a SINGLE-TABLE grouped aggregate
     (:class:`~..operators.ivm.MaintainedAggregate`) from a KeyedTable's
@@ -184,7 +224,13 @@ def stream_maintained_view(
     ``on_update`` runs after each successful publish with the live
     view and its new ``through`` token — e.g. write the CSV report
     with ``report_id=f"cdc_{through}"`` for idempotent redelivery
-    (pipeline.write_csv_report semantics)."""
+    (pipeline.write_csv_report semantics).
+
+    ``quality_rules`` (+ optional ``metric_history_path`` drift, r10)
+    gate every publish BEFORE the pointer flip — see
+    :func:`_stream_gate`: a red window fails the micro-batch, the
+    checkpoint replays it on restart, and nothing gated-out is ever
+    visible to readers or ``on_update``."""
     table = KeyedTable.open(spark, source_root)
     view = MaintainedAggregate(
         spark,
@@ -193,6 +239,11 @@ def stream_maintained_view(
         sum_cols=sum_cols,
         minmax_cols=minmax_cols,
         distinct_cols=distinct_cols,
+    )
+    run_key_cell: dict = {}
+    gate = _stream_gate(
+        spark, quality_rules, sum_cols, avg_cols,
+        metric_history_path, max_rel_change, run_key_cell,
     )
 
     def fold(batch_df, _batch_id):
@@ -203,16 +254,21 @@ def stream_maintained_view(
         seen = view.through()
         if end is None or (seen is not None and end <= seen):
             return  # covered (restart redelivery) or nothing published
+        run_key_cell["key"] = f"cdc_{end}"
         if seen is None:
             # genesis seed: snapshot beats replaying history as CDC
-            view.rebuild(table.snapshot(as_of=end), through=end)
+            view.rebuild(
+                table.snapshot(as_of=end), through=end, validate=gate
+            )
         else:
             try:
                 win = table.cdc(begin=seen, end=end)
             except ReplaceCommitError:
                 # re-seed from the post-replace snapshot (idempotent,
                 # order-insensitive — the 'r' self-heal)
-                view.rebuild(table.snapshot(as_of=end), through=end)
+                view.rebuild(
+                    table.snapshot(as_of=end), through=end, validate=gate
+                )
             else:
                 view.apply(
                     win,
@@ -222,6 +278,7 @@ def stream_maintained_view(
                         if minmax_cols
                         else None
                     ),
+                    validate=gate,
                 )
         if on_update is not None:
             on_update(view, end)
@@ -253,6 +310,10 @@ def stream_maintained_join_view(
     on_update=None,  # (view, through: dict) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
+    quality_rules: list | None = None,
+    metric_history_path: str | None = None,
+    max_rel_change: float = 0.1,
+    avg_cols: bool = True,
 ):
     """Continuously maintain the 2-table JOIN aggregate
     (:class:`~..operators.ivm.MaintainedJoinAggregate`) — the
@@ -293,6 +354,11 @@ def stream_maintained_join_view(
             f"({table_d.record_key!r}) — the maintained join is N:1 by "
             "contract"
         )
+    run_key_cell: dict = {}
+    gate = _stream_gate(
+        spark, quality_rules, sum_cols, avg_cols,
+        metric_history_path, max_rel_change, run_key_cell,
+    )
 
     def fold(batch_df, _batch_id):
         maxes = _batch_max_by_side(batch_df)
@@ -320,6 +386,7 @@ def stream_maintained_join_view(
             "fact": f_end if f_adv else f_seen,
             "dim": d_end if d_adv else d_seen,
         }
+        run_key_cell["key"] = f"cdc_{pair['fact']}_{pair['dim']}"
 
         # fold-local snapshot memo: dim_state, fact_base, and the
         # minmax base pin the SAME (table, instant) snapshots — build
@@ -337,7 +404,7 @@ def stream_maintained_join_view(
             ds = _snap(table_d, pair["dim"])
             if fs is None or ds is None:
                 return False  # one side has no state yet: nothing to do
-            view.rebuild(view.joined(fs, ds), through=pair)
+            view.rebuild(view.joined(fs, ds), through=pair, validate=gate)
             return True
 
         # genesis = the TOKEN is absent — also heals a view seeded
@@ -383,6 +450,7 @@ def stream_maintained_join_view(
                     )
                     if minmax_cols
                     else None,
+                    validate=gate,
                 )
         if on_update is not None:
             on_update(view, pair)
@@ -405,12 +473,17 @@ def stream_maintained_star_view(
     checkpoint_location: str,
     minmax_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    how: str = "inner",
     max_files_per_trigger: int | None = None,
     publish_wait_s: float = 10.0,
     strict_publish_wait: bool = False,
     on_update=None,  # (view, through: dict) -> None, after each publish
     available_now: bool = False,
     processing_time: str | None = None,
+    quality_rules: list | None = None,
+    metric_history_path: str | None = None,
+    max_rel_change: float = 0.1,
+    avg_cols: bool = True,
 ):
     """The k-dimension generalization of
     :func:`stream_maintained_join_view`: maintain a STAR aggregate
@@ -438,6 +511,7 @@ def stream_maintained_star_view(
         sum_cols=sum_cols,
         minmax_cols=minmax_cols,
         distinct_cols=distinct_cols,
+        how=how,
     )
     for name, _, _, dim_on in dims:
         rk = dim_tables[name].record_key
@@ -449,6 +523,11 @@ def stream_maintained_star_view(
             )
     tables = {"fact": table_f, **dim_tables}
     dim_names = [n for n, _, _, _ in dims]
+    run_key_cell: dict = {}
+    gate = _stream_gate(
+        spark, quality_rules, sum_cols, avg_cols,
+        metric_history_path, max_rel_change, run_key_cell,
+    )
 
     def fold(batch_df, _batch_id):
         maxes = _batch_max_by_side(batch_df)
@@ -474,6 +553,9 @@ def stream_maintained_star_view(
         token = {
             s: ends[s] if adv[s] else seen.get(s) for s in tables
         }
+        run_key_cell["key"] = "cdc_" + "_".join(
+            str(token[s]) for s in ["fact"] + dim_names
+        )
 
         snaps: dict = {}
 
@@ -488,7 +570,9 @@ def stream_maintained_star_view(
             ds = {n: _snap(dim_tables[n], token[n]) for n in dim_names}
             if fs is None or any(v is None for v in ds.values()):
                 return False  # a side has no state yet: nothing to do
-            view.rebuild(view.joined(fs, ds), through=token)
+            view.rebuild(
+                view.joined(fs, ds), through=token, validate=gate
+            )
             return True
 
         # token-absent = genesis (heals token-less seeded views too —
@@ -536,6 +620,7 @@ def stream_maintained_star_view(
                         if minmax_cols
                         else None
                     ),
+                    validate=gate,
                 )
         if on_update is not None:
             on_update(view, token)

@@ -27,7 +27,7 @@ CUST_S = "ck int, cpre int, seg string"
 PART_S = "pk int, ppre int, cat string"
 
 
-def _make(spark, tmp_path, tag):
+def _make(spark, tmp_path, tag, how="inner"):
     fact = KeyedTable(
         spark, str(tmp_path / f"f{tag}"), record_key="fk",
         precombine="fpre", keep_versions=30,
@@ -55,38 +55,48 @@ def _make(spark, tmp_path, tag):
         group_cols=["seg", "cat"],
         sum_cols=["amount"],
         minmax_cols=["amount"],
+        how=how,
     )
     return fact, cust, part, readers, view
 
 
-def _star(fact, cust, part, f=None, c=None, p=None):
+def _star(fact, cust, part, f=None, c=None, p=None, how="inner"):
     fs = fact.snapshot(as_of=f)
     cs = cust.snapshot(as_of=c)
     ps = part.snapshot(as_of=p)
     if fs is None or cs is None or ps is None:
         return None
     return (
-        fs.join(cs, fs["ck"] == cs["ck"], "inner")
-        .join(ps, fs["pk"] == ps["pk"], "inner")
+        fs.join(cs, fs["ck"] == cs["ck"], how)
+        .join(ps, fs["pk"] == ps["pk"], how)
         .select(cs["seg"], ps["cat"], fs["amount"])
     )
 
 
-def _recompute(fact, cust, part):
-    j = _star(fact, cust, part)
+def _nulls_first(t):
+    """Sort key tolerating None group values (the outer star's NULL
+    attribute groups)."""
+    return tuple((v is not None, v) for v in t)
+
+
+def _recompute(fact, cust, part, how="inner"):
+    j = _star(fact, cust, part, how=how)
     if j is None:
         return []
     return sorted(
-        (r["seg"], r["cat"], r["n_rows"], r["sum_amount"],
-         r["min_amount"], r["max_amount"])
-        for r in j.groupBy("seg", "cat")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("amount").alias("sum_amount"),
-            F.min("amount").alias("min_amount"),
-            F.max("amount").alias("max_amount"),
-        )
-        .collect()
+        (
+            (r["seg"], r["cat"], r["n_rows"], r["sum_amount"],
+             r["min_amount"], r["max_amount"])
+            for r in j.groupBy("seg", "cat")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+                F.min("amount").alias("min_amount"),
+                F.max("amount").alias("max_amount"),
+            )
+            .collect()
+        ),
+        key=_nulls_first,
     )
 
 
@@ -94,13 +104,16 @@ def _maintained(df):
     if df is None:
         return []
     return sorted(
-        (r["seg"], r["cat"], r["n_rows"], r["sum_amount"],
-         r["min_amount"], r["max_amount"])
-        for r in df.collect()
+        (
+            (r["seg"], r["cat"], r["n_rows"], r["sum_amount"],
+             r["min_amount"], r["max_amount"])
+            for r in df.collect()
+        ),
+        key=_nulls_first,
     )
 
 
-def _run(view, fact, cust, part, readers):
+def _run(view, fact, cust, part, readers, how="inner"):
     """One coordinated maintenance run across all three streams — the
     pipeline-loop protocol: covered instant = staged window end, else
     the view token, else the reader checkpoint (a window consumed by a
@@ -132,7 +145,7 @@ def _run(view, fact, cust, part, readers):
         through=dict(ends),
         base=lambda: _star(
             fact, cust, part,
-            f=ends["fact"], c=ends["cust"], p=ends["part"],
+            f=ends["fact"], c=ends["cust"], p=ends["part"], how=how,
         ),
     )
     for r in readers.values():
@@ -314,3 +327,99 @@ def test_star_join_key_third_side_collision_still_raises(spark, tmp_path):
         fact.snapshot(),
         {"cust": cust.snapshot(), "part": part.snapshot()},
     ).count() == 1
+
+
+def test_left_outer_star_ivm_tracks_recompute_over_random_history(
+    spark, tmp_path
+):
+    """how='left' (r10, VERDICT r9 #3) property: after every coordinated
+    window set the maintained LEFT-OUTER star aggregate equals a direct
+    fact ⟕ cust ⟕ part recompute — fact keys deliberately overflow both
+    dim domains so NULL attribute groups are always populated, dim
+    upserts migrate rows OUT of them (existence counterweight), dim
+    deletes migrate rows back IN, and fact deletes dirty the NULL
+    groups' MIN/MAX (healed via the NULL-safe recompute)."""
+    rng = random.Random(23)
+    fact, cust, part, readers, view = _make(spark, tmp_path, "L", how="left")
+    cust.upsert(spark.createDataFrame(
+        [(j, 0, rng.choice("xy")) for j in range(4)], CUST_S))
+    part.upsert(spark.createDataFrame(
+        [(j, 0, rng.choice("mn")) for j in range(3)], PART_S))
+    _run(view, fact, cust, part, readers, how="left")
+
+    for step in range(8):
+        if rng.random() < 0.75:
+            fact.upsert(spark.createDataFrame(
+                [
+                    (
+                        rng.randrange(18),
+                        step * 100 + i,
+                        rng.randrange(7),   # ck 4-6 never matched
+                        rng.randrange(6),   # pk 3-5 never matched
+                        None if rng.random() < 0.2
+                        else rng.randrange(-40, 400),
+                    )
+                    for i in range(rng.randrange(2, 6))
+                ],
+                FACT_S,
+            ))
+        if rng.random() < 0.45:
+            # upserts can CREATE keys 0-5: rows migrate out of the
+            # NULL group when a previously-unmatched ck appears
+            cust.upsert(spark.createDataFrame(
+                [(rng.randrange(6), step * 100 + i, rng.choice("xyz"))
+                 for i in range(rng.randrange(1, 3))], CUST_S))
+        if rng.random() < 0.45:
+            part.upsert(spark.createDataFrame(
+                [(rng.randrange(5), step * 100 + i, rng.choice("mnq"))
+                 for i in range(rng.randrange(1, 3))], PART_S))
+        if step == 3:
+            keys = [r["fk"] for r in fact.snapshot().select("fk").collect()]
+            fact.delete(spark.createDataFrame(
+                [(k,) for k in rng.sample(keys, max(1, len(keys) // 3))],
+                "fk int"))
+        if step == 5:
+            # dim delete: matched rows migrate INTO the NULL group
+            cust.delete(spark.createDataFrame([(1,)], "ck int"))
+        if step == 6:
+            part.delete(spark.createDataFrame([(2,)], "pk int"))
+        _run(view, fact, cust, part, readers, how="left")
+        assert _maintained(view.current()) == _recompute(
+            fact, cust, part, how="left"
+        ), f"diverged at step {step}"
+
+
+def test_left_outer_star_null_group_migration_both_dims(spark, tmp_path):
+    """Deterministic outer check: a fact row unmatched on BOTH dims
+    sits in the (NULL, NULL) group; each dim key appearing migrates it
+    one axis at a time; deleting a dim key migrates it back."""
+    fact, cust, part, readers, view = _make(
+        spark, tmp_path, "M", how="left"
+    )
+    cust.upsert(spark.createDataFrame([(9, 0, "x")], CUST_S))  # unmatched
+    part.upsert(spark.createDataFrame([(9, 0, "m")], PART_S))  # unmatched
+    fact.upsert(spark.createDataFrame([(10, 0, 1, 1, 7)], FACT_S))
+    _run(view, fact, cust, part, readers, how="left")
+    assert _maintained(view.current()) == [(None, None, 1, 7, 7, 7)]
+    cust.upsert(spark.createDataFrame([(1, 1, "y")], CUST_S))
+    _run(view, fact, cust, part, readers, how="left")
+    assert _maintained(view.current()) == [("y", None, 1, 7, 7, 7)]
+    part.upsert(spark.createDataFrame([(1, 1, "n")], PART_S))
+    _run(view, fact, cust, part, readers, how="left")
+    assert _maintained(view.current()) == [("y", "n", 1, 7, 7, 7)]
+    cust.delete(spark.createDataFrame([(1,)], "ck int"))
+    _run(view, fact, cust, part, readers, how="left")
+    assert (
+        _maintained(view.current())
+        == _recompute(fact, cust, part, how="left")
+        == [(None, "n", 1, 7, 7, 7)]
+    )
+
+
+def test_star_ivm_rejects_unknown_how(spark, tmp_path):
+    with pytest.raises(ValueError, match="how="):
+        MaintainedStarAggregate(
+            spark, str(tmp_path / "badhow"),
+            dims=[("cust", "ck", "ck")],
+            group_cols=["seg"], sum_cols=["amount"], how="full",
+        )

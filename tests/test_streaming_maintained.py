@@ -524,3 +524,138 @@ def test_stream_maintained_view_strict_publish_wait(spark, tmp_path):
     assert _view_rows(view, ("grp", "n_rows", "sum_amount")) == [
         ("a", 2, 109)
     ]
+
+
+def test_stream_quality_gate_blocks_red_window_then_retries(
+    spark, tmp_path
+):
+    """r10 (VERDICT r9 #2): the streaming drivers gate every publish
+    BEFORE the pointer flip with the batch loops' quality machinery —
+    a rule-violating window must (a) leave the prior view version and
+    token live, (b) fail the stream (the micro-batch stays
+    uncommitted), and (c) converge to batch parity on the fixed
+    retry, because Spark's checkpoint replays the window."""
+    from importlib import import_module
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    quality = import_module(f"{ENGINE}.operators.quality")
+
+    src = _kt(spark, tmp_path / "qsrc", "k", "pre")
+    sch = "k int, pre int, grp string, amount long"
+    src.upsert(spark.createDataFrame(
+        [(1, 0, "a", 5), (2, 0, "b", 7)], sch))
+    view_path = str(tmp_path / "qview")
+    ck = str(tmp_path / "qck")
+
+    def start():
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view_path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            checkpoint_location=ck,
+            available_now=True,
+            quality_rules=[quality.min_rows(2)],  # needs >= 2 groups
+        )
+
+    view = ivm.MaintainedAggregate(
+        spark, view_path, group_cols=["grp"], sum_cols=["amount"]
+    )
+    cols = ("grp", "n_rows", "sum_amount")
+
+    # green genesis: 2 groups pass the gate
+    _drain(start())
+    t1 = view.through()
+    assert t1 == src.latest_commit()
+    v1 = _view_rows(view, cols)
+    assert v1 == [("a", 1, 5), ("b", 1, 7)]
+
+    # RED window: the delete collapses the view to 1 group
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    q = start()
+    with pytest.raises(Exception, match="min_rows"):
+        q.processAllAvailable()
+    q.stop()
+    # the prior version is still live and the token unchanged — the
+    # red window was never published and is NOT marked consumed
+    assert view.through() == t1
+    assert _view_rows(view, cols) == v1
+
+    # fixed retry: new data restores the second group; the restarted
+    # stream (same checkpoint) replays the red window together with
+    # the fix and lands on batch parity
+    src.upsert(spark.createDataFrame([(3, 1, "b", 9)], sch))
+    _drain(start())
+    assert view.through() == src.latest_commit()
+    expected = sorted(
+        (r["grp"], r["n_rows"], r["sum_amount"])
+        for r in src.snapshot()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").alias("sum_amount"),
+        )
+        .collect()
+    )
+    assert _view_rows(view, cols) == expected == [("a", 1, 5), ("b", 1, 9)]
+
+
+def test_stream_join_quality_gate_blocks_red_window(spark, tmp_path):
+    """The 2-table streaming driver's gate: a red window on the JOIN
+    view fails the batch pre-flip; the pair token and prior state
+    survive; relaxing nothing, the same red state stays blocked on
+    restart (no silent consume-and-move-on)."""
+    from importlib import import_module
+
+    import pytest
+
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    quality = import_module(f"{ENGINE}.operators.quality")
+
+    fact = _kt(spark, tmp_path / "jf", "fk", "fpre")
+    dim = _kt(spark, tmp_path / "jd", "ck", "cpre")
+    fact.upsert(spark.createDataFrame(
+        [(1, 0, 1, 10), (2, 0, 2, 20)], "fk int, fpre int, ck int, amount long"))
+    dim.upsert(spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, "y")], "ck int, cpre int, seg string"))
+    view_path = str(tmp_path / "jview")
+    ck = str(tmp_path / "jck")
+
+    def start():
+        return maintained.stream_maintained_join_view(
+            spark,
+            fact.root,
+            dim.root,
+            view_path,
+            on=("ck", "ck"),
+            group_cols=["seg"],
+            sum_cols=["amount"],
+            checkpoint_location=ck,
+            available_now=True,
+            quality_rules=[quality.min_rows(2)],
+        )
+
+    view = ivm.MaintainedJoinAggregate(
+        spark, view_path, on=("ck", "ck"),
+        group_cols=["seg"], sum_cols=["amount"],
+    )
+    cols = ("seg", "n_rows", "sum_amount")
+    _drain(start())
+    t1 = view.through()
+    v1 = _view_rows(view, cols)
+    assert v1 == [("x", 1, 10), ("y", 1, 20)]
+
+    # dim delete merges everything into one surviving group → red
+    dim.delete(spark.createDataFrame([(2,)], "ck int"))
+    q = start()
+    with pytest.raises(Exception, match="min_rows"):
+        q.processAllAvailable()
+    q.stop()
+    assert view.through() == t1
+    assert _view_rows(view, cols) == v1
