@@ -103,6 +103,8 @@ class BucketedTable:
         num_buckets: int = 16,
         keep_versions: int = 3,
         payload: str = "overwrite",
+        stats_cols: list[str] | None = None,
+        bloom_cols: str | list[str] | None = None,
     ):
         if num_buckets < 1:
             raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
@@ -110,6 +112,20 @@ class BucketedTable:
             raise ValueError(f"unknown payload: {payload!r}")
         self.spark = spark
         self.root = root
+        # P8/P7 data-skipping config (r10, VERDICT r9 #5): per-slice
+        # min/max stats stamped into every commit's manifest
+        # (snapshot_where plans over in-range slices) and per-slice
+        # Bloom sidecars (read_where_in opens may-contain slices).
+        # Empty = inherit the table's persisted config on an existing
+        # root; setting them on an existing table applies to FUTURE
+        # commits (old slices stay unindexed and are kept
+        # conservatively by the skipping reads).
+        self.stats_cols: list[str] = list(stats_cols or [])
+        self.bloom_cols: list[str] = (
+            [bloom_cols]
+            if isinstance(bloom_cols, str)
+            else list(bloom_cols or [])
+        )
         if isinstance(record_key, str) and "," in record_key:
             record_key = [f.strip() for f in record_key.split(",")]
         if isinstance(record_key, list):
@@ -139,6 +155,8 @@ class BucketedTable:
             "num_buckets": self.num_buckets,
             "keep_versions": self.keep_versions,
             "payload": self.payload,
+            "stats_cols": self.stats_cols,
+            "bloom_cols": self.bloom_cols,
         }
         if os.path.exists(self._meta_path()):
             with open(self._meta_path()) as f:
@@ -151,6 +169,21 @@ class BucketedTable:
                     f"{self.num_buckets} (bucket count is fixed at "
                     "creation — rewrite into a new table to resize)"
                 )
+            # index config: unset = inherit the persisted one; set =
+            # update it (applies to future commits — see __init__)
+            if not self.stats_cols:
+                self.stats_cols = list(existing.get("stats_cols") or [])
+            if not self.bloom_cols:
+                self.bloom_cols = list(existing.get("bloom_cols") or [])
+            if existing.get("stats_cols") != self.stats_cols or existing.get(
+                "bloom_cols"
+            ) != self.bloom_cols:
+                meta["stats_cols"] = self.stats_cols
+                meta["bloom_cols"] = self.bloom_cols
+                tmp = self._meta_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f, indent=1)
+                os.replace(tmp, self._meta_path())
             return
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -170,6 +203,8 @@ class BucketedTable:
             num_buckets=meta["num_buckets"],
             keep_versions=meta.get("keep_versions", 3),
             payload=meta.get("payload", "overwrite"),
+            stats_cols=meta.get("stats_cols") or None,
+            bloom_cols=meta.get("bloom_cols") or None,
         )
 
     # -- commit timeline ------------------------------------------------
@@ -227,6 +262,7 @@ class BucketedTable:
         op: str,
         slices: dict[int, str | None],
         schema: StructType,
+        col_stats: dict | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         doc = {
@@ -242,6 +278,11 @@ class BucketedTable:
             # exists per commit)
             "schema": json.loads(schema.json()),
         }
+        if col_stats:
+            # P8 per-slice min/max/null stats (r10): the manifest IS
+            # the file index — snapshot_where plans over in-range
+            # slices from this one document, never probing footers
+            doc["col_stats"] = col_stats
         tmp = self._manifest_path(commit) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -317,6 +358,99 @@ class BucketedTable:
         return _merge_latest(
             versions, self.record_key, self.precombine, prefer_col=COMMIT_COL
         )
+
+    # -- data-skipping indexes (r10, VERDICT r9 #5) -----------------------
+    def _collect_slice_stats(
+        self, pairs: list[tuple[int, str]], schema: StructType
+    ) -> dict:
+        """Per-SLICE min/max/null stats for ``stats_cols`` over the
+        just-written slices: one column-pruned multi-path scan grouped
+        by the slice's bucket (parsed from the file path), collected
+        driver-side (≤ touched-bucket rows). The write already paid for
+        these bytes; the stats scan reads only the indexed columns."""
+        from ..sources.colstats import _check_orderable, _enc
+
+        if not pairs:
+            return {}
+        df = self._read_slices(pairs, schema)
+        _check_orderable(df, self.stats_cols)
+        bucket = F.regexp_extract(
+            F.input_file_name(), r"[/\\]b=(\d+)[/\\]", 1
+        ).cast("int")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(self.stats_cols):
+            aggs.append(F.min(c).alias(f"__mn{i}"))
+            aggs.append(F.max(c).alias(f"__mx{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nl{i}")
+            )
+        rows = (
+            df.select(bucket.alias("__b"), *self.stats_cols)
+            .groupBy("__b")
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            str(r["__b"]): {
+                "rows": r["__rows"],
+                "cols": {
+                    c: {
+                        "min": _enc(r[f"__mn{i}"]),
+                        "max": _enc(r[f"__mx{i}"]),
+                        "nulls": r[f"__nl{i}"],
+                    }
+                    for i, c in enumerate(self.stats_cols)
+                },
+            }
+            for r in rows
+        }
+
+    def _stamp_indexes(
+        self,
+        touched_map: dict[int, str | None],
+        new_slices: dict[int, str | None],
+        schema: StructType,
+    ) -> dict | None:
+        """Stamp the commit's data-skipping indexes: per-slice col
+        stats for the manifest (untouched buckets carry their previous
+        entry forward — their slice is byte-identical) and per-slice
+        Bloom sidecars written INSIDE the just-renamed slice dirs
+        (immutable with them; the cleaner reaps both together).
+        Returns the manifest's col_stats dict, or None when the table
+        indexes nothing."""
+        col_stats: dict = {}
+        if self.stats_cols:
+            latest = self.latest_commit()
+            prev = (
+                (self._manifest(latest).get("col_stats") or {})
+                if latest is not None
+                else {}
+            )
+            for b, c in new_slices.items():
+                if b in touched_map or c is None:
+                    continue
+                e = prev.get(str(b))
+                if e is not None:
+                    col_stats[str(b)] = e
+            col_stats.update(
+                self._collect_slice_stats(
+                    [
+                        (b, c)
+                        for b, c in touched_map.items()
+                        if c is not None
+                    ],
+                    schema,
+                )
+            )
+        if self.bloom_cols:
+            from ..sources.bloomindex import write_bloom
+
+            for b, c in touched_map.items():
+                if c is not None:
+                    write_bloom(
+                        self.spark, self._slice_path(b, c), self.bloom_cols
+                    )
+        return col_stats or None
 
     # -- write path -----------------------------------------------------
     def _write_touched(
@@ -421,9 +555,13 @@ class BucketedTable:
             )
         )
         new_slices = dict(slices)
-        new_slices.update(self._write_touched(merged, touched, commit))
+        touched_map = self._write_touched(merged, touched, commit)
+        new_slices.update(touched_map)
+        col_stats = self._stamp_indexes(touched_map, new_slices, schema_now)
         self._write_log(stamped, commit)
-        self._write_manifest(commit, "upsert", new_slices, schema_now)
+        self._write_manifest(
+            commit, "upsert", new_slices, schema_now, col_stats
+        )
         self._publish(commit)
         self._clean()
         return commit
@@ -452,9 +590,12 @@ class BucketedTable:
             for b, c in self._write_touched(stamped, touched, commit).items()
             if c is not None
         }
+        schema_now = self._union_schema(stamped.schema)
+        # replace: every surviving slice is new — nothing carries over
+        col_stats = self._stamp_indexes(new_slices, new_slices, schema_now)
         self._write_log(stamped, commit)
         self._write_manifest(
-            commit, "overwrite", new_slices, self._union_schema(stamped.schema)
+            commit, "overwrite", new_slices, schema_now, col_stats
         )
         self._publish(commit)
         self._clean()
@@ -497,10 +638,12 @@ class BucketedTable:
             anti, on=self.record_key, how="left_anti"
         )
         new_slices = dict(slices)
-        new_slices.update(
-            self._write_touched(remaining, [b for b, _ in live], commit)
+        touched_map = self._write_touched(
+            remaining, [b for b, _ in live], commit
         )
-        self._write_manifest(commit, "delete", new_slices, schema)
+        new_slices.update(touched_map)
+        col_stats = self._stamp_indexes(touched_map, new_slices, schema)
+        self._write_manifest(commit, "delete", new_slices, schema, col_stats)
         self._publish(commit)
         self._clean()
         return commit
@@ -672,9 +815,190 @@ class BucketedTable:
         )
         commit = self._new_commit_id()
         slices = {int(b): c for b, c in manifest["slices"].items()}
-        self._write_manifest(commit, "alter", slices, staged)
+        # carry the per-slice stats forward under the NEW name (the
+        # slices are byte-identical; only the logical name moved)
+        prev_stats = manifest.get("col_stats")
+        renamed_stats = None
+        if prev_stats:
+            renamed_stats = {
+                b: {
+                    "rows": e["rows"],
+                    "cols": {
+                        (new if k == old else k): v
+                        for k, v in e["cols"].items()
+                    },
+                }
+                for b, e in prev_stats.items()
+            }
+        if old in self.stats_cols:
+            self.stats_cols = [
+                new if c == old else c for c in self.stats_cols
+            ]
+        if old in self.bloom_cols:
+            # per-slice bloom sidecars were built under the OLD name
+            # and probe by column name — they go stale on rename;
+            # future commits stamp under the new name and old slices
+            # fall back to the conservative keep
+            self.bloom_cols = [
+                new if c == old else c for c in self.bloom_cols
+            ]
+        self._write_meta_update()
+        self._write_manifest(commit, "alter", slices, staged, renamed_stats)
         self._publish(commit)
         return commit
+
+    def _write_meta_update(self) -> None:
+        """Rewrite _table.json with the current index config (rename
+        support — the normal path only writes meta at creation)."""
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        meta["stats_cols"] = self.stats_cols
+        meta["bloom_cols"] = self.bloom_cols
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    # -- data-skipping reads (r10, VERDICT r9 #5) -------------------------
+    def snapshot_where(
+        self,
+        predicates: dict,
+        as_of: str | None = None,
+        with_report: bool = False,
+    ):
+        """P8 data-skipping snapshot read — semantically IDENTICAL to
+        ``snapshot(as_of).filter(lo <= col <= hi ...)``: the manifest's
+        per-slice min/max stats (stamped at write time when the table
+        was created with ``stats_cols``) shrink the slice set the scan
+        plans over; the residual filter always applies. Slices without
+        stats (pre-index history, or a column added later) are kept
+        conservatively. Composes with time travel for free: an old
+        manifest pins both its slice set AND its stats. At 100 TB this
+        is the KeyedTable col-stats win on the bounded-write-
+        amplification engine: the driver prunes from ONE manifest
+        document, never listing or footer-probing slice files.
+        ``with_report=True`` also returns
+        ``{n_slices, n_kept, indexed}``."""
+        from ..sources.colstats import (
+            _file_survives,
+            _validate_predicates,
+            predicates_to_filter,
+        )
+
+        _validate_predicates(predicates)
+        latest = self.latest_commit()
+        if latest is None:
+            return (None, {"fallback": True}) if with_report else None
+        effective = latest if as_of is None or as_of > latest else as_of
+        surviving = [c for c in self.commits() if c <= effective]
+        if not surviving:
+            return (None, {"fallback": True}) if with_report else None
+        manifest = self._manifest(surviving[-1])
+        stats = manifest.get("col_stats") or {}
+        pairs = [
+            (int(b), c)
+            for b, c in manifest["slices"].items()
+            if c is not None
+        ]
+        kept = []
+        for b, c in pairs:
+            e = stats.get(str(b))
+            if e is None:
+                kept.append((b, c))  # unstamped slice: keep (safe)
+                continue
+            if _file_survives(
+                {"rows": e["rows"], "stats": e["cols"]}, predicates
+            ):
+                kept.append((b, c))
+        schema = StructType.fromJson(manifest["schema"])
+        df = self._read_slices(kept, schema)
+        if df is None:
+            df = self.spark.createDataFrame([], schema)
+        df = df.where(predicates_to_filter(predicates))
+        if with_report:
+            return df, {
+                "n_slices": len(pairs),
+                "n_kept": len(kept),
+                "indexed": bool(stats),
+            }
+        return df
+
+    def read_where_in(
+        self, col: str, values: list, with_report: bool = False
+    ):
+        """P7+ secondary-index lookup — semantically
+        ``snapshot().where(col.isin(values))``: each live slice's
+        ``_bloom.json`` sidecar (stamped at write time when the table
+        was created with ``bloom_cols``) answers "may this slice
+        contain any probe value?", and only may-contain slices are
+        scanned; the exact isin filter always applies. Record-key
+        probes don't need this — bucket routing (:meth:`read_keys`)
+        prunes them arithmetically; blooms cover the NON-key equality
+        probes routing can't touch. Probe bit positions are computed
+        once per (m, k, type) group, not per slice. Unindexed slices
+        are kept conservatively."""
+        import base64 as _b64
+
+        from ..sources import bloomindex as _bi
+
+        exact = F.col(col).isin(values) if values else F.lit(False)
+        latest = self.latest_commit()
+        if latest is None:
+            return (None, {"fallback": True}) if with_report else None
+        manifest = self._manifest(latest)
+        pairs = [
+            (int(b), c)
+            for b, c in manifest["slices"].items()
+            if c is not None
+        ]
+        kept, n_indexed = [], 0
+        pos_memo: dict = {}
+        for b, c in pairs:
+            bm = _bi.load_bloom(self.spark, self._slice_path(b, c))
+            resolved = (
+                None if bm is None else _bi._resolve_col(bm, col)
+            )
+            if resolved is None:
+                kept.append((b, c))  # unindexed slice: keep (safe)
+                continue
+            n_indexed += 1
+            if not values:
+                continue  # isin([]) is false everywhere
+            gk = (
+                bm["m_bits"],
+                bm["num_hashes"],
+                _bi.bloom_columns(bm).get(resolved),
+            )
+            if gk not in pos_memo:
+                pos_memo[gk] = _bi._probe_positions(
+                    self.spark, values, bm, resolved
+                )
+            positions = pos_memo[gk]
+            hit = False
+            for b64 in _bi._col_bitmaps(bm, resolved).values():
+                bitmap = _b64.b64decode(b64)
+                if any(
+                    all(
+                        bitmap[p >> 3] & (1 << (p & 7)) for p in pos
+                    )
+                    for pos in positions.values()
+                ):
+                    hit = True
+                    break
+            if hit:
+                kept.append((b, c))
+        schema = StructType.fromJson(manifest["schema"])
+        df = self._read_slices(kept, schema)
+        if df is None:
+            df = self.spark.createDataFrame([], schema)
+        df = df.where(exact)
+        if with_report:
+            return df, {
+                "n_slices": len(pairs),
+                "n_kept": len(kept),
+                "n_indexed": n_indexed,
+            }
+        return df
 
     # -- maintenance ----------------------------------------------------
     def _clean(self) -> None:

@@ -560,3 +560,150 @@ def test_bucketed_rename_column(spark, tmp_path):
     assert {
         r["k"]: r["label"] for r in reopened.snapshot().collect()
     } == {1: "a2", 2: "b", 3: "c"}
+
+
+# -- data-skipping indexes (r10, VERDICT r9 #5) ---------------------------
+
+
+def _mk_skipping_table(spark, tmp_path, **kw):
+    return BucketedTable(
+        spark,
+        str(tmp_path / "skip"),
+        record_key="k",
+        precombine="pre",
+        num_buckets=8,
+        **kw,
+    )
+
+
+SKIP_S = "k int, pre int, ts long, uid string, amount long"
+
+
+def _skip_rows(spark, keys, ts_lo, step, tag):
+    return spark.createDataFrame(
+        [
+            (k, step, ts_lo + (k % 50), f"{tag}-{k}", k * 10)
+            for k in keys
+        ],
+        SKIP_S,
+    )
+
+
+def test_bucketed_colstats_skipping_equivalence_and_pruning(
+    spark, tmp_path
+):
+    """The realistic bucketed-stats win: a time-range predicate on a
+    table where only SOME buckets got recent writes — untouched
+    buckets' carried-forward slices have max(ts) below the range and
+    are pruned from the manifest alone; touched buckets survive. The
+    read must equal the full snapshot + filter exactly."""
+    t = _mk_skipping_table(spark, tmp_path, stats_cols=["ts"])
+    # batch 1: every key, old timestamps (ts in [0, 50))
+    t.upsert(_skip_rows(spark, range(200), 0, 0, "a"))
+    c1 = t.latest_commit()
+    # batch 2: THREE keys, recent timestamps (ts >= 1000) — touches at
+    # most 3 of 8 buckets; the rest carry their batch-1 stats forward
+    t.upsert(_skip_rows(spark, [5, 6, 7], 1000, 1, "b"))
+
+    df, report = t.snapshot_where({"ts": (1000, None)}, with_report=True)
+    expected = t.snapshot().where(F.col("ts") >= 1000)
+    assert _sorted_rows(df) == _sorted_rows(expected)
+    assert report["indexed"]
+    assert report["n_kept"] < report["n_slices"], report
+    assert report["n_kept"] <= 3
+
+    # equivalence on a range that keeps everything
+    df2 = t.snapshot_where({"ts": (0, None)})
+    assert df2.count() == t.snapshot().count()
+
+    # time travel: as of c1 every slice is old → the range keeps none
+    df3, rep3 = t.snapshot_where(
+        {"ts": (1000, None)}, as_of=c1, with_report=True
+    )
+    assert df3.count() == 0
+    assert rep3["n_kept"] == 0
+
+
+def test_bucketed_colstats_unstamped_history_kept_conservatively(
+    spark, tmp_path
+):
+    """Enabling stats_cols on an existing table: pre-index slices have
+    no stats and must be KEPT (skipping is an optimization, never the
+    semantics); post-enable commits stamp and prune."""
+    t = _mk_skipping_table(spark, tmp_path)  # no stats_cols
+    t.upsert(_skip_rows(spark, range(100), 0, 0, "a"))
+    # reopen with stats enabled — applies to future commits
+    t2 = BucketedTable(
+        spark, t.root, record_key="k", precombine="pre",
+        num_buckets=8, stats_cols=["ts"],
+    )
+    df, rep = t2.snapshot_where({"ts": (10_000, None)}, with_report=True)
+    assert df.count() == 0
+    # every slice is unstamped → all kept (conservative)
+    assert rep["n_kept"] == rep["n_slices"]
+    t2.upsert(_skip_rows(spark, [1], 1000, 1, "b"))
+    df2, rep2 = t2.snapshot_where(
+        {"ts": (10_000, None)}, with_report=True
+    )
+    assert df2.count() == 0
+    # the touched bucket is now stamped (max ts 1000 < 10000 → pruned);
+    # untouched buckets stay unstamped-kept
+    assert rep2["n_kept"] < rep2["n_slices"]
+    # open() restores the persisted index config
+    assert BucketedTable.open(spark, t.root).stats_cols == ["ts"]
+
+
+def test_bucketed_bloom_secondary_lookup(spark, tmp_path):
+    """Per-slice Bloom sidecars answer non-key equality probes the
+    bucket routing can't touch: a probe for one uid opens only
+    may-contain slices; result equals snapshot().where(isin) exactly;
+    empty probes match nothing."""
+    t = _mk_skipping_table(spark, tmp_path, bloom_cols=["uid"])
+    t.upsert(_skip_rows(spark, range(400), 0, 0, "a"))
+    probe = ["a-37", "a-251"]
+    df, rep = t.read_where_in("uid", probe, with_report=True)
+    expected = t.snapshot().where(F.col("uid").isin(probe))
+    assert _sorted_rows(df) == _sorted_rows(expected)
+    assert rep["n_indexed"] == rep["n_slices"]
+    assert rep["n_kept"] < rep["n_slices"], rep
+
+    # absent value: blooms keep (almost) nothing, result is empty
+    df2, rep2 = t.read_where_in("uid", ["nope-999"], with_report=True)
+    assert df2.count() == 0
+
+    # empty probe list ≡ isin([]) = false
+    df3 = t.read_where_in("uid", [])
+    assert df3.count() == 0
+
+    # unindexed column falls back to conservative keep + exact filter
+    df4, rep4 = t.read_where_in("amount", [370], with_report=True)
+    assert _sorted_rows(df4) == _sorted_rows(
+        t.snapshot().where(F.col("amount") == 370)
+    )
+    assert rep4["n_kept"] == rep4["n_slices"]
+
+
+def test_bucketed_skipping_survives_delete_and_rename(spark, tmp_path):
+    """Stats re-stamp on delete rewrites and follow a column rename
+    (manifest carry with the key remapped); blooms under the old name
+    go conservative after the rename."""
+    t = _mk_skipping_table(
+        spark, tmp_path, stats_cols=["ts"], bloom_cols=["uid"]
+    )
+    t.upsert(_skip_rows(spark, range(100), 0, 0, "a"))
+    t.upsert(_skip_rows(spark, [3], 1000, 1, "b"))
+    t.delete(spark.createDataFrame([(3,)], "k int"))
+    # the recent row is gone; its bucket's rewritten slice re-stamped
+    df, rep = t.snapshot_where({"ts": (1000, None)}, with_report=True)
+    assert df.count() == 0
+    assert rep["n_kept"] == 0, rep
+    t.alter_rename_column("ts", "event_ts")
+    df2, rep2 = t.snapshot_where(
+        {"event_ts": (0, 50)}, with_report=True
+    )
+    assert rep2["indexed"]
+    assert _sorted_rows(df2) == _sorted_rows(
+        t.snapshot().where(F.col("event_ts").between(0, 50))
+    )
+    # config followed the rename and persisted
+    assert BucketedTable.open(spark, t.root).stats_cols == ["event_ts"]
