@@ -356,3 +356,54 @@ def test_pq_auto_refine_holds_recall_at_x10(spark):
     # strictly beats the fixed-pool decay
     assert r10_auto >= r1_auto - 1e-9, (r1_auto, r10_auto)
     assert r10_auto > r10_fixed, (r10_fixed, r10_auto)
+
+
+def test_resolve_nprobe_and_cells_auto(spark):
+    """r10 (VERDICT r9 #7): nprobe='auto' holds the probed-cell
+    FRACTION constant (floor 8, clamped to K); K='auto' sizes cells to
+    a bounded row target; both reject junk."""
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        pq,
+    )
+
+    assert pq.resolve_nprobe(3, 16) == 3          # explicit passes through
+    assert pq.resolve_nprobe("auto", 16) == 8     # the x1 operating point
+    assert pq.resolve_nprobe("auto", 160) == 80   # iso-fraction at 10× K
+    assert pq.resolve_nprobe("auto", 4) == 4      # floor clamps to K
+    with pytest.raises(ValueError, match="nprobe"):
+        pq.resolve_nprobe(None, 16)
+
+    assert pq.resolve_cells(16, 999) == 16
+    assert pq.resolve_cells("auto", 2_000) == 16          # floor
+    assert pq.resolve_cells("auto", 200_000) == 100       # n / 2000
+    assert pq.resolve_cells("auto", lambda: 400_000) == 200  # lazy count
+    with pytest.raises(ValueError, match="K="):
+        pq.resolve_cells(2.5, 10)
+
+
+def test_ivf_pq_topk_all_dials_auto_matches_recall(spark):
+    """Both dials on auto must not regress recall at the base scale —
+    the auto operating point equals the previous fixed one there."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators import (
+        pq,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in knn_bruteforce(spark, sf).select(
+        "query_id", "vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    df = pq.ivf_pq_topk(spark, sf, K="auto", nprobe="auto", refine="auto")
+    for r in df.select("query_id", "vec_id").collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5

@@ -62,10 +62,34 @@ def _measure(spark, sf_dir: str) -> dict:
         exact, _topk_sets(pq.ivf_pq_topk(spark, sf_dir, refine=50))
     )
     t0 = time.time()
-    # refine='auto' (r9): iso-fraction pool, the production default
-    got = _topk_sets(pq.ivf_pq_topk(spark, sf_dir, refine="auto"))
+    # BOTH dials auto (r10): K sized to the corpus, nprobe an
+    # iso-fraction of K, refine an iso-fraction of the corpus — the
+    # production default with no scale-tuned constants left
+    got = _topk_sets(
+        pq.ivf_pq_topk(
+            spark, sf_dir, K="auto", nprobe="auto", refine="auto"
+        )
+    )
     t_topk = time.time() - t0
     r_topk = _recall(exact, got)
+    # the nprobe dial isolated (r10, VERDICT r9 #7): at a GROWN cell
+    # count (K=64 — what auto-K produces once the corpus passes
+    # 128k vectors) a fixed nprobe=8 probes 12.5% of cells where the
+    # x1 operating point probed 50%; nprobe='auto' holds the fraction
+    r_nprobe_fixed = _recall(
+        exact,
+        _topk_sets(
+            pq.ivf_pq_topk(spark, sf_dir, K=64, nprobe=8, refine="auto")
+        ),
+    )
+    r_nprobe_auto = _recall(
+        exact,
+        _topk_sets(
+            pq.ivf_pq_topk(
+                spark, sf_dir, K=64, nprobe="auto", refine="auto"
+            )
+        ),
+    )
 
     layout = tempfile.mkdtemp(prefix="pq_layout_")
     t0 = time.time()
@@ -81,6 +105,8 @@ def _measure(spark, sf_dir: str) -> dict:
         "ivf_pq_topk_sec": round(t_topk, 2),
         "ivf_pq_topk_recall": round(r_topk, 3),
         "ivf_pq_topk_recall_fixed50": round(r_fixed, 3),
+        "ivf_pq_topk_recall_k64_nprobe8": round(r_nprobe_fixed, 3),
+        "ivf_pq_topk_recall_k64_nprobe_auto": round(r_nprobe_auto, 3),
         "layout_write_sec": round(t_write, 2),
         "layout_probe_sec": round(t_probe, 2),
         "layout_probe_recall": round(r_probe, 3),
