@@ -14,6 +14,10 @@ so current-row queries prune to recent partitions.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,3 +89,181 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+class MaintainedSCD2:
+    """CDC-driven SCD2 dimension history (r10, VERDICT r9 #8):
+    :func:`scd2_apply` is batch-only — this class drives the same
+    type-2 semantics from ``KeyedTable.cdc`` / ``CDCReader`` windows
+    under the SAME versioned-dir + pointer + ``through``-token
+    durability/exactly-once contract as the maintained aggregates
+    (operators/ivm.py), so a dimension's full version history stays
+    continuously current and point-in-time joins read one filter.
+
+    Validity is in COMMIT-ID space (``valid_from``/``valid_to`` are the
+    table's commit instants, strings with total order): ``as_of(c)``
+    then reproduces ``table.snapshot(as_of=c)`` EXACTLY for every
+    commit at or after the history's first — no timestamp-collision
+    ambiguity. Deletes are first-class: a 'd' row closes the key's
+    current version at its commit and the key is absent until a
+    re-insert opens a new one; the close boundary persists as a hidden
+    tombstone marker row (attrs NULL) so later folds rebuild chains
+    correctly — readers never see it.
+
+    Change notion: a version per CDC state change (every data column —
+    ``suppress_unchanged`` upstream already drops no-op rewrites).
+    Fold cost: one key-partitioned window over (stored versions of
+    changed keys ∪ window rows) — the stored side is semi-join-pruned
+    to the window's keys, so a fold is O(changed keys' history +
+    window), never O(dimension history).
+
+    Exactly-once: ``apply(win, through=end)`` with a covered token is
+    a no-op — a crash between apply and the reader checkpoint
+    redelivers a window the history recognizes and skips. ``rebuild``
+    seeds from a snapshot (every live row becomes a current version
+    opening at the seed instant; history before the seed is
+    unknowable by construction)."""
+
+    #: hidden marker flag column (never exposed by reads)
+    TOMBSTONE_COL = "__tombstone"
+
+    def __init__(self, spark, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer / versions (the MaintainedAggregate discipline) --------
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_latest")
+
+    def _meta(self) -> dict | None:
+        try:
+            with open(self._pointer()) as f:
+                return json.loads(f.read())
+        except FileNotFoundError:
+            return None
+
+    def through(self) -> str | None:
+        meta = self._meta()
+        return meta.get("through") if meta else None
+
+    def _raw(self) -> DataFrame | None:
+        """Stored rows INCLUDING tombstone markers (fold input)."""
+        meta = self._meta()
+        if meta is None:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v={meta['version']}")
+        )
+
+    def history(self) -> DataFrame | None:
+        """The SCD2 history: business columns + valid_from/valid_to
+        (commit ids; valid_to NULL = current). Markers filtered."""
+        raw = self._raw()
+        if raw is None:
+            return None
+        return raw.filter(~F.col(self.TOMBSTONE_COL)).drop(
+            self.TOMBSTONE_COL
+        )
+
+    def current(self) -> DataFrame | None:
+        h = self.history()
+        return None if h is None else h.filter(F.col("valid_to").isNull())
+
+    def as_of(self, instant: str) -> DataFrame | None:
+        """Point-in-time dimension state: rows valid at ``instant`` —
+        equals ``table.snapshot(as_of=instant)`` for instants at or
+        after the history's first fold/seed."""
+        h = self.history()
+        if h is None:
+            return None
+        c = F.lit(instant)
+        return h.filter(
+            (F.col("valid_from") <= c)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > c))
+        )
+
+    def _publish(self, df: DataFrame, through: str | None) -> None:
+        meta = self._meta()
+        v = (meta["version"] if meta else 0) + 1
+        out = os.path.join(self.path, f"v={v}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "through": through}, f)
+        os.replace(tmp, self._pointer())
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name[2:].isdigit():
+                if int(name[2:]) < v - 1:
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )
+
+    def _fresh(self, through: str | None) -> bool:
+        seen = self.through()
+        if through is None:
+            if seen is not None:
+                raise ValueError(
+                    "MaintainedSCD2.apply without a through token on a "
+                    f"history maintained through {seen!r} — publishing "
+                    "would erase the token and unguard redelivery"
+                )
+            return True
+        return seen is None or through > seen
+
+    # -- folds -----------------------------------------------------------
+    def rebuild(self, snapshot: DataFrame, through: str) -> None:
+        """Seed (or re-seed, e.g. across a replace commit) from a
+        dimension snapshot: every live row opens a current version at
+        ``through``."""
+        seeded = snapshot.select(
+            *[c for c in snapshot.columns if c != "_commit_time"],
+            F.lit(through).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(False).alias(self.TOMBSTONE_COL),
+        )
+        self._publish(seeded, through)
+
+    def apply(self, cdc_window: DataFrame, through: str | None = None) -> bool:
+        """Fold one CDC window. Returns False (no-op) when ``through``
+        shows the window was already applied."""
+        if not self._fresh(through):
+            return False
+        key = self.key
+        attr_fields = cdc_window.schema["_after"].dataType.fields
+        attrs = [f.name for f in attr_fields]
+        is_del = F.col("_change_op") == "d"
+        events = cdc_window.select(
+            F.col(key),
+            *[
+                F.when(~is_del, F.col("_after")[c]).alias(c)
+                for c in attrs
+            ],
+            F.col("_commit_time").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            is_del.alias(self.TOMBSTONE_COL),
+        )
+        raw = self._raw()
+        if raw is None:
+            versions = events
+        else:
+            # prune the stored side to the window's keys — untouched
+            # keys' chains are already correct and carry forward
+            # unchanged; only changed keys rebuild (O(changed history))
+            keys = events.select(key).distinct()
+            touched = raw.join(F.broadcast(keys), key, "left_semi")
+            untouched = raw.join(F.broadcast(keys), key, "left_anti")
+            versions = touched.unionByName(events)
+            w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
+            rebuilt = versions.withColumn(
+                "valid_to", F.lead("valid_from").over(w)
+            )
+            self._publish(untouched.unionByName(rebuilt), through)
+            return True
+        w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
+        self._publish(
+            versions.withColumn("valid_to", F.lead("valid_from").over(w)),
+            through,
+        )
+        return True

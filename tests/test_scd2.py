@@ -62,3 +62,168 @@ def test_scd2_multiple_updates_in_one_batch(spark):
     )
     rows = sorted((r["valid_from"], r["valid_to"], r["city"]) for r in h.collect())
     assert rows == [(T0, T1, "NYC"), (T1, T2, "SF"), (T2, None, "CHI")]
+
+
+# -- CDC-driven maintained SCD2 (r10, VERDICT r9 #8) ----------------------
+
+
+def _scd2_fixture(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        CDCReader,
+    )
+
+    sch = "k int, pre int, seg string, tier int"
+    t = KeyedTable(
+        spark, str(tmp_path / "dim"), record_key="k", precombine="pre",
+        keep_versions=20,
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 0, "a", 10), (2, 0, "b", 20)], sch))
+    t.upsert(spark.createDataFrame(
+        [(1, 1, "a2", 10), (3, 0, "c", 30)], sch))   # update + insert
+    t.delete(spark.createDataFrame([(2,)], "k int"))  # close k=2
+    t.upsert(spark.createDataFrame(
+        [(2, 2, "b2", 25), (3, 1, "c2", 30)], sch))  # re-insert + update
+    t.delete(spark.createDataFrame([(3,)], "k int"))
+    reader = CDCReader(
+        spark, "dim", t.root, checkpoint_root=str(tmp_path / "ck")
+    )
+    return t, reader, sch
+
+
+def _hist_rows(view):
+    h = view.history()
+    return sorted(
+        (r["k"], r["seg"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in h.collect()
+    )
+
+
+def test_maintained_scd2_windowed_equals_one_shot(spark, tmp_path):
+    """Window-by-window CDC folds must land on the SAME history as one
+    whole-history fold — the telescoping/idempotence contract the
+    other maintained artifacts obey."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
+        MaintainedSCD2,
+    )
+
+    t, reader, _ = _scd2_fixture(spark, tmp_path)
+    stepped = MaintainedSCD2(spark, str(tmp_path / "h_step"), key="k")
+    prev = None
+    for c in t.instants():
+        win = t.cdc(begin=prev, end=c)
+        if win is not None:
+            stepped.apply(win, through=c)
+        prev = c
+    oneshot = MaintainedSCD2(spark, str(tmp_path / "h_one"), key="k")
+    oneshot.apply(t.cdc(), through=t.latest_commit())
+    assert _hist_rows(stepped) == _hist_rows(oneshot)
+    assert stepped.through() == t.latest_commit()
+    # deletes closed versions without successors: k=3's last version
+    # is closed and k=3 is absent from current
+    cur = sorted(r["k"] for r in stepped.current().collect())
+    assert cur == [1, 2]
+
+
+def test_maintained_scd2_redelivery_noop_and_token_guard(spark, tmp_path):
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
+        MaintainedSCD2,
+    )
+
+    t, reader, _ = _scd2_fixture(spark, tmp_path)
+    view = MaintainedSCD2(spark, str(tmp_path / "h"), key="k")
+    insts = t.instants()
+    mid = insts[1]
+    assert view.apply(t.cdc(end=mid), through=mid) is True
+    before = _hist_rows(view)
+    # redelivered window: covered token → no-op, history unchanged
+    assert view.apply(t.cdc(end=mid), through=mid) is False
+    assert _hist_rows(view) == before
+    # tokenless apply on a tokened history raises (the unguard hazard)
+    import pytest
+
+    with pytest.raises(ValueError, match="through"):
+        view.apply(t.cdc(begin=mid))
+    # resume past the token
+    assert view.apply(
+        t.cdc(begin=mid), through=t.latest_commit()
+    ) is True
+
+
+def test_maintained_scd2_point_in_time_matches_time_travel(
+    spark, tmp_path
+):
+    """as_of(c) == table.snapshot(as_of=c) for EVERY commit — the
+    point-in-time dimension-join guarantee."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
+        MaintainedSCD2,
+    )
+
+    t, reader, _ = _scd2_fixture(spark, tmp_path)
+    view = MaintainedSCD2(spark, str(tmp_path / "h"), key="k")
+    view.apply(t.cdc(), through=t.latest_commit())
+    for c in t.instants():
+        got = sorted(
+            (r["k"], r["seg"], r["tier"])
+            for r in view.as_of(c).collect()
+        )
+        want = sorted(
+            (r["k"], r["seg"], r["tier"])
+            for r in t.snapshot(as_of=c).collect()
+        )
+        assert got == want, f"diverged at {c}"
+
+
+def test_maintained_scd2_via_cdc_reader_loop(spark, tmp_path):
+    """The production loop shape: CDCReader windows drive the history,
+    checkpoint commits AFTER the fold; a seed-from-snapshot rebuild
+    aligns the reader (the replace-commit recipe)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
+        MaintainedSCD2,
+    )
+
+    t, reader, sch = _scd2_fixture(spark, tmp_path)
+    view = MaintainedSCD2(spark, str(tmp_path / "h"), key="k")
+    while True:
+        win = reader.read(after=view.through())
+        if win is None:
+            reader.commit()
+            break
+        view.apply(win, through=reader.staged_end())
+        reader.commit()
+    assert view.through() == t.latest_commit()
+    cur = sorted(
+        (r["k"], r["seg"], r["tier"]) for r in view.current().collect()
+    )
+    want = sorted(
+        (r["k"], r["seg"], r["tier"]) for r in t.snapshot().collect()
+    )
+    assert cur == want
+    # new commits: the loop resumes from the token
+    t.upsert(spark.createDataFrame([(5, 0, "e", 50)], sch))
+    win = reader.read(after=view.through())
+    view.apply(win, through=reader.staged_end())
+    reader.commit()
+    assert (5, "e", 50) in {
+        (r["k"], r["seg"], r["tier"]) for r in view.current().collect()
+    }
+    # replace commit: CDC raises → rebuild from the post-replace
+    # snapshot (seeded rows open at the replace instant)
+    t.overwrite(spark.createDataFrame([(9, 0, "z", 90)], sch))
+    import pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        ReplaceCommitError,
+    )
+
+    with pytest.raises(ReplaceCommitError):
+        t.cdc(begin=view.through()).collect()
+    end = t.latest_commit()
+    view.rebuild(t.snapshot(), through=end)
+    assert view.through() == end
+    assert sorted(
+        (r["k"], r["seg"], r["tier"]) for r in view.current().collect()
+    ) == [(9, "z", 90)]
