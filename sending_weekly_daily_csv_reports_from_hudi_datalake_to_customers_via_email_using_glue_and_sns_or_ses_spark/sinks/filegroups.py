@@ -85,6 +85,8 @@ from .upsert import (
     COMPOSITE_KEY_COL,
     _merge_latest,
     _merge_partial,
+    _write_json_atomic,
+    cdc_window,
     with_composite_key,
 )
 
@@ -598,6 +600,9 @@ class BucketedTable:
             commit, "overwrite", new_slices, schema_now, col_stats
         )
         self._publish(commit)
+        # post-publish replace marker: the stream_cdc 'r' lane's
+        # publish gate (never emitted for an aborted overwrite)
+        self._record_replace_published(commit)
         self._clean()
         return commit
 
@@ -643,6 +648,20 @@ class BucketedTable:
         )
         new_slices.update(touched_map)
         col_stats = self._stamp_indexes(touched_map, new_slices, schema)
+        # tombstone log (r10): the keys this delete actually dropped,
+        # as a key-only parquet dir — the same layout KeyedTable
+        # writes, so CDC fabricates delete rows O(dropped keys) and
+        # stream_cdc's 'd' lane reads both engines. Written BEFORE the
+        # pointer flip (beyond-pointer tombstones are orphans).
+        dropped = existing.join(
+            keyed, on=self.record_key, how="left_semi"
+        ).select(self.record_key)
+        ts_path = os.path.join(self.root, "tombstones", f"c={commit}")
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        dropped.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.dirname(ts_path), exist_ok=True)
+        shutil.rmtree(ts_path, ignore_errors=True)
+        os.rename(staging, ts_path)
         self._write_manifest(commit, "delete", new_slices, schema, col_stats)
         self._publish(commit)
         self._clean()
@@ -1000,6 +1019,127 @@ class BucketedTable:
             }
         return df
 
+    # -- CDC / streaming protocol (r10, VERDICT r9 #6) --------------------
+    # The shared cdc_window algebra and the stream_cdc source speak a
+    # small table protocol (log/, tombstones/c=, replaces/*.json,
+    # instants, timeline ops, as-of snapshots); these methods implement
+    # it on the manifest-native engine so CDC, replication, and the
+    # streaming maintained views run over bucketed roots too.
+
+    def instants(self) -> list[str]:
+        """All PUBLISHED commit ids, oldest first — manifests ARE the
+        timeline here (every commit writes one), so no dir-union is
+        needed."""
+        return self.commits()
+
+    def _timeline_instants(self) -> dict[str, str]:
+        """commit id → operation, from the manifests (the bucketed
+        engine's timeline)."""
+        return {c: self._manifest(c).get("op", "upsert") for c in self.commits()}
+
+    def _snapshot_as_of(self, as_of: str):
+        return self.snapshot(as_of=as_of)
+
+    def _rename_priors_map(self) -> dict[str, list[str]]:
+        """current logical name → prior physical names, from the latest
+        manifest's schema metadata; {} for never-renamed tables."""
+        latest = self.latest_commit()
+        if latest is None:
+            return {}
+        sch = StructType.fromJson(self._manifest(latest)["schema"])
+        return {
+            f.name: list(f.metadata["renamed_from"])
+            for f in sch.fields
+            if f.metadata.get("renamed_from")
+        }
+
+    def log(self) -> DataFrame | None:
+        """The change stream (all per-commit upserted rows, carrying
+        ``_commit_time``) under the MANIFEST schema — explicit, so a
+        pre-evolution log dir NULL-fills/widens at scan time and
+        renamed columns fold through their prior physical names (the
+        `_read_slices` contract applied to the log); bounded at the
+        published pointer by a partition filter on the ``c=`` dir."""
+        latest = self.latest_commit()
+        log_dir = os.path.join(self.root, "log")
+        if latest is None or not os.path.isdir(log_dir):
+            return None
+        if not any(n.startswith("c=") for n in os.listdir(log_dir)):
+            return None
+        from pyspark.sql.types import LongType
+
+        from ..sources.incremental import (
+            coalesce_renamed,
+            physical_read_schema,
+        )
+
+        data_schema = StructType(
+            [
+                f
+                for f in self._union_schema(None).fields
+                if f.name != COMMIT_COL
+            ]
+        )
+        phys, priors = physical_read_schema(data_schema)
+        df = (
+            self.spark.read.schema(
+                StructType(
+                    list(phys.fields)
+                    + [StructField("c", LongType(), True)]
+                )
+            )
+            .option("basePath", log_dir)
+            .parquet(os.path.join(log_dir, "c=*"))
+            .filter(F.col("c") <= F.lit(int(latest)))
+            .withColumnRenamed("c", COMMIT_COL)
+            .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("string"))
+        )
+        if priors:
+            df = coalesce_renamed(df, priors)
+        return df
+
+    def cdc(
+        self,
+        begin: str | None = None,
+        end: str | None = None,
+        suppress_unchanged: bool = True,
+    ) -> DataFrame | None:
+        """Change-data-capture window over the bucketed engine — the
+        exact :meth:`..sinks.upsert.KeyedTable.cdc` semantics (op/
+        before/after, precombine merge, delete epochs, replace-commit
+        rail), via the shared :func:`..sinks.upsert.cdc_window`."""
+        return cdc_window(self, begin, end, suppress_unchanged)
+
+    def _replace_marker_dir(self) -> str:
+        return os.path.join(self.root, "replaces")
+
+    def _record_replace_published(self, commit: str) -> None:
+        """POST-publish replace marker — the stream_cdc 'r' lane's
+        publish gate (see KeyedTable._record_replace_published)."""
+        _write_json_atomic(
+            os.path.join(self._replace_marker_dir(), f"{commit}.json"),
+            {"op": "overwrite"},
+        )
+
+    def _backfill_replace_markers(self) -> None:
+        """Repair the flip→marker crash window (and upgrade pre-r10
+        bucketed tables): every PUBLISHED overwrite manifest gets its
+        marker if missing. Idempotent, metadata-only."""
+        latest = self.latest_commit()
+        if latest is None:
+            return
+        rd = self._replace_marker_dir()
+        have = set()
+        if os.path.isdir(rd):
+            have = {
+                n[: -len(".json")]
+                for n in os.listdir(rd)
+                if n.endswith(".json") and not n.startswith(".")
+            }
+        for c, op in self._timeline_instants().items():
+            if op == "overwrite" and c <= latest and c not in have:
+                self._record_replace_published(c)
+
     # -- maintenance ----------------------------------------------------
     def _clean(self) -> None:
         """P6 cleaner, slice-granular: keep every file slice referenced
@@ -1050,3 +1190,22 @@ class BucketedTable:
                 "bytes_written": m.get("bytes_written", 0),
             }
         return out
+
+
+def open_any_table(spark: SparkSession, root: str):
+    """Open a table root as whichever engine wrote it: a BucketedTable
+    (``_table.json`` with ``engine: bucketed``) or a
+    :class:`..sinks.upsert.KeyedTable` (``_meta.json``). The two
+    engines share the streaming/CDC layout contract (``log/c=``,
+    ``tombstones/c=``, ``replaces/*.json``, ``_latest`` pointer), so
+    callers that only speak that protocol — ``stream_cdc`` and the
+    streaming maintained-view drivers — work over both."""
+    meta_path = os.path.join(root, "_table.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("engine") == "bucketed":
+            return BucketedTable.open(spark, root)
+    from .upsert import KeyedTable
+
+    return KeyedTable.open(spark, root)

@@ -313,6 +313,200 @@ def _reap_beyond_pointer(dirpath: str, latest: str | None) -> None:
                 pass  # already gone: rollback is idempotent
 
 
+def cdc_window(
+    table,
+    begin: str | None = None,
+    end: str | None = None,
+    suppress_unchanged: bool = True,
+) -> DataFrame | None:
+    """Engine-agnostic CDC window derivation (r10, VERDICT r9 #6): the
+    op/before/after algebra of :meth:`KeyedTable.cdc`, factored over a
+    small table protocol so :class:`..sinks.filegroups.BucketedTable`
+    shares it verbatim. ``table`` must provide ``spark``, ``root``,
+    ``record_key``, ``precombine``, ``payload``, ``latest_commit()``,
+    ``instants()``, ``_timeline_instants()`` (commit → op), ``log()``,
+    ``_snapshot_as_of(instant)``, ``_rename_priors_map()``, and write
+    dropped keys under ``tombstones/c=<commit>/`` (both engines do).
+    See :meth:`KeyedTable.cdc` for the full semantics contract."""
+
+    latest = table.latest_commit()
+    if latest is None:
+        return None
+    end_eff = latest if end is None or end > latest else end
+    insts = [c for c in table.instants() if c <= end_eff]
+    window = [c for c in insts if begin is None or c > begin]
+    tl_ops = table._timeline_instants()
+    replaced = [c for c in window if tl_ops.get(c) == "overwrite"]
+    if replaced:
+        raise ReplaceCommitError(
+            f"CDC window spans replace commit {replaced[0]} "
+            "(insert_overwrite_table): before-images across a "
+            "replace are not derivable from the log under the "
+            "precombine merge rule — re-seed the consumer from a "
+            "snapshot at or after it (MaintainedAggregate.rebuild / "
+            "a fresh replica seed), then resume CDC from there"
+        )
+    log = table.log()
+    if log is None:
+        raise ValueError(
+            "CDC needs the commit log; this root has none "
+            "(pre-log table layout)"
+        )
+    key, pre = table.record_key, table.precombine
+    data_cols = [c for c in log.columns if c not in (key, COMMIT_COL)]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+
+    lw = log.filter(F.col(COMMIT_COL) <= F.lit(end_eff))
+    if begin is not None:
+        lw = lw.filter(F.col(COMMIT_COL) > F.lit(begin))
+    changes = lw.select(
+        F.col(key),
+        F.col(COMMIT_COL),
+        F.lit(False).alias("__is_delete"),
+        F.lit(True).alias("__in_window"),
+        payload.alias("__row"),
+    )
+    row_type = changes.schema["__row"].dataType
+
+    timeline = table._timeline_instants()
+    for d in (c for c in window if timeline.get(c) == "delete"):
+        ts_path = os.path.join(table.root, "tombstones", f"c={d}")
+        if os.path.isdir(ts_path):
+            # late-r7 tables: the delete recorded its dropped keys —
+            # O(dropped) read, valid even after the cleaner removed
+            # the delete's snapshot dirs (a lagging CDC consumer
+            # stays serviceable)
+            dropped = table.spark.read.parquet(ts_path).select(key)
+        else:
+            # pre-tombstone vintage: key-diff of the neighbouring
+            # snapshots (raises the retained-history rail when the
+            # cleaner got there first)
+            prev = insts[insts.index(d) - 1] if insts.index(d) else None
+            if prev is None:
+                continue  # delete as first instant: nothing to drop
+            dropped = (
+                table._snapshot_as_of(prev)
+                .select(key)
+                .join(
+                    table._snapshot_as_of(d).select(key), key, "left_anti"
+                )
+            )
+        changes = changes.unionByName(
+            dropped.select(
+                F.col(key),
+                F.lit(d).alias(COMMIT_COL),
+                F.lit(True).alias("__is_delete"),
+                F.lit(True).alias("__in_window"),
+                F.lit(None).cast(row_type).alias("__row"),
+            )
+        )
+
+    if begin is not None:
+        base = table._snapshot_as_of(begin)
+        if base is not None:
+            # schema-evolution tolerance: a pre-evolution base lacks
+            # later columns — NULL-fill them — and may carry
+            # pre-widening NARROWER types — cast them up — so the
+            # payload struct matches the log's (post-evolution)
+            # shape exactly (the casts are vetted widenings: no-ops
+            # on unevolved tables). A base pinned BEFORE a rename
+            # presents the vintage's OLD name — the rename mapping
+            # serves it into the current column, so before-images
+            # across a rename boundary keep their values.
+            log_types = {f.name: f.dataType for f in log.schema.fields}
+            priors = table._rename_priors_map()
+
+            def _base_src(c):
+                if c in base.columns:
+                    return F.col(c)
+                for p in priors.get(c, ()):
+                    if p in base.columns:
+                        return F.col(p)
+                return F.lit(None)
+
+            base_payload = F.struct(
+                *[
+                    _base_src(c).cast(log_types[c]).alias(c)
+                    for c in data_cols
+                ]
+            )
+            seed = base.join(
+                changes.select(key), key, "left_semi"
+            ).select(
+                F.col(key),
+                F.col(COMMIT_COL),  # actual commit ≤ begin < window
+                F.lit(False).alias("__is_delete"),
+                F.lit(False).alias("__in_window"),
+                base_payload.alias("__row"),
+            )
+            changes = changes.unionByName(seed)
+
+    w_key = Window.partitionBy(key).orderBy(COMMIT_COL)
+    w_epoch = (
+        Window.partitionBy(key, "__epoch")
+        .orderBy(COMMIT_COL)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if table.payload == "partial_update":
+        # partial tables: the running state is per-column
+        # last-non-null within the epoch (commit order) — the same
+        # column-independent rule _merge_partial materializes; the
+        # epoch split keeps a post-delete re-insert from inheriting
+        # pre-delete columns
+        after_state = F.struct(
+            *[
+                F.last(F.col("__row")[c], ignorenulls=True)
+                .over(w_epoch)
+                .alias(c)
+                for c in data_cols
+            ]
+        )
+    else:
+        state_struct = F.when(
+            ~F.col("__is_delete"),
+            F.struct(
+                F.col("__row")[pre].alias("__p"),
+                F.col(COMMIT_COL).alias("__c"),
+                F.col("__row").alias("__payload"),
+            ),
+        )
+        after_state = F.max(state_struct).over(w_epoch)["__payload"]
+    staged = changes.withColumn(
+        "__epoch",
+        F.coalesce(
+            F.sum(F.col("__is_delete").cast("int")).over(
+                w_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "__after",
+        F.when(~F.col("__is_delete"), after_state),
+    )
+    out = (
+        staged.withColumn("__before", F.lag("__after").over(w_key))
+        .filter(F.col("__in_window"))
+        .withColumn(
+            "_change_op",
+            F.when(F.col("__is_delete"), F.lit("d"))
+            .when(F.col("__before").isNull(), F.lit("i"))
+            .otherwise(F.lit("u")),
+        )
+    )
+    if suppress_unchanged:
+        out = out.filter(
+            (F.col("_change_op") != "u")
+            | ~F.col("__before").eqNullSafe(F.col("__after"))
+        )
+    return out.select(
+        F.col(key),
+        F.col(COMMIT_COL),
+        F.col("_change_op"),
+        F.col("__before").alias("_before"),
+        F.col("__after").alias("_after"),
+    )
+
+
 class KeyedTable:
     def __init__(
         self,
@@ -1467,182 +1661,7 @@ class KeyedTable:
         key history (a delete's NULL state makes the next appearance
         an insert). Cleaned history raises the same
         retained-history rail as time travel."""
-        latest = self.latest_commit()
-        if latest is None:
-            return None
-        end_eff = latest if end is None or end > latest else end
-        insts = [c for c in self.instants() if c <= end_eff]
-        window = [c for c in insts if begin is None or c > begin]
-        tl_ops = self._timeline_instants()
-        replaced = [c for c in window if tl_ops.get(c) == "overwrite"]
-        if replaced:
-            raise ReplaceCommitError(
-                f"CDC window spans replace commit {replaced[0]} "
-                "(insert_overwrite_table): before-images across a "
-                "replace are not derivable from the log under the "
-                "precombine merge rule — re-seed the consumer from a "
-                "snapshot at or after it (MaintainedAggregate.rebuild / "
-                "a fresh replica seed), then resume CDC from there"
-            )
-        log = self.log()
-        if log is None:
-            raise ValueError(
-                "CDC needs the commit log; this root has none "
-                "(pre-log table layout)"
-            )
-        key, pre = self.record_key, self.precombine
-        data_cols = [c for c in log.columns if c not in (key, COMMIT_COL)]
-        payload = F.struct(*[F.col(c) for c in data_cols])
-
-        lw = log.filter(F.col(COMMIT_COL) <= F.lit(end_eff))
-        if begin is not None:
-            lw = lw.filter(F.col(COMMIT_COL) > F.lit(begin))
-        changes = lw.select(
-            F.col(key),
-            F.col(COMMIT_COL),
-            F.lit(False).alias("__is_delete"),
-            F.lit(True).alias("__in_window"),
-            payload.alias("__row"),
-        )
-        row_type = changes.schema["__row"].dataType
-
-        timeline = self._timeline_instants()
-        for d in (c for c in window if timeline.get(c) == "delete"):
-            ts_path = os.path.join(self.root, "tombstones", f"c={d}")
-            if os.path.isdir(ts_path):
-                # late-r7 tables: the delete recorded its dropped keys —
-                # O(dropped) read, valid even after the cleaner removed
-                # the delete's snapshot dirs (a lagging CDC consumer
-                # stays serviceable)
-                dropped = self.spark.read.parquet(ts_path).select(key)
-            else:
-                # pre-tombstone vintage: key-diff of the neighbouring
-                # snapshots (raises the retained-history rail when the
-                # cleaner got there first)
-                prev = insts[insts.index(d) - 1] if insts.index(d) else None
-                if prev is None:
-                    continue  # delete as first instant: nothing to drop
-                dropped = (
-                    self._snapshot_as_of(prev)
-                    .select(key)
-                    .join(
-                        self._snapshot_as_of(d).select(key), key, "left_anti"
-                    )
-                )
-            changes = changes.unionByName(
-                dropped.select(
-                    F.col(key),
-                    F.lit(d).alias(COMMIT_COL),
-                    F.lit(True).alias("__is_delete"),
-                    F.lit(True).alias("__in_window"),
-                    F.lit(None).cast(row_type).alias("__row"),
-                )
-            )
-
-        if begin is not None:
-            base = self._snapshot_as_of(begin)
-            if base is not None:
-                # schema-evolution tolerance: a pre-evolution base lacks
-                # later columns — NULL-fill them — and may carry
-                # pre-widening NARROWER types — cast them up — so the
-                # payload struct matches the log's (post-evolution)
-                # shape exactly (the casts are vetted widenings: no-ops
-                # on unevolved tables). A base pinned BEFORE a rename
-                # presents the vintage's OLD name — the rename mapping
-                # serves it into the current column, so before-images
-                # across a rename boundary keep their values.
-                log_types = {f.name: f.dataType for f in log.schema.fields}
-                priors = self._rename_priors_map()
-
-                def _base_src(c):
-                    if c in base.columns:
-                        return F.col(c)
-                    for p in priors.get(c, ()):
-                        if p in base.columns:
-                            return F.col(p)
-                    return F.lit(None)
-
-                base_payload = F.struct(
-                    *[
-                        _base_src(c).cast(log_types[c]).alias(c)
-                        for c in data_cols
-                    ]
-                )
-                seed = base.join(
-                    changes.select(key), key, "left_semi"
-                ).select(
-                    F.col(key),
-                    F.col(COMMIT_COL),  # actual commit ≤ begin < window
-                    F.lit(False).alias("__is_delete"),
-                    F.lit(False).alias("__in_window"),
-                    base_payload.alias("__row"),
-                )
-                changes = changes.unionByName(seed)
-
-        w_key = Window.partitionBy(key).orderBy(COMMIT_COL)
-        w_epoch = (
-            Window.partitionBy(key, "__epoch")
-            .orderBy(COMMIT_COL)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        if self.payload == "partial_update":
-            # partial tables: the running state is per-column
-            # last-non-null within the epoch (commit order) — the same
-            # column-independent rule _merge_partial materializes; the
-            # epoch split keeps a post-delete re-insert from inheriting
-            # pre-delete columns
-            after_state = F.struct(
-                *[
-                    F.last(F.col("__row")[c], ignorenulls=True)
-                    .over(w_epoch)
-                    .alias(c)
-                    for c in data_cols
-                ]
-            )
-        else:
-            state_struct = F.when(
-                ~F.col("__is_delete"),
-                F.struct(
-                    F.col("__row")[pre].alias("__p"),
-                    F.col(COMMIT_COL).alias("__c"),
-                    F.col("__row").alias("__payload"),
-                ),
-            )
-            after_state = F.max(state_struct).over(w_epoch)["__payload"]
-        staged = changes.withColumn(
-            "__epoch",
-            F.coalesce(
-                F.sum(F.col("__is_delete").cast("int")).over(
-                    w_key.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        ).withColumn(
-            "__after",
-            F.when(~F.col("__is_delete"), after_state),
-        )
-        out = (
-            staged.withColumn("__before", F.lag("__after").over(w_key))
-            .filter(F.col("__in_window"))
-            .withColumn(
-                "_change_op",
-                F.when(F.col("__is_delete"), F.lit("d"))
-                .when(F.col("__before").isNull(), F.lit("i"))
-                .otherwise(F.lit("u")),
-            )
-        )
-        if suppress_unchanged:
-            out = out.filter(
-                (F.col("_change_op") != "u")
-                | ~F.col("__before").eqNullSafe(F.col("__after"))
-            )
-        return out.select(
-            F.col(key),
-            F.col(COMMIT_COL),
-            F.col("_change_op"),
-            F.col("__before").alias("_before"),
-            F.col("__after").alias("_after"),
-        )
+        return cdc_window(self, begin, end, suppress_unchanged)
 
     # -- writes ---------------------------------------------------------
     def upsert(self, incoming: DataFrame, instant_meta: dict | None = None) -> str:

@@ -63,7 +63,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ivm import MaintainedAggregate, MaintainedJoinAggregate
-from ..sinks.upsert import KeyedTable, ReplaceCommitError
+from ..sinks.filegroups import open_any_table
+from ..sinks.upsert import ReplaceCommitError
 from .source import stream_cdc
 
 
@@ -77,7 +78,7 @@ class PublishWaitTimeout(RuntimeError):
 
 
 def _published_end(
-    table: KeyedTable,
+    table,
     batch_max: str | None,
     publish_wait_s: float,
     strict: bool = False,
@@ -210,8 +211,8 @@ def stream_maintained_view(
     avg_cols: bool = True,
 ):
     """Continuously maintain a SINGLE-TABLE grouped aggregate
-    (:class:`~..operators.ivm.MaintainedAggregate`) from a KeyedTable's
-    CDC stream. Returns the started StreamingQuery; the caller owns
+    (:class:`~..operators.ivm.MaintainedAggregate`) from a table root's
+    CDC stream (either engine — open_any_table). Returns the started StreamingQuery; the caller owns
     its lifecycle (``processAllAvailable``/``awaitTermination``/
     ``stop``). ``available_now=True`` drains the backlog and stops —
     the scheduled-report shape with streaming bookkeeping.
@@ -231,7 +232,7 @@ def stream_maintained_view(
     :func:`_stream_gate`: a red window fails the micro-batch, the
     checkpoint replays it on restart, and nothing gated-out is ever
     visible to readers or ``on_update``."""
-    table = KeyedTable.open(spark, source_root)
+    table = open_any_table(spark, source_root)
     view = MaintainedAggregate(
         spark,
         view_path,
@@ -335,8 +336,8 @@ def stream_maintained_join_view(
     commit wakes the driver. Both tables must have published at least
     one commit before the stream opens (the ``stream_cdc`` contract:
     a streaming plan cannot add sources later)."""
-    table_f = KeyedTable.open(spark, fact_root)
-    table_d = KeyedTable.open(spark, dim_root)
+    table_f = open_any_table(spark, fact_root)
+    table_d = open_any_table(spark, dim_root)
     view = MaintainedJoinAggregate(
         spark,
         view_path,
@@ -499,9 +500,9 @@ def stream_maintained_star_view(
     table must have one commit before the stream opens."""
     from ..operators.ivm import MaintainedStarAggregate
 
-    table_f = KeyedTable.open(spark, fact_root)
+    table_f = open_any_table(spark, fact_root)
     dim_tables = {
-        name: KeyedTable.open(spark, root) for name, root, _, _ in dims
+        name: open_any_table(spark, root) for name, root, _, _ in dims
     }
     view = MaintainedStarAggregate(
         spark,

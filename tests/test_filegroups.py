@@ -707,3 +707,70 @@ def test_bucketed_skipping_survives_delete_and_rename(spark, tmp_path):
     )
     # config followed the rename and persisted
     assert BucketedTable.open(spark, t.root).stats_cols == ["event_ts"]
+
+
+def test_bucketed_cdc_matches_keyed_cdc(spark, tmp_path):
+    """r10 (VERDICT r9 #6): BucketedTable.cdc shares cdc_window with
+    KeyedTable — the same upsert/delete/re-insert history applied to
+    both engines must produce the identical (commit-ordinal, op, key,
+    before, after) change set (commit ids differ per table; ordinals
+    align them)."""
+    sch = "k long, pre long, v string"
+    hist = [
+        ("u", [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]),
+        ("d", [2, 3]),
+        ("u", [(3, 2, "c2"), (1, 0, "stale")]),  # re-insert + merge-loser
+        ("d", [1]),
+        ("u", [(4, 1, "d"), (3, 3, "c3")]),
+    ]
+    kt = KeyedTable(
+        spark, str(tmp_path / "kcdc"), record_key="k", precombine="pre",
+        keep_versions=10,
+    )
+    bt = BucketedTable(
+        spark, str(tmp_path / "bcdc"), record_key="k", precombine="pre",
+        num_buckets=4, keep_versions=10,
+    )
+    for t in (kt, bt):
+        for op, payload in hist:
+            if op == "u":
+                t.upsert(spark.createDataFrame(payload, sch))
+            else:
+                t.delete(
+                    spark.createDataFrame([(k,) for k in payload], "k long")
+                )
+
+    def ops(t):
+        ordinal = {c: i for i, c in enumerate(t.instants())}
+        out = set()
+        for r in t.cdc().collect():
+            before = None if r["_before"] is None else tuple(r["_before"])
+            after = None if r["_after"] is None else tuple(r["_after"])
+            out.add(
+                (ordinal[r["_commit_time"]], r["_change_op"], r["k"],
+                 before, after)
+            )
+        return out
+
+    assert ops(bt) == ops(kt)
+    # windowed form agrees too (begin/end are per-table instants)
+    ki, bi = kt.instants(), bt.instants()
+    k_win = {
+        (r["_change_op"], r["k"])
+        for r in kt.cdc(begin=ki[1], end=ki[3]).collect()
+    }
+    b_win = {
+        (r["_change_op"], r["k"])
+        for r in bt.cdc(begin=bi[1], end=bi[3]).collect()
+    }
+    assert b_win == k_win
+    # the replace rail raises on bucketed too
+    bt.overwrite(spark.createDataFrame([(9, 1, "z")], sch))
+    import pytest as _pytest
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        ReplaceCommitError,
+    )
+
+    with _pytest.raises(ReplaceCommitError):
+        bt.cdc(begin=bi[0]).collect()

@@ -1348,3 +1348,88 @@ def test_stream_incremental_serves_renamed_columns(spark, tmp_path):
     got = sorted((r["k"], r["label"]) for r in rows)
     assert got == [(1, "old-vintage"), (2, "new-vintage")]
     assert all("v" not in r.asDict() for r in rows)
+
+
+def test_stream_cdc_bucketed_op_parity_and_replace(spark, tmp_path):
+    """r10 (VERDICT r9 #6): stream_cdc over a BUCKETED root — the 'u'
+    lane reads the shared log, the 'd' lane the (new) bucketed
+    tombstones, the 'r' lane the (new) publish-gated replace markers —
+    and the streamed op set must equal batch BucketedTable.cdc's over
+    the delete-heavy prefix, with the overwrite streaming as an 'r'
+    row replicas wipe on."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.filegroups import (
+        BucketedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_cdc,
+    )
+
+    sch = "k long, pre long, v string"
+    t = BucketedTable(
+        spark, str(tmp_path / "bsrc"), record_key="k", precombine="pre",
+        num_buckets=4, keep_versions=10,
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], sch))
+    t.delete(spark.createDataFrame([(2,), (3,)], "k long"))
+    t.upsert(spark.createDataFrame([(3, 2, "c2"), (1, 0, "stale")], sch))
+    pre_replace = t.latest_commit()
+    t.overwrite(spark.createDataFrame([(7, 1, "z"), (8, 1, "w")], sch))
+    t.upsert(spark.createDataFrame([(8, 2, "w2")], sch))
+
+    rows: list = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        stream_cdc(spark, t.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # op-set parity over the pre-replace prefix (batch CDC's window)
+    streamed_pre = {
+        (r["_change_op"], r["k"], r["_commit_time"])
+        for r in rows
+        if r["_commit_time"] <= pre_replace and r["_change_op"] != "r"
+    }
+    batch_pre = {
+        ("u" if r["_change_op"] in ("i", "u") else "d", r["k"],
+         r["_commit_time"])
+        for r in t.cdc(end=pre_replace, suppress_unchanged=False).collect()
+    }
+    assert streamed_pre == batch_pre
+    # the overwrite streamed exactly one 'r' row (publish-gated marker)
+    r_rows = [r for r in rows if r["_change_op"] == "r"]
+    assert len(r_rows) == 1 and r_rows[0]["k"] is None
+    r_commit = r_rows[0]["_commit_time"]
+
+    # wipe-then-apply replica over the full stream equals the source
+    replica = BucketedTable(
+        spark, str(tmp_path / "brep"), record_key="k", precombine="pre",
+        num_buckets=4,
+    )
+    for commit in sorted({r["_commit_time"] for r in rows}):
+        batch_rows = [r for r in rows if r["_commit_time"] == commit]
+        if commit == r_commit:
+            # 'r' first: clear state, then apply the same commit's 'u'
+            live = replica.snapshot()
+            if live is not None and live.count():
+                replica.delete(live.select("k"))
+        ups = [r for r in batch_rows if r["_change_op"] == "u"]
+        dels = [r for r in batch_rows if r["_change_op"] == "d"]
+        if ups:
+            replica.upsert(spark.createDataFrame(
+                [(r["k"], r["pre"], r["v"]) for r in ups], sch))
+        if dels:
+            replica.delete(spark.createDataFrame(
+                [(r["k"],) for r in dels], "k long"))
+    src_state = sorted(
+        (r["k"], r["pre"], r["v"]) for r in t.snapshot().collect())
+    rep_state = sorted(
+        (r["k"], r["pre"], r["v"]) for r in replica.snapshot().collect())
+    assert rep_state == src_state == [(7, 1, "z"), (8, 2, "w2")]

@@ -659,3 +659,76 @@ def test_stream_join_quality_gate_blocks_red_window(spark, tmp_path):
     q.stop()
     assert view.through() == t1
     assert _view_rows(view, cols) == v1
+
+
+def test_stream_maintained_view_over_bucketed_source(spark, tmp_path):
+    """r10 (VERDICT r9 #6): the streaming maintained-view driver runs
+    over a BUCKETED source — open_any_table dispatches the engine, the
+    fold reads pointer-bounded BucketedTable.cdc windows (shared
+    cdc_window algebra), a delete dirties MIN through the bucketed
+    tombstones, and an overwrite re-seeds via the ReplaceCommitError
+    self-heal — landing exactly on the batch recompute."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    BucketedTable = import_module(f"{ENGINE}.sinks.filegroups").BucketedTable
+
+    sch = "k int, pre int, grp string, amount long"
+    src = BucketedTable(
+        spark, str(tmp_path / "bmsrc"), record_key="k", precombine="pre",
+        num_buckets=4, keep_versions=10,
+    )
+    src.upsert(spark.createDataFrame(
+        [(1, 0, "a", 5), (2, 0, "b", 7), (3, 0, "a", 1)], sch))
+    src.delete(spark.createDataFrame([(3,)], "k int"))  # retracts a MIN
+
+    view = ivm.MaintainedAggregate(
+        spark, str(tmp_path / "bmview"),
+        group_cols=["grp"], sum_cols=["amount"], minmax_cols=["amount"],
+    )
+
+    def start():
+        return maintained.stream_maintained_view(
+            spark,
+            src.root,
+            view.path,
+            group_cols=["grp"],
+            sum_cols=["amount"],
+            minmax_cols=["amount"],
+            checkpoint_location=str(tmp_path / "bmck"),
+            available_now=True,
+        )
+
+    def recompute():
+        snap = src.snapshot()
+        if snap is None:
+            return []
+        return sorted(
+            (r["grp"], r["n_rows"], r["sum_amount"], r["min_amount"])
+            for r in snap.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+                F.min("amount").alias("min_amount"),
+            )
+            .collect()
+        )
+
+    cols = ("grp", "n_rows", "sum_amount", "min_amount")
+    _drain(start())
+    assert view.through() == src.latest_commit()
+    assert _view_rows(view, cols) == recompute()
+
+    # restart with new history: an incremental CDC fold, then a
+    # REPLACE the driver must self-heal across
+    src.upsert(spark.createDataFrame([(4, 1, "b", 2)], sch))
+    _drain(start())
+    assert _view_rows(view, cols) == recompute()
+    src.overwrite(spark.createDataFrame([(9, 1, "z", 100)], sch))
+    src.upsert(spark.createDataFrame([(10, 1, "z", 3)], sch))
+    _drain(start())
+    assert view.through() == src.latest_commit()
+    assert _view_rows(view, cols) == recompute() == [("z", 2, 103, 3)]
