@@ -57,7 +57,7 @@ HEADLINE = [
     "sliding_json_counts",
     "subquery_exists_scalar",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "stream_ivm_report",  # r10: dedup_ngram_jaccard retired with its slot
     "dedup_minhash_lsh",
     "ivm_star_report",
     "dedup_embedding_cosine",

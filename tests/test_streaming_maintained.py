@@ -732,3 +732,66 @@ def test_stream_maintained_view_over_bucketed_source(spark, tmp_path):
     _drain(start())
     assert view.through() == src.latest_commit()
     assert _view_rows(view, cols) == recompute() == [("z", 2, 103, 3)]
+
+
+def test_stream_maintained_scd2_tracks_history(spark, tmp_path):
+    """r10: the streamed SCD2 driver — genesis seeds from the
+    snapshot, later drains fold real CDC windows (version chains with
+    delete closes), a replace re-seeds, and point-in-time reads match
+    the source's time travel for every post-seed commit."""
+    from importlib import import_module
+
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    MaintainedSCD2 = import_module(f"{ENGINE}.sinks.scd2").MaintainedSCD2
+
+    sch = "k int, pre int, seg string"
+    src = _kt(spark, tmp_path / "s2src", "k", "pre")
+    src.upsert(spark.createDataFrame([(1, 0, "a"), (2, 0, "b")], sch))
+    view = MaintainedSCD2(spark, str(tmp_path / "s2hist"), key="k")
+
+    def start():
+        return maintained.stream_maintained_scd2(
+            spark,
+            src.root,
+            view.path,
+            checkpoint_location=str(tmp_path / "s2ck"),
+            available_now=True,
+        )
+
+    _drain(start())
+    seed = src.latest_commit()
+    assert view.through() == seed
+    assert sorted(r["k"] for r in view.current().collect()) == [1, 2]
+
+    # new history: an update (new version) and a delete (closed chain)
+    src.upsert(spark.createDataFrame([(1, 1, "a2")], sch))
+    src.delete(spark.createDataFrame([(2,)], "k int"))
+    _drain(start())
+    assert view.through() == src.latest_commit()
+    assert sorted(
+        (r["k"], r["seg"]) for r in view.current().collect()
+    ) == [(1, "a2")]
+    # k=1 has two versions, the first closed at the update's commit
+    vers = sorted(
+        (r["seg"], r["valid_to"] is None)
+        for r in view.history().filter("k = 1").collect()
+    )
+    assert vers == [("a", False), ("a2", True)]
+    # point-in-time parity for every post-seed commit
+    for c in [i for i in src.instants() if i >= seed]:
+        got = sorted(
+            (r["k"], r["seg"]) for r in view.as_of(c).collect()
+        )
+        want = sorted(
+            (r["k"], r["seg"])
+            for r in src.snapshot(as_of=c).collect()
+        )
+        assert got == want, f"diverged at {c}"
+
+    # replace: the restarted stream self-heals by re-seeding
+    src.overwrite(spark.createDataFrame([(9, 0, "z")], sch))
+    _drain(start())
+    assert view.through() == src.latest_commit()
+    assert sorted(
+        (r["k"], r["seg"]) for r in view.current().collect()
+    ) == [(9, "z")]
