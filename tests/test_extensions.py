@@ -17,6 +17,9 @@ from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_
     QUERIES,
     RETIRED_QUERIES,
 )
+from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+    dedup_ngram_jaccard,
+)
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.multimodal import (
     decode_image_batch,
 )
@@ -59,7 +62,7 @@ def test_lsh_recall(spark):
 def test_minhash_recall_vs_exact_jaccard(spark):
     """Every strongly-similar pair (exact Jaccard ≥ 0.6) is surfaced by
     the MinHash LSH candidates."""
-    exact = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    exact = dedup_ngram_jaccard(spark, SF).toPandas()
     strong = {
         (a, b)
         for a, b, j in zip(exact.doc_a, exact.doc_b, exact.jaccard)
@@ -197,7 +200,7 @@ def test_catalog_publish(spark):
 def test_dedup_clusters_match_union_find(spark):
     """Connected components over near-dup pairs agree with a union-find
     reference on both membership and canonical (min-id) labels."""
-    pairs = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    pairs = dedup_ngram_jaccard(spark, SF).toPandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -224,8 +227,8 @@ def test_dedup_clusters_match_union_find(spark):
 def test_jaccard_prefix_strategy_matches_index(spark):
     """The prefix-filtered (AllPairs) strategy is EXACT: identical pair
     set and jaccard values as the inverted-index strategy."""
-    idx = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
-    pre = QUERIES["dedup_ngram_jaccard"](spark, SF, strategy="prefix").toPandas()
+    idx = dedup_ngram_jaccard(spark, SF).toPandas()
+    pre = dedup_ngram_jaccard(spark, SF, strategy="prefix").toPandas()
     key = lambda df: {  # noqa: E731
         (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
         for r in df.itertuples()
@@ -283,7 +286,7 @@ def test_jaccard_strategies_match_bruteforce_random(spark, tmp_path):
     )
 
     for strat in ("index", "prefix"):
-        got = QUERIES["dedup_ngram_jaccard"](
+        got = dedup_ngram_jaccard(
             spark, str(tmp_path), strategy=strat
         ).toPandas()
         mine = {
@@ -406,7 +409,7 @@ def test_dedup_mode_strings_validated(spark):
     """Typo'd mode strings raise instead of silently running the default
     algorithm (ADVICE r4)."""
     with pytest.raises(ValueError, match="strategy"):
-        QUERIES["dedup_ngram_jaccard"](spark, SF, strategy="Prefix")
+        dedup_ngram_jaccard(spark, SF, strategy="Prefix")
     with pytest.raises(ValueError, match="edge_source"):
         QUERIES["dedup_clusters"](spark, SF, edge_source="minhsah")
 

@@ -795,3 +795,91 @@ def test_stream_maintained_scd2_tracks_history(spark, tmp_path):
     assert sorted(
         (r["k"], r["seg"]) for r in view.current().collect()
     ) == [(9, "z")]
+
+
+def test_stream_maintained_star_view_left_outer(spark, tmp_path):
+    """r10: the streamed star driver's how='left' passthrough — fact
+    rows with unmatched dim keys live in the NULL attribute groups,
+    dim arrivals migrate them out mid-stream, and the drained view
+    equals the direct LEFT-star recompute."""
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+
+    fact = _kt(spark, tmp_path / "lsf", "fk", "fp")
+    cust = _kt(spark, tmp_path / "lsc", "ck", "cp")
+    part = _kt(spark, tmp_path / "lsp", "pk", "pp")
+    fact.upsert(spark.createDataFrame(
+        [(1, 0, 1, 1, 10), (2, 0, 9, 1, 20), (3, 0, 1, 9, 30)],
+        "fk int, fp int, ck int, pk int, amount long",
+    ))  # ck=9 / pk=9 unmatched
+    cust.upsert(spark.createDataFrame([(1, 0, "x")], "ck int, cp int, seg string"))
+    part.upsert(spark.createDataFrame([(1, 0, "m")], "pk int, pp int, cat string"))
+
+    view_path = str(tmp_path / "lsview")
+
+    def start():
+        return maintained.stream_maintained_star_view(
+            spark,
+            fact.root,
+            [("cust", cust.root, "ck", "ck"), ("part", part.root, "pk", "pk")],
+            view_path,
+            group_cols=["seg", "cat"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "lsck"),
+            how="left",
+            available_now=True,
+        )
+
+    def recompute():
+        fs, cs, ps = fact.snapshot(), cust.snapshot(), part.snapshot()
+        j = (
+            fs.join(cs, fs["ck"] == cs["ck"], "left")
+            .join(ps, fs["pk"] == ps["pk"], "left")
+            .select(cs["seg"], ps["cat"], fs["amount"])
+        )
+        return sorted(
+            (
+                (r["seg"], r["cat"], r["n_rows"], r["sum_amount"])
+                for r in j.groupBy("seg", "cat")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("amount").alias("sum_amount"),
+                )
+                .collect()
+            ),
+            key=lambda t: tuple((v is not None, v) for v in t),
+        )
+
+    view = ivm.MaintainedStarAggregate(
+        spark, view_path,
+        dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
+        group_cols=["seg", "cat"], sum_cols=["amount"], how="left",
+    )
+
+    def view_rows():
+        cur = view.current()
+        return sorted(
+            (
+                (r["seg"], r["cat"], r["n_rows"], r["sum_amount"])
+                for r in cur.collect()
+            ),
+            key=lambda t: tuple((v is not None, v) for v in t),
+        )
+
+    _drain(start())
+    got = view_rows()
+    assert got == recompute()
+    assert (None, "m", 1, 20) in got      # unmatched ck
+    assert ("x", None, 1, 30) in got      # unmatched pk
+
+    # dim arrivals migrate rows OUT of the NULL groups mid-stream
+    cust.upsert(spark.createDataFrame([(9, 1, "y")], "ck int, cp int, seg string"))
+    part.upsert(spark.createDataFrame([(9, 1, "n")], "pk int, pp int, cat string"))
+    _drain(start())
+    assert view_rows() == recompute() == [
+        ("x", "m", 1, 10), ("x", "n", 1, 30), ("y", "m", 1, 20),
+    ]
