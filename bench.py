@@ -53,7 +53,7 @@ HEADLINE = [
     "window_ranking_topk",
     "colstats_skipping",
     "dedup_latest_per_key",
-    "sessionization",
+    "scd2_history",  # r10: sessionization retired with its slot
     "sliding_json_counts",
     "subquery_exists_scalar",
     "dedup_exact",

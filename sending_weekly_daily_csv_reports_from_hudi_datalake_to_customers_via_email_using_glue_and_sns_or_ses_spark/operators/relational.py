@@ -1435,3 +1435,107 @@ def stream_ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     _STREAM_IVM_VIEWS[sf_dir] = view_path
     return _ivm_join_select(view)
+
+
+#: built CDC-driven SCD2 histories: sf_dir → history path
+_SCD2_HISTORIES: dict[str, str] = {}
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH d_src AS (
+      SELECT CAST(c_custkey % 23 AS INT) AS ck,
+             CAST(c_custkey AS BIGINT) AS cpre,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    s1 AS (
+      SELECT ck, max(cpre) AS cpre, arg_max(seg, cpre) AS seg
+      FROM d_src WHERE cpre % 2 = 0 GROUP BY ck
+    ),
+    s2 AS (
+      SELECT ck, max(cpre) AS cpre, arg_max(seg, cpre) AS seg
+      FROM d_src GROUP BY ck
+    ),
+    v1 AS (
+      SELECT s1.ck, s1.cpre, s1.seg, 1 AS from_seq,
+             CASE WHEN s2.cpre % 2 = 1 THEN 2
+                  WHEN s1.ck % 7 = 0 THEN 3 END AS to_seq
+      FROM s1 JOIN s2 ON s1.ck = s2.ck
+    ),
+    v2 AS (
+      SELECT ck, cpre, seg, 2 AS from_seq,
+             CASE WHEN ck % 7 = 0 THEN 3 END AS to_seq
+      FROM s2 WHERE cpre % 2 = 1
+    )
+    SELECT ck, cpre, seg,
+           CAST(from_seq AS INT) AS from_seq,
+           CAST(to_seq AS INT) AS to_seq
+    FROM v1
+    UNION ALL
+    SELECT ck, cpre, seg,
+           CAST(from_seq AS INT) AS from_seq,
+           CAST(to_seq AS INT) AS to_seq
+    FROM v2
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 (CDC-driven SCD2 dimension history, sinks/scd2.py
+    MaintainedSCD2 — r10, VERDICT r9 #8) under the driver oracle: fold
+    the star fixture's CUST dimension history (upsert halves C1/C2 by
+    c_custkey parity, then the C3 delete of every 7th key) window by
+    window into a maintained type-2 history, then present each
+    version's validity interval as the COMMIT ORDINAL it opened/closed
+    at. The replay drives every SCD2 mode: C1 opens the even-half
+    winners' versions, C2 opens a NEW version exactly for the keys
+    whose overall precombine winner is odd (a higher-cpre same-seg row
+    is still a state change — CDC's change notion is the full payload)
+    and inserts keys with only odd custkeys, and C3's tombstones CLOSE
+    chains without successors (the keys vanish from current). The
+    DuckDB oracle derives the version set directly from per-key
+    arg_max set algebra over the two halves — chain structure,
+    change detection, and delete closes must all compose to the exact
+    SQL answer. Validity ordinals (not raw commit ids) make the
+    result corpus-deterministic."""
+    from ..sinks.scd2 import MaintainedSCD2
+    from ..sinks.upsert import KeyedTable
+
+    _, c_root, _ = _star_cdc_fixture(spark, sf_dir)
+    cust = KeyedTable.open(spark, c_root)
+    insts = cust.instants()
+
+    def _select(view: MaintainedSCD2) -> DataFrame:
+        seq = F.create_map(
+            *[
+                x
+                for i, c in enumerate(insts)
+                for x in (F.lit(c), F.lit(i + 1))
+            ]
+        )
+        h = view.history()
+        return h.select(
+            F.col("ck"),
+            F.col("cpre").cast("long").alias("cpre"),
+            F.col("seg"),
+            seq[F.col("valid_from")].cast("int").alias("from_seq"),
+            seq[F.col("valid_to")].cast("int").alias("to_seq"),
+        )
+
+    cached = _SCD2_HISTORIES.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return _select(MaintainedSCD2(spark, cached, key="ck"))
+    target = os.path.join(_fixture_cache_root(sf_dir), "views", "scd2")
+
+    def build(tmp: str) -> None:
+        view = MaintainedSCD2(spark, tmp, key="ck")
+        prev = None
+        for c in insts:
+            win = _fixture_cdc(spark, sf_dir, cust, prev, c)
+            if win is not None:
+                view.apply(win, through=c)
+            prev = c
+
+    path = _publish_dir(build, target)
+    _SCD2_HISTORIES[sf_dir] = path
+    return _select(MaintainedSCD2(spark, path, key="ck"))

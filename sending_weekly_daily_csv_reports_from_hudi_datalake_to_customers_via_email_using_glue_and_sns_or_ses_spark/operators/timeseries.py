@@ -21,6 +21,13 @@ from . import query
 
 @query(
     "sessionization",
+    retired=True,  # r10: slot funded scd2_history (the CDC-driven SCD2
+    # dimension history's external correctness row). The 30-min-gap
+    # session semantics stay driver-green via the oracle-checked
+    # streaming_session_window (the same sessions through the REAL
+    # streaming engine), the lag/cumsum window primitives via
+    # window_ranking_topk and join_range_asof, and this entry keeps
+    # its full oracle under test_retired_parity.
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
