@@ -250,16 +250,25 @@ class MaintainedSCD2:
         else:
             # prune the stored side to the window's keys — untouched
             # keys' chains are already correct and carry forward
-            # unchanged; only changed keys rebuild (O(changed history))
+            # unchanged; only changed keys rebuild (O(changed history)).
+            # allowMissingColumns: a dimension that EVOLVED between
+            # windows (added a column) NULL-fills the pre-evolution
+            # versions instead of failing the fold — the engine-wide
+            # schema-evolution read contract.
             keys = events.select(key).distinct()
             touched = raw.join(F.broadcast(keys), key, "left_semi")
             untouched = raw.join(F.broadcast(keys), key, "left_anti")
-            versions = touched.unionByName(events)
+            versions = touched.unionByName(
+                events, allowMissingColumns=True
+            )
             w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
             rebuilt = versions.withColumn(
                 "valid_to", F.lead("valid_from").over(w)
             )
-            self._publish(untouched.unionByName(rebuilt), through)
+            self._publish(
+                untouched.unionByName(rebuilt, allowMissingColumns=True),
+                through,
+            )
             return True
         w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
         self._publish(

@@ -227,3 +227,41 @@ def test_maintained_scd2_via_cdc_reader_loop(spark, tmp_path):
     assert sorted(
         (r["k"], r["seg"], r["tier"]) for r in view.current().collect()
     ) == [(9, "z", 90)]
+
+
+def test_maintained_scd2_survives_dimension_schema_evolution(
+    spark, tmp_path
+):
+    """A dimension that ADDS a column between windows folds cleanly:
+    pre-evolution versions NULL-fill the new column, post-evolution
+    versions carry it (the engine-wide evolution read contract)."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
+        MaintainedSCD2,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    t = KeyedTable(
+        spark, str(tmp_path / "evdim"), record_key="k",
+        precombine="pre", keep_versions=20,
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 0, "a")], "k int, pre int, seg string"))
+    view = MaintainedSCD2(spark, str(tmp_path / "evh"), key="k")
+    c1 = t.latest_commit()
+    view.apply(t.cdc(end=c1), through=c1)
+    # evolution: the next upsert adds a `tier` column
+    t.upsert(spark.createDataFrame(
+        [(1, 1, "a2", 10), (2, 0, "b", 20)],
+        "k int, pre int, seg string, tier int"))
+    view.apply(t.cdc(begin=c1), through=t.latest_commit())
+    rows = sorted(
+        (r["k"], r["seg"], r["tier"], r["valid_to"] is None)
+        for r in view.history().collect()
+    )
+    assert rows == [
+        (1, "a", None, False),   # pre-evolution version: tier NULL
+        (1, "a2", 10, True),
+        (2, "b", 20, True),
+    ]
