@@ -273,36 +273,60 @@ def _star_sources(spark: SparkSession, sf_dir: str):
     return fact_src, cust_src, part_src
 
 
+def _nulls_first(t):
+    # the LEFT star's NULL attribute groups must sort (None vs str)
+    return tuple((v is not None, v) for v in t)
+
+
 def _star_assert_parity(view, fact, cust, part) -> None:
     got = sorted(
-        (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
-        for r in view.current()
-        .select("seg", "cat", "n_rows", "sum_price")
-        .collect()
+        (
+            (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
+            for r in view.current()
+            .select("seg", "cat", "n_rows", "sum_price")
+            .collect()
+        ),
+        key=_nulls_first,
     )
     want = sorted(
-        (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
-        for r in view.joined(
-            fact.snapshot(),
-            {"cust": cust.snapshot(), "part": part.snapshot()},
-        )
-        .groupBy("seg", "cat")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("price").alias("sum_price"),
-        )
-        .collect()
+        (
+            (r["seg"], r["cat"], r["n_rows"], str(r["sum_price"]))
+            for r in view.joined(
+                fact.snapshot(),
+                {"cust": cust.snapshot(), "part": part.snapshot()},
+            )
+            .groupBy("seg", "cat")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price").alias("sum_price"),
+            )
+            .collect()
+        ),
+        key=_nulls_first,
     )
     assert got == want, f"star view diverged: {got[:3]} vs {want[:3]}"
 
 
-def run_scale_star(spark: SparkSession, sf_dir: str, tag: str) -> dict:
+def run_scale_star(
+    spark: SparkSession, sf_dir: str, tag: str, how: str = "inner"
+) -> dict:
     """The star (fact ⋈ cust ⋈ part) class at one scale: seed, a FIXED
     fact-only window, a FIXED both-dims window-set (the telescoped
     old/new pinning with TWO changed sides in one fold), parity after
-    every window, and the full-recompute baseline."""
+    every window, and the full-recompute baseline.
+
+    ``how="left"`` (r10) measures the OUTER star: the dims seed with
+    only the EVEN half of their key domains, so half the fact rows
+    live in NULL attribute groups and the both-dims window's odd-key
+    rewrites drive the existence-counterweight migrations (rows
+    leaving the NULL groups) — the left-specific term whose cost this
+    lane isolates. Parity checks run against the view's own LEFT
+    ``joined()`` recompute at every step."""
     work = tempfile.mkdtemp(prefix=f"ivmstar_{tag}_")
     fact_src, cust_src, part_src = _star_sources(spark, sf_dir)
+    if how == "left":
+        cust_src = cust_src.filter(F.col("ck") % 2 == 0)
+        part_src = part_src.filter(F.col("pk") % 2 == 0)
     fact = KeyedTable(
         spark, f"{work}/fact", record_key="fk", precombine="fpre",
         keep_versions=10,
@@ -328,6 +352,7 @@ def run_scale_star(spark: SparkSession, sf_dir: str, tag: str) -> dict:
         dims=[("cust", "ck", "ck"), ("part", "pk", "pk")],
         group_cols=["seg", "cat"],
         sum_cols=["price"],
+        how=how,
     )
     t0 = time.time()
     view.rebuild(
@@ -470,6 +495,35 @@ def main() -> None:
                     "base": sbase,
                     f"x{n}": sbig,
                     "slopes": sslopes,
+                }
+            )
+        )
+    if only == "left":
+        # r10: the LEFT-outer star lane — NULL groups populated (dims
+        # seed the even half of their key domains) and odd-key dim
+        # rewrites drive the existence-counterweight migrations
+        run_scale_star(spark, BASE_SF, "warmup", how="left")
+        lbase = run_scale_star(spark, BASE_SF, "base", how="left")
+        spark.catalog.clearCache()
+        lbig = run_scale_star(spark, organic, f"x{n}", how="left")
+        lslopes = {
+            k: round(lbig[k] / lbase[k], 2)
+            for k in (
+                "apply_fact_window_sec",
+                "apply_both_dims_sec",
+                "recompute_sec",
+            )
+            if lbase[k] > 0
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "ivm_star_left_scale",
+                    "n": n,
+                    "unit": "sec",
+                    "base": lbase,
+                    f"x{n}": lbig,
+                    "slopes": lslopes,
                 }
             )
         )
