@@ -445,6 +445,10 @@ class MaintainedJoinReportConfig:
     #: the run's instant pair
     metric_history_path: str | None = None
     max_rel_change: float = 0.1
+    #: join semantics (r10): "inner" (default) or "left" — the
+    #: left-outer maintained join keeps unmatched fact rows in the
+    #: NULL dim-attribute group (operators/ivm.py how="left")
+    how: str = "inner"
 
 
 def run_maintained_join_report(
@@ -486,6 +490,7 @@ def run_maintained_join_report(
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
         distinct_cols=config.distinct_cols,
+        how=config.how,
     )
     if d_reader.table.record_key != view.dim_on:
         # the delta math requires N:1 — at most one dim row per join
@@ -641,6 +646,10 @@ class MaintainedStarReportConfig:
     #: the run's instant set
     metric_history_path: str | None = None
     max_rel_change: float = 0.1
+    #: star semantics (r10): "inner" (default) or "left" — the
+    #: left-outer maintained star keeps unmatched fact rows in each
+    #: dim's NULL attribute group (operators/ivm.py how="left")
+    how: str = "inner"
 
 
 def run_maintained_star_report(
@@ -682,6 +691,7 @@ def run_maintained_star_report(
         sum_cols=config.sum_cols,
         minmax_cols=config.minmax_cols,
         distinct_cols=config.distinct_cols,
+        how=config.how,
     )
     for (name, _, _, dim_on) in config.dims:
         rk = d_readers[name].table.record_key

@@ -1080,6 +1080,16 @@ class BucketedTable:
                 if f.name != COMMIT_COL
             ]
         )
+        if "c" in data_schema.fieldNames():
+            # the log layout reserves `c` for its commit partition dir
+            # (log/c=<id>/) — the same refusal the KeyedTable log
+            # reader applies (a duplicate field would break the read)
+            raise ValueError(
+                f"{self.root}: table data schema contains a column "
+                "named 'c', which collides with the commit-log "
+                "partition column (log/c=<commit>/) — rename the data "
+                "column before reading this table's log"
+            )
         phys, priors = physical_read_schema(data_schema)
         df = (
             self.spark.read.schema(

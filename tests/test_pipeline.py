@@ -1279,3 +1279,100 @@ def test_maintained_report_distinct_columns(spark, tmp_path):
     res = run_maintained_report(spark, cfg, sender=sender)
     row = {r["grp"]: r for r in res.df.collect()}["b"]
     assert row["n_rows"] == 3 and row["distinct_amount"] == 2
+
+
+def test_maintained_left_star_report_loop(spark, tmp_path):
+    """r10: the scheduled star loop with how='left' — unmatched fact
+    rows report under NULL dim attributes at seed, a late-arriving dim
+    key migrates them out through the loop's normal window fold, and
+    every step equals the direct LEFT-star recompute."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedStarReportConfig,
+        run_maintained_star_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "lfact"), record_key="okey",
+        precombine="opre", keep_versions=10,
+    )
+    cust = KeyedTable(
+        spark, str(tmp_path / "lcust"), record_key="ck",
+        precombine="cpre", keep_versions=10,
+    )
+    part = KeyedTable(
+        spark, str(tmp_path / "lpart"), record_key="pk",
+        precombine="ppre", keep_versions=10,
+    )
+    cfg = MaintainedStarReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_lst",
+        dims=[
+            ("cust", cust.root, "cust", "ck"),
+            ("part", part.root, "prt", "pk"),
+        ],
+        group_cols=["segment", "cat"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "lview"),
+        report_base=str(tmp_path / "lreports"),
+        checkpoint_root=str(tmp_path / "lck"),
+        how="left",
+    )
+    sender = EmailSender()
+
+    def key_nf(t):
+        return tuple((v is not None, v) for v in t)
+
+    def recompute():
+        fs, cs, ps = fact.snapshot(), cust.snapshot(), part.snapshot()
+        return sorted(
+            (
+                (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+                for r in fs.join(cs, fs["cust"] == cs["ck"], "left")
+                .join(ps, fs["prt"] == ps["pk"], "left")
+                .groupBy("segment", "cat")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("amount").alias("sum_amount"),
+                )
+                .collect()
+            ),
+            key=key_nf,
+        )
+
+    def rows(df):
+        return sorted(
+            (
+                (r["segment"], r["cat"], r["n_rows"], r["sum_amount"])
+                for r in df.collect()
+            ),
+            key=key_nf,
+        )
+
+    FACT_S = "okey int, opre int, cust int, prt int, amount long"
+    cust.upsert(spark.createDataFrame(
+        [(1, 0, "RETAIL")], "ck int, cpre int, segment string"))
+    part.upsert(spark.createDataFrame(
+        [(1, 0, "A")], "pk int, ppre int, cat string"))
+    fact.upsert(spark.createDataFrame(
+        [(10, 0, 1, 1, 100), (11, 0, 9, 1, 50), (12, 0, 1, 9, 7)],
+        FACT_S,
+    ))  # cust=9 / prt=9 unmatched
+    res = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res.df) == recompute() == [
+        (None, "A", 1, 50), ("RETAIL", None, 1, 7),
+        ("RETAIL", "A", 1, 100),
+    ]
+    # a late-arriving dim key: the next run's window fold migrates the
+    # NULL-group row out through the existence counterweight
+    cust.upsert(spark.createDataFrame(
+        [(9, 1, "NEW")], "ck int, cpre int, segment string"))
+    res = run_maintained_star_report(spark, cfg, sender=sender)
+    assert rows(res.df) == recompute() == [
+        ("NEW", "A", 1, 50), ("RETAIL", None, 1, 7),
+        ("RETAIL", "A", 1, 100),
+    ]
