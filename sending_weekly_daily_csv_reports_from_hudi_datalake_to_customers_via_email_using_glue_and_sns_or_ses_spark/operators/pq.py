@@ -668,7 +668,10 @@ def ivf_pq_topk(
     corpus = _encoded_cells(e, cent, books)
     qids, Qn = _query_matrix(e)
     probes = spark.createDataFrame(
-        _probe_cells(qids, Qn, cent, resolve_nprobe(nprobe, K)),
+        # nprobe derives from the TRUE trained cell count (the trainer
+        # clamps K to the corpus when smaller — r10 review), never the
+        # nominal dial
+        _probe_cells(qids, Qn, cent, resolve_nprobe(nprobe, cent.shape[0])),
         "query_id long, cell int",
     )
     return _adc_rerank(

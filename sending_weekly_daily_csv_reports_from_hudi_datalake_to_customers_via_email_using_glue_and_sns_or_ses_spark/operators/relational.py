@@ -724,7 +724,16 @@ def _fixture_cache_root(sf_dir: str) -> str:
         "SPARK_GRAFT_FIXTURE_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_fixture_cache"),
     )
-    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    # two-level key (r10 review): <path key>/<content key>/<version> —
+    # the PATH key isolates sf_dirs from each other (sf0.001/0.01/0.1
+    # each keep a live cache), while regenerated testdata (new
+    # size/mtime → new CONTENT key) lets the reap below remove the
+    # same sf_dir's now-dead previous content tree instead of
+    # orphaning it forever
+    path_key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[
+        :12
+    ]
+    h = hashlib.sha1()
     for t in ("orders", "customer", "part", "lineitem"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
@@ -740,49 +749,74 @@ def _fixture_cache_root(sf_dir: str) -> str:
                 )
         except OSError:
             h.update(f"{t}:absent".encode())
-    keyed = os.path.join(base, h.hexdigest()[:16])
-    root = os.path.join(keyed, _FIXTURE_CACHE_VERSION)
-    # reap stale versions of the same source (best-effort; a concurrent
-    # reader of an old version at worst rebuilds)
-    try:
-        for name in os.listdir(keyed):
-            if name != _FIXTURE_CACHE_VERSION and not name.startswith(
-                "."
-            ):
-                shutil.rmtree(
-                    os.path.join(keyed, name), ignore_errors=True
-                )
-    except OSError:
-        pass
+    content_key = h.hexdigest()[:12]
+    keyed = os.path.join(base, path_key)
+    content_dir = os.path.join(keyed, content_key)
+    root = os.path.join(content_dir, _FIXTURE_CACHE_VERSION)
+    # reap stale content trees and versions of THIS sf_dir (best-effort;
+    # a concurrent reader of a stale tree at worst rebuilds)
+    for parent, keep in ((keyed, content_key), (content_dir, _FIXTURE_CACHE_VERSION)):
+        try:
+            for name in os.listdir(parent):
+                if name != keep and not name.startswith("."):
+                    shutil.rmtree(
+                        os.path.join(parent, name), ignore_errors=True
+                    )
+        except OSError:
+            pass
     return root
+
+
+#: orphan tmp dirs older than this are reaped (a LIVE concurrent
+#: builder's tmp is younger — reaping it mid-build would crash that
+#: builder, the r10 review finding; a day-old tmp is a crashed one)
+_TMP_REAP_AGE_S = 24 * 3600
 
 
 def _publish_dir(build, target: str) -> str:
     """Build into a sibling tmp dir and atomically rename into
     ``target``. Concurrent builders race safely: rename is atomic, one
-    wins, the loser discards its work and adopts the winner's — and a
-    crashed build never leaves a half-written ``target`` (only an
-    orphan tmp dir, reaped on the next successful publish)."""
+    wins, and a loser — whether its rename lost or its BUILD failed
+    because the winner's publish raced it — adopts the winner's
+    result. A crashed build never leaves a half-written ``target``
+    (only an orphan tmp dir, age-reaped on a later publish — never a
+    fresh one, which may be a live concurrent builder's)."""
     if os.path.isdir(target):
         return target
     parent = os.path.dirname(target)
     os.makedirs(parent, exist_ok=True)
     tmp = f"{target}.tmp.{uuid.uuid4().hex[:8]}"
-    build(tmp)
+    try:
+        build(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(target):
+            # a concurrent builder won while we were building — its
+            # result is the same content; adopt it
+            return target
+        raise
     try:
         os.rename(tmp, target)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(target):
             raise
-    # reap orphan tmp dirs from crashed builders (ours just renamed)
+    # reap STALE orphan tmp dirs from crashed builders (age-gated so a
+    # live concurrent builder's tmp survives)
     base = os.path.basename(target) + ".tmp."
     try:
+        import time as _time
+
+        now = _time.time()
         for name in os.listdir(parent):
-            if name.startswith(base):
-                shutil.rmtree(
-                    os.path.join(parent, name), ignore_errors=True
-                )
+            if not name.startswith(base):
+                continue
+            p = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(p) > _TMP_REAP_AGE_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     except OSError:
         pass
     return target

@@ -303,9 +303,13 @@ def _train_ivf_centroids(
     e: DataFrame, K: int = 16, iters: int = 8, *, corpus_id: str
 ) -> np.ndarray:
     """The IVF coarse quantizer: driver-side Lloyd's k-means on a
-    deterministic 256-row sample (vec_id hash order) — the classic IVF
-    train step; the tiny centroid matrix broadcasts in UDF closures.
-    ``corpus_id`` names the corpus for the memo (pass the source path)."""
+    deterministic sample (vec_id hash order) — the classic IVF train
+    step; the tiny centroid matrix broadcasts in UDF closures. The
+    sample SCALES with K (max(256, 4·K) rows — r10 review: a fixed 256
+    silently capped ``cent = sample[:K]`` at 256 centroids, defeating
+    ``resolve_cells('auto')`` at exactly the corpus sizes it exists
+    for, and trained K≈sample degenerately). ``corpus_id`` names the
+    corpus for the memo (pass the source path)."""
     from . import evict_dead_app_entries
 
     key = (
@@ -317,13 +321,20 @@ def _train_ivf_centroids(
     hit = _CENT_CACHE.get(key)
     if hit is not None:
         return hit
+    n_sample = max(256, 4 * K)
     sample = np.stack(
         [
             np.asarray(r["embedding"], dtype=np.float64)
-            for r in e.orderBy(F.xxhash64("vec_id")).limit(256).collect()
+            for r in e.orderBy(F.xxhash64("vec_id"))
+            .limit(n_sample)
+            .collect()
         ]
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    if len(sample) < K:
+        # corpus smaller than the requested cell count: every vector
+        # is its own seed — K effectively clamps to the corpus
+        K = len(sample)
     cent = sample[:K].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)

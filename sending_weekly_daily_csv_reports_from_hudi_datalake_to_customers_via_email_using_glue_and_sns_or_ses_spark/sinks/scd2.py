@@ -245,8 +245,9 @@ class MaintainedSCD2:
             is_del.alias(self.TOMBSTONE_COL),
         )
         raw = self._raw()
+        untouched = None
         if raw is None:
-            versions = events
+            versions = events  # genesis fold: no stored chains yet
         else:
             # prune the stored side to the window's keys — untouched
             # keys' chains are already correct and carry forward
@@ -261,18 +262,13 @@ class MaintainedSCD2:
             versions = touched.unionByName(
                 events, allowMissingColumns=True
             )
-            w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
-            rebuilt = versions.withColumn(
-                "valid_to", F.lead("valid_from").over(w)
-            )
-            self._publish(
-                untouched.unionByName(rebuilt, allowMissingColumns=True),
-                through,
-            )
-            return True
         w = Window.partitionBy(key).orderBy(F.asc("valid_from"))
-        self._publish(
-            versions.withColumn("valid_to", F.lead("valid_from").over(w)),
-            through,
+        rebuilt = versions.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
         )
+        if untouched is not None:
+            rebuilt = untouched.unionByName(
+                rebuilt, allowMissingColumns=True
+            )
+        self._publish(rebuilt, through)
         return True

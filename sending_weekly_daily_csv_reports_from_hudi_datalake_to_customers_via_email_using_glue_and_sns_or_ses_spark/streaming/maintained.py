@@ -660,6 +660,17 @@ def stream_maintained_scd2(
     engines (open_any_table)."""
     table = open_any_table(spark, source_root)
     view_key = key or table.record_key
+    if view_key != table.record_key:
+        # the CDC frame's only top-level non-meta column IS the record
+        # key — any other `key` would pass genesis (the snapshot has
+        # the column top-level) and crash the FIRST incremental fold
+        # (r10 review: the parameter was a trap)
+        raise ValueError(
+            f"stream_maintained_scd2: key {view_key!r} must be the "
+            f"source table's record key ({table.record_key!r}) — CDC "
+            "windows carry only the record key at top level; track a "
+            "business key by making it the table's record key"
+        )
     from ..sinks.scd2 import MaintainedSCD2
 
     view = MaintainedSCD2(spark, history_path, key=view_key)

@@ -87,28 +87,58 @@ def stream_incremental(
             "commit has been published yet; create the table and write "
             "one batch before opening the stream"
         )
-    # streaming file sources require an explicit schema. Reuse the
-    # batch reader's schema resolution (committed-schema log when the
-    # table records one, else the parquet footers of published dirs):
-    # batch schema = data fields + COMMIT_COL(string); the stream reads
-    # the raw layout, so it wants data fields + c(long) pre-rename.
-    batch = read_commit_log(spark, root)
-    data_fields = [f for f in batch.schema.fields if f.name != COMMIT_COL]
-    # renamed tables: declare prior physical names too and fold them
-    # into the logical columns after the read (the batch reader's
-    # rename mapping, applied to the streaming scan)
+    # streaming file sources require an explicit schema, resolved
+    # ENGINE-AWARE (r10 review): a bucketed root records its committed
+    # schema in the MANIFESTS (not the schema/ log), so the KeyedTable
+    # lane's `_committed_schema` returns None there and the old
+    # fallback inferred from parquet footers — an evolved/renamed
+    # bucketed table then streamed wrong/NULL columns. Each engine now
+    # declares its own recorded schema + rename priors; the stream
+    # reads the raw layout, so it wants data fields + c(long)
+    # pre-rename.
     from ..sources.incremental import (
         _committed_schema,
         coalesce_renamed,
         physical_read_schema,
     )
 
-    recorded = _committed_schema(root)
+    is_bucketed = False
+    bt_meta = os.path.join(root, "_table.json")
+    if os.path.exists(bt_meta):
+        import json as _json
+
+        try:
+            with open(bt_meta) as f:
+                is_bucketed = _json.load(f).get("engine") == "bucketed"
+        except (OSError, ValueError):
+            pass
     priors: dict[str, list[str]] = {}
-    if recorded is not None:
+    if is_bucketed:
+        from ..sinks.filegroups import BucketedTable
+
+        t = BucketedTable.open(spark, root)
+        recorded = StructType(
+            [
+                f
+                for f in t._union_schema(None).fields
+                if f.name != COMMIT_COL
+            ]
+        )
         phys, priors = physical_read_schema(recorded)
-        if priors:
-            data_fields = list(phys.fields)
+        data_fields = list(phys.fields)
+    else:
+        batch = read_commit_log(spark, root)
+        data_fields = [
+            f for f in batch.schema.fields if f.name != COMMIT_COL
+        ]
+        # renamed tables: declare prior physical names too and fold
+        # them into the logical columns after the read (the batch
+        # reader's rename mapping, applied to the streaming scan)
+        recorded = _committed_schema(root)
+        if recorded is not None:
+            phys, priors = physical_read_schema(recorded)
+            if priors:
+                data_fields = list(phys.fields)
     if "c" in (f.name for f in data_fields):
         # read_commit_log catches this for schema-recorded tables; this
         # guard covers inferred-schema vintages too (ADVICE r7: a data
@@ -218,7 +248,8 @@ def stream_cdc(
     if key not in (f.name for f in data_fields):
         raise ValueError(
             f"{root}: record key {key!r} not in the log schema "
-            f"({[f.name for f in data_fields]}) — not a KeyedTable log"
+            f"({[f.name for f in data_fields]}) — not a valid keyed/"
+            "bucketed table commit log"
         )
     ts_dir = os.path.join(root, "tombstones")
     # the glob below must resolve from stream start even on a table

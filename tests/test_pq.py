@@ -407,3 +407,22 @@ def test_ivf_pq_topk_all_dials_auto_matches_recall(spark):
         len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_centroid_trainer_sample_scales_with_k(spark):
+    """r10 review: the IVF trainer's sample scales with K (max(256,
+    4K)) — a K above the old fixed 256-row sample no longer silently
+    collapses to 256 centroids, and a K above the corpus clamps to the
+    corpus size."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.catalog import (
+        load_table,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.similarity import (
+        _train_ivf_centroids,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    cent = _train_ivf_centroids(e, K=300, corpus_id=f"{SF}#k300")
+    n = e.count()
+    assert cent.shape[0] == min(300, n)
+    assert cent.shape[0] > 256 or n <= 256

@@ -1433,3 +1433,43 @@ def test_stream_cdc_bucketed_op_parity_and_replace(spark, tmp_path):
     rep_state = sorted(
         (r["k"], r["pre"], r["v"]) for r in replica.snapshot().collect())
     assert rep_state == src_state == [(7, 1, "z"), (8, 2, "w2")]
+
+
+def test_stream_incremental_serves_bucketed_renamed_and_evolved(
+    spark, tmp_path
+):
+    """r10 review: the streaming schema lane is engine-aware — a
+    BUCKETED table's committed schema lives in its manifests, so a
+    rename + an added column must stream under the current logical
+    names (old-vintage log files folded through their prior physical
+    name, pre-evolution rows NULL-filled), exactly like the KeyedTable
+    lane."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.filegroups import (
+        BucketedTable,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.streaming.source import (
+        stream_incremental,
+    )
+
+    t = BucketedTable(
+        spark, str(tmp_path / "brn"), record_key="k", precombine="pre",
+        num_buckets=4,
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 1, "old-vintage")], "k int, pre int, v string"))
+    t.alter_rename_column("v", "label")
+    t.upsert(spark.createDataFrame(
+        [(2, 1, "new-vintage", 7)],
+        "k int, pre int, label string, extra int"))
+    rows: list = []
+    q = (
+        stream_incremental(spark, t.root)
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "brnck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["k"], r["label"], r["extra"]) for r in rows)
+    assert got == [(1, "old-vintage", None), (2, "new-vintage", 7)]
+    assert all("v" not in r.asDict() for r in rows)
