@@ -1376,3 +1376,79 @@ def test_maintained_left_star_report_loop(spark, tmp_path):
         ("NEW", "A", 1, 50), ("RETAIL", None, 1, 7),
         ("RETAIL", "A", 1, 100),
     ]
+
+
+def test_maintained_left_join_report_loop(spark, tmp_path):
+    """r10: the scheduled 2-table loop with how='left' — unmatched fact
+    rows report under the NULL dim group and a late dim key migrates
+    them out through the loop's window fold."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.upsert import (
+        KeyedTable,
+    )
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "ljf"), record_key="okey",
+        precombine="opre", keep_versions=10,
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "ljd"), record_key="ck",
+        precombine="cpre", keep_versions=10,
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_lj",
+        dim_path=dim.root,
+        dim_name="cust_lj",
+        on=("cust", "ck"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "ljview"),
+        report_base=str(tmp_path / "ljreports"),
+        checkpoint_root=str(tmp_path / "ljck"),
+        how="left",
+    )
+    sender = EmailSender()
+
+    def key_nf(t):
+        return tuple((v is not None, v) for v in t)
+
+    def rows(df):
+        return sorted(
+            (
+                (r["segment"], r["n_rows"], r["sum_amount"])
+                for r in df.collect()
+            ),
+            key=key_nf,
+        )
+
+    dim.upsert(spark.createDataFrame(
+        [(1, 0, "RETAIL")], "ck int, cpre int, segment string"))
+    fact.upsert(spark.createDataFrame(
+        [(10, 0, 1, 100), (11, 0, 9, 50)],
+        "okey int, opre int, cust int, amount long"))  # cust=9 unmatched
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res.df) == [(None, 1, 50), ("RETAIL", 1, 100)]
+    dim.upsert(spark.createDataFrame(
+        [(9, 1, "NEW")], "ck int, cpre int, segment string"))
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    fs, ds = fact.snapshot(), dim.snapshot()
+    want = sorted(
+        (
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in fs.join(ds, fs["cust"] == ds["ck"], "left")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect()
+        ),
+        key=key_nf,
+    )
+    assert rows(res.df) == want == [("NEW", 1, 50), ("RETAIL", 1, 100)]
