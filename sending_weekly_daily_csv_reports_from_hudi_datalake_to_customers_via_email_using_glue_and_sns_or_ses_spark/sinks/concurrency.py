@@ -45,21 +45,27 @@ class CommitConflictError(Exception):
     """A concurrent commit conflicts with this transaction; retry the
     write (Hudi's HoodieWriteConflictException equivalent).
 
-    ``n_overlapping`` is the number of DISTINCT record keys both the
-    transaction and a concurrent commit touched; ``None`` means the
-    concurrent commit carries no key manifest (delete / snapshot
-    replacement), which conflicts with any in-flight transaction.
+    ``n_overlapping`` is the number of DISTINCT conflict units both the
+    transaction and a concurrent commit touched — record keys on
+    KeyedTable, file-group buckets on BucketedTable (Hudi's own OCC
+    unit; ``unit`` names it in the message); ``None`` means the
+    concurrent commit carries no key/bucket manifest (delete / snapshot
+    replacement / table-wide op), which conflicts with any in-flight
+    transaction.
     """
 
     def __init__(
-        self, conflicting_commits: list[str], n_overlapping: int | None = None
+        self,
+        conflicting_commits: list[str],
+        n_overlapping: int | None = None,
+        unit: str = "record key",
     ):
         self.conflicting_commits = conflicting_commits
         self.n_overlapping = n_overlapping
         if n_overlapping is None:
-            detail = "whole-table commit(s) (no key manifest)"
+            detail = "whole-table commit(s) (no key/bucket manifest)"
         else:
-            detail = f"{n_overlapping} overlapping record key(s)"
+            detail = f"{n_overlapping} overlapping {unit}(s)"
         super().__init__(
             f"concurrent commit(s) {conflicting_commits}: {detail}; "
             "retry the transaction"

@@ -57,10 +57,22 @@ Scale notes (the reason this module exists):
     ``keep_versions`` manifests; older manifests stay (they are tiny)
     and raise a clear error if read past retained history.
 
-Single-writer by design (the P9 OCC lock protocol lives in KeyedTable;
-composing it here would duplicate, not add, coverage). CDC/IVM also
-stay KeyedTable features — this module is the write-amplification half
-of the engine.
+Multi-writer (r11, VERDICT r10 #1): pass a ``lock_provider`` (the same
+:mod:`.concurrency` providers KeyedTable takes) to run every commit
+phase under the table lock with Hudi-style OCC. Conflict detection is
+at BUCKET granularity — Hudi's own unit (its
+SimpleConcurrentFileWritesConflictResolutionStrategy compares touched
+FILE GROUPS, not record keys): each manifest records the bucket set
+its commit touched; a transaction whose base instant predates a
+concurrent commit conflicts iff their bucket sets overlap (whole-table
+ops — overwrite, rename — conflict with everything). Disjoint writers
+both land: the merge re-reads the now-current manifest under the lock,
+so it rebases onto concurrent commits in other buckets automatically.
+Savepoint/restore/rollback (r11, VERDICT r10 #6) ride the manifest
+pointer: a savepoint pins its manifest's slice set against the
+cleaner, restore republishes an older manifest (one pointer flip —
+the same crash-safe commit point every write uses), rollback drops the
+trailing commit.
 
 Reference parity: generate_hudi_table.py:86-214 configures upsert by
 record key + precombine; this class honors the identical P1/P2 merge
@@ -74,6 +86,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +94,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..sources.incremental import COMMIT_COL
+from .concurrency import CommitConflictError, LockAcquireTimeout
 from .upsert import (
     COMPOSITE_KEY_COL,
     _merge_latest,
@@ -107,6 +121,8 @@ class BucketedTable:
         payload: str = "overwrite",
         stats_cols: list[str] | None = None,
         bloom_cols: str | list[str] | None = None,
+        lock_provider=None,
+        lock_timeout_s: float = 60.0,
     ):
         if num_buckets < 1:
             raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
@@ -140,6 +156,13 @@ class BucketedTable:
         self.num_buckets = num_buckets
         self.keep_versions = keep_versions
         self.payload = payload
+        # P9 OCC (r11, VERDICT r10 #1): None = single-writer mode (the
+        # r10 behavior, zero overhead); a lock provider from
+        # sinks/concurrency.py turns on the Hudi-style protocol —
+        # commit phase under the table lock, bucket-overlap conflict
+        # detection, CommitConflictError for the caller to retry.
+        self.lock_provider = lock_provider
+        self.lock_timeout_s = lock_timeout_s
         os.makedirs(root, exist_ok=True)
         self._write_meta()
 
@@ -193,8 +216,13 @@ class BucketedTable:
         os.replace(tmp, self._meta_path())
 
     @classmethod
-    def open(cls, spark: SparkSession, root: str) -> "BucketedTable":
-        """Open an existing root from its persisted metadata."""
+    def open(
+        cls, spark: SparkSession, root: str, lock_provider=None
+    ) -> "BucketedTable":
+        """Open an existing root from its persisted metadata.
+        ``lock_provider`` is process-local (not persisted): each writer
+        brings its own handle to the shared lock, as with Hudi's lock
+        configs."""
         with open(os.path.join(root, "_table.json")) as f:
             meta = json.load(f)
         return cls(
@@ -207,6 +235,7 @@ class BucketedTable:
             payload=meta.get("payload", "overwrite"),
             stats_cols=meta.get("stats_cols") or None,
             bloom_cols=meta.get("bloom_cols") or None,
+            lock_provider=lock_provider,
         )
 
     # -- commit timeline ------------------------------------------------
@@ -250,6 +279,141 @@ class BucketedTable:
             f.write(commit)
         os.replace(tmp, self._latest_path())
 
+    # -- P9: transactions / conflict detection (r11, VERDICT r10 #1) ----
+    @contextmanager
+    def _txn(self):
+        """Commit-phase critical section — the KeyedTable._txn contract
+        on the manifest engine: single-writer mode (no lock provider)
+        skips locking but still reaps a crashed run's orphans; with a
+        provider, the conflict check, merge, slice writes, and pointer
+        flip all run under the table lock."""
+        if self.lock_provider is None:
+            self._rollback_failed()
+            yield
+            return
+        if not self.lock_provider.try_lock(timeout_s=self.lock_timeout_s):
+            raise LockAcquireTimeout(
+                f"table lock not acquired within {self.lock_timeout_s}s"
+            )
+        try:
+            self._rollback_failed()
+            yield
+        finally:
+            self.lock_provider.unlock()
+
+    def _rollback_failed(self) -> None:
+        """Lazy failed-write cleaning: anything beyond the published
+        ``_latest`` pointer is a crashed (or rolled-back) writer's
+        orphan by definition — manifests, slice versions, log dirs,
+        tombstones, replace markers, savepoints — plus abandoned
+        staging dirs. Runs inside the critical section: under the
+        table lock nothing beyond the pointer can be in-flight."""
+        latest = self.latest_commit()
+
+        def dead(c: str) -> bool:
+            return latest is None or c > latest
+
+        mdir = os.path.join(self.root, "manifests")
+        if os.path.isdir(mdir):
+            for n in os.listdir(mdir):
+                if n.endswith(".json") and not n.startswith(".") and dead(
+                    n[: -len(".json")]
+                ):
+                    try:
+                        os.remove(os.path.join(mdir, n))
+                    except FileNotFoundError:
+                        pass
+        sdir = os.path.join(self.root, "slices")
+        if os.path.isdir(sdir):
+            for bname in os.listdir(sdir):
+                bdir = os.path.join(sdir, bname)
+                if not bname.startswith("b=") or not os.path.isdir(bdir):
+                    continue
+                for vname in os.listdir(bdir):
+                    if vname.startswith("v=") and dead(vname[2:]):
+                        shutil.rmtree(
+                            os.path.join(bdir, vname), ignore_errors=True
+                        )
+        for sub in ("log", "tombstones"):
+            d = os.path.join(self.root, sub)
+            if os.path.isdir(d):
+                for n in os.listdir(d):
+                    if n.startswith("c=") and dead(n.split("=", 1)[1]):
+                        shutil.rmtree(
+                            os.path.join(d, n), ignore_errors=True
+                        )
+        for d in (self._replace_marker_dir(), self._savepoint_dir()):
+            if os.path.isdir(d):
+                for n in os.listdir(d):
+                    if n.endswith(".json") and not n.startswith(".") and (
+                        dead(n[: -len(".json")])
+                    ):
+                        try:
+                            os.remove(os.path.join(d, n))
+                        except FileNotFoundError:
+                            pass
+        self._backfill_replace_markers()
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _touched_of(self, commit: str, prev: str | None) -> set[int] | None:
+        """The bucket set a PUBLISHED commit touched, from its manifest:
+        the recorded ``touched`` field (r11+ manifests), else derived by
+        diffing its slice map against its predecessor's (pre-r11
+        vintage). ``None`` = whole-table (overwrite / alter — conflicts
+        with any in-flight transaction)."""
+        m = self._manifest(commit)
+        if m.get("op") in ("overwrite", "alter"):
+            return None
+        rec = m.get("touched")
+        if rec is not None:
+            return {int(b) for b in rec}
+        before = (
+            self._manifest(prev)["slices"] if prev is not None else {}
+        )
+        return {
+            int(b)
+            for b, sc in m["slices"].items()
+            if before.get(b, "__absent__") != sc
+        }
+
+    def _check_conflict(
+        self, base_instant: str | None, touched: set[int]
+    ) -> None:
+        """Hudi OCC conflict resolution at Hudi's own granularity (file
+        groups — SimpleConcurrentFileWritesConflictResolutionStrategy
+        compares touched file IDs): any commit completed after this
+        transaction's ``base_instant`` whose bucket set overlaps
+        ``touched`` is a conflict; whole-table commits conflict with
+        everything. Pure manifest reads — no data scan, no Spark job."""
+        if self.lock_provider is None:
+            return  # single-writer mode: nothing to race with
+        commits = self.commits()
+        since = [
+            c
+            for c in commits
+            if base_instant is None or c > base_instant
+        ]
+        if not since:
+            return
+        whole_table, hits, overlap = [], [], set()
+        for c in since:
+            idx = commits.index(c)
+            prev = commits[idx - 1] if idx > 0 else None
+            t = self._touched_of(c, prev)
+            if t is None:
+                whole_table.append(c)
+            elif t & touched:
+                hits.append(c)
+                overlap |= t & touched
+        if whole_table:
+            raise CommitConflictError(whole_table)
+        if hits:
+            raise CommitConflictError(
+                hits, len(overlap), unit="file-group bucket"
+            )
+
     # -- manifests ------------------------------------------------------
     def _manifest_path(self, commit: str) -> str:
         return os.path.join(self.root, "manifests", f"{commit}.json")
@@ -265,10 +429,15 @@ class BucketedTable:
         slices: dict[int, str | None],
         schema: StructType,
         col_stats: dict | None = None,
+        touched: list[int] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         doc = {
             "op": op,
+            # the bucket set this commit touched — the OCC conflict
+            # unit (None on whole-table ops; pre-r11 manifests derive
+            # it by slice-map diff, see _touched_of)
+            "touched": sorted(touched) if touched is not None else None,
             # commit-time write accounting, so stats() reports what the
             # commit WROTE even after the cleaner removes the slices
             "bytes_written": getattr(self, "_last_bytes_written", 0),
@@ -524,49 +693,73 @@ class BucketedTable:
         ONLY the file groups it touches. Cost = one key shuffle over
         (touched slices ∪ batch) + one parquet write of the touched
         groups; untouched groups carry forward by manifest pointer —
-        zero bytes moved."""
+        zero bytes moved.
+
+        With a lock provider (P9 OCC, r11): the batch dedup and bucket
+        routing are planned optimistically, then conflict-check +
+        merge + publish run under the table lock; raises
+        CommitConflictError on BUCKET overlap with a concurrent commit
+        (caller retries). Disjoint-bucket concurrent commits rebase:
+        the merge reads the now-current manifest under the lock."""
+        # optimistic phase — no lock: combine the batch, route its keys
+        base_instant = self.latest_commit()
         incoming = self._with_key(incoming)
         deduped = (
             _merge_partial(incoming, self.record_key, [self.precombine])
             if self.payload == "partial_update"
             else _merge_latest(incoming, self.record_key, self.precombine)
         )
-        commit = self._new_commit_id()
-        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
-        # the committed schema for THIS commit, computed (and its
-        # widening lattice VALIDATED — non-promotable changes raise
-        # here) BEFORE any slice is read or written; the existing
-        # slices are then read directly under it, so pre-evolution
-        # groups NULL-fill added columns and widen narrow types at
-        # scan time
-        schema_now = self._union_schema(stamped.schema)
         # routing depends only on the key SET, identical pre- and
         # post-dedupe — compute it off the raw batch (narrow key-only
-        # lineage, no merge window behind it)
+        # lineage, no merge window behind it). A pure function of the
+        # batch, so it can never go stale while waiting for the lock.
         touched = self._touched_buckets(incoming)
-        slices = self._current_slices()
-        existing = self._read_slices(
-            [(b, slices[b]) for b in touched if slices.get(b) is not None],
-            schema_now,
-        )
-        merged = (
-            stamped
-            if existing is None
-            else self._combine(
-                existing.unionByName(stamped, allowMissingColumns=True)
+
+        with self._txn():
+            self._check_conflict(base_instant, set(touched))
+            commit = self._new_commit_id()
+            stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+            # the committed schema for THIS commit, computed (and its
+            # widening lattice VALIDATED — non-promotable changes raise
+            # here) BEFORE any slice is read or written; the existing
+            # slices are then read directly under it, so pre-evolution
+            # groups NULL-fill added columns and widen narrow types at
+            # scan time
+            schema_now = self._union_schema(stamped.schema)
+            slices = self._current_slices()
+            existing = self._read_slices(
+                [
+                    (b, slices[b])
+                    for b in touched
+                    if slices.get(b) is not None
+                ],
+                schema_now,
             )
-        )
-        new_slices = dict(slices)
-        touched_map = self._write_touched(merged, touched, commit)
-        new_slices.update(touched_map)
-        col_stats = self._stamp_indexes(touched_map, new_slices, schema_now)
-        self._write_log(stamped, commit)
-        self._write_manifest(
-            commit, "upsert", new_slices, schema_now, col_stats
-        )
-        self._publish(commit)
-        self._clean()
-        return commit
+            merged = (
+                stamped
+                if existing is None
+                else self._combine(
+                    existing.unionByName(stamped, allowMissingColumns=True)
+                )
+            )
+            new_slices = dict(slices)
+            touched_map = self._write_touched(merged, touched, commit)
+            new_slices.update(touched_map)
+            col_stats = self._stamp_indexes(
+                touched_map, new_slices, schema_now
+            )
+            self._write_log(stamped, commit)
+            self._write_manifest(
+                commit,
+                "upsert",
+                new_slices,
+                schema_now,
+                col_stats,
+                touched=touched,
+            )
+            self._publish(commit)
+            self._clean()
+            return commit
 
     def overwrite(self, incoming: DataFrame) -> str:
         """Hudi ``insert_overwrite_table``, the manifest-native way:
@@ -577,46 +770,66 @@ class BucketedTable:
         slices until the cleaner retires them with their commits).
         Replace semantics beat the P2 merge by construction: no
         existing slice is read, so a lower-precombine batch row cannot
-        lose to the row it replaces."""
+        lose to the row it replaces. A whole-table op: under OCC it
+        conflicts with ANY concurrent commit since its base instant
+        (and any in-flight writer conflicts with it)."""
+        base_instant = self.latest_commit()
         incoming = self._with_key(incoming)
         deduped = (
             _merge_partial(incoming, self.record_key, [self.precombine])
             if self.payload == "partial_update"
             else _merge_latest(incoming, self.record_key, self.precombine)
         )
-        commit = self._new_commit_id()
-        stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
         touched = self._touched_buckets(incoming)
-        new_slices = {
-            b: c
-            for b, c in self._write_touched(stamped, touched, commit).items()
-            if c is not None
-        }
-        schema_now = self._union_schema(stamped.schema)
-        # replace: every surviving slice is new — nothing carries over
-        col_stats = self._stamp_indexes(new_slices, new_slices, schema_now)
-        self._write_log(stamped, commit)
-        self._write_manifest(
-            commit, "overwrite", new_slices, schema_now, col_stats
-        )
-        self._publish(commit)
-        # post-publish replace marker: the stream_cdc 'r' lane's
-        # publish gate (never emitted for an aborted overwrite)
-        self._record_replace_published(commit)
-        self._clean()
-        return commit
+        with self._txn():
+            # replace rewrites the WHOLE live state: any concurrent
+            # commit since base would be silently erased — conflict on
+            # every bucket the table currently holds plus the batch's
+            self._check_conflict(
+                base_instant,
+                set(touched) | set(self._current_slices()),
+            )
+            commit = self._new_commit_id()
+            stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
+            new_slices = {
+                b: c
+                for b, c in self._write_touched(
+                    stamped, touched, commit
+                ).items()
+                if c is not None
+            }
+            schema_now = self._union_schema(stamped.schema)
+            # replace: every surviving slice is new — nothing carries over
+            col_stats = self._stamp_indexes(
+                new_slices, new_slices, schema_now
+            )
+            self._write_log(stamped, commit)
+            self._write_manifest(
+                commit, "overwrite", new_slices, schema_now, col_stats
+            )
+            self._publish(commit)
+            # post-publish replace marker: the stream_cdc 'r' lane's
+            # publish gate (never emitted for an aborted overwrite)
+            self._record_replace_published(commit)
+            self._clean()
+            return commit
 
     def delete_where(self, condition) -> str | None:
         """Predicate delete (sugar over :meth:`delete`): drop every
         live row matching ``condition`` (Column or SQL string). The
         key set is unbounded (whatever the predicate matches), so the
         anti-join is left UNHINTED — AQE broadcasts it only when its
-        runtime size allows."""
-        snap = self.snapshot()
-        if snap is None:
-            return None
+        runtime size allows. The snapshot the predicate evaluates
+        against is read INSIDE the table lock (see KeyedTable
+        .delete_where for why)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self.delete(snap.where(cond), broadcast_keys=False)
+        with self._txn():
+            snap = self.snapshot()
+            if snap is None:
+                return None
+            return self._delete_locked(
+                snap.where(cond), broadcast_keys=False
+            )
 
     def delete(
         self, keys: DataFrame, broadcast_keys: bool = True
@@ -627,7 +840,16 @@ class BucketedTable:
         call shape (explicit small key lists), but pass False when the
         key frame is derived and unbounded (``delete_where`` does) so
         a predicate matching millions of keys can't force a driver-
-        sized broadcast."""
+        sized broadcast. Runs wholly under the table lock (it reads
+        current state there, so it never conflicts; concurrent writers
+        conflict with it iff their buckets overlap its key set's)."""
+        with self._txn():
+            return self._delete_locked(keys, broadcast_keys)
+
+    def _delete_locked(
+        self, keys: DataFrame, broadcast_keys: bool = True
+    ) -> str | None:
+        """Body of :meth:`delete`; assumes the caller holds ``_txn``."""
         keys = self._with_key(keys)
         keyed = keys.select(self.record_key).distinct()
         touched = self._touched_buckets(keyed)
@@ -662,7 +884,14 @@ class BucketedTable:
         os.makedirs(os.path.dirname(ts_path), exist_ok=True)
         shutil.rmtree(ts_path, ignore_errors=True)
         os.rename(staging, ts_path)
-        self._write_manifest(commit, "delete", new_slices, schema, col_stats)
+        self._write_manifest(
+            commit,
+            "delete",
+            new_slices,
+            schema,
+            col_stats,
+            touched=[b for b, _ in live],
+        )
         self._publish(commit)
         self._clean()
         return commit
@@ -772,7 +1001,14 @@ class BucketedTable:
         prior-name mapping; time travel before the rename reads the
         old manifest's schema and shows the vintage name for free
         (manifests pin both slices AND schema). Old names are
-        permanently reserved; structural columns refuse."""
+        permanently reserved; structural columns refuse. A whole-table
+        op under OCC: it reads current state under the lock (never
+        conflicts itself); concurrent in-flight writers conflict with
+        its published 'alter' manifest."""
+        with self._txn():
+            return self._alter_rename_locked(old, new)
+
+    def _alter_rename_locked(self, old: str, new: str) -> str:
         from pyspark.sql.types import StructField
 
         protected = {self.record_key, self.precombine, COMMIT_COL}
@@ -1150,6 +1386,121 @@ class BucketedTable:
             if op == "overwrite" and c <= latest and c not in have:
                 self._record_replace_published(c)
 
+    # -- savepoint / restore / rollback (r11, VERDICT r10 #6) ------------
+    def _savepoint_dir(self) -> str:
+        return os.path.join(self.root, "savepoints")
+
+    def _verify_reconstructable(self, commit: str) -> None:
+        """Raise (the retained-history message) unless every slice the
+        commit's manifest references still exists — pure isdir probes,
+        no Spark plan. The manifest-pointer design makes this THE
+        reconstructability check: a manifest whose slices survive IS
+        readable, with no delete rail to re-verify (a manifest pins
+        the exact slice set)."""
+        for b, c in self._manifest(commit)["slices"].items():
+            if c is not None and not os.path.isdir(
+                self._slice_path(int(b), c)
+            ):
+                raise ValueError(
+                    f"file slice b={b}/v={c} was removed by the cleaner "
+                    "(keep_versions) — raise keep_versions or read "
+                    "within retained history"
+                )
+
+    def savepoint(
+        self, commit: str | None = None, name: str | None = None
+    ) -> str:
+        """Hudi savepoint on the manifest engine: pin a committed
+        instant so the cleaner never removes the slices needed to read
+        — or :meth:`restore` to — its state. Nearly free here: the
+        manifest already names the exact slice set, so pinning is one
+        JSON marker and the cleaner unions the pinned manifests'
+        references (no snapshot-dir copies, no delete-rail reasoning).
+        Defaults to the latest commit."""
+        with self._txn():
+            target = commit if commit is not None else self.latest_commit()
+            if target is None:
+                raise ValueError("cannot savepoint an empty table")
+            if target not in self.commits():
+                raise ValueError(f"unknown instant: {target!r}")
+            self._verify_reconstructable(target)
+            _write_json_atomic(
+                os.path.join(self._savepoint_dir(), f"{target}.json"),
+                {
+                    "name": name,
+                    "created_at": datetime.now(timezone.utc).isoformat(),
+                },
+            )
+            return target
+
+    def savepoints(self) -> dict[str, dict]:
+        """commit id → savepoint metadata (name, created_at)."""
+        sp = self._savepoint_dir()
+        if not os.path.isdir(sp):
+            return {}
+        out: dict[str, dict] = {}
+        for fname in os.listdir(sp):
+            if not fname.endswith(".json") or fname.startswith("."):
+                continue
+            with open(os.path.join(sp, fname)) as f:
+                out[fname[: -len(".json")]] = json.load(f)
+        return out
+
+    def delete_savepoint(self, commit: str) -> None:
+        """Unpin an instant; the next clean may collect its slices."""
+        try:
+            os.remove(os.path.join(self._savepoint_dir(), f"{commit}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no savepoint at instant {commit!r}") from None
+
+    def restore(self, commit: str) -> str:
+        """Hudi restore-to-instant: drop every commit after ``commit``.
+        After verifying the target manifest's slices survive, the ONLY
+        mutation is the ``_latest`` pointer flip — newer manifests,
+        slices, log/tombstone dirs, replace markers, and savepoints are
+        thereby reclassified as beyond-pointer orphans and reaped by
+        ``_rollback_failed`` (here, and lazily by every later
+        transaction). A crash leaves either the old table or the
+        restored one, never a torn state.
+
+        Caveat (same as Hudi and the KeyedTable form): downstream
+        incremental/CDC checkpoints that advanced past ``commit`` now
+        refer to removed history — their next read RAISES
+        (sources/incremental.CDCReader) and the consumer must reset
+        and re-seed."""
+        with self._txn():
+            latest = self.latest_commit()
+            if latest is None:
+                raise ValueError("cannot restore an empty table")
+            if commit not in self.commits():
+                raise ValueError(f"unknown instant: {commit!r}")
+            if commit == latest:
+                return commit
+            self._verify_reconstructable(commit)
+            self._publish(commit)
+            self._rollback_failed()
+            return commit
+
+    def rollback(self) -> str | None:
+        """Hudi rollback: undo the LATEST commit (restore to its
+        predecessor); rolling back the only commit empties the table.
+        Returns the new latest commit, or None when the table is now
+        (or was already) empty."""
+        with self._txn():
+            latest = self.latest_commit()
+            if latest is None:
+                return None
+            insts = self.commits()
+            if len(insts) >= 2:
+                prev = insts[-2]
+                self._verify_reconstructable(prev)
+                self._publish(prev)
+                self._rollback_failed()
+                return prev
+            os.remove(self._latest_path())
+            self._rollback_failed()
+            return None
+
     # -- maintenance ----------------------------------------------------
     def _clean(self) -> None:
         """P6 cleaner, slice-granular: keep every file slice referenced
@@ -1160,6 +1511,9 @@ class BucketedTable:
         touch b of B groups cost ~(1 + N·b/B)× table bytes, not N×."""
         commits = self.commits()
         retained = commits[-self.keep_versions :]
+        # savepoints pin their manifest's whole slice set (r11) —
+        # Hudi's cleaner makes the same exception
+        retained = sorted(set(retained) | (set(self.savepoints()) & set(commits)))
         referenced: set[tuple[int, str]] = set()
         for c in retained:
             for b, sc in self._manifest(c)["slices"].items():
@@ -1202,20 +1556,21 @@ class BucketedTable:
         return out
 
 
-def open_any_table(spark: SparkSession, root: str):
+def open_any_table(spark: SparkSession, root: str, lock_provider=None):
     """Open a table root as whichever engine wrote it: a BucketedTable
     (``_table.json`` with ``engine: bucketed``) or a
     :class:`..sinks.upsert.KeyedTable` (``_meta.json``). The two
     engines share the streaming/CDC layout contract (``log/c=``,
     ``tombstones/c=``, ``replaces/*.json``, ``_latest`` pointer), so
     callers that only speak that protocol — ``stream_cdc`` and the
-    streaming maintained-view drivers — work over both."""
+    streaming maintained-view drivers — work over both. Both engines
+    accept a process-local ``lock_provider`` (P9 OCC)."""
     meta_path = os.path.join(root, "_table.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         if meta.get("engine") == "bucketed":
-            return BucketedTable.open(spark, root)
+            return BucketedTable.open(spark, root, lock_provider=lock_provider)
     from .upsert import KeyedTable
 
-    return KeyedTable.open(spark, root)
+    return KeyedTable.open(spark, root, lock_provider=lock_provider)

@@ -445,11 +445,13 @@ class CDCReader:
         path: str,
         checkpoint_root: str = "/tmp/report_engine_metadata",
     ):
-        from ..sinks.upsert import KeyedTable  # late: avoids cycle
+        # either engine (r11): KeyedTable and BucketedTable share the
+        # CDC protocol, so the checkpointed reader speaks to both
+        from ..sinks.filegroups import open_any_table  # late: avoids cycle
 
         self.spark = spark
         self.table_name = table_name
-        self.table = KeyedTable.open(spark, path)
+        self.table = open_any_table(spark, path)
         self.store = CheckpointStore(checkpoint_root, spark=spark)
         self._pending_commit: str | None = None
 
@@ -483,7 +485,22 @@ class CDCReader:
             else None
         )
         end = self.table.latest_commit()
-        if end is None or (begin is not None and end <= begin):
+        if begin is not None and (end is None or end < begin):
+            # the table's published pointer moved BEHIND this reader's
+            # checkpoint: a restore/rollback removed history the
+            # checkpoint refers to (commit ids are monotonic, so this
+            # is unreachable any other way). Silent None here would
+            # look like "no new commits" and the consumer would later
+            # fold windows that skip the rewound range — raise instead
+            # (the documented restore caveat): reset() the reader and
+            # re-seed the consumer from a snapshot.
+            raise ValueError(
+                f"{self.table_name}: checkpoint {begin} is AHEAD of the "
+                f"table's latest commit {end} — the table was "
+                "restored/rolled back past this reader's checkpoint; "
+                "reset() the reader and re-seed the consumer"
+            )
+        if end is None or end == begin:
             self._pending_commit = None
             return None
         if after is not None and (begin is None or after > begin):
