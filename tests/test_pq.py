@@ -426,3 +426,190 @@ def test_centroid_trainer_sample_scales_with_k(spark):
     n = e.count()
     assert cent.shape[0] == min(300, n)
     assert cent.shape[0] > 256 or n <= 256
+
+
+# -- r11: index maintenance under deletes + re-cluster (VERDICT r10 #2) --
+
+
+def _probe_frame(spark, path):
+    return (
+        pq.ivf_pq_probe_partitioned(spark, SF, path)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ivf_pq_delete_equals_rebuild_without_victims(spark, tmp_path):
+    """delete ≡ rebuild: removing ids from the layout returns EXACTLY
+    what a same-quantizer rebuild over the survivors returns — probes
+    never see deleted ids and survivor ranking is bit-identical (the
+    append≡rebuild contract's mirror image)."""
+    import os
+    import shutil
+
+    e = load_table(spark, SF, "embeddings")
+    live = str(tmp_path / "live")
+    pq.ivf_pq_write_partitioned(spark, SF, live)
+    # victims: ids currently IN probe results, so the assertion bites
+    before = _probe_frame(spark, live)
+    victims = sorted(set(before.vec_id))[:5]
+
+    n = pq.ivf_pq_delete(spark, victims, live)
+    assert n == 5
+    after = _probe_frame(spark, live)
+    assert not set(after.vec_id) & set(victims)
+
+    # manual rebuild from survivors with the SAME persisted quantizers
+    ref = str(tmp_path / "ref")
+    pq.ivf_pq_write_partitioned(spark, SF, ref)
+    books, cent = pq.load_pq_codebooks(
+        os.path.join(ref, "_pq_books.json"), with_centroids=True
+    )
+    for d in list(os.listdir(ref)):
+        if d.startswith("cell="):
+            shutil.rmtree(os.path.join(ref, d))
+    pq.pq_encode(
+        e.filter(~F.col("vec_id").isin(*pq._QUERY_IDS))
+        .filter(~F.col("vec_id").isin(*victims))
+        .withColumn("cell", pq._ivf_cell_udf(cent)("embedding")),
+        books,
+    ).select("vec_id", "cell", "pq_code").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(ref)
+    pd.testing.assert_frame_equal(after, _probe_frame(spark, ref))
+
+
+def test_ivf_pq_delete_rewrites_only_touched_cells(spark, tmp_path):
+    """The write-amplification bound: deleting ids that live in ONE
+    cell leaves every other cell's files untouched on disk, and
+    deleting every id in a cell removes its directory outright."""
+    import os
+
+    out = str(tmp_path / "wamp")
+    pq.ivf_pq_write_partitioned(spark, SF, out)
+    layout = spark.read.parquet(out).select("vec_id", "cell").toPandas()
+    counts = layout.groupby("cell").size()
+    victim_cell = int(counts.idxmin())
+    victims = sorted(layout[layout.cell == victim_cell].vec_id)
+
+    def files_of(cell):
+        d = os.path.join(out, f"cell={cell}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else None
+
+    untouched = {
+        int(c): files_of(int(c)) for c in counts.index if c != victim_cell
+    }
+    # partial delete: cell rewritten, siblings byte-for-byte untouched
+    n = pq.ivf_pq_delete(spark, victims[:1], out)
+    assert n == 1
+    for c, before in untouched.items():
+        assert files_of(c) == before
+    # full-cell delete: the directory disappears
+    n = pq.ivf_pq_delete(spark, victims[1:], out)
+    assert n == len(victims) - 1
+    assert files_of(victim_cell) is None
+    for c, before in untouched.items():
+        assert files_of(c) == before
+    got = _probe_frame(spark, out)
+    assert not set(got.vec_id) & set(victims)
+
+
+def test_ivf_pq_delete_unknown_ids_noop(spark, tmp_path):
+    out = str(tmp_path / "noop")
+    pq.ivf_pq_write_partitioned(spark, SF, out)
+    before = spark.read.parquet(out).count()
+    assert pq.ivf_pq_delete(spark, [10**9, 10**9 + 1], out) == 0
+    assert spark.read.parquet(out).count() == before
+
+
+def test_ivf_pq_recluster_restores_cell_bounds(spark, tmp_path):
+    """Append-heavy growth packs cells past the rows-per-cell target;
+    recluster splits ONLY the oversized ones with the persisted
+    quantizers: row-conservation, one cell per vector, a smaller max
+    cell, updated centroids persisted, and probes (fresh process: all
+    dials from the layout) still clear the recall floor."""
+    import os
+
+    out = str(tmp_path / "recl")
+    pq.ivf_pq_write_partitioned(spark, SF, out, K=4)
+    layout = spark.read.parquet(out)
+    total = layout.count()
+    counts_before = {
+        r["cell"]: r["n"]
+        for r in layout.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    target = max(10, int(max(counts_before.values()) // 3))
+    report = pq.ivf_pq_recluster(spark, SF, out, rows_per_cell=target)
+    assert report["split_cells"], counts_before
+    assert report["rows_moved"] == sum(
+        counts_before[c] for c in report["split_cells"]
+    )
+
+    after = spark.read.parquet(out)
+    assert after.count() == total  # row conservation
+    assert after.select("vec_id").distinct().count() == total  # one cell each
+    counts_after = {
+        r["cell"]: r["n"]
+        for r in after.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(counts_after.values()) < max(counts_before.values())
+    # unsplit cells kept their ids and exact counts
+    for c, nb in counts_before.items():
+        if c not in report["split_cells"]:
+            assert counts_after[c] == nb
+    # centroid table grew and persists beside the codes
+    books, cent = pq.load_pq_codebooks(
+        os.path.join(out, "_pq_books.json"), with_centroids=True
+    )
+    assert cent.shape[0] == report["new_cells"] > 4
+    assert set(counts_after) <= set(range(cent.shape[0]))
+
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    assert _recall(exact, _probe_frame(spark, out)) >= 0.4
+
+
+def test_ivf_pq_recluster_noop_under_target(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "reclnoop")
+    pq.ivf_pq_write_partitioned(spark, SF, out)
+    mtime = os.path.getmtime(os.path.join(out, "_pq_books.json"))
+    report = pq.ivf_pq_recluster(spark, SF, out, rows_per_cell=10**9)
+    assert report == {"split_cells": [], "new_cells": 0, "rows_moved": 0}
+    assert os.path.getmtime(os.path.join(out, "_pq_books.json")) == mtime
+
+
+def test_ivf_pq_append_after_recluster_routes_to_split_cells(
+    spark, tmp_path
+):
+    """The maintenance ops compose: an append AFTER a recluster encodes
+    against the post-split centroid table, so new vectors land in the
+    refined geometry (cell ids may exceed the original K) and probes
+    find them."""
+    out = str(tmp_path / "cycle")
+    pq.ivf_pq_write_partitioned(spark, SF, out, K=4)
+    layout = spark.read.parquet(out)
+    victims = [
+        r["vec_id"]
+        for r in layout.select("vec_id").orderBy("vec_id").limit(3).collect()
+    ]
+    max_cell = layout.groupBy().agg(F.max("cell").alias("m")).collect()[0]["m"]
+    total = layout.count()  # before the rewrites invalidate the listing
+    pq.ivf_pq_delete(spark, victims, out)
+    report = pq.ivf_pq_recluster(
+        spark, SF, out,
+        rows_per_cell=max(10, (total // 4) // 3),
+    )
+    assert report["new_cells"] > 4
+    e = load_table(spark, SF, "embeddings")
+    back = e.filter(F.col("vec_id").isin(*victims))
+    assert pq.ivf_pq_append(spark, back, out) == 3
+    relisted = spark.read.parquet(out)
+    assert relisted.filter(F.col("vec_id").isin(*victims)).count() == 3
+    # at least some post-recluster routing uses the NEW cell ids
+    assert (
+        relisted.filter(F.col("cell") > max_cell).count() > 0
+    )
+    got = _probe_frame(spark, out)
+    assert len(got) > 0

@@ -101,6 +101,43 @@ def _measure(spark, sf_dir: str) -> dict:
     )
     t_probe = time.time() - t0
     r_probe = _recall(exact, got_p)
+
+    # r11 (VERDICT r10 #2): a full maintenance cycle on the layout —
+    # delete 1% of indexed vectors, then recluster with a target that
+    # forces splits — and re-probe: deleted ids must be gone, survivor
+    # recall must hold, and both ops must stay O(touched cells).
+    import pyspark.sql.functions as F
+
+    live = spark.read.parquet(layout)
+    n_live = live.count()
+    victims = [
+        r["vec_id"]
+        for r in live.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(max(10, n_live // 100))
+        .collect()
+    ]
+    t0 = time.time()
+    n_del = pq.ivf_pq_delete(spark, victims, layout)
+    t_delete = time.time() - t0
+    counts = [
+        r["n"]
+        for r in spark.read.parquet(layout)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    t0 = time.time()
+    recl = pq.ivf_pq_recluster(
+        spark, sf_dir, layout, rows_per_cell=max(100, max(counts) // 3)
+    )
+    t_recl = time.time() - t0
+    got_m = _topk_sets(pq.ivf_pq_probe_partitioned(spark, sf_dir, layout))
+    leaked = sum(len(g & set(victims)) for g in got_m.values())
+    exact_surv = {
+        q: s - set(victims) for q, s in exact.items() if s - set(victims)
+    }
+    r_after = _recall(exact_surv, got_m)
     return {
         "ivf_pq_topk_sec": round(t_topk, 2),
         "ivf_pq_topk_recall": round(r_topk, 3),
@@ -110,6 +147,12 @@ def _measure(spark, sf_dir: str) -> dict:
         "layout_write_sec": round(t_write, 2),
         "layout_probe_sec": round(t_probe, 2),
         "layout_probe_recall": round(r_probe, 3),
+        "maintain_delete_sec": round(t_delete, 2),
+        "maintain_deleted_rows": n_del,
+        "maintain_recluster_sec": round(t_recl, 2),
+        "maintain_cells_split": len(recl["split_cells"]),
+        "maintain_leaked_deleted_ids": leaked,
+        "maintain_survivor_recall": round(r_after, 3),
     }
 
 
