@@ -470,7 +470,7 @@ def run_maintained_join_report(
     (insert_overwrite_table) on EITHER side re-seeds the view from the
     post-replace joined snapshot (rebuild is idempotent) and resumes
     incremental maintenance from the pair."""
-    from .operators.ivm import MaintainedJoinAggregate
+    from .operators.ivm import MaintainedJoinAggregate, routed_fact_base
     from .sinks.upsert import ReplaceCommitError
     from .sources.incremental import CDCReader
 
@@ -568,8 +568,17 @@ def run_maintained_join_report(
             # a dim-only run never reads the dim snapshot, and clean
             # MIN/MAX windows never build the joined base
             dim_state=lambda: d_reader.table.snapshot(as_of=d_end),
+            # F₀ routed through the fact's bucket index when the
+            # layout is keyed on the join column (r11) — else the
+            # plain time-travel snapshot
             fact_base=(
-                (lambda: f_reader.table.snapshot(as_of=f_prev))
+                (
+                    lambda: routed_fact_base(
+                        f_reader.table,
+                        [(view.fact_on, d_win)],
+                        as_of=f_prev,
+                    )
+                )
                 if f_prev is not None
                 else None
             ),
@@ -668,7 +677,7 @@ def run_maintained_star_report(
     commit on ANY side re-seeds the view from the post-replace star
     snapshot and resumes from the token; the quality gate runs
     pre-pointer-flip so red windows genuinely retry."""
-    from .operators.ivm import MaintainedStarAggregate
+    from .operators.ivm import MaintainedStarAggregate, routed_fact_base
     from .sinks.upsert import ReplaceCommitError
     from .sources.incremental import CDCReader
 
@@ -772,7 +781,16 @@ def run_maintained_star_report(
                 for n, _, _, _ in config.dims
             },
             fact_base=(
-                (lambda: f_reader.table.snapshot(as_of=f_prev))
+                (
+                    lambda: routed_fact_base(
+                        f_reader.table,
+                        [
+                            (fo, wins[n])
+                            for n, _, fo, _ in config.dims
+                        ],
+                        as_of=f_prev,
+                    )
+                )
                 if f_prev is not None
                 else None
             ),

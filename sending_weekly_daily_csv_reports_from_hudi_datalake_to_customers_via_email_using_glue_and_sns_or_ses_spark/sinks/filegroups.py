@@ -976,17 +976,36 @@ class BucketedTable:
             return self.spark.createDataFrame([], schema)
         return df
 
-    def read_keys(self, keys: DataFrame) -> DataFrame:
+    def read_keys(
+        self, keys: DataFrame, as_of: str | None = None
+    ) -> DataFrame:
         """P8 point lookup: route the probe keys to their buckets and
         scan ONLY those file slices — 1/num_buckets of the table per
         probed group instead of a full scan. The probe side is joined
-        broadcast (point lookups are small by definition)."""
+        broadcast (point lookups are small by definition).
+
+        ``as_of`` composes with time travel (r11): the routing is a
+        pure hash of the key, so it is instant-independent; only the
+        slice map comes from the pinned manifest. This is what lets
+        the IVM dim term read its F₀ (fact state at the PREVIOUS fact
+        instant) as a touched-buckets read instead of a snapshot scan
+        (operators/ivm.py routed_fact_base)."""
         keys = self._with_key(keys)
         keyed = keys.select(self.record_key).distinct()
         touched = self._touched_buckets(keyed)
-        slices = self._current_slices()
+        if as_of is None:
+            slices = self._current_slices()
+            schema = self._union_schema(None)  # one manifest read, both uses
+        else:
+            surviving = [c for c in self.commits() if c <= as_of]
+            if not surviving:
+                return self.spark.createDataFrame(
+                    [], self._union_schema(None)
+                )
+            manifest = self._manifest(surviving[-1])
+            slices = {int(b): c for b, c in manifest["slices"].items()}
+            schema = StructType.fromJson(manifest["schema"])
         live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
-        schema = self._union_schema(None)  # one manifest read, both uses
         df = self._read_slices(live, schema)
         if df is None:
             return self.spark.createDataFrame([], schema)

@@ -62,7 +62,11 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ivm import MaintainedAggregate, MaintainedJoinAggregate
+from ..operators.ivm import (
+    MaintainedAggregate,
+    MaintainedJoinAggregate,
+    routed_fact_base,
+)
 from ..sinks.filegroups import open_any_table
 from ..sinks.upsert import ReplaceCommitError
 from .source import stream_cdc
@@ -437,8 +441,17 @@ def stream_maintained_join_view(
                     f_win,
                     d_win,
                     dim_state=lambda: _snap(table_d, pair["dim"]),
+                    # NOT the _snap memo: the routed read is pruned to
+                    # the window's keys, narrower than the (table,
+                    # instant) snapshots the memo shares
                     fact_base=(
-                        (lambda: _snap(table_f, f_seen))
+                        (
+                            lambda: routed_fact_base(
+                                table_f,
+                                [(view.fact_on, d_win)],
+                                as_of=f_seen,
+                            )
+                        )
                         if f_seen is not None
                         else None
                     ),
@@ -603,7 +616,16 @@ def stream_maintained_star_view(
                         for n in dim_names
                     },
                     fact_base=(
-                        (lambda: _snap(table_f, seen.get("fact")))
+                        (
+                            lambda: routed_fact_base(
+                                table_f,
+                                [
+                                    (fo, wins[n])
+                                    for n, fo, _ in view.dims
+                                ],
+                                as_of=seen.get("fact"),
+                            )
+                        )
                         if seen.get("fact") is not None
                         else None
                     ),

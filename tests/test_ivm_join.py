@@ -614,3 +614,162 @@ def test_outer_join_ivm_dim_key_as_maintained_column(spark, tmp_path):
         key=_nskey,
     )
     assert got == [(1, 1, 5), (2, 1, 7)]
+
+
+# -- r11 (VERDICT r10 #3): dim-term F₀ routed through the bucket index --
+
+
+def test_routed_fact_base_reads_only_touched_buckets(spark, tmp_path):
+    """With the fact a BucketedTable RECORD-KEYED on the join column,
+    the dim term's F₀ read opens ONLY the changed keys' buckets' file
+    slices (inputFiles), pinned to the OLD fact instant — and returns
+    exactly the rows the full-snapshot read would after the key
+    prune. Non-routable shapes fall back to the snapshot."""
+    import re
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.ivm import (
+        routed_fact_base,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.filegroups import (
+        BucketedTable,
+    )
+
+    fact_t = BucketedTable(
+        spark, str(tmp_path / "bfact"), record_key="jk",
+        precombine="fpre", num_buckets=8, keep_versions=25,
+    )
+    dim_t = KeyedTable(
+        spark, str(tmp_path / "bdim"), record_key="jk",
+        precombine="dpre", keep_versions=25,
+    )
+    fact_t.upsert(
+        _fact(spark, [(k, 0, k, 10 * k) for k in range(40)]).drop("fk")
+        .withColumnRenamed("famount", "famount")
+    )
+    f1 = fact_t.latest_commit()
+    dim_t.upsert(_dim(spark, [(k, 0, "A") for k in range(40)]))
+    d1 = dim_t.latest_commit()
+    # fact moves on (so f1 is genuinely OLD), then a dim-only change
+    fact_t.upsert(
+        _fact(spark, [(0, 1, 0, 999)]).drop("fk")
+    )
+    dim_t.upsert(_dim(spark, [(1, 1, "B"), (9, 1, "B")]))
+    win = dim_t.cdc(begin=d1)
+
+    fb = routed_fact_base(fact_t, [("jk", win)], as_of=f1)
+    got = sorted((r["jk"], r["famount"]) for r in fb.collect())
+    assert got == [(1, 10), (9, 90)]  # the OLD instant's rows, pruned
+    buckets = {
+        int(m.group(1))
+        for f in fb.inputFiles()
+        for m in [re.search(r"/b=(\d+)/", f)]
+        if m
+    }
+    expected = set(fact_t._touched_buckets(win.select("jk")))
+    assert buckets and buckets <= expected
+    assert len(buckets) <= 2 < 8  # O(touched buckets), not the table
+
+    # fallback 1: KeyedTable fact → the plain time-travel snapshot
+    kfact = KeyedTable(
+        spark, str(tmp_path / "kfact"), record_key="fk", precombine="fpre"
+    )
+    kfact.upsert(_fact(spark, [(i, 0, i % 5, i) for i in range(10)]))
+    kf1 = kfact.latest_commit()
+    fb2 = routed_fact_base(kfact, [("jk", win)], as_of=kf1)
+    assert fb2.count() == 10  # unpruned snapshot (fold prunes later)
+
+    # fallback 2: bucketed fact NOT keyed on the join column
+    fb3 = routed_fact_base(fact_t, [("other_col", win)], as_of=f1)
+    assert fb3.count() == 40
+
+
+def test_join_ivm_bucketed_fact_end_to_end(spark, tmp_path):
+    """The scheduled join loop over a BUCKETED fact keyed on the join
+    column (the routable layout): seed, fact-only, dim-only (the
+    routed F₀⋈ΔD path), dim delete — maintained view equals direct
+    recompute at every step."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.pipeline import (
+        MaintainedJoinReportConfig,
+        run_maintained_join_report,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.delivery import (
+        EmailSender,
+    )
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.filegroups import (
+        BucketedTable,
+    )
+
+    FACT_S = "cust int, opre int, amount long"
+    DIM_S = "ckey int, cpre int, segment string"
+    fact = BucketedTable(
+        spark, str(tmp_path / "bjfact"), record_key="cust",
+        precombine="opre", num_buckets=8, keep_versions=25,
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "bjdim"), record_key="ckey", precombine="cpre"
+    )
+    cfg = MaintainedJoinReportConfig(
+        fact_path=fact.root,
+        fact_name="orders_bj",
+        dim_path=dim.root,
+        dim_name="customers_bj",
+        on=("cust", "ckey"),
+        group_cols=["segment"],
+        sum_cols=["amount"],
+        view_path=str(tmp_path / "bjview"),
+        report_base=str(tmp_path / "bjreports"),
+        checkpoint_root=str(tmp_path / "bjck"),
+        recipients=["a@example.com"],
+    )
+    sender = EmailSender()
+
+    def recompute():
+        fs, ds = fact.snapshot(), dim.snapshot()
+        if fs is None or ds is None:
+            return []
+        return sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in fs.join(ds, fs["cust"] == ds["ckey"])
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect()
+        )
+
+    def rows(df):
+        return sorted(
+            (r["segment"], r["n_rows"], r["sum_amount"])
+            for r in df.collect()
+        )
+
+    dim.upsert(
+        spark.createDataFrame(
+            [(k, 0, "RETAIL" if k % 2 else "AUTO") for k in range(20)],
+            DIM_S,
+        )
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(k, 0, 10 * k) for k in range(20)], FACT_S
+        )
+    )
+    res = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res.df) == recompute()
+
+    # fact-only window
+    fact.upsert(spark.createDataFrame([(3, 1, 1000)], FACT_S))
+    res2 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res2.df) == recompute()
+
+    # dim-only window: the ROUTED F₀⋈ΔD path (bucketed fact, dim keys
+    # resolve to buckets)
+    dim.upsert(spark.createDataFrame([(3, 1, "GOV"), (8, 1, "GOV")], DIM_S))
+    res3 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res3.df) == recompute()
+
+    # dim delete: joined fact rows leave the view through the dim term
+    dim.delete(spark.createDataFrame([(8,)], "ckey int"))
+    res4 = run_maintained_join_report(spark, cfg, sender=sender)
+    assert rows(res4.df) == recompute()
