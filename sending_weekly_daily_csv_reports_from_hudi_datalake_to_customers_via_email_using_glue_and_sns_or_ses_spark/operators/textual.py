@@ -184,6 +184,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE pos >= 4
     GROUP BY doc_id
     """,
+    retired=True,  # r11: slot funded stream_ivm_star_report (VERDICT
+    # r10 #4); the window-hash machinery stays driver-green via the
+    # substring-dedup family (exact_substring_pairs,
+    # substring_incremental share the rolling-window-min primitives),
+    # and this entry keeps its full oracle under test_retired_parity
 )
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (the MOSS local-fingerprint scheme, published by

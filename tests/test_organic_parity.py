@@ -44,7 +44,11 @@ pytestmark = pytest.mark.skipif(
 def test_organic_x1_full_parity(spark):
     from tools.gen_organic_sf import build_organic
 
-    sf_dir = build_organic(spark, 1)
+    # SPARK_GRAFT_ORGANIC_N scales the corpus (default x1; the r11
+    # BASELINE refresh ran the full gate at N=10 — VERDICT r10 #8)
+    sf_dir = build_organic(
+        spark, int(os.environ.get("SPARK_GRAFT_ORGANIC_N", "1"))
+    )
     # the organic dir shares path-keyed cache namespaces with nothing,
     # but start cold anyway so this gate times out loudly rather than
     # silently reusing a prior run's intermediates
