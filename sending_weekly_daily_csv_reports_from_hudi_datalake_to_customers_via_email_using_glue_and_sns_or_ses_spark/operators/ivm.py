@@ -879,34 +879,39 @@ def routed_fact_base(fact_table, changed, as_of: str | None):
     bucketed fact layout it's a touched-files read, never a table
     scan").
 
-    ``changed`` is ``[(fact_on_col, dim_cdc_window), ...]`` — one pair
-    per dimension whose window is non-empty this fold. The dim term
-    only ever joins F₀ against those windows' ±key sets, so any F₀
-    containing every fact row matching a changed key is exact. When
-    the fact is a :class:`..sinks.filegroups.BucketedTable` RECORD-
-    KEYED on the (single) changed join column, the changed keys
-    resolve to bucket ids arithmetically (the same stable-xxhash64
-    routing ``read_keys`` uses) and only touched file groups are read
-    — O(changed keys / num_buckets) of the table, pinned to the OLD
-    fact instant via the manifest. Every other shape (KeyedTable,
-    composite/non-join record key, multiple changed dims on different
-    join columns) falls back to the full time-travel snapshot, whose
-    rows the fold's joins still prune — correct, just not
+    ``changed`` is ``[(fact_on_col, dim_on_col, dim_cdc_window), ...]``
+    — one triple per dimension whose window is non-empty this fold.
+    The dim term only ever joins F₀ against those windows' ±key sets,
+    so any F₀ containing every fact row matching a changed key is
+    exact. When the fact is a :class:`..sinks.filegroups.BucketedTable`
+    RECORD-KEYED on the (single) changed join column — and the dim
+    window's record key IS that dim's join column (the N:1 star shape
+    every maintained class requires; validated here too, r11 review:
+    the window's top-level key values are only usable as ``fact_on``
+    probes under that equality) — the changed keys resolve to bucket
+    ids arithmetically (the same stable-xxhash64 routing ``read_keys``
+    uses) and only touched file groups are read — O(changed keys /
+    num_buckets) of the table, pinned to the OLD fact instant via the
+    manifest. Every other shape (KeyedTable, composite/non-join record
+    key, multiple changed dims on different join columns, a dim keyed
+    off its join column) falls back to the full time-travel snapshot,
+    whose rows the fold's joins still prune — correct, just not
     read-skipping."""
     from ..sinks.filegroups import BucketedTable
 
-    changed = [(c, w) for c, w in changed if w is not None]
-    on_cols = {c for c, _ in changed}
+    changed = [(fo, do, w) for fo, do, w in changed if w is not None]
+    on_cols = {fo for fo, _, _ in changed}
     if (
         not isinstance(fact_table, BucketedTable)
         or len(on_cols) != 1
         or next(iter(on_cols)) != fact_table.record_key
         or as_of is None
+        or any(_cdc_key_col(w) != do for _, do, w in changed)
     ):
         return fact_table.snapshot(as_of=as_of)
     fact_on = next(iter(on_cols))
     keys = None
-    for _, w in changed:
+    for _, _, w in changed:
         k = w.select(F.col(_cdc_key_col(w)).alias(fact_on))
         keys = k if keys is None else keys.unionByName(k)
     return fact_table.read_keys(keys.distinct(), as_of=as_of)

@@ -716,11 +716,32 @@ def ivf_pq_recluster(
     oversized = sorted(
         c for c, n in counts.items() if n > factor * target
     )
+    noop = {
+        "split_cells": [],
+        "new_cells": int(cent.shape[0]),
+        "rows_moved": 0,
+    }
     if not oversized:
-        return {"split_cells": [], "new_cells": 0, "rows_moved": 0}
+        return noop
     e = load_table(spark, sf_dir, "embeddings")
+    # orphan guard (r11 review): a vector deleted from the primary
+    # embeddings table but never ivf_pq_delete'd would silently DROP
+    # OUT of the inner member join below and vanish from its rewritten
+    # cell — fail loudly instead, naming the repair
+    n_orphans = (
+        layout.filter(F.col("cell").isin(oversized))
+        .join(e.select("vec_id"), "vec_id", "left_anti")
+        .count()
+    )
+    if n_orphans:
+        raise ValueError(
+            f"ivf_pq_recluster: {n_orphans} indexed vector(s) in the "
+            "oversized cells have no row in the primary embeddings "
+            "table — run ivf_pq_delete for them first (rewriting a "
+            "cell would silently drop them)"
+        )
     cent = cent.copy()
-    pieces, rows_moved = [], 0
+    pieces, split_done, rows_moved = [], [], 0
     for c in oversized:
         t = math.ceil(counts[c] / target)
         members = layout.filter(F.col("cell") == c).join(
@@ -729,7 +750,7 @@ def ivf_pq_recluster(
         sub = _lloyd_subcentroids(members, t)
         t = sub.shape[0]  # degenerate samples may clamp
         if t < 2:
-            continue
+            continue  # unsplittable: excluded from the report too
         # global ids for the sub-cells: slot 0 keeps the old id (its
         # partition is rewritten anyway), the rest extend the table
         gids = [c] + list(range(cent.shape[0], cent.shape[0] + t - 1))
@@ -744,18 +765,25 @@ def ivf_pq_recluster(
                 "pq_code",
             )
         )
+        split_done.append(c)
         rows_moved += counts[c]
     if not pieces:
-        return {"split_cells": [], "new_cells": 0, "rows_moved": 0}
+        return noop
     moved = pieces[0]
     for p in pieces[1:]:
         moved = moved.unionByName(p)
-    _dynamic_partition_overwrite(spark, moved, table_path, oversized)
+    _dynamic_partition_overwrite(spark, moved, table_path, split_done)
+    # centroids persist AFTER the data rewrite: a crash between the
+    # two leaves cells ≥ the persisted table size on disk, which the
+    # probe path scans unconditionally (the orphan-cell guard in
+    # ivf_pq_probe_partitioned) — so the window is recall-safe in
+    # either order, and this order never routes queries to
+    # not-yet-written cells
     save_pq_codebooks(
         books, os.path.join(table_path, "_pq_books.json"), centroids=cent
     )
     return {
-        "split_cells": oversized,
+        "split_cells": split_done,
         "new_cells": int(cent.shape[0]),
         "rows_moved": int(rows_moved),
     }
@@ -842,6 +870,22 @@ def ivf_pq_probe_partitioned(
     probe_rows = _probe_cells(
         qids, Qn, cent, resolve_nprobe(nprobe, cent.shape[0])
     )
+    # orphan-cell guard (r11 review): a crash between recluster's data
+    # rewrite and its centroid persist leaves cell ids ≥ the persisted
+    # centroid table on disk — no centroid can route a query there, so
+    # every query probes them unconditionally (one local dir listing;
+    # the next completed recluster re-homes them)
+    orphan_cells = sorted(
+        cid
+        for n in os.listdir(table_path)
+        if n.startswith("cell=")
+        for cid in [int(n.split("=", 1)[1])]
+        if cid >= cent.shape[0]
+    )
+    if orphan_cells:
+        probe_rows = probe_rows + [
+            (int(q), c) for q in qids for c in orphan_cells
+        ]
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int"
     )

@@ -575,7 +575,7 @@ def run_maintained_join_report(
                 (
                     lambda: routed_fact_base(
                         f_reader.table,
-                        [(view.fact_on, d_win)],
+                        [(view.fact_on, view.dim_on, d_win)],
                         as_of=f_prev,
                     )
                 )
@@ -785,8 +785,8 @@ def run_maintained_star_report(
                     lambda: routed_fact_base(
                         f_reader.table,
                         [
-                            (fo, wins[n])
-                            for n, _, fo, _ in config.dims
+                            (fo, do, wins[n])
+                            for n, _, fo, do in config.dims
                         ],
                         as_of=f_prev,
                     )

@@ -390,6 +390,13 @@ class BucketedTable:
         if self.lock_provider is None:
             return  # single-writer mode: nothing to race with
         commits = self.commits()
+        # predecessor in one pass (r11 review: commits.index(c) per
+        # since-commit made the check O(n²) in timeline length — the
+        # manifests are never deleted, so n only grows)
+        prev_of = {
+            c: (commits[i - 1] if i else None)
+            for i, c in enumerate(commits)
+        }
         since = [
             c
             for c in commits
@@ -399,9 +406,7 @@ class BucketedTable:
             return
         whole_table, hits, overlap = [], [], set()
         for c in since:
-            idx = commits.index(c)
-            prev = commits[idx - 1] if idx > 0 else None
-            t = self._touched_of(c, prev)
+            t = self._touched_of(c, prev_of[c])
             if t is None:
                 whole_table.append(c)
             elif t & touched:

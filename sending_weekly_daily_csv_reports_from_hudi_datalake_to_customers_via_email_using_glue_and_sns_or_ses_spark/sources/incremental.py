@@ -485,20 +485,32 @@ class CDCReader:
             else None
         )
         end = self.table.latest_commit()
-        if begin is not None and (end is None or end < begin):
-            # the table's published pointer moved BEHIND this reader's
-            # checkpoint: a restore/rollback removed history the
-            # checkpoint refers to (commit ids are monotonic, so this
-            # is unreachable any other way). Silent None here would
-            # look like "no new commits" and the consumer would later
-            # fold windows that skip the rewound range — raise instead
-            # (the documented restore caveat): reset() the reader and
-            # re-seed the consumer from a snapshot.
+        if begin is not None and (
+            end is None
+            or end < begin
+            # pointer AHEAD again but the checkpoint instant is gone
+            # from the timeline: a restore/rollback removed it and a
+            # NEW commit (wall-clock id > the removed ones) already
+            # landed — without this membership check the window
+            # (begin, end] would seed its before-images from the
+            # REWOUND state and a delta-folding consumer would
+            # double-count the rolled-back range (r11 review)
+            or begin not in self.table.instants()
+        ):
+            # the table's published history no longer contains this
+            # reader's checkpoint: a restore/rollback removed history
+            # the checkpoint refers to (commit ids are monotonic, so
+            # this is unreachable any other way). Silent None here
+            # would look like "no new commits" and the consumer would
+            # later fold windows that skip the rewound range — raise
+            # instead (the documented restore caveat): reset() the
+            # reader and re-seed the consumer from a snapshot.
             raise ValueError(
-                f"{self.table_name}: checkpoint {begin} is AHEAD of the "
-                f"table's latest commit {end} — the table was "
-                "restored/rolled back past this reader's checkpoint; "
-                "reset() the reader and re-seed the consumer"
+                f"{self.table_name}: checkpoint {begin} is not in the "
+                f"table's published history (latest commit: {end}) — "
+                "the table was restored/rolled back past this "
+                "reader's checkpoint; reset() the reader and re-seed "
+                "the consumer"
             )
         if end is None or end == begin:
             self._pending_commit = None

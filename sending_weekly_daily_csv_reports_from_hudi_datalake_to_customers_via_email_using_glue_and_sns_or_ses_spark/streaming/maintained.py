@@ -448,7 +448,7 @@ def stream_maintained_join_view(
                         (
                             lambda: routed_fact_base(
                                 table_f,
-                                [(view.fact_on, d_win)],
+                                [(view.fact_on, view.dim_on, d_win)],
                                 as_of=f_seen,
                             )
                         )
@@ -620,8 +620,8 @@ def stream_maintained_star_view(
                             lambda: routed_fact_base(
                                 table_f,
                                 [
-                                    (fo, wins[n])
-                                    for n, fo, _ in view.dims
+                                    (fo, do, wins[n])
+                                    for n, fo, do in view.dims
                                 ],
                                 as_of=seen.get("fact"),
                             )

@@ -388,3 +388,40 @@ def test_cdc_reader_raises_after_restore_past_checkpoint(
     assert sorted(r["k"] for r in win.collect()) == [1]
     reader.commit()
     assert reader.read() is None
+
+
+@pytest.mark.parametrize("engine", ["keyed", "bucketed"])
+def test_cdc_reader_raises_after_restore_even_with_new_commits(
+    spark, tmp_path, engine
+):
+    """r11 review: a restore past the checkpoint FOLLOWED by a fresh
+    commit moves the pointer ahead of the checkpoint again (commit ids
+    are wall-clock) — the reader must still raise, via the timeline-
+    membership check, not hand out a window seeded from the rewound
+    state."""
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sources.incremental import (
+        CDCReader,
+    )
+
+    root = str(tmp_path / f"rn{engine}")
+    if engine == "keyed":
+        t = KeyedTable(spark, root, record_key="k", precombine="pre")
+    else:
+        t = BucketedTable(
+            spark, root, record_key="k", precombine="pre", num_buckets=4
+        )
+    c1 = t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    t.upsert(_kv_df(spark, [(2, 1, "b")]))
+    reader = CDCReader(
+        spark, f"rn-{engine}", root,
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    reader.read()
+    reader.commit()  # checkpoint at c2
+    t.restore(c1)
+    t.upsert(_kv_df(spark, [(3, 1, "c")]))  # pointer moves AHEAD again
+    with pytest.raises(ValueError, match="restored/rolled back"):
+        reader.read()
+    reader.reset()
+    win = reader.read()
+    assert sorted(r["k"] for r in win.collect()) == [1, 3]

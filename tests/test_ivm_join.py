@@ -656,7 +656,7 @@ def test_routed_fact_base_reads_only_touched_buckets(spark, tmp_path):
     dim_t.upsert(_dim(spark, [(1, 1, "B"), (9, 1, "B")]))
     win = dim_t.cdc(begin=d1)
 
-    fb = routed_fact_base(fact_t, [("jk", win)], as_of=f1)
+    fb = routed_fact_base(fact_t, [("jk", "jk", win)], as_of=f1)
     got = sorted((r["jk"], r["famount"]) for r in fb.collect())
     assert got == [(1, 10), (9, 90)]  # the OLD instant's rows, pruned
     buckets = {
@@ -675,12 +675,18 @@ def test_routed_fact_base_reads_only_touched_buckets(spark, tmp_path):
     )
     kfact.upsert(_fact(spark, [(i, 0, i % 5, i) for i in range(10)]))
     kf1 = kfact.latest_commit()
-    fb2 = routed_fact_base(kfact, [("jk", win)], as_of=kf1)
+    fb2 = routed_fact_base(kfact, [("jk", "jk", win)], as_of=kf1)
     assert fb2.count() == 10  # unpruned snapshot (fold prunes later)
 
     # fallback 2: bucketed fact NOT keyed on the join column
-    fb3 = routed_fact_base(fact_t, [("other_col", win)], as_of=f1)
+    fb3 = routed_fact_base(fact_t, [("other_col", "jk", win)], as_of=f1)
     assert fb3.count() == 40
+
+    # fallback 3 (r11 review): dim joined off a NON-key column — the
+    # window's record-key values are NOT fact_on probes; must fall
+    # back to the snapshot, never a silently-empty routed read
+    fb4 = routed_fact_base(fact_t, [("jk", "some_attr", win)], as_of=f1)
+    assert fb4.count() == 40
 
 
 def test_join_ivm_bucketed_fact_end_to_end(spark, tmp_path):

@@ -573,11 +573,74 @@ def test_ivf_pq_recluster_noop_under_target(spark, tmp_path):
     import os
 
     out = str(tmp_path / "reclnoop")
-    pq.ivf_pq_write_partitioned(spark, SF, out)
+    cent, _ = pq.ivf_pq_write_partitioned(spark, SF, out)
     mtime = os.path.getmtime(os.path.join(out, "_pq_books.json"))
     report = pq.ivf_pq_recluster(spark, SF, out, rows_per_cell=10**9)
-    assert report == {"split_cells": [], "new_cells": 0, "rows_moved": 0}
+    # new_cells always means the centroid-table size (r11 review: the
+    # no-op path used to return 0, giving the field two meanings)
+    assert report == {
+        "split_cells": [],
+        "new_cells": cent.shape[0],
+        "rows_moved": 0,
+    }
     assert os.path.getmtime(os.path.join(out, "_pq_books.json")) == mtime
+
+
+def test_ivf_pq_recluster_orphaned_vectors_refuse(spark, tmp_path):
+    """An indexed vector with no row in the primary embeddings table
+    (deleted upstream without ivf_pq_delete) makes recluster REFUSE —
+    an inner member join would silently drop it from the rewritten
+    cell (r11 review)."""
+    out = str(tmp_path / "orph")
+    pq.ivf_pq_write_partitioned(spark, SF, out, K=4)
+    layout = spark.read.parquet(out)
+    total = layout.count()
+    ghost = spark.createDataFrame(
+        [(10**9, 0, bytearray(b"\x00" * 8))],
+        "vec_id long, cell int, pq_code binary",
+    )
+    ghost.write.mode("append").partitionBy("cell").parquet(out)
+    with pytest.raises(ValueError, match="ivf_pq_delete"):
+        pq.ivf_pq_recluster(
+            spark, SF, out, rows_per_cell=max(10, total // 12)
+        )
+    # the refused recluster mutated nothing
+    assert spark.read.parquet(out).count() == total + 1
+
+
+def test_ivf_pq_probe_scans_orphan_cells(spark, tmp_path):
+    """Crash-window safety (r11 review): recluster writes data BEFORE
+    centroids, so a crash between them leaves cells ≥ the persisted
+    centroid table — the probe path must scan those unconditionally or
+    the moved vectors are unsearchable until the next recluster."""
+    import os
+
+    out = str(tmp_path / "crashw")
+    pq.ivf_pq_write_partitioned(spark, SF, out, K=4)
+    books, cent_before = pq.load_pq_codebooks(
+        os.path.join(out, "_pq_books.json"), with_centroids=True
+    )
+    total = spark.read.parquet(out).count()
+    report = pq.ivf_pq_recluster(
+        spark, SF, out, rows_per_cell=max(10, total // 12)
+    )
+    assert report["new_cells"] > 4
+    # simulate the crash: data rewritten, centroid persist LOST
+    pq.save_pq_codebooks(
+        books, os.path.join(out, "_pq_books.json"),
+        centroids=cent_before,
+    )
+    got = _probe_frame(spark, out)
+    exact = QUERIES["knn_bruteforce"](spark, SF).toPandas()
+    assert _recall(exact, got) >= 0.4  # moved vectors still searchable
+    # and the orphan cells really were in the scan
+    moved_cells = set(
+        r["cell"]
+        for r in spark.read.parquet(out)
+        .select("cell").distinct().collect()
+        if r["cell"] >= cent_before.shape[0]
+    )
+    assert moved_cells, "recluster should have created new cells"
 
 
 def test_ivf_pq_append_after_recluster_routes_to_split_cells(

@@ -81,7 +81,7 @@ def _measure(spark, n_keys: int, n_changed: int) -> dict:
         win = dim.cdc(begin=d1)
 
         t0 = time.time()
-        fb = routed_fact_base(fact, [("ck", win)], as_of=f1)
+        fb = routed_fact_base(fact, [("ck", "ck", win)], as_of=f1)
         n_routed = fb.count()
         t_routed = time.time() - t0
         files_routed = len(fb.inputFiles())
