@@ -48,9 +48,11 @@ Scale notes (the reason this module exists):
     a batch that hits b of B buckets reads and rewrites ~b/B of the
     table. With date-correlated keys and enough buckets, steady-state
     ingestion cost is bounded by batch size, not table size.
-  * ``num_buckets`` is fixed at table creation (the Hudi simple bucket
-    engine's constraint — resizing would re-route every key). Size it
-    so table_bytes / num_buckets ≈ the 1-4 GB file-group target.
+  * ``num_buckets`` is set at table creation; size it so table_bytes /
+    num_buckets ≈ the 1-4 GB file-group target. When the table
+    outgrows it, ``rescale_buckets`` (r11) rewrites the live state
+    under a new count as one whole-table maintenance commit — Hudi's
+    bucket rescale; every other commit stays O(touched groups).
   * the per-commit manifest is O(num_buckets) JSON — thousands of
     entries, not millions; the driver never lists data files.
   * the cleaner removes slices unreferenced by the last
@@ -191,8 +193,8 @@ class BucketedTable:
                 raise ValueError(
                     f"table at {self.root} has num_buckets="
                     f"{existing.get('num_buckets')}; cannot reopen with "
-                    f"{self.num_buckets} (bucket count is fixed at "
-                    "creation — rewrite into a new table to resize)"
+                    f"{self.num_buckets} (open() adopts the persisted "
+                    "count; use rescale_buckets to resize)"
                 )
             # index config: unset = inherit the persisted one; set =
             # update it (applies to future commits — see __init__)
@@ -289,6 +291,7 @@ class BucketedTable:
         flip all run under the table lock."""
         if self.lock_provider is None:
             self._rollback_failed()
+            self._refresh_bucket_count()
             yield
             return
         if not self.lock_provider.try_lock(timeout_s=self.lock_timeout_s):
@@ -297,6 +300,7 @@ class BucketedTable:
             )
         try:
             self._rollback_failed()
+            self._refresh_bucket_count()
             yield
         finally:
             self.lock_provider.unlock()
@@ -357,6 +361,21 @@ class BucketedTable:
         if os.path.isdir(staging):
             shutil.rmtree(staging, ignore_errors=True)
 
+    def _refresh_bucket_count(self) -> None:
+        """Adopt the AUTHORITATIVE bucket count — the latest published
+        manifest's (rescale_buckets changes it; a concurrent process's
+        rescale, or a crash between a rescale's publish and its meta
+        update, leaves this object's count stale) — and heal the
+        _table.json cache. Runs inside every transaction, BEFORE the
+        caller routes anything."""
+        latest = self.latest_commit()
+        if latest is None:
+            return
+        nb = self._manifest(latest).get("num_buckets")
+        if nb is not None and int(nb) != self.num_buckets:
+            self.num_buckets = int(nb)
+            self._write_meta_update()
+
     def _touched_of(self, commit: str, prev: str | None) -> set[int] | None:
         """The bucket set a PUBLISHED commit touched, from its manifest:
         the recorded ``touched`` field (r11+ manifests), else derived by
@@ -364,7 +383,7 @@ class BucketedTable:
         vintage). ``None`` = whole-table (overwrite / alter — conflicts
         with any in-flight transaction)."""
         m = self._manifest(commit)
-        if m.get("op") in ("overwrite", "alter"):
+        if m.get("op") in ("overwrite", "alter", "rescale"):
             return None
         rec = m.get("touched")
         if rec is not None:
@@ -439,6 +458,12 @@ class BucketedTable:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         doc = {
             "op": op,
+            # the routing this commit's slices were written under —
+            # the AUTHORITATIVE current count is the latest manifest's
+            # (rescale_buckets changes it; _table.json is a cache that
+            # _txn heals), and time-travel reads route by the pinned
+            # manifest's own count
+            "num_buckets": self.num_buckets,
             # the bucket set this commit touched — the OCC conflict
             # unit (None on whole-table ops; pre-r11 manifests derive
             # it by slice-map diff, see _touched_of)
@@ -470,7 +495,7 @@ class BucketedTable:
             return df
         return with_composite_key(df, self.key_fields)
 
-    def _bucket_expr(self):
+    def _bucket_expr(self, n: int | None = None):
         """Stable key → file-group routing: xxhash64 of the STRING form
         of the key (cast pins the hash input so int and bigint key
         columns route identically across writers), mod num_buckets.
@@ -478,7 +503,7 @@ class BucketedTable:
         own."""
         return F.pmod(
             F.xxhash64(F.col(self.record_key).cast("string")),
-            F.lit(self.num_buckets),
+            F.lit(n if n is not None else self.num_buckets),
         ).cast("int")
 
     def _slice_path(self, bucket: int, commit: str) -> str:
@@ -674,12 +699,15 @@ class BucketedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
-    def _touched_buckets(self, keyed: DataFrame) -> list[int]:
+    def _touched_buckets(
+        self, keyed: DataFrame, n: int | None = None
+    ) -> list[int]:
         """Distinct bucket ids the batch routes to — a bounded driver
         aggregate (≤ num_buckets ints), the ONLY collect in the write
-        path."""
+        path. ``n`` routes under a non-current count (time travel
+        across a rescale boundary)."""
         rows = (
-            keyed.select(self._bucket_expr().alias(BUCKET_COL))
+            keyed.select(self._bucket_expr(n).alias(BUCKET_COL))
             .distinct()
             .collect()
         )
@@ -714,13 +742,13 @@ class BucketedTable:
             if self.payload == "partial_update"
             else _merge_latest(incoming, self.record_key, self.precombine)
         )
-        # routing depends only on the key SET, identical pre- and
-        # post-dedupe — compute it off the raw batch (narrow key-only
-        # lineage, no merge window behind it). A pure function of the
-        # batch, so it can never go stale while waiting for the lock.
-        touched = self._touched_buckets(incoming)
-
         with self._txn():
+            # routing depends only on the key SET, identical pre- and
+            # post-dedupe — computed off the raw batch (narrow key-only
+            # lineage, no merge window behind it), INSIDE the critical
+            # section since r11: a concurrent rescale_buckets changes
+            # the count this routes under (_txn refreshed it above)
+            touched = self._touched_buckets(incoming)
             self._check_conflict(base_instant, set(touched))
             commit = self._new_commit_id()
             stamped = deduped.withColumn(COMMIT_COL, F.lit(commit))
@@ -785,8 +813,8 @@ class BucketedTable:
             if self.payload == "partial_update"
             else _merge_latest(incoming, self.record_key, self.precombine)
         )
-        touched = self._touched_buckets(incoming)
         with self._txn():
+            touched = self._touched_buckets(incoming)
             # replace rewrites the WHOLE live state: any concurrent
             # commit since base would be silently erased — conflict on
             # every bucket the table currently holds plus the batch's
@@ -997,9 +1025,11 @@ class BucketedTable:
         (operators/ivm.py routed_fact_base)."""
         keys = self._with_key(keys)
         keyed = keys.select(self.record_key).distinct()
-        touched = self._touched_buckets(keyed)
+        latest = self.latest_commit()
+        if latest is None:
+            return self.spark.createDataFrame([], self._union_schema(None))
         if as_of is None:
-            slices = self._current_slices()
+            manifest = self._manifest(latest)
             schema = self._union_schema(None)  # one manifest read, both uses
         else:
             surviving = [c for c in self.commits() if c <= as_of]
@@ -1008,8 +1038,14 @@ class BucketedTable:
                     [], self._union_schema(None)
                 )
             manifest = self._manifest(surviving[-1])
-            slices = {int(b): c for b, c in manifest["slices"].items()}
             schema = StructType.fromJson(manifest["schema"])
+        # route under the PINNED manifest's own bucket count — a
+        # rescale between as_of and now (or since this object opened)
+        # must not re-route the probe (r11, rescale_buckets)
+        touched = self._touched_buckets(
+            keyed, int(manifest.get("num_buckets", self.num_buckets))
+        )
+        slices = {int(b): c for b, c in manifest["slices"].items()}
         live = [(b, slices[b]) for b in touched if slices.get(b) is not None]
         df = self._read_slices(live, schema)
         if df is None:
@@ -1133,6 +1169,7 @@ class BucketedTable:
             meta = json.load(f)
         meta["stats_cols"] = self.stats_cols
         meta["bloom_cols"] = self.bloom_cols
+        meta["num_buckets"] = self.num_buckets  # rescale support
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
@@ -1409,6 +1446,84 @@ class BucketedTable:
         for c, op in self._timeline_instants().items():
             if op == "overwrite" and c <= latest and c not in have:
                 self._record_replace_published(c)
+
+    # -- bucket rescale (r11) ---------------------------------------------
+    def rescale_buckets(self, new_num_buckets: int) -> str | None:
+        """Hudi bucket rescale: rewrite every live file group under a
+        NEW bucket count — the maintenance commit that keeps file
+        groups near their 1-4 GB target as the table grows past the
+        creation-time sizing (without it a 100× table has 100× file
+        groups' bytes behind a fixed count). One whole-table commit:
+
+        * rows keep their origin ``_commit_time`` (a rescale changes
+          no data — CDC windows spanning it emit nothing for its
+          instant; the log/tombstone/replace streams are untouched);
+        * the manifest records the new count, which becomes the
+          AUTHORITATIVE routing for later commits and reads —
+          ``_table.json`` is updated post-publish as a cache, healed
+          by ``_refresh_bucket_count`` if a crash intervenes;
+        * time travel keeps working across the boundary for free: an
+          old manifest pins both its slice set AND its own count
+          (``read_keys(as_of=...)`` routes by the pinned count);
+        * under OCC it is a whole-table op: it reads current state
+          inside the table lock (never conflicts itself) and any
+          in-flight stale-base writer conflicts with its published
+          manifest and retries under the new routing.
+
+        Cost: one full-table read + one write of ``new_num_buckets``
+        slices — the same O(table) a Hudi clustering/rescale service
+        pays, scheduled by the operator, never implicit. Returns the
+        rescale commit id, or None when the count is unchanged (or the
+        table is empty — the count just repoints)."""
+        if new_num_buckets < 1:
+            raise ValueError(
+                f"num_buckets must be >= 1, got {new_num_buckets}"
+            )
+        with self._txn():
+            if new_num_buckets == self.num_buckets:
+                return None
+            latest = self.latest_commit()
+            if latest is None:
+                # empty table: nothing to rewrite, repoint the routing
+                self.num_buckets = new_num_buckets
+                self._write_meta_update()
+                return None
+            manifest = self._manifest(latest)
+            pairs = [
+                (int(b), c)
+                for b, c in manifest["slices"].items()
+                if c is not None
+            ]
+            schema = StructType.fromJson(manifest["schema"])
+            df = self._read_slices(pairs, schema)
+            commit = self._new_commit_id()
+            old_n = self.num_buckets
+            self.num_buckets = new_num_buckets
+            try:
+                touched = list(range(new_num_buckets))
+                touched_map = (
+                    self._write_touched(df, touched, commit)
+                    if df is not None
+                    else {}
+                )
+                new_slices = {
+                    b: c for b, c in touched_map.items() if c is not None
+                }
+                col_stats = self._stamp_indexes(
+                    new_slices, new_slices, schema
+                )
+                self._write_manifest(
+                    commit, "rescale", new_slices, schema, col_stats
+                )
+                self._publish(commit)
+            except BaseException:
+                # nothing published: revert the in-memory routing (the
+                # orphan manifest/slices are reaped by the next txn)
+                self.num_buckets = old_n
+                raise
+            self._write_meta_update()
+            self._clean()
+            return commit
 
     # -- savepoint / restore / rollback (r11, VERDICT r10 #6) ------------
     def _savepoint_dir(self) -> str:

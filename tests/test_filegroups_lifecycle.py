@@ -425,3 +425,148 @@ def test_cdc_reader_raises_after_restore_even_with_new_commits(
     reader.reset()
     win = reader.read()
     assert sorted(r["k"] for r in win.collect()) == [1, 3]
+
+
+# -- r11: bucket rescale --------------------------------------------------
+
+
+def _routed_buckets(t, df):
+    return set(t._touched_buckets(df.select("k")))
+
+
+def test_rescale_preserves_state_and_routing(spark, tmp_path):
+    """rescale_buckets rewrites the live state under the new count:
+    snapshot identical (per-row _commit_time included), later upserts
+    merge correctly under the new routing, point lookups prune to the
+    NEW buckets, and time travel across the boundary routes by each
+    manifest's own pinned count."""
+    import re
+
+    t = _btable(spark, tmp_path, "rs", num_buckets=4)
+    c1 = t.upsert(_kv_df(spark, [(k, 1, f"a{k}") for k in range(40)]))
+    c2 = t.upsert(_kv_df(spark, [(0, 2, "updated")]))
+    before = sorted(
+        (r["k"], r["pre"], r["v"], r["_commit_time"])
+        for r in t.snapshot().collect()
+    )
+    rc = t.rescale_buckets(16)
+    assert rc is not None and t.num_buckets == 16
+    after = sorted(
+        (r["k"], r["pre"], r["v"], r["_commit_time"])
+        for r in t.snapshot().collect()
+    )
+    assert after == before  # a rescale changes NO data
+
+    # later upsert merges against the re-routed existing row
+    t.upsert(_kv_df(spark, [(0, 1, "stale"), (0, 3, "wins")]))
+    snap = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert snap[0] == "wins" and len(snap) == 40
+
+    # point lookup prunes under the NEW count
+    probe = spark.createDataFrame([(7,)], "k int")
+    got = t.read_keys(probe)
+    assert [r["k"] for r in got.collect()] == [7]
+    buckets = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        for m in [re.search(r"/b=(\d+)/", f)]
+        if m
+    }
+    assert buckets <= _routed_buckets(t, probe)
+
+    # time travel BEFORE the rescale: snapshot + routed lookup both
+    # use the pinned manifest (old slices, old count)
+    old_snap = {r["k"]: r["v"] for r in t.snapshot(as_of=c2).collect()}
+    assert old_snap[0] == "updated"
+    got_old = t.read_keys(probe, as_of=c1)
+    assert [r["k"] for r in got_old.collect()] == [7]
+    old_buckets = {
+        int(m.group(1))
+        for f in got_old.inputFiles()
+        for m in [re.search(r"/b=(\d+)/", f)]
+        if m
+    }
+    assert old_buckets and max(old_buckets) < 4  # routed by the OLD count
+
+
+def test_rescale_is_cdc_noop_and_conflicts_with_writers(spark, tmp_path):
+    """A rescale commit emits NOTHING on the CDC stream (no data
+    changed), and under OCC it is a whole-table op: a stale-base
+    writer conflicts with it and lands on retry under the new
+    routing."""
+    lock = InProcessLockProvider()
+    t = _btable(spark, tmp_path, "rsc", num_buckets=4, lock_provider=lock)
+    t.upsert(_kv_df(spark, [(k, 1, "x") for k in range(10)]))
+    d1 = t.latest_commit()
+    base = d1
+    rc = t.rescale_buckets(8)
+    # CDC window spanning the rescale: zero ops for its instant
+    win = t.cdc(begin=d1)
+    assert win is None or win.count() == 0
+    t.upsert(_kv_df(spark, [(3, 2, "y")]))
+    win2 = {
+        (r["k"], r["_commit_time"]) for r in t.cdc(begin=d1).collect()
+    }
+    assert all(c != rc for _, c in win2)
+    # stale-base writer conflicts with the published rescale
+    with pytest.raises(CommitConflictError):
+        with t._txn():
+            t._check_conflict(base, {0})
+
+
+def test_rescale_stale_meta_heals(spark, tmp_path):
+    """Crash window: rescale published but _table.json not yet
+    updated. A fresh open() under the stale cached count must adopt
+    the manifest's count at its first transaction and route
+    correctly — no duplicate keys across buckets."""
+    t = _btable(spark, tmp_path, "rsh", num_buckets=4)
+    t.upsert(_kv_df(spark, [(k, 1, "x") for k in range(20)]))
+    t.rescale_buckets(16)
+    # simulate the crash: force the META back to the old count
+    mp = os.path.join(t.root, "_table.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["num_buckets"] = 4
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+    re = BucketedTable.open(spark, t.root)
+    assert re.num_buckets == 4  # stale cache adopted at open ...
+    re.upsert(_kv_df(spark, [(5, 2, "updated")]))  # ... healed in-txn
+    assert re.num_buckets == 16
+    snap = [
+        (r["k"], r["v"]) for r in re.snapshot().collect() if r["k"] == 5
+    ]
+    assert snap == [(5, "updated")]  # merged, not duplicated
+    with open(mp) as f:
+        assert json.load(f)["num_buckets"] == 16  # cache healed on disk
+
+
+def test_rescale_validation_and_noop(spark, tmp_path):
+    t = _btable(spark, tmp_path, "rsv", num_buckets=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.rescale_buckets(0)
+    assert t.rescale_buckets(4) is None  # same count: no commit
+    # empty table: count repoints without a commit
+    assert t.rescale_buckets(8) is None
+    assert t.num_buckets == 8 and t.commits() == []
+    t.upsert(_kv_df(spark, [(1, 1, "a")]))
+    assert t._manifest(t.latest_commit())["num_buckets"] == 8
+
+
+def test_rescale_interacts_with_restore_and_cleaner(spark, tmp_path):
+    """Restore to a pre-rescale instant republishes the old manifest —
+    the old count becomes authoritative again; the cleaner keeps
+    pre-rescale slices while retained manifests reference them."""
+    t = _btable(spark, tmp_path, "rsr", num_buckets=4, keep_versions=10)
+    t.upsert(_kv_df(spark, [(k, 1, "x") for k in range(12)]))
+    c1 = t.latest_commit()
+    t.rescale_buckets(8)
+    t.upsert(_kv_df(spark, [(1, 2, "y")]))
+    t.restore(c1)
+    assert t.latest_commit() == c1
+    # next transaction adopts the restored manifest's count
+    t.upsert(_kv_df(spark, [(2, 2, "z")]))
+    assert t.num_buckets == 4
+    snap = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert snap[1] == "x" and snap[2] == "z" and len(snap) == 12
