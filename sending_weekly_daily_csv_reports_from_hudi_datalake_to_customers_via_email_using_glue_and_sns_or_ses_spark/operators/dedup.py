@@ -781,11 +781,23 @@ def embedding_cosine_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
 
     from ..functions.vector import cosine_similarity
 
-    # NOT persisted: the exploded rows carry a full embedding copy per
-    # band (4× the corpus in cache) while the recompute is one cheap
-    # matmul UDF pass — measured net-negative at sf0.1
-    sig = e.select(
-        "vec_id", "embedding", F.explode(band_keys("embedding")).alias("bucket")
+    # Persist BEFORE the explode (r11): the self-join consumes the
+    # signature frame on BOTH sides, and without a cache each side
+    # re-runs the band_keys matmul and re-scans the input — the
+    # AQE-final plan showed two ArrowEvalPython nodes and four file
+    # scans for one logical signature pass. Caching the PRE-explode
+    # frame keeps the footprint at ~1× the corpus (embedding + 4
+    # longs per row; the r3-era experiment that measured caching
+    # net-negative cached the EXPLODED rows, 4× the corpus), the UDF
+    # runs once, and the per-side explode is cheap JVM codegen over
+    # cached batches. Handle-tracked, not keyed: every call rebuilds
+    # — this is dataflow reuse within one evaluation, not a memo.
+    sig_base = e.select(
+        "vec_id", "embedding", band_keys("embedding").alias("bks")
+    ).persist()
+    _track_postings_handle(sig_base)
+    sig = sig_base.select(
+        "vec_id", "embedding", F.explode("bks").alias("bucket")
     )
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
@@ -997,7 +1009,11 @@ def connected_components(
         fixed point — comparing one tiny aggregate per round against
         the previous round's replaces the old-vs-new join (one fewer
         shuffle join per round, measured ~15% off the round cost);
-      * each round is one shuffle keyed by doc_id, linear in edges.
+      * each propagation step is one shuffle keyed by doc_id, linear
+        in edges, and each materialized round chains TWO steps into a
+        single action (r11) — half the driver barriers, convergence
+        jobs and label checkpoint writes for the same per-step
+        shuffle count.
 
     Near-dup components have tiny diameter, so the loop converges in
     2-3 rounds; it runs to convergence (bounded only by a
@@ -1109,19 +1125,40 @@ def connected_components(
         eager=False,  # round 0's aggregate materializes it — saves a job
     )
     prev_sum = None
-    for round_no in range(max_rounds):
-        # each node adopts the min label among itself and its neighbors
-        neighbor_labels = (
-            edges.join(nodes, edges.doc_b == nodes.doc_id)
-            .select(F.col("doc_a").alias("doc_id"), "label")
-        )
+    steps_done = 0
+    while steps_done < max_rounds:
+        # TWO propagation steps per materialized round (r11): each
+        # step (join + union + min-aggregate) keeps its own shuffles,
+        # but chaining two of them inside a single action halves the
+        # driver barriers, the convergence-check jobs and the
+        # localCheckpoint label writes — on a near-dup graph
+        # (diameter 2-3) that is one fewer blocking job end to end,
+        # and at cluster scale one fewer full write of the label
+        # frame per two steps. Convergence detection stays sound:
+        # labels are monotone non-increasing under min-propagation,
+        # so an UNCHANGED label sum across a double-step means
+        # neither sub-step moved a label — exactly the single-step
+        # fixed point. ``max_rounds`` still counts single propagation
+        # steps, so the safety-rail semantics (diameter > max_rounds
+        # RAISES) are unchanged.
+        stepped = nodes
+        for _ in range(min(2, max_rounds - steps_done)):
+            # each node adopts the min label among itself + neighbors
+            neighbor_labels = (
+                edges.join(stepped, edges.doc_b == stepped.doc_id)
+                .select(F.col("doc_a").alias("doc_id"), "label")
+            )
+            stepped = (
+                stepped.select("doc_id", "label")
+                .unionByName(neighbor_labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+            steps_done += 1
         nodes = _cut(  # lazy: the convergence aggregate below is the
             # round's ONE action — it materializes the checkpoint and
             # computes the sum in the same job
-            nodes.select("doc_id", "label")
-            .unionByName(neighbor_labels)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label")),
+            stepped,
             eager=False,
         )
         # convergence via the monotone label sum (docstring): equal sum
@@ -1136,7 +1173,7 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components: Hash-Min did not converge in {max_rounds} "
-            "rounds — component diameter exceeds the safety rail; raise it "
+            "steps — component diameter exceeds the safety rail; raise it "
             "rather than ship half-propagated cluster labels"
         )
     return nodes.select("doc_id", F.col("label").alias("cluster_id"))
