@@ -982,6 +982,39 @@ def _star_components(pairs, _cut, max_rounds: int) -> DataFrame:
     )
 
 
+def _hashmin_edge_layout(pairs: DataFrame) -> DataFrame:
+    """The Hash-Min loop's STATIC side, laid out once (r11): the
+    undirected edge set, hash-partitioned AND sorted by the join key,
+    cached in that layout. A cached frame's output partitioning and
+    ordering satisfy a sort-merge join's requirements, so every
+    propagation step joins against it with NO edge-side exchange and
+    NO edge-side sort — per-step shuffle bytes drop from |E|+|V| to
+    |V| (labels only). Caller owns the unpersist."""
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    return (
+        edges.repartition("doc_b").sortWithinPartitions("doc_b").persist()
+    )
+
+
+def _hashmin_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation step: each node adopts the minimum
+    label among itself and its neighbors."""
+    neighbor_labels = (
+        edges.join(labels, edges.doc_b == labels.doc_id)
+        .select(F.col("doc_a").alias("doc_id"), "label")
+    )
+    return (
+        labels.select("doc_id", "label")
+        .unionByName(neighbor_labels)
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def connected_components(
     pair_graph: DataFrame,
     checkpoint_dir: str | None = None,
@@ -1107,17 +1140,25 @@ def connected_components(
     # free, whereas checkpointing after the union would evaluate the
     # full edge plan once per union branch)
     pairs = _cut(pair_graph.select("doc_a", "doc_b"))
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )
     # pairs are materialized now — release upstream persists instead of
     # leaking session-lifetime cache entries
     for frame in release_after_cut or ():
         frame.unpersist()
     if algorithm == "star":
         return _star_components(pairs, _cut, max_rounds)
+    # The edge set is STATIC across every propagation step but is the
+    # biggest per-step input (|E| ≥ |V|). Pre-partition AND pre-sort it
+    # by the join key once, then cache that layout (r11,
+    # _hashmin_edge_layout): each step's sort-merge join then shuffles
+    # and sorts ONLY the label side — per-step shuffle bytes drop from
+    # |E|+|V| to |V| (plan-pinned by
+    # test_cc_edge_layout_joins_without_edge_shuffle). At local bench
+    # scale the labels broadcast and this is neutral; at cluster scale
+    # labels are |V| rows and cannot broadcast, which makes the edge
+    # reshuffle the dominant per-step cost this removes. Unpersisted on
+    # every exit path — the returned labels are checkpointed, so they
+    # do not depend on the cache.
+    edges = _hashmin_edge_layout(pairs)
     nodes = _cut(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -1126,56 +1167,51 @@ def connected_components(
     )
     prev_sum = None
     steps_done = 0
-    while steps_done < max_rounds:
-        # TWO propagation steps per materialized round (r11): each
-        # step (join + union + min-aggregate) keeps its own shuffles,
-        # but chaining two of them inside a single action halves the
-        # driver barriers, the convergence-check jobs and the
-        # localCheckpoint label writes — on a near-dup graph
-        # (diameter 2-3) that is one fewer blocking job end to end,
-        # and at cluster scale one fewer full write of the label
-        # frame per two steps. Convergence detection stays sound:
-        # labels are monotone non-increasing under min-propagation,
-        # so an UNCHANGED label sum across a double-step means
-        # neither sub-step moved a label — exactly the single-step
-        # fixed point. ``max_rounds`` still counts single propagation
-        # steps, so the safety-rail semantics (diameter > max_rounds
-        # RAISES) are unchanged.
-        stepped = nodes
-        for _ in range(min(2, max_rounds - steps_done)):
-            # each node adopts the min label among itself + neighbors
-            neighbor_labels = (
-                edges.join(stepped, edges.doc_b == stepped.doc_id)
-                .select(F.col("doc_a").alias("doc_id"), "label")
+    try:
+        while steps_done < max_rounds:
+            # TWO propagation steps per materialized round (r11): each
+            # step (join + union + min-aggregate) keeps its own shuffles,
+            # but chaining two of them inside a single action halves the
+            # driver barriers, the convergence-check jobs and the
+            # localCheckpoint label writes — on a near-dup graph
+            # (diameter 2-3) that is one fewer blocking job end to end,
+            # and at cluster scale one fewer full write of the label
+            # frame per two steps. Convergence detection stays sound:
+            # labels are monotone non-increasing under min-propagation,
+            # so an UNCHANGED label sum across a double-step means
+            # neither sub-step moved a label — exactly the single-step
+            # fixed point. ``max_rounds`` still counts single propagation
+            # steps, so the safety-rail semantics (diameter > max_rounds
+            # RAISES) are unchanged.
+            stepped = nodes
+            for _ in range(min(2, max_rounds - steps_done)):
+                stepped = _hashmin_step(edges, stepped)
+                steps_done += 1
+            nodes = _cut(  # lazy: the convergence aggregate below is the
+                # round's ONE action — it materializes the checkpoint and
+                # computes the sum in the same job
+                stepped,
+                eager=False,
             )
-            stepped = (
-                stepped.select("doc_id", "label")
-                .unionByName(neighbor_labels)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
+            # convergence via the monotone label sum (docstring): equal sum
+            # ⇔ no label moved this round. decimal(38,0) so a 10^12-node
+            # graph of 64-bit labels cannot overflow the sum.
+            label_sum = nodes.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+        else:
+            raise RuntimeError(
+                f"connected_components: Hash-Min did not converge in {max_rounds} "
+                "steps — component diameter exceeds the safety rail; raise it "
+                "rather than ship half-propagated cluster labels"
             )
-            steps_done += 1
-        nodes = _cut(  # lazy: the convergence aggregate below is the
-            # round's ONE action — it materializes the checkpoint and
-            # computes the sum in the same job
-            stepped,
-            eager=False,
-        )
-        # convergence via the monotone label sum (docstring): equal sum
-        # ⇔ no label moved this round. decimal(38,0) so a 10^12-node
-        # graph of 64-bit labels cannot overflow the sum.
-        label_sum = nodes.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
-    else:
-        raise RuntimeError(
-            f"connected_components: Hash-Min did not converge in {max_rounds} "
-            "steps — component diameter exceeds the safety rail; raise it "
-            "rather than ship half-propagated cluster labels"
-        )
+    finally:
+        # the labels are checkpointed — the cached edge layout is only
+        # needed while the loop still folds steps
+        edges.unpersist()
     return nodes.select("doc_id", F.col("label").alias("cluster_id"))
 
 

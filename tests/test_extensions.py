@@ -484,6 +484,59 @@ def test_dead_app_cache_entries_evicted(spark):
     assert fake.unpersisted
 
 
+def test_cc_edge_layout_joins_without_edge_shuffle(spark):
+    """The r11 Hash-Min layout optimization, plan-pinned: with the
+    static edge side pre-partitioned/pre-sorted and cached
+    (_hashmin_edge_layout), a propagation step's sort-merge join must
+    not re-shuffle or re-sort the edges — only the label side and the
+    min-aggregate exchange remain. Broadcast is disabled for the test
+    so the join takes the shape it has at cluster scale, where the
+    label side is |V| rows and cannot broadcast."""
+    from pyspark.sql import functions as F
+
+    from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.operators.dedup import (
+        _hashmin_edge_layout,
+        _hashmin_step,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = spark.range(5000).select(
+            (F.col("id") % 1000).alias("doc_a"),
+            ((F.col("id") * 7) % 1000).alias("doc_b"),
+        ).localCheckpoint()
+        edges = _hashmin_edge_layout(pairs)
+        try:
+            labels = (
+                edges.select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+                .withColumn("label", F.col("doc_id"))
+                .localCheckpoint()
+            )
+            stepped = _hashmin_step(edges, labels)
+            stepped.write.format("noop").mode("overwrite").save()
+            plan = stepped._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # every data-moving exchange that is not the cached
+            # layout's own REPARTITION_BY_COL must key on the LABEL
+            # side (doc_id) — an edge-side doc_b exchange would mean
+            # the cached layout was not reused
+            moving = [
+                line
+                for line in plan.splitlines()
+                if "Exchange" in line
+                and "ReusedExchange" not in line
+                and "REPARTITION_BY_COL" not in line
+            ]
+            assert moving, plan
+            assert all("doc_id" in line for line in moving), plan
+        finally:
+            edges.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_connected_components_random_graph_fuzz(spark):
     """connected_components vs a pure-python union-find over a sweep of
     seeded random graphs, including long chains (diameter >> 2-3, so
