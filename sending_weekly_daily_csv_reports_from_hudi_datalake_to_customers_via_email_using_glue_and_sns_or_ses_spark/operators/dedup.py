@@ -989,7 +989,15 @@ def _hashmin_edge_layout(pairs: DataFrame) -> DataFrame:
     ordering satisfy a sort-merge join's requirements, so every
     propagation step joins against it with NO edge-side exchange and
     NO edge-side sort — per-step shuffle bytes drop from |E|+|V| to
-    |V| (labels only). Caller owns the unpersist."""
+    |V| (labels only). Caller owns the unpersist.
+
+    Config dependency (ADVICE r11): the no-edge-shuffle guarantee
+    relies on ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    keeping its DEFAULT (false). If a deployment flips it, AQE may
+    re-partition the cached layout and every step silently re-shuffles
+    the edge side — perf-only, caught by the plan-pinning test in CI
+    (test_cc_edge_layout_joins_without_edge_shuffle) but not at
+    runtime."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -1000,12 +1008,49 @@ def _hashmin_edge_layout(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _hashmin_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+#: conservative broadcast-size estimate for one (doc_id, label) row in
+#: a built hash relation — two 8-byte values plus UnsafeRow + hashmap
+#: overhead; string doc_ids run larger, which only flips the decision
+#: toward shuffled-hash EARLIER (the safe direction at scale).
+_LABEL_ROW_BYTES = 64
+
+
+def _labels_would_broadcast(spark, n_nodes: int) -> bool:
+    """Whether a |V|-row label frame is small enough for the planner's
+    broadcast path: n_nodes * estimated row bytes under the session's
+    autoBroadcastJoinThreshold (<=0 ⇒ broadcast disabled)."""
+    try:
+        thr = int(
+            spark._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:  # noqa: BLE001 — connect-mode etc.: assume default
+        thr = 10 * 1024 * 1024
+    return thr > 0 and n_nodes * _LABEL_ROW_BYTES <= thr
+
+
+def _hashmin_step(
+    edges: DataFrame, labels: DataFrame, shuffle_hash: bool = False
+) -> DataFrame:
     """One min-label propagation step: each node adopts the minimum
-    label among itself and its neighbors."""
+    label among itself and its neighbors.
+
+    ``shuffle_hash=True`` (VERDICT r11 #4, guide §3.1) hints the LABEL
+    side of the join as the shuffled-hash build side — the non-broadcast
+    cluster shape. Against the pre-partitioned/pre-sorted cached edge
+    layout a sort-merge join already skips the edge-side exchange and
+    sort, but still SORTS the |V|-row label side every step; a
+    shuffled-hash join drops that per-step sort (build the per-partition
+    label hash map, stream the cached edges), and the label build side
+    is |V|/numPartitions rows — the small, memory-safe side by
+    construction. The caller only sets this when the labels are too big
+    to broadcast (a broadcast join beats both and keeps winning on
+    small graphs)."""
+    build = labels.hint("shuffle_hash") if shuffle_hash else labels
     neighbor_labels = (
-        edges.join(labels, edges.doc_b == labels.doc_id)
-        .select(F.col("doc_a").alias("doc_id"), "label")
+        edges.join(build, edges.doc_b == build.doc_id)
+        .select(F.col("doc_a").alias("doc_id"), build.label)
     )
     return (
         labels.select("doc_id", "label")
@@ -1046,7 +1091,19 @@ def connected_components(
         in edges, and each materialized round chains TWO steps into a
         single action (r11) — half the driver barriers, convergence
         jobs and label checkpoint writes for the same per-step
-        shuffle count.
+        shuffle count;
+      * ``max_rounds`` counts single propagation steps, and the rail
+        allows ONE extra confirming round past the budget (ADVICE
+        r11): detecting the fixed point takes a no-op step after the
+        last changing one, so labels that settle exactly at the budget
+        converge instead of raising — a label still moving past
+        ``max_rounds`` raises;
+      * once |V| is known (free off the convergence aggregate), steps
+        whose label side is too big to broadcast take a SHUFFLE_HASH-
+        hinted join against the cached edge layout (r12, guide §3.1):
+        no edge-side exchange/sort (the cached layout satisfies both)
+        and no per-step SORT of the |V|-row label side — per-step work
+        at cluster scale becomes one label shuffle + hash build.
 
     Near-dup components have tiny diameter, so the loop converges in
     2-3 rounds; it runs to convergence (bounded only by a
@@ -1167,8 +1224,10 @@ def connected_components(
     )
     prev_sum = None
     steps_done = 0
+    use_shuffle_hash = False  # decided from |V| after the first round
+    grace_used = False
     try:
-        while steps_done < max_rounds:
+        while True:
             # TWO propagation steps per materialized round (r11): each
             # step (join + union + min-aggregate) keeps its own shuffles,
             # but chaining two of them inside a single action halves the
@@ -1180,12 +1239,10 @@ def connected_components(
             # labels are monotone non-increasing under min-propagation,
             # so an UNCHANGED label sum across a double-step means
             # neither sub-step moved a label — exactly the single-step
-            # fixed point. ``max_rounds`` still counts single propagation
-            # steps, so the safety-rail semantics (diameter > max_rounds
-            # RAISES) are unchanged.
+            # fixed point.
             stepped = nodes
-            for _ in range(min(2, max_rounds - steps_done)):
-                stepped = _hashmin_step(edges, stepped)
+            for _ in range(min(2, max(1, max_rounds - steps_done))):
+                stepped = _hashmin_step(edges, stepped, use_shuffle_hash)
                 steps_done += 1
             nodes = _cut(  # lazy: the convergence aggregate below is the
                 # round's ONE action — it materializes the checkpoint and
@@ -1195,19 +1252,37 @@ def connected_components(
             )
             # convergence via the monotone label sum (docstring): equal sum
             # ⇔ no label moved this round. decimal(38,0) so a 10^12-node
-            # graph of 64-bit labels cannot overflow the sum.
-            label_sum = nodes.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).first()[0]
+            # graph of 64-bit labels cannot overflow the sum. count(*)
+            # rides the same job: |V| drives the join-shape decision below.
+            label_sum, n_nodes = nodes.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")),
+                F.count(F.lit(1)),
+            ).first()
             if label_sum == prev_sum:
                 break
             prev_sum = label_sum
-        else:
-            raise RuntimeError(
-                f"connected_components: Hash-Min did not converge in {max_rounds} "
-                "steps — component diameter exceeds the safety rail; raise it "
-                "rather than ship half-propagated cluster labels"
-            )
+            # rail (ADVICE r11): detecting the fixed point needs one
+            # CONFIRMING no-op step beyond the last changing one, so a
+            # graph whose labels settle exactly at the budget gets one
+            # extra confirming round; a label still moving past
+            # max_rounds means diameter > the rail — raise rather than
+            # ship half-propagated labels.
+            if steps_done >= max_rounds:
+                if grace_used:
+                    raise RuntimeError(
+                        "connected_components: Hash-Min did not converge in "
+                        f"{max_rounds} steps — component diameter exceeds the "
+                        "safety rail; raise it rather than ship "
+                        "half-propagated cluster labels"
+                    )
+                grace_used = True
+            # join-shape decision (VERDICT r11 #4, guide §3.1), made once
+            # |V| is known from the aggregate above: labels that cannot
+            # broadcast take the shuffled-hash shape against the cached
+            # edge layout — no per-step sort of |V| labels (SMJ would
+            # sort them every step). Locally labels broadcast and this
+            # stays False, keeping the cheap BHJ plan.
+            use_shuffle_hash = not _labels_would_broadcast(spark, n_nodes)
     finally:
         # the labels are checkpointed — the cached edge layout is only
         # needed while the loop still folds steps

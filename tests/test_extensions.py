@@ -531,6 +531,32 @@ def test_cc_edge_layout_joins_without_edge_shuffle(spark):
             ]
             assert moving, plan
             assert all("doc_id" in line for line in moving), plan
+
+            # r12 (VERDICT r11 #4): the non-broadcast CLUSTER shape is
+            # the SHUFFLE_HASH-hinted step — hash-join against the
+            # cached layout, which additionally drops the per-step SORT
+            # of the |V|-row label side that the SMJ shape above pays.
+            hinted = _hashmin_step(edges, labels, shuffle_hash=True)
+            hinted.write.format("noop").mode("overwrite").save()
+            hplan = hinted._jdf.queryExecution().executedPlan().toString()
+            assert "ShuffledHashJoin" in hplan, hplan
+            # no sort of the label side anywhere (the only Sort allowed
+            # is the cached layout's own doc_b sortWithinPartitions,
+            # printed inside the InMemoryRelation's cacheBuilder)
+            assert not [
+                line
+                for line in hplan.splitlines()
+                if "Sort [doc_id" in line
+            ], hplan
+            hmoving = [
+                line
+                for line in hplan.splitlines()
+                if "Exchange" in line
+                and "ReusedExchange" not in line
+                and "REPARTITION_BY_COL" not in line
+            ]
+            assert hmoving, hplan
+            assert all("doc_id" in line for line in hmoving), hplan
         finally:
             edges.unpersist()
     finally:
