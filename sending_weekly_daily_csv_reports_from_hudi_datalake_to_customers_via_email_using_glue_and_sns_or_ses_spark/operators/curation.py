@@ -203,25 +203,42 @@ def decontaminate_fuzzy(
     # higher-order lambdas, which Spark evaluates INTERPRETED
     # (no codegen for HOFs): measured 8.7 s single-task at sf0.1 vs
     # ~1 s for this shape.
-    def shingled(frame: DataFrame, out_id: str) -> DataFrame:
+    def shingled(
+        frame: DataFrame, out_id: str, pre_partition: bool = False
+    ) -> DataFrame:
         src = frame.select(
             F.col(id_col).alias(out_id), F.col(text_col).alias("text")
         )
-        return (
+        exploded = (
             src.withColumn("toks", _tokens())
             .select(
                 out_id,
                 F.explode(_shingle_array(F.col("toks"), n)).alias("shingle"),
             )
             .select(out_id, F.xxhash64("shingle").alias("h"))
-            .distinct()
         )
+        # pre_partition (r12, guide §2.4): hash-partition the exploded
+        # stream by doc id BEFORE the distinct. hashpartitioning(doc_id)
+        # satisfies the ClusteredDistribution of EVERY downstream
+        # corpus-side operator — the (doc_id, h) distinct, the
+        # (doc_id, eval_doc_id) pair aggregate, the per-doc size
+        # aggregate, the sizes join, and the strongest-match window —
+        # so the whole corpus path runs on ONE exchange where the
+        # (doc_id, h)-keyed distinct shape paid three (distinct + pair
+        # agg + window; A/B at sf0.1: ~30-40% off the query). Trade-off:
+        # the map-side partial distinct no longer thins within-doc
+        # duplicate shingles before the shuffle (a few % extra bytes on
+        # natural text) — two whole corpus-stream shuffles removed buy
+        # that back many times over.
+        if pre_partition:
+            exploded = exploded.repartition(out_id)
+        return exploded.distinct()
 
     # the corpus-side distinct + size aggregation shuffle 16-byte
     # (doc_id, h) rows — the same narrow-shuffle volume the MinHash
     # signature build pays, and far cheaper than per-doc interpreted
     # array surgery
-    corpus_sh = shingled(docs, "doc_id")
+    corpus_sh = shingled(docs, "doc_id", pre_partition=True)
     corpus_sizes = corpus_sh.groupBy("doc_id").agg(
         F.count("*").alias("n_a")
     )

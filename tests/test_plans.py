@@ -481,6 +481,21 @@ def test_decontaminate_fuzzy_narrow_codegen_shape(spark):
 
     for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "shingle" not in args, f"shingle strings shuffle: {args}"
+    # r12 one-exchange corpus path: the ONLY doc_id-keyed exchange is
+    # the explicit pre-partition (REPARTITION_BY_COL) — the distinct,
+    # the (doc_id, eval_doc_id) pair aggregate, the per-doc size
+    # aggregate and the strongest-match window all reuse its
+    # partitioning, so no planner-inserted (ENSURE_REQUIREMENTS)
+    # doc_id exchange may appear on the corpus side.
+    corpus_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in line
+    ]
+    assert corpus_exchanges, plan
+    assert all(
+        "REPARTITION_BY_COL" in line for line in corpus_exchanges
+    ), plan
 
 
 def test_lm_score_is_single_scan_broadcast_join(spark):

@@ -1,7 +1,7 @@
 """Capture per-query physical plans for the optimization round.
 
 For every live registry entry (or the names given on the CLI), writes
-``plans/r11/<name>_<tag>.txt`` containing:
+``plans/<round>/<name>_<tag>.txt`` (round from $SPARK_GRAFT_PLANS_ROUND, default r12) containing:
 
   * the ``explain("formatted")`` output (the judge-checkable artifact),
   * the AQE-final executed plan (``executedPlan`` after running the
@@ -42,7 +42,11 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or list(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r11"
+    out_dir = (
+        Path(__file__).resolve().parents[1]
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{tag}")
     summary: dict[str, dict] = {}
