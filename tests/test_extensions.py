@@ -463,6 +463,30 @@ def test_ivf_centroid_cache_keyed_by_corpus(spark, tmp_path):
     assert _train_ivf_centroids(e1, K=8, corpus_id=SF) is cent1
 
 
+def test_ivf_probe_warm_job_budget(spark):
+    """VERDICT r11 #7: a warm knn_approx_ivf probe must stay inside a
+    small fixed Spark-job budget. r12 removed three per-call jobs from
+    the probe: the query-row collect is memoized per (app, corpus), the
+    broadcast q side is rebuilt driver-side from those rows (no second
+    filtered parquet scan), and the layout read carries an explicit
+    schema (no footer-sampling inference job). The pre-r12 shape paid
+    all three every call (7 jobs warm at sf0.1); the bound leaves
+    headroom for AQE stage-job variance."""
+    st = spark.sparkContext.statusTracker()
+    run = lambda: (  # noqa: E731
+        QUERIES["knn_approx_ivf"](spark, SF)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    run()  # warm the layout, centroid and query-row memos
+    before = set(st.getJobIdsForGroup(None) or [])
+    run()
+    after = set(st.getJobIdsForGroup(None) or [])
+    n = len(after - before)
+    assert n <= 6, f"warm IVF probe ran {n} jobs (budget 6)"
+
+
 def test_dead_app_cache_entries_evicted(spark):
     """Cache getters must drop entries keyed by a dead applicationId on
     miss — otherwise every session restart leaks a full entry set
