@@ -402,6 +402,104 @@ def test_stream_maintained_star_view_parity(spark, tmp_path):
     }
 
 
+def test_stream_star_drain_routes_fact_read_through_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #6, pinned on the STREAMED path: a star drain whose
+    fact is a BucketedTable record-keyed on the dim join column must
+    serve the dim term's F₀ read through the bucket route — the fold's
+    fact_base goes through routed_fact_base, and on a dim-only commit
+    the files actually read are O(touched buckets), never the table."""
+    import re
+    from importlib import import_module
+
+    from pyspark.sql import functions as F
+
+    ivm = import_module(f"{ENGINE}.operators.ivm")
+    maintained = import_module(f"{ENGINE}.streaming.maintained")
+    BucketedTable = import_module(f"{ENGINE}.sinks.filegroups").BucketedTable
+
+    fact = BucketedTable(
+        spark, str(tmp_path / "brf"), record_key="jk",
+        precombine="fpre", num_buckets=8, keep_versions=25,
+    )
+    dim = _kt(spark, tmp_path / "brd", "dk", "dpre")
+    view = ivm.MaintainedStarAggregate(
+        spark, str(tmp_path / "brview"),
+        dims=[("d", "jk", "dk")],
+        group_cols=["seg"], sum_cols=["amount"],
+    )
+
+    # spy: same routed read, but record which files each F₀ frame opens
+    real_routed = maintained.routed_fact_base
+    seen_files: list[list[str]] = []
+
+    def spy(fact_table, changed, as_of):
+        fb = real_routed(fact_table, changed, as_of)
+        seen_files.append(list(fb.inputFiles()))
+        return fb
+
+    monkeypatch.setattr(maintained, "routed_fact_base", spy)
+
+    def start():
+        return maintained.stream_maintained_star_view(
+            spark,
+            fact.root,
+            [("d", dim.root, "jk", "dk")],
+            view.path,
+            group_cols=["seg"],
+            sum_cols=["amount"],
+            checkpoint_location=str(tmp_path / "brck"),
+            available_now=True,
+        )
+
+    def recompute():
+        fs, ds = fact.snapshot(), dim.snapshot()
+        return sorted(
+            (r["seg"], r["sum_amount"])
+            for r in fs.join(ds, fs["jk"] == ds["dk"])
+            .groupBy("seg")
+            .agg(F.sum("amount").alias("sum_amount"))
+            .collect()
+        )
+
+    dim.upsert(
+        spark.createDataFrame(
+            [(k, 0, "A" if k % 2 else "B") for k in range(40)],
+            "dk int, dpre int, seg string",
+        )
+    )
+    fact.upsert(
+        spark.createDataFrame(
+            [(k, 0, 10 * k) for k in range(40)],
+            "jk int, fpre int, amount long",
+        )
+    )
+    _drain(start())  # genesis: seeds from snapshots, no routed read
+    assert _view_rows(view, ("seg", "sum_amount")) == recompute()
+    assert not seen_files
+
+    # dim-only commit: the fold's dim term needs F₀ at the OLD fact
+    # instant — the routed read must open ONLY the changed keys' buckets
+    dim.upsert(
+        spark.createDataFrame(
+            [(1, 1, "C"), (9, 1, "C")], "dk int, dpre int, seg string"
+        )
+    )
+    _drain(start())
+    assert _view_rows(view, ("seg", "sum_amount")) == recompute()
+    assert len(seen_files) == 1, "dim-only fold must take the routed read"
+    buckets = {
+        int(m.group(1))
+        for f in seen_files[0]
+        for m in [re.search(r"/b=(\d+)/", f)]
+        if m
+    }
+    expected = set(fact._touched_buckets(spark.createDataFrame([(1,), (9,)], "jk int")))
+    assert buckets and buckets <= expected
+    assert len(buckets) <= 2 < 8, f"read {sorted(buckets)} of 8 buckets"
+
+
 def test_stream_maintained_view_continuous_report(spark, tmp_path):
     """The reference's whole purpose, made continuous: every published
     fold writes an idempotent CSV report keyed by the through token
