@@ -87,6 +87,7 @@ def clear_intermediate_caches() -> None:
         dedup._PAIRS_SHINGLE_HANDLE,
         dedup._MINHASH_SIG_CACHE,
         dedup._SIMHASH_CHUNK_CACHE,
+        dedup._WINDOW_INDEX_CACHE,
         textual._TF_CACHE,
         aggregates._SKETCH_CACHE,
     ):
@@ -106,6 +107,7 @@ def clear_intermediate_caches() -> None:
     from . import pq
 
     similarity._CENT_CACHE.clear()
+    similarity._QROWS_CACHE.clear()
     pq._PQ_CACHE.clear()
     import logging
     import shutil
