@@ -109,6 +109,9 @@ def clear_intermediate_caches() -> None:
     similarity._CENT_CACHE.clear()
     similarity._QROWS_CACHE.clear()
     pq._PQ_CACHE.clear()
+    from . import scoring
+
+    scoring._LM_CACHE.clear()
     import logging
     import shutil
 
