@@ -217,7 +217,7 @@ PICK = {
     "remove_shared_substrings": "the REMOVAL pass never builds the detector's pairwise join: duplicate marking is one partial-aggregated groupBy over the window hash; the three joins are keyed (hash → marks → doc_id rejoin); r7: cut starts merge into disjoint intervals via ONE Window + groupBy on the SAME per-doc partitioning (no extra exchange) before the token surgery, so the per-token array probe is O(n_merged_intervals) — the interpreted-HOF quadratic on boilerplate-heavy docs is gone (18x on the adversarial 50k-token doc, BASELINE r7). Driver entry since r7 with a hash-free cleaned-text-rebuilding oracle.",
     "shared_substring_runs": "driver entry since r7 (hash-free window-string oracle). The detector's narrow postings with positions kept (4-long rows — no window text in any exchange); the hot cap counts OCCURRENCES, not distinct docs, bounding the self-join to max_postings² per window even for within-doc repeats; run assembly is one Window over (pair, diagonal), data-proportional to the join output; postings persisted (shared _window_postings builder, see exact_substring_pairs).",
     "substring_incremental": "driver entry since r7: the standing-corpus substring check — the window index's narrow (doc, h1, h2) rows stream into the union-cap aggregate and the probe/build joins; the batch side broadcasts its id set for the replay anti-join; corpus TEXT appears in no exchange anywhere (only the index build scans it, once).",
-    "decontaminate_fuzzy": "driver entry since r7 (exact string-shingle DuckDB oracle). One HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
+    "decontaminate_fuzzy": "driver entry since r7 (exact string-shingle DuckDB oracle). One HOF layer then explode, shingle identity hashed AFTER the explode (codegen'd xxhash64) — every exchange moves 16-byte (id, hash) rows, never shingle strings (plan test greps the hashpartitioning args); eval side broadcasts, Jaccard + strongest-match window run over HIT rows only. r12: the corpus stream is pre-partitioned by doc_id before the distinct, so the distinct, pair aggregate, size aggregate and window all share ONE corpus exchange (the explicit REPARTITION_BY_COL — pinned; was 3 executed exchanges). The first-cut array_distinct∘transform form was interpreted-HOF and 8× slower (BASELINE r6).",
     "compression_signals": "one Arrow-batched zlib scan (single ArrowEvalPython node, the UDF deduplicated across its three consumers) — zero Exchange, zero Join; the one quality signal that genuinely needs a library call (plan-pinned by test_compression_signals_zero_shuffle).",
     "lm_perplexity": "train collects only the capped top-V vocab; scoring is one corpus scan → explode_outer → BroadcastHashJoin against the literal vocab frame → one per-doc aggregation exchange (pinned by test_lm_score_is_single_scan_broadcast_join).",
     "quality_quantile_gate": "driver entry since r7: exact per-source quantile cut — the rank and group-count window specs share one source-keyed Exchange (pinned); 3-column ReadSchema (text scored in the scan projection, nothing else read).",

@@ -432,6 +432,7 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     assert bad.isEmpty()
 
 
+@pytest.mark.slow
 def test_prepare_training_data_compression_gate(spark, tmp_path):
     """The optional compressibility gate drops docs outside the ratio
     band and records the stage count; bad bounds raise; the default
@@ -499,6 +500,7 @@ def test_prepare_training_data_compression_gate(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_prepare_training_data_substring_dedup_stage(spark, tmp_path):
     """Stage 2b: with substring_dedup_k on, duplicated k-token spans are
     cut before decontamination, the removed-token stat is reported, and
@@ -535,6 +537,7 @@ def test_prepare_training_data_substring_dedup_stage(spark, tmp_path):
     assert over.count() == 0
 
 
+@pytest.mark.slow
 def test_prepare_training_data_line_dedup_stage(spark, tmp_path):
     """Stage 2a: with line_dedup_min_occurrences on, a boilerplate line
     planted across many docs (written to a private sf_dir — the
@@ -1002,6 +1005,7 @@ def test_quality_quantile_gate_entry_matches_oracle_locally(spark):
     assert not problems, problems
 
 
+@pytest.mark.slow
 def test_prepare_training_data_url_stage(spark, tmp_path):
     """Funnel stage 0: URL dedup + blocklist + domain cap over a
     documents table augmented with fabricated messy URLs (written to a
@@ -1056,6 +1060,7 @@ def test_prepare_training_data_url_stage(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_prepare_training_data_bpe_exact_tokens(spark, tmp_path):
     """bpe_tokenizer=<vocab size> trains on the surviving corpus and
     switches packing/shard accounting to EXACT counts: every written

@@ -59,6 +59,7 @@ def test_lsh_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+@pytest.mark.slow
 def test_minhash_recall_vs_exact_jaccard(spark):
     """Every strongly-similar pair (exact Jaccard ≥ 0.6) is surfaced by
     the MinHash LSH candidates."""
@@ -587,6 +588,7 @@ def test_cc_edge_layout_joins_without_edge_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.slow
 def test_connected_components_random_graph_fuzz(spark):
     """connected_components vs a pure-python union-find over a sweep of
     seeded random graphs, including long chains (diameter >> 2-3, so
@@ -1068,6 +1070,7 @@ def test_dedup_lines_count_mode_docs(spark):
         dedup_lines(docs, count_mode="bogus")
 
 
+@pytest.mark.slow
 def test_dedup_lines_incremental_random_parity(spark):
     """Seeded fuzz of the union-parity contract: random multi-line docs
     over a tiny vocabulary (so collisions are common), split into
@@ -1539,6 +1542,7 @@ def test_compact_line_index_rewrite_and_rails(spark, tmp_path):
         compact_line_index(spark, path2)
 
 
+@pytest.mark.slow
 def test_compact_corpus_index_rewrite_preserves_rows_and_tags(spark, tmp_path):
     """compact_corpus_index: many small appended files collapse to one,
     the row SET (including __src_* replay tags) is unchanged, and
@@ -1660,6 +1664,7 @@ def test_compact_window_index_heals_torn_swap(spark, tmp_path):
         compact_window_index(spark, path, max_postings=2, hot_keep_margin=-1)
 
 
+@pytest.mark.slow
 def test_dedup_incremental_substring_lane(spark):
     """dedup_incremental(window_index=...): a new doc sharing >=
     min_shared_windows k-token windows with the corpus drops with

@@ -135,6 +135,7 @@ def test_point_lookup_prunes_to_buckets(spark, tmp_path):
     assert len({os.path.dirname(f) for f in all_files}) == 16
 
 
+@pytest.mark.slow
 def test_parity_with_keyed_table_random_history(spark, tmp_path):
     """Seeded random upsert/delete history applied to both engines →
     identical live state after every commit, and identical time-travel
@@ -589,6 +590,7 @@ def _skip_rows(spark, keys, ts_lo, step, tag):
     )
 
 
+@pytest.mark.slow
 def test_bucketed_colstats_skipping_equivalence_and_pruning(
     spark, tmp_path
 ):
@@ -653,6 +655,7 @@ def test_bucketed_colstats_unstamped_history_kept_conservatively(
     assert BucketedTable.open(spark, t.root).stats_cols == ["ts"]
 
 
+@pytest.mark.slow
 def test_bucketed_bloom_secondary_lookup(spark, tmp_path):
     """Per-slice Bloom sidecars answer non-key equality probes the
     bucket routing can't touch: a probe for one uid opens only

@@ -5,6 +5,7 @@ migrations, and group disappearance included."""
 
 from __future__ import annotations
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -51,6 +52,7 @@ def _maintained(df):
     )
 
 
+@pytest.mark.slow
 def test_ivm_tracks_recompute_over_random_history(spark, tmp_path):
     """Property: after every applied window, union+re-agg maintenance
     equals a full groupBy recompute — seeded random upserts/deletes
@@ -293,6 +295,7 @@ def _maintained_mm(df):
     )
 
 
+@pytest.mark.slow
 def test_ivm_minmax_tracks_recompute_over_random_history(spark, tmp_path):
     """Property: maintained MIN/MAX (dirty-group recompute protocol)
     equals a full recompute after every window — random upserts,
@@ -504,6 +507,7 @@ def test_ivm_minmax_callable_base_lazy(spark, tmp_path):
     assert _maintained_mm2(view.current()) == [("a", 1, 10, 10)]
 
 
+@pytest.mark.slow
 def test_ivm_distinct_count_tracks_recompute(spark, tmp_path):
     """COUNT(DISTINCT) maintenance (r9, VERDICT r8 #7): the auxiliary
     per-(group, value) multiplicity state must keep distinct_<c> exact

@@ -141,6 +141,7 @@ def _run_pair(view, fact_t, dim_t, f_reader, d_reader):
     return True
 
 
+@pytest.mark.slow
 def test_join_ivm_tracks_recompute_over_random_history(spark, tmp_path):
     """Property: after every coordinated window pair the maintained
     join aggregate equals a full fact⋈dim recompute — random interleaved
@@ -415,6 +416,7 @@ def _recompute_outer(fact_t, dim_t):
     )
 
 
+@pytest.mark.slow
 def test_outer_join_ivm_tracks_recompute_over_random_history(
     spark, tmp_path
 ):

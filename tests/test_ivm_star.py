@@ -153,6 +153,7 @@ def _run(view, fact, cust, part, readers, how="inner"):
     return True
 
 
+@pytest.mark.slow
 def test_star_ivm_tracks_recompute_over_random_history(spark, tmp_path):
     """Property: after every coordinated window set, the maintained
     star aggregate equals a direct fact⋈cust⋈part recompute — random
@@ -329,6 +330,7 @@ def test_star_join_key_third_side_collision_still_raises(spark, tmp_path):
     ).count() == 1
 
 
+@pytest.mark.slow
 def test_left_outer_star_ivm_tracks_recompute_over_random_history(
     spark, tmp_path
 ):

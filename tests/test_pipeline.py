@@ -3,6 +3,7 @@ transform → date-partitioned CSV → presigned URL → email double."""
 
 from __future__ import annotations
 
+import pytest
 import csv
 import glob
 import os
@@ -189,6 +190,7 @@ def test_cli_runs_reference_config(tmp_path, capsys):
     assert glob.glob(os.path.join(out["report_path"], "*.csv"))
 
 
+@pytest.mark.slow
 def test_maintained_report_loop(spark, tmp_path):
     """The reference's nightly report, incrementally (late r7): CDC
     window → maintained aggregate → CSV → email, exactly-once effect.
@@ -290,6 +292,7 @@ def test_maintained_report_loop(spark, tmp_path):
     assert run_maintained_report(spark, cfg, sender=sender) is None
 
 
+@pytest.mark.slow
 def test_maintained_report_minmax(spark, tmp_path):
     """Report loop with maintained MIN/MAX: the delete-the-extremum
     window drives the dirty-group recompute through the pipeline's
@@ -514,6 +517,7 @@ def test_maintained_report_drift_gate(spark, tmp_path):
     assert res is not None and len(sender.outbox) == 4
 
 
+@pytest.mark.slow
 def test_maintained_join_report_loop(spark, tmp_path):
     """The reference's ACTUAL report (orders ⋈ customers,
     template.py:485-490) maintained incrementally from both CDC streams
@@ -1225,6 +1229,7 @@ def test_maintained_join_report_drift_gate(spark, tmp_path):
     assert res is not None and len(sender.outbox) == 4
 
 
+@pytest.mark.slow
 def test_maintained_report_distinct_columns(spark, tmp_path):
     """distinct_cols on the scheduled loop (r9): reports carry exact
     distinct_<c> columns maintained through deletes that un-distinct a

@@ -643,6 +643,7 @@ def test_ivf_pq_probe_scans_orphan_cells(spark, tmp_path):
     assert moved_cells, "recluster should have created new cells"
 
 
+@pytest.mark.slow
 def test_ivf_pq_append_after_recluster_routes_to_split_cells(
     spark, tmp_path
 ):

@@ -52,6 +52,7 @@ def test_merge_latest_law(spark, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(a=rows, b=rows)
+@pytest.mark.slow
 def test_merge_is_associative_on_winners(spark, a, b):
     """merge(a ∪ b) ≡ merge(merge(a) ∪ merge(b)) on (key, pre) winners —
     the law that makes partial (map-side / per-batch) combining safe,
@@ -79,6 +80,7 @@ batches = st.lists(rows, min_size=1, max_size=3)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=batches)
+@pytest.mark.slow
 def test_mor_equals_cow_on_arbitrary_batches(spark, data, tmp_path_factory):
     """P3 law: for ANY sequence of keyed batches, the MOR table's
     log-merged snapshot equals the COW table's materialized snapshot —
@@ -132,6 +134,7 @@ _mix_weights = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(groups=_mix_corpora, w=_mix_weights)
 def test_mixture_sample_plan_invariants(spark, groups, w):
     """For any corpus and positive weights: no source oversampled
@@ -186,6 +189,7 @@ _dedup_texts = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus_keys=_dedup_texts, new_keys=_dedup_texts)
+@pytest.mark.slow
 def test_dedup_incremental_exact_membership_property(spark, corpus_keys, new_keys):
     """Any new doc whose text key appears in the corpus is dropped as
     an exact dup; any new doc with an unseen key survives — for random
@@ -268,6 +272,7 @@ def _rss_reference(texts: list[list[str]], k: int) -> list[tuple[str, int]]:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(data=corpora)
 def test_remove_shared_substrings_matches_reference(spark, data):
     """Cleaned text and removed-token counts agree with the pure-Python
@@ -296,6 +301,7 @@ def test_remove_shared_substrings_matches_reference(spark, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=corpora, split=st.integers(min_value=1, max_value=6))
+@pytest.mark.slow
 def test_incremental_substring_pairs_match_union_property(spark, data, split):
     """The standing-index contract on ARBITRARY tiny-vocab corpora:
     for any corpus/batch split, exact_substring_pairs_incremental over
@@ -412,6 +418,7 @@ _tt_ops = st.lists(
     ops=_tt_ops,
     table_type=st.sampled_from(["COPY_ON_WRITE", "MERGE_ON_READ"]),
 )
+@pytest.mark.slow
 def test_time_travel_replays_any_history(
     spark, ops, table_type, tmp_path_factory
 ):

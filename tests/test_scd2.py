@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_email_using_glue_and_sns_or_ses_spark.sinks.scd2 import (
@@ -102,6 +103,7 @@ def _hist_rows(view):
     )
 
 
+@pytest.mark.slow
 def test_maintained_scd2_windowed_equals_one_shot(spark, tmp_path):
     """Window-by-window CDC folds must land on the SAME history as one
     whole-history fold — the telescoping/idempotence contract the
@@ -153,6 +155,7 @@ def test_maintained_scd2_redelivery_noop_and_token_guard(spark, tmp_path):
     ) is True
 
 
+@pytest.mark.slow
 def test_maintained_scd2_point_in_time_matches_time_travel(
     spark, tmp_path
 ):

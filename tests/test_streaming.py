@@ -181,6 +181,7 @@ def test_dedupe_stream_matches_batch_on_seeded_dups(spark, tmp_path):
     assert len(got) == 90  # 120 docs, 30 duplicated fingerprints
 
 
+@pytest.mark.slow
 def test_stream_upsert_exactly_once_convergence(spark, tmp_path):
     """foreachBatch streaming ingest into KeyedTable: after the stream
     drains, the table holds exactly one row per key with the max
@@ -415,6 +416,7 @@ def test_stream_ingest_dedup_standing_corpus(spark, tmp_path):
     ) == [0, 1, 5]
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_window_index_substring_lane(spark, tmp_path):
     """stream_ingest_dedup(window_index_path=...): a later micro-batch
     doc QUOTING a k-token span from the standing corpus (whole-doc
@@ -496,6 +498,7 @@ def test_stream_ingest_dedup_window_index_substring_lane(spark, tmp_path):
     ) == [0, 1, 11]
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_line_lane_rewrites(spark, tmp_path):
     """stream_ingest_dedup(line_index_path=...): the only lane that
     REWRITES — a boilerplate line arriving in batch 1 twice is cut
@@ -605,6 +608,7 @@ def test_stream_ingest_dedup_line_lane_rewrites(spark, tmp_path):
     assert carriers2 == [0]
 
 
+@pytest.mark.slow
 def test_stream_ingest_window_lane_first_batch_and_partial_heal(
     spark, tmp_path
 ):
@@ -857,6 +861,7 @@ def test_dedupe_stream_watermark_exactly_once(spark, tmp_path):
     assert len({r["event_id"] for r in emitted}) == n_unique
 
 
+@pytest.mark.slow
 def test_stream_upsert_inline_services(spark, tmp_path):
     """service_policy on the streaming sink: a MOR table ingesting
     micro-batches compacts at the delta-commit threshold (read cost
@@ -1350,6 +1355,7 @@ def test_stream_incremental_serves_renamed_columns(spark, tmp_path):
     assert all("v" not in r.asDict() for r in rows)
 
 
+@pytest.mark.slow
 def test_stream_cdc_bucketed_op_parity_and_replace(spark, tmp_path):
     """r10 (VERDICT r9 #6): stream_cdc over a BUCKETED root — the 'u'
     lane reads the shared log, the 'd' lane the (new) bucketed

@@ -6,6 +6,8 @@ same tokens."""
 
 from __future__ import annotations
 
+import pytest
+
 ENGINE = (
     "sending_weekly_daily_csv_reports_from_hudi_datalake_to_customers_via_"
     "email_using_glue_and_sns_or_ses_spark"
@@ -110,6 +112,7 @@ def test_stream_maintained_view_parity_and_restart(spark, tmp_path):
     assert _view_rows(view, cols) == before
 
 
+@pytest.mark.slow
 def test_stream_maintained_join_view_parity_vs_batch_loop(spark, tmp_path):
     """Join form: the streamed view must equal the batch
     run_maintained_join_report loop's view over the SAME delete+replace

@@ -781,6 +781,7 @@ def _brute_cdc(t):
     return sorted(expected)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
 def test_cdc_matches_bruteforce_snapshot_diffs(spark, tmp_path, table_type):
     """Property: over a seeded random upsert/delete history, cdc() is
@@ -2125,6 +2126,7 @@ def test_schema_rename_then_widen_keeps_mapping(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_schema_evolution_random_lifecycle_property(spark, tmp_path):
     """Seeded random interleave of the FULL evolution surface — upserts
     (sometimes narrow-typed, sometimes with a fresh column), widenings,
