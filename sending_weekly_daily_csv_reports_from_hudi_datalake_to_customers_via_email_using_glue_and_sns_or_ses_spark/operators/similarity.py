@@ -296,12 +296,17 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(~F.col("vec_id").isin(*_QUERY_IDS)).withColumn(
         "sig", signature(F.col("embedding"))
     )
-    # broadcast side rebuilt from the memoized query rows (r12) — the
-    # signature UDF runs on the identical embedding values, so bands
-    # and cosines are unchanged; the per-call filtered parquet scan of
-    # the q side is gone
-    q = _query_frame(spark, e, corpus_id=sf_dir).withColumn(
-        "q_sig", signature(F.col("q_emb"))
+    # NOTE (r12): rebuilding q from the memoized rows (_query_frame) was
+    # tried here and REVERTED — the interleaved A/B measured knn_approx
+    # ~25% SLOWER (0.97 -> 1.32 s steady at sf0.1): the signature UDF
+    # over a 3-row local relation schedules its own Arrow python stage
+    # per evaluation, costing more than the filtered parquet scan it
+    # replaced. The IVF/bruteforce paths keep the memo (their q needs
+    # no UDF).
+    q = (
+        e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_sig", signature(F.col("q_emb")))
     )
 
     def bands(sig: F.Column, prefix: str) -> list[F.Column]:
